@@ -1,0 +1,49 @@
+"""Parquet sources for the driver-provided test tables.
+
+The reference reads whole Postgres tables eagerly with
+``pd.read_sql_table`` (reference ``dmCustomerProc.py:18-22`` et al.,
+operator S2 in SURVEY §2.1). Here the scan is a lazy Spark parquet
+source: Catalyst pushes filters and prunes columns into the scan
+(``PushedFilters`` / ``ReadSchema`` in ``.explain``), so reading "the
+whole table" never happens unless the query needs it. For the real
+Postgres deployment, see ``sources.jdbc``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: All driver-generated tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one test table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once; defaults to all of them."""
+    use = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in use}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the test tables as temp views for the SQL front-end."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
