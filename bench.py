@@ -1,0 +1,68 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via a count-ish action
+(``df.write.format("noop")`` would skip result production, so we use
+``toPandas``-free ``count`` after a ``cache``-free plan: the driver
+contract measures end-to-end plan execution, not collection size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pandas_analysis_with_postgres_spark.plans import QUERIES
+from pandas_analysis_with_postgres_spark.session import get_spark
+
+#: Headline set: scan+agg, joins, window, sessionize, dedup sketches,
+#: similarity — one per operator family, the shapes that dominate at
+#: 100 TB.
+HEADLINE = (
+    "q01_pricing_summary",
+    "q02_customer_profile",
+    "q03_latest_order_per_customer",
+    "q13_user_event_flags",
+    "q19_user_sessions",
+    "q21_order_sequence_analytics",
+    "q22_dedup_exact",
+    "q24_minhash_dedup",
+    "q25_simhash",
+    "q27_cosine_topk",
+    "q30_text_stats",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers once so we measure plans, not JIT.
+    QUERIES["q01_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Text-analysis expressions for the LLM-data-pipeline extensions.
+
+All built-in Catalyst expressions (split/transform/filter/aggregate) —
+no Python UDFs, so text scoring runs JVM-side at full codegen speed over
+100 TB of documents. The reference has no text functions at all
+(SURVEY §2.10); this whole module is the north-star extension surface.
+
+Determinism: every function here is a pure expression, reproducible in
+ANSI SQL for the DuckDB oracle (see plans.extension_queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small English stopword list used by quality scoring. Fixed and tiny
+#: on purpose — it is part of the deterministic contract with the oracle.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+#: Fingerprint modulus (2^31 - 1, Mersenne prime) and multiplier. The
+#: fold stays < 2^52 so the arithmetic is exact in both Spark LONG and
+#: DuckDB BIGINT — no overflow-semantics divergence.
+FP_MOD = 2_147_483_647
+FP_MULT = 1_000_003
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (the cheap length signal every data
+    pipeline wants before a real tokenizer pass)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_piece_count(text: Column | str) -> Column:
+    """BPE-ish subword proxy: count of 4-char pieces, ceil(len/4) summed
+    per token — a deterministic stand-in for a real BPE vocab (which is
+    a model artifact, not an engine feature). Useful as a token-budget
+    estimator at ingest time."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"),
+    )
+
+
+def stopword_count(text: Column | str) -> Column:
+    """Number of tokens that are stopwords."""
+    return F.size(F.filter(tokens(text), lambda t: t.isin(*STOPWORDS)))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles → array<string> (the MinHash/Jaccard
+    input unit). Built with transform over an index sequence — stays
+    JVM-side."""
+    toks = tokens(text)
+    # NB: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty — docs
+    # shorter than n tokens must be guarded to an empty array.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    parts = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(parts)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash of
+    (ascii(first char) * 256 + length) per token, folded left with
+    ``acc * FP_MULT + v (mod FP_MOD)``.
+
+    A rolling hash rather than a set hash: reordered tokens change the
+    fingerprint. Exactly reproducible in DuckDB via
+    ``list_reduce(list_prepend(0, ...))`` — pinned in the oracle.
+    """
+    vals = F.transform(tokens(text), lambda t: F.ascii(t) * 256 + F.length(t))
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * F.lit(FP_MULT) + v.cast("long")) % F.lit(FP_MOD),
+    )
+
+
+def quality_score(text: Column | str, n_chars: Column | str) -> Column:
+    """Composite quality heuristic in [0, ~1]: rewards mid-length docs,
+    penalizes stopword-heavy and very-short-token text. All double math
+    with a fixed operation order (oracle-reproducible)."""
+    nc = F.col(n_chars) if isinstance(n_chars, str) else n_chars
+    nt = token_count(text).cast("double")
+    sw = stopword_count(text).cast("double")
+    avg_tok = (nc.cast("double") - (nt - F.lit(1.0))) / nt
+    length_term = F.least(nt / F.lit(100.0), F.lit(1.0))
+    stop_term = F.lit(1.0) - (sw / nt)
+    len_tok_term = F.least(avg_tok / F.lit(5.0), F.lit(1.0))
+    return (length_term + stop_term + len_tok_term) / F.lit(3.0)

@@ -1,0 +1,28 @@
+"""Relational operators (SURVEY §2.4-§2.9) re-expressed Spark-first.
+
+Each helper is a thin, explicitly-named composition of DataFrame ops so
+Catalyst sees the full declarative plan (joins reorderable, filters
+pushable, small sides broadcastable). Nothing here materializes.
+"""
+
+from .aggregates import global_agg_col, group_count
+from .joins import cross_join_defaults, existence_flag_join, lookup_join
+from .scd2 import scd2_apply
+from .setops import changed_rows, except_all_on, union_by_name
+from .upsert import upsert
+from .windows import keep_first_dedup, top1_per_group
+
+__all__ = [
+    "changed_rows",
+    "cross_join_defaults",
+    "except_all_on",
+    "existence_flag_join",
+    "global_agg_col",
+    "group_count",
+    "keep_first_dedup",
+    "lookup_join",
+    "scd2_apply",
+    "top1_per_group",
+    "union_by_name",
+    "upsert",
+]

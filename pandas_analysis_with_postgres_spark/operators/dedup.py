@@ -1,0 +1,323 @@
+"""Document deduplication for LLM-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale-first design (the 100 TB contract):
+- *exact*: group by a 256-bit content hash, never by the raw text — the
+  shuffle carries 32 bytes + doc_id per row, not documents.
+- *n-gram Jaccard*: explode distinct shingles → self-join on shingle →
+  per-pair co-occurrence counts. Pair work is proportional to shared
+  shingles, not |docs|² (all-pairs exists only in the DuckDB oracle).
+- *MinHash+LSH*: signatures via K independent linear permutations over
+  a 45-bit shingle value, banded into buckets; candidates come from a
+  bucket equi-join, then exact-Jaccard verification. Work ∝ collisions.
+- *SimHash*: 32-bit sign-aggregate fingerprint; near-dup = small
+  Hamming distance, found via 4-band exact-match blocking (Hamming ≤ 3
+  guarantees one identical 8-bit band — pigeonhole).
+
+Hashing is intentionally *arithmetic* (multiply-add-mod on exact
+integers ≤ 2^62) rather than xxhash64/md5: the same numbers are
+computable in ANSI SQL, so even the LSH pipelines are hash-verified
+against DuckDB — the oracle replays the algorithm, candidates and all.
+A weak-ish 15-bit token base value feeds a 45-bit injective shingle
+combiner, which the permutations then spread; for adversarial corpora
+swap `_token_value` for xxhash64 (one line) at the cost of the oracle.
+
+No UDFs anywhere — everything is codegen'd higher-order expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles as _shingles
+from ..functions.text import tokens as _tokens
+
+# ---------------------------------------------------------------------
+# Deterministic constants, shared verbatim with the SQL oracle
+# generators in plans.extension_queries. Derived from a tiny LCG so the
+# "randomness" is reproducible from a seed without the random module.
+# ---------------------------------------------------------------------
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+TOKEN_BASE = 32_768  # 2^15 — token values are < 2^15
+NUM_PERMS = 32
+LSH_ROWS = 2  # minhashes per band
+LSH_BANDS = NUM_PERMS // LSH_ROWS  # 16 bands → recall .99 @ j=0.5
+BAND_MIX = 2_654_435_761  # Knuth multiplicative constant
+SIMHASH_BITS = 32
+
+
+def _lcg(seed: int):
+    state = seed
+    while True:
+        state = (state * 6_364_136_223_846_793_005 + 1_442_695_040_888_963_407) % (
+            1 << 64
+        )
+        yield state
+
+
+def _gen_perm_constants(k: int = NUM_PERMS) -> list[tuple[int, int]]:
+    g = _lcg(42)
+    out = []
+    for _ in range(k):
+        a = next(g) % 65_535 + 1  # a in [1, 2^16] keeps a*shv < 2^62
+        b = next(g) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+PERM_CONSTANTS = _gen_perm_constants()
+
+
+def token_value(t: Column) -> Column:
+    """Token → integer < 2^15: ascii(first char)*256 + length.
+
+    Deliberately SQL-reproducible (DuckDB has no xxhash64). See module
+    docstring for the swap-in point for adversarial data.
+    """
+    return (F.ascii(t) * 256 + F.length(t)).cast("long")
+
+
+def shingle_values(text: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingle values < 2^45: base-2^15 combination of
+    token values — injective, exact in 64-bit in both engines."""
+    toks = _tokens(text)
+    tv = F.transform(toks, token_value)
+    # Guard: F.sequence(1, 0) is descending [1, 0], not empty.
+    idx = F.when(
+        F.size(tv) >= n, F.sequence(F.lit(1), F.size(tv) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    combined = F.transform(
+        idx,
+        lambda i: (
+            (
+                F.element_at(tv, i.cast("int")) * TOKEN_BASE
+                + F.element_at(tv, (i + 1).cast("int"))
+            )
+            * TOKEN_BASE
+            + F.element_at(tv, (i + 2).cast("int"))
+        ),
+    )
+    return F.array_distinct(combined)
+
+
+# ---------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate clusters via SHA-256 content hash.
+
+    Returns one row per distinct content: (text_hash, keep_id = min id,
+    n_copies). Grouping by the 32-byte digest keeps the shuffle narrow
+    at 100 TB; collisions are cryptographically negligible.
+    """
+    return (
+        docs.select(F.sha2(F.col(text_col), 256).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact similarity, join-based)
+# ---------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """All document pairs with n-gram-shingle Jaccard ≥ threshold.
+
+    Plan shape: explode distinct shingles → self-equi-join on shingle →
+    count co-occurrences per pair → jaccard = co / (na + nb - co).
+    Only pairs sharing ≥1 shingle ever materialize, so cost follows
+    shingle collisions, not |docs|². The per-doc shingle-count side is
+    tiny (id, count) → broadcast into the final join.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_shingles(F.col(text_col), n)).alias("sh")
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    co = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    out = (
+        co.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .withColumn("jaccard", F.col("co") / (F.col("na") + F.col("nb") - F.col("co")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+# ---------------------------------------------------------------------
+# MinHash + LSH near-dup (the 100 TB path)
+# ---------------------------------------------------------------------
+def minhash_signatures(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """K-permutation MinHash signature columns mh0..mh{K-1}.
+
+    Signature k = min over shingles s of (a_k·s + b_k) mod p — computed
+    as array expressions per row (no explode, no shuffle): at 100 TB
+    this is a single narrow map stage.
+    """
+    sv = shingle_values(F.col(text_col))
+
+    def _perm(ak: int, bk: int):
+        # Closure factory: HOF lambdas must take exactly one parameter
+        # (a second would bind the element index, not a default).
+        return lambda s: (F.lit(ak) * s + F.lit(bk)) % F.lit(MINHASH_P)
+
+    cols = [F.col(id_col).alias("doc_id")]
+    for k, (ak, bk) in enumerate(PERM_CONSTANTS):
+        mh = F.array_min(F.transform(sv, _perm(ak, bk)))
+        cols.append(mh.alias(f"mh{k}"))
+    return docs.select(*cols)
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs from a MinHash signature frame.
+
+    Bands of LSH_ROWS signatures are mixed into one 63-bit band key;
+    docs sharing any (band_id, band_key) become candidates via a
+    self-equi-join on the exploded band frame. This is the only shuffle
+    in the pipeline and it is keyed by band buckets — skew appears only
+    if many documents are near-identical, in which case AQE's skew-join
+    splitting kicks in.
+    """
+    bands = []
+    for band in range(LSH_BANDS):
+        lo = F.col(f"mh{band * LSH_ROWS}")
+        hi = F.col(f"mh{band * LSH_ROWS + 1}")
+        key = (lo * F.lit(BAND_MIX) + hi) % F.lit(MINHASH_P)
+        bands.append(F.struct(F.lit(band).alias("band_id"), key.alias("band_key")))
+    exploded = signatures.select(
+        "doc_id", F.explode(F.array(*bands)).alias("b")
+    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Candidates from banded LSH, then each candidate pair's true shingle
+    Jaccard is computed via array_intersect on the (re-joined) shingle
+    arrays and filtered at ``threshold``. Verification touches only
+    candidate pairs — the all-pairs quadratic never exists.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingle_values(F.col(text_col)).alias("sv")
+    )
+    sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col)
+    cand = lsh_candidate_pairs(sigs)
+    pa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sv").alias("sv_a"))
+    pb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sv").alias("sv_b"))
+    joined = cand.join(pa, "doc_a").join(pb, "doc_b")
+    co = F.size(F.array_intersect(F.col("sv_a"), F.col("sv_b")))
+    union = F.size(F.col("sv_a")) + F.size(F.col("sv_b")) - co
+    return (
+        joined.withColumn("jaccard", co / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------
+def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash fingerprint per document.
+
+    Token → 32-bit Knuth-mixed value; bit j of the fingerprint is the
+    sign of Σ_tokens (bit_j(token_hash)·2 − 1). Pure array expressions,
+    one narrow map stage; SQL-reproducible.
+    """
+    tv = F.transform(_tokens(F.col(text_col)), token_value)
+    mixed = F.transform(tv, lambda v: (v * F.lit(BAND_MIX)) % F.lit(4_294_967_296))
+
+    def _bit_folder(j: int):
+        return lambda acc, v: acc + (F.shiftright(v, j).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    fingerprint = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        bit_sum = F.aggregate(mixed, F.lit(0).cast("long"), _bit_folder(j))
+        fingerprint = fingerprint + F.when(bit_sum > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return docs.select(F.col(id_col).alias("doc_id"), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Blocking: split the 32-bit fingerprint into 4 bytes; pairs within
+    Hamming ≤ 3 must agree exactly on ≥1 byte (pigeonhole), so
+    candidates come from 4 equi-joins on (byte_id, byte_value) — never
+    all-pairs. Hamming computed via bit_count(xor).
+    """
+    sh = simhash(docs, text_col=text_col, id_col=id_col)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)).alias("block_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    exploded = sh.select("doc_id", "simhash", F.explode(blocks).alias("b")).select(
+        "doc_id", "simhash", F.col("b.block_id").alias("block_id"), F.col("b.block_val").alias("block_val")
+    )
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "block_id", "block_val"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "block_id", "block_val"
+    )
+    pairs = (
+        a.join(b, ["block_id", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

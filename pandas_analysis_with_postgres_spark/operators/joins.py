@@ -1,0 +1,91 @@
+"""Join operators — SURVEY §2.4 (20 reference merges, 4 flavors).
+
+The reference's ``pd.merge`` is always a single-threaded hash join in
+script order. Here every join is declared and Catalyst + AQE pick the
+physical algorithm; we add only *intent*: broadcast hints for dimension
+lookups (J2-J4/J13/J15-J16), dedup-before-existence-join for the J9
+fan-out hazard, and explicit cross-join for the intended semantics of
+the reference's broken defaults join (J13, ``dmCustomerProc.py:145``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def lookup_join(
+    df: DataFrame,
+    dim: DataFrame,
+    on: str | list[str] | Column,
+    how: str = "inner",
+    *,
+    broadcast: bool = True,
+    rename: Mapping[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> DataFrame:
+    """Dimension lookup join (reference J1-J4/J15-J18).
+
+    ``broadcast=True`` (the default — lookups are small) hints a
+    BroadcastHashJoin so the fact side never shuffles: at 100 TB the
+    fact table streams map-side past an in-memory copy of the dim. The
+    reference instead hash-joins everything single-threaded
+    (``dmCustomerProc.py:30-44,173-181``).
+
+    ``rename`` disambiguates collision-prone dim columns *before* the
+    join (reference P2, ``dmCustomerProc.py:23-28``) — Spark has no
+    pandas-style ``_x``/``_y`` auto-suffixing, which is a feature: the
+    collision becomes an explicit, reviewable alias.
+    """
+    if rename:
+        for old, new in rename.items():
+            dim = dim.withColumnRenamed(old, new)
+    right = F.broadcast(dim) if broadcast else dim
+    out = df.join(right, on, how)
+    if drop:
+        out = out.drop(*drop)
+    return out
+
+
+def existence_flag_join(
+    df: DataFrame,
+    keys: DataFrame,
+    left_key: str,
+    right_key: str,
+    flag_name: str,
+) -> DataFrame:
+    """Left-join existence flag (reference J9/J11/J12,
+    ``dmCustomerProc.py:69,86,94``) with the fan-out hazard fixed.
+
+    The reference left-joins a *non-deduped* membership table and then
+    flags ``notnull`` — duplicate right keys silently multiply left rows
+    (J9 hazard, SURVEY §2.4). The intended semantics is EXISTS: here the
+    right side is reduced to ``distinct`` keys first, so the left
+    cardinality is provably preserved. The distinct-key frame is small
+    relative to the fact side → broadcast.
+    """
+    marker = (
+        keys.select(F.col(right_key).alias(left_key))
+        .distinct()
+        .withColumn(f"__{flag_name}_hit", F.lit(1))
+    )
+    out = df.join(F.broadcast(marker), left_key, "left")
+    return out.withColumn(
+        flag_name,
+        F.when(F.col(f"__{flag_name}_hit").isNotNull(), F.lit(1)).otherwise(F.lit(0)),
+    ).drop(f"__{flag_name}_hit")
+
+
+def cross_join_defaults(df: DataFrame, defaults: DataFrame) -> DataFrame:
+    """Broadcast a tiny defaults frame onto every row (intended
+    semantics of reference J13, ``dmCustomerProc.py:145`` — the
+    ``left_on=[1]`` there is a KeyError bug; the surviving intent is a
+    cross join of system-default flags onto each customer, then
+    per-column COALESCE, SURVEY §2.4 J13 / §2.2 P8).
+
+    ``defaults`` must be small (typically a 1-row aggregate);
+    broadcasting makes the cross join a map-side operation.
+    """
+    return df.crossJoin(F.broadcast(defaults))

@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring what a 100 TB training-data pipeline needs:
+
+- ``cosine_topk``: exact brute-force top-k. The query set is broadcast;
+  the corpus is scanned once, scored JVM-side, and reduced with a
+  per-query window top-k. Zero shuffle of the corpus, one shuffle of
+  (|corpus| × |queries|) score rows — acceptable when |queries| is
+  small; this is the baseline/ground-truth path.
+- ``lsh_topk``: random-hyperplane LSH. Each vector gets a B-bit sign
+  bucket; top-k is computed *within* buckets only. Sub-linear candidate
+  cost, approximate recall. Hyperplane components are derived from a
+  deterministic integer formula (not stored vectors), so the DuckDB
+  oracle replays the identical algorithm — the approximation itself is
+  hash-verified.
+
+Everything is built-in higher-order functions; no UDF in either path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+#: Number of random hyperplanes (bucket bits). 2^8 = 256 buckets.
+LSH_PLANES = 8
+#: Embedding dimensionality of the fixture corpus.
+DIM = 64
+_MIX = 2_654_435_761
+_TWO32 = 4_294_967_296
+
+
+def _plane_component(plane: int, i: Column) -> Column:
+    """Component i of hyperplane `plane`, in [-1, 1): a Weyl-style
+    integer mix — identical formula in the SQL oracle."""
+    mixed = ((F.lit(plane) * DIM + i) * F.lit(_MIX)) % F.lit(_TWO32)
+    return mixed / F.lit(2_147_483_648.0) - F.lit(1.0)
+
+
+def hyperplane_bucket(vec: Column) -> Column:
+    """B-bit sign bucket of `vec` against the derived hyperplanes."""
+    def _components(p: int):
+        # Closure factory — a two-param lambda would receive the array
+        # index as its second argument, silently corrupting the plane id.
+        return lambda i: _plane_component(p, i)
+
+    bucket = F.lit(0).cast("long")
+    for p in range(LSH_PLANES):
+        idx = F.sequence(F.lit(1), F.lit(DIM))
+        dot = F.aggregate(
+            F.zip_with(
+                F.transform(idx, _components(p)),
+                vec,
+                lambda h, v: h * v.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    Returns (query_id, neighbor_id, rank, cos). Self-matches are
+    excluded. Ties broken by neighbor_id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the
+    query's hyperplane bucket. Returns (query_id, neighbor_id, rank,
+    cos); recall < 1 by construction — the scale path when the corpus
+    is too large to brute-force per query."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        hyperplane_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        hyperplane_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def cosine_near_pairs(
+    corpus: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold, a < b.
+
+    All-pairs within the frame — intended for post-LSH candidate sets
+    or modest corpora; the LSH bucket variant is the 100 TB front door.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,71 @@
+"""Keyed upsert — SURVEY §2.9 M1 (UPDATE-from) + M2 (INSERT-if-absent).
+
+The reference's ``dwd.update(cst_insert)`` (``dmCustomerProc.py:193``)
+is *index-aligned* and overwrites only non-NaN cells; its insert path is
+a left-join probe + ``exists==0`` filter + append
+(``dmCustomerProc.py:197-203``). Neither concept exists on an unordered
+distributed multiset, so both are re-derived as keyed joins:
+
+- UPDATE-from  → left join on key + per-column ``COALESCE(new, old)``
+  (non-NULL-only overwrite, matching pandas ``update`` semantics);
+- INSERT-if-absent → ``left_anti`` join (the reference's 3-step probe
+  dance is one Spark operator, J19 in SURVEY §2.4).
+
+In a Delta/Iceberg deployment this whole function is one
+``MERGE INTO … WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT``;
+those connector jars aren't in this environment, so the join-coalesce
+form is the portable core (it is also exactly what MERGE plans to).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(
+    dim: DataFrame,
+    staged: DataFrame,
+    key: str,
+    *,
+    update_cols: list[str] | None = None,
+    stamp: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Upsert ``staged`` into dimension ``dim`` on ``key``.
+
+    Returns the new dimension content:
+    matched rows with ``update_cols`` overwritten by non-NULL staged
+    values (M1), unmatched old rows unchanged, and staged rows with
+    unseen keys appended (M2). ``stamp`` adds bookkeeping columns (e.g.
+    ``etl_date``) to every returned row, mirroring
+    ``dmCustomerProc.py:194,200``.
+
+    Scale: one shuffle join on ``key`` + one anti join; AQE broadcasts
+    ``staged`` when it's the small delta against a big dimension (the
+    common CDC shape). No driver-side collection anywhere.
+    """
+    if update_cols is None:
+        update_cols = [c for c in dim.columns if c != key and c in staged.columns]
+
+    new_side = staged.select(
+        F.col(key).alias("__k"),
+        *[F.col(c).alias(f"__new_{c}") for c in update_cols],
+    )
+    updated = (
+        dim.join(new_side, dim[key] == F.col("__k"), "left")
+        .select(
+            *[
+                (
+                    F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c)
+                    if c in update_cols
+                    else F.col(c)
+                )
+                for c in dim.columns
+            ]
+        )
+    )
+    inserts = staged.join(dim.select(key), key, "left_anti")
+    out = updated.unionByName(inserts, allowMissingColumns=True)
+    if stamp:
+        out = out.withColumns(dict(stamp))
+    return out

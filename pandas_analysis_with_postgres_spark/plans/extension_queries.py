@@ -1,0 +1,421 @@
+"""LLM-data-pipeline extension queries: dedup, similarity search, text
+analysis, multimodal — over the `documents` and `embeddings` fixtures.
+
+Oracle strategy: the sketch pipelines (MinHash+LSH, SimHash, hyperplane
+LSH) use *arithmetic* hashing on exact 64-bit integers (see
+operators.dedup), so their DuckDB oracles are generated from the same
+constants and replay the algorithm — candidates, buckets and all. The
+approximation is therefore hash-verified, not merely smoke-checked.
+Double-precision reductions are expressed as strictly sequential folds
+on BOTH sides (Spark ``F.aggregate`` ↔ DuckDB ``list_reduce`` with a
+prepended 0.0) so the doubles are bit-identical.
+
+Only genuinely non-SQL surfaces (mapInPandas media featurize,
+Structured Streaming) are declared without oracles → the driver records
+its weaker rows-only check for those, by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+from ..operators.multimodal import attach_binary_payload, featurize_media, media_metadata
+from ..sources.parquet import load_table
+
+# ---------------------------------------------------------------------
+# SQL fragment generators (shared arithmetic with operators.dedup /
+# operators.similarity — constants imported, never re-derived).
+# ---------------------------------------------------------------------
+
+_TOKS = "string_split(text, ' ')"
+_TV = f"list_transform({_TOKS}, t -> (ascii(t) * 256 + length(t))::BIGINT)"
+
+
+def _sv_sql() -> str:
+    """Distinct 45-bit shingle values per document (DuckDB)."""
+    return (
+        "SELECT doc_id, list_distinct(list_transform("
+        "generate_series(1, len(tv) - 2), "
+        f"i -> (tv[i] * {DD.TOKEN_BASE} + tv[i+1]) * {DD.TOKEN_BASE} + tv[i+2])) AS sv "
+        f"FROM (SELECT doc_id, {_TV} AS tv FROM documents)"
+    )
+
+
+def _minhash_sig_sql() -> str:
+    mh = ", ".join(
+        f"list_min(list_transform(sv, s -> ({a} * s + {b}) % {DD.MINHASH_P})) AS mh{k}"
+        for k, (a, b) in enumerate(DD.PERM_CONSTANTS)
+    )
+    return f"SELECT doc_id, {mh} FROM sv"
+
+
+def _bands_sql() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT doc_id, {band} AS band_id, "
+        f"(mh{band * DD.LSH_ROWS} * {DD.BAND_MIX} + mh{band * DD.LSH_ROWS + 1}) "
+        f"% {DD.MINHASH_P} AS band_key FROM sig"
+        for band in range(DD.LSH_BANDS)
+    )
+    return rows
+
+
+MINHASH_ORACLE = f"""
+WITH sv AS ({_sv_sql()}),
+sig AS ({_minhash_sig_sql()}),
+bands AS ({_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       len(list_intersect(sa.sv, sb.sv))
+         / (len(sa.sv) + len(sb.sv) - len(list_intersect(sa.sv, sb.sv))) AS jaccard
+FROM cand c
+JOIN sv sa ON sa.doc_id = c.doc_a
+JOIN sv sb ON sb.doc_id = c.doc_b
+WHERE len(list_intersect(sa.sv, sb.sv))
+      / (len(sa.sv) + len(sb.sv) - len(list_intersect(sa.sv, sb.sv))) >= 0.5
+"""
+
+
+def _simhash_expr_sql() -> str:
+    mixed = (
+        f"list_transform({_TV}, v -> (v * {DD.BAND_MIX}) % 4294967296)"
+    )
+    bits = " + ".join(
+        f"CASE WHEN list_sum(list_transform(mx, v -> ((v // {1 << j}) % 2) * 2 - 1)) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0 END"
+        for j in range(DD.SIMHASH_BITS)
+    )
+    return f"SELECT doc_id, ({bits}) AS simhash FROM (SELECT doc_id, {mixed} AS mx FROM documents)"
+
+
+SIMHASH_ORACLE = f"WITH s AS ({_simhash_expr_sql()}) SELECT doc_id, simhash FROM s"
+
+SIMHASH_PAIRS_ORACLE = f"""
+WITH s AS ({_simhash_expr_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def _dot_sql(products: str) -> str:
+    """Strictly sequential double fold, mirroring F.aggregate."""
+    return f"list_reduce(list_prepend(0.0, {products}), (acc, x) -> acc + x)"
+
+
+def _cos_sql(av: str, bv: str) -> str:
+    dot_ab = _dot_sql(
+        f"list_transform(generate_series(1, {SIM.DIM}), "
+        f"i -> {av}[i]::DOUBLE * {bv}[i]::DOUBLE)"
+    )
+    dot_aa = _dot_sql(
+        f"list_transform(generate_series(1, {SIM.DIM}), "
+        f"i -> {av}[i]::DOUBLE * {av}[i]::DOUBLE)"
+    )
+    dot_bb = _dot_sql(
+        f"list_transform(generate_series(1, {SIM.DIM}), "
+        f"i -> {bv}[i]::DOUBLE * {bv}[i]::DOUBLE)"
+    )
+    return f"({dot_ab}) / (sqrt({dot_aa}) * sqrt({dot_bb}))"
+
+
+def _bucket_sql(vec: str) -> str:
+    planes = []
+    for p in range(SIM.LSH_PLANES):
+        comp = (
+            f"((({p} * {SIM.DIM} + i) * {SIM._MIX}) % {SIM._TWO32})"
+            f" / 2147483648.0 - 1.0"
+        )
+        dot = _dot_sql(
+            f"list_transform(generate_series(1, {SIM.DIM}), "
+            f"i -> ({comp}) * {vec}[i]::DOUBLE)"
+        )
+        planes.append(f"CASE WHEN ({dot}) > 0 THEN {1 << p}::BIGINT ELSE 0 END")
+    return "(" + " + ".join(planes) + ")"
+
+
+COSINE_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, {_cos_sql('qv', 'cv')} AS cos
+  FROM c CROSS JOIN q WHERE c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
+       cos
+FROM scored
+QUALIFY rank <= 5
+"""
+
+LSH_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM e),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, {_cos_sql('qv', 'cv')} AS cos
+  FROM c JOIN q USING (bucket) WHERE c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
+       cos
+FROM scored
+QUALIFY rank <= 5
+"""
+
+COSINE_PAIRS_ORACLE = f"""
+WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
+b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
+SELECT id_a, id_b, {_cos_sql('va', 'vb')} AS cos
+FROM a CROSS JOIN b
+WHERE id_a < id_b AND {_cos_sql('va', 'vb')} >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------
+def q22_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+Q22_SQL = """
+SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+
+
+def q23_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.3
+    )
+
+
+Q23_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.sh, b.sh))
+         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+"""
+
+
+def q24_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_dedup_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q26_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q28_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q29_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_near_pairs(emb, threshold=0.4)
+
+
+def q30_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        TX.bpe_ish_piece_count("text").alias("n_pieces"),
+        TX.stopword_count("text").cast("long").alias("n_stopwords"),
+        TX.fingerprint("text").alias("fingerprint"),
+        TX.quality_score("text", "n_chars").alias("quality"),
+    )
+
+
+_SW = ", ".join(f"'{w}'" for w in TX.STOPWORDS)
+Q30_SQL = f"""
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  list_reduce(list_prepend(0::BIGINT,
+      list_transform(toks, t -> ceil(length(t) / 4.0)::BIGINT)),
+      (acc, v) -> acc + v) AS n_pieces,
+  len(list_filter(toks, t -> t IN ({_SW}))) AS n_stopwords,
+  list_reduce(list_prepend(0::BIGINT,
+      list_transform(toks, t -> (ascii(t) * 256 + length(t))::BIGINT)),
+      (acc, v) -> (acc * {TX.FP_MULT} + v) % {TX.FP_MOD}) AS fingerprint,
+  (least(len(toks)::DOUBLE / 100.0, 1.0)
+   + (1.0 - len(list_filter(toks, t -> t IN ({_SW})))::DOUBLE / len(toks)::DOUBLE)
+   + least(((n_chars::DOUBLE - (len(toks)::DOUBLE - 1.0)) / len(toks)::DOUBLE) / 5.0, 1.0)
+  ) / 3.0 AS quality
+FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+def q31_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count("text")).alias("total_tokens"),
+        (F.sum(F.col("n_chars")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+    )
+
+
+Q31_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+#: Marker-token profiles for the lang-ID heuristic. The fixture corpus
+#: is synthetic same-vocabulary word soup, so predictions skew 'en' —
+#: the operator (not this corpus) is the deliverable; on real text the
+#: profiles discriminate.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "les", "des", "une"),
+}
+
+
+def q32_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = TX.tokens("text")
+
+    def _hits(markers: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    # Deterministic argmax with fixed priority order en > de > es > fr.
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        others = [scores[o] for o in LANG_MARKERS if o != lang]
+        pred = F.when(
+            (scores[lang] > 0) & (scores[lang] >= F.greatest(*others)), F.lit(lang)
+        ).otherwise(pred)
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+def _markers_sql(lang: str) -> str:
+    terms = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter(toks, t -> t IN ({terms})))"
+
+
+Q32_SQL = f"""
+SELECT doc_id,
+  CASE
+    WHEN {_markers_sql('en')} > 0
+     AND {_markers_sql('en')} >= greatest({_markers_sql('de')}, {_markers_sql('es')}, {_markers_sql('fr')})
+      THEN 'en'
+    WHEN {_markers_sql('de')} > 0
+     AND {_markers_sql('de')} >= greatest({_markers_sql('en')}, {_markers_sql('es')}, {_markers_sql('fr')})
+      THEN 'de'
+    WHEN {_markers_sql('es')} > 0
+     AND {_markers_sql('es')} >= greatest({_markers_sql('en')}, {_markers_sql('de')}, {_markers_sql('fr')})
+      THEN 'es'
+    WHEN {_markers_sql('fr')} > 0
+     AND {_markers_sql('fr')} >= greatest({_markers_sql('en')}, {_markers_sql('de')}, {_markers_sql('es')})
+      THEN 'fr'
+    ELSE 'und'
+  END AS lang_pred
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+def q33_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(TX.token_count("text")).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+Q33_SQL = """
+SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, COUNT(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+def q34_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return media_metadata(attach_binary_payload(docs))
+
+
+Q34_SQL = """
+SELECT doc_id, 'fake/blob' AS media_type,
+       octet_length(encode(text)) AS payload_bytes,
+       greatest((octet_length(encode(text)) // 256), 1)::BIGINT AS n_frames
+FROM documents
+"""
+
+
+def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas featurize path — not SQL-expressible (Arrow-batched
+    Python decode stub); driver records a rows-only check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return featurize_media(attach_binary_payload(docs))
+
+
+EXTENSION_QUERIES = {
+    "q22_dedup_exact": q22_dedup_exact,
+    "q23_ngram_jaccard_pairs": q23_ngram_jaccard_pairs,
+    "q24_minhash_dedup": q24_minhash_dedup,
+    "q25_simhash": q25_simhash,
+    "q26_simhash_pairs": q26_simhash_pairs,
+    "q27_cosine_topk": q27_cosine_topk,
+    "q28_lsh_topk": q28_lsh_topk,
+    "q29_cosine_near_pairs": q29_cosine_near_pairs,
+    "q30_text_stats": q30_text_stats,
+    "q31_lang_profile": q31_lang_profile,
+    "q32_lang_id": q32_lang_id,
+    "q33_token_count_by_source": q33_token_count_by_source,
+    "q34_media_metadata": q34_media_metadata,
+    "q35_media_features": q35_media_features,
+}
+
+EXTENSION_ORACLES = {
+    "q22_dedup_exact": Q22_SQL,
+    "q23_ngram_jaccard_pairs": Q23_SQL,
+    "q24_minhash_dedup": MINHASH_ORACLE,
+    "q25_simhash": SIMHASH_ORACLE,
+    "q26_simhash_pairs": SIMHASH_PAIRS_ORACLE,
+    "q27_cosine_topk": COSINE_TOPK_ORACLE,
+    "q28_lsh_topk": LSH_TOPK_ORACLE,
+    "q29_cosine_near_pairs": COSINE_PAIRS_ORACLE,
+    "q30_text_stats": Q30_SQL,
+    "q31_lang_profile": Q31_SQL,
+    "q32_lang_id": Q32_SQL,
+    "q33_token_count_by_source": Q33_SQL,
+    "q34_media_metadata": Q34_SQL,
+    # q35_media_features: rows-only by design (Python decode stub).
+}

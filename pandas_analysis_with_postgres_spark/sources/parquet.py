@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: All driver-generated tables (TESTDATA.md).
 TABLES = (
@@ -33,7 +34,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan of one test table."""
+    """Lazy parquet scan of one test table.
+
+    The ``events`` fixture stores ``ts`` as a Parquet TIMESTAMP(NANOS),
+    which Spark rejects natively ([PARQUET_TYPE_ILLEGAL]); it is read
+    as nanos-since-epoch LONG and converted to a microsecond timestamp
+    (integer ``div`` — a double division would lose precision above
+    2^53 ns). The fixture's values are micro-aligned, so no truncation
+    occurs (pinned in tests).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
