@@ -101,6 +101,21 @@ def shingle_values(text: Column, n: int = 3) -> Column:
     return F.array_distinct(combined)
 
 
+def _rebalance(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism
+    when the scan has fewer splits.
+
+    The hashing stages below are CPU-bound narrow maps; a small input
+    (e.g. one parquet row group) would otherwise serialize them on one
+    core. At real scale the input already has far more splits than
+    cores and this is a no-op — no shuffle is added.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------
@@ -176,19 +191,43 @@ def minhash_signatures(
     Signature k = min over shingles s of (a_k·s + b_k) mod p — computed
     as array expressions per row (no explode, no shuffle): at 100 TB
     this is a single narrow map stage.
+
+    The shingle array is materialized behind a projection boundary and
+    folded in ONE pass into an array of K running minima (per-shingle
+    ``transform`` over the accumulator). Inlining the tokenize+shingle
+    pipeline into each of the K signature columns instead recomputes
+    the regexp work K times per row — measured 30× slower. min is
+    order-independent exact integer math, so values are unchanged.
     """
-    sv = shingle_values(F.col(text_col))
-
-    def _perm(ak: int, bk: int):
-        # Closure factory: HOF lambdas must take exactly one parameter
-        # (a second would bind the element index, not a default).
-        return lambda s: (F.lit(ak) * s + F.lit(bk)) % F.lit(MINHASH_P)
-
-    cols = [F.col(id_col).alias("doc_id")]
-    for k, (ak, bk) in enumerate(PERM_CONSTANTS):
-        mh = F.array_min(F.transform(sv, _perm(ak, bk)))
-        cols.append(mh.alias(f"mh{k}"))
-    return docs.select(*cols)
+    shingled = _rebalance(docs).select(
+        F.col(id_col).alias("doc_id"), shingle_values(F.col(text_col)).alias("sv")
+    )
+    perm_a = F.array(*[F.lit(a).cast("long") for a, _ in PERM_CONSTANTS])
+    perm_b = F.array(*[F.lit(b).cast("long") for _, b in PERM_CONSTANTS])
+    fold = F.aggregate(
+        F.col("sv"),
+        F.array_repeat(F.lit(MINHASH_P).cast("long"), NUM_PERMS),
+        lambda acc, s: F.transform(
+            acc,
+            lambda m, i: F.least(
+                m,
+                (
+                    F.element_at(perm_a, (i + 1).cast("int")) * s
+                    + F.element_at(perm_b, (i + 1).cast("int"))
+                )
+                % F.lit(MINHASH_P),
+            ),
+        ),
+    )
+    # Shingle-less docs must yield NULL signatures (array_min semantics),
+    # not the init sentinel — otherwise they'd all share a band bucket.
+    staged = shingled.select(
+        "doc_id", F.when(F.size("sv") > 0, fold).alias("mins")
+    )
+    return staged.select(
+        "doc_id",
+        *[F.element_at("mins", k + 1).alias(f"mh{k}") for k in range(NUM_PERMS)],
+    )
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
@@ -234,6 +273,7 @@ def minhash_dedup_pairs(
     arrays and filtered at ``threshold``. Verification touches only
     candidate pairs — the all-pairs quadratic never exists.
     """
+    docs = _rebalance(docs)
     sh = docs.select(
         F.col(id_col).alias("doc_id"), shingle_values(F.col(text_col)).alias("sv")
     )
@@ -264,16 +304,29 @@ def simhash(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
     tv = F.transform(_tokens(F.col(text_col)), token_value)
     mixed = F.transform(tv, lambda v: (v * F.lit(BAND_MIX)) % F.lit(4_294_967_296))
 
-    def _bit_folder(j: int):
-        return lambda acc, v: acc + (F.shiftright(v, j).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    fingerprint = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        bit_sum = F.aggregate(mixed, F.lit(0).cast("long"), _bit_folder(j))
-        fingerprint = fingerprint + F.when(bit_sum > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return docs.select(F.col(id_col).alias("doc_id"), fingerprint.alias("simhash"))
+    # One pass over the tokens, folding all 32 per-bit ±1 sums at once
+    # (inlining `mixed` into 32 per-bit aggregates recomputes the
+    # tokenize pipeline 32× per row). Integer sums are order-independent
+    # → values identical to the per-bit formulation in the oracle.
+    bit_sums = F.aggregate(
+        mixed,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, v: F.transform(
+            acc, lambda s, j: s + F.getbit(v, j).cast("long") * 2 - 1
+        ),
+    )
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    staged = _rebalance(docs).select(
+        F.col(id_col).alias("doc_id"), bit_sums.alias("bs")
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(
+            F.col("bs"), pow2, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return staged.select("doc_id", fingerprint.alias("simhash"))
 
 
 def simhash_near_pairs(
