@@ -9,8 +9,9 @@ SQL-expressible identically (streaming, LSH internals) are listed in
 
 from .extension_queries import EXTENSION_ORACLES, EXTENSION_QUERIES
 from .reference_queries import REFERENCE_ORACLES, REFERENCE_QUERIES
+from .streaming_queries import STREAMING_ORACLES, STREAMING_QUERIES
 
-QUERIES = {**REFERENCE_QUERIES, **EXTENSION_QUERIES}
-ORACLES = {**REFERENCE_ORACLES, **EXTENSION_ORACLES}
+QUERIES = {**REFERENCE_QUERIES, **EXTENSION_QUERIES, **STREAMING_QUERIES}
+ORACLES = {**REFERENCE_ORACLES, **EXTENSION_ORACLES, **STREAMING_ORACLES}
 
 __all__ = ["QUERIES", "ORACLES"]

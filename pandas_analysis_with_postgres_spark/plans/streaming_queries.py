@@ -1,0 +1,139 @@
+"""Streaming queries (Structured Streaming over `events`) with DuckDB
+oracles.
+
+Each query runs a real streaming job: file-source read of the events
+fixture → event-time windowed aggregation / stateful dedup → memory
+sink drained with ``availableNow``. The returned DataFrame is the
+emitted (append-mode) result, so the oracle must replay Structured
+Streaming's emission rule, not just the aggregation:
+
+- final watermark = ms-truncated max event time − delay;
+- append mode emits exactly the windows with window_end <= watermark
+  (pinned empirically and in tests/test_streaming.py);
+- session windows: a new session starts when the inter-event gap is
+  >= the session gap (windows are half-open, [start, last+gap));
+- streaming dedup emits every first-seen key.
+
+That makes even the streaming surface hash-verified against SQL — the
+driver's strongest check — rather than the weaker rows-only path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import (
+    dedup_within_watermark,
+    events_stream,
+    run_available_now,
+    session_window_agg,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
+
+#: Final-watermark expression shared by the oracles: ms truncation
+#: mirrors Spark's millisecond watermark against micro-precision data.
+_WM = (
+    "(SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 10 MINUTE FROM events)"
+)
+
+
+def q36_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        tumbling_window_counts(events_stream(spark, sf_dir))
+    )
+
+
+Q36_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+HAVING window_end <= {_WM}
+"""
+
+
+def q37_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        session_window_agg(events_stream(spark, sf_dir))
+    )
+
+
+Q37_SQL = f"""
+WITH seq AS (
+  SELECT user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM seq
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM flagged
+),
+sessions AS (
+  SELECT MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         user_id, COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, sess
+)
+SELECT session_start, session_end, user_id, n_events
+FROM sessions WHERE session_end <= {_WM}
+"""
+
+
+def q38_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate the stream (union with a second subscription of the
+    same source) and dedup statefully: every event must come out
+    exactly once."""
+    a = events_stream(spark, sf_dir)
+    b = events_stream(spark, sf_dir)
+    deduped = dedup_within_watermark(a.union(b), ["event_id"])
+    out = run_available_now(deduped)
+    return out.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+Q38_SQL = "SELECT event_id, ts, user_id, event_type, value FROM events"
+
+
+def q39_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_available_now(
+        sliding_window_counts(events_stream(spark, sf_dir))
+    )
+
+
+Q39_SQL = f"""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS ws, event_type FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type
+  FROM events
+)
+SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+       event_type, COUNT(*) AS n_events
+FROM assigned
+GROUP BY 1, 2, 3
+HAVING window_end <= {_WM}
+"""
+
+
+STREAMING_QUERIES = {
+    "q36_stream_hourly_counts": q36_stream_hourly_counts,
+    "q37_stream_sessions": q37_stream_sessions,
+    "q38_stream_dedup": q38_stream_dedup,
+    "q39_stream_sliding_counts": q39_stream_sliding_counts,
+}
+
+STREAMING_ORACLES = {
+    "q36_stream_hourly_counts": Q36_SQL,
+    "q37_stream_sessions": Q37_SQL,
+    "q38_stream_dedup": Q38_SQL,
+    "q39_stream_sliding_counts": Q39_SQL,
+}

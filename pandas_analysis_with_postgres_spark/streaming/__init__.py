@@ -1,0 +1,28 @@
+"""Structured Streaming surface (SURVEY §2.11 extension, §7.7).
+
+The reference is pure batch; this package adds the streaming
+capability a 100 TB pipeline needs: event-time windowed aggregation
+(tumbling / sliding / session) with watermark-bounded state, stateful
+dedup, and a ``foreachBatch`` sink that reuses the batch upsert
+operator for streaming dimension maintenance.
+"""
+
+from .streams import (
+    dedup_within_watermark,
+    events_stream,
+    foreach_batch_sink,
+    run_available_now,
+    session_window_agg,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
+
+__all__ = [
+    "events_stream",
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "session_window_agg",
+    "dedup_within_watermark",
+    "run_available_now",
+    "foreach_batch_sink",
+]

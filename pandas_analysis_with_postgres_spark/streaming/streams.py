@@ -1,0 +1,175 @@
+"""Structured Streaming operators over the ``events`` stream table.
+
+The reference has no streaming at all (SURVEY §2.11 — verified: its
+only source file is a batch pandas script, reference
+``dmCustomerProc.py`` whole-file); everything here is the engine's
+extension surface, built purely on public Structured Streaming.
+
+Scale design (100 TB / unbounded):
+- All aggregations are event-time windowed with a watermark, so state
+  is bounded: window state is evicted once the watermark passes the
+  window end. Without the watermark, groupBy state grows forever.
+- The shuffle is keyed by (window, group keys) — the same partitioning
+  story as batch; skewed keys hit AQE-less streaming harder, so keep
+  group keys high-cardinality (user_id, event_type) rather than
+  constants.
+- ``foreachBatch`` bridges to the batch operators (upsert/SCD2) for
+  streaming dimension maintenance — each micro-batch is a normal
+  DataFrame, so one code path serves both modes.
+
+Determinism for the differential harness: with the file source +
+``availableNow`` trigger the stream drains the fixture completely and
+the final watermark is ``max(event time) [ms-truncated] - delay``;
+append mode emits exactly the windows with ``window_end <= watermark``
+(pinned empirically, and in tests). The DuckDB oracles replay that
+emission rule in SQL.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Explicit file-source schema for events: streaming reads don't infer.
+#: ``ts`` arrives as nanos-since-epoch LONG (see sources.parquet — the
+#: fixture is Parquet TIMESTAMP(NANOS)) and is converted to a
+#: microsecond timestamp in `events_stream`.
+EVENTS_RAW_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+_memory_sink_ids = itertools.count()
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded file-source read of the events table.
+
+    A glob path (``events.*``) rather than the bare file: the file
+    stream source requires a directory or pattern. In production this
+    would be a Kafka source / a landing directory receiving files; the
+    transformation surface downstream is identical.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.*")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_window_counts(
+    stream: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling event-time window counts with bounded state."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+        )
+    )
+
+
+def sliding_window_counts(
+    stream: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Sliding event-time windows: each event lands in window/slide
+    overlapping windows (2 for 1h/30m)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+        )
+    )
+
+
+def session_window_agg(
+    stream: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Session windows per group: a session extends while events keep
+    arriving within ``gap`` of its end; state closes (and the session
+    is emitted, in append mode) once the watermark passes session end
+    = last event time + gap."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            *group_cols,
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, keys: list[str], *, watermark: str = "10 minutes") -> DataFrame:
+    """Stateful streaming dedup: first occurrence of each key emits,
+    later duplicates are suppressed while their key is within the
+    watermark horizon — so state is bounded by the watermark, unlike
+    ``dropDuplicates`` whose state grows forever on an unbounded
+    stream."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_available_now(df: DataFrame, *, output_mode: str = "append", timeout_sec: int = 300) -> DataFrame:
+    """Drain a finite stream to completion into an in-memory table and
+    return it as a batch DataFrame.
+
+    This is the differential-harness bridge ONLY: the memory sink
+    collects to the driver. Production sinks are ``foreachBatch`` (see
+    below), Kafka, or a table format — same plan, different sink.
+    """
+    name = f"__stream_result_{next(_memory_sink_ids)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return df.sparkSession.table(name)
+
+
+def foreach_batch_sink(
+    df: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    *,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Run a finite stream through ``foreachBatch`` — each micro-batch
+    is handed to ``batch_fn`` as a normal batch DataFrame, which is how
+    the batch upsert/SCD2 operators serve streaming dimension
+    maintenance (reference E2/E3 flows, made incremental)."""
+    q = (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

@@ -1,0 +1,81 @@
+"""Streaming-specific pin tests.
+
+The differential harness (test_oracle.py) already hash-verifies the
+four streaming queries end-to-end; these tests pin the pieces the
+oracles *assume*: the append-mode emission rule and the foreachBatch
+bridge into the batch upsert operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_analysis_with_postgres_spark.operators.upsert import upsert
+from pandas_analysis_with_postgres_spark.sources.parquet import load_table
+from pandas_analysis_with_postgres_spark.streaming import (
+    events_stream,
+    foreach_batch_sink,
+    run_available_now,
+    tumbling_window_counts,
+)
+
+from .conftest import SF_ORACLE
+
+
+def test_append_mode_emits_only_watermark_closed_windows(spark):
+    """Pin the emission rule the oracles replay: emitted windows are
+    exactly those with window_end <= ms-truncated max(ts) - delay."""
+    out = run_available_now(
+        tumbling_window_counts(events_stream(spark, SF_ORACLE))
+    )
+    batch = load_table(spark, SF_ORACLE, "events")
+    wm = batch.agg(
+        (
+            F.timestamp_millis((F.max("ts").cast("double") * 1000).cast("long"))
+            - F.expr("INTERVAL 10 MINUTES")
+        ).alias("wm")
+    ).first()["wm"]
+    assert out.count() > 0
+    assert out.filter(F.col("window_end") > F.lit(wm)).count() == 0
+    # Every batch-side window below the watermark was emitted.
+    batch_windows = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+        .filter(F.col("w.end") <= F.lit(wm))
+        .count()
+    )
+    assert out.select("window_start").distinct().count() == batch_windows
+
+
+def test_foreach_batch_upsert_bridge(spark, tmp_path):
+    """foreachBatch hands each micro-batch to the batch upsert operator
+    — the streaming dimension-maintenance path (reference E2 made
+    incremental). The final dimension must equal a batch-computed one."""
+    dim_dir = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch = load_table(spark, SF_ORACLE, "events")
+    expected = (
+        batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    expected.filter(F.lit(False)).write.parquet(dim_dir)  # empty seed dim
+
+    def apply_batch(bdf, batch_id):
+        staged = bdf.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        s = bdf.sparkSession
+        dim = s.read.parquet(dim_dir)
+        merged = upsert(dim, staged, "user_id").localCheckpoint()
+        merged.write.mode("overwrite").parquet(dim_dir)
+
+    foreach_batch_sink(
+        events_stream(spark, SF_ORACLE), apply_batch, checkpoint_dir=ckpt
+    )
+
+    got = spark.read.parquet(dim_dir)
+    assert got.count() == expected.count()
+    diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    # A single availableNow batch means counts equal the batch result
+    # exactly; multiple batches would still upsert to the same totals
+    # only if staged counts were cumulative — this fixture yields one.
+    assert diff == 0
