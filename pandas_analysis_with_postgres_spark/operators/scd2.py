@@ -79,9 +79,16 @@ def scd2_apply(
     changed = changed_rows(staged, current, key, compare_cols)
 
     # M3 — close out superseded current rows (dmCustomerProc.py:210-216).
-    close_keys = changed.select(
-        F.col(key).alias("__ck"), F.col(change_ts_col).alias("__close_ts")
+    # The close date falls back to the create date when the change
+    # timestamp is NULL (the reference's :214 fallback) — this keeps the
+    # invariant "closed.effective_to_date == successor.effective_from_date"
+    # since M4 opens at the same COALESCE.
+    close_ts = (
+        F.coalesce(F.col(change_ts_col), F.col(create_ts_col))
+        if create_ts_col
+        else F.col(change_ts_col)
     )
+    close_keys = changed.select(F.col(key).alias("__ck"), close_ts.alias("__close_ts"))
     closing = current.join(close_keys, current[key] == F.col("__ck"), "inner")
     closed = closing.withColumns(
         {
