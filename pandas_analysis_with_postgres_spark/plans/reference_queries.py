@@ -689,6 +689,41 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+# --------------------------------------------------------------------
+# q40/q41 — rollup & cube (SURVEY §2.5: "grouping sets … Spark provides
+# for free when we extend"; the reference has no multi-level aggs).
+# Subtotal rows carry NULL group keys in both engines.
+# --------------------------------------------------------------------
+def q40_returnflag_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+Q40_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q41_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+
+
+Q41_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 REFERENCE_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_customer_profile": q02_customer_profile,
@@ -711,6 +746,8 @@ REFERENCE_QUERIES = {
     "q19_user_sessions": q19_user_sessions,
     "q20_hourly_rollup": q20_hourly_rollup,
     "q21_order_sequence_analytics": q21_order_sequence_analytics,
+    "q40_returnflag_rollup": q40_returnflag_rollup,
+    "q41_status_priority_cube": q41_status_priority_cube,
 }
 
 REFERENCE_ORACLES = {
@@ -735,4 +772,6 @@ REFERENCE_ORACLES = {
     "q19_user_sessions": Q19_SQL,
     "q20_hourly_rollup": Q20_SQL,
     "q21_order_sequence_analytics": Q21_SQL,
+    "q40_returnflag_rollup": Q40_SQL,
+    "q41_status_priority_cube": Q41_SQL,
 }

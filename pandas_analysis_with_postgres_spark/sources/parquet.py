@@ -52,6 +52,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def write_table(
+    df: DataFrame,
+    path: str,
+    *,
+    mode: str = "overwrite",
+    partition_by: list[str] | str | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Parquet sink (the local stand-in for reference S3's ``to_sql``;
+    the warehouse path is ``sources.jdbc.write_table``).
+
+    ``partition_by`` lays the table out hive-style so later reads prune
+    partitions (PartitionFilters in ``.explain``) — at 100 TB, date or
+    tenant partitioning is the difference between scanning terabytes
+    and scanning one directory. Keep partition cardinality modest
+    (≤ ~10k dirs); higher-cardinality layout wants bucketing via
+    ``saveAsTable`` instead. ``max_records_per_file`` caps file size to
+    avoid the giant-file long-tail on skewed partitions.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        writer = writer.partitionBy(*cols)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once; defaults to all of them."""
     use = names or TABLES

@@ -1,0 +1,44 @@
+"""Parquet sink: roundtrip + hive partition layout + pruning proof."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from pandas_analysis_with_postgres_spark.sources.parquet import load_table, write_table
+
+from .conftest import SF_ORACLE
+
+
+def test_partitioned_write_roundtrip_and_pruning(spark, tmp_path):
+    orders = load_table(spark, SF_ORACLE, "orders")
+    out = str(tmp_path / "orders_by_status")
+    write_table(orders, out, partition_by="o_orderstatus")
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+    pruned = back.filter(F.col("o_orderstatus") == "O")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    # The status predicate must be a partition filter on the scan, not
+    # a post-scan filter over all partitions.
+    assert "PartitionFilters" in plan
+    assert any(
+        "o_orderstatus" in line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line
+    ), plan
+    assert pruned.count() == orders.filter(F.col("o_orderstatus") == "O").count()
+
+
+def test_append_mode(spark, tmp_path):
+    nation = load_table(spark, SF_ORACLE, "nation")
+    out = str(tmp_path / "nation")
+    write_table(nation, out)
+    write_table(nation, out, mode="append")
+    assert spark.read.parquet(out).count() == 2 * nation.count()
