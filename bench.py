@@ -27,13 +27,17 @@ HEADLINE = (
     "q02_customer_profile",
     "q03_latest_order_per_customer",
     "q13_user_event_flags",
+    "q16_scd2",
     "q19_user_sessions",
     "q21_order_sequence_analytics",
     "q22_dedup_exact",
     "q24_minhash_dedup",
     "q25_simhash",
     "q27_cosine_topk",
+    "q28_lsh_topk",
     "q30_text_stats",
+    "q36_stream_hourly_counts",
+    "q42_ivf_topk",
 )
 
 

@@ -78,6 +78,38 @@ def existence_flag_join(
     ).drop(f"__{flag_name}_hit")
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    *,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-mitigating equi-join: hot keys on the skewed side are spread
+    over ``salt`` sub-partitions; the other side is replicated ``salt``×
+    so every sub-partition still finds its matches.
+
+    Use when one join key dominates (a single shuffle partition holds
+    the hot key's entire payload and one task runs for hours) and the
+    other side is too big to broadcast — the gap AQE's skew-join
+    splitting doesn't cover when the skewed side must also aggregate
+    downstream. Salt is derived deterministically from the full skewed
+    row (``xxhash64``), never ``rand()``: task retries must re-produce
+    the same salt or results change under failure.
+
+    Cost model: ``other`` shuffles ``salt``× its size — keep ``salt``
+    at the ratio hot-partition/target-partition, not higher.
+    """
+    salted_left = skewed.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt))
+    )
+    replicated_right = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    return salted_left.join(replicated_right, [key, "__salt"], how).drop("__salt")
+
+
 def cross_join_defaults(df: DataFrame, defaults: DataFrame) -> DataFrame:
     """Broadcast a tiny defaults frame onto every row (intended
     semantics of reference J13, ``dmCustomerProc.py:145`` — the

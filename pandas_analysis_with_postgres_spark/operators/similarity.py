@@ -129,6 +129,79 @@ def lsh_topk(
     )
 
 
+#: IVF coarse-quantizer defaults: 16 cells, probe the 4 nearest.
+IVF_CELLS = 16
+IVF_PROBE = 4
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    n_cells: int = IVF_CELLS,
+    n_probe: int = IVF_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    cells, probe only the query's ``n_probe`` nearest cells.
+
+    Centroids are the corpus vectors with ``id < n_cells`` — a
+    deterministic stand-in for a trained k-means codebook (training a
+    codebook is a model artifact; the engine piece is the cell
+    assignment + probed search, which is identical either way). The
+    assignment pass is corpus × centroids with the centroid set
+    broadcast — the standard IVF build cost, one narrow map at scale.
+    Search joins corpus cells to probed query cells, so per-query work
+    is ~``n_probe / n_cells`` of brute force.
+
+    Returns (query_id, neighbor_id, rank, cos); recall < 1 by
+    construction. Deterministic: cosine ties break by id, cell ties by
+    cell_id.
+    """
+    cents = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centv")
+    )
+
+    def nearest_cells(df: DataFrame, idc: str, vecc: str, n: int, out_id: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "__cell_cos", cosine(F.col(vecc), F.col("centv"))
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("__cell_cos"), F.asc("cell_id"))
+        return (
+            scored.withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= n)
+            .select(F.col(idc).alias(out_id), F.col(vecc), "cell_id")
+        )
+
+    c = nearest_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "neighbor_id",
+        "cv",
+        1,
+        "neighbor_id",
+    )
+    q = nearest_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "query_id",
+        "qv",
+        n_probe,
+        "query_id",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def cosine_near_pairs(
     corpus: DataFrame,
     *,

@@ -171,6 +171,51 @@ FROM scored
 QUALIFY rank <= 5
 """
 
+def _ivf_oracle() -> str:
+    """Replay ivf_topk: nearest-cell assignment, 4-cell probe, exact
+    cosine within probed cells (constants from operators.similarity)."""
+    cos_c = _cos_sql("cv", "centv")
+    cos_q = _cos_sql("qv", "centv")
+    cos_s = _cos_sql("qv", "cv")
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS centv FROM embeddings
+  WHERE vec_id < {SIM.IVF_CELLS}
+),
+cassign AS (
+  SELECT neighbor_id, cv, cell_id FROM (
+    SELECT c0.neighbor_id, c0.cv, cents.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY c0.neighbor_id
+                              ORDER BY {cos_c} DESC, cents.cell_id ASC) AS cr
+    FROM (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings) c0
+    CROSS JOIN cents
+  ) WHERE cr = 1
+),
+qprobe AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q0.query_id, q0.qv, cents.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY q0.query_id
+                              ORDER BY {cos_q} DESC, cents.cell_id ASC) AS cr
+    FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 10) q0
+    CROSS JOIN cents
+  ) WHERE cr <= {SIM.IVF_PROBE}
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, {cos_s} AS cos
+  FROM cassign c JOIN qprobe q USING (cell_id)
+  WHERE c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rank,
+       cos
+FROM scored QUALIFY rank <= 5
+"""
+
+
+IVF_TOPK_ORACLE = _ivf_oracle()
+
 COSINE_PAIRS_ORACLE = f"""
 WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
 b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
@@ -239,6 +284,11 @@ def q27_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q28_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q42_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 def q29_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,6 +451,7 @@ EXTENSION_QUERIES = {
     "q33_token_count_by_source": q33_token_count_by_source,
     "q34_media_metadata": q34_media_metadata,
     "q35_media_features": q35_media_features,
+    "q42_ivf_topk": q42_ivf_topk,
 }
 
 EXTENSION_ORACLES = {
@@ -417,5 +468,6 @@ EXTENSION_ORACLES = {
     "q32_lang_id": Q32_SQL,
     "q33_token_count_by_source": Q33_SQL,
     "q34_media_metadata": Q34_SQL,
+    "q42_ivf_topk": IVF_TOPK_ORACLE,
     # q35_media_features: rows-only by design (Python decode stub).
 }

@@ -26,7 +26,7 @@ from ..operators.scd2 import scd2_apply
 from ..operators.setops import except_all_on, union_by_name
 from ..operators.upsert import upsert
 from ..operators.windows import keep_first_dedup, top1_per_group
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, register_views
 
 
 def _dec(col: str) -> F.Column:
@@ -724,6 +724,43 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+# --------------------------------------------------------------------
+# q43 — distinct aggregate (SURVEY §2.5: absent from the reference,
+# free in Spark). COUNT(DISTINCT) plans as a two-phase expand+agg.
+# --------------------------------------------------------------------
+def q43_distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+Q43_SQL = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------
+# q44 — SQL front-end: the exact oracle string is executed by
+# spark.sql over registered views, proving the engine's SQL surface
+# and the DataFrame surface share one catalog (SURVEY §1 "Catalog").
+# --------------------------------------------------------------------
+Q44_SQL = """
+SELECT n_name AS nation_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q44_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "customer", "nation")
+    return spark.sql(Q44_SQL)
+
+
 REFERENCE_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_customer_profile": q02_customer_profile,
@@ -748,6 +785,8 @@ REFERENCE_QUERIES = {
     "q21_order_sequence_analytics": q21_order_sequence_analytics,
     "q40_returnflag_rollup": q40_returnflag_rollup,
     "q41_status_priority_cube": q41_status_priority_cube,
+    "q43_distinct_customers_per_status": q43_distinct_customers_per_status,
+    "q44_sql_frontend": q44_sql_frontend,
 }
 
 REFERENCE_ORACLES = {
@@ -774,4 +813,6 @@ REFERENCE_ORACLES = {
     "q21_order_sequence_analytics": Q21_SQL,
     "q40_returnflag_rollup": Q40_SQL,
     "q41_status_priority_cube": Q41_SQL,
+    "q43_distinct_customers_per_status": Q43_SQL,
+    "q44_sql_frontend": Q44_SQL,
 }
