@@ -24,8 +24,16 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
 
-#: Number of random hyperplanes (bucket bits). 2^8 = 256 buckets.
-LSH_PLANES = 8
+#: Multi-table hyperplane LSH: L independent tables of B sign bits.
+#: One monolithic B·L-bit bucket has vanishing collision probability
+#: for true neighbors (measured recall 0.02 on the fixture corpus);
+#: L smaller tables OR-ed together trade candidate volume for recall —
+#: P(candidate) = 1 - (1 - p^B)^L with p = 1 - angle/π. Measured on the
+#: fixture corpus (near-random 64-dim vectors — the hard case for
+#: sign-LSH): recall 0.42 at ~25% of brute-force cost; ivf_topk reaches
+#: 0.92 at similar cost and is the preferred ANN path for this shape.
+LSH_TABLES = 4
+LSH_PLANES = 4  # bits per table → 16 buckets/table
 #: Embedding dimensionality of the fixture corpus.
 DIM = 64
 _MIX = 2_654_435_761
@@ -39,15 +47,18 @@ def _plane_component(plane: int, i: Column) -> Column:
     return mixed / F.lit(2_147_483_648.0) - F.lit(1.0)
 
 
-def hyperplane_bucket(vec: Column) -> Column:
-    """B-bit sign bucket of `vec` against the derived hyperplanes."""
+def hyperplane_bucket(vec: Column, *, table: int = 0) -> Column:
+    """B-bit sign bucket of `vec` for LSH table ``table`` (plane ids
+    ``table*B .. table*B+B-1`` feed the component formula, so tables
+    are independent)."""
     def _components(p: int):
         # Closure factory — a two-param lambda would receive the array
         # index as its second argument, silently corrupting the plane id.
         return lambda i: _plane_component(p, i)
 
     bucket = F.lit(0).cast("long")
-    for p in range(LSH_PLANES):
+    for b in range(LSH_PLANES):
+        p = table * LSH_PLANES + b
         idx = F.sequence(F.lit(1), F.lit(DIM))
         dot = F.aggregate(
             F.zip_with(
@@ -58,10 +69,29 @@ def hyperplane_bucket(vec: Column) -> Column:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(
+        bucket = bucket + F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return bucket
+
+
+def _with_table_buckets(df: DataFrame, vec_col: str) -> DataFrame:
+    """Explode a frame to one row per (row, lsh_table) with that
+    table's bucket — the multi-table candidate index."""
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("lsh_table"),
+                hyperplane_bucket(F.col(vec_col), table=t).alias("bucket"),
+            )
+            for t in range(LSH_TABLES)
+        ]
+    )
+    return df.select("*", F.explode(tables).alias("__tb")).select(
+        *df.columns,
+        F.col("__tb.lsh_table").alias("lsh_table"),
+        F.col("__tb.bucket").alias("bucket"),
+    )
 
 
 def cosine_topk(
@@ -102,23 +132,38 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking restricted to the
-    query's hyperplane bucket. Returns (query_id, neighbor_id, rank,
-    cos); recall < 1 by construction — the scale path when the corpus
-    is too large to brute-force per query."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        hyperplane_bucket(F.col(vec_col)).alias("bucket"),
+    """Approximate top-k: exact cosine ranking restricted to candidates
+    that share a bucket with the query in ANY of the L hash tables.
+    Returns (query_id, neighbor_id, rank, cos); recall < 1 by
+    construction — the scale path when the corpus is too large to
+    brute-force per query. Candidates are deduped across tables
+    *before* scoring so each pair's cosine is computed once."""
+    c = _with_table_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        hyperplane_bucket(F.col(vec_col)).alias("bucket"),
+    q = _with_table_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv",
+    )
+    cand = (
+        c.select("neighbor_id", "lsh_table", "bucket")
+        .join(
+            F.broadcast(q.select("query_id", "lsh_table", "bucket")),
+            ["lsh_table", "bucket"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        cand.join(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "neighbor_id")
+        .join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+            ),
+            "query_id",
+        )
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

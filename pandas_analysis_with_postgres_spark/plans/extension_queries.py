@@ -127,9 +127,12 @@ def _cos_sql(av: str, bv: str) -> str:
     return f"({dot_ab}) / (sqrt({dot_aa}) * sqrt({dot_bb}))"
 
 
-def _bucket_sql(vec: str) -> str:
+def _bucket_sql(vec: str, table: int = 0) -> str:
+    """B-bit sign bucket for LSH table ``table`` (plane ids t·B+b,
+    mirroring similarity.hyperplane_bucket)."""
     planes = []
-    for p in range(SIM.LSH_PLANES):
+    for b in range(SIM.LSH_PLANES):
+        p = table * SIM.LSH_PLANES + b
         comp = (
             f"((({p} * {SIM.DIM} + i) * {SIM._MIX}) % {SIM._TWO32})"
             f" / 2147483648.0 - 1.0"
@@ -138,7 +141,7 @@ def _bucket_sql(vec: str) -> str:
             f"list_transform(generate_series(1, {SIM.DIM}), "
             f"i -> ({comp}) * {vec}[i]::DOUBLE)"
         )
-        planes.append(f"CASE WHEN ({dot}) > 0 THEN {1 << p}::BIGINT ELSE 0 END")
+        planes.append(f"CASE WHEN ({dot}) > 0 THEN {1 << b}::BIGINT ELSE 0 END")
     return "(" + " + ".join(planes) + ")"
 
 
@@ -156,13 +159,26 @@ FROM scored
 QUALIFY rank <= 5
 """
 
+_BUCKETS_UNION = " UNION ALL ".join(
+    f"SELECT vec_id, embedding, {t} AS lsh_table, "
+    f"{_bucket_sql('embedding', t)} AS bucket FROM embeddings"
+    for t in range(SIM.LSH_TABLES)
+)
+
 LSH_TOPK_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 10),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM e),
+WITH buckets AS ({_BUCKETS_UNION}),
+qb AS (SELECT vec_id AS query_id, lsh_table, bucket FROM buckets WHERE vec_id < 10),
+cb AS (SELECT vec_id AS neighbor_id, lsh_table, bucket FROM buckets),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM cb JOIN qb USING (lsh_table, bucket)
+  WHERE neighbor_id <> query_id
+),
 scored AS (
-  SELECT q.query_id, c.neighbor_id, {_cos_sql('qv', 'cv')} AS cos
-  FROM c JOIN q USING (bucket) WHERE c.neighbor_id <> q.query_id
+  SELECT cand.query_id, cand.neighbor_id, {_cos_sql('eq.embedding', 'ec.embedding')} AS cos
+  FROM cand
+  JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
+  JOIN embeddings eq ON eq.vec_id = cand.query_id
 )
 SELECT query_id, neighbor_id,
        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank,
