@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -76,6 +76,69 @@ def existence_flag_join(
         flag_name,
         F.when(F.col(f"__{flag_name}_hit").isNotNull(), F.lit(1)).otherwise(F.lit(0)),
     ).drop(f"__{flag_name}_hit")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Mapping[str, str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-series as-of join: for each left row, attach the most
+    recent right row of the same ``by`` key with ``right_ts <=
+    left_ts`` (inclusive). The operator Spark's join zoo lacks; a
+    range-join (``right_ts <= left_ts``) explodes to all earlier rows
+    and re-aggregates — quadratic per key.
+
+    Distributed idiom instead: tag and union both sides, then one
+    window pass per key carries the latest right payload forward
+    (``F.last(..., ignorenulls=True)`` over rows-unbounded-preceding)
+    and left rows read it. ONE shuffle on ``by``, zero joins, linear
+    work — the same shape a 100 TB backfill of "state at event time"
+    wants.
+
+    ``right_cols`` maps right column → output name. ``tiebreak``
+    orders equal-timestamp right rows (latest wins); required for
+    determinism if (key, ts) repeats on the right.
+    """
+    rsel = [F.col(c).alias(out) for c, out in right_cols.items()]
+    r = right.select(
+        F.col(by).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tie"),
+        *rsel,
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        F.col(by).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(0).alias("__tie"),
+        *[F.lit(None).cast(dict(r.dtypes)[out]).alias(out) for out in right_cols.values()],
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    # Right rows sort before left rows at equal ts → inclusive <=.
+    w = (
+        Window.partitionBy("__key")
+        .orderBy("__ts", "__is_left", "__tie")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l.unionByName(r).select(
+        "*",
+        *[
+            F.last(out, ignorenulls=True).over(w).alias(f"__c_{out}")
+            for out in right_cols.values()
+        ],
+    )
+    return carried.filter(F.col("__is_left") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"__c_{out}").alias(out) for out in right_cols.values()],
+    )
 
 
 def salted_join(

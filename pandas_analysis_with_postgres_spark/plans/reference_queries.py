@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 from ..functions.flags import existence_flag, one_hot_flags, range_flag
 from ..operators.aggregates import group_count
-from ..operators.joins import cross_join_defaults, existence_flag_join, lookup_join
+from ..operators.joins import (
+    asof_join,
+    cross_join_defaults,
+    existence_flag_join,
+    lookup_join,
+)
 from ..operators.scd2 import scd2_apply
 from ..operators.setops import except_all_on, union_by_name
 from ..operators.upsert import upsert
@@ -761,6 +766,44 @@ def q44_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(Q44_SQL)
 
 
+# --------------------------------------------------------------------
+# q45 — as-of join (extension: the temporal operator Spark's join zoo
+# lacks, built as union + one window pass; oracle is DuckDB's native
+# ASOF JOIN). "Latest event state at order time" per user.
+# --------------------------------------------------------------------
+def q45_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event, the user's most recent order at or before event
+    time. The right side is pre-aggregated to unique (key, ts) — DuckDB
+    ASOF offers no tiebreak among equal timestamps, so determinism must
+    come from uniqueness, not ordering."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_order_key"))
+    )
+    return asof_join(
+        events,
+        daily,
+        by="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols={"last_order_key": "last_order_key", "o_orderdate": "last_order_date"},
+    )
+
+
+Q45_SQL = """
+WITH daily AS (
+  SELECT o_custkey AS user_id, o_orderdate, MAX(o_orderkey) AS last_order_key
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       d.last_order_key, d.o_orderdate AS last_order_date
+FROM events e ASOF LEFT JOIN daily d
+  ON e.user_id = d.user_id AND d.o_orderdate <= e.ts
+"""
+
+
 REFERENCE_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_customer_profile": q02_customer_profile,
@@ -787,6 +830,7 @@ REFERENCE_QUERIES = {
     "q41_status_priority_cube": q41_status_priority_cube,
     "q43_distinct_customers_per_status": q43_distinct_customers_per_status,
     "q44_sql_frontend": q44_sql_frontend,
+    "q45_asof_latest_order": q45_asof_latest_order,
 }
 
 REFERENCE_ORACLES = {
@@ -815,4 +859,5 @@ REFERENCE_ORACLES = {
     "q41_status_priority_cube": Q41_SQL,
     "q43_distinct_customers_per_status": Q43_SQL,
     "q44_sql_frontend": Q44_SQL,
+    "q45_asof_latest_order": Q45_SQL,
 }
