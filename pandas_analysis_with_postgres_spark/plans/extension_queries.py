@@ -445,6 +445,31 @@ FROM documents
 """
 
 
+def q46_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequencies, top 50 (the heavy-hitters pass
+    every training-data pipeline runs). orderBy+limit plans as
+    TakeOrderedAndProject — per-partition top-k then a k-row merge on
+    the driver, NOT a global sort (reference O1's output-boundary sort,
+    done scalably). Tiebreak on token keeps the cut deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(50)
+    )
+
+
+Q46_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 50
+"""
+
+
 def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas featurize path — not SQL-expressible (Arrow-batched
     Python decode stub); driver records a rows-only check."""
@@ -468,6 +493,7 @@ EXTENSION_QUERIES = {
     "q34_media_metadata": q34_media_metadata,
     "q35_media_features": q35_media_features,
     "q42_ivf_topk": q42_ivf_topk,
+    "q46_top_tokens": q46_top_tokens,
 }
 
 EXTENSION_ORACLES = {
@@ -485,5 +511,6 @@ EXTENSION_ORACLES = {
     "q33_token_count_by_source": Q33_SQL,
     "q34_media_metadata": Q34_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
+    "q46_top_tokens": Q46_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }
