@@ -42,3 +42,34 @@ def test_append_mode(spark, tmp_path):
     write_table(nation, out)
     write_table(nation, out, mode="append")
     assert spark.read.parquet(out).count() == 2 * nation.count()
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the join key join WITHOUT a shuffle —
+    the co-located-join contract bucketing exists for. Broadcast is
+    disabled for the check (a broadcast join would hide the shuffle
+    question entirely)."""
+    from pandas_analysis_with_postgres_spark.sources.parquet import write_bucketed
+
+    orders = load_table(spark, SF_ORACLE, "orders")
+    cust = load_table(spark, SF_ORACLE, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    write_bucketed(orders, "b_orders", key="o_custkey", buckets=8)
+    write_bucketed(cust, "b_cust", key="o_custkey", buckets=8)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_cust"), "o_custkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == orders.join(cust, "o_custkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
