@@ -124,11 +124,31 @@ HAVING window_end <= {_WM}
 """
 
 
+def q47_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running per-user counter. The fixture is
+    one file → one micro-batch under availableNow (pinned in tests), so
+    the update-mode output is exactly one row per user with the final
+    count — SQL-equivalent to a plain GROUP BY, which is the oracle.
+    With multiple batches the output would hold one row per (user,
+    batch); the operator is batch-count-sensitive by design (update
+    mode), the oracle is not — the single-file fixture keeps them
+    aligned."""
+    from ..streaming.streams import stateful_user_counts
+
+    return run_available_now(
+        stateful_user_counts(events_stream(spark, sf_dir)), output_mode="update"
+    )
+
+
+Q47_SQL = "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id"
+
+
 STREAMING_QUERIES = {
     "q36_stream_hourly_counts": q36_stream_hourly_counts,
     "q37_stream_sessions": q37_stream_sessions,
     "q38_stream_dedup": q38_stream_dedup,
     "q39_stream_sliding_counts": q39_stream_sliding_counts,
+    "q47_stream_stateful_counts": q47_stream_stateful_counts,
 }
 
 STREAMING_ORACLES = {
@@ -136,4 +156,5 @@ STREAMING_ORACLES = {
     "q37_stream_sessions": Q37_SQL,
     "q38_stream_dedup": Q38_SQL,
     "q39_stream_sliding_counts": Q39_SQL,
+    "q47_stream_stateful_counts": Q47_SQL,
 }

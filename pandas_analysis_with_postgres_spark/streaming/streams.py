@@ -135,6 +135,39 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str], *, watermark: str
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stateful_user_counts(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running event counter that survives across micro-batches.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (CUSUM detectors, custom sessionizers,
+    per-key models): state is an explicit typed tuple per group key,
+    updated with Arrow-batched pandas, emitted in update mode. State
+    lives in the state store keyed by user_id — sized by distinct keys,
+    not events, and partitioned with the shuffle. NoTimeout here
+    because the fixture is finite; unbounded deployments set a
+    processing/event-time timeout to expire idle keys.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        "user_id long, n_events long",
+        "n long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(df: DataFrame, *, output_mode: str = "append", timeout_sec: int = 300) -> DataFrame:
     """Drain a finite stream to completion into an in-memory table and
     return it as a batch DataFrame.
