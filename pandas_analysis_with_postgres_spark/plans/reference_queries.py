@@ -804,6 +804,33 @@ FROM events e ASOF LEFT JOIN daily d
 """
 
 
+# --------------------------------------------------------------------
+# q48 — JSON → MapType → explode (SURVEY §1 nested row: props as a
+# real map, not string extraction like q18). Per-key aggregate over
+# the exploded entries.
+# --------------------------------------------------------------------
+def q48_props_map_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    entries = events.select(
+        F.explode(F.from_json(F.col("props"), "map<string,int>")).alias("key", "val")
+    )
+    return entries.groupBy("key").agg(
+        F.sum("val").alias("sum_val"),
+        F.count(F.lit(1)).alias("n_entries"),
+    )
+
+
+Q48_SQL = """
+WITH kv AS (
+  SELECT unnest(json_keys(props)) AS key, props FROM events
+)
+SELECT key,
+       CAST(SUM(CAST(json_extract_string(props, '$.' || key) AS INT)) AS BIGINT) AS sum_val,
+       COUNT(*) AS n_entries
+FROM kv GROUP BY key
+"""
+
+
 REFERENCE_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_customer_profile": q02_customer_profile,
@@ -831,6 +858,7 @@ REFERENCE_QUERIES = {
     "q43_distinct_customers_per_status": q43_distinct_customers_per_status,
     "q44_sql_frontend": q44_sql_frontend,
     "q45_asof_latest_order": q45_asof_latest_order,
+    "q48_props_map_rollup": q48_props_map_rollup,
 }
 
 REFERENCE_ORACLES = {
@@ -860,4 +888,5 @@ REFERENCE_ORACLES = {
     "q43_distinct_customers_per_status": Q43_SQL,
     "q44_sql_frontend": Q44_SQL,
     "q45_asof_latest_order": Q45_SQL,
+    "q48_props_map_rollup": Q48_SQL,
 }
