@@ -4,10 +4,12 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is fully materialized via a count-ish action
-(``df.write.format("noop")`` would skip result production, so we use
-``toPandas``-free ``count`` after a ``cache``-free plan: the driver
-contract measures end-to-end plan execution, not collection size).
+Each query is fully materialized via ``df.write.format("noop").save()``:
+the noop sink forces every output column to be computed and serialized
+(unlike ``count()``, which lets Catalyst prune unused projections — for
+select-only queries that would time little more than a scan-count).
+No rows cross to the driver, so the measurement is end-to-end plan
+execution, not collection size.
 """
 
 from __future__ import annotations
@@ -45,14 +47,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
     # Warm the JVM + parquet footers once so we measure plans, not JIT.
-    QUERIES["q01_pricing_summary"](spark, sf_dir).count()
+    QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        n = QUERIES[name](spark, sf_dir).count()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

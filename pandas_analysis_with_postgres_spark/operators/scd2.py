@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .setops import changed_rows
+from .windows import keep_first_dedup
 
 #: Bookkeeping columns added/maintained by scd2_apply.
 SCD2_COLS = (
@@ -72,6 +73,23 @@ def scd2_apply(
             for c in staged.columns
             if c != key and c not in SCD2_COLS and c in history.columns
         ]
+
+    # Duplicate staged keys (several change events per key in one CDC
+    # delta) would open multiple current versions and fan out the
+    # close-out join, violating invariant I1 — keep only the latest
+    # event per key, latest-change-ts first with the business columns as
+    # a deterministic tiebreak.
+    effective_ts = (
+        F.coalesce(F.col(change_ts_col), F.col(create_ts_col))
+        if create_ts_col
+        else F.col(change_ts_col)
+    )
+    staged = keep_first_dedup(
+        staged,
+        key,
+        [effective_ts.desc_nulls_last()]
+        + [F.col(c).desc_nulls_last() for c in compare_cols],
+    )
 
     current = history.filter(F.col("is_current_record") == 1)
     non_current = history.filter(F.col("is_current_record") != 1)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .windows import keep_first_dedup
+
 
 def upsert(
     dim: DataFrame,
@@ -30,6 +32,7 @@ def upsert(
     *,
     update_cols: list[str] | None = None,
     stamp: dict[str, Column] | None = None,
+    dedup_order_by: list[Column] | None = None,
 ) -> DataFrame:
     """Upsert ``staged`` into dimension ``dim`` on ``key``.
 
@@ -40,12 +43,27 @@ def upsert(
     ``etl_date``) to every returned row, mirroring
     ``dmCustomerProc.py:194,200``.
 
+    Duplicate keys in ``staged`` (the common CDC shape: several change
+    events per key in one delta) would fan out the matched dim rows, so
+    ``staged`` is pre-deduped to one row per key with an explicit
+    deterministic tiebreak. Pass ``dedup_order_by`` (e.g.
+    ``[F.col("change_ts").desc()]``) to pick the survivor; the default
+    orders by all non-key staged columns descending NULLS LAST — stable,
+    but callers with a real change timestamp should pass it.
+
     Scale: one shuffle join on ``key`` + one anti join; AQE broadcasts
     ``staged`` when it's the small delta against a big dimension (the
-    common CDC shape). No driver-side collection anywhere.
+    common CDC shape). The dedup window partitions on ``key`` too, so
+    its exchange is reused by the M1 join. No driver-side collection
+    anywhere.
     """
     if update_cols is None:
         update_cols = [c for c in dim.columns if c != key and c in staged.columns]
+
+    order = dedup_order_by or [
+        F.col(c).desc_nulls_last() for c in staged.columns if c != key
+    ]
+    staged = keep_first_dedup(staged, key, order or [F.lit(1)])
 
     new_side = staged.select(
         F.col(key).alias("__k"),

@@ -50,8 +50,14 @@ key_entry = st.fixed_dictionaries(
         "changed": st.booleans(),
         "udate_null": st.booleans(),
         "value_null": st.booleans(),
+        # A second, strictly older change event for the same staged key —
+        # the CDC duplicate-key shape that must NOT fan out joins or open
+        # two current versions (pre-dedup inside the operators).
+        "dup_staged": st.booleans(),
     }
 )
+
+T2019 = datetime.datetime(2019, 1, 1)
 
 
 @settings(
@@ -72,6 +78,10 @@ def test_scd2_invariants(world):
         if e["staged"]:
             sval = (f"v{k}_new" if e["changed"] else val)
             staged_rows.append((k, sval, None if e["udate_null"] else T2024, T2020))
+            if e["dup_staged"]:
+                # Older event that keep_first_dedup must discard: its
+                # COALESCE(udate, cdate)=2019 predates every primary row.
+                staged_rows.append((k, f"v{k}_stale", T2019, T2019))
     if not staged_rows:
         return
 
@@ -101,6 +111,12 @@ def test_scd2_invariants(world):
     staged_keys = {r[0] for r in staged_rows}
     current_keys = {r["k"] for r in per_key.collect()}
     assert staged_keys <= current_keys
+
+    # Duplicate staged keys: the older event must never survive.
+    stale_current = out.filter(
+        (F.col("is_current_record") == 1) & F.col("val").endswith("_stale")
+    )
+    assert stale_current.count() == 0
 
     # I2 — close/open chaining for rows closed by this round.
     closed_now = out.filter(
@@ -147,10 +163,17 @@ def test_upsert_invariants(world):
         for k, e in enumerate(world)
         if e["staged"]
     ]
+    # Duplicate staged keys: a lower-priority row the default dedup
+    # (all non-key columns DESC NULLS LAST; 's…' > 'dup…') must discard.
+    dup_rows = [
+        (k, f"dup{k}")
+        for k, e in enumerate(world)
+        if e["staged"] and e["dup_staged"] and not e["value_null"]
+    ]
     if not staged_rows:
         return
     dim = spark.createDataFrame(dim_rows, "k long, val string") if dim_rows else spark.createDataFrame([], "k long, val string")
-    staged = spark.createDataFrame(staged_rows, "k long, val string")
+    staged = spark.createDataFrame(staged_rows + dup_rows, "k long, val string")
     out = upsert(dim, staged, "k")
 
     # I4 — one row per key; union of both key sets; NULL staged values
