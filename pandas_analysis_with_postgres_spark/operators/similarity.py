@@ -247,17 +247,81 @@ def ivf_topk(
     )
 
 
+def lsh_candidate_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing a hyperplane-LSH bucket in
+    ANY of the L tables — the blocking front door for pairwise embedding
+    work. One equi-join on (table, bucket); the all-pairs quadratic
+    never exists. Deduped across tables so downstream scores each pair
+    once.
+
+    Scale: candidate volume is Σ_buckets |bucket|² — governed by B
+    (bits/table). B is a tunable: grow it with log₂|corpus| to hold
+    per-bucket occupancy roughly constant."""
+    b = _with_table_buckets(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "v"
+    )
+    left = b.select(F.col("id").alias("id_a"), "lsh_table", "bucket")
+    right = b.select(F.col("id").alias("id_b"), "lsh_table", "bucket")
+    return (
+        left.join(right, ["lsh_table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def cosine_near_pairs(
     corpus: DataFrame,
     *,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine ≥ threshold, a < b.
+    """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
 
-    All-pairs within the frame — intended for post-LSH candidate sets
-    or modest corpora; the LSH bucket variant is the 100 TB front door.
+    Scores a *candidate* pair set, never all pairs: ``candidates``
+    defaults to :func:`lsh_candidate_pairs` blocking (recall < 1 by
+    construction — near-dup pairs at realistic thresholds ≥0.9 collide
+    with probability ≈1-(1-p^B)^L ≈ 0.95 for L=4,B=4). Pass your own
+    (id_a, id_b) frame to score candidates from another blocker (IVF
+    cells, SimHash bands). For the exact all-pairs form on a provably
+    small corpus use :func:`cosine_near_pairs_exact`.
+    """
+    if candidates is None:
+        candidates = lsh_candidate_pairs(corpus, id_col=id_col, vec_col=vec_col)
+    return (
+        candidates.join(
+            corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
+            "id_a",
+        )
+        .join(
+            corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")),
+            "id_b",
+        )
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def cosine_near_pairs_exact(
+    corpus: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs variant of :func:`cosine_near_pairs` — a deliberate
+    cartesian product (|corpus|²/2 cosines). Ground-truth/recall-measure
+    path for corpora that provably fit; NEVER the default: at 100 TB
+    this plan is a scale-killer, which is why the blocked form above is
+    the front door.
     """
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -268,3 +332,11 @@ def cosine_near_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+#: Default ANN front door. Hyperplane LSH measures 0.42 recall on the
+#: near-random fixture corpus (the hard case for sign-LSH); IVF with
+#: probe-4-of-16 measures 0.92 at similar cost, so it is the default —
+#: ``lsh_topk`` stays available for corpora where a trained coarse
+#: quantizer is unavailable. Recall is pinned by tests/test_ann_recall.py.
+ann_topk = ivf_topk

@@ -233,11 +233,17 @@ FROM scored QUALIFY rank <= 5
 IVF_TOPK_ORACLE = _ivf_oracle()
 
 COSINE_PAIRS_ORACLE = f"""
-WITH a AS (SELECT vec_id AS id_a, embedding AS va FROM embeddings),
-b AS (SELECT vec_id AS id_b, embedding AS vb FROM embeddings)
-SELECT id_a, id_b, {_cos_sql('va', 'vb')} AS cos
-FROM a CROSS JOIN b
-WHERE id_a < id_b AND {_cos_sql('va', 'vb')} >= 0.4
+WITH buckets AS ({_BUCKETS_UNION}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b USING (lsh_table, bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {_cos_sql('ea.embedding', 'eb.embedding')} AS cos
+FROM cand
+JOIN embeddings ea ON ea.vec_id = cand.id_a
+JOIN embeddings eb ON eb.vec_id = cand.id_b
+WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= 0.4
 """
 
 
@@ -308,6 +314,9 @@ def q42_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q29_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked near-dup pairs — no CartesianProduct in the plan
+    (pinned by tests/test_plans.py); the oracle replays the identical
+    blocking, so the approximation itself is hash-verified."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.cosine_near_pairs(emb, threshold=0.4)
 

@@ -65,6 +65,14 @@ def test_q12_defaults_are_broadcast_cross_join(spark):
     assert "CartesianProduct" not in p, "defaults cross join must broadcast"
 
 
+def test_q29_near_pairs_not_cartesian(spark):
+    """The embedding near-dup path must go through LSH blocking — an
+    all-pairs CartesianProduct is a 100 TB scale-killer."""
+    p = _plan(spark, "q29_cosine_near_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_no_python_row_eval_in_oracled_queries(spark, name):
     """Every hash-verified query stays JVM-side end-to-end."""
