@@ -50,6 +50,11 @@ def main() -> None:
     QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Fixture prep, not query work: materialize the multi-file landing
+    # directory q36's multi-batch stream consumes (cached across runs).
+    from pandas_analysis_with_postgres_spark.streaming import split_events_by_time
+
+    split_events_by_time(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

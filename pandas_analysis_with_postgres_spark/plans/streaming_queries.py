@@ -22,9 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..streaming import (
     dedup_within_watermark,
     events_stream,
+    events_stream_multibatch,
     run_available_now,
     session_window_agg,
     sliding_window_counts,
@@ -39,8 +42,13 @@ _WM = (
 
 
 def q36_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows over a ≥3-micro-batch replay (time-split files,
+    one per trigger): windows close incrementally as the watermark
+    advances batch-by-batch, yet the final append output equals the
+    single-batch result because the time-ordered split never produces a
+    late event (tests/test_streaming.py pins both)."""
     return run_available_now(
-        tumbling_window_counts(events_stream(spark, sf_dir))
+        tumbling_window_counts(events_stream_multibatch(spark, sf_dir))
     )
 
 
@@ -125,19 +133,21 @@ HAVING window_end <= {_WM}
 
 
 def q47_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandasWithState running per-user counter. The fixture is
-    one file → one micro-batch under availableNow (pinned in tests), so
-    the update-mode output is exactly one row per user with the final
-    count — SQL-equivalent to a plain GROUP BY, which is the oracle.
-    With multiple batches the output would hold one row per (user,
-    batch); the operator is batch-count-sensitive by design (update
-    mode), the oracle is not — the single-file fixture keeps them
-    aligned."""
+    """applyInPandasWithState per-user counter across ≥3 micro-batches
+    (time-split files, one per trigger). Update mode emits one row per
+    (user, batch-where-user-appeared); a real deployment pairs update
+    mode with an upsert sink where the last write per key wins, so the
+    query models that sink contract: the counter is monotone, making
+    final state = MAX(n_events) per user. The result is
+    batch-count-invariant and SQL-equivalent to a plain GROUP BY — the
+    oracle — no matter how the source was chopped into batches."""
     from ..streaming.streams import stateful_user_counts
 
-    return run_available_now(
-        stateful_user_counts(events_stream(spark, sf_dir)), output_mode="update"
+    updates = run_available_now(
+        stateful_user_counts(events_stream_multibatch(spark, sf_dir)),
+        output_mode="update",
     )
+    return updates.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
 Q47_SQL = "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id"

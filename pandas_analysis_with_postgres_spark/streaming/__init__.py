@@ -10,15 +10,19 @@ operator for streaming dimension maintenance.
 from .streams import (
     dedup_within_watermark,
     events_stream,
+    events_stream_multibatch,
     foreach_batch_sink,
     run_available_now,
     session_window_agg,
     sliding_window_counts,
+    split_events_by_time,
     tumbling_window_counts,
 )
 
 __all__ = [
     "events_stream",
+    "events_stream_multibatch",
+    "split_events_by_time",
     "tumbling_window_counts",
     "sliding_window_counts",
     "session_window_agg",

@@ -27,10 +27,15 @@ emission rule in SQL.
 
 from __future__ import annotations
 
+import hashlib
 import itertools
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: Explicit file-source schema for events: streaming reads don't infer.
@@ -55,6 +60,73 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.*")
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def split_events_by_time(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
+    """Split the events fixture into ``n_files`` time-ordered parquet
+    files under a cached temp dir — a stand-in for a landing directory
+    receiving files over time.
+
+    Range-split on event time (ties broken by event_id), so every event
+    in file *i* precedes every event in file *i+1*. Replayed one file
+    per trigger this means no event is ever late relative to the
+    advancing watermark — append/update emission stays oracle-exact —
+    while genuinely exercising cross-micro-batch state handoff
+    (watermark advance, window close-out, state-store carry).
+
+    Returns the glob readStream should consume. File moves happen on
+    the driver: this is fixture preparation, not engine work; the split
+    is cached per (sf_dir, n_files). Mtimes are spaced 2 s apart so the
+    file source's oldest-first pickup order is deterministic.
+    """
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{n_files}".encode()
+    ).hexdigest()[:12]
+    out = Path(tempfile.gettempdir()) / f"spark_graft_events_split_{key}"
+    marker = out / "_SPLIT_DONE"
+    glob = str(out / "events_*.parquet")
+    if marker.exists():
+        return glob
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.orderBy("ts", "event_id")  # fixture-size single-task sort
+    bucketed = raw.select(
+        "*",
+        F.least(
+            F.floor(F.percent_rank().over(w) * n_files), F.lit(n_files - 1)
+        ).alias("__b"),
+    )
+    out.mkdir(parents=True, exist_ok=True)
+    base = 1_600_000_000
+    for i in range(n_files):
+        build = out / f"__build_{i}"
+        bucketed.filter(F.col("__b") == i).drop("__b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(build))
+        dest = out / f"events_{i:03d}.parquet"
+        shutil.move(str(next(build.glob("part-*.parquet"))), dest)
+        os.utime(dest, (base + 2 * i, base + 2 * i))
+        shutil.rmtree(build)
+    marker.touch()
+    return glob
+
+
+def events_stream_multibatch(
+    spark: SparkSession, sf_dir: str, *, n_files: int = 3
+) -> DataFrame:
+    """`events_stream` variant that replays the fixture as ``n_files``
+    time-ordered files, one file per micro-batch (``maxFilesPerTrigger=1``
+    under ``availableNow`` ⇒ ≥ ``n_files`` batches) — the multi-batch
+    harness for stateful operators, where watermark advance and
+    state-store handoff actually differ from a single-batch GROUP BY."""
+    glob = split_events_by_time(spark, sf_dir, n_files)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+    )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -168,13 +240,23 @@ def stateful_user_counts(stream: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(df: DataFrame, *, output_mode: str = "append", timeout_sec: int = 300) -> DataFrame:
+def run_available_now(
+    df: DataFrame,
+    *,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+    progress_out: list[int] | None = None,
+) -> DataFrame:
     """Drain a finite stream to completion into an in-memory table and
     return it as a batch DataFrame.
 
     This is the differential-harness bridge ONLY: the memory sink
     collects to the driver. Production sinks are ``foreachBatch`` (see
     below), Kafka, or a table format — same plan, different sink.
+
+    ``progress_out``, if given, receives ``numInputRows`` per non-empty
+    micro-batch — how tests pin that a multi-file source really
+    executed multiple batches.
     """
     name = f"__stream_result_{next(_memory_sink_ids)}"
     q = (
@@ -185,6 +267,11 @@ def run_available_now(df: DataFrame, *, output_mode: str = "append", timeout_sec
         .start()
     )
     q.awaitTermination(timeout_sec)
+    if progress_out is not None:
+        for p in q.recentProgress:
+            rows = p["numInputRows"] if isinstance(p, dict) else p.numInputRows
+            if rows:
+                progress_out.append(rows)
     return df.sparkSession.table(name)
 
 

@@ -14,12 +14,67 @@ from pandas_analysis_with_postgres_spark.operators.upsert import upsert
 from pandas_analysis_with_postgres_spark.sources.parquet import load_table
 from pandas_analysis_with_postgres_spark.streaming import (
     events_stream,
+    events_stream_multibatch,
     foreach_batch_sink,
     run_available_now,
     tumbling_window_counts,
 )
+from pandas_analysis_with_postgres_spark.streaming.streams import (
+    stateful_user_counts,
+)
 
 from .conftest import SF_ORACLE
+
+
+def _same(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_multibatch_source_executes_three_batches(spark):
+    """The time-split source really yields ≥3 non-empty micro-batches
+    under availableNow + maxFilesPerTrigger=1 — without this pin the
+    multi-batch tests silently degrade to the single-batch case."""
+    progress: list[int] = []
+    run_available_now(
+        tumbling_window_counts(events_stream_multibatch(spark, SF_ORACLE)),
+        progress_out=progress,
+    )
+    assert len(progress) >= 3, progress
+
+
+def test_multibatch_append_windows_match_single_batch(spark):
+    """Append-mode windows close incrementally across batches; the
+    time-ordered split never produces a late event, so the final output
+    must equal the single-batch drain exactly."""
+    multi = run_available_now(
+        tumbling_window_counts(events_stream_multibatch(spark, SF_ORACLE))
+    )
+    single = run_available_now(
+        tumbling_window_counts(events_stream(spark, SF_ORACLE))
+    )
+    assert _same(multi, single)
+
+
+def test_multibatch_stateful_counts_carry_state(spark):
+    """applyInPandasWithState must carry per-user counts across
+    micro-batches: the last update per user equals the batch GROUP BY,
+    and users spanning several files emit several (increasing) updates."""
+    progress: list[int] = []
+    updates = run_available_now(
+        stateful_user_counts(events_stream_multibatch(spark, SF_ORACLE)),
+        output_mode="update",
+        progress_out=progress,
+    )
+    assert len(progress) >= 3
+    expected = (
+        load_table(spark, SF_ORACLE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    final = updates.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+    assert _same(final, expected)
+    # State genuinely crossed batches: some user updated more than once.
+    assert updates.count() > final.count()
 
 
 def test_append_mode_emits_only_watermark_closed_windows(spark):
