@@ -109,9 +109,19 @@ def _rebalance(df: DataFrame) -> DataFrame:
     (e.g. one parquet row group) would otherwise serialize them on one
     core. At real scale the input already has far more splits than
     cores and this is a no-op — no shuffle is added.
+
+    Split-count probe: ``inputFiles()`` (a driver-side file listing,
+    no plan execution) — NOT ``df.rdd.getNumPartitions()``, which
+    forces a plan-to-RDD conversion per call. One file can hold several
+    row groups, so this undercounts splits slightly; the only cost of
+    that is a redundant round-robin on inputs near the core count.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plan: leave partitioning alone
+        return df
+    if 0 < n_files < target:
         df = df.repartition(target)
     return df
 
@@ -373,4 +383,74 @@ def simhash_near_pairs(
         pairs.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------
+# Dedup decision: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Label every node of the near-dup pair graph with its component's
+    smallest member id — the survivor a dedup pipeline keeps.
+
+    Iterative smallest-id propagation, all in DataFrames: each round
+    every node takes min(own label, neighbors' labels); a round is one
+    shuffle join on the edge list + one groupBy. Converges in at most
+    the graph diameter rounds — near-dup graphs are shallow (pairs,
+    triangles, small stars), so the loop usually exits after 2-3 rounds
+    via the driver-side convergence check (one count per round: this is
+    a deliberately iterative algorithm, not a collect of data rows).
+    ``localCheckpoint`` truncates the per-round lineage so the plan
+    doesn't grow exponentially; a cluster deployment would use reliable
+    ``checkpoint`` with a checkpoint dir instead. Raises if ``max_iter``
+    rounds don't converge — a silent cap would mis-label deep chains.
+
+    Returns (id, comp): one row per node appearing in ``pairs``.
+    Isolated documents never enter the frame — callers COALESCE to the
+    doc's own id (see q49).
+    """
+    edges = pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["dst"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "raise max_iter for graphs with longer chains"
     )

@@ -479,6 +479,50 @@ LIMIT 50
 """
 
 
+def q49_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup *decision*: MinHash-LSH near-dup pairs →
+    connected components (iterative smallest-id propagation) → one
+    keep/drop verdict per document. The oracle replays the pair
+    generation and resolves components with a recursive CTE — the
+    bounded-iteration Spark loop is hash-verified against true
+    transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(docs, threshold=0.5)
+    comp = DD.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            F.col("doc_id"),
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("keep_id"),
+        )
+        .withColumn("is_dup", (F.col("doc_id") != F.col("keep_id")).cast("int"))
+    )
+
+
+Q49_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({MINHASH_ORACLE})
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS id, src AS comp FROM edges
+  UNION
+  SELECT e.dst AS id, r.comp AS comp
+  FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(l.comp, d.doc_id) AS keep_id,
+       CASE WHEN COALESCE(l.comp, d.doc_id) <> d.doc_id THEN 1 ELSE 0 END AS is_dup
+FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
+"""
+
+
 def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas featurize path — not SQL-expressible (Arrow-batched
     Python decode stub); driver records a rows-only check."""
@@ -503,6 +547,7 @@ EXTENSION_QUERIES = {
     "q35_media_features": q35_media_features,
     "q42_ivf_topk": q42_ivf_topk,
     "q46_top_tokens": q46_top_tokens,
+    "q49_dedup_keep": q49_dedup_keep,
 }
 
 EXTENSION_ORACLES = {
@@ -521,5 +566,6 @@ EXTENSION_ORACLES = {
     "q34_media_metadata": Q34_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
+    "q49_dedup_keep": Q49_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }
