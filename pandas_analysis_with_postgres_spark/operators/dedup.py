@@ -70,12 +70,24 @@ PERM_CONSTANTS = _gen_perm_constants()
 
 
 def token_value(t: Column) -> Column:
-    """Token → integer < 2^15: ascii(first char)*256 + length.
+    """Token → integer < 2^15: (codepoint(first char)*256 + length)
+    mod 2^15.
+
+    The mod clamp matters: ``F.ascii`` returns the full first-char
+    codepoint (not just 0-127) and token length is unbounded, so the
+    unclamped value could exceed 2^15 and break the 45-bit shingle
+    bound — Spark longs would then wrap silently where DuckDB BIGINT
+    raises, diverging engine from oracle on non-ASCII corpora. The
+    clamp keeps every downstream product exact in 64-bit in BOTH
+    engines. For ASCII tokens shorter than ~1.5k chars the mod is an
+    identity, so fixture results are unchanged.
 
     Deliberately SQL-reproducible (DuckDB has no xxhash64). See module
     docstring for the swap-in point for adversarial data.
     """
-    return (F.ascii(t) * 256 + F.length(t)).cast("long")
+    return F.pmod(
+        F.ascii(t).cast("long") * 256 + F.length(t), F.lit(TOKEN_BASE)
+    ).cast("long")
 
 
 def shingle_values(text: Column, n: int = 3) -> Column:

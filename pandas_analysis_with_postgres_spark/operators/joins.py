@@ -22,17 +22,22 @@ def lookup_join(
     on: str | list[str] | Column,
     how: str = "inner",
     *,
-    broadcast: bool = True,
+    broadcast: bool | None = None,
     rename: Mapping[str, str] | None = None,
     drop: list[str] | None = None,
 ) -> DataFrame:
     """Dimension lookup join (reference J1-J4/J15-J18).
 
-    ``broadcast=True`` (the default — lookups are small) hints a
-    BroadcastHashJoin so the fact side never shuffles: at 100 TB the
-    fact table streams map-side past an in-memory copy of the dim. The
-    reference instead hash-joins everything single-threaded
-    (``dmCustomerProc.py:30-44,173-181``).
+    ``broadcast=None`` (the default) adds no hint: Catalyst still
+    auto-broadcasts dims under ``autoBroadcastJoinThreshold`` and AQE
+    re-plans at runtime from real sizes, so a caller who joins a
+    not-actually-small "dim" gets a SortMergeJoin instead of a forced
+    broadcast OOM. Pass ``broadcast=True`` only for dims *known* small
+    (the reference's region/nation lookups do) — the hint then holds
+    even where file-level stats are missing, and the fact side never
+    shuffles: at 100 TB it streams map-side past an in-memory copy of
+    the dim. The reference instead hash-joins everything
+    single-threaded (``dmCustomerProc.py:30-44,173-181``).
 
     ``rename`` disambiguates collision-prone dim columns *before* the
     join (reference P2, ``dmCustomerProc.py:23-28``) — Spark has no
@@ -55,6 +60,8 @@ def existence_flag_join(
     left_key: str,
     right_key: str,
     flag_name: str,
+    *,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Left-join existence flag (reference J9/J11/J12,
     ``dmCustomerProc.py:69,86,94``) with the fan-out hazard fixed.
@@ -63,15 +70,20 @@ def existence_flag_join(
     flags ``notnull`` — duplicate right keys silently multiply left rows
     (J9 hazard, SURVEY §2.4). The intended semantics is EXISTS: here the
     right side is reduced to ``distinct`` keys first, so the left
-    cardinality is provably preserved. The distinct-key frame is small
-    relative to the fact side → broadcast.
+    cardinality is provably preserved.
+
+    ``broadcast`` (default True) suits membership tables whose distinct
+    key set is dim-scale. When ``keys`` is a fact-scale table (e.g.
+    flagging customers by the orders fact), pass ``broadcast=False`` —
+    the distinct key set can exceed driver/executor memory, and the
+    unhinted plan becomes a shuffle join AQE is free to re-plan.
     """
     marker = (
         keys.select(F.col(right_key).alias(left_key))
         .distinct()
         .withColumn(f"__{flag_name}_hit", F.lit(1))
     )
-    out = df.join(F.broadcast(marker), left_key, "left")
+    out = df.join(F.broadcast(marker) if broadcast else marker, left_key, "left")
     return out.withColumn(
         flag_name,
         F.when(F.col(f"__{flag_name}_hit").isNotNull(), F.lit(1)).otherwise(F.lit(0)),
@@ -163,7 +175,16 @@ def salted_join(
 
     Cost model: ``other`` shuffles ``salt``× its size — keep ``salt``
     at the ratio hot-partition/target-partition, not higher.
+
+    Only ``inner`` and ``left`` are supported: the right side is
+    replicated ``salt``×, so ``right``/``full`` would emit each
+    unmatched right row ``salt`` times.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated right side would duplicate unmatched right rows"
+        )
     salted_left = skewed.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt))
     )

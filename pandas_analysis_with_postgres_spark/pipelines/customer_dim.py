@@ -87,6 +87,7 @@ def build_wide_customer(t: Mapping[str, DataFrame]) -> DataFrame:
         wide,
         t["stg_dce_gnl_st"],
         on=wide.st_id_cust == F.col("gnl_st_id"),
+        broadcast=True,  # status dim: a handful of codes
         rename={"name": "st"},
         drop=["gnl_st_id"],
     )
@@ -94,12 +95,14 @@ def build_wide_customer(t: Mapping[str, DataFrame]) -> DataFrame:
         wide,
         t["stg_dce_cust_tp"],
         on="cust_tp_id",
+        broadcast=True,  # customer-type dim: a handful of codes
         rename={"name": "cust_tp"},
     )
     wide = lookup_join(
         wide,
         t["stg_dce_gnl_tp"],
         on=wide.party_tp_id == F.col("gnl_tp_id"),
+        broadcast=True,  # party-type dim: a handful of codes
         rename={"name": "party_tp"},
         drop=["gnl_tp_id"],
     )
@@ -196,6 +199,7 @@ def build_wide_customer(t: Mapping[str, DataFrame]) -> DataFrame:
         lang,
         on=user.pref_lang_id == F.col("lang_id"),
         how="left",
+        broadcast=True,  # language dim: tens of rows
         rename={"name": "pref_lang"},
         drop=["lang_id"],
     )
@@ -204,6 +208,7 @@ def build_wide_customer(t: Mapping[str, DataFrame]) -> DataFrame:
         lang,
         on=user.ntf_pref_lang_id == F.col("lang_id"),
         how="left",
+        broadcast=True,  # language dim: tens of rows
         rename={"name": "ntf_pref_lang"},
         drop=["lang_id"],
     )

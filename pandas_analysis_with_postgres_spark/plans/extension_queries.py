@@ -32,7 +32,12 @@ from ..sources.parquet import load_table
 # ---------------------------------------------------------------------
 
 _TOKS = "string_split(text, ' ')"
-_TV = f"list_transform({_TOKS}, t -> (ascii(t) * 256 + length(t))::BIGINT)"
+# The % TOKEN_BASE clamp mirrors operators.dedup.token_value exactly —
+# both operands are non-negative, so % and pmod agree.
+_TV = (
+    f"list_transform({_TOKS}, "
+    f"t -> ((ascii(t) * 256 + length(t)) % {DD.TOKEN_BASE})::BIGINT)"
+)
 
 
 def _sv_sql() -> str:

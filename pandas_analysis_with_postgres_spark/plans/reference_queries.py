@@ -94,12 +94,14 @@ def q02_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust,
         nation,
         on=cust.c_nationkey == F.col("n_nationkey"),
+        broadcast=True,  # nation: 25 rows at any SF
         rename={"n_name": "nation_name"},
     )
     dim = lookup_join(
         dim,
         region,
         on=F.col("n_regionkey") == F.col("r_regionkey"),
+        broadcast=True,  # region: 5 rows at any SF
         rename={"r_name": "region_name"},
     )
     counts = orders.groupBy("o_custkey").agg(
@@ -176,9 +178,15 @@ Q04_SQL = "SELECT o_custkey, COUNT(*) AS order_count FROM orders GROUP BY o_cust
 def q05_customer_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    out = existence_flag_join(cust, orders, "c_custkey", "o_custkey", "has_order")
+    # orders is the fact side — its distinct custkey set is customer-
+    # cardinality, not dim-cardinality, so never force a broadcast.
+    out = existence_flag_join(
+        cust, orders, "c_custkey", "o_custkey", "has_order", broadcast=False
+    )
     big = orders.filter(F.col("o_totalprice") > 100000)
-    out = existence_flag_join(out, big, "c_custkey", "o_custkey", "has_big_order")
+    out = existence_flag_join(
+        out, big, "c_custkey", "o_custkey", "has_big_order", broadcast=False
+    )
     return out.select(
         "c_custkey",
         "has_order",
@@ -530,7 +538,8 @@ changed AS (
 ),
 closed AS (
   SELECT h.c_custkey, h.c_name, h.c_acctbal, h.c_mktsegment,
-         h.effective_from_date, c.change_ts AS effective_to_date,
+         h.effective_from_date,
+         COALESCE(c.change_ts, c.create_ts) AS effective_to_date,
          0 AS is_current_record, h.sys_effective_from_date,
          TIMESTAMP '2024-07-01' AS sys_effective_to_date
   FROM history h JOIN changed c ON h.c_custkey = c.c_custkey

@@ -1,0 +1,76 @@
+"""Guards on the join operators' scale posture:
+
+- lookup_join's default must NOT force a broadcast — a large "dim"
+  has to be free to fall back to a shuffle join (AQE's choice), while
+  an explicit broadcast=True must hold even with auto-broadcast off.
+- salted_join must refuse right/full joins (replicated right side
+  would duplicate unmatched right rows).
+- token_value must clamp into [0, 2^15) for non-ASCII / long tokens so
+  the 45-bit shingle bound holds in both engines.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_analysis_with_postgres_spark.operators.dedup import (
+    TOKEN_BASE,
+    token_value,
+)
+from pandas_analysis_with_postgres_spark.operators.joins import (
+    lookup_join,
+    salted_join,
+)
+
+
+@pytest.fixture
+def no_auto_broadcast(spark):
+    """Disable size-based auto-broadcast so hint behavior is isolated."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield spark
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_lookup_join_default_lets_planner_choose(no_auto_broadcast):
+    spark = no_auto_broadcast
+    fact = spark.range(1000).withColumnRenamed("id", "k")
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    plan = lookup_join(fact, dim, "k")._jdf.queryExecution().toString()
+    assert "broadcast" not in plan.lower(), (
+        "default lookup_join must not force a broadcast on a large dim"
+    )
+
+
+def test_lookup_join_explicit_broadcast_holds(no_auto_broadcast):
+    spark = no_auto_broadcast
+    fact = spark.range(1000).withColumnRenamed("id", "k")
+    dim = spark.range(10).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    plan = (
+        lookup_join(fact, dim, "k", broadcast=True)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "broadcast" in plan.lower()
+
+
+@pytest.mark.parametrize("how", ["right", "full", "outer"])
+def test_salted_join_rejects_right_preserving(spark, how):
+    df = spark.range(10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(df, df, "k", how=how)
+
+
+def test_token_value_clamped_for_adversarial_tokens(spark):
+    # Non-ASCII first char (codepoint 128512) and a very long token:
+    # unclamped value would be ~2^25, breaking the 45-bit shingle bound.
+    rows = spark.createDataFrame(
+        [("\U0001f600emoji",), ("x" * 100_000,), ("plain",)], "t string"
+    ).select(token_value(F.col("t")).alias("v"))
+    vals = [r["v"] for r in rows.collect()]
+    assert all(0 <= v < TOKEN_BASE for v in vals), vals
+    # ASCII short tokens are unaffected by the clamp (identity).
+    assert vals[2] == ord("p") * 256 + 5
