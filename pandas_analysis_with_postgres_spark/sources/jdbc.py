@@ -13,9 +13,12 @@ pulls 16 whole tables through it single-threaded
 - writes batch per partition (``batchsize``), with ``overwrite``/
   ``append`` save modes replacing ``if_exists='replace'/'append'``.
 
-No live Postgres exists in the test environment, so these are exercised
-by unit tests only up to reader/writer construction; the parquet source
-stands in for local correctness runs.
+No live Postgres exists in the test environment, but the read/write
+paths ARE exercised live: ``tests/test_jdbc_roundtrip.py`` drives them
+through embedded Apache Derby (shipped with Spark for the Hive
+metastore), covering table creation, overwrite/append modes,
+partitioned parallel reads, and filter/column pushdown into the JDBC
+source. Only the Postgres dialect string itself is untested here.
 """
 
 from __future__ import annotations
@@ -23,6 +26,32 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+
+@dataclass(frozen=True)
+class JdbcConfig:
+    """Dialect-agnostic JDBC endpoint: any url + driver class Spark's
+    JDBC source accepts. ``PostgresConfig`` is the warehouse-shaped
+    convenience subclass mirroring the reference's engine URL."""
+
+    jdbc_url: str
+    driver: str
+    user: str | None = None
+    password: str | None = None
+    extra: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def url(self) -> str:
+        return self.jdbc_url
+
+    def properties(self) -> dict[str, str]:
+        props = {"driver": self.driver}
+        if self.user is not None:
+            props["user"] = self.user
+        if self.password is not None:
+            props["password"] = self.password
+        props.update(self.extra)
+        return props
 
 
 @dataclass(frozen=True)
@@ -54,12 +83,16 @@ class PostgresConfig:
         return props
 
 
+def _qualified(schema: str | None, table: str) -> str:
+    return f"{schema}.{table}" if schema else table
+
+
 def read_table(
     spark: SparkSession,
-    cfg: PostgresConfig,
+    cfg: PostgresConfig | JdbcConfig,
     table: str,
     *,
-    schema: str = "dwh_stg",
+    schema: str | None = "dwh_stg",
     partition_column: str | None = None,
     lower_bound: int | None = None,
     upper_bound: int | None = None,
@@ -77,7 +110,7 @@ def read_table(
     reader: DataFrameReader = (
         spark.read.format("jdbc")
         .option("url", cfg.url)
-        .option("dbtable", f"{schema}.{table}")
+        .option("dbtable", _qualified(schema, table))
         .option("fetchsize", str(fetchsize))
     )
     for key, value in cfg.properties().items():
@@ -96,10 +129,10 @@ def read_table(
 
 def write_table(
     df: DataFrame,
-    cfg: PostgresConfig,
+    cfg: PostgresConfig | JdbcConfig,
     table: str,
     *,
-    schema: str = "dwh",
+    schema: str | None = "dwh",
     mode: str = "overwrite",
     batchsize: int = 10_000,
 ) -> None:
@@ -111,7 +144,7 @@ def write_table(
     (
         df.write.format("jdbc")
         .option("url", cfg.url)
-        .option("dbtable", f"{schema}.{table}")
+        .option("dbtable", _qualified(schema, table))
         .option("batchsize", str(batchsize))
         .options(**cfg.properties())
         .mode(mode)

@@ -1,0 +1,100 @@
+"""Live JDBC round-trip through embedded Apache Derby (SURVEY §2.1
+S1-S3 — the untestable-without-a-database gap closed).
+
+Spark ships Derby for its Hive metastore, so a real JDBC driver is
+available in every environment this repo runs in. Embedded Derby is
+in-process per JVM — exactly right for local[?] where executors share
+the driver JVM. The Postgres dialect string is the only part these
+tests cannot cover; everything else (DDL on overwrite, batched writes,
+append mode, partitioned parallel reads, filter + column pushdown into
+the source) exercises the same Spark JDBC code paths Postgres would.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_analysis_with_postgres_spark.sources.jdbc import (
+    JdbcConfig,
+    read_table,
+    write_table,
+)
+
+DERBY = JdbcConfig(
+    jdbc_url="jdbc:derby:memory:graft_test;create=true",
+    driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+)
+
+
+@pytest.fixture(scope="module")
+def seeded(spark):
+    """A 100-row frame written to Derby as table T_CUST (overwrite)."""
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+    )
+    write_table(df, DERBY, "t_cust", schema=None, mode="overwrite")
+    return df
+
+
+def test_write_then_read_roundtrip(spark, seeded):
+    back = read_table(spark, DERBY, "t_cust", schema=None)
+    assert back.count() == 100
+    assert sorted(c.lower() for c in back.columns) == ["grp", "k", "name"]
+    assert {r["k"] for r in back.collect()} == set(range(100))
+
+
+def test_overwrite_replaces_append_adds(spark, seeded):
+    extra = spark.range(100, 150).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        F.lit("x").alias("name"),
+    )
+    write_table(extra, DERBY, "t_cust", schema=None, mode="append")
+    assert read_table(spark, DERBY, "t_cust", schema=None).count() == 150
+    write_table(extra, DERBY, "t_cust", schema=None, mode="overwrite")
+    assert read_table(spark, DERBY, "t_cust", schema=None).count() == 50
+    # Restore for other tests (module fixture seeds once).
+    write_table(seeded, DERBY, "t_cust", schema=None, mode="overwrite")
+
+
+def test_partitioned_parallel_read(spark, seeded):
+    back = read_table(
+        spark,
+        DERBY,
+        "t_cust",
+        schema=None,
+        partition_column="k",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+    )
+    # 4 range-predicated concurrent SELECTs, no rows lost at boundaries.
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100
+
+
+def test_partitioned_read_requires_bounds(spark):
+    with pytest.raises(ValueError, match="lower_bound/upper_bound"):
+        read_table(spark, DERBY, "t_cust", schema=None, partition_column="k")
+
+
+def test_filter_and_column_pushdown(spark, seeded):
+    back = read_table(spark, DERBY, "t_cust", schema=None)
+    q = back.filter(F.col("k") > 90).select("k")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    # The WHERE clause and the 1-column projection must reach the JDBC
+    # source — Postgres would then scan/transmit only what's needed.
+    assert "PushedFilters" in plan, plan
+    assert "GreaterThan(k,90)" in plan or "GreaterThan(K,90)" in plan, plan
+    read_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "name" not in read_line.lower(), read_line
+    assert q.count() == 9
