@@ -9,7 +9,7 @@ from .aggregates import global_agg_col, group_count
 from .joins import cross_join_defaults, existence_flag_join, lookup_join
 from .scd2 import scd2_apply
 from .setops import changed_rows, except_all_on, union_by_name
-from .upsert import upsert
+from .upsert import upsert, upsert_partitioned
 from .windows import keep_first_dedup, top1_per_group
 
 __all__ = [
@@ -25,4 +25,5 @@ __all__ = [
     "top1_per_group",
     "union_by_name",
     "upsert",
+    "upsert_partitioned",
 ]

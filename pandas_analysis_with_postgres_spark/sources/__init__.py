@@ -1,3 +1,19 @@
-from .parquet import TABLES, load_table, load_tables, register_views
+from .parquet import (
+    TABLES,
+    load_table,
+    load_tables,
+    overwrite_partitions,
+    register_views,
+    write_bucketed,
+    write_table,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "overwrite_partitions",
+    "register_views",
+    "write_bucketed",
+    "write_table",
+]

@@ -80,6 +80,30 @@ def write_table(
     writer.parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | str,
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the hive partitions
+    present in ``df``, leaving every other partition's files untouched.
+
+    This is the portable stand-in for Delta/Iceberg ``MERGE INTO``
+    named in ``operators.upsert``: a 100 TB dimension refresh rewrites
+    just the partitions the delta touches instead of the whole table.
+    ``partitionOverwriteMode`` is passed as a writer option so the
+    session-level ``STATIC`` default (which would drop all other
+    partitions!) is never relied on.
+    """
+    cols = [partition_by] if isinstance(partition_by, str) else partition_by
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*cols)
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

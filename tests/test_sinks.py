@@ -44,6 +44,49 @@ def test_append_mode(spark, tmp_path):
     assert spark.read.parquet(out).count() == 2 * nation.count()
 
 
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    """The MERGE-INTO stand-in: a delta touching one partition must
+    leave every other partition's files byte-identical on disk (same
+    names, same mtimes) while updating/inserting rows correctly."""
+    import os
+
+    from pandas_analysis_with_postgres_spark.operators.upsert import (
+        upsert_partitioned,
+    )
+
+    path = str(tmp_path / "dim")
+    dim = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(40)], "k long, grp long, val string"
+    )
+    write_table(dim, path, partition_by="grp")
+
+    def files(part):
+        d = f"{path}/grp={part}"
+        return {
+            f: os.stat(f"{d}/{f}").st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {g: files(g) for g in range(4)}
+
+    # Delta: update k=2 (grp=2), insert k=102 (grp=2). grp 0/1/3 untouched.
+    staged = spark.createDataFrame(
+        [(2, 2, "UPDATED"), (102, 2, "NEW")], "k long, grp long, val string"
+    )
+    upsert_partitioned(spark, staged, "k", path=path, partition_col="grp")
+
+    after = {g: files(g) for g in range(4)}
+    for g in (0, 1, 3):
+        assert after[g] == before[g], f"partition grp={g} was rewritten"
+    assert after[2] != before[2]
+
+    back = spark.read.parquet(path)
+    assert back.count() == 41
+    got = {r["k"]: r["val"] for r in back.filter(F.col("grp") == 2).collect()}
+    assert got[2] == "UPDATED" and got[102] == "NEW" and got[6] == "v6"
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """Two tables bucketed on the join key join WITHOUT a shuffle —
     the co-located-join contract bucketing exists for. Broadcast is
