@@ -40,6 +40,8 @@ HEADLINE = (
     "q30_text_stats",
     "q36_stream_hourly_counts",
     "q42_ivf_topk",
+    "q50_promo_range_join",
+    "q53_corpus_curation",
 )
 
 

@@ -6,7 +6,12 @@ pushable, small sides broadcastable). Nothing here materializes.
 """
 
 from .aggregates import global_agg_col, group_count
-from .joins import cross_join_defaults, existence_flag_join, lookup_join
+from .joins import (
+    cross_join_defaults,
+    existence_flag_join,
+    lookup_join,
+    range_join,
+)
 from .scd2 import scd2_apply
 from .setops import changed_rows, except_all_on, union_by_name
 from .upsert import upsert, upsert_partitioned
@@ -21,6 +26,7 @@ __all__ = [
     "group_count",
     "keep_first_dedup",
     "lookup_join",
+    "range_join",
     "scd2_apply",
     "top1_per_group",
     "union_by_name",

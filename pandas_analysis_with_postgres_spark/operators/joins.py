@@ -10,7 +10,7 @@ the reference's broken defaults join (J13, ``dmCustomerProc.py:145``).
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Callable, Mapping
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -192,6 +192,62 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn("__salt", F.col("__salt").cast("long"))
     return salted_left.join(replicated_right, [key, "__salt"], how).drop("__salt")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: Callable[[Column], Column],
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-containment join (``start <= point <= end``) without the
+    nested-loop trap.
+
+    Spark plans a raw BETWEEN join as BroadcastNestedLoopJoin (or a
+    CartesianProduct when neither side broadcasts) — every point against
+    every interval, the classic 100 TB scale-killer. Bucket blocking
+    instead: each interval is exploded to the coarse buckets it spans
+    (``F.sequence`` — one row per covered bucket), each point computes
+    its single bucket, and an *equi*-join on the bucket feeds an exact
+    containment filter. Work is ∝ points + intervals × span/bucket +
+    true matches; a point's bucket appears once per covering interval,
+    so no dedup pass is needed.
+
+    ``bucket`` is an expression mapping a point/boundary value to a
+    bucket ordinal (e.g. ``F.unix_date`` for day buckets over dates) —
+    choose a granularity near the typical interval span: finer buckets
+    replicate intervals more, coarser buckets widen the candidate set.
+
+    ``how='left'`` keeps points with no covering interval (NULL
+    interval columns) via an anti-join union — the replicated-bucket
+    shape cannot express left-outer directly.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports how='inner'|'left', got {how!r}")
+    p = points.withColumn("__pb", bucket(F.col(point_col)))
+    iv = intervals.withColumn(
+        "__pb",
+        F.explode(
+            F.sequence(bucket(F.col(start_col)), bucket(F.col(end_col)))
+        ),
+    )
+    matched = (
+        p.join(iv, "__pb")
+        .filter(F.col(point_col).between(F.col(start_col), F.col(end_col)))
+        .drop("__pb")
+    )
+    if how == "inner":
+        return matched
+    missed = p.drop("__pb").join(
+        matched.select(*points.columns), points.columns, "left_anti"
+    )
+    for c in intervals.columns:
+        missed = missed.withColumn(c, F.lit(None).cast(dict(intervals.dtypes)[c]))
+    return matched.unionByName(missed)
 
 
 def cross_join_defaults(df: DataFrame, defaults: DataFrame) -> DataFrame:

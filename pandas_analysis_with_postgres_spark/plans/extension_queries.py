@@ -528,6 +528,134 @@ FROM documents d LEFT JOIN labels l ON l.id = d.doc_id
 """
 
 
+# Deterministic split-assignment constants (LCG-flavored; all products
+# stay < 2^62 because doc_id is first reduced mod SPLIT_RANGE_P).
+SPLIT_RANGE_P = 100_003
+SPLIT_MULT = 1_103_515_245
+SPLIT_ADD = 12_345
+SPLIT_BUCKETS = 1_000
+SPLIT_TRAIN_LT = 800  # buckets [0,800) → train
+SPLIT_VAL_LT = 900  # [800,900) → val; [900,1000) → test
+
+
+def _split_label(doc_id: F.Column) -> F.Column:
+    b = F.pmod(
+        F.pmod(doc_id, F.lit(SPLIT_RANGE_P)) * F.lit(SPLIT_MULT) + F.lit(SPLIT_ADD),
+        F.lit(SPLIT_BUCKETS),
+    )
+    return (
+        F.when(b < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(b < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def q52_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the reproducible,
+    shuffle-free alternative to ``df.randomSplit`` a training-data
+    pipeline needs: membership is a pure function of the stable doc id,
+    so re-runs, retries, and incremental appends never move a document
+    across splits. 80/10/10 via arithmetic bucketing (exact in both
+    engines — no RNG, no sampling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", _split_label(F.col("doc_id")))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(TX.token_count("text")).alias("total_tokens"),
+        )
+    )
+
+
+Q52_SQL = f"""
+SELECT lang,
+       CASE WHEN b < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN b < {SPLIT_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' ')))::BIGINT AS total_tokens
+FROM (
+  SELECT lang, text,
+         ((doc_id % {SPLIT_RANGE_P}) * {SPLIT_MULT} + {SPLIT_ADD})
+           % {SPLIT_BUCKETS} AS b
+  FROM documents
+)
+GROUP BY 1, 2
+"""
+
+
+# Quality-score SQL fragment shared with Q30 (same fixed operation
+# order so the doubles are bit-identical).
+_QUALITY_SQL = (
+    "(least(len(toks)::DOUBLE / 100.0, 1.0)"
+    " + (1.0 - len(list_filter(toks, t -> t IN ({sw})))::DOUBLE / len(toks)::DOUBLE)"
+    " + least(((n_chars::DOUBLE - (len(toks)::DOUBLE - 1.0)) / len(toks)::DOUBLE)"
+    " / 5.0, 1.0)) / 3.0"
+)
+
+
+def q53_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the composed LLM-data pipeline:
+    near-dup removal (MinHash-LSH pairs → connected components → keep
+    only each cluster's smallest doc_id) THEN quality filtering
+    (composite score ≥ 0.5) THEN per-(lang, source) corpus stats. One
+    declarative plan: dedup survivors resolve via a left join +
+    COALESCE (isolated docs survive by default), so Catalyst sees the
+    whole flow and the quality filter prunes before the final
+    aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = DD.minhash_dedup_pairs(docs, threshold=0.5)
+    comp = DD.connected_components(pairs)
+    survivors = (
+        docs.join(comp, docs["doc_id"] == comp["id"], "left")
+        .filter(F.coalesce(F.col("comp"), F.col("doc_id")) == F.col("doc_id"))
+        .drop("id", "comp")
+    )
+    curated = survivors.filter(TX.quality_score("text", "n_chars") >= 0.5)
+    return curated.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TX.token_count("text")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+Q53_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({MINHASH_ORACLE})
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS id, src AS comp FROM edges
+  UNION
+  SELECT e.dst AS id, r.comp AS comp
+  FROM reach r JOIN edges e ON e.src = r.id
+),
+labels AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+survivors AS (
+  SELECT d.* FROM documents d
+  LEFT JOIN labels l ON l.id = d.doc_id
+  WHERE COALESCE(l.comp, d.doc_id) = d.doc_id
+),
+scored AS (
+  SELECT lang, source, n_chars, toks,
+         {_QUALITY_SQL.format(sw=_SW)} AS quality
+  FROM (SELECT lang, source, n_chars, string_split(text, ' ') AS toks
+        FROM survivors)
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       SUM(len(toks))::BIGINT AS total_tokens,
+       SUM(n_chars)::BIGINT AS total_chars
+FROM scored WHERE quality >= 0.5
+GROUP BY 1, 2
+"""
+
+
 def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas featurize path — not SQL-expressible (Arrow-batched
     Python decode stub); driver records a rows-only check."""
@@ -553,6 +681,8 @@ EXTENSION_QUERIES = {
     "q42_ivf_topk": q42_ivf_topk,
     "q46_top_tokens": q46_top_tokens,
     "q49_dedup_keep": q49_dedup_keep,
+    "q52_train_split": q52_train_split,
+    "q53_corpus_curation": q53_corpus_curation,
 }
 
 EXTENSION_ORACLES = {
@@ -572,5 +702,7 @@ EXTENSION_ORACLES = {
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,
+    "q52_train_split": Q52_SQL,
+    "q53_corpus_curation": Q53_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

@@ -26,6 +26,7 @@ from ..operators.joins import (
     cross_join_defaults,
     existence_flag_join,
     lookup_join,
+    range_join,
 )
 from ..operators.scd2 import scd2_apply
 from ..operators.setops import except_all_on, union_by_name
@@ -840,6 +841,104 @@ FROM kv GROUP BY key
 """
 
 
+# --------------------------------------------------------------------
+# q50 — interval-containment join via the bucket-blocked range_join
+# operator (extension: the join flavor Spark's planner turns into a
+# nested loop; the reference has no non-equi joins at all, SURVEY §2.4).
+# Promo periods = first 7 days of each order month; count orders and
+# revenue landing inside a period.
+# --------------------------------------------------------------------
+def q50_promo_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    periods = (
+        orders.select(F.date_trunc("month", "o_orderdate").alias("p_start"))
+        .distinct()
+        .withColumn("p_end", F.col("p_start") + F.expr("INTERVAL 6 DAYS"))
+    )
+    joined = range_join(
+        orders,
+        periods,
+        point_col="o_orderdate",
+        start_col="p_start",
+        end_col="p_end",
+        # Day buckets: each 7-day interval explodes to 7 bucket rows;
+        # the join is then a pure equi-join on the day ordinal.
+        bucket=lambda c: F.floor(F.unix_timestamp(c) / F.lit(86400)).cast("long"),
+    )
+    return joined.groupBy(F.col("p_start").alias("promo_month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("promo_revenue"),
+    )
+
+
+Q50_SQL = """
+WITH periods AS (
+  SELECT DISTINCT date_trunc('month', o_orderdate) AS p_start FROM orders
+),
+iv AS (SELECT p_start, p_start + INTERVAL 6 DAY AS p_end FROM periods)
+SELECT iv.p_start AS promo_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS promo_revenue
+FROM orders o
+JOIN iv ON o.o_orderdate BETWEEN iv.p_start AND iv.p_end
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# q51 — exact per-group percentiles (extension; the scalable form is
+# approx_percentile with bounded error, but the exact form is the
+# oracle-able surface and fine for group-sized partitions).
+# --------------------------------------------------------------------
+def q51_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return orders.groupBy("o_orderstatus").agg(
+        F.element_at(pct, 1).alias("p50"),
+        F.element_at(pct, 2).alias("p90"),
+        F.element_at(pct, 3).alias("p99"),
+    )
+
+
+Q51_SQL = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------
+# q54 — multi-resolution time rollup (hypertable-style continuous
+# aggregate hierarchy): hour within day within grand total, one pass
+# via ROLLUP grouping sets. min/max over doubles are order-independent,
+# so the oracle hash-matches without decimal staging.
+# --------------------------------------------------------------------
+def q54_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    return ev.rollup("day", "hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+Q54_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       date_trunc('hour', ts) AS hour,
+       COUNT(*) AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+"""
+
+
 REFERENCE_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_customer_profile": q02_customer_profile,
@@ -868,6 +967,9 @@ REFERENCE_QUERIES = {
     "q44_sql_frontend": q44_sql_frontend,
     "q45_asof_latest_order": q45_asof_latest_order,
     "q48_props_map_rollup": q48_props_map_rollup,
+    "q50_promo_range_join": q50_promo_range_join,
+    "q51_order_value_percentiles": q51_order_value_percentiles,
+    "q54_multires_rollup": q54_multires_rollup,
 }
 
 REFERENCE_ORACLES = {
@@ -898,4 +1000,7 @@ REFERENCE_ORACLES = {
     "q44_sql_frontend": Q44_SQL,
     "q45_asof_latest_order": Q45_SQL,
     "q48_props_map_rollup": Q48_SQL,
+    "q50_promo_range_join": Q50_SQL,
+    "q51_order_value_percentiles": Q51_SQL,
+    "q54_multires_rollup": Q54_SQL,
 }

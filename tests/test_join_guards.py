@@ -64,6 +64,61 @@ def test_salted_join_rejects_right_preserving(spark, how):
         salted_join(df, df, "k", how=how)
 
 
+def _day_bucket(c):
+    return F.floor(c / F.lit(10)).cast("long")
+
+
+def test_range_join_inner_boundaries_inclusive(spark):
+    from pandas_analysis_with_postgres_spark.operators.joins import range_join
+
+    points = spark.createDataFrame([(0,), (5,), (10,), (11,), (25,)], "p long")
+    iv = spark.createDataFrame([(0, 10, "a"), (20, 30, "b")], "s long, e long, tag string")
+    got = {
+        (r["p"], r["tag"])
+        for r in range_join(
+            points, iv, point_col="p", start_col="s", end_col="e", bucket=_day_bucket
+        ).collect()
+    }
+    # 0, 5, 10 inside [0,10] (both ends inclusive); 11 matches nothing;
+    # 25 inside [20,30].
+    assert got == {(0, "a"), (5, "a"), (10, "a"), (25, "b")}
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    from pandas_analysis_with_postgres_spark.operators.joins import range_join
+
+    points = spark.createDataFrame([(5,), (99,)], "p long")
+    iv = spark.createDataFrame([(0, 10, "a")], "s long, e long, tag string")
+    rows = {
+        (r["p"], r["tag"])
+        for r in range_join(
+            points,
+            iv,
+            point_col="p",
+            start_col="s",
+            end_col="e",
+            bucket=_day_bucket,
+            how="left",
+        ).collect()
+    }
+    assert rows == {(5, "a"), (99, None)}
+
+
+def test_range_join_overlapping_intervals_fan_out(spark):
+    from pandas_analysis_with_postgres_spark.operators.joins import range_join
+
+    points = spark.createDataFrame([(5,)], "p long")
+    iv = spark.createDataFrame(
+        [(0, 10, "a"), (3, 7, "b")], "s long, e long, tag string"
+    )
+    rows = range_join(
+        points, iv, point_col="p", start_col="s", end_col="e", bucket=_day_bucket
+    ).collect()
+    # One row per covering interval, and exactly one per interval even
+    # though both intervals span the same bucket.
+    assert sorted(r["tag"] for r in rows) == ["a", "b"]
+
+
 def test_token_value_clamped_for_adversarial_tokens(spark):
     # Non-ASCII first char (codepoint 128512) and a very long token:
     # unclamped value would be ~2^25, breaking the 45-bit shingle bound.

@@ -73,6 +73,16 @@ def test_q29_near_pairs_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_q50_range_join_not_nested_loop(spark):
+    """The interval join must plan as a bucket equi-join — a raw
+    BETWEEN join would be a BroadcastNestedLoopJoin (all points × all
+    intervals), the non-equi-join scale trap range_join exists to
+    avoid."""
+    p = _plan(spark, "q50_promo_range_join")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_no_python_row_eval_in_oracled_queries(spark, name):
     """Every hash-verified query stays JVM-side end-to-end."""
