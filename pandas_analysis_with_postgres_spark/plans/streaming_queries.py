@@ -153,12 +153,97 @@ def q47_stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q47_SQL = "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id"
 
 
+def q55_stream_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream is enriched against the
+    static customer dimension *inside* the streaming query (Spark
+    re-plans the join per micro-batch; the broadcast hint keeps it a
+    map-side lookup — no stream-side shuffle, no state), then windowed
+    per market segment. The join adds no state and does not interact
+    with the watermark, so the append emission rule is exactly q36's."""
+    from ..sources.parquet import load_table
+
+    ev = events_stream_multibatch(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(cust), "user_id")
+    return run_available_now(
+        tumbling_window_counts(enriched, group_cols=("c_mktsegment",))
+    )
+
+
+Q55_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       c_mktsegment, COUNT(*) AS n_events
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2, 3
+HAVING window_end <= {_WM}
+"""
+
+
+def q56_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarked interval condition:
+    each click matches the same user's purchases within the following
+    hour. Both sides are stateful; the time-range predicate is what
+    lets Spark bound that state (a click is evictable once the purchase
+    watermark passes click_ts + 1h). Replayed as ≥3 time-ordered
+    micro-batches, so matches genuinely span batch boundaries — and the
+    time-ordered split guarantees no match is ever watermark-dropped
+    (a purchase in batch i+1 is newer than every batch-i timestamp, so
+    its candidate clicks are never yet evictable). Final append output
+    therefore equals the batch interval join — the oracle."""
+    clicks = (
+        events_stream_multibatch(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        events_stream_multibatch(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & F.col("purchase_ts").between(
+            F.col("click_ts"), F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+    )
+    return run_available_now(joined).select(
+        "click_id", "purchase_id", "user_id", "click_ts", "purchase_ts"
+    )
+
+
+Q56_SQL = """
+SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+       a.user_id, a.ts AS click_ts, b.ts AS purchase_ts
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 1 HOUR
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
 STREAMING_QUERIES = {
     "q36_stream_hourly_counts": q36_stream_hourly_counts,
     "q37_stream_sessions": q37_stream_sessions,
     "q38_stream_dedup": q38_stream_dedup,
     "q39_stream_sliding_counts": q39_stream_sliding_counts,
     "q47_stream_stateful_counts": q47_stream_stateful_counts,
+    "q55_stream_enriched_counts": q55_stream_enriched_counts,
+    "q56_stream_stream_join": q56_stream_stream_join,
 }
 
 STREAMING_ORACLES = {
@@ -167,4 +252,6 @@ STREAMING_ORACLES = {
     "q38_stream_dedup": Q38_SQL,
     "q39_stream_sliding_counts": Q39_SQL,
     "q47_stream_stateful_counts": Q47_SQL,
+    "q55_stream_enriched_counts": Q55_SQL,
+    "q56_stream_stream_join": Q56_SQL,
 }
