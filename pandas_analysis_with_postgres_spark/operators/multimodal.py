@@ -87,6 +87,35 @@ def featurize_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(extract, schema=MEDIA_FEATURE_SCHEMA)
 
 
+def sample_frames(media: DataFrame, *, max_frames: int = 4) -> DataFrame:
+    """Uniform-stride frame sampling: at most ``max_frames`` rows per
+    media blob, frame indices spread evenly across its (fake-decoded)
+    frame count — the row-shape a video training pipeline feeds to a
+    per-frame featurizer.
+
+    Entirely Catalyst (``sequence`` + ``explode`` over the
+    metadata-derived frame count): the *selection* of frames never
+    needs the codec, so it is exact, pushdown-friendly, and
+    oracle-able; only the per-frame pixel decode (which would consume
+    ``frame_idx`` inside ``mapInPandas``, exactly like
+    ``featurize_media``) needs Python. Sampling k of n frames uses
+    ``idx = floor(j*n/m), j < m = least(n, k)`` — strictly increasing,
+    so indices are distinct, and degenerates to 0..n-1 when n <= k.
+    """
+    n = F.greatest(F.floor(F.octet_length("payload") / 256), F.lit(1)).cast("long")
+    m = F.least(n, F.lit(max_frames))
+    idx = F.transform(
+        F.sequence(F.lit(0), (m - 1).cast("int")),
+        lambda j: F.floor(j.cast("long") * n / m),
+    )
+    return media.select(
+        "doc_id",
+        "media_type",
+        n.alias("n_frames"),
+        F.explode(idx).alias("frame_idx"),
+    )
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Pure-SQL metadata over binary payloads (no Python): byte length
     and fake frame count. The oracle-able subset of the media path."""

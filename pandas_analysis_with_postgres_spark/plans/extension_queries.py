@@ -656,6 +656,32 @@ GROUP BY 1, 2
 """
 
 
+def q57_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame sampling over media blobs (≤4 frames per doc,
+    evenly strided): the Catalyst-only selection half of a video
+    featurize pipeline — frame choice is exact and oracle-able; the
+    per-frame pixel decode would plug into mapInPandas downstream."""
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs)
+    return sample_frames(media, max_frames=4)
+
+
+Q57_SQL = """
+WITH meta AS (
+  SELECT doc_id, 'fake/blob' AS media_type,
+         greatest((octet_length(encode(text)) // 256), 1)::BIGINT AS n_frames
+  FROM documents
+),
+m AS (SELECT *, least(n_frames, 4) AS m_frames FROM meta)
+SELECT doc_id, media_type, n_frames,
+       unnest(list_transform(generate_series(0, (m_frames - 1)::INT),
+                             j -> (j * n_frames) // m_frames)) AS frame_idx
+FROM m
+"""
+
+
 def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas featurize path — not SQL-expressible (Arrow-batched
     Python decode stub); driver records a rows-only check."""
@@ -683,6 +709,7 @@ EXTENSION_QUERIES = {
     "q49_dedup_keep": q49_dedup_keep,
     "q52_train_split": q52_train_split,
     "q53_corpus_curation": q53_corpus_curation,
+    "q57_frame_sample": q57_frame_sample,
 }
 
 EXTENSION_ORACLES = {
@@ -704,5 +731,6 @@ EXTENSION_ORACLES = {
     "q49_dedup_keep": Q49_SQL,
     "q52_train_split": Q52_SQL,
     "q53_corpus_curation": Q53_SQL,
+    "q57_frame_sample": Q57_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

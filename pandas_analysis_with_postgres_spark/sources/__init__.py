@@ -1,5 +1,6 @@
 from .parquet import (
     TABLES,
+    compact,
     load_table,
     load_tables,
     overwrite_partitions,
@@ -10,6 +11,7 @@ from .parquet import (
 
 __all__ = [
     "TABLES",
+    "compact",
     "load_table",
     "load_tables",
     "overwrite_partitions",

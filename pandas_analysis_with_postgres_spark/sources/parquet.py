@@ -128,6 +128,39 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_mb)`` files.
+
+    The 100 TB housekeeping op — streaming sinks, partition-overwrite
+    upserts, and over-parallel writes all accrete small files, and scan
+    throughput degrades with per-file open/footers cost. Sizing comes
+    from the filesystem (Hadoop ``ContentSummary``, so it works on any
+    scheme Spark can read); the rewrite is repartition → write to a
+    sibling dir → swap. The swap is not atomic — concurrent readers
+    belong to table formats (Delta/Iceberg), not raw directories; this
+    is the maintenance-window form. Returns the new file count.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    total = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -(-int(total) // (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    fs.delete(jpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jpath)
+    return n_files
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once; defaults to all of them."""
     use = names or TABLES

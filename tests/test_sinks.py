@@ -87,6 +87,27 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
     assert got[2] == "UPDATED" and got[102] == "NEW" and got[6] == "v6"
 
 
+def test_compact_reduces_file_count_preserves_content(spark, tmp_path):
+    import os
+
+    from pandas_analysis_with_postgres_spark.sources.parquet import compact
+
+    path = str(tmp_path / "fragmented")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    df.repartition(32).write.parquet(path)
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before == 32
+
+    n_target = compact(spark, path, target_file_mb=128)
+    n_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_after == n_target == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """Two tables bucketed on the join key join WITHOUT a shuffle —
     the co-located-join contract bucketing exists for. Broadcast is
