@@ -6,6 +6,7 @@ expression here — zero Python UDFs in the parity surface, so the whole
 flag pipeline stays inside whole-stage codegen.
 """
 
+from .dq import split_valid, violation_flags
 from .flags import (
     coalesce_default,
     constant_flags,
@@ -16,6 +17,8 @@ from .flags import (
 
 __all__ = [
     "coalesce_default",
+    "split_valid",
+    "violation_flags",
     "constant_flags",
     "existence_flag",
     "one_hot_flags",

@@ -682,6 +682,48 @@ FROM m
 """
 
 
+#: Known-language whitelist for the DQ rules (part of the declared
+#: contract, mirrored verbatim in the oracle).
+DQ_LANGS = ("de", "en", "es", "fr", "zh")
+DQ_MIN_TOKENS = 25
+
+
+def q58_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality quarantine, exploded to (doc_id, violation) rows:
+    each document failing a named rule appears once per failed rule.
+    Rules are null-safe Catalyst expressions (see functions.dq); the
+    clean/quarantine split is `dq.split_valid` — this query surfaces
+    the quarantine side with reasons."""
+    from ..functions.dq import violation_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = {
+        "empty_text": F.col("text").isNotNull() & (F.length("text") > 0),
+        "chars_mismatch": F.col("n_chars") == F.length("text"),
+        "unknown_lang": F.col("lang").isin(*DQ_LANGS),
+        "short_doc": TX.token_count("text") >= DQ_MIN_TOKENS,
+    }
+    flagged = violation_flags(docs, rules)
+    return flagged.select(
+        "doc_id", F.explode("violations").alias("violation")
+    )
+
+
+Q58_SQL = f"""
+SELECT doc_id, 'empty_text' AS violation FROM documents
+WHERE NOT (text IS NOT NULL AND length(text) > 0)
+UNION ALL
+SELECT doc_id, 'chars_mismatch' FROM documents
+WHERE NOT (n_chars = length(text))
+UNION ALL
+SELECT doc_id, 'unknown_lang' FROM documents
+WHERE NOT (lang IN ({", ".join(f"'{l}'" for l in DQ_LANGS)}))
+UNION ALL
+SELECT doc_id, 'short_doc' FROM documents
+WHERE NOT (len(string_split(text, ' ')) >= {DQ_MIN_TOKENS})
+"""
+
+
 def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas featurize path — not SQL-expressible (Arrow-batched
     Python decode stub); driver records a rows-only check."""
@@ -710,6 +752,7 @@ EXTENSION_QUERIES = {
     "q52_train_split": q52_train_split,
     "q53_corpus_curation": q53_corpus_curation,
     "q57_frame_sample": q57_frame_sample,
+    "q58_dq_violations": q58_dq_violations,
 }
 
 EXTENSION_ORACLES = {
@@ -732,5 +775,6 @@ EXTENSION_ORACLES = {
     "q52_train_split": Q52_SQL,
     "q53_corpus_curation": Q53_SQL,
     "q57_frame_sample": Q57_SQL,
+    "q58_dq_violations": Q58_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

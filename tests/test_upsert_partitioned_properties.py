@@ -1,0 +1,96 @@
+"""Property test: partition-overwrite upsert ≡ full-table upsert.
+
+Under any partition-stable delta (updates, inserts into existing
+partitions, inserts opening brand-new partitions, duplicate staged
+keys), reading the table back after ``upsert_partitioned`` must equal
+running the in-memory ``upsert`` over the whole dimension — the
+partition pruning and dynamic overwrite are pure execution strategy,
+never semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pandas_analysis_with_postgres_spark.operators.upsert import (
+    upsert,
+    upsert_partitioned,
+)
+from pandas_analysis_with_postgres_spark.sources.parquet import write_table
+
+_spark = None
+
+
+@pytest.fixture(autouse=True)
+def _capture_spark(spark):
+    global _spark
+    _spark = spark
+    yield
+
+
+# Partition of a key is a pure function of the key → stable by
+# construction, the operator's documented precondition.
+def _grp(k: int) -> int:
+    return k % 5
+
+
+delta_entry = st.fixed_dictionaries(
+    {
+        "key": st.integers(min_value=0, max_value=30),
+        "val": st.integers(min_value=0, max_value=99),
+        "dup": st.booleans(),  # emit a second, losing change for the key
+    }
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(deltas=st.lists(delta_entry, min_size=0, max_size=8, unique_by=lambda d: d["key"]))
+def test_partitioned_equals_full_upsert(tmp_path_factory, deltas):
+    spark = _spark
+    path = str(tmp_path_factory.mktemp("dim") / "t")
+    # Base dimension: keys 0..19 (partitions 0..4); delta keys up to 30
+    # so some inserts land in existing partitions with unseen keys.
+    dim = spark.createDataFrame(
+        [(k, _grp(k), f"base_{k}") for k in range(20)],
+        "k long, grp long, val string",
+    )
+    write_table(dim, path, partition_by="grp")
+
+    rows = []
+    for d in deltas:
+        rows.append((d["key"], _grp(d["key"]), f"new_{d['val']}", 2))
+        if d["dup"]:
+            # Older change event for the same key — must lose the dedup.
+            rows.append((d["key"], _grp(d["key"]), f"stale_{d['val']}", 1))
+    staged = spark.createDataFrame(rows, "k long, grp long, val string, seq long")
+
+    # Deterministic survivor: order by seq desc (2 = newer) on both paths.
+    expected = upsert(
+        dim,
+        staged,
+        "k",
+        update_cols=["val"],
+        dedup_order_by=[F.col("seq").desc()],
+    ).drop("seq")
+
+    upsert_partitioned(
+        spark,
+        staged,
+        "k",
+        path=path,
+        partition_col="grp",
+        update_cols=["val"],
+        dedup_order_by=[F.col("seq").desc()],
+    )
+    got = spark.read.parquet(path).drop("seq")
+
+    exp = {(r["k"], r["grp"], r["val"]) for r in expected.collect()}
+    act = {(r["k"], r["grp"], r["val"]) for r in got.collect()}
+    assert act == exp
