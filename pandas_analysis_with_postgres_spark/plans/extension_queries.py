@@ -724,6 +724,52 @@ WHERE NOT (len(string_split(text, ' ')) >= {DQ_MIN_TOKENS})
 """
 
 
+#: A token is "rare" when its corpus-wide frequency is below this.
+RARE_TOKEN_LT = 5
+
+
+def q59_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scoring: per-document rare-token ratio
+    against corpus-wide token frequencies — the integer-exact cousin of
+    unigram-LM surprisal (gibberish and OCR noise surface as rare
+    tokens). Two aggregations over one exploded token stream: the
+    frequency table (map-side combine, heavy hitters collapse early)
+    joined back to the same stream, then per-doc integer sums. All
+    counts are exact integers; the only double is one final division —
+    no double-summation order hazard anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        toks.join(counts, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total_freq"),
+            F.sum((F.col("c") < RARE_TOKEN_LT).cast("long")).alias("n_rare"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .withColumn(
+            "rare_ratio",
+            F.col("n_rare").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+Q59_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token)
+SELECT doc_id,
+       SUM(c)::BIGINT AS total_freq,
+       SUM((c < {RARE_TOKEN_LT})::INT)::BIGINT AS n_rare,
+       COUNT(*)::BIGINT AS n_tokens,
+       SUM((c < {RARE_TOKEN_LT})::INT)::DOUBLE / COUNT(*)::DOUBLE AS rare_ratio
+FROM toks JOIN counts USING (token)
+GROUP BY doc_id
+"""
+
+
 def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas featurize path — not SQL-expressible (Arrow-batched
     Python decode stub); driver records a rows-only check."""
@@ -753,6 +799,7 @@ EXTENSION_QUERIES = {
     "q53_corpus_curation": q53_corpus_curation,
     "q57_frame_sample": q57_frame_sample,
     "q58_dq_violations": q58_dq_violations,
+    "q59_rare_token_score": q59_rare_token_score,
 }
 
 EXTENSION_ORACLES = {
@@ -776,5 +823,6 @@ EXTENSION_ORACLES = {
     "q53_corpus_curation": Q53_SQL,
     "q57_frame_sample": Q57_SQL,
     "q58_dq_violations": Q58_SQL,
+    "q59_rare_token_score": Q59_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

@@ -134,3 +134,63 @@ def test_foreach_batch_upsert_bridge(spark, tmp_path):
     # exactly; multiple batches would still upsert to the same totals
     # only if staged counts were cumulative — this fixture yields one.
     assert diff == 0
+
+
+def test_foreach_batch_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Checkpointed foreachBatch restart semantics — the exactly-once
+    resume contract a production landing-directory pipeline runs on:
+
+    1. first run drains the files present and commits offsets;
+    2. a restart with the same checkpoint re-delivers NOTHING;
+    3. a new file landing later is delivered alone on the next run —
+       no reprocessing of already-committed files.
+    """
+    import glob as globmod
+    import shutil
+
+    from pandas_analysis_with_postgres_spark.streaming.streams import (
+        EVENTS_RAW_SCHEMA,
+        split_events_by_time,
+    )
+
+    files = sorted(globmod.glob(split_events_by_time(spark, SF_ORACLE, 3)))
+    assert len(files) == 3
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy(files[0], landing / "events_000.parquet")
+    shutil.copy(files[1], landing / "events_001.parquet")
+
+    total = load_table(spark, SF_ORACLE, "events").count()
+    per_file = [
+        spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f).count() for f in files
+    ]
+
+    def stream():
+        return (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(landing))
+        )
+
+    ck = str(tmp_path / "ck")
+
+    delivered: list[int] = []
+    foreach_batch_sink(
+        stream(), lambda bdf, bid: delivered.append(bdf.count()), checkpoint_dir=ck
+    )
+    assert sum(delivered) == per_file[0] + per_file[1]
+    assert len([d for d in delivered if d]) >= 2, "maxFilesPerTrigger ignored"
+
+    redelivered: list[int] = []
+    foreach_batch_sink(
+        stream(), lambda bdf, bid: redelivered.append(bdf.count()), checkpoint_dir=ck
+    )
+    assert sum(redelivered) == 0, "restart re-delivered committed data"
+
+    shutil.copy(files[2], landing / "events_002.parquet")
+    late: list[int] = []
+    foreach_batch_sink(
+        stream(), lambda bdf, bid: late.append(bdf.count()), checkpoint_dir=ck
+    )
+    assert sum(late) == per_file[2], "late file not delivered exactly once"
+    assert sum(delivered) + sum(late) == total
