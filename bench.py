@@ -40,6 +40,12 @@ HEADLINE = (
     "q30_text_stats",
     "q36_stream_hourly_counts",
     "q42_ivf_topk",
+)
+
+#: Added in round 2 — timed and reported every run (queries_extra) but
+#: excluded from the headline `value` so that number stays
+#: round-over-round comparable against the round-1 suite definition.
+EXTRA = (
     "q50_promo_range_join",
     "q53_corpus_curation",
 )
@@ -58,11 +64,16 @@ def main() -> None:
 
     split_events_by_time(spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def run(names) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    timings = run(HEADLINE)
+    extra = run(EXTRA)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -72,6 +83,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_extra": extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
