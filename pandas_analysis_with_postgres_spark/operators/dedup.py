@@ -294,13 +294,27 @@ def minhash_dedup_pairs(
     Jaccard is computed via array_intersect on the (re-joined) shingle
     arrays and filtered at ``threshold``. Verification touches only
     candidate pairs — the all-pairs quadratic never exists.
+
+    The candidate set is materialized once (lazy ``localCheckpoint`` —
+    bounded by candidate count, which the algorithm already assumes is
+    small vs the corpus) so the LSH pipeline is not recomputed per
+    verify branch, and verify-side shingle arrays are computed ONLY for
+    documents appearing in some candidate pair (semi-join *before* the
+    hash work). Without this, both verify branches re-shingled the full
+    corpus — two extra full-text hash passes that at 100 TB would
+    rival the signature stage itself.
     """
     docs = _rebalance(docs)
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), shingle_values(F.col(text_col)).alias("sv")
-    )
     sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col)
-    cand = lsh_candidate_pairs(sigs)
+    cand = lsh_candidate_pairs(sigs).localCheckpoint(eager=False)
+    ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        .join(ids, "doc_id", "left_semi")
+        .select("doc_id", shingle_values(F.col("__t")).alias("sv"))
+    )
     pa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sv").alias("sv_a"))
     pb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sv").alias("sv_b"))
     joined = cand.join(pa, "doc_a").join(pb, "doc_b")
