@@ -1,0 +1,71 @@
+"""Command-line front door: list, run, explain, and SQL over the
+declared query surface.
+
+    python -m pandas_analysis_with_postgres_spark list
+    python -m pandas_analysis_with_postgres_spark run q01_pricing_summary
+    python -m pandas_analysis_with_postgres_spark explain q24_minhash_dedup
+    python -m pandas_analysis_with_postgres_spark sql "SELECT COUNT(*) FROM lineitem"
+
+``--sf-dir`` defaults to ``$SPARK_GRAFT_SF_DIR`` (see sources.parquet).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pandas_analysis_with_postgres_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="declared queries and oracle status")
+
+    p_run = sub.add_parser("run", help="run a declared query")
+    p_run.add_argument("query")
+    p_run.add_argument("--sf-dir", default=None)
+    p_run.add_argument("--limit", type=int, default=20)
+
+    p_ex = sub.add_parser("explain", help="formatted physical plan")
+    p_ex.add_argument("query")
+    p_ex.add_argument("--sf-dir", default=None)
+
+    p_sql = sub.add_parser("sql", help="ANSI SQL over the fixture tables")
+    p_sql.add_argument("statement")
+    p_sql.add_argument("--sf-dir", default=None)
+    p_sql.add_argument("--limit", type=int, default=20)
+
+    args = ap.parse_args(argv)
+
+    from .plans import ORACLES, QUERIES
+
+    if args.cmd == "list":
+        for name in sorted(QUERIES):
+            tag = "oracle" if name in ORACLES else "rows-only"
+            print(f"{name:40s} {tag}")
+        return 0
+
+    from .session import get_spark
+    from .sources.parquet import DEFAULT_SF_DIR, register_views
+
+    sf_dir = args.sf_dir or DEFAULT_SF_DIR
+    spark = get_spark("cli")
+
+    if args.cmd == "sql":
+        register_views(spark, sf_dir)
+        spark.sql(args.statement).show(args.limit, truncate=False)
+        return 0
+
+    if args.query not in QUERIES:
+        print(f"unknown query {args.query!r} — see `list`", file=sys.stderr)
+        return 2
+    df = QUERIES[args.query](spark, sf_dir)
+    if args.cmd == "explain":
+        df.explain("formatted")
+    else:
+        df.show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
