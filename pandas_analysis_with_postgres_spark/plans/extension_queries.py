@@ -170,9 +170,20 @@ _BUCKETS_UNION = " UNION ALL ".join(
     for t in range(SIM.LSH_TABLES)
 )
 
+# Multiprobe replay: the query probes its own bucket plus every bucket
+# at Hamming distance 1 (one probe per plane bit) — mirrors
+# similarity.lsh_topk(multiprobe=True).
+_PROBE_LIST = ", ".join(
+    ["bucket"] + [f"xor(bucket, {1 << b})" for b in range(SIM.LSH_PLANES)]
+)
+
 LSH_TOPK_ORACLE = f"""
 WITH buckets AS ({_BUCKETS_UNION}),
-qb AS (SELECT vec_id AS query_id, lsh_table, bucket FROM buckets WHERE vec_id < 10),
+qb AS (
+  SELECT query_id, lsh_table, unnest([{_PROBE_LIST}]) AS bucket
+  FROM (SELECT vec_id AS query_id, lsh_table, bucket FROM buckets
+        WHERE vec_id < 10)
+),
 cb AS (SELECT vec_id AS neighbor_id, lsh_table, bucket FROM buckets),
 cand AS (
   SELECT DISTINCT query_id, neighbor_id

@@ -7,9 +7,9 @@ tables/bits, IVF cells/probes) stays an informed decision:
 
 - ``ann_topk`` (the default front door, = IVF probe-4-of-16) must hold
   recall ≥ 0.7 (measured 0.92 on the fixture).
-- ``lsh_topk`` recall is *reported* (measured 0.42 on the near-random
-  fixture — the documented hard case for sign-LSH) with a loose floor
-  so a regression to the monolithic-bucket bug (recall 0.02) fails.
+- ``lsh_topk`` with Hamming-1 multiprobe (its default) must hold
+  recall ≥ 0.6 (measured 0.82; single-probe measures 0.42, the
+  monolithic-bucket regression 0.02).
 """
 
 from __future__ import annotations
@@ -51,6 +51,6 @@ def test_default_ann_recall_floor(spark, truth):
 
 def test_lsh_recall_reported(spark, truth):
     r = _recall(spark, SIM.lsh_topk, truth)
-    # Loose floor: multi-table LSH measures 0.42 here; the monolithic
-    # 16-bit-bucket regression measures 0.02.
-    assert r >= 0.3, f"lsh_topk recall@{K} = {r:.2f} — table structure regressed"
+    # Multiprobe default measures 0.82 here; single-probe 0.42; the
+    # monolithic 16-bit-bucket regression 0.02.
+    assert r >= 0.6, f"lsh_topk recall@{K} = {r:.2f} — probe structure regressed"
