@@ -73,6 +73,24 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(parts)
 
 
+def ngrams(text: Column | str, n: int = 2) -> Column:
+    """ALL n-word grams in order (duplicates kept) → array<string>.
+
+    Unlike :func:`shingles` this does NOT dedup: repetition analysis
+    needs the multiset (dup-n-gram fraction = 1 − distinct/total).
+    Same index-sequence construction, JVM-side only."""
+    toks = tokens(text)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-sensitive document fingerprint: polynomial rolling hash of
     (ascii(first char) * 256 + length) per token, folded left with

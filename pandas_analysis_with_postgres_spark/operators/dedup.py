@@ -480,3 +480,57 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds; "
         "raise max_iter for graphs with longer chains"
     )
+
+
+# ---------------------------------------------------------------------
+# Benchmark decontamination: shingle containment against a small set
+# ---------------------------------------------------------------------
+def containment_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    *,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-corpus decontamination: every (train_doc, bench_doc)
+    pair whose shingle CONTAINMENT |S(train) ∩ S(bench)| / |S(bench)|
+    ≥ ``threshold`` — the asymmetric cousin of Jaccard that flags a
+    training document even when it merely *includes* a benchmark item
+    inside a much larger page (Jaccard would dilute toward 0 there).
+
+    Plan shape for 100 TB corpus vs ~10^4-10^6 benchmark rows: the
+    bench side explodes to (bench_doc, shingle) and is BROADCAST; the
+    corpus explodes map-side and the pair counts come from the
+    broadcast hash join + groupBy — the corpus is scanned exactly once
+    and never self-joined. Bench shingle-set sizes are a second, tiny
+    broadcast. Same-id pairs are excluded so a benchmark can be screened
+    against the corpus it was drawn from.
+
+    Returns (train_doc, bench_doc, containment), containment in [0,1].
+    """
+    sv_corpus = _rebalance(corpus).select(
+        F.col(id_col).alias("train_doc"),
+        F.explode(shingle_values(F.col(text_col))).alias("sh"),
+    )
+    sv_bench = bench.select(
+        F.col(id_col).alias("bench_doc"), shingle_values(F.col(text_col)).alias("sv")
+    )
+    bench_sh = sv_bench.select(
+        "bench_doc", F.explode("sv").alias("sh")
+    )
+    bench_sizes = sv_bench.select("bench_doc", F.size("sv").alias("nb"))
+    co = (
+        sv_corpus.join(F.broadcast(bench_sh), "sh")
+        .filter(F.col("train_doc") != F.col("bench_doc"))
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    return (
+        co.join(F.broadcast(bench_sizes), "bench_doc")
+        .withColumn(
+            "containment", F.col("co").cast("double") / F.col("nb").cast("double")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("train_doc", "bench_doc", "containment")
+    )

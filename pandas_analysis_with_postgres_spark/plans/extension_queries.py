@@ -781,6 +781,212 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------
+# q60: intra-document repetition signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------
+def q60_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition quality signals, Gopher-style: the
+    fraction of tokens taken by the single most frequent token and the
+    duplicate-bigram fraction (1 − distinct/total bigrams) — boilerplate
+    and degenerate generations score high on both. Two explode+groupBy
+    branches over the same scan joined on doc_id; all counts are exact
+    integers, each ratio is ONE double division (no sum-order hazard).
+    Docs too short for bigrams keep NULL dup_bigram_frac rather than a
+    fake 0 — absence of evidence, not evidence of quality."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.max("c").alias("max_token_freq"),
+        )
+    )
+    bg = (
+        docs.select("doc_id", F.explode(TX.ngrams("text", 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        )
+    )
+    return (
+        tok.join(bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            "max_token_freq",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_distinct_bigrams", F.lit(0)).alias("n_distinct_bigrams"),
+            (
+                F.col("max_token_freq").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("top_token_frac"),
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.lit(1.0)
+                - F.col("n_distinct_bigrams").cast("double")
+                / F.col("n_bigrams").cast("double"),
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+Q60_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         SUM(c)::BIGINT AS n_tokens,
+         COUNT(*)::BIGINT AS n_distinct_tokens,
+         MAX(c)::BIGINT AS max_token_freq
+  FROM (SELECT doc_id, token, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY doc_id, token)
+  GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         SUM(c)::BIGINT AS n_bigrams,
+         COUNT(*)::BIGINT AS n_distinct_bigrams
+  FROM (SELECT doc_id, bg, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents))
+        GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT tok.doc_id, n_tokens, n_distinct_tokens, max_token_freq,
+       COALESCE(n_bigrams, 0)::BIGINT AS n_bigrams,
+       COALESCE(n_distinct_bigrams, 0)::BIGINT AS n_distinct_bigrams,
+       max_token_freq::DOUBLE / n_tokens::DOUBLE AS top_token_frac,
+       CASE WHEN COALESCE(n_bigrams, 0) > 0
+            THEN 1.0 - n_distinct_bigrams::DOUBLE / n_bigrams::DOUBLE
+       END AS dup_bigram_frac
+FROM tok LEFT JOIN bg ON tok.doc_id = bg.doc_id
+"""
+
+
+# ---------------------------------------------------------------------
+# q61: benchmark decontamination via shingle containment
+# ---------------------------------------------------------------------
+#: Pseudo-benchmark membership rule (deterministic ~9% of docs) and the
+#: containment level that flags a training doc as contaminated.
+BENCH_MOD = 11
+CONTAMINATION_THRESHOLD = 0.5
+
+
+def q61_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag (train_doc, bench_doc) pairs
+    whose 3-gram shingle containment |S(t) ∩ S(b)| / |S(b)| ≥ 0.5 —
+    the screen every training-data pipeline runs so eval items don't
+    leak into the corpus. The fixture's benchmark is the deterministic
+    doc_id % 11 slice standing in for an external eval set; the corpus
+    side is scanned once and the benchmark side broadcast (see
+    operators.dedup.containment_pairs for the 100 TB shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) == 0)
+    return DD.containment_pairs(
+        docs, bench, threshold=CONTAMINATION_THRESHOLD
+    )
+
+
+Q61_SQL = f"""
+WITH svs AS ({{sv}}),
+bench AS (SELECT doc_id AS bench_doc, unnest(sv) AS sh FROM svs
+          WHERE doc_id % {BENCH_MOD} = 0),
+corp AS (SELECT doc_id AS train_doc, unnest(sv) AS sh FROM svs),
+co AS (
+  SELECT train_doc, bench_doc, COUNT(*) AS co
+  FROM corp JOIN bench USING (sh)
+  WHERE train_doc <> bench_doc
+  GROUP BY train_doc, bench_doc
+),
+nb AS (SELECT doc_id AS bench_doc, len(sv) AS nb FROM svs
+       WHERE doc_id % {BENCH_MOD} = 0)
+SELECT train_doc, bench_doc,
+       co::DOUBLE / nb::DOUBLE AS containment
+FROM co JOIN nb USING (bench_doc)
+WHERE co::DOUBLE / nb::DOUBLE >= {CONTAMINATION_THRESHOLD}
+""".format(sv=_sv_sql())
+
+
+# ---------------------------------------------------------------------
+# q62: deterministic weighted source mixing
+# ---------------------------------------------------------------------
+#: MINSTD multiplier for the per-doc mixing hash (independent of the
+#: q52 split constants so mixing never correlates with split).
+MIX_MULT = 48_271
+MIX_PERMILLE = 1_000
+#: Per-source rate derivation: spread into [100, 900] per-mille.
+MIX_RATE_SPAN = 801
+MIX_RATE_FLOOR = 100
+
+
+def q62_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted domain mixing — re-weight sources by
+    subsampling each at its own rate, membership a pure function of
+    (doc_id, source) so re-runs and incremental appends never flip a
+    document. The per-source rate here is itself derived automatically
+    from the source name (stand-in for a curated weights table, which
+    would broadcast-join identically). Output: per-source audit of
+    offered vs kept docs and kept token budget — all exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.pmod(
+            (F.ascii("source").cast("long") * 256 + F.length("source"))
+            * F.lit(DD.BAND_MIX),
+            F.lit(DD.MINHASH_P),
+        )
+        % F.lit(MIX_RATE_SPAN)
+        + F.lit(MIX_RATE_FLOOR)
+    )
+    mix = F.pmod(F.col("doc_id") * F.lit(MIX_MULT), F.lit(DD.MINHASH_P)) % F.lit(
+        MIX_PERMILLE
+    )
+    kept = mix < rate
+    return (
+        docs.select(
+            "source",
+            rate.alias("rate_permille"),
+            kept.cast("long").alias("k"),
+            (TX.token_count("text") * kept.cast("long")).alias("kt"),
+        )
+        .groupBy("source", "rate_permille")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("k").alias("n_kept"),
+            F.sum("kt").alias("kept_tokens"),
+        )
+    )
+
+
+Q62_SQL = f"""
+SELECT source,
+       ((ascii(source) * 256 + length(source)) * {DD.BAND_MIX})
+         % {DD.MINHASH_P} % {MIX_RATE_SPAN} + {MIX_RATE_FLOOR} AS rate_permille,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(k)::BIGINT AS n_kept,
+       SUM(len(string_split(text, ' ')) * k)::BIGINT AS kept_tokens
+FROM (
+  SELECT source, text,
+         ((doc_id * {MIX_MULT}) % {DD.MINHASH_P} % {MIX_PERMILLE}
+          < ((ascii(source) * 256 + length(source)) * {DD.BAND_MIX})
+            % {DD.MINHASH_P} % {MIX_RATE_SPAN} + {MIX_RATE_FLOOR})::BIGINT AS k
+  FROM documents
+)
+GROUP BY 1, 2
+"""
+
+
 def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas featurize path — not SQL-expressible (Arrow-batched
     Python decode stub); driver records a rows-only check."""
@@ -811,6 +1017,9 @@ EXTENSION_QUERIES = {
     "q57_frame_sample": q57_frame_sample,
     "q58_dq_violations": q58_dq_violations,
     "q59_rare_token_score": q59_rare_token_score,
+    "q60_repetition_signals": q60_repetition_signals,
+    "q61_decontamination": q61_decontamination,
+    "q62_source_mixing": q62_source_mixing,
 }
 
 EXTENSION_ORACLES = {
@@ -835,5 +1044,8 @@ EXTENSION_ORACLES = {
     "q57_frame_sample": Q57_SQL,
     "q58_dq_violations": Q58_SQL,
     "q59_rare_token_score": Q59_SQL,
+    "q60_repetition_signals": Q60_SQL,
+    "q61_decontamination": Q61_SQL,
+    "q62_source_mixing": Q62_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

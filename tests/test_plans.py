@@ -73,6 +73,16 @@ def test_q29_near_pairs_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_q61_decontamination_broadcasts_bench(spark):
+    """Decontamination must broadcast the benchmark side (shingles and
+    set sizes) and never self-join the corpus: the corpus is scanned
+    once; every join on the path is a broadcast hash join."""
+    p = _plan(spark, "q61_decontamination")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
 def test_q50_range_join_not_nested_loop(spark):
     """The interval join must plan as a bucket equi-join — a raw
     BETWEEN join would be a BroadcastNestedLoopJoin (all points × all
