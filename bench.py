@@ -48,6 +48,9 @@ HEADLINE = (
 EXTRA = (
     "q50_promo_range_join",
     "q53_corpus_curation",
+    "q60_repetition_signals",
+    "q61_decontamination",
+    "q62_source_mixing",
 )
 
 

@@ -54,11 +54,12 @@ def stopword_count(text: Column | str) -> Column:
     return F.size(F.filter(tokens(text), lambda t: t.isin(*STOPWORDS)))
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct n-word shingles → array<string> (the MinHash/Jaccard
-    input unit). Built with transform over an index sequence — stays
-    JVM-side."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from an already-computed token array.
+    Prefer passing a bound column (tokens in their own projection) over
+    an inline ``tokens(...)`` expression: the n ``element_at``
+    references then read one materialized array instead of inlining the
+    split pipeline n times into the generated code."""
     # NB: F.sequence(1, 0) yields a DESCENDING [1, 0], not empty — docs
     # shorter than n tokens must be guarded to an empty array.
     idx = F.when(
@@ -73,13 +74,22 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(parts)
 
 
-def ngrams(text: Column | str, n: int = 2) -> Column:
-    """ALL n-word grams in order (duplicates kept) → array<string>.
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles → array<string> (the MinHash/Jaccard
+    input unit). Built with transform over an index sequence — stays
+    JVM-side."""
+    return shingles_from_tokens(tokens(text), n)
+
+
+def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
+    """ALL n-word grams in order (duplicates kept) from an
+    already-computed token array → array<string>.
 
     Unlike :func:`shingles` this does NOT dedup: repetition analysis
     needs the multiset (dup-n-gram fraction = 1 − distinct/total).
-    Same index-sequence construction, JVM-side only."""
-    toks = tokens(text)
+    Prefer a bound token column over an inline ``tokens(...)``
+    expression — the n ``element_at`` references otherwise inline the
+    split pipeline n times into the generated code."""
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -89,6 +99,11 @@ def ngrams(text: Column | str, n: int = 2) -> Column:
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
         ),
     )
+
+
+def ngrams(text: Column | str, n: int = 2) -> Column:
+    """ALL n-word grams in order (duplicates kept) → array<string>."""
+    return ngrams_from_tokens(tokens(text), n)
 
 
 def fingerprint(text: Column | str) -> Column:

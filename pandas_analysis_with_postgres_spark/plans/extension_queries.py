@@ -806,7 +806,8 @@ def q60_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bg = (
-        docs.select("doc_id", F.explode(TX.ngrams("text", 2)).alias("bg"))
+        docs.select("doc_id", TX.tokens("text").alias("__toks"))
+        .select("doc_id", F.explode(TX.ngrams_from_tokens(F.col("__toks"), 2)).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")

@@ -103,3 +103,58 @@ def test_connected_components_equals_union_find(edges):
         for r in connected_components(pairs, max_iter=30).collect()
     }
     assert got == set(_union_find_components(edges).items())
+
+
+def _brute_containment(docs, threshold):
+    def sh(text):
+        toks = text.split(" ")
+        vals = [(ord(t[0]) * 256 + len(t)) % 32768 for t in toks]
+        return {
+            (vals[i] * 32768 + vals[i + 1]) * 32768 + vals[i + 2]
+            for i in range(len(vals) - 2)
+        }
+
+    sets = {i: sh(t) for i, t in docs}
+    bench = {i for i, _ in docs if i % 3 == 0}
+    out = set()
+    for b in bench:
+        if not sets[b]:
+            continue
+        for t in sets:
+            if t == b:
+                continue
+            c = len(sets[t] & sets[b]) / len(sets[b])
+            if c >= threshold:
+                out.add((t, b))
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.2, 0.5, 1.0]),
+)
+def test_containment_pairs_equals_brute_force(texts, threshold):
+    from pandas_analysis_with_postgres_spark.operators.dedup import containment_pairs
+
+    spark = _spark
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bench = df.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+    got = {
+        (r["train_doc"], r["bench_doc"])
+        for r in containment_pairs(df, bench, threshold=threshold).collect()
+    }
+    assert got == _brute_containment(docs, threshold)
