@@ -76,19 +76,53 @@ def hyperplane_bucket(vec: Column, *, table: int = 0) -> Column:
     return bucket
 
 
+def _all_plane_dots(vec: Column) -> Column:
+    """All L·B hyperplane dot products in ONE pass over the vector:
+    fold i = 1..DIM updating an array of L·B running sums — versus one
+    64-element fold per plane (16 traversals per row). Per-plane
+    addition order is identical to the per-plane fold, so the doubles
+    — and therefore every bucket and the DuckDB oracle replay — are
+    bit-identical."""
+    n_planes = LSH_TABLES * LSH_PLANES
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(DIM)),
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, i: F.transform(
+            acc,
+            lambda s, j: s
+            + (((j * DIM + i) * F.lit(_MIX)) % F.lit(_TWO32) / F.lit(2_147_483_648.0) - F.lit(1.0))
+            * F.element_at(vec, i.cast("int")).cast("double"),
+        ),
+    )
+
+
 def _with_table_buckets(df: DataFrame, vec_col: str) -> DataFrame:
     """Explode a frame to one row per (row, lsh_table) with that
-    table's bucket — the multi-table candidate index."""
+    table's bucket — the multi-table candidate index.
+
+    The dots land in their own projection (multi-referenced, so the
+    boundary holds — see operators.dedup.guarded_explode) and each
+    table's bucket reads sign bits from the bound array."""
+    staged = df.select("*", _all_plane_dots(F.col(vec_col)).alias("__dots"))
+
+    def _bucket(t: int) -> Column:
+        b = F.lit(0).cast("long")
+        for bit in range(LSH_PLANES):
+            dot = F.element_at("__dots", t * LSH_PLANES + bit + 1)
+            b = b + F.when(dot > 0, F.lit(1 << bit).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return b
+
     tables = F.array(
         *[
             F.struct(
-                F.lit(t).alias("lsh_table"),
-                hyperplane_bucket(F.col(vec_col), table=t).alias("bucket"),
+                F.lit(t).alias("lsh_table"), _bucket(t).alias("bucket")
             )
             for t in range(LSH_TABLES)
         ]
     )
-    return df.select("*", F.explode(tables).alias("__tb")).select(
+    return staged.select("*", F.explode(tables).alias("__tb")).select(
         *df.columns,
         F.col("__tb.lsh_table").alias("lsh_table"),
         F.col("__tb.bucket").alias("bucket"),
