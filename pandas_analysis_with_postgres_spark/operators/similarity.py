@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import dot, norm
 
 #: Multi-table hyperplane LSH: L independent tables of B sign bits.
 #: One monolithic B·L-bit bucket has vanishing collision probability
@@ -142,14 +142,22 @@ def cosine_topk(
     Returns (query_id, neighbor_id, rank, cos). Self-matches are
     excluded. Ties broken by neighbor_id for determinism.
     """
+    # Norms are hoisted to per-vector columns (computed once per row /
+    # once per query, not once per PAIR) — same expressions, same
+    # operand order, so the doubles are bit-identical to inline cosine.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    ).withColumn("__qn", norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("__cn", norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos",
+            dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -213,14 +221,24 @@ def lsh_topk(
         .distinct()
     )
     scored = (
-        cand.join(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")), "neighbor_id")
+        cand.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+            ).withColumn("__cn", norm(F.col("cv"))),
+            "neighbor_id",
+        )
         .join(
             F.broadcast(
-                queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+                queries.select(
+                    F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+                ).withColumn("__qn", norm(F.col("qv")))
             ),
             "query_id",
         )
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos",
+            dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -263,23 +281,30 @@ def ivf_topk(
     """
     cents = corpus.filter(F.col(id_col) < n_cells).select(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centv")
-    )
+    ).withColumn("__centn", norm(F.col("centv")))
 
-    def nearest_cells(df: DataFrame, idc: str, vecc: str, n: int, out_id: str) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "__cell_cos", cosine(F.col(vecc), F.col("centv"))
+    def nearest_cells(
+        df: DataFrame, idc: str, vecc: str, nc: str, n: int, out_id: str
+    ) -> DataFrame:
+        # Vector norm computed once per row, reused for every centroid
+        # comparison AND carried through for the final scoring join.
+        staged = df.withColumn(nc, norm(F.col(vecc)))
+        scored = staged.crossJoin(F.broadcast(cents)).withColumn(
+            "__cell_cos",
+            dot(F.col(vecc), F.col("centv")) / (F.col(nc) * F.col("__centn")),
         )
         w = Window.partitionBy(idc).orderBy(F.desc("__cell_cos"), F.asc("cell_id"))
         return (
             scored.withColumn("__cr", F.row_number().over(w))
             .filter(F.col("__cr") <= n)
-            .select(F.col(idc).alias(out_id), F.col(vecc), "cell_id")
+            .select(F.col(idc).alias(out_id), F.col(vecc), F.col(nc), "cell_id")
         )
 
     c = nearest_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
         "neighbor_id",
         "cv",
+        "__cn",
         1,
         "neighbor_id",
     )
@@ -287,13 +312,17 @@ def ivf_topk(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         "query_id",
         "qv",
+        "__qn",
         n_probe,
         "query_id",
     )
     scored = (
         c.join(F.broadcast(q), "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos",
+            dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -353,14 +382,21 @@ def cosine_near_pairs(
         candidates = lsh_candidate_pairs(corpus, id_col=id_col, vec_col=vec_col)
     return (
         candidates.join(
-            corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")),
+            corpus.select(
+                F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+            ).withColumn("__na", norm(F.col("va"))),
             "id_a",
         )
         .join(
-            corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")),
+            corpus.select(
+                F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+            ).withColumn("__nb", norm(F.col("vb"))),
             "id_b",
         )
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos",
+            dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -379,12 +415,19 @@ def cosine_near_pairs_exact(
     this plan is a scale-killer, which is why the blocked form above is
     the front door.
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    ).withColumn("__na", norm(F.col("va")))
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    ).withColumn("__nb", norm(F.col("vb")))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos",
+            dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
