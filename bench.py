@@ -51,6 +51,8 @@ EXTRA = (
     "q60_repetition_signals",
     "q61_decontamination",
     "q62_source_mixing",
+    "q63_sequence_packing",
+    "q64_pii_redaction",
 )
 
 

@@ -135,3 +135,31 @@ def quality_score(text: Column | str, n_chars: Column | str) -> Column:
     stop_term = F.lit(1.0) - (sw / nt)
     len_tok_term = F.least(avg_tok / F.lit(5.0), F.lit(1.0))
     return (length_term + stop_term + len_tok_term) / F.lit(3.0)
+
+
+#: PII patterns shared with the DuckDB oracle. Restricted to syntax
+#: valid in BOTH Java regex (Spark) and RE2 (DuckDB) — char classes,
+#: bounded repeats, \b — no lookaround, no backrefs (RE2 has neither).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_counts(text: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) occurrence counts — Catalyst
+    ``regexp_extract_all``, JVM-side."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0)),
+    )
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every email then phone match with a typed placeholder.
+    Spark's ``regexp_replace`` is global by default; the DuckDB oracle
+    must pass the ``'g'`` option to match (RE2 replaces only the first
+    occurrence otherwise)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )

@@ -12,6 +12,7 @@ from .joins import (
     lookup_join,
     range_join,
 )
+from .packing import pack_sequences
 from .scd2 import scd2_apply
 from .setops import changed_rows, except_all_on, union_by_name
 from .upsert import upsert, upsert_partitioned
@@ -26,6 +27,7 @@ __all__ = [
     "group_count",
     "keep_first_dedup",
     "lookup_join",
+    "pack_sequences",
     "range_join",
     "scd2_apply",
     "top1_per_group",

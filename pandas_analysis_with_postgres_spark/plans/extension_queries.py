@@ -24,6 +24,7 @@ from ..functions import text as TX
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
 from ..operators.multimodal import attach_binary_payload, featurize_media, media_metadata
+from ..operators.packing import SEQ_BUDGET, pack_sequences
 from ..sources.parquet import load_table
 
 # ---------------------------------------------------------------------
@@ -988,6 +989,123 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------
+# q63: sequence packing (concatenate-then-chunk token budgeting)
+# ---------------------------------------------------------------------
+
+
+def q63_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map every document onto its span of fixed-budget training
+    sequences: concatenate docs per source in doc_id order, chunk the
+    token stream every SEQ_BUDGET tokens (the standard LLM pretraining
+    batch shape). One window prefix-sum, exact integers throughout —
+    see operators.packing for the 100 TB sub-sharding note."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "source",
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(staged)
+
+
+Q63_SQL = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS end_off
+  FROM t
+)
+SELECT source, doc_id, n_tokens,
+       (end_off - n_tokens)::BIGINT AS start_offset,
+       FLOOR((end_off - n_tokens) / {SEQ_BUDGET}.0)::BIGINT AS first_seq,
+       FLOOR((end_off - 1) / {SEQ_BUDGET}.0)::BIGINT AS last_seq,
+       (FLOOR((end_off - 1) / {SEQ_BUDGET}.0)
+        - FLOOR((end_off - n_tokens) / {SEQ_BUDGET}.0) + 1)::BIGINT AS n_seqs
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------
+# q64: PII detection + redaction
+# ---------------------------------------------------------------------
+#: The fixture corpus contains no digits or '@' (verified), so PII is
+#: synthesized IN-PLAN as a deterministic pure function of doc_id —
+#: identical expressions in both engines — to guarantee the redaction
+#: machinery sees real matches. doc_id % 3 / % 4 leave some docs
+#: email-only, phone-only, both, or clean.
+PII_EMAIL_MOD = 3
+PII_PHONE_MOD = 4
+PII_PHONE_MULT = 7_919
+
+
+def q64_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub — the screen every training corpus runs before use:
+    count email/phone occurrences and emit the redacted text with typed
+    placeholders. Pure Catalyst regexp (JVM-side, codegen); patterns
+    restricted to the Java-regex ∩ RE2 subset so the DuckDB oracle
+    replays byte-identically (functions.text.EMAIL_RE/PHONE_RE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    email = F.when(
+        F.pmod(F.col("doc_id"), F.lit(PII_EMAIL_MOD)) != 0,
+        F.concat(
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.pmod(F.col("doc_id"), F.lit(PII_PHONE_MOD)) != 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad(
+                F.pmod(
+                    F.col("doc_id") * F.lit(PII_PHONE_MULT), F.lit(10_000)
+                ).cast("string"),
+                4,
+                "0",
+            ),
+        ),
+    ).otherwise(F.lit(""))
+    staged = docs.select(
+        "doc_id", F.concat(F.col("text"), email, phone).alias("raw")
+    )
+    n_emails, n_phones = TX.pii_counts(F.col("raw"))
+    return staged.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        TX.redact_pii(F.col("raw")).alias("redacted"),
+    )
+
+
+Q64_SQL = f"""
+WITH raw AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % {PII_EMAIL_MOD} <> 0
+              THEN ' reach user' || doc_id::VARCHAR || '@example.com'
+              ELSE '' END ||
+         CASE WHEN doc_id % {PII_PHONE_MOD} <> 0
+              THEN ' call 555-'
+                   || lpad(((doc_id * {PII_PHONE_MULT}) % 10000)::VARCHAR,
+                           4, '0')
+              ELSE '' END AS raw
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(raw, '{TX.EMAIL_RE}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(raw, '{TX.PHONE_RE}'))::BIGINT AS n_phones,
+       regexp_replace(regexp_replace(raw, '{TX.EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{TX.PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM raw
+"""
+
+
 def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas featurize path — not SQL-expressible (Arrow-batched
     Python decode stub); driver records a rows-only check."""
@@ -1021,6 +1139,8 @@ EXTENSION_QUERIES = {
     "q60_repetition_signals": q60_repetition_signals,
     "q61_decontamination": q61_decontamination,
     "q62_source_mixing": q62_source_mixing,
+    "q63_sequence_packing": q63_sequence_packing,
+    "q64_pii_redaction": q64_pii_redaction,
 }
 
 EXTENSION_ORACLES = {
@@ -1048,5 +1168,7 @@ EXTENSION_ORACLES = {
     "q60_repetition_signals": Q60_SQL,
     "q61_decontamination": Q61_SQL,
     "q62_source_mixing": Q62_SQL,
+    "q63_sequence_packing": Q63_SQL,
+    "q64_pii_redaction": Q64_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }
