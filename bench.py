@@ -53,6 +53,7 @@ EXTRA = (
     "q62_source_mixing",
     "q63_sequence_packing",
     "q64_pii_redaction",
+    "q65_ivf_kmeans_topk",
 )
 
 

@@ -251,6 +251,93 @@ def lsh_topk(
 #: IVF coarse-quantizer defaults: 16 cells, probe the 4 nearest.
 IVF_CELLS = 16
 IVF_PROBE = 4
+#: Lloyd iterations for the trained codebook (static plan unroll).
+KMEANS_ITERS = 2
+#: Quantization scale for centroid means: 2^20. Power-of-two scaling of
+#: a double is EXACT (exponent shift, no rounding) and floor is
+#: unambiguous, so per-dimension sums become order-independent BIGINTs
+#: — the one non-associative step of k-means (the mean) is made
+#: bit-deterministic in both Spark and DuckDB.
+KMEANS_QUANT = 1 << 20
+
+
+def kmeans_codebook(
+    corpus: DataFrame,
+    *,
+    k: int = IVF_CELLS,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means coarse quantizer: ``iters`` Lloyd rounds over
+    the corpus, cosine assignment, per-dimension means. Returns
+    (cell_id, centv array<double>) — the trained codebook for
+    ``ivf_topk(centroids=...)``.
+
+    Deterministic by construction (the driver hash-compares): init is
+    the vectors with id < k (no RNG); assignment ties break by cell_id;
+    and the mean — a float sum whose value normally depends on shuffle
+    order — is computed over ``floor(v · 2^20)`` BIGINTs (exact, any
+    order) with ONE double division at the end. The DuckDB oracle
+    replays every round from the same constants. Cells that lose all
+    members drop out (both engines agree).
+
+    Scale: each round is one broadcast-centroid map over the corpus plus
+    a (cell, dim)-keyed partial aggregate — map-side combinable, k·DIM
+    output rows. At 100 TB train on a deterministic sample (filter
+    ``id % m = 0`` upstream) — the codebook is a model artifact; a real
+    deployment persists it rather than re-deriving it per query."""
+    vecs = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    cents = corpus.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cell_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centv"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("__cos"), F.asc("cell_id"))
+    for _ in range(iters):
+        cn = cents.withColumn("__cn", norm(F.col("centv")))
+        assigned = (
+            vecs.withColumn("__vn", norm(F.col("v")))
+            .crossJoin(F.broadcast(cn))
+            .withColumn(
+                "__cos",
+                dot(F.col("v"), F.col("centv")) / (F.col("__vn") * F.col("__cn")),
+            )
+            .withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") == 1)
+            .select("vid", "v", "cell_id")
+        )
+        per_dim = (
+            assigned.select(
+                "cell_id", F.posexplode(F.col("v")).alias("pos", "val")
+            )
+            .groupBy("cell_id", "pos")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("val").cast("double") * F.lit(float(KMEANS_QUANT))
+                    )
+                ).alias("qsum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        cents = (
+            per_dim.withColumn(
+                "dimval",
+                F.col("qsum").cast("double")
+                / (F.col("n") * F.lit(KMEANS_QUANT)).cast("double"),
+            )
+            .groupBy("cell_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("dimval")))
+                ).alias("sv")
+            )
+            .select(
+                "cell_id",
+                F.transform("sv", lambda s: s.getField("dimval")).alias("centv"),
+            )
+        )
+    return cents
 
 
 def ivf_topk(
@@ -262,6 +349,7 @@ def ivf_topk(
     n_probe: int = IVF_PROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus into
     cells, probe only the query's ``n_probe`` nearest cells.
@@ -278,10 +366,18 @@ def ivf_topk(
     Returns (query_id, neighbor_id, rank, cos); recall < 1 by
     construction. Deterministic: cosine ties break by id, cell ties by
     cell_id.
+
+    Pass ``centroids`` (cell_id, centv) — e.g. from ``kmeans_codebook``
+    — to search against a trained codebook instead of the id-prefix
+    stand-in.
     """
-    cents = corpus.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centv")
-    ).withColumn("__centn", norm(F.col("centv")))
+    if centroids is None:
+        centroids = corpus.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centv")
+        )
+    cents = centroids.select("cell_id", "centv").withColumn(
+        "__centn", norm(F.col("centv"))
+    )
 
     def nearest_cells(
         df: DataFrame, idc: str, vecc: str, nc: str, n: int, out_id: str

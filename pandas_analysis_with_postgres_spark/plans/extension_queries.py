@@ -1106,6 +1106,103 @@ FROM raw
 """
 
 
+# ---------------------------------------------------------------------
+# q65: IVF over a trained spherical k-means codebook
+# ---------------------------------------------------------------------
+
+
+def q65_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN searched against a TRAINED coarse quantizer: 2 Lloyd
+    rounds of spherical k-means (operators.similarity.kmeans_codebook)
+    replace the id-prefix centroid stand-in. The mean — k-means' one
+    order-dependent float reduction — is computed over floor(v·2^20)
+    BIGINTs so the oracle replays every round bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(
+        emb, qs, 5, centroids=SIM.kmeans_codebook(emb)
+    )
+
+
+def _kmeans_ivf_oracle() -> str:
+    """Replay kmeans_codebook (c0 → a1 → c1 → … ) then the probed IVF
+    search, all from operators.similarity constants."""
+    dims = f"(SELECT unnest(generate_series(1, {SIM.DIM})) AS i) d"
+    recompute = (
+        "SELECT cell_id, list(dimval ORDER BY pos) AS centv FROM ("
+        "SELECT cell_id, d.i AS pos, "
+        f"(SUM(floor(v[d.i]::DOUBLE * {float(SIM.KMEANS_QUANT)})::BIGINT))::DOUBLE"
+        f" / ((COUNT(*) * {SIM.KMEANS_QUANT}))::DOUBLE AS dimval "
+        "FROM a{r} CROSS JOIN " + dims + " GROUP BY cell_id, d.i"
+        ") GROUP BY cell_id"
+    )
+    assign = (
+        "SELECT vid, v, cell_id FROM ("
+        "SELECT e.vid, e.v, c.cell_id, "
+        "ROW_NUMBER() OVER (PARTITION BY e.vid ORDER BY "
+        + _cos_sql("e.v", "c.centv")
+        + " DESC, c.cell_id ASC) AS cr "
+        "FROM ev e CROSS JOIN c{r} c) WHERE cr = 1"
+    )
+    ctes = [
+        "ev AS (SELECT vec_id AS vid, embedding AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell_id, "
+        f"list_transform(embedding, x -> x::DOUBLE) AS centv "
+        f"FROM embeddings WHERE vec_id < {SIM.IVF_CELLS})",
+    ]
+    for r in range(1, SIM.KMEANS_ITERS + 1):
+        ctes.append(f"a{r} AS ({assign.format(r=r - 1)})")
+        ctes.append(f"c{r} AS ({recompute.format(r=r)})")
+    last = f"c{SIM.KMEANS_ITERS}"
+    cos_c = _cos_sql("cv", "centv")
+    cos_q = _cos_sql("qv", "centv")
+    cos_s = _cos_sql("qv", "cv")
+    ctes.append(
+        f"""cassign AS (
+  SELECT neighbor_id, cv, cell_id FROM (
+    SELECT c0_.neighbor_id, c0_.cv, cents.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY c0_.neighbor_id
+                              ORDER BY {cos_c} DESC, cents.cell_id ASC) AS cr
+    FROM (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings) c0_
+    CROSS JOIN {last} cents
+  ) WHERE cr = 1
+)"""
+    )
+    ctes.append(
+        f"""qprobe AS (
+  SELECT query_id, qv, cell_id FROM (
+    SELECT q0.query_id, q0.qv, cents.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY q0.query_id
+                              ORDER BY {cos_q} DESC, cents.cell_id ASC) AS cr
+    FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+          WHERE vec_id < 10) q0
+    CROSS JOIN {last} cents
+  ) WHERE cr <= {SIM.IVF_PROBE}
+)"""
+    )
+    ctes.append(
+        f"""scored AS (
+  SELECT q.query_id, c.neighbor_id, {cos_s} AS cos
+  FROM cassign c JOIN qprobe q USING (cell_id)
+  WHERE c.neighbor_id <> q.query_id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT query_id, neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id ASC) AS rank,
+       cos
+FROM scored QUALIFY rank <= 5
+"""
+    )
+
+
+IVF_KMEANS_ORACLE = _kmeans_ivf_oracle()
+
+
 def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas featurize path — not SQL-expressible (Arrow-batched
     Python decode stub); driver records a rows-only check."""
@@ -1141,6 +1238,7 @@ EXTENSION_QUERIES = {
     "q62_source_mixing": q62_source_mixing,
     "q63_sequence_packing": q63_sequence_packing,
     "q64_pii_redaction": q64_pii_redaction,
+    "q65_ivf_kmeans_topk": q65_ivf_kmeans_topk,
 }
 
 EXTENSION_ORACLES = {
@@ -1170,5 +1268,6 @@ EXTENSION_ORACLES = {
     "q62_source_mixing": Q62_SQL,
     "q63_sequence_packing": Q63_SQL,
     "q64_pii_redaction": Q64_SQL,
+    "q65_ivf_kmeans_topk": IVF_KMEANS_ORACLE,
     # q35_media_features: rows-only by design (Python decode stub).
 }

@@ -54,3 +54,48 @@ def test_lsh_recall_reported(spark, truth):
     # Multiprobe default measures 0.82 here; single-probe 0.42; the
     # monolithic 16-bit-bucket regression 0.02.
     assert r >= 0.6, f"lsh_topk recall@{K} = {r:.2f} — probe structure regressed"
+
+
+def test_kmeans_ivf_recall_floor(spark, truth):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    cb = SIM.kmeans_codebook(emb)
+    got = _pairs(SIM.ivf_topk(emb, q, k=K, centroids=cb))
+    r = len(got & truth) / len(truth)
+    # Measures 0.92 here — equal to the id-prefix init, because the
+    # fixture vectors are near-random (no cluster structure for Lloyd
+    # to exploit). On clustered corpora the trained codebook is what
+    # keeps per-cell occupancy balanced; this floor pins against
+    # regressions in the training math itself.
+    assert r >= 0.7, f"kmeans-IVF recall@{K} = {r:.2f} < 0.7"
+
+
+def test_kmeans_codebook_recovers_clusters(spark):
+    # Two obvious clusters on orthogonal axes; init centroids (id 0, 1)
+    # land one in each. One Lloyd round must pull each centroid to its
+    # cluster's exact quantized mean.
+    rows = [
+        (0, [1.0, 0.0, 0.1]),
+        (1, [0.0, 1.0, 0.3]),
+        (2, [0.9, 0.1, 0.1]),
+        (3, [0.1, 0.9, 0.3]),
+        (4, [0.95, 0.0, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = {
+        r.cell_id: r.centv
+        for r in SIM.kmeans_codebook(df, k=2, iters=1).collect()
+    }
+    assert set(cb) == {0, 1}
+    # Cell 0 = vectors 0, 2, 4; cell 1 = vectors 1, 3.
+    import math
+
+    def qmean(vals):
+        return sum(math.floor(float(v) * SIM.KMEANS_QUANT) for v in vals) / (
+            len(vals) * SIM.KMEANS_QUANT
+        )
+
+    f = lambda x: float(x)  # float32 storage round-trip
+    assert cb[0][0] == qmean([f(1.0), f(0.9), f(0.95)])
+    assert cb[1][1] == qmean([f(1.0), f(0.9)])
+    assert abs(cb[0][1]) < 0.05 and abs(cb[1][0]) < 0.05
