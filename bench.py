@@ -54,6 +54,11 @@ EXTRA = (
     "q63_sequence_packing",
     "q64_pii_redaction",
     "q65_ivf_kmeans_topk",
+    "q66_hll_distinct",
+    "q67_bloom_decontamination",
+    "q68_cms_heavy_hitters",
+    "q69_bm25_topk",
+    "q70_bigram_lm_surprisal",
 )
 
 

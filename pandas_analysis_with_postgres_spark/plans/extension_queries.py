@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions import text as TX
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
+from ..operators import sketches as SK
 from ..operators.multimodal import attach_binary_payload, featurize_media, media_metadata
 from ..operators.packing import SEQ_BUDGET, pack_sequences
 from ..sources.parquet import load_table
@@ -1203,6 +1204,483 @@ FROM scored QUALIFY rank <= 5
 IVF_KMEANS_ORACLE = _kmeans_ivf_oracle()
 
 
+# ---------------------------------------------------------------------
+# q66: HyperLogLog approximate distinct counting
+# ---------------------------------------------------------------------
+
+
+def q66_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT(DISTINCT) via HyperLogLog registers, audited
+    against the exact count per group. Two key domains on purpose:
+    customers-per-order-status (~1.4k distinct → the raw harmonic-mean
+    estimator) and users-per-event-type (150 distinct → the
+    linear-counting small-range correction) — both branches of the
+    published HLL recipe execute and hash-verify. The register build is
+    a groupBy-max over at most m=256 rows per group: the sketch state,
+    not the keys, is what crosses the shuffle at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    u = orders.select(
+        F.concat(F.lit("status:"), F.col("o_orderstatus")).alias("grp"),
+        F.col("o_custkey").alias("v"),
+    ).unionByName(
+        events.select(
+            F.concat(F.lit("event:"), F.col("event_type")).alias("grp"),
+            F.col("user_id").alias("v"),
+        )
+    )
+    est = SK.hll_estimate(SK.hll_registers(u, ["grp"], "v"), ["grp"])
+    exact = u.groupBy("grp").agg(F.count_distinct("v").alias("exact_distinct"))
+    # Fixed 8-decimal output contract: the linear-counting branch ends
+    # in ln(), and JVM Math.log vs libm log differ by an ulp on rare
+    # inputs — one final round absorbs it (see q70 for the analysis).
+    est_r = F.round(F.col("hll_estimate"), 8)
+    return exact.join(est, "grp").select(
+        "grp",
+        "exact_distinct",
+        est_r.alias("hll_estimate"),
+        F.round(
+            F.abs(est_r - F.col("exact_distinct")) / F.col("exact_distinct"), 8
+        ).alias("rel_error"),
+    )
+
+
+def _mix_chain_sql(prefix: str, src: str, carry: str, invar: str = "v") -> str:
+    """CTE chain replaying operators.sketches.strong_mix: the chunked
+    pre-fold, then three universal-hash rounds interleaved with
+    xorshifts — constants imported, never re-derived. ``carry`` columns
+    ride along."""
+    P = SK.SKETCH_P
+    (a0, b0), (a1, b1), (a2, b2), (a3, b3) = SK.HASH_ROWS
+    s0, s1, s2 = SK.MIX_SHIFTS
+    lo_mask = (1 << SK.MIX_LO_BITS) - 1
+    c = f"{carry}, " if carry else ""
+    return (
+        f"{prefix}p AS (SELECT {c}xor((({invar} >> {SK.MIX_LO_BITS}) * {a3} + {b3}) % {P}, "
+        f"{invar} & {lo_mask}) AS h FROM {src}),\n"
+        f"{prefix}0 AS (SELECT {c}((h % {P}) * {a0} + {b0}) % {P} AS h FROM {prefix}p),\n"
+        f"{prefix}1 AS (SELECT {c}xor(h, h >> {s0}) AS h FROM {prefix}0),\n"
+        f"{prefix}2 AS (SELECT {c}((h % {P}) * {a1} + {b1}) % {P} AS h FROM {prefix}1),\n"
+        f"{prefix}3 AS (SELECT {c}xor(h, h >> {s1}) AS h FROM {prefix}2),\n"
+        f"{prefix}4 AS (SELECT {c}((h % {P}) * {a2} + {b2}) % {P} AS h FROM {prefix}3),\n"
+        f"{prefix}5 AS (SELECT {c}xor(h, h >> {s2}) AS h FROM {prefix}4)"
+    )
+
+
+def _pos_from_h_sql(j: int, mod: int) -> str:
+    """One universal round over an already-mixed ``h`` → bit/cell
+    position, mirroring sketches._bloom_positions_from_mixed /
+    _cms_probe_structs."""
+    a, b = SK.HASH_ROWS[j]
+    return f"((h % {SK.SKETCH_P}) * {a} + {b}) % {SK.SKETCH_P} % {mod}"
+
+
+def _hll_oracle() -> str:
+    m, cap = SK.HLL_M, SK.HLL_W_BITS + 1
+    scale = 1 << cap
+    alpha_num = SK.HLL_ALPHA * SK.HLL_M * SK.HLL_M * scale
+    return f"""
+WITH u AS (
+  SELECT 'status:' || o_orderstatus AS grp, o_custkey AS v FROM orders
+  UNION ALL
+  SELECT 'event:' || event_type AS grp, user_id AS v FROM events
+),
+{_mix_chain_sql("h", "u", "grp")},
+r AS (SELECT grp, h % {m} AS reg,
+             CASE WHEN h // {m} = 0 THEN {cap}
+                  ELSE {cap} - length(bin(h // {m})) END AS rho
+      FROM h5),
+regs AS (SELECT grp, reg, MAX(rho) AS rho_max FROM r GROUP BY grp, reg),
+agg AS (SELECT grp, SUM(1::BIGINT << ({cap} - rho_max))::BIGINT AS s_present,
+               COUNT(*)::BIGINT AS n_present
+        FROM regs GROUP BY grp),
+est AS (
+  SELECT grp,
+         CASE WHEN raw <= {SK.HLL_LC_THRESHOLD!r} AND zeros > 0
+              THEN {float(m)!r} * ln({float(m)!r} / zeros::DOUBLE)
+              ELSE raw END AS hll_estimate
+  FROM (SELECT grp, ({m} - n_present) AS zeros,
+               {alpha_num!r} / (s_present + ({m} - n_present) * {scale})::DOUBLE AS raw
+        FROM agg)
+),
+ex AS (SELECT grp, COUNT(DISTINCT v)::BIGINT AS exact_distinct FROM u GROUP BY grp)
+SELECT grp, exact_distinct, round(hll_estimate, 8) AS hll_estimate,
+       round(abs(round(hll_estimate, 8) - exact_distinct) / exact_distinct, 8) AS rel_error
+FROM ex JOIN est USING (grp)
+"""
+
+
+Q66_SQL = _hll_oracle()
+
+
+# ---------------------------------------------------------------------
+# q67: Bloom-filter decontamination prefilter
+# ---------------------------------------------------------------------
+
+
+def q67_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter screen in front of benchmark decontamination: the
+    benchmark docs' 3-gram shingle set becomes a 2^16-bit filter (as a
+    ≤-m-row positions frame — always broadcastable, no matter how big
+    the benchmark was), and every training shingle probes it with zero
+    shuffle. Output audits the filter per doc against exact membership:
+    bloom_hits ≥ exact_hits always (no false negatives), and
+    false_pos_shingles makes the FPR visible and hash-verified. The
+    exact-join screen (q61) is what the bloom pass gates at 100 TB —
+    only flagged docs need the expensive pairwise containment."""
+    docs = load_table(spark, sf_dir, "documents")
+    sv = DD._with_shingle_values(docs)
+    bench_sh = sv.filter(
+        F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) == 0
+    ).select(DD.guarded_explode("sv").alias("sh"))
+    bloom = SK.bloom_build(bench_sh, "sh")
+    train = sv.filter(F.pmod(F.col("doc_id"), F.lit(BENCH_MOD)) != 0).select(
+        "doc_id", DD.guarded_explode("sv").alias("sh")
+    )
+    probed = SK.bloom_probe(train, "sh", bloom)
+    exact_set = bench_sh.distinct().select(
+        F.col("sh").alias("__es"), F.lit(1).alias("__ex")
+    )
+    probed = probed.join(
+        F.broadcast(exact_set), probed["sh"] == F.col("__es"), "left"
+    )
+    per_doc = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.col("__ex").isNotNull().cast("long")).alias("exact_hits"),
+        F.sum(F.col("in_bloom").cast("long")).alias("bloom_hits"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "exact_hits",
+        "bloom_hits",
+        (F.col("bloom_hits") - F.col("exact_hits")).alias(
+            "false_pos_shingles"
+        ),
+        (
+            F.col("bloom_hits").cast("double") / F.col("n_shingles")
+            >= F.lit(CONTAMINATION_THRESHOLD)
+        )
+        .cast("long")
+        .alias("bloom_flagged"),
+    )
+
+
+def _bloom_oracle() -> str:
+    probes = " AND ".join(
+        f"{_pos_from_h_sql(j, SK.BLOOM_M)} IN (SELECT pos FROM bloom)"
+        for j in range(SK.BLOOM_K)
+    )
+    builds = " UNION ALL ".join(
+        f"SELECT {_pos_from_h_sql(j, SK.BLOOM_M)} AS pos FROM bm5"
+        for j in range(SK.BLOOM_K)
+    )
+    return f"""
+WITH svs AS ({_sv_sql()}),
+bsh AS (SELECT DISTINCT unnest(sv) AS sh FROM svs WHERE doc_id % {BENCH_MOD} = 0),
+{_mix_chain_sql("bm", "bsh", "", invar="sh")},
+bloom AS (SELECT DISTINCT pos FROM ({builds})),
+train AS (SELECT doc_id, unnest(sv) AS sh FROM svs WHERE doc_id % {BENCH_MOD} <> 0),
+{_mix_chain_sql("tm", "train", "doc_id, sh", invar="sh")},
+pr AS (
+  SELECT doc_id,
+         (sh IN (SELECT sh FROM bsh))::BIGINT AS ex,
+         ({probes})::BIGINT AS ib
+  FROM tm5
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_shingles,
+       SUM(ex)::BIGINT AS exact_hits, SUM(ib)::BIGINT AS bloom_hits,
+       (SUM(ib) - SUM(ex))::BIGINT AS false_pos_shingles,
+       (SUM(ib)::DOUBLE / COUNT(*) >= {CONTAMINATION_THRESHOLD})::BIGINT AS bloom_flagged
+FROM pr GROUP BY doc_id
+"""
+
+
+Q67_SQL = _bloom_oracle()
+
+
+# ---------------------------------------------------------------------
+# q68: count-min-sketch heavy hitters
+# ---------------------------------------------------------------------
+#: Heavy hitters reported (exact top-k audited against the sketch).
+CMS_TOPK = 20
+
+
+def q68_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the corpus's top-20
+    bigrams, audited against exact counts. The sketch side is the
+    scale path: one pass over the bigram stream into a fixed d×w =
+    4×256 counter grid (map-side combinable, mergeable across shards);
+    the exact top-20 groupBy exists to make the sketch's one-sided
+    error measurable — cms_est ≥ exact_n for every row, and the w=256
+    grid is deliberately small enough that the fixture's ~900 distinct
+    bigrams produce visible, hash-verified overcounts."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(TX.tokens("text").alias("__ts"))
+    grams = staged.select(TX.ngrams_from_tokens(F.col("__ts"), 2).alias("gs"))
+    stream = grams.select(DD.guarded_explode("gs").alias("g"))
+    hashed = stream.select(SK.str_hash(F.col("g")).alias("v"))
+    counters = SK.cms_counters(hashed, "v")
+    top = (
+        stream.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("g"))
+        .limit(CMS_TOPK)
+        .withColumn("v", SK.str_hash(F.col("g")))
+    )
+    est = SK.cms_estimate(top, "v", counters)
+    return est.select(
+        F.col("g").alias("bigram"),
+        "exact_n",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
+
+
+def _str_hash_sql(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(generate_series(1, length({expr})), "
+        f"i -> ascii(substring({expr}, i, 1))::BIGINT)), "
+        f"(a, c) -> (a * {SK.STR_HASH_B} + c) % {SK.SKETCH_P})"
+    )
+
+
+def _cms_oracle() -> str:
+    builds = " UNION ALL ".join(
+        f"SELECT {j} AS row, {_pos_from_h_sql(j, SK.CMS_W)} AS pos FROM cm5"
+        for j in range(SK.CMS_D)
+    )
+    ests = ", ".join(
+        f"COALESCE((SELECT cnt FROM cms WHERE row = {j} "
+        f"AND pos = {_pos_from_h_sql(j, SK.CMS_W)}), 0)"
+        for j in range(SK.CMS_D)
+    )
+    return f"""
+WITH st AS (SELECT string_split(text, ' ') AS ts FROM documents),
+bg AS (SELECT ts[i] || ' ' || ts[i+1] AS g
+       FROM st, unnest(generate_series(1, len(ts) - 1)) s(i)),
+hv AS (SELECT {_str_hash_sql('g')} AS v FROM bg),
+{_mix_chain_sql("cm", "hv", "")},
+cms AS (SELECT row, pos, COUNT(*)::BIGINT AS cnt FROM ({builds}) GROUP BY row, pos),
+ex AS (SELECT g, COUNT(*)::BIGINT AS exact_n FROM bg GROUP BY g
+       ORDER BY exact_n DESC, g ASC LIMIT {CMS_TOPK}),
+exv AS (SELECT g, exact_n, {_str_hash_sql('g')} AS v FROM ex),
+{_mix_chain_sql("em", "exv", "g, exact_n")}
+SELECT g AS bigram, exact_n,
+       least({ests})::BIGINT AS cms_est,
+       (least({ests}) - exact_n)::BIGINT AS overcount
+FROM em5
+"""
+
+
+Q68_SQL = _cms_oracle()
+
+
+# ---------------------------------------------------------------------
+# q69: BM25 keyword retrieval
+# ---------------------------------------------------------------------
+#: Fixed query terms (compile-time constants so the per-term score
+#: pivot has a fixed column order → deterministic double addition).
+BM25_TERMS = ("spark", "vector", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def q69_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-20 documents for a fixed term set —
+    the lexical-search half of corpus curation (the embedding half is
+    q27/q42). Everything is Catalyst: tf from one filtered explode, df
+    and avgdl from broadcast 3-row/1-row aggregates, and the per-doc
+    score sums its per-term contributions through a FIXED-order pivot
+    (the terms are compile-time constants), so the double addition
+    order is identical in both engines — no sum-order hazard. Top-k
+    plans as TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        TX.token_count("text").alias("dl"),
+        F.filter(
+            TX.tokens("text"), lambda t: t.isin(*BM25_TERMS)
+        ).alias("__qts"),
+    )
+    glob = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        d.select("doc_id", "dl", DD.guarded_explode("__qts").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = tf.join(F.broadcast(dft), "term").crossJoin(F.broadcast(glob))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf").cast("double") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl").cast("double") / avgdl
+    )
+    contrib = idf * (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / denom
+    per_term = j.select("doc_id", "term", contrib.alias("c"))
+    pivots = [
+        F.max(F.when(F.col("term") == t, F.col("c"))).alias(f"c{i}")
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    per_doc = per_term.groupBy("doc_id").agg(*pivots)
+    score = F.coalesce(F.col("c0"), F.lit(0.0))
+    for i in range(1, len(BM25_TERMS)):
+        score = score + F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+    return (
+        per_doc.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    pivots = ", ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN cv END) AS c{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    score = " + ".join(
+        f"COALESCE(c{i}, 0.0::DOUBLE)" for i in range(len(BM25_TERMS))
+    )
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH d AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+                  list_filter(string_split(text, ' '), t -> t IN ({terms})) AS qts
+           FROM documents),
+g AS (SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS sum_dl FROM d),
+tf AS (SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf
+       FROM (SELECT doc_id, dl, unnest(qts) AS term FROM d)
+       GROUP BY doc_id, dl, term),
+dft AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+c AS (SELECT doc_id, term,
+             ln((n_docs::DOUBLE - df::DOUBLE + {0.5!r}::DOUBLE)
+                / (df::DOUBLE + {0.5!r}::DOUBLE) + {1.0!r}::DOUBLE)
+             * (tf::DOUBLE * {k1 + 1.0!r}::DOUBLE)
+             / (tf::DOUBLE + {k1!r}::DOUBLE
+                * ({1.0 - b!r}::DOUBLE
+                   + {b!r}::DOUBLE * dl::DOUBLE
+                     / (sum_dl::DOUBLE / n_docs::DOUBLE))) AS cv
+      FROM tf JOIN dft USING (term) CROSS JOIN g),
+p AS (SELECT doc_id, {pivots} FROM c GROUP BY doc_id)
+SELECT doc_id, {score} AS score
+FROM p ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
+Q69_SQL = _bm25_oracle()
+
+
+# ---------------------------------------------------------------------
+# q70: bigram language-model surprisal (CCNet-style quality signal)
+# ---------------------------------------------------------------------
+
+
+def q70_bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document surprisal under a corpus-trained add-one-smoothed
+    bigram language model — the CCNet/KenLM quality signal, trained and
+    applied in one plan: gibberish scores high, boilerplate low. Counts
+    (bigram, prefix, vocab) are exact integers; each document's
+    log-prob sum is a STRICTLY SEQUENTIAL fold over its bigrams in
+    position order (collect→sort→aggregate ↔ DuckDB list ORDER BY pos +
+    list_reduce), so the doubles are bit-identical despite being a
+    reduction. Scale: the model join is keyed on (w1, w2) — a shuffle
+    join against the vocab²-bounded count table; the prefix and vocab
+    frames broadcast. Docs with <2 tokens have no bigrams and drop
+    out (none in the fixture)."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", TX.tokens("text").alias("__ts"))
+    ts = F.col("__ts")
+    idx = F.when(
+        F.size(ts) >= 2, F.sequence(F.lit(1), F.size(ts) - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    bg = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.element_at(ts, i.cast("int")).alias("w1"),
+            F.element_at(ts, (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    arr = staged.select("doc_id", bg.alias("bg"))
+    pairs = arr.select("doc_id", DD.guarded_explode("bg").alias("p")).select(
+        "doc_id",
+        F.col("p.pos").alias("pos"),
+        F.col("p.w1").alias("w1"),
+        F.col("p.w2").alias("w2"),
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1p = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1p"))
+    vocab = staged.select(F.explode(ts).alias("t")).agg(
+        F.count_distinct("t").alias("v")
+    )
+    lp = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1p), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "pos",
+            F.log(
+                (F.col("c2") + F.lit(1)).cast("double")
+                / (F.col("c1p") + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    folded = lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                lambda s: s.getField("lp"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    # Output contract: scores at fixed 8-decimal precision. The fold is
+    # order-identical in both engines, but each ln() term can differ by
+    # an ulp (JVM Math.log vs libm log are both ~correctly rounded yet
+    # disagree on rare inputs) — ~1e-15 of noise after ~50 terms. One
+    # final round absorbs it; the boundary-straddle probability at 8
+    # decimals is ~1e-12 per row, vs certain mismatch without it.
+    avg_nll = (F.lit(0.0) - F.col("s")) / F.col("n_bigrams").cast("double")
+    return folded.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(avg_nll, 8).alias("avg_nll"),
+        F.round(F.exp(avg_nll), 8).alias("ppl"),
+    )
+
+
+Q70_SQL = """
+WITH st AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+pairs AS (SELECT doc_id, i AS pos, ts[i] AS w1, ts[i+1] AS w2
+          FROM st, unnest(generate_series(1, len(ts) - 1)) s(i)),
+c2 AS (SELECT w1, w2, COUNT(*)::BIGINT AS c2 FROM pairs GROUP BY w1, w2),
+c1p AS (SELECT w1, COUNT(*)::BIGINT AS c1p FROM pairs GROUP BY w1),
+vc AS (SELECT COUNT(DISTINCT t)::BIGINT AS v
+       FROM (SELECT unnest(ts) AS t FROM st)),
+lp AS (SELECT doc_id, pos, ln((c2 + 1)::DOUBLE / (c1p + v)::DOUBLE) AS lp
+       FROM pairs JOIN c2 USING (w1, w2) JOIN c1p USING (w1) CROSS JOIN vc),
+f AS (SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+             list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY pos)),
+                         (a, b) -> a + b) AS s
+      FROM lp GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       round((0.0::DOUBLE - s) / n_bigrams::DOUBLE, 8) AS avg_nll,
+       round(exp((0.0::DOUBLE - s) / n_bigrams::DOUBLE), 8) AS ppl
+FROM f
+"""
+
+
 def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas featurize path — not SQL-expressible (Arrow-batched
     Python decode stub); driver records a rows-only check."""
@@ -1239,6 +1717,11 @@ EXTENSION_QUERIES = {
     "q63_sequence_packing": q63_sequence_packing,
     "q64_pii_redaction": q64_pii_redaction,
     "q65_ivf_kmeans_topk": q65_ivf_kmeans_topk,
+    "q66_hll_distinct": q66_hll_distinct,
+    "q67_bloom_decontamination": q67_bloom_decontamination,
+    "q68_cms_heavy_hitters": q68_cms_heavy_hitters,
+    "q69_bm25_topk": q69_bm25_topk,
+    "q70_bigram_lm_surprisal": q70_bigram_lm_surprisal,
 }
 
 EXTENSION_ORACLES = {
@@ -1269,5 +1752,10 @@ EXTENSION_ORACLES = {
     "q63_sequence_packing": Q63_SQL,
     "q64_pii_redaction": Q64_SQL,
     "q65_ivf_kmeans_topk": IVF_KMEANS_ORACLE,
+    "q66_hll_distinct": Q66_SQL,
+    "q67_bloom_decontamination": Q67_SQL,
+    "q68_cms_heavy_hitters": Q68_SQL,
+    "q69_bm25_topk": Q69_SQL,
+    "q70_bigram_lm_surprisal": Q70_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }
