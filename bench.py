@@ -59,6 +59,8 @@ EXTRA = (
     "q68_cms_heavy_hitters",
     "q69_bm25_topk",
     "q70_bigram_lm_surprisal",
+    "q71_bpe_train",
+    "q72_stream_hll_users",
 )
 
 

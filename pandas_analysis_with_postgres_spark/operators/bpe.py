@@ -1,0 +1,123 @@
+"""Distributed BPE-merge vocabulary training over a token corpus.
+
+The byte-pair-encoding trainer every LLM pipeline runs before
+tokenization, expressed as iterative DataFrame rounds: count adjacent
+token pairs corpus-wide, take the most frequent pair, merge its
+occurrences everywhere (leftmost-non-overlapping, the BPE contract),
+repeat. The reference (dmCustomerProc.py) has no tokenizer surface;
+this is SURVEY §2.12 extension inventory.
+
+Merging without a UDF: the corpus rides in a *double-space-padded*
+string form (`' a  b  c '`). A literal pattern ``' w1  w2 '`` then
+consumes exactly ONE of the two spaces on each side, so a global
+regexp_replace performs leftmost-non-overlapping adjacent-pair merging
+while PRESERVING the invariant — neighbours of the merged token still
+sit behind two spaces, and runs like ``a a a`` merge to ``a_a a``
+exactly as BPE specifies. Java regex and RE2 agree on literal global
+replace, so the DuckDB oracle replays every round byte-for-byte.
+
+Preconditions (documented, matched by the fixture): tokens contain no
+regex metacharacters and no ``_`` (the merge joiner). A corpus that
+violates this needs a quoting pass first.
+
+Scale: each round is one full-corpus pair count (map-side combinable)
+plus one narrow regexp map — ``localCheckpoint`` truncates the
+per-round lineage exactly as in ``dedup.connected_components`` (a
+cluster deployment would use reliable ``checkpoint``; real BPE training
+also runs on a deterministic sample of the corpus, not all 100 TB —
+``filter(doc_id % m = 0)`` upstream composes with this operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Default number of merge rounds — small because each round is a full
+#: corpus pass; the oracle unrolls the same number of CTE rounds.
+BPE_ROUNDS = 6
+#: Joiner for merged tokens. Regex-literal in both engines.
+BPE_JOIN = "_"
+
+
+def _pair_counts(cur: DataFrame) -> DataFrame:
+    """(w1, w2, n) adjacent-pair counts of the padded corpus form."""
+    staged = cur.select(F.split(F.trim(F.col("t")), "  ").alias("__ts"))
+    ts = F.col("__ts")
+    idx = F.when(
+        F.size(ts) >= 2, F.sequence(F.lit(1), F.size(ts) - F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    bg = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(ts, i.cast("int")).alias("w1"),
+            F.element_at(ts, (i + 1).cast("int")).alias("w2"),
+        ),
+    )
+    arr = staged.select(bg.alias("bg"))
+    # Guarded explode: keep the pair array in its own projection (see
+    # dedup.guarded_explode).
+    pairs = arr.select(
+        F.explode(F.when(F.size("bg") >= 0, F.col("bg"))).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    return pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+
+
+def train_bpe_merges(
+    docs: DataFrame, *, rounds: int = BPE_ROUNDS, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``rounds`` BPE merge rules from a whitespace-token corpus.
+
+    Returns (round, w1, w2, merged, n): the rule learned each round and
+    the pair's corpus frequency at the time it was chosen. Ties break
+    deterministically (max n, then lexicographic pair) so both engines
+    pick the same rule every round.
+    """
+    cur = docs.select(
+        F.concat(
+            F.lit(" "),
+            F.regexp_replace(F.col(text_col), " ", "  "),
+            F.lit(" "),
+        ).alias("t")
+    ).localCheckpoint()
+    out: DataFrame | None = None
+    for r in range(1, rounds + 1):
+        top = (
+            _pair_counts(cur)
+            .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+            .limit(1)
+            .select(F.lit(r).alias("round"), "w1", "w2", "n")
+            .localCheckpoint()
+        )
+        out = top if out is None else out.unionByName(top)
+        cur = (
+            cur.crossJoin(F.broadcast(top.select("w1", "w2")))
+            .select(
+                F.regexp_replace(
+                    F.col("t"),
+                    F.concat(
+                        F.lit(" "),
+                        F.col("w1"),
+                        F.lit("  "),
+                        F.col("w2"),
+                        F.lit(" "),
+                    ),
+                    F.concat(
+                        F.lit(" "),
+                        F.col("w1"),
+                        F.lit(BPE_JOIN),
+                        F.col("w2"),
+                        F.lit(" "),
+                    ),
+                ).alias("t")
+            )
+            .localCheckpoint()
+        )
+    assert out is not None
+    return out.select(
+        "round",
+        "w1",
+        "w2",
+        F.concat(F.col("w1"), F.lit(BPE_JOIN), F.col("w2")).alias("merged"),
+        "n",
+    )

@@ -152,7 +152,20 @@ def hll_registers(
     partitions/days merge by the same max. That mergeability is the
     whole point at 100 TB: the sketch is the state, not the rows.
     """
-    h = strong_mix(F.col(value_col))
+    reg, rho = hll_reg_rho(F.col(value_col))
+    return (
+        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_reg_rho(col: Column) -> tuple[Column, Column]:
+    """(register index, rho) expressions for one key — the per-row half
+    of the HLL build, exposed separately so STREAMING aggregations can
+    reuse it (groupBy window+reg with max(rho) is a valid streaming
+    aggregate; the register table is the bounded state)."""
+    h = strong_mix(col)
     reg = h % F.lit(HLL_M)
     w = F.floor(h / F.lit(HLL_M)).cast("long")
     # rho = leading zeros in the W-bit pattern + 1 = (W+1) - bit_length.
@@ -161,11 +174,7 @@ def hll_registers(
     rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(
         F.lit(HLL_W_BITS + 1) - F.length(F.bin(w))
     )
-    return (
-        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
-        .groupBy(*group_cols, "reg")
-        .agg(F.max("rho").alias("rho_max"))
-    )
+    return reg, rho
 
 
 def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:

@@ -1275,34 +1275,41 @@ def _pos_from_h_sql(j: int, mod: int) -> str:
     return f"((h % {SK.SKETCH_P}) * {a} + {b}) % {SK.SKETCH_P} % {mod}"
 
 
-def _hll_oracle() -> str:
+def _hll_pipeline_sql(src: str, grp: str) -> str:
+    """CTE block replaying hll_registers + hll_estimate: ``src`` must
+    expose (``grp``, v); the block ends in est(``grp``, hll_estimate).
+    Shared by q66 and the streaming q72 oracle."""
     m, cap = SK.HLL_M, SK.HLL_W_BITS + 1
     scale = 1 << cap
     alpha_num = SK.HLL_ALPHA * SK.HLL_M * SK.HLL_M * scale
+    return f"""{_mix_chain_sql("h", src, grp)},
+r AS (SELECT {grp}, h % {m} AS reg,
+             CASE WHEN h // {m} = 0 THEN {cap}
+                  ELSE {cap} - length(bin(h // {m})) END AS rho
+      FROM h5),
+regs AS (SELECT {grp}, reg, MAX(rho) AS rho_max FROM r GROUP BY {grp}, reg),
+agg AS (SELECT {grp}, SUM(1::BIGINT << ({cap} - rho_max))::BIGINT AS s_present,
+               COUNT(*)::BIGINT AS n_present
+        FROM regs GROUP BY {grp}),
+est AS (
+  SELECT {grp},
+         CASE WHEN raw <= {SK.HLL_LC_THRESHOLD!r} AND zeros > 0
+              THEN {float(m)!r} * ln({float(m)!r} / zeros::DOUBLE)
+              ELSE raw END AS hll_estimate
+  FROM (SELECT {grp}, ({m} - n_present) AS zeros,
+               {alpha_num!r} / (s_present + ({m} - n_present) * {scale})::DOUBLE AS raw
+        FROM agg)
+)"""
+
+
+def _hll_oracle() -> str:
     return f"""
 WITH u AS (
   SELECT 'status:' || o_orderstatus AS grp, o_custkey AS v FROM orders
   UNION ALL
   SELECT 'event:' || event_type AS grp, user_id AS v FROM events
 ),
-{_mix_chain_sql("h", "u", "grp")},
-r AS (SELECT grp, h % {m} AS reg,
-             CASE WHEN h // {m} = 0 THEN {cap}
-                  ELSE {cap} - length(bin(h // {m})) END AS rho
-      FROM h5),
-regs AS (SELECT grp, reg, MAX(rho) AS rho_max FROM r GROUP BY grp, reg),
-agg AS (SELECT grp, SUM(1::BIGINT << ({cap} - rho_max))::BIGINT AS s_present,
-               COUNT(*)::BIGINT AS n_present
-        FROM regs GROUP BY grp),
-est AS (
-  SELECT grp,
-         CASE WHEN raw <= {SK.HLL_LC_THRESHOLD!r} AND zeros > 0
-              THEN {float(m)!r} * ln({float(m)!r} / zeros::DOUBLE)
-              ELSE raw END AS hll_estimate
-  FROM (SELECT grp, ({m} - n_present) AS zeros,
-               {alpha_num!r} / (s_present + ({m} - n_present) * {scale})::DOUBLE AS raw
-        FROM agg)
-),
+{_hll_pipeline_sql("u", "grp")},
 ex AS (SELECT grp, COUNT(DISTINCT v)::BIGINT AS exact_distinct FROM u GROUP BY grp)
 SELECT grp, exact_distinct, round(hll_estimate, 8) AS hll_estimate,
        round(abs(round(hll_estimate, 8) - exact_distinct) / exact_distinct, 8) AS rel_error
@@ -1681,6 +1688,72 @@ FROM f
 """
 
 
+# ---------------------------------------------------------------------
+# q71: distributed BPE-merge vocabulary training
+# ---------------------------------------------------------------------
+
+
+def q71_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary training: 6 merge rounds learned corpus-wide —
+    count adjacent token pairs, merge the most frequent pair everywhere
+    (leftmost-non-overlapping via the double-space-padding trick in
+    operators.bpe), repeat. Iterative with per-round localCheckpoint,
+    like connected_components; the oracle unrolls the same 6 rounds as
+    CTEs and replays every merge byte-for-byte."""
+    from ..operators.bpe import train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_bpe_merges(docs)
+
+
+def _bpe_oracle() -> str:
+    from ..operators.bpe import BPE_JOIN, BPE_ROUNDS
+
+    # Every t{r}/m{r} is AS MATERIALIZED: each is referenced several
+    # times by later rounds, and DuckDB's default CTE inlining would
+    # re-expand the whole chain per reference — exponential in rounds
+    # (measured: 2 rounds 0.12 s, 6 rounds did not finish). With
+    # materialization the oracle is linear, mirroring the Spark side's
+    # per-round localCheckpoint.
+    ctes = [
+        "t0 AS MATERIALIZED (SELECT ' ' || replace(text, ' ', '  ') || ' ' AS t FROM documents)"
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS n FROM (
+    SELECT ts[i] AS w1, ts[i+1] AS w2
+    FROM (SELECT string_split(trim(t), '  ') AS ts FROM t{r - 1}),
+         unnest(generate_series(1, len(ts) - 1)) s(i))
+  GROUP BY w1, w2)"""
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT {r} AS round, w1, w2, n FROM p{r} "
+            f"ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"""t{r} AS MATERIALIZED (
+  SELECT regexp_replace(t,
+    ' ' || (SELECT w1 FROM m{r}) || '  ' || (SELECT w2 FROM m{r}) || ' ',
+    ' ' || (SELECT w1 FROM m{r}) || '{BPE_JOIN}' || (SELECT w2 FROM m{r}) || ' ',
+    'g') AS t FROM t{r - 1})"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(1, BPE_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT round, w1, w2, w1 || '{BPE_JOIN}' || w2 AS merged, n
+FROM ({union})
+"""
+    )
+
+
+Q71_SQL = _bpe_oracle()
+
+
 def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas featurize path — not SQL-expressible (Arrow-batched
     Python decode stub); driver records a rows-only check."""
@@ -1722,6 +1795,7 @@ EXTENSION_QUERIES = {
     "q68_cms_heavy_hitters": q68_cms_heavy_hitters,
     "q69_bm25_topk": q69_bm25_topk,
     "q70_bigram_lm_surprisal": q70_bigram_lm_surprisal,
+    "q71_bpe_train": q71_bpe_train,
 }
 
 EXTENSION_ORACLES = {
@@ -1757,5 +1831,6 @@ EXTENSION_ORACLES = {
     "q68_cms_heavy_hitters": Q68_SQL,
     "q69_bm25_topk": Q69_SQL,
     "q70_bigram_lm_surprisal": Q70_SQL,
+    "q71_bpe_train": Q71_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

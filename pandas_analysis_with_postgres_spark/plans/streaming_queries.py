@@ -236,6 +236,49 @@ WHERE a.event_type = 'click' AND b.event_type = 'purchase'
 """
 
 
+def q72_stream_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user counting per hourly window via
+    HyperLogLog registers as the stream state (sketches × streaming):
+    ``max(rho)`` is both a valid streaming aggregate and the HLL merge,
+    so the sketch accumulates correctly across ≥3 micro-batches with
+    state bounded at windows × 256 rows — the unbounded-stream answer
+    to COUNT(DISTINCT). The drained (append-mode) register rows are
+    collapsed to estimates as a batch step; the oracle replays the
+    registers from the raw events for exactly the watermark-closed
+    windows and the estimates hash-match (8-decimal contract, see
+    q66)."""
+    from ..operators.sketches import hll_estimate
+    from ..streaming import windowed_hll_registers
+
+    regs = run_available_now(
+        windowed_hll_registers(events_stream_multibatch(spark, sf_dir))
+    )
+    est = hll_estimate(regs, ["window_start", "window_end"])
+    return est.select(
+        "window_start",
+        "window_end",
+        F.round(F.col("hll_estimate"), 8).alias("hll_estimate"),
+    )
+
+
+def _q72_oracle() -> str:
+    from .extension_queries import _hll_pipeline_sql
+
+    return f"""
+WITH u AS (
+  SELECT date_trunc('hour', ts) AS ws, user_id AS v FROM events
+  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= {_WM}
+),
+{_hll_pipeline_sql("u", "ws")}
+SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+       round(hll_estimate, 8) AS hll_estimate
+FROM est
+"""
+
+
+Q72_SQL = _q72_oracle()
+
+
 STREAMING_QUERIES = {
     "q36_stream_hourly_counts": q36_stream_hourly_counts,
     "q37_stream_sessions": q37_stream_sessions,
@@ -244,6 +287,7 @@ STREAMING_QUERIES = {
     "q47_stream_stateful_counts": q47_stream_stateful_counts,
     "q55_stream_enriched_counts": q55_stream_enriched_counts,
     "q56_stream_stream_join": q56_stream_stream_join,
+    "q72_stream_hll_users": q72_stream_hll_users,
 }
 
 STREAMING_ORACLES = {
@@ -254,4 +298,5 @@ STREAMING_ORACLES = {
     "q47_stream_stateful_counts": Q47_SQL,
     "q55_stream_enriched_counts": Q55_SQL,
     "q56_stream_stream_join": Q56_SQL,
+    "q72_stream_hll_users": Q72_SQL,
 }

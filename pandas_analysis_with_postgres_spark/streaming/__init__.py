@@ -17,6 +17,7 @@ from .streams import (
     sliding_window_counts,
     split_events_by_time,
     tumbling_window_counts,
+    windowed_hll_registers,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "dedup_within_watermark",
     "run_available_now",
     "foreach_batch_sink",
+    "windowed_hll_registers",
 ]

@@ -198,6 +198,39 @@ def session_window_agg(
     )
 
 
+def windowed_hll_registers(
+    stream: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    value_col: str = "user_id",
+) -> DataFrame:
+    """Streaming HLL: per event-time window, build the 256-register
+    distinct sketch AS the streaming state. ``max(rho)`` is the HLL
+    merge, so registers accumulate correctly across micro-batches and
+    state is bounded at windows × m rows — this is how you count
+    distinct users per hour over an unbounded stream without keeping
+    the users. Append mode emits a window's registers when the
+    watermark closes it; collapse the drained frame with
+    ``sketches.hll_estimate`` (a batch step — the expensive part, the
+    dedup state, already happened incrementally)."""
+    from ..operators.sketches import hll_reg_rho
+
+    reg, rho = hll_reg_rho(F.col(value_col))
+    return (
+        stream.withWatermark("ts", watermark)
+        .select(F.col("ts"), reg.alias("reg"), rho.alias("rho"))
+        .groupBy(F.window("ts", window).alias("w"), "reg")
+        .agg(F.max("rho").alias("rho_max"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "reg",
+            "rho_max",
+        )
+    )
+
+
 def dedup_within_watermark(stream: DataFrame, keys: list[str], *, watermark: str = "10 minutes") -> DataFrame:
     """Stateful streaming dedup: first occurrence of each key emits,
     later duplicates are suppressed while their key is within the
