@@ -61,6 +61,19 @@ EXTRA = (
     "q70_bigram_lm_surprisal",
     "q71_bpe_train",
     "q72_stream_hll_users",
+    "q73_doc_chunks",
+    "q74_rolling_spend",
+    "q75_value_outliers",
+    "q76_event_pivot",
+    "q77_lineitem_melt_profile",
+    "q78_key_skew_profile",
+    "q79_source_sample",
+    "q80_price_quartiles",
+    "q81_spend_deciles",
+    "q82_session_funnel",
+    "q83_retention_cohorts",
+    "q84_event_sequences",
+    "q85_bpe_encode",
 )
 
 

@@ -121,3 +121,55 @@ def train_bpe_merges(
         F.concat(F.col("w1"), F.lit(BPE_JOIN), F.col("w2")).alias("merged"),
         "n",
     )
+
+
+def apply_bpe_merges(
+    docs: DataFrame,
+    merges: DataFrame,
+    *,
+    rounds: int = BPE_ROUNDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with already-learned merge rules (the tokenize
+    step that follows `train_bpe_merges`).
+
+    Applies each round's rule in training order via the same padded
+    literal-replace trick — so encoding is byte-for-byte the corpus
+    transform training performed. Each rule is one row, broadcast in;
+    the chain is ``rounds`` narrow map stages over the corpus — no
+    shuffle, embarrassingly parallel, and (unlike training) no
+    per-round materialization barrier is needed since nothing is
+    re-aggregated between rounds.
+
+    Returns (id_col, n_pieces, encoded): piece count and the
+    single-space encoded token stream.
+    """
+    cur = docs.select(
+        F.col(id_col),
+        F.concat(
+            F.lit(" "),
+            F.regexp_replace(F.col(text_col), " ", "  "),
+            F.lit(" "),
+        ).alias("t"),
+    )
+    for r in range(1, rounds + 1):
+        rule = merges.filter(F.col("round") == r).select("w1", "w2")
+        cur = cur.crossJoin(F.broadcast(rule)).select(
+            F.col(id_col),
+            F.regexp_replace(
+                F.col("t"),
+                F.concat(
+                    F.lit(" "), F.col("w1"), F.lit("  "), F.col("w2"), F.lit(" ")
+                ),
+                F.concat(
+                    F.lit(" "), F.col("w1"), F.lit(BPE_JOIN), F.col("w2"), F.lit(" ")
+                ),
+            ).alias("t"),
+        )
+    trimmed = F.trim(F.col("t"))
+    return cur.select(
+        F.col(id_col),
+        F.size(F.split(trimmed, "  ")).cast("long").alias("n_pieces"),
+        F.replace(trimmed, F.lit("  "), F.lit(" ")).alias("encoded"),
+    )

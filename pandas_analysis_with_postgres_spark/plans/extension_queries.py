@@ -1754,6 +1754,62 @@ FROM ({union})
 Q71_SQL = _bpe_oracle()
 
 
+def q85_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize with the learned BPE vocabulary: train the q71 merges,
+    then apply them to every document (operators.bpe.apply_bpe_merges)
+    — per-doc piece count plus the encoded stream. Training is the
+    expensive part; application is `rounds` narrow map stages with each
+    one-row rule broadcast in."""
+    from ..operators.bpe import apply_bpe_merges, train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return apply_bpe_merges(docs, train_bpe_merges(docs))
+
+
+def _bpe_encode_oracle() -> str:
+    from ..operators.bpe import BPE_JOIN, BPE_ROUNDS
+
+    # Same unrolled-rounds scheme as _bpe_oracle (materialized CTEs —
+    # see that generator for why), with doc_id riding through every
+    # t{r} so the final select is per-document.
+    ctes = [
+        "t0 AS MATERIALIZED (SELECT doc_id, ' ' || replace(text, ' ', '  ') || ' ' AS t FROM documents)"
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        ctes.append(
+            f"""p{r} AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS n FROM (
+    SELECT ts[i] AS w1, ts[i+1] AS w2
+    FROM (SELECT string_split(trim(t), '  ') AS ts FROM t{r - 1}),
+         unnest(generate_series(1, len(ts) - 1)) s(i))
+  GROUP BY w1, w2)"""
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT w1, w2 FROM p{r} "
+            f"ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"""t{r} AS MATERIALIZED (
+  SELECT doc_id, regexp_replace(t,
+    ' ' || (SELECT w1 FROM m{r}) || '  ' || (SELECT w2 FROM m{r}) || ' ',
+    ' ' || (SELECT w1 FROM m{r}) || '{BPE_JOIN}' || (SELECT w2 FROM m{r}) || ' ',
+    'g') AS t FROM t{r - 1})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id,
+       CAST(len(string_split(trim(t), '  ')) AS BIGINT) AS n_pieces,
+       replace(trim(t), '  ', ' ') AS encoded
+FROM t{BPE_ROUNDS}
+"""
+    )
+
+
+Q85_SQL = _bpe_encode_oracle()
+
+
 def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas featurize path — not SQL-expressible (Arrow-batched
     Python decode stub); driver records a rows-only check."""
@@ -1796,6 +1852,7 @@ EXTENSION_QUERIES = {
     "q69_bm25_topk": q69_bm25_topk,
     "q70_bigram_lm_surprisal": q70_bigram_lm_surprisal,
     "q71_bpe_train": q71_bpe_train,
+    "q85_bpe_encode": q85_bpe_encode,
 }
 
 EXTENSION_ORACLES = {
@@ -1832,5 +1889,6 @@ EXTENSION_ORACLES = {
     "q69_bm25_topk": Q69_SQL,
     "q70_bigram_lm_surprisal": Q70_SQL,
     "q71_bpe_train": Q71_SQL,
+    "q85_bpe_encode": Q85_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

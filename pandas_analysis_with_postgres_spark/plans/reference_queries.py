@@ -609,12 +609,15 @@ FROM events GROUP BY event_type
 # q19 — sessionization (batch form; gap > 30 min starts a new session).
 # lag + conditional-sum is the classic distributed sessionization: one
 # shuffle on user_id, no state. Streaming twin lives in streaming/.
-# Second-granularity via cast-to-long matches DuckDB floor(epoch()).
+# Second-granularity via unix_timestamp matches DuckDB floor(epoch())
+# and resolves for both TIMESTAMP and TIMESTAMP_NTZ source columns
+# (parquet without isAdjustedToUTC reads as NTZ under Spark 4's
+# inferTimestampNTZ default; cast-to-long is NTZ-illegal).
 # --------------------------------------------------------------------
 def q19_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.col("ts").cast("long")
+    secs = F.unix_timestamp(F.col("ts"))
     prev = F.lag(secs).over(w)
     new_session = F.when(prev.isNull() | ((secs - prev) > 1800), 1).otherwise(0)
     return (

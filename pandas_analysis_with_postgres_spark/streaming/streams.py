@@ -38,16 +38,67 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-#: Explicit file-source schema for events: streaming reads don't infer.
-#: ``ts`` arrives as nanos-since-epoch LONG (see sources.parquet — the
-#: fixture is Parquet TIMESTAMP(NANOS)) and is converted to a
-#: microsecond timestamp in `events_stream`.
-EVENTS_RAW_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+#: Explicit file-source schema for events: streaming reads don't
+#: infer. The ``{ts}`` slot is filled per-fixture by `_events_ts_kind`
+#: — the driver has shipped the fixture both as Parquet
+#: TIMESTAMP(NANOS) (readable only as nanos-since-epoch LONG under the
+#: legacy conf) and as TIMESTAMP(MICROS) without isAdjustedToUTC
+#: (which Spark 4 reads as TIMESTAMP_NTZ) — so the source layer
+#: introspects the footer instead of assuming either.
+EVENTS_RAW_SCHEMA_TPL = (
+    "event_id long, ts {ts}, user_id long, event_type string, "
     "value double, props string"
 )
 
 _memory_sink_ids = itertools.count()
+
+
+def _events_ts_kind(sample_file: str) -> str:
+    """Classify the fixture's physical ``ts`` encoding from the parquet
+    footer: 'nanos_long' (TIMESTAMP(NANOS) → legacy LONG read), 'ntz'
+    (no isAdjustedToUTC), or 'ltz'. Footer-only driver-side peek — no
+    data read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(sample_file).field("ts").type
+    if pa.types.is_timestamp(t):
+        if t.unit == "ns":
+            return "nanos_long"
+        return "ntz" if t.tz is None else "ltz"
+    return "nanos_long"
+
+
+def events_raw_schema_for(sample_file: str) -> str:
+    """Concrete file-source schema string for an events fixture file —
+    ``ts`` typed per the parquet footer (see `_events_ts_kind`)."""
+    kind = _events_ts_kind(sample_file)
+    ts_type = {"nanos_long": "long", "ntz": "timestamp_ntz", "ltz": "timestamp"}[kind]
+    return EVENTS_RAW_SCHEMA_TPL.format(ts=ts_type)
+
+
+def _read_events_stream(
+    spark: SparkSession, glob: str, sample_file: str, *, max_files: int | None = None
+) -> DataFrame:
+    """readStream the events fixture with the footer-appropriate schema
+    and normalize ``ts`` to TIMESTAMP (watermarks reject NTZ —
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The NTZ→LTZ cast interprets
+    wall time in the session zone and ``toPandas`` renders it back
+    through the same zone, so emitted values are wall-identical for any
+    session timezone (window *alignment* assumes a whole-hour offset;
+    the engine session pins UTC)."""
+    kind = _events_ts_kind(sample_file)
+    if kind == "nanos_long":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(events_raw_schema_for(sample_file))
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    raw = reader.parquet(glob)
+    if kind == "nanos_long":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if kind == "ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,9 +109,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be a Kafka source / a landing directory receiving files; the
     transformation surface downstream is identical.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.*")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _read_events_stream(
+        spark, f"{sf_dir}/events.*", f"{sf_dir}/events.parquet"
+    )
 
 
 def split_events_by_time(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
@@ -80,8 +131,13 @@ def split_events_by_time(spark: SparkSession, sf_dir: str, n_files: int = 3) -> 
     is cached per (sf_dir, n_files). Mtimes are spaced 2 s apart so the
     file source's oldest-first pickup order is deterministic.
     """
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    # Content fingerprint in the key: a regenerated fixture at the same
+    # path must invalidate the cached split (same-path stale /tmp data
+    # otherwise silently survives across driver rounds).
     key = hashlib.sha1(
-        f"{os.path.abspath(sf_dir)}|{n_files}".encode()
+        f"{os.path.abspath(sf_dir)}|{n_files}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
     out = Path(tempfile.gettempdir()) / f"spark_graft_events_split_{key}"
     marker = out / "_SPLIT_DONE"
@@ -89,7 +145,8 @@ def split_events_by_time(spark: SparkSession, sf_dir: str, n_files: int = 3) -> 
     if marker.exists():
         return glob
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if _events_ts_kind(src) == "nanos_long":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.orderBy("ts", "event_id")  # fixture-size single-task sort
     bucketed = raw.select(
@@ -122,12 +179,11 @@ def events_stream_multibatch(
     harness for stateful operators, where watermark advance and
     state-store handoff actually differ from a single-batch GROUP BY."""
     glob = split_events_by_time(spark, sf_dir, n_files)
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(glob)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Introspect a *split* file, not the source fixture: the split is
+    # written by a batch round-trip, so its physical ts encoding is
+    # whatever Spark wrote (NTZ stays NTZ; legacy nanos became LONG).
+    sample = str(next(Path(glob).parent.glob("events_*.parquet")))
+    return _read_events_stream(spark, glob, sample, max_files=1)
 
 
 def tumbling_window_counts(

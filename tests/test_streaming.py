@@ -86,7 +86,10 @@ def test_append_mode_emits_only_watermark_closed_windows(spark):
     batch = load_table(spark, SF_ORACLE, "events")
     wm = batch.agg(
         (
-            F.timestamp_millis((F.max("ts").cast("double") * 1000).cast("long"))
+            # unix_millis == ms-truncated event time; the cast-to-
+            # timestamp makes this NTZ/LTZ-agnostic (cast("double") is
+            # illegal on NTZ fixtures).
+            F.timestamp_millis(F.unix_millis(F.max("ts").cast("timestamp")))
             - F.expr("INTERVAL 10 MINUTES")
         ).alias("wm")
     ).first()["wm"]
@@ -149,12 +152,13 @@ def test_foreach_batch_checkpoint_resume_exactly_once(spark, tmp_path):
     import shutil
 
     from pandas_analysis_with_postgres_spark.streaming.streams import (
-        EVENTS_RAW_SCHEMA,
+        events_raw_schema_for,
         split_events_by_time,
     )
 
     files = sorted(globmod.glob(split_events_by_time(spark, SF_ORACLE, 3)))
     assert len(files) == 3
+    EVENTS_RAW_SCHEMA = events_raw_schema_for(files[0])
     landing = tmp_path / "landing"
     landing.mkdir()
     shutil.copy(files[0], landing / "events_000.parquet")
