@@ -111,3 +111,49 @@ def test_featurize_is_arrow_batched(spark):
     p = _plan(spark, "q35_media_features")
     assert "MapInPandas" in p
     assert "BatchEvalPython" not in p
+
+
+def _op_counts(plan: str) -> dict[str, int]:
+    """Physical-operator counts from the formatted plan's detail
+    section ("(N) OpName" lines) — the tree repeats each operator, so
+    raw substring counts double-count."""
+    import re
+    from collections import Counter
+
+    return Counter(re.findall(r"^\(\d+\) (\w+)", plan, flags=re.M))
+
+
+def test_q73_chunking_is_shuffle_free(spark):
+    """Chunking is embarrassingly parallel: explode + substring must
+    plan as a Generate with NO Exchange — cost scales with output
+    bytes, never with a shuffle of document text."""
+    p = _plan(spark, "q73_doc_chunks")
+    assert "Generate" in p
+    assert "Exchange" not in p, p
+
+
+def test_q74_rolling_window_single_shuffle(spark):
+    p = _plan(spark, "q74_rolling_spend")
+    assert _op_counts(p)["Exchange"] == 1, p
+    assert "SortMergeJoin" not in p
+
+
+def test_q82_funnel_windows_share_one_shuffle(spark):
+    """Sessionize + per-session windows + session groupBy all key on
+    user_id: Catalyst must reuse the single user_id hash partitioning
+    (one data Exchange; the second is the final 1-row global agg)."""
+    p = _plan(spark, "q82_session_funnel")
+    assert _op_counts(p)["Exchange"] == 2, p
+
+
+def test_q84_sequences_single_shuffle(spark):
+    p = _plan(spark, "q84_event_sequences")
+    assert _op_counts(p)["Exchange"] == 1, p
+
+
+def test_q85_bpe_rules_broadcast(spark):
+    """Each one-row merge rule joins in as a broadcast; the corpus is
+    never cartesian-replicated or shuffled for rule application."""
+    p = _plan(spark, "q85_bpe_encode")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
