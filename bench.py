@@ -74,6 +74,13 @@ EXTRA = (
     "q83_retention_cohorts",
     "q84_event_sequences",
     "q85_bpe_encode",
+    "q86_supply_pagerank",
+    "q87_event_transitions",
+    "q88_orders_profile",
+    "q89_fuzzy_token_pairs",
+    "q90_price_histogram_quantiles",
+    "q91_weighted_doc_sample",
+    "q92_grouping_sets",
 )
 
 

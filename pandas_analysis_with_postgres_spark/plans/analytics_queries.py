@@ -578,6 +578,420 @@ FROM events GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------
+# q86 — PageRank over the part↔supplier bipartite graph.
+# ---------------------------------------------------------------------
+
+
+def q86_supply_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (operators.graph) on the undirected
+    part↔supplier edges observed in lineitem: which parts/suppliers sit
+    at the densest crossroads of the supply network. Vertex ids encode
+    the bipartition (part→2k, supplier→2k+1) so the graph stays a pure
+    BIGINT edge list. The oracle unrolls the same 3 integer rounds."""
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    ranks = pagerank(edges)
+    return ranks.select(
+        "v",
+        F.when(F.col("v") % 2 == 0, F.lit("part"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        "rank",
+    )
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.graph import (
+        PAGERANK_DAMP_PCT,
+        PAGERANK_ROUNDS,
+        PAGERANK_SCALE,
+    )
+
+    base = (PAGERANK_SCALE * (100 - PAGERANK_DAMP_PCT)) // 100
+    ctes = [
+        """edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem
+    UNION
+    SELECT DISTINCT l_suppkey * 2 + 1, l_partkey * 2 FROM lineitem) u)""",
+        "deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT v, CAST({PAGERANK_SCALE} AS BIGINT) AS rank FROM deg)",
+    ]
+    for r in range(1, PAGERANK_ROUNDS + 1):
+        ctes.append(
+            f"""r{r} AS MATERIALIZED (
+  SELECT e.dst AS v,
+         CAST({base} + ({PAGERANK_DAMP_PCT} * SUM(p.rank // d.outdeg)) // 100 AS BIGINT) AS rank
+  FROM edges e
+  JOIN r{r - 1} p ON e.src = p.v
+  JOIN deg d ON d.v = e.src
+  GROUP BY e.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v, CASE WHEN v % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind, rank
+FROM r{PAGERANK_ROUNDS}
+"""
+    )
+
+
+Q86_SQL = _pagerank_oracle()
+
+
+# ---------------------------------------------------------------------
+# q87 — Markov transition matrix over event streams.
+# ---------------------------------------------------------------------
+
+
+def q87_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts + probabilities (the
+    first-order Markov model of user behavior). lag over the same
+    (user, time) order q19/q82 use, then one small groupBy; the
+    probability is one mirrored IEEE division over exact counts."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    pairs = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(total)).alias("p"),
+    )
+
+
+Q87_SQL = """
+WITH pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
+FROM counts
+"""
+
+
+# ---------------------------------------------------------------------
+# q88 — table profiler (per-column null/distinct/min/max).
+# ---------------------------------------------------------------------
+
+#: (column, repr kind): ints print as-is, doubles as exact cents,
+#: strings as themselves — every repr is deterministic text in both
+#: engines (raw double→string formatting is not, so it is never used).
+PROFILE_COLS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "cents"),
+    ("o_orderpriority", "str"),
+)
+
+
+def q88_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profile of orders: per column, null count, exact
+    distinct count, min/max (canonical text repr). Multiple exact
+    count(distinct)s in one aggregate plan via Catalyst's Expand —
+    one scan of the table, |cols| shuffled copies; for very wide
+    tables profile in column batches."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def rep(col: str, kind: str) -> F.Column:
+        c = F.col(col)
+        if kind == "cents":
+            return (c.cast("decimal(18,2)") * 100).cast("long").cast("string")
+        return c.cast("string")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for col, kind in PROFILE_COLS:
+        r = rep(col, kind)
+        aggs += [
+            F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__nulls"),
+            F.count_distinct(F.col(col)).alias(f"{col}__distinct"),
+            F.min(r).alias(f"{col}__min"),
+            F.max(r).alias(f"{col}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stacked = ", ".join(
+        f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
+        for col, _ in PROFILE_COLS
+    )
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stacked}) "
+            "AS (column, n_nulls, n_distinct, min_repr, max_repr)"
+        ),
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for col, kind in PROFILE_COLS:
+        r = (
+            f"CAST(CAST(CAST({col} AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR)"
+            if kind == "cents"
+            else f"CAST({col} AS VARCHAR)"
+        )
+        parts.append(
+            f"SELECT '{col}' AS column, COUNT(*) AS n_rows, "
+            f"CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+            f"COUNT(DISTINCT {col}) AS n_distinct, "
+            f"MIN({r}) AS min_repr, MAX({r}) AS max_repr FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+Q88_SQL = _profile_oracle()
+
+
+# ---------------------------------------------------------------------
+# q89 — edit-distance-1 token pairs (deletion-neighborhood join).
+# ---------------------------------------------------------------------
+
+#: Deletion-neighborhood blocking is exact for distance ≤ 1: two
+#: strings within one edit share a variant (a full string or a
+#: one-char deletion). Cap token length so the neighborhood fan-out
+#: stays bounded (len+1 variants per token).
+FUZZY_MAX_LEN = 12
+FUZZY_MIN_COUNT = 2
+
+
+def q89_fuzzy_token_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-duplicate tokens across the corpus: distinct
+    tokens → deletion neighborhoods → self-join on variant →
+    levenshtein ≤ 1 verify. The classic similarity-join shape: the
+    quadratic never materializes — candidates are only tokens sharing
+    a deletion variant, and the verify runs per candidate pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(
+            (F.length("tok").between(2, FUZZY_MAX_LEN))
+            & (F.col("n") >= FUZZY_MIN_COUNT)
+        )
+    )
+    variants = toks.select(
+        "tok",
+        F.explode(
+            F.array_union(
+                F.array(F.col("tok")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok")),
+                    lambda i: F.concat(
+                        F.substring(F.col("tok"), F.lit(1), i - 1),
+                        F.col("tok").substr(i + 1, F.length("tok")),
+                    ),
+                ),
+            )
+        ).alias("var"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.var") == F.col("b.var")) & (F.col("a.tok") < F.col("b.tok")))
+        .select(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein(F.col("tok_a"), F.col("tok_b")) <= 1
+    ).select("tok_a", "tok_b")
+
+
+Q89_SQL = f"""
+WITH toks AS (
+  SELECT tok, COUNT(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+  GROUP BY tok
+  HAVING length(tok) BETWEEN 2 AND {FUZZY_MAX_LEN} AND COUNT(*) >= {FUZZY_MIN_COUNT}
+), variants AS (
+  SELECT tok, unnest(list_distinct(list_append(
+    list_transform(generate_series(1, length(tok)),
+                   i -> substring(tok, 1, i - 1) || substring(tok, i + 1)),
+    tok))) AS var
+  FROM toks
+), cand AS (
+  SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+  FROM variants a JOIN variants b ON a.var = b.var AND a.tok < b.tok
+)
+SELECT tok_a, tok_b FROM cand WHERE levenshtein(tok_a, tok_b) <= 1
+"""
+
+
+# ---------------------------------------------------------------------
+# q90 — mergeable histogram sketch → approximate quantiles.
+# ---------------------------------------------------------------------
+
+#: Equi-width cent buckets for o_totalprice. A fixed binning is the
+#: simplest *mergeable* quantile sketch: partial bucket counts combine
+#: map-side like any sum, so the sketch costs one narrow aggregate at
+#: any scale (the exact-percentile q80 needs a per-group sort).
+HIST_BUCKET_CENTS = 5_000_00
+
+
+def q90_price_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate order-price quantiles from an equi-width histogram.
+
+    Bucket counts are exact integers; the p50/p90 estimates are the
+    lower edge of the first bucket whose cumulative count crosses the
+    target rank — integer arithmetic end-to-end, so the approximation
+    itself is hash-verified (same contract as the HLL/CMS sketches)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    hist = (
+        orders.select((F.floor(cents / F.lit(HIST_BUCKET_CENTS))).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = hist.select(
+        "bucket",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(tot).alias("total"),
+    )
+    q = lambda p: F.min(  # noqa: E731 — tiny local expression builder
+        F.when(
+            F.col("cum") * 100 >= F.col("total") * p,
+            F.col("bucket") * HIST_BUCKET_CENTS,
+        )
+    )
+    return cum.agg(
+        F.max("total").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        q(50).alias("p50_est_cents"),
+        q(90).alias("p90_est_cents"),
+    )
+
+
+Q90_SQL = f"""
+WITH hist AS (
+  SELECT CAST(FLOOR(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    AS DOUBLE) / {HIST_BUCKET_CENTS}) AS BIGINT) AS bucket,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT bucket, n,
+         CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER () AS BIGINT) AS total
+  FROM hist
+)
+SELECT MAX(total) AS n_rows, COUNT(*) AS n_buckets,
+       MIN(CASE WHEN cum * 100 >= total * 50 THEN bucket * {HIST_BUCKET_CENTS} END)
+         AS p50_est_cents,
+       MIN(CASE WHEN cum * 100 >= total * 90 THEN bucket * {HIST_BUCKET_CENTS} END)
+         AS p90_est_cents
+FROM cum
+"""
+
+
+# ---------------------------------------------------------------------
+# q91 — deterministic weighted sample (priority sampling).
+# ---------------------------------------------------------------------
+
+PRIORITY_K = 50
+
+
+def q91_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample of documents without RNG: priority =
+    hash(doc_id) / weight (weight = doc length), keep the k smallest.
+    The deterministic analog of weighted reservoir sampling — longer
+    documents are proportionally likelier to make the sample, results
+    are identical on re-run/backfill, and the top-k is a
+    TakeOrderedAndProject (no global sort materialized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(SAMPLE_MULT) + F.lit(17), F.lit(SAMPLE_MOD))
+    pri = (h.cast("double") + F.lit(1.0)) / F.col("n_chars").cast("double")
+    w = Window.orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", "n_chars", pri.alias("priority"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= PRIORITY_K)
+    )
+
+
+Q91_SQL = f"""
+SELECT doc_id, source, n_chars, priority, rn FROM (
+  SELECT doc_id, source, n_chars, priority,
+         CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS BIGINT) AS rn
+  FROM (
+    SELECT doc_id, source, n_chars,
+           (CAST((doc_id * {SAMPLE_MULT} + 17) % {SAMPLE_MOD} AS DOUBLE) + 1.0)
+             / CAST(n_chars AS DOUBLE) AS priority
+    FROM documents) t
+) r WHERE rn <= {PRIORITY_K}
+"""
+
+
+# ---------------------------------------------------------------------
+# q92 — GROUPING SETS (beyond q40's rollup / q41's cube).
+# ---------------------------------------------------------------------
+
+
+def q92_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-picked grouping sets — (status), (priority), (status,
+    priority), () — with grouping_id to tag each stratum. One Expand +
+    one aggregate: the N aggregations share a single scan/shuffle
+    instead of N plans. Spark exposes grouping sets via SQL."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        """
+    )
+
+
+Q92_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority), ())
+"""
+
+
 ANALYTICS_QUERIES = {
     "q73_doc_chunks": q73_doc_chunks,
     "q74_rolling_spend": q74_rolling_spend,
@@ -591,6 +1005,13 @@ ANALYTICS_QUERIES = {
     "q82_session_funnel": q82_session_funnel,
     "q83_retention_cohorts": q83_retention_cohorts,
     "q84_event_sequences": q84_event_sequences,
+    "q86_supply_pagerank": q86_supply_pagerank,
+    "q87_event_transitions": q87_event_transitions,
+    "q88_orders_profile": q88_orders_profile,
+    "q89_fuzzy_token_pairs": q89_fuzzy_token_pairs,
+    "q90_price_histogram_quantiles": q90_price_histogram_quantiles,
+    "q91_weighted_doc_sample": q91_weighted_doc_sample,
+    "q92_grouping_sets": q92_grouping_sets,
 }
 
 ANALYTICS_ORACLES = {
@@ -606,4 +1027,11 @@ ANALYTICS_ORACLES = {
     "q82_session_funnel": Q82_SQL,
     "q83_retention_cohorts": Q83_SQL,
     "q84_event_sequences": Q84_SQL,
+    "q86_supply_pagerank": Q86_SQL,
+    "q87_event_transitions": Q87_SQL,
+    "q88_orders_profile": Q88_SQL,
+    "q89_fuzzy_token_pairs": Q89_SQL,
+    "q90_price_histogram_quantiles": Q90_SQL,
+    "q91_weighted_doc_sample": Q91_SQL,
+    "q92_grouping_sets": Q92_SQL,
 }

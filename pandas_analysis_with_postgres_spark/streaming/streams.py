@@ -61,6 +61,10 @@ def _events_ts_kind(sample_file: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if os.path.isdir(sample_file):
+        # Spark-written "file" = directory of part files (e.g. the
+        # scale fixture); any part carries the table schema.
+        sample_file = str(next(Path(sample_file).glob("part-*.parquet")))
     t = pq.read_schema(sample_file).field("ts").type
     if pa.types.is_timestamp(t):
         if t.unit == "ns":

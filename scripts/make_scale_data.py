@@ -77,13 +77,10 @@ def main() -> None:
         )
     for name in SHIFT_COLS:
         df = replicate(spark, name, copies)
-        if name == "events":
-            # Preserve the fixture's physical contract: events.ts is
-            # nanos-since-epoch (load_table converted it to timestamp;
-            # the streaming splitter and loader both special-case the
-            # long form, while a Spark-written INT96 timestamp would
-            # break the stream source's explicit long schema).
-            df = df.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000))
+        # events.ts is written as whatever load_table yielded (NTZ
+        # micros for the current fixture) — the streaming source layer
+        # introspects the footer and adapts (streams._events_ts_kind),
+        # so no physical down-conversion is needed here.
         df.repartition(32).write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
         print(f"{name}: {df.count()} rows")
     spark.stop()

@@ -1,0 +1,79 @@
+"""Run the 10x scale smoke: time each smoke query at sf0.1 and at
+.scale/sf1 (built by make_scale_data.py), materializing via the noop
+sink exactly like bench.py, and print one JSON line with both timings
+and the ratio. Gate (recorded in SCALE_SMOKE.md): no query >10x its
+sf0.1 time without a named reason.
+
+Usage: python scripts/run_scale_smoke.py [names...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pandas_analysis_with_postgres_spark.plans import QUERIES  # noqa: E402
+from pandas_analysis_with_postgres_spark.session import get_spark  # noqa: E402
+
+#: Headline suite (round-over-round continuity) plus the heaviest of
+#: the round-2 additions — the shapes most likely to hide a
+#: fixture-size dependency.
+SMOKE = (
+    "q01_pricing_summary",
+    "q02_customer_profile",
+    "q03_latest_order_per_customer",
+    "q13_user_event_flags",
+    "q16_scd2",
+    "q19_user_sessions",
+    "q21_order_sequence_analytics",
+    "q22_dedup_exact",
+    "q24_minhash_dedup",
+    "q25_simhash",
+    "q27_cosine_topk",
+    "q28_lsh_topk",
+    "q30_text_stats",
+    "q36_stream_hourly_counts",
+    "q42_ivf_topk",
+    "q73_doc_chunks",
+    "q74_rolling_spend",
+    "q82_session_funnel",
+    "q84_event_sequences",
+    "q85_bpe_encode",
+    "q86_supply_pagerank",
+    "q89_fuzzy_token_pairs",
+)
+
+
+def main() -> None:
+    names = sys.argv[1:] or list(SMOKE)
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    big = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale/sf1"),
+    )
+    spark = get_spark("scale-smoke")
+    # Warm JIT/footers once per dataset.
+    for d in (base, big):
+        QUERIES["q01_pricing_summary"](spark, d).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    out: dict[str, dict[str, float]] = {}
+    for name in names:
+        row: dict[str, float] = {}
+        for label, d in (("sf0.1", base), ("sf1", big)):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, d).write.format("noop").mode("overwrite").save()
+            row[label] = round(time.perf_counter() - t0, 2)
+        row["ratio"] = round(row["sf1"] / row["sf0.1"], 1) if row["sf0.1"] else 0.0
+        out[name] = row
+        print(f"# {name}: {row}", file=sys.stderr, flush=True)
+    print(json.dumps({"smoke": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Unit tests for operators.graph.pagerank and operators.bpe encoding
+— hand-checkable fixtures, independent of the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pandas_analysis_with_postgres_spark.operators.bpe import (
+    apply_bpe_merges,
+    train_bpe_merges,
+)
+from pandas_analysis_with_postgres_spark.operators.graph import (
+    PAGERANK_SCALE,
+    pagerank,
+)
+
+
+def _expected_ranks(edges, rounds, scale=PAGERANK_SCALE, damp=85):
+    """Reference implementation of the integer PageRank recurrence."""
+    from collections import defaultdict
+
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    ranks = {v: scale for v in outdeg}
+    base = (scale * (100 - damp)) // 100
+    for _ in range(rounds):
+        s = defaultdict(int)
+        for u, v in edges:
+            s[v] += ranks[u] // outdeg[u]
+        ranks = {v: base + (damp * sv) // 100 for v, sv in s.items()}
+    return ranks
+
+
+def test_pagerank_matches_hand_computation(spark):
+    # Directed triangle plus a chord: 1→2, 2→3, 3→1, 1→3.
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.v: r.rank for r in pagerank(df, rounds=3).collect()}
+    assert got == _expected_ranks(edges, rounds=3)
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    # A symmetric cycle must stay exactly uniform at the fixpoint.
+    edges = [(i, (i + 1) % 4) for i in range(4)] + [
+        ((i + 1) % 4, i) for i in range(4)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r.rank for r in pagerank(df, rounds=2).collect()}
+    assert len(ranks) == 1
+
+
+def test_bpe_encode_merges_reduce_piece_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b a b a b"), (3, "c c c")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe_merges(docs, rounds=2)
+    enc = {r.doc_id: r for r in apply_bpe_merges(docs, merges, rounds=2).collect()}
+    # 'a b' is the most frequent pair → merged in round 1.
+    assert "a_b" in enc[1].encoded
+    # Piece counts never exceed the whitespace token count and shrink
+    # where merges fired.
+    assert enc[2].n_pieces < 6
+    # Reversing the join character reconstructs the original stream.
+    for row, text in ((enc[1], "a b a b c"), (enc[2], "a b a b a b"), (enc[3], "c c c")):
+        assert row.encoded.replace("_", " ") == text
+
+
+def test_bpe_encode_leftmost_nonoverlapping(spark):
+    # 'a a a' must encode to (a_a, a) — never the overlapping (a, a_a).
+    docs = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
+    merges = train_bpe_merges(docs, rounds=1)
+    got = apply_bpe_merges(docs, merges, rounds=1).collect()[0]
+    assert got.encoded == "a_a a"
+    assert got.n_pieces == 2
