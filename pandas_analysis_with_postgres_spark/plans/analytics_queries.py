@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
+from .timeutil import epoch_micros, epoch_seconds
 
 # ---------------------------------------------------------------------
 # q73 — document chunking (RAG / embedding prep).
@@ -87,7 +88,7 @@ def q74_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-    secs = F.unix_timestamp(F.col("o_orderdate"))
+    secs = epoch_seconds(F.col("o_orderdate"))
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(secs)
@@ -424,7 +425,7 @@ def q82_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; the single conversion ratio mirrors operand order."""
     events = load_table(spark, sf_dir, "events")
     base = events.select(
-        "user_id", "event_type", F.unix_timestamp(F.col("ts")).alias("s"), "event_id"
+        "user_id", "event_type", epoch_seconds(F.col("ts")).alias("s"), "event_id"
     )
     s = F.col("s")
     w_ord = Window.partitionBy("user_id").orderBy(s, "event_id")
@@ -554,7 +555,7 @@ def q84_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (epoch_micros, event_id): total order, so both engines emit the
     identical sequence."""
     events = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = epoch_micros(F.col("ts"))
     arr = F.array_sort(
         F.collect_list(F.struct(us.alias("us"), F.col("event_id").alias("eid"),
                                 F.col("event_type").alias("et")))
@@ -661,7 +662,7 @@ def q87_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability is one mirrored IEEE division over exact counts."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
-        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+        epoch_micros(F.col("ts")), "event_id"
     )
     pairs = (
         events.select(

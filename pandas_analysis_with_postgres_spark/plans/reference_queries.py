@@ -33,6 +33,7 @@ from ..operators.setops import except_all_on, union_by_name
 from ..operators.upsert import upsert
 from ..operators.windows import keep_first_dedup, top1_per_group
 from ..sources.parquet import load_table, register_views
+from .timeutil import epoch_seconds
 
 
 def _dec(col: str) -> F.Column:
@@ -617,7 +618,7 @@ FROM events GROUP BY event_type
 def q19_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.unix_timestamp(F.col("ts"))
+    secs = epoch_seconds(F.col("ts"))
     prev = F.lag(secs).over(w)
     new_session = F.when(prev.isNull() | ((secs - prev) > 1800), 1).otherwise(0)
     return (
