@@ -81,6 +81,7 @@ EXTRA = (
     "q90_price_histogram_quantiles",
     "q91_weighted_doc_sample",
     "q92_grouping_sets",
+    "q93_stream_enrich",
 )
 
 

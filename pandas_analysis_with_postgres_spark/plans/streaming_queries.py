@@ -279,6 +279,40 @@ FROM est
 Q72_SQL = _q72_oracle()
 
 
+def q93_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless map-only streaming transform — the highest-throughput
+    streaming shape (no watermark, no state store, no shuffle: each
+    micro-batch is a pure projection, so executors scale linearly).
+    Per event: cents quantization, hour-of-day, JSON prop extraction.
+    Append mode with no aggregation emits every row exactly once
+    regardless of how the replay is batched, so the oracle is the
+    identical batch projection."""
+    from .timeutil import epoch_seconds
+
+    stream = events_stream_multibatch(spark, sf_dir)
+    return run_available_now(
+        stream.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            ((epoch_seconds(F.col("ts")) % 86400) / F.lit(3600))
+            .cast("long")
+            .alias("hour_utc"),
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        )
+    )
+
+
+Q93_SQL = """
+SELECT event_id, user_id, event_type,
+       CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+       CAST((CAST(FLOOR(epoch(ts)) AS BIGINT) % 86400) // 3600 AS BIGINT) AS hour_utc,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+"""
+
+
 STREAMING_QUERIES = {
     "q36_stream_hourly_counts": q36_stream_hourly_counts,
     "q37_stream_sessions": q37_stream_sessions,
@@ -288,6 +322,7 @@ STREAMING_QUERIES = {
     "q55_stream_enriched_counts": q55_stream_enriched_counts,
     "q56_stream_stream_join": q56_stream_stream_join,
     "q72_stream_hll_users": q72_stream_hll_users,
+    "q93_stream_enrich": q93_stream_enrich,
 }
 
 STREAMING_ORACLES = {
@@ -299,4 +334,5 @@ STREAMING_ORACLES = {
     "q55_stream_enriched_counts": Q55_SQL,
     "q56_stream_stream_join": Q56_SQL,
     "q72_stream_hll_users": Q72_SQL,
+    "q93_stream_enrich": Q93_SQL,
 }
