@@ -82,6 +82,7 @@ EXTRA = (
     "q91_weighted_doc_sample",
     "q92_grouping_sets",
     "q93_stream_enrich",
+    "q94_user_median_py",
 )
 
 

@@ -993,6 +993,33 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
 """
 
 
+# ---------------------------------------------------------------------
+# q94 — grouped custom Python (applyInPandas).
+# ---------------------------------------------------------------------
+
+
+def q94_user_median_py(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median event value per (event_type, day) via ``applyInPandas``
+    — the batch grouped-Python surface (operators/py_grouped.py).
+    Declared Python crossing: exempted by name from the no-Python plan
+    pin, which still guards every OTHER oracled query. The op is an
+    integer median, so the Arrow round-trip stays hash-exact vs the
+    SQL oracle; the key is medium-cardinality by design (see the
+    operator docstring for why that is the whole story)."""
+    from ..operators.py_grouped import grouped_median_cents
+
+    return grouped_median_cents(load_table(spark, sf_dir, "events"))
+
+
+Q94_SQL = """
+SELECT event_type,
+       CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+       COUNT(*) AS n_events,
+       median(CAST(FLOOR(value * 100) AS BIGINT)) AS median_cents
+FROM events GROUP BY 1, 2
+"""
+
+
 ANALYTICS_QUERIES = {
     "q73_doc_chunks": q73_doc_chunks,
     "q74_rolling_spend": q74_rolling_spend,
@@ -1013,6 +1040,7 @@ ANALYTICS_QUERIES = {
     "q90_price_histogram_quantiles": q90_price_histogram_quantiles,
     "q91_weighted_doc_sample": q91_weighted_doc_sample,
     "q92_grouping_sets": q92_grouping_sets,
+    "q94_user_median_py": q94_user_median_py,
 }
 
 ANALYTICS_ORACLES = {
@@ -1035,4 +1063,5 @@ ANALYTICS_ORACLES = {
     "q90_price_histogram_quantiles": Q90_SQL,
     "q91_weighted_doc_sample": Q91_SQL,
     "q92_grouping_sets": Q92_SQL,
+    "q94_user_median_py": Q94_SQL,
 }

@@ -93,13 +93,25 @@ def test_q50_range_join_not_nested_loop(spark):
     assert "CartesianProduct" not in p, p
 
 
+#: Declared Python crossings: the grouped-Pandas surface demonstrator.
+#: Everything else oracled must stay JVM-side.
+DECLARED_PYTHON = {"q94_user_median_py"}
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_no_python_row_eval_in_oracled_queries(spark, name):
-    """Every hash-verified query stays JVM-side end-to-end."""
+    """Every hash-verified query stays JVM-side end-to-end (except the
+    explicitly declared grouped-Python surface, which must still never
+    be row-at-a-time)."""
     if name.startswith(("q36", "q37", "q38", "q39")):
         pytest.skip("streaming plans are checked at runtime, not explain")
     p = _plan(spark, name)
     assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time Python UDF"
+    if name in DECLARED_PYTHON:
+        assert "FlatMapGroupsInPandas" in p or "ArrowEvalPython" in p, (
+            f"{name} is declared Arrow-batched Python but plans otherwise"
+        )
+        return
     assert "ArrowEvalPython" not in p and "MapInPandas" not in p, (
         f"{name} unexpectedly crosses into Python"
     )
