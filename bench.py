@@ -83,6 +83,8 @@ EXTRA = (
     "q92_grouping_sets",
     "q93_stream_enrich",
     "q94_user_median_py",
+    "q95_bloom_join_revenue",
+    "q96_order_value_spread",
 )
 
 

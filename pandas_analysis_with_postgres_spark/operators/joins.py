@@ -261,3 +261,57 @@ def cross_join_defaults(df: DataFrame, defaults: DataFrame) -> DataFrame:
     broadcasting makes the cross join a map-side operation.
     """
     return df.crossJoin(F.broadcast(defaults))
+
+
+def bloom_prefiltered_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+) -> DataFrame:
+    """Inner join with a Bloom-filter prefilter on the big side.
+
+    The scale trick for joining a huge fact stream against a selective
+    small side: build the ≤m-row bit-position frame from the small
+    side's keys (`sketches.bloom_build`), broadcast it, and drop big-
+    side rows that cannot match BEFORE the join shuffles them (one
+    LEFT SEMI join per hash position — a row survives iff every
+    position is set). False positives merely ride through to the exact
+    join (which discards them); false negatives are impossible, so the
+    result is exactly the plain inner join — only the shuffled volume
+    changes. The manual, composable analog of runtime row-filter
+    pushdown; worth it when the small side is selective (≲ a few % of
+    big-side keys survive) and the big side would otherwise shuffle
+    terabytes.
+
+    Two load-bearing plan details, both measured at sf0.1:
+
+    - The positions frame is ``localCheckpoint``-ed: the K broadcast
+      subtrees carry per-position aliases, so ReuseExchange does not
+      collapse them and the build would otherwise re-execute K times.
+      The frame is ≤m rows, so eager materialization is the cluster
+      "build once, broadcast everywhere" shape.
+    - The mixed hash sits behind a nondeterministic no-op barrier
+      (``shuffle(array(h))[0]`` — one element, value unchanged).
+      Without it, the semi joins' inferred isnotnull constraints
+      substitute the full mixer chain into the scan filter K times;
+      the resulting expression overruns codegen and the probe runs
+      interpreted (6.5 s vs 1.6 s for the identical result). The
+      barrier stops constraint pushdown at the projection, which is
+      exactly where the work should sit.
+    """
+    from .sketches import _bloom_positions_from_mixed, bloom_build, strong_mix
+
+    bloom = bloom_build(small.select(small_key), small_key).localCheckpoint()
+    pre = big.withColumn(
+        "__h", F.shuffle(F.array(strong_mix(F.col(big_key))))[0]
+    )
+    positions = _bloom_positions_from_mixed(F.col("__h"))
+    for j, c in enumerate(positions):
+        pre = pre.withColumn(f"__p{j}", c).join(
+            F.broadcast(bloom.select(F.col("pos").alias(f"__p{j}"))),
+            f"__p{j}",
+            "left_semi",
+        )
+    pre = pre.drop("__h", *[f"__p{j}" for j in range(len(positions))])
+    return pre.join(small, pre[big_key] == small[small_key])

@@ -1020,6 +1020,113 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------
+# q95 — bloom-prefiltered join (runtime-filter analog).
+# ---------------------------------------------------------------------
+
+#: Selective threshold: only high-value orders join back to lineitem.
+BIG_ORDER_CENTS = 450_000_00
+
+
+def q95_bloom_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup of lineitems belonging to high-value orders,
+    joined via `bloom_prefiltered_join`: the small side's keys become
+    a ≤m-row broadcast bit frame that drops non-matching lineitems
+    before the join shuffle. False positives are discarded by the
+    exact join, so the result is identical to the plain inner join —
+    which is exactly what the oracle computes."""
+    from ..operators.joins import bloom_prefiltered_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    big_orders = orders.select(
+        "o_orderkey", "o_orderpriority", cents.alias("order_cents")
+    ).filter(F.col("order_cents") > BIG_ORDER_CENTS)
+    joined = bloom_prefiltered_join(
+        li.select("l_orderkey", "l_extendedprice"),
+        big_orders,
+        "l_orderkey",
+        "o_orderkey",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.count_distinct("o_orderkey").alias("n_orders"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+Q95_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lineitems,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > {BIG_ORDER_CENTS}
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------
+# q96 — frame-spanning window functions (first/last/nth value).
+# ---------------------------------------------------------------------
+
+
+def q96_order_value_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer: first, latest, and second order price over the
+    full partition frame (first_value / last_value / nth_value with an
+    unbounded ROWS frame — the window shapes q03/q21 don't cover).
+    Unique (date, orderkey) ordering makes every value deterministic;
+    one row per customer via the row_number idiom on the same
+    partitioning, so the whole query is a single shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate", cents.alias("cents")
+    )
+    order_cols = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seq = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    return (
+        base.select(
+            "o_custkey",
+            F.first("cents").over(full).alias("first_cents"),
+            F.last("cents").over(full).alias("last_cents"),
+            F.nth_value("cents", 2).over(full).alias("second_cents"),
+            F.count(F.lit(1)).over(full).alias("n_orders"),
+            F.row_number().over(seq).alias("__rn"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+Q96_SQL = """
+SELECT o_custkey, first_cents, last_cents, second_cents, n_orders FROM (
+  SELECT o_custkey,
+         FIRST_VALUE(cents) OVER w AS first_cents,
+         LAST_VALUE(cents) OVER w AS last_cents,
+         NTH_VALUE(cents, 2) OVER w AS second_cents,
+         COUNT(*) OVER w AS n_orders,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders)
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+) t WHERE rn = 1
+"""
+
+
 ANALYTICS_QUERIES = {
     "q73_doc_chunks": q73_doc_chunks,
     "q74_rolling_spend": q74_rolling_spend,
@@ -1041,6 +1148,8 @@ ANALYTICS_QUERIES = {
     "q91_weighted_doc_sample": q91_weighted_doc_sample,
     "q92_grouping_sets": q92_grouping_sets,
     "q94_user_median_py": q94_user_median_py,
+    "q95_bloom_join_revenue": q95_bloom_join_revenue,
+    "q96_order_value_spread": q96_order_value_spread,
 }
 
 ANALYTICS_ORACLES = {
@@ -1064,4 +1173,6 @@ ANALYTICS_ORACLES = {
     "q91_weighted_doc_sample": Q91_SQL,
     "q92_grouping_sets": Q92_SQL,
     "q94_user_median_py": Q94_SQL,
+    "q95_bloom_join_revenue": Q95_SQL,
+    "q96_order_value_spread": Q96_SQL,
 }

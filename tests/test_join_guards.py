@@ -129,3 +129,43 @@ def test_token_value_clamped_for_adversarial_tokens(spark):
     assert all(0 <= v < TOKEN_BASE for v in vals), vals
     # ASCII short tokens are unaffected by the clamp (identity).
     assert vals[2] == ord("p") * 256 + 5
+
+
+def test_bloom_prefiltered_join_equals_plain_join(spark):
+    """The bloom prefilter must change only shuffled volume, never the
+    result: exact equality with the plain inner join, and the
+    prefilter must actually drop rows for a selective small side."""
+    from pyspark.sql import functions as F
+
+    from pandas_analysis_with_postgres_spark.operators.joins import (
+        bloom_prefiltered_join,
+    )
+    from pandas_analysis_with_postgres_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+    from pandas_analysis_with_postgres_spark.sources.parquet import load_table
+
+    from .conftest import SF_ORACLE
+
+    li = load_table(spark, SF_ORACLE, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    small = (
+        load_table(spark, SF_ORACLE, "orders")
+        .filter(F.col("o_totalprice") > 450_000)
+        .select("o_orderkey")
+    )
+    got = bloom_prefiltered_join(li, small, "l_orderkey", "o_orderkey")
+    want = li.join(small, li.l_orderkey == small.o_orderkey)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    survivors = (
+        bloom_probe(li, "l_orderkey", bloom_build(small, "o_orderkey"))
+        .filter(F.col("in_bloom"))
+        .count()
+    )
+    assert survivors < li.count() * 0.5, (
+        "prefilter dropped almost nothing for a selective small side"
+    )
