@@ -45,6 +45,7 @@ SMOKE = (
     "q85_bpe_encode",
     "q86_supply_pagerank",
     "q89_fuzzy_token_pairs",
+    "q95_bloom_join_revenue",
 )
 
 
