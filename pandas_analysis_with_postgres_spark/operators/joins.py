@@ -268,6 +268,8 @@ def bloom_prefiltered_join(
     small: DataFrame,
     big_key: str,
     small_key: str,
+    *,
+    num_bits: int = 1 << 20,
 ) -> DataFrame:
     """Inner join with a Bloom-filter prefilter on the big side.
 
@@ -302,11 +304,18 @@ def bloom_prefiltered_join(
     """
     from .sketches import _bloom_positions_from_mixed, bloom_build, strong_mix
 
-    bloom = bloom_build(small.select(small_key), small_key).localCheckpoint()
+    # num_bits sizes the filter: FPR ≈ (set-bits/m)^K, so pick
+    # ~10 bits per expected small-side key (the 1M-bit default holds
+    # ~100k keys at low FPR; a saturated filter stays correct but
+    # stops dropping rows). The positions frame is ≤m rows of one int
+    # — broadcastable at any reasonable m.
+    bloom = bloom_build(
+        small.select(small_key), small_key, m=num_bits
+    ).localCheckpoint()
     pre = big.withColumn(
         "__h", F.shuffle(F.array(strong_mix(F.col(big_key))))[0]
     )
-    positions = _bloom_positions_from_mixed(F.col("__h"))
+    positions = _bloom_positions_from_mixed(F.col("__h"), num_bits)
     for j, c in enumerate(positions):
         pre = pre.withColumn(f"__p{j}", c).join(
             F.broadcast(bloom.select(F.col("pos").alias(f"__p{j}"))),

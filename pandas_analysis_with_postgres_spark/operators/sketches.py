@@ -220,29 +220,35 @@ BLOOM_M = 1 << 16
 BLOOM_K = 3
 
 
-def _bloom_positions_from_mixed(h: Column) -> list[Column]:
+def _bloom_positions_from_mixed(h: Column, m: int = BLOOM_M) -> list[Column]:
     """K bit positions derived from an already-strong-mixed hash by one
     universal round each — cheap, and independent enough once the input
-    is well mixed."""
+    is well mixed. ``m`` must match between build and probe; the
+    oracle generators replay the BLOOM_M default."""
     return [
-        (_mix(h, *HASH_ROWS[j]) % F.lit(BLOOM_M)).alias(f"bp{j}")
+        (_mix(h, *HASH_ROWS[j]) % F.lit(m)).alias(f"bp{j}")
         for j in range(BLOOM_K)
     ]
 
 
-def bloom_build(df: DataFrame, value_col: str) -> DataFrame:
+def bloom_build(df: DataFrame, value_col: str, *, m: int = BLOOM_M) -> DataFrame:
     """Distinct set bit positions for a member-value frame → (pos).
 
-    This *is* the filter: at most BLOOM_M rows of one int — a few
+    This *is* the filter: at most ``m`` rows of one int — a few
     hundred KB broadcast no matter how large the member set was. The
     build is explode-distinct: map-side combinable, output bounded by
     m. The strong mix lands in its own projection so the three
     position expressions read a bound column, not three inlined copies
     of the mixer.
+
+    Size ``m`` to the member-set cardinality: FPR ≈ (fill)^K with
+    fill = set-bits/m, so a filter loaded past ~50% stops paying for
+    itself (still correct — callers like `bloom_prefiltered_join`
+    discard false positives — just no longer selective).
     """
     staged = df.select(strong_mix(F.col(value_col)).alias("__h"))
     pos = F.explode(
-        F.array(*_bloom_positions_from_mixed(F.col("__h")))
+        F.array(*_bloom_positions_from_mixed(F.col("__h"), m))
     ).alias("pos")
     return staged.select(pos).distinct()
 
