@@ -38,6 +38,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 5,
+    salt_partitions: int = 8,
 ) -> DataFrame:
     """Bounded-round integer PageRank over a directed edge list.
 
@@ -49,7 +50,17 @@ def pagerank(
 
     Returns (v, rank) after ``rounds`` rounds. Each round:
     broadcast-or-shuffle join ranks→edges on src, aggregate on dst —
-    one shuffle per round. Lineage is truncated every
+    one shuffle per round.
+
+    Skew guard: the per-round dst aggregate is **two-stage salted** —
+    partial ``SUM`` on ``(dst, hash(src) mod salt_partitions)``, then
+    final ``SUM`` on ``dst``. A power-law hub vertex (one dst holding
+    30%+ of |E|) therefore lands on ``salt_partitions`` reducers in the
+    wide stage and contributes ≤ ``salt_partitions`` pre-summed rows to
+    the final stage, instead of funnelling its whole in-edge set
+    through one task. Integer SUM is associative, so the result (and
+    the oracle hash) is unchanged; ``salt_partitions=1`` degrades to
+    the plain single-stage aggregate. Lineage is truncated every
     ``checkpoint_every`` rounds: a bounded 3-round run stays ONE lazy
     plan (a per-round localCheckpoint forces a full materialization
     each round — measured 37.7 s → checkpoint-free equivalent for the
@@ -67,9 +78,24 @@ def pagerank(
         per_src = ranks.join(deg, "v").select(
             F.col("v").alias("__u"), F.expr("rank div outdeg").alias("c")
         )
+        contrib = edges.join(per_src, edges[src] == F.col("__u"))
+        if salt_partitions > 1:
+            # Stage 1: spread each dst's in-edges over salt_partitions
+            # reducers (salt from src → deterministic, evenly spread).
+            contrib = (
+                contrib.groupBy(
+                    F.col(dst).alias("v"),
+                    F.pmod(F.xxhash64(F.col(src)), F.lit(salt_partitions)).alias(
+                        "__salt"
+                    ),
+                )
+                .agg(F.sum("c").alias("c"))
+                .select("v", "c")
+            )
+        else:
+            contrib = contrib.select(F.col(dst).alias("v"), "c")
         ranks = (
-            edges.join(per_src, edges[src] == F.col("__u"))
-            .groupBy(F.col(dst).alias("v"))
+            contrib.groupBy("v")
             .agg(F.sum("c").alias("s"))
             .select(
                 "v",

@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 
 from ..streaming import (
     dedup_within_watermark,
-    events_stream,
     events_stream_multibatch,
     run_available_now,
     session_window_agg,
@@ -63,8 +62,13 @@ HAVING window_end <= {_WM}
 
 
 def q37_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows over a ≥3-micro-batch replay: session state
+    (open sessions) carries across micro-batches and closes when the
+    advancing watermark passes session end; the time-ordered split
+    never produces a late event, so the final append output equals the
+    single-batch sessionization the oracle replays."""
     return run_available_now(
-        session_window_agg(events_stream(spark, sf_dir))
+        session_window_agg(events_stream_multibatch(spark, sf_dir))
     )
 
 
@@ -101,8 +105,8 @@ def q38_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate the stream (union with a second subscription of the
     same source) and dedup statefully: every event must come out
     exactly once."""
-    a = events_stream(spark, sf_dir)
-    b = events_stream(spark, sf_dir)
+    a = events_stream_multibatch(spark, sf_dir)
+    b = events_stream_multibatch(spark, sf_dir)
     deduped = dedup_within_watermark(a.union(b), ["event_id"])
     out = run_available_now(deduped)
     return out.select("event_id", "ts", "user_id", "event_type", "value")
@@ -112,8 +116,11 @@ Q38_SQL = "SELECT event_id, ts, user_id, event_type, value FROM events"
 
 
 def q39_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows over a ≥3-micro-batch replay (same emission
+    argument as q36 — each event lands in 2 overlapping windows, and
+    windows close incrementally as the per-batch watermark advances)."""
     return run_available_now(
-        sliding_window_counts(events_stream(spark, sf_dir))
+        sliding_window_counts(events_stream_multibatch(spark, sf_dir))
     )
 
 

@@ -339,6 +339,7 @@ def run_available_now(
     output_mode: str = "append",
     timeout_sec: int = 300,
     progress_out: list[int] | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a finite stream to completion into an in-memory table and
     return it as a batch DataFrame.
@@ -347,19 +348,40 @@ def run_available_now(
     collects to the driver. Production sinks are ``foreachBatch`` (see
     below), Kafka, or a table format — same plan, different sink.
 
+    ``state_partitions`` bounds the stream's shuffle/state partition
+    count for this drain (restored afterwards). Stateful operators pay
+    a fixed per-state-store per-micro-batch commit cost — a
+    stream-stream join keeps FOUR stores per partition, so draining the
+    tiny fixture at 32 partitions is ~5× slower than at 8 for identical
+    output (measured: q56 20.6 s → 4.2 s). The partition count is
+    sized by live state volume, a deployment knob: an unbounded
+    production stream with wide key spaces raises it (it is fixed at
+    first start by the checkpoint); the finite harness fixture wants it
+    small. Default 8, env-overridable.
+
     ``progress_out``, if given, receives ``numInputRows`` per non-empty
     micro-batch — how tests pin that a multi-file source really
     executed multiple batches.
     """
+    spark = df.sparkSession
+    if state_partitions is None:
+        state_partitions = int(
+            os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+        )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"__stream_result_{next(_memory_sink_ids)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if progress_out is not None:
         for p in q.recentProgress:
             rows = p["numInputRows"] if isinstance(p, dict) else p.numInputRows

@@ -50,6 +50,25 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     assert len(ranks) == 1
 
 
+def test_pagerank_salted_aggregate_is_result_identical_and_two_stage(spark):
+    # Skewed star: hub vertex 99 receives edges from 50 spokes (plus a
+    # back-edge so every vertex has outdegree ≥ 1).
+    edges = [(i, 99) for i in range(50)] + [(99, 0)] + [(i, i + 1) for i in range(49)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    salted = pagerank(df, rounds=2, salt_partitions=8)
+    plain = pagerank(df, rounds=2, salt_partitions=1)
+    assert {(r.v, r.rank) for r in salted.collect()} == {
+        (r.v, r.rank) for r in plain.collect()
+    }
+    assert {r.v: r.rank for r in salted.collect()} == _expected_ranks(edges, rounds=2)
+    # Plan pin: the salted variant pre-aggregates on (v, __salt) before
+    # the final per-v SUM; the plain variant never mentions the salt.
+    salted_plan = salted._jdf.queryExecution().optimizedPlan().toString()
+    plain_plan = plain._jdf.queryExecution().optimizedPlan().toString()
+    assert "pmod(xxhash64" in salted_plan
+    assert "pmod(xxhash64" not in plain_plan
+
+
 def test_bpe_encode_merges_reduce_piece_count(spark):
     docs = spark.createDataFrame(
         [(1, "a b a b c"), (2, "a b a b a b"), (3, "c c c")],
