@@ -136,37 +136,38 @@ def apply_bpe_merges(
 
     Applies each round's rule in training order via the same padded
     literal-replace trick — so encoding is byte-for-byte the corpus
-    transform training performed. Each rule is one row, broadcast in;
-    the chain is ``rounds`` narrow map stages over the corpus — no
-    shuffle, embarrassingly parallel, and (unlike training) no
-    per-round materialization barrier is needed since nothing is
-    re-aggregated between rounds.
+    transform training performed. The rules are a *model artifact* of
+    at most ``rounds`` rows, so they are fetched to the driver once and
+    inlined as literal patterns: the chain is then ``rounds`` narrow
+    map stages over the corpus with ZERO joins — no shuffle,
+    embarrassingly parallel. (The previous per-round crossJoin form
+    silently dropped every document when a round had no learned rule —
+    a degenerate corpus edge; missing rounds are now simply skipped,
+    which matches the oracle's empty-subquery NULL-keep semantics.)
 
     Returns (id_col, n_pieces, encoded): piece count and the
     single-space encoded token stream.
     """
-    cur = docs.select(
-        F.col(id_col),
-        F.concat(
-            F.lit(" "),
-            F.regexp_replace(F.col(text_col), " ", "  "),
-            F.lit(" "),
-        ).alias("t"),
+    rules = {
+        int(r["round"]): (r["w1"], r["w2"])
+        for r in merges.select("round", "w1", "w2").collect()
+        if r["w1"] is not None and r["w2"] is not None
+    }
+    t = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.col(text_col), " ", "  "),
+        F.lit(" "),
     )
     for r in range(1, rounds + 1):
-        rule = merges.filter(F.col("round") == r).select("w1", "w2")
-        cur = cur.crossJoin(F.broadcast(rule)).select(
-            F.col(id_col),
-            F.regexp_replace(
-                F.col("t"),
-                F.concat(
-                    F.lit(" "), F.col("w1"), F.lit("  "), F.col("w2"), F.lit(" ")
-                ),
-                F.concat(
-                    F.lit(" "), F.col("w1"), F.lit(BPE_JOIN), F.col("w2"), F.lit(" ")
-                ),
-            ).alias("t"),
+        if r not in rules:  # degenerate corpus: no pair left that round
+            continue
+        w1, w2 = rules[r]
+        t = F.regexp_replace(
+            t,
+            F.lit(f" {w1}  {w2} "),
+            F.lit(f" {w1}{BPE_JOIN}{w2} "),
         )
+    cur = docs.select(F.col(id_col), t.alias("t"))
     trimmed = F.trim(F.col("t"))
     return cur.select(
         F.col(id_col),

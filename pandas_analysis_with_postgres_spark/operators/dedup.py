@@ -238,11 +238,16 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    # String shingles (collision-free — the exact operator must not
+    # inherit token_value's 2^15 clamp collisions), staged in two
+    # projections + guarded explode so the tokenize pipeline is never
+    # re-inlined into the Generate (see _with_shingle_values /
+    # guarded_explode for the measured 10× codegen effect).
     sh = docs.select(
         F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("__toks")
     ).select(
-        "doc_id", F.explode(_shingles_from_toks(F.col("__toks"), n)).alias("sh")
-    )
+        "doc_id", _shingles_from_toks(F.col("__toks"), n).alias("__sh")
+    ).select("doc_id", guarded_explode("__sh").alias("sh"))
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
