@@ -116,6 +116,25 @@ def sample_frames(media: DataFrame, *, max_frames: int = 4) -> DataFrame:
     )
 
 
+def media_checksums(media: DataFrame) -> DataFrame:
+    """The deterministic, oracle-able half of `featurize_media`: byte
+    length, SHA-256 payload checksum, and metadata-derived frame count
+    — all Catalyst, no Python. Splitting this out shrinks the
+    engine's unverifiable surface to `_decode_stub` itself: everything
+    the featurize path computes *about* the blob (rather than from its
+    decoded pixels) is hash-verified against SQL.
+    """
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+        F.sha2(F.col("payload"), 256).alias("sha256_hex"),
+        F.greatest(F.floor(F.octet_length("payload") / 256), F.lit(1))
+        .cast("long")
+        .alias("n_frames"),
+    )
+
+
 def media_metadata(media: DataFrame) -> DataFrame:
     """Pure-SQL metadata over binary payloads (no Python): byte length
     and fake frame count. The oracle-able subset of the media path."""

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.parquet import overwrite_partitions
+from ..sources.parquet import atomic_overwrite_partitions, recover_partition_swaps
 from .windows import keep_first_dedup
 
 
@@ -129,6 +129,10 @@ def upsert_partitioned(
         raise ValueError(
             f"staged delta must carry partition column {partition_col!r}"
         )
+    # Roll forward any interrupted previous run before reading: a crash
+    # between partition swaps must never feed a missing partition into
+    # this recomputation (see sources.parquet.atomic_overwrite_partitions).
+    recover_partition_swaps(path)
     dim = spark.read.parquet(path)
     affected = staged.select(partition_col).distinct()
     current = dim.join(F.broadcast(affected), partition_col, "left_semi")
@@ -140,11 +144,9 @@ def upsert_partitioned(
         stamp=stamp,
         dedup_order_by=dedup_order_by,
     )
-    # Spark refuses to overwrite a path that appears as a source in the
-    # same plan ("Cannot overwrite a path that is also being read
-    # from"), so the recomputed partitions are materialized first.
-    # localCheckpoint holds only the delta-touched partitions (executor
-    # memory/disk) — a cluster deployment with a checkpoint dir would
-    # use reliable checkpoint() or a snapshot-dir swap instead.
-    out = out.localCheckpoint(eager=True)
-    overwrite_partitions(out, path, partition_col)
+    # The staged write goes to a sibling directory, so the
+    # read-overwrite conflict Spark guards against never arises, and a
+    # crashed run can only leave (a) an unreferenced staging dir or
+    # (b) a journaled partial swap that the recovery call above — or
+    # any later reader calling recover_partition_swaps — rolls forward.
+    atomic_overwrite_partitions(out, path, partition_col)

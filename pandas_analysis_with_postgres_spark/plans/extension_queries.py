@@ -1843,9 +1843,33 @@ Q85_SQL = _bpe_encode_oracle()
 
 def q35_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas featurize path — not SQL-expressible (Arrow-batched
-    Python decode stub); driver records a rows-only check."""
+    Python decode stub); driver records a rows-only check. The
+    deterministic half of the same path is hash-verified as
+    q35a_media_checksum, so the unverified surface is exactly
+    `_decode_stub`."""
     docs = load_table(spark, sf_dir, "documents")
     return featurize_media(attach_binary_payload(docs))
+
+
+def q35a_media_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic half of the media featurize path, split out so it
+    is hash-verified (operators.multimodal.media_checksums): payload
+    byte length, SHA-256 checksum, metadata frame count — all
+    Catalyst over the binary column, no Python."""
+    from ..operators.multimodal import media_checksums
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_checksums(attach_binary_payload(docs))
+
+
+Q35A_SQL = """
+SELECT doc_id,
+       'fake/blob' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       sha256(text) AS sha256_hex,
+       CAST(greatest(octet_length(encode(text)) // 256, 1) AS BIGINT) AS n_frames
+FROM documents
+"""
 
 
 EXTENSION_QUERIES = {
@@ -1863,6 +1887,7 @@ EXTENSION_QUERIES = {
     "q33_token_count_by_source": q33_token_count_by_source,
     "q34_media_metadata": q34_media_metadata,
     "q35_media_features": q35_media_features,
+    "q35a_media_checksum": q35a_media_checksum,
     "q42_ivf_topk": q42_ivf_topk,
     "q46_top_tokens": q46_top_tokens,
     "q49_dedup_keep": q49_dedup_keep,
@@ -1900,6 +1925,7 @@ EXTENSION_ORACLES = {
     "q32_lang_id": Q32_SQL,
     "q33_token_count_by_source": Q33_SQL,
     "q34_media_metadata": Q34_SQL,
+    "q35a_media_checksum": Q35A_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -12,6 +12,8 @@ Postgres deployment, see ``sources.jdbc``.
 from __future__ import annotations
 
 import os
+import shutil
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -138,6 +140,110 @@ def overwrite_partitions(
         .partitionBy(*cols)
         .parquet(path)
     )
+
+
+#: Intent-log filename for atomic partition swaps. The leading ``_``
+#: makes Spark/Hive readers ignore it as a data file.
+UPSERT_INTENT_FILE = "_upsert_intent.json"
+
+
+def atomic_overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+) -> None:
+    """Crash-safe dynamic partition overwrite: stage → intent-log →
+    per-partition atomic rename.
+
+    ``overwrite_partitions`` (above) delegates to Spark's dynamic
+    overwrite, which deletes each target partition directory before
+    committing the new files — a crash mid-commit can leave a
+    HALF-REWRITTEN partition that readers then see. Here instead:
+
+    1. the replacement partitions are fully written to a *sibling*
+       staging directory (invisible to readers of ``path``);
+    2. an intent log (``_upsert_intent.json``, underscore-prefixed so
+       data readers skip it) records the planned swaps, fsync'd, BEFORE
+       any destination is touched;
+    3. each partition directory is swapped by two ``os.rename`` calls
+       (old → trash, staged → live) — directory rename is atomic on
+       POSIX, so a reader sees each partition either fully-old or
+       fully-new, never a mix of files;
+    4. on success the intent log, trash, and staging residue are
+       removed.
+
+    A crash between step-3 renames leaves at most a *missing* partition
+    for the instants until :func:`recover_partition_swaps` — which any
+    reader/writer calls first (and ``upsert_partitioned`` does) — rolls
+    the journal FORWARD idempotently. This is the portable core of what
+    a table format's manifest commit provides; snapshot isolation for
+    concurrent *writers* still belongs to Delta/Iceberg (single-writer
+    per table is this function's contract, as with Hive INSERT
+    OVERWRITE).
+    """
+    import json
+    import shutil
+    import uuid
+
+    recover_partition_swaps(path)
+    run_id = uuid.uuid4().hex[:12]
+    base = path.rstrip("/")
+    stage = f"{base}__stage_{run_id}"
+    trash = f"{base}__trash_{run_id}"
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+    parts = sorted(
+        p.name
+        for p in Path(stage).iterdir()
+        if p.is_dir() and p.name.startswith(f"{partition_col}=")
+    )
+    os.makedirs(trash, exist_ok=True)
+    intent = {"stage": stage, "trash": trash, "partitions": parts}
+    intent_path = os.path.join(path, UPSERT_INTENT_FILE)
+    tmp = intent_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(intent, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, intent_path)
+    _apply_partition_swaps(path, intent)
+    os.remove(intent_path)
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _apply_partition_swaps(path: str, intent: dict) -> None:
+    """Idempotent roll-forward of a swap journal: safe to re-run from
+    any crash point — each step checks what already happened."""
+    stage, trash = intent["stage"], intent["trash"]
+    for part in intent["partitions"]:
+        staged_p = os.path.join(stage, part)
+        final_p = os.path.join(path, part)
+        if not os.path.isdir(staged_p):
+            continue  # this partition's swap already completed
+        if os.path.isdir(final_p):
+            dest = os.path.join(trash, part)
+            if os.path.isdir(dest):  # crashed mid-swap last time
+                shutil.rmtree(final_p)
+            else:
+                os.rename(final_p, dest)
+        os.rename(staged_p, final_p)
+
+
+def recover_partition_swaps(path: str) -> bool:
+    """Complete any interrupted :func:`atomic_overwrite_partitions` run
+    (roll forward from its intent log). Returns True if recovery ran."""
+    import json
+
+    intent_path = os.path.join(path, UPSERT_INTENT_FILE)
+    if not os.path.exists(intent_path):
+        return False
+    with open(intent_path) as f:
+        intent = json.load(f)
+    _apply_partition_swaps(path, intent)
+    os.remove(intent_path)
+    shutil.rmtree(intent["trash"], ignore_errors=True)
+    shutil.rmtree(intent["stage"], ignore_errors=True)
+    return True
 
 
 def write_bucketed(

@@ -94,3 +94,86 @@ def test_partitioned_equals_full_upsert(tmp_path_factory, deltas):
     exp = {(r["k"], r["grp"], r["val"]) for r in expected.collect()}
     act = {(r["k"], r["grp"], r["val"]) for r in got.collect()}
     assert act == exp
+
+
+# ---------------------------------------------------------------------
+# Crash safety (VERDICT r2 #7): kill the swap at EVERY possible rename
+# boundary; at each crash point every live partition directory must be
+# either fully-old or fully-new (atomic rename ⇒ no file mixing), and
+# recover_partition_swaps must roll forward to exactly the committed
+# state.
+# ---------------------------------------------------------------------
+def test_crashed_swap_never_exposes_partial_partition_and_recovers(
+    spark, tmp_path, monkeypatch
+):
+    import os as _os
+
+    from pandas_analysis_with_postgres_spark.sources import parquet as pq
+
+    n_renames_total = None
+    for crash_after in range(0, 20):
+        path = str(tmp_path / f"t{crash_after}")
+        dim = spark.createDataFrame(
+            [(k, _grp(k), f"base_{k}") for k in range(20)],
+            "k long, grp long, val string",
+        )
+        write_table(dim, path, partition_by="grp")
+        old_files = {
+            g: sorted(_os.listdir(f"{path}/grp={g}")) for g in range(5)
+        }
+        staged = spark.createDataFrame(
+            [(k, _grp(k), f"new_{k}", 2) for k in (0, 1, 7, 23)],
+            "k long, grp long, val string, seq long",
+        )
+        expected = {
+            (r["k"], r["grp"], r["val"])
+            for r in upsert(
+                dim, staged, "k", update_cols=["val"],
+                dedup_order_by=[F.col("seq").desc()],
+            ).drop("seq").collect()
+        }
+
+        calls = {"n": 0}
+        real_rename = _os.rename
+
+        def crashing_rename(src, dst, *, _limit=crash_after, _c=calls):
+            if _c["n"] >= _limit:
+                raise RuntimeError("simulated crash")
+            _c["n"] += 1
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(pq.os, "rename", crashing_rename)
+        try:
+            upsert_partitioned(
+                spark, staged, "k", path=path, partition_col="grp",
+                update_cols=["val"], dedup_order_by=[F.col("seq").desc()],
+            )
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        finally:
+            monkeypatch.setattr(pq.os, "rename", real_rename)
+
+        # Invariant at the crash point: every partition dir that exists
+        # is byte-identical to old or holds only staged (new) files —
+        # never a mixture.
+        for g in range(5):
+            pdir = f"{path}/grp={g}"
+            if not _os.path.isdir(pdir):
+                continue  # mid-swap gap; recovery will restore it
+            files = sorted(_os.listdir(pdir))
+            assert files == old_files[g] or not (
+                set(files) & set(old_files[g])
+            ), f"crash_after={crash_after} grp={g}: mixed files {files}"
+
+        pq.recover_partition_swaps(path)
+        got = {
+            (r["k"], r["grp"], r["val"])
+            for r in spark.read.parquet(path).drop("seq").collect()
+        }
+        assert got == expected, f"crash_after={crash_after}"
+        if not crashed:
+            n_renames_total = calls["n"]
+            break
+    # The loop must have reached a crash-free run (every boundary covered).
+    assert n_renames_total is not None and n_renames_total > 0
