@@ -194,6 +194,54 @@ def salted_join(
     return salted_left.join(replicated_right, [key, "__salt"], how).drop("__salt")
 
 
+def auto_salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    *,
+    how: str = "inner",
+    skew_factor: float = 4.0,
+    max_salt: int = 64,
+) -> DataFrame:
+    """`salted_join` with the salt chosen from a measured key profile —
+    the q78_key_skew_profile → salt wiring as one operator.
+
+    One cheap profiling aggregate over the skewed side (groupBy(key)
+    count → max/sum — map-side combinable, output is two longs) gives
+    ``hot`` (rows under the heaviest key) and ``total``. With
+    ``target = total / shuffle_partitions`` rows per task:
+
+    - ``hot <= skew_factor · target`` → the heaviest key does not
+      dominate a task → degrade to a PLAIN join (no replication cost);
+    - otherwise salt = ``ceil(hot / target)`` clamped to
+      [2, max_salt] — exactly the hot/target-partition ratio the
+      `salted_join` cost model prescribes, so the hot key's payload
+      spreads back down to ~one task's worth per sub-partition.
+
+    The two-long profile collect is a driver-side *plan decision* (the
+    same shape as AQE's runtime statistics), not data movement; at
+    100 TB the profile pass is one map-combined shuffle of (key,count)
+    — amortize it by caching the profile when joining the same fact
+    side repeatedly.
+    """
+    import math
+
+    spark = skewed.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    prof = (
+        skewed.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("hot"), F.sum("n").alias("total"))
+        .collect()[0]
+    )
+    hot, total = prof["hot"] or 0, prof["total"] or 0
+    target = max(1, total // max(1, parts))
+    if hot <= skew_factor * target:
+        return skewed.join(other, key, how)
+    salt = max(2, min(max_salt, math.ceil(hot / target)))
+    return salted_join(skewed, other, key, how=how, salt=salt)
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -304,6 +352,16 @@ def bloom_prefiltered_join(
     """
     from .sketches import _bloom_positions_from_mixed, bloom_build, strong_mix
 
+    # __h/__p{j} are reserved scratch names on the big side for the
+    # duration of the prefilter; clobbering a caller's same-named
+    # column would silently corrupt results, so refuse loudly.
+    reserved = {"__h"} | {c for c in big.columns if c.startswith("__p")}
+    if "__h" in big.columns or any(c.startswith("__p") for c in big.columns):
+        raise ValueError(
+            f"big side carries reserved scratch columns {sorted(reserved)}: "
+            "rename them before bloom_prefiltered_join (__h and __p* are "
+            "used for the hash/position probes)"
+        )
     # num_bits sizes the filter: FPR ≈ (set-bits/m)^K, so pick
     # ~10 bits per expected small-side key (the 1M-bit default holds
     # ~100k keys at low FPR; a saturated filter stays correct but
@@ -323,4 +381,8 @@ def bloom_prefiltered_join(
             "left_semi",
         )
     pre = pre.drop("__h", *[f"__p{j}" for j in range(len(positions))])
+    if big_key == small_key:
+        # Same-name keys: join on the name so the result carries ONE
+        # unambiguous key column (the two-ambiguous-columns trap).
+        return pre.join(small, big_key)
     return pre.join(small, pre[big_key] == small[small_key])

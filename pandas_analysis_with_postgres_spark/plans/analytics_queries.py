@@ -928,18 +928,27 @@ def q91_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional sample of documents without RNG: priority =
     hash(doc_id) / weight (weight = doc length), keep the k smallest.
     The deterministic analog of weighted reservoir sampling — longer
-    documents are proportionally likelier to make the sample, results
-    are identical on re-run/backfill, and the top-k is a
-    TakeOrderedAndProject (no global sort materialized)."""
+    documents are proportionally likelier to make the sample, and
+    results are identical on re-run/backfill.
+
+    Plan shape: the k-smallest selection is ``orderBy().limit(k)`` — a
+    genuine TakeOrderedAndProject (per-partition top-k, then a k-row
+    merge; no global sort materializes). The rank column is a
+    row_number over the ALREADY-SELECTED ≤k rows, so its
+    single-partition window sorts k rows, not the table — row_number
+    over an unpartitioned window BEFORE the filter would funnel the
+    whole table through one task (the q81-docstring trap; plan-pinned
+    in tests/test_plans.py)."""
     docs = load_table(spark, sf_dir, "documents")
     h = F.pmod(F.col("doc_id") * F.lit(SAMPLE_MULT) + F.lit(17), F.lit(SAMPLE_MOD))
     pri = (h.cast("double") + F.lit(1.0)) / F.col("n_chars").cast("double")
-    w = Window.orderBy(F.col("priority").asc(), F.col("doc_id").asc())
-    return (
+    topk = (
         docs.select("doc_id", "source", "n_chars", pri.alias("priority"))
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= PRIORITY_K)
+        .orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+        .limit(PRIORITY_K)
     )
+    w = Window.orderBy(F.col("priority").asc(), F.col("doc_id").asc())
+    return topk.withColumn("rn", F.row_number().over(w).cast("long"))
 
 
 Q91_SQL = f"""

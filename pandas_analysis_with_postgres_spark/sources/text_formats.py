@@ -19,6 +19,8 @@ deployments also land CSV/JSONL drops. Contract here:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 
 #: Name of the quarantine column PERMISSIVE parsing fills for rows
@@ -79,18 +81,40 @@ def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
-def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(valid_rows, corrupt_rows) from a ``capture_corrupt`` read.
+def quarantine_split(
+    df: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(valid_rows, corrupt_rows, cached_parse) from a
+    ``capture_corrupt`` read.
 
     Spark refuses plans that reference only the corrupt-record column
     ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN] — the
     parser would otherwise have nothing else to parse), so the split
     caches the parsed batch once and filters both ways from it — also
     what you want operationally: parse the drop once, route twice.
+
+    The third element is the cached parse both branches share: call
+    ``cached_parse.unpersist()`` once both branches are consumed.
+    Without that handle, repeated landing-drop processing in one
+    session would accrete cached batches until the executor store
+    evicts them. `quarantined` is the unpersist-for-you context form.
     """
     from pyspark.sql import functions as F
 
     df = df.cache()
     good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull())
-    return good, bad
+    return good, bad, df
+
+
+@contextmanager
+def quarantined(df: DataFrame):
+    """Context-manager form of :func:`quarantine_split`: yields
+    (valid_rows, corrupt_rows) and unpersists the shared cached parse
+    when the block exits — the leak-proof shape for per-batch landing
+    processing in a long-lived session."""
+    good, bad, cached = quarantine_split(df)
+    try:
+        yield good, bad
+    finally:
+        cached.unpersist()

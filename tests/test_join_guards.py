@@ -169,3 +169,30 @@ def test_bloom_prefiltered_join_equals_plain_join(spark):
     assert survivors < li.count() * 0.5, (
         "prefilter dropped almost nothing for a selective small side"
     )
+
+
+def test_bloom_prefiltered_join_rejects_reserved_columns(spark):
+    from pandas_analysis_with_postgres_spark.operators.joins import (
+        bloom_prefiltered_join,
+    )
+
+    big = spark.createDataFrame([(1, 2)], "k long, __h long")
+    small = spark.createDataFrame([(1,)], "j long")
+    with pytest.raises(ValueError, match="reserved scratch columns"):
+        bloom_prefiltered_join(big, small, "k", "j")
+
+
+def test_bloom_prefiltered_join_same_name_key_unambiguous(spark):
+    from pandas_analysis_with_postgres_spark.operators.joins import (
+        bloom_prefiltered_join,
+    )
+
+    big = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, payload string"
+    )
+    small = spark.createDataFrame([(3, "a"), (7, "b")], "k long, name string")
+    out = bloom_prefiltered_join(big, small, "k", "k")
+    # Exactly one k column, and it is referenceable downstream.
+    assert out.columns.count("k") == 1
+    got = {(r["k"], r["payload"], r["name"]) for r in out.select("k", "payload", "name").collect()}
+    assert got == {(3, "v3", "a"), (7, "v7", "b")}

@@ -169,3 +169,12 @@ def test_q85_bpe_rules_broadcast(spark):
     p = _plan(spark, "q85_bpe_encode")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_q91_topk_is_take_ordered_not_global_window_sort(spark):
+    """The k-smallest selection must plan as TakeOrderedAndProject
+    (per-partition top-k + k-row merge); a row_number over an
+    unpartitioned window before the filter would instead funnel the
+    whole table through one task's global sort."""
+    p = _plan(spark, "q91_weighted_doc_sample")
+    assert "TakeOrderedAndProject" in p, p

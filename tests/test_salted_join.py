@@ -35,3 +35,30 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert salted.count() == plain.count()
     unmatched = salted.filter(F.col("o_orderkey").isNull()).count()
     assert unmatched == plain.filter(F.col("o_orderkey").isNull()).count()
+
+
+def test_auto_salted_join_salts_skewed_and_degrades_even(spark):
+    from pandas_analysis_with_postgres_spark.operators.joins import auto_salted_join
+
+    # Skewed fixture: one hot key holds ~80% of rows.
+    hot = [(1, f"p{i}") for i in range(8000)]
+    rest = [(2 + i % 100, f"q{i}") for i in range(2000)]
+    skewed = spark.createDataFrame(hot + rest, "k long, payload string")
+    dim = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 102)], "k long, name string"
+    )
+    joined = auto_salted_join(skewed, dim, "k")
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in plan or "pmod(xxhash64" in plan, plan
+    plain = skewed.join(dim, "k")
+    assert joined.count() == plain.count()
+    assert joined.exceptAll(plain).count() == 0
+
+    # Even fixture: uniform keys — must degrade to a plain join.
+    even = spark.createDataFrame(
+        [(i % 100, f"r{i}") for i in range(10000)], "k long, payload string"
+    )
+    joined_even = auto_salted_join(even, dim, "k")
+    plan_even = joined_even._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" not in plan_even and "pmod(xxhash64" not in plan_even, plan_even
+    assert joined_even.count() == even.join(dim, "k").count()

@@ -63,11 +63,14 @@ def test_csv_corrupt_rows_quarantined(spark, tmp_path):
         "3,12,P,9.75,3-MEDIUM\n"
     )
     df = read_csv(spark, str(p), ORDERS_DDL, capture_corrupt=True)
-    good, bad = quarantine_split(df)
+    good, bad, cached = quarantine_split(df)
     assert good.count() == 2
     assert CORRUPT_COL not in good.columns
     assert bad.count() == 1
     assert "not_a_number" in bad.collect()[0][CORRUPT_COL]
+    assert cached.storageLevel.useMemory  # handle really is the cached parse
+    cached.unpersist()
+    assert not cached.storageLevel.useMemory
 
 
 def test_jsonl_corrupt_rows_quarantined(spark, tmp_path):
@@ -81,6 +84,10 @@ def test_jsonl_corrupt_rows_quarantined(spark, tmp_path):
         '"o_totalprice": 9.75, "o_orderpriority": "3-MEDIUM"}\n'
     )
     df = read_jsonl(spark, str(p), ORDERS_DDL, capture_corrupt=True)
-    good, bad = quarantine_split(df)
-    assert good.count() == 2
-    assert bad.count() == 1
+    from pandas_analysis_with_postgres_spark.sources.text_formats import quarantined
+
+    with quarantined(df) as (good, bad):
+        assert good.count() == 2
+        assert bad.count() == 1
+    # context exit unpersisted the shared parse
+    assert not df.storageLevel.useMemory
