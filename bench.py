@@ -85,6 +85,13 @@ EXTRA = (
     "q94_user_median_py",
     "q95_bloom_join_revenue",
     "q96_order_value_spread",
+    # round 3: q85 above is now encode-only (persisted merges trained
+    # by the earlier q71 entry); these are the round's new/retuned
+    # shapes worth tracking.
+    "q23_ngram_jaccard_pairs",
+    "q35a_media_checksum",
+    "q49_dedup_keep",
+    "q56_stream_stream_join",
 )
 
 

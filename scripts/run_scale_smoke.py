@@ -49,6 +49,35 @@ SMOKE = (
 )
 
 
+#: Synthetic skewed graph: ONE hub vertex receives ~30% of all edges
+#: (the power-law shape the r2 verdict flagged); the rest spread
+#: uniformly over a 20k vertex space. Generated in-Spark from range()
+#: — deterministic (xxhash64 of the row id), no fixture file needed.
+SKEW_EDGES = {"sf0.1": 1_200_000, "sf1": 12_000_000}
+SKEW_HUB = 1  # vertex id of the hub (odd → distinct from most dsts)
+
+
+def _skewed_pagerank(spark, label: str):
+    from pyspark.sql import functions as F
+
+    from pandas_analysis_with_postgres_spark.operators.graph import pagerank
+
+    n = SKEW_EDGES[label]
+    e = spark.range(n)
+    src = (F.pmod(F.xxhash64("id"), F.lit(20_000)) + 2).alias("src")
+    dst = F.when(
+        F.pmod(F.xxhash64(F.col("id") + 1), F.lit(10)) < 3, F.lit(SKEW_HUB)
+    ).otherwise(F.pmod(F.xxhash64(F.col("id") + 2), F.lit(20_000)) + 2)
+    # Hub must have outdegree >= 1 (pagerank precondition): it appears
+    # as src for ids where hash lands on it; add one guaranteed edge.
+    edges = e.select(src, dst.alias("dst")).unionByName(
+        spark.range(1).select(
+            F.lit(SKEW_HUB).alias("src"), F.lit(2).alias("dst")
+        )
+    )
+    return pagerank(edges)
+
+
 def main() -> None:
     names = sys.argv[1:] or list(SMOKE)
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -73,6 +102,17 @@ def main() -> None:
         row["ratio"] = round(row["sf1"] / row["sf0.1"], 1) if row["sf0.1"] else 0.0
         out[name] = row
         print(f"# {name}: {row}", file=sys.stderr, flush=True)
+    if not sys.argv[1:]:
+        row = {}
+        for label in ("sf0.1", "sf1"):
+            t0 = time.perf_counter()
+            _skewed_pagerank(spark, label).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            row[label] = round(time.perf_counter() - t0, 2)
+        row["ratio"] = round(row["sf1"] / row["sf0.1"], 1) if row["sf0.1"] else 0.0
+        out["skewed_pagerank_hub30pct"] = row
+        print(f"# skewed_pagerank_hub30pct: {row}", file=sys.stderr, flush=True)
     print(json.dumps({"smoke": out}))
 
 
