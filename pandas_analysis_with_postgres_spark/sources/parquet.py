@@ -70,8 +70,17 @@ def tune_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: Memoized lazy scans. ``spark.read.parquet`` re-reads footers and
+#: re-infers the schema on every call; a 97-query correctness pass
+#: loads the same ten fixtures a few hundred times, which is pure
+#: fixed cost against the driver's time budget. The key includes the
+#: fixture's mtime so a regenerated fixture invalidates the entry, and
+#: the Spark application id so a DataFrame never leaks across JVMs.
+_LOAD_CACHE: dict[tuple[str, str, str, int], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan of one test table.
+    """Lazy parquet scan of one test table (memoized per session+mtime).
 
     The ``events`` fixture stores ``ts`` as a Parquet TIMESTAMP(NANOS),
     which Spark rejects natively ([PARQUET_TYPE_ILLEGAL]); it is read
@@ -81,13 +90,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     occurs (pinned in tests).
     """
     tune_session(spark)
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        key = (
+            spark.sparkContext.applicationId,
+            os.path.abspath(sf_dir),
+            name,
+            os.stat(path).st_mtime_ns,
+        )
+    except Exception:  # noqa: BLE001 — non-local paths: skip the cache
+        key = None
+    if key is not None and key in _LOAD_CACHE:
+        return _LOAD_CACHE[key]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(path)
+    if key is not None:
+        _LOAD_CACHE[key] = df
+    return df
 
 
 def write_table(
