@@ -38,7 +38,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint_every: int = 5,
-    salt_partitions: int = 8,
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """Bounded-round integer PageRank over a directed edge list.
 
@@ -60,13 +60,52 @@ def pagerank(
     the final stage, instead of funnelling its whole in-edge set
     through one task. Integer SUM is associative, so the result (and
     the oracle hash) is unchanged; ``salt_partitions=1`` degrades to
-    the plain single-stage aggregate. Lineage is truncated every
+    the plain single-stage aggregate.
+
+    ``salt_partitions=None`` (default) chooses from a measured degree
+    profile, the same plan decision as ``auto_salted_join``: one
+    map-combined aggregate over edges yields the max in-degree ``hot``
+    and ``|E|``; with ``target = |E| / shuffle_partitions`` rows per
+    reducer, an even graph (``hot ≤ 4·target``) takes the plain
+    single-stage aggregate (the extra stage costs more than it saves —
+    measured +30% on the even sf0.1 supply graph), while a hub graph
+    salts by ``ceil(hot / target)`` clamped to [2, 32]. The profile is
+    measured once and reused by every round. Lineage is truncated every
     ``checkpoint_every`` rounds: a bounded 3-round run stays ONE lazy
     plan (a per-round localCheckpoint forces a full materialization
     each round — measured 37.7 s → checkpoint-free equivalent for the
     same result on the 10× graph), while a long convergence loop
     still cannot grow its plan superlinearly.
     """
+    if salt_partitions is None:
+        import math
+
+        # The profile is a separate action; if ``edges`` is a derived
+        # frame that action would re-execute the whole construction,
+        # and so would every round's plan copy. Materialize once —
+        # profile and all rounds then reuse it. (At 100 TB this is
+        # "stage the edge list", the standard first step of any
+        # multi-round graph job.) Skip when edges is already
+        # materialized (LogicalRDD) or a plain scan — re-checkpointing
+        # those only copies data.
+        plan = edges._jdf.queryExecution().optimizedPlan().toString()
+        derived = any(k in plan for k in ("Join", "Aggregate", "Window", "Union"))
+        if derived and "LogicalRDD" not in plan.splitlines()[0]:
+            edges = edges.localCheckpoint()
+        parts = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        prof = (
+            edges.groupBy(dst)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("hot"), F.sum("n").alias("total"))
+            .collect()[0]
+        )
+        hot, total = prof["hot"] or 0, prof["total"] or 0
+        target = max(1, total // max(1, parts))
+        salt_partitions = (
+            1 if hot <= 4 * target else max(2, min(32, math.ceil(hot / target)))
+        )
     deg = edges.groupBy(F.col(src).alias("v")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )

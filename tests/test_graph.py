@@ -69,6 +69,29 @@ def test_pagerank_salted_aggregate_is_result_identical_and_two_stage(spark):
     assert "pmod(xxhash64" not in plain_plan
 
 
+def test_pagerank_auto_salt_profiles_the_graph(spark):
+    # Hub graph (one dst holds ~100% of edges) → the measured-profile
+    # default picks a salted two-stage aggregate...
+    hub = (
+        [(i, 99) for i in range(200)]
+        + [(99, 0)]
+        + [(i, i + 1) for i in range(199)]
+    )
+    df = spark.createDataFrame(hub, "src long, dst long")
+    plan = pagerank(df, rounds=1)._jdf.queryExecution().optimizedPlan().toString()
+    assert "pmod(xxhash64" in plan
+    # ...and an even ring degrades to the plain single-stage aggregate
+    # (no replication cost where there is no skew).
+    ring = [(i, (i + 1) % 64) for i in range(64)]
+    df2 = spark.createDataFrame(ring, "src long, dst long")
+    plan2 = pagerank(df2, rounds=1)._jdf.queryExecution().optimizedPlan().toString()
+    assert "pmod(xxhash64" not in plan2
+    # Auto result identical to the hand recurrence on the hub graph.
+    assert {r.v: r.rank for r in pagerank(df, rounds=2).collect()} == _expected_ranks(
+        hub, rounds=2
+    )
+
+
 def test_bpe_encode_merges_reduce_piece_count(spark):
     docs = spark.createDataFrame(
         [(1, "a b a b c"), (2, "a b a b a b"), (3, "c c c")],

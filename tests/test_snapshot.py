@@ -1,0 +1,127 @@
+"""Snapshot-manifest table format: atomic multi-partition commits,
+snapshot-isolated readers, optimistic concurrent-writer detection,
+partition-scoped MERGE, time travel, and expiry GC."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pytest
+
+from pandas_analysis_with_postgres_spark.sources.snapshot import (
+    ConcurrentCommitError,
+    current_version,
+    expire_snapshots,
+    merge_snapshot,
+    read_manifest,
+    read_snapshot,
+    write_snapshot,
+)
+
+
+def _rows(df):
+    return {(r.k, r.v, r.p) for r in df.select("k", "v", "p").collect()}
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 20)], "k long, v string, p long"
+    )
+    path = str(tmp_path / "tbl")
+    assert write_snapshot(df, path, "p") == 1
+    return path
+
+
+def test_write_read_roundtrip_and_partition_column(spark, base):
+    got = read_snapshot(spark, base)
+    assert _rows(got) == {(1, "a", 10), (2, "b", 10), (3, "c", 20)}
+    # hive partition column survives the explicit-directory scan
+    assert dict(got.dtypes)["p"] == "bigint"
+
+
+def test_merge_updates_inserts_and_carries_cold_partitions(spark, base):
+    src = spark.createDataFrame(
+        [(2, "B", 10), (4, "d", 10), (5, "e", 30)], "k long, v string, p long"
+    )
+    v1 = read_manifest(base, 1)
+    assert merge_snapshot(base, src, "k", "p") == 2
+    got = _rows(read_snapshot(spark, base))
+    assert got == {
+        (1, "a", 10),  # untouched row of touched partition survives
+        (2, "B", 10),  # matched → updated
+        (3, "c", 20),  # cold partition untouched
+        (4, "d", 10),  # inserted into touched partition
+        (5, "e", 30),  # new partition
+    }
+    # cold partition carried BY REFERENCE: same data dir as v1
+    v2 = read_manifest(base, 2)
+    assert v2["partitions"]["p=20"] == v1["partitions"]["p=20"]
+    assert v2["partitions"]["p=10"] != v1["partitions"]["p=10"]
+
+
+def test_time_travel_and_reader_isolation(spark, base):
+    pinned = read_snapshot(spark, base, 1)
+    src = spark.createDataFrame([(1, "X", 10)], "k long, v string, p long")
+    merge_snapshot(base, src, "k", "p")
+    # A reader pinned at v1 still sees the old value after the merge —
+    # its files are immutable and still on disk.
+    assert (1, "a", 10) in _rows(pinned)
+    assert (1, "a", 10) in _rows(read_snapshot(spark, base, 1))
+    assert (1, "X", 10) in _rows(read_snapshot(spark, base))
+
+
+def test_concurrent_commit_loses_cleanly(spark, base):
+    # Two writers read version 1, both try to commit version 2.
+    a = spark.createDataFrame([(9, "w1", 10)], "k long, v string, p long")
+    b = spark.createDataFrame([(9, "w2", 10)], "k long, v string, p long")
+    assert merge_snapshot(base, a, "k", "p", expected_version=1) == 2
+    with pytest.raises(ConcurrentCommitError):
+        merge_snapshot(base, b, "k", "p", expected_version=1)
+    # Loser retries from the fresh snapshot and wins version 3.
+    assert merge_snapshot(base, b, "k", "p") == 3
+    assert (9, "w2", 10) in _rows(read_snapshot(spark, base))
+
+
+def test_torn_manifest_is_impossible(spark, base):
+    # A "crashed writer" that wrote data but never published a
+    # manifest leaves readers entirely unaffected.
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        _write_commit_data,
+    )
+
+    orphan = spark.createDataFrame([(8, "zz", 40)], "k long, v string, p long")
+    _write_commit_data(orphan, base, "p")  # data only, no commit
+    assert current_version(base) == 1
+    assert (8, "zz", 40) not in _rows(read_snapshot(spark, base))
+    # Expiry removes the unreferenced commit dir.
+    removed = expire_snapshots(base, keep=1)
+    assert len(removed) == 1
+    assert _rows(read_snapshot(spark, base)) == {
+        (1, "a", 10),
+        (2, "b", 10),
+        (3, "c", 20),
+    }
+
+
+def test_expire_keeps_referenced_dirs(spark, base):
+    src = spark.createDataFrame([(4, "d", 30)], "k long, v string, p long")
+    merge_snapshot(base, src, "k", "p")  # v2 references v1's dirs for p=10/20
+    expire_snapshots(base, keep=1)
+    assert not (Path(base) / "_snapshots" / "v00000001.json").exists()
+    # v2 still fully readable: its carried-by-reference dirs survived GC
+    assert _rows(read_snapshot(spark, base)) == {
+        (1, "a", 10),
+        (2, "b", 10),
+        (3, "c", 20),
+        (4, "d", 30),
+    }
+
+
+def test_manifest_is_o_partitions_not_o_files(spark, base):
+    man = read_manifest(base)
+    # One entry per partition value, each a directory (no file lists).
+    assert set(man["partitions"]) == {"p=10", "p=20"}
+    for rel in man["partitions"].values():
+        assert os.path.isdir(os.path.join(base, rel))
