@@ -137,17 +137,28 @@ def _commit(
     partitions: dict[str, str],
     op: str,
     schema: dict | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
-    """Atomically publish ``parent + 1``; raise on a lost race."""
+    """Atomically publish ``parent + 1``; raise on a lost race.
+
+    ``txn=(app_id, version)`` records an idempotence watermark carried
+    forward from the parent manifest — the mechanism behind
+    exactly-once ``foreachBatch`` sinks (same public pattern as
+    Delta's txnAppId/txnVersion).
+    """
     snap = _snap_dir(path)
     snap.mkdir(parents=True, exist_ok=True)
     version = parent + 1
+    txns = dict(read_manifest(path, parent).get("txn") or {})
+    if txn is not None:
+        txns[txn[0]] = txn[1]
     manifest = {
         "version": version,
         "parent": parent,
         "partitions": partitions,
         "operation": op,
         "schema": schema or {},
+        "txn": txns,
     }
     tmp = snap / f".tmp-{uuid.uuid4().hex[:12]}"
     with open(tmp, "w") as f:
@@ -207,6 +218,7 @@ def merge_snapshot(
     partition_col: str,
     *,
     expected_version: int | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """MERGE (upsert-by-key) into a snapshot table, rewriting only the
     partitions the source touches.
@@ -232,6 +244,10 @@ def merge_snapshot(
         else expected_version
     )
     man = read_manifest(target_path, parent)
+    if txn is not None and (man.get("txn") or {}).get(txn[0], -1) >= txn[1]:
+        # This transaction (e.g. a replayed streaming micro-batch) is
+        # already in the table — idempotent no-op.
+        return parent
     touched = {
         f"{partition_col}={r[0]}"
         for r in source.select(partition_col).distinct().collect()
@@ -239,7 +255,12 @@ def merge_snapshot(
     if parent == 0 or not man["partitions"]:
         entries = _write_commit_data(source, target_path, partition_col)
         return _commit(
-            target_path, parent, entries, "merge", _schema_meta(source, partition_col)
+            target_path,
+            parent,
+            entries,
+            "merge",
+            _schema_meta(source, partition_col),
+            txn,
         )
 
     touched_rels = {
@@ -273,7 +294,12 @@ def merge_snapshot(
     }
     partitions.update(new_entries)
     return _commit(
-        target_path, parent, partitions, "merge", _schema_meta(source, partition_col)
+        target_path,
+        parent,
+        partitions,
+        "merge",
+        _schema_meta(source, partition_col),
+        txn,
     )
 
 

@@ -12,6 +12,7 @@ from .streams import (
     events_stream,
     events_stream_multibatch,
     foreach_batch_sink,
+    stream_merge_sink,
     run_available_now,
     session_window_agg,
     sliding_window_counts,
@@ -30,5 +31,6 @@ __all__ = [
     "dedup_within_watermark",
     "run_available_now",
     "foreach_batch_sink",
+    "stream_merge_sink",
     "windowed_hll_registers",
 ]

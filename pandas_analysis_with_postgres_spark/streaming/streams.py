@@ -432,3 +432,42 @@ def foreach_batch_sink(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+def stream_merge_sink(
+    df: DataFrame,
+    table_path: str,
+    key: str,
+    partition_col: str,
+    *,
+    app_id: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Stream → snapshot-table MERGE with exactly-once semantics.
+
+    Each micro-batch is merged into the snapshot table
+    (``sources.snapshot.merge_snapshot``) tagged with
+    ``txn=(app_id, batch_id)``. Structured Streaming replays the last
+    micro-batch after a crash between the sink call and the checkpoint
+    commit; the manifest's transaction watermark makes that replay a
+    no-op, so the table sees every batch exactly once even though the
+    stream delivers at-least-once. A concurrent writer racing the sink
+    surfaces as ``ConcurrentCommitError``, failing the batch — the
+    stream retries it, re-reading the fresh snapshot (optimistic
+    retry, driven by the engine's own replay machinery).
+    """
+    from ..sources.snapshot import merge_snapshot
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_snapshot(
+            table_path,
+            batch_df,
+            key,
+            partition_col,
+            txn=(app_id, batch_id),
+        )
+
+    foreach_batch_sink(
+        df, _merge, checkpoint_dir=checkpoint_dir, timeout_sec=timeout_sec
+    )

@@ -125,3 +125,57 @@ def test_manifest_is_o_partitions_not_o_files(spark, base):
     assert set(man["partitions"]) == {"p=10", "p=20"}
     for rel in man["partitions"].values():
         assert os.path.isdir(os.path.join(base, rel))
+
+
+def test_txn_watermark_makes_replay_idempotent(spark, base):
+    src = spark.createDataFrame([(7, "g", 10)], "k long, v string, p long")
+    v = merge_snapshot(base, src, "k", "p", txn=("job-a", 3))
+    assert v == 2
+    # Replaying the same (app, batch) — e.g. a crashed foreachBatch
+    # whose checkpoint never committed — changes nothing.
+    assert merge_snapshot(base, src, "k", "p", txn=("job-a", 3)) == 2
+    assert read_manifest(base)["txn"] == {"job-a": 3}
+    # A later batch from the same app applies, an older one does not.
+    nxt = spark.createDataFrame([(7, "h", 10)], "k long, v string, p long")
+    assert merge_snapshot(base, nxt, "k", "p", txn=("job-a", 4)) == 3
+    assert merge_snapshot(base, src, "k", "p", txn=("job-a", 2)) == 3
+    assert (7, "h", 10) in _rows(read_snapshot(spark, base))
+    # Independent apps are tracked independently.
+    other = spark.createDataFrame([(11, "z", 20)], "k long, v string, p long")
+    assert merge_snapshot(base, other, "k", "p", txn=("job-b", 0)) == 4
+    assert read_manifest(base)["txn"] == {"job-a": 4, "job-b": 0}
+
+
+def test_stream_merge_sink_end_to_end(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.streaming import (
+        events_stream_multibatch,
+        stream_merge_sink,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    table = str(tmp_path / "events_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream_multibatch(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    stream_merge_sink(
+        stream, table, "event_id", "event_type", app_id="e2e", checkpoint_dir=ckpt
+    )
+    from pandas_analysis_with_postgres_spark.sources.parquet import load_table
+
+    expect = load_table(spark, sf_dir, "events").count()
+    got = read_snapshot(spark, table)
+    assert got.count() == expect
+    man = read_manifest(table)
+    # One committed version per micro-batch, txn watermark at the last.
+    assert man["txn"]["e2e"] == man["version"] - 1
+    assert man["version"] >= 3  # ≥3 micro-batches really merged
+    # Draining again from the same checkpoint finds no new files and
+    # commits nothing.
+    stream2 = events_stream_multibatch(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    stream_merge_sink(
+        stream2, table, "event_id", "event_type", app_id="e2e", checkpoint_dir=ckpt
+    )
+    assert read_manifest(table)["version"] == man["version"]
