@@ -318,25 +318,35 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Banded-LSH candidate pairs from a MinHash signature frame.
-
-    Bands of LSH_ROWS signatures are mixed into one 63-bit band key;
-    docs sharing any (band_id, band_key) become candidates via a
-    self-equi-join on the exploded band frame. This is the only shuffle
-    in the pipeline and it is keyed by band buckets — skew appears only
-    if many documents are near-identical, in which case AQE's skew-join
-    splitting kicks in.
-    """
+def band_rows(signatures: DataFrame) -> DataFrame:
+    """Exploded banded-LSH rows (doc_id, band_id, band_key) from a
+    MinHash signature frame: bands of LSH_ROWS signatures mixed into
+    one 63-bit band key. Narrow map + explode — no shuffle."""
     bands = []
     for band in range(LSH_BANDS):
         lo = F.col(f"mh{band * LSH_ROWS}")
         hi = F.col(f"mh{band * LSH_ROWS + 1}")
         key = (lo * F.lit(BAND_MIX) + hi) % F.lit(MINHASH_P)
         bands.append(F.struct(F.lit(band).alias("band_id"), key.alias("band_key")))
-    exploded = signatures.select(
+    return signatures.select(
         "doc_id", F.explode(F.array(*bands)).alias("b")
-    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
+    ).select(
+        "doc_id",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_key").alias("band_key"),
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs from a MinHash signature frame.
+
+    Docs sharing any (band_id, band_key) become candidates via a
+    self-equi-join on the exploded band frame. This is the only shuffle
+    in the pipeline and it is keyed by band buckets — skew appears only
+    if many documents are near-identical, in which case AQE's skew-join
+    splitting kicks in.
+    """
+    exploded = band_rows(signatures)
     a = exploded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     b = exploded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     return (
@@ -599,3 +609,133 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("train_doc", "bench_doc", "containment")
     )
+
+
+# ---------------------------------------------------------------------
+# Incremental dedup against a persisted signature store
+# ---------------------------------------------------------------------
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    *,
+    batch_id: int,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    app_id: str = "minhash-store",
+):
+    """Dedup a NEW batch of documents against everything already
+    accepted, without ever recomputing the historical corpus — the
+    shape a 100 TB ingest pipeline actually runs (the whole-corpus
+    operators q24/q49 are the bootstrap, this is the steady state).
+
+    The store (``sources.snapshot`` table) is an append-only log of
+    MinHash signatures, one partition per ingest batch, so committing a
+    batch's survivors carries every older partition by reference —
+    zero store rewrite, and the ``txn=(app_id, batch_id)`` watermark
+    makes a replayed batch a no-op (exactly-once ingest).
+
+    Join strategy: the store is the big side and is NEVER shuffled —
+    the new batch's exploded band frame (small by assumption: one
+    ingest batch vs the whole corpus) is broadcast against a single
+    store scan. Cross-corpus matches are verified by the signature
+    Jaccard estimate (fraction of equal minhashes ≥ ``threshold``) —
+    the store holds signatures, not text, so the estimate IS the
+    verification, with NUM_PERMS=32 giving σ ≈ 0.09 at j=0.5;
+    within-batch duplicates (text in hand) get the exact-Jaccard
+    verify of :func:`minhash_dedup_pairs`.
+
+    Returns ``(result, committed_version)``: result has one row per
+    new document — ``doc_id, is_dup, dup_of, method``
+    ('store' | 'batch' | NULL) — and the store gains the batch's
+    non-duplicate survivors.
+    """
+    from ..sources.snapshot import merge_snapshot, read_snapshot
+
+    spark = new_docs.sparkSession
+    ids = new_docs.select(F.col(id_col).alias("doc_id"))
+    sigs_new = minhash_signatures(
+        new_docs, text_col=text_col, id_col=id_col
+    ).localCheckpoint()
+
+    # Within-batch near-dups, exact-verified; keep-first by id.
+    within = minhash_dedup_pairs(
+        new_docs, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+    batch_dups = within.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min("doc_a").alias("dup_of_batch")
+    )
+
+    # Cross-store near-dups: broadcast new bands over one store scan.
+    try:
+        store = read_snapshot(spark, store_path)
+        has_store = True
+    except FileNotFoundError:
+        has_store = False
+    if has_store:
+        new_bands = band_rows(sigs_new).select(
+            F.col("doc_id").alias("new_id"), "band_id", "band_key"
+        )
+        cand = (
+            band_rows(store)
+            .join(F.broadcast(new_bands), ["band_id", "band_key"])
+            .select(F.col("doc_id").alias("old_id"), "new_id")
+            .distinct()
+        )
+        sig_cols = [f"mh{k}" for k in range(NUM_PERMS)]
+        old_sigs = store.select(
+            F.col("doc_id").alias("old_id"),
+            *[F.col(c).alias(f"o_{c}") for c in sig_cols],
+        )
+        new_sigs = sigs_new.select(
+            F.col("doc_id").alias("new_id"),
+            *[F.col(c).alias(f"n_{c}") for c in sig_cols],
+        )
+        matches = (
+            sum(
+                F.when(F.col(f"o_{c}") == F.col(f"n_{c}"), 1).otherwise(0)
+                for c in sig_cols
+            )
+            / NUM_PERMS
+        )
+        # Broadcast the candidate pairs too: the store-side signature
+        # lookup must stream the store scan, never shuffle it.
+        est = (
+            F.broadcast(cand).join(old_sigs, "old_id")
+            .join(F.broadcast(new_sigs), "new_id")
+            .select("new_id", "old_id", matches.alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold)
+        )
+        store_dups = est.groupBy(F.col("new_id").alias("doc_id")).agg(
+            F.min("old_id").alias("dup_of_store")
+        )
+    else:
+        store_dups = spark.createDataFrame(
+            [], "doc_id long, dup_of_store long"
+        )
+
+    result = (
+        ids.join(batch_dups, "doc_id", "left")
+        .join(store_dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_of_store", "dup_of_batch").alias("dup_of"),
+            F.when(F.col("dup_of_store").isNotNull(), "store")
+            .when(F.col("dup_of_batch").isNotNull(), "batch")
+            .alias("method"),
+        )
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+        .localCheckpoint()
+    )
+
+    survivors = sigs_new.join(
+        result.filter("is_dup").select("doc_id"), "doc_id", "left_anti"
+    ).withColumn("__batch", F.lit(batch_id))
+    version = merge_snapshot(
+        store_path,
+        survivors,
+        "doc_id",
+        "__batch",
+        txn=(app_id, batch_id),
+    )
+    return result, version

@@ -1,0 +1,119 @@
+"""Incremental MinHash dedup against a persisted signature store:
+steady-state ingest dedup without recomputing the corpus."""
+
+from __future__ import annotations
+
+import pytest
+
+from pandas_analysis_with_postgres_spark.operators.dedup import (
+    incremental_minhash_dedup,
+)
+from pandas_analysis_with_postgres_spark.sources.snapshot import (
+    read_manifest,
+    read_snapshot,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank today"
+)
+OTHER = (
+    "completely different content about databases indexes and query plans"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return str(tmp_path / "sig_store")
+
+
+def test_first_batch_bootstraps_store(spark, store):
+    res, v = incremental_minhash_dedup(
+        _docs(spark, [(1, BASE), (2, OTHER)]), store, batch_id=0
+    )
+    assert v == 1
+    got = {r.doc_id: r for r in res.collect()}
+    assert not got[1].is_dup and not got[2].is_dup
+    assert read_snapshot(spark, store).count() == 2
+
+
+def test_cross_batch_dup_found_without_corpus_recompute(spark, store):
+    incremental_minhash_dedup(
+        _docs(spark, [(1, BASE), (2, OTHER)]), store, batch_id=0
+    )
+    # Batch 1: one near-copy of doc 1, one genuinely new doc.
+    res, v = incremental_minhash_dedup(
+        _docs(
+            spark,
+            [
+                (10, BASE + " extra"),
+                (11, "fresh unrelated text about mountains and weather"),
+            ],
+        ),
+        store,
+        batch_id=1,
+    )
+    assert v == 2
+    got = {r.doc_id: r for r in res.collect()}
+    assert got[10].is_dup and got[10].dup_of == 1 and got[10].method == "store"
+    assert not got[11].is_dup
+    # Only the survivor entered the store.
+    ids = {r.doc_id for r in read_snapshot(spark, store).collect()}
+    assert ids == {1, 2, 11}
+    # Batch 0's partition is carried by reference, not rewritten.
+    m1, m2 = read_manifest(store, 1), read_manifest(store, 2)
+    assert m2["partitions"]["__batch=0"] == m1["partitions"]["__batch=0"]
+
+
+def test_within_batch_dup_keep_first(spark, store):
+    res, _ = incremental_minhash_dedup(
+        _docs(spark, [(5, BASE), (6, BASE + " tail")]), store, batch_id=0
+    )
+    got = {r.doc_id: r for r in res.collect()}
+    assert not got[5].is_dup
+    assert got[6].is_dup and got[6].dup_of == 5 and got[6].method == "batch"
+    assert {r.doc_id for r in read_snapshot(spark, store).collect()} == {5}
+
+
+def test_replayed_batch_is_idempotent(spark, store):
+    incremental_minhash_dedup(_docs(spark, [(1, BASE)]), store, batch_id=0)
+    _, v1 = incremental_minhash_dedup(
+        _docs(spark, [(2, OTHER)]), store, batch_id=1
+    )
+    # Crash-replay of batch 1 (same txn) commits nothing new.
+    _, v2 = incremental_minhash_dedup(
+        _docs(spark, [(2, OTHER)]), store, batch_id=1
+    )
+    assert v1 == 2 and v2 == 2
+    assert read_snapshot(spark, store).count() == 2
+
+
+def test_store_side_never_shuffles(spark, store):
+    incremental_minhash_dedup(
+        _docs(spark, [(1, BASE), (2, OTHER)]), store, batch_id=0
+    )
+    from pandas_analysis_with_postgres_spark.operators.dedup import (
+        band_rows,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    new = _docs(spark, [(10, BASE + " x")])
+    sigs_new = minhash_signatures(new)
+    new_bands = band_rows(sigs_new).select(
+        F.col("doc_id").alias("new_id"), "band_id", "band_key"
+    )
+    cand = (
+        band_rows(read_snapshot(spark, store))
+        .join(F.broadcast(new_bands), ["band_id", "band_key"])
+        .select(F.col("doc_id").alias("old_id"), "new_id")
+        .distinct()
+    )
+    plan = cand._sc._jvm.PythonSQLUtils.explainString(
+        cand._jdf.queryExecution(), "formatted"
+    )
+    # The band join must be a BroadcastHashJoin (store side streamed).
+    assert "BroadcastHashJoin" in plan
