@@ -535,3 +535,200 @@ def cosine_near_pairs_exact(
 #: ``lsh_topk`` stays available for corpora where a trained coarse
 #: quantizer is unavailable. Recall is pinned by tests/test_ann_recall.py.
 ann_topk = ivf_topk
+
+
+# ---------------------------------------------------------------------
+# Persisted IVF index (snapshot-layer): build once, append batches,
+# probe with manifest-level partition pruning
+# ---------------------------------------------------------------------
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: (id_col, vec_col, cell_id, __vn).
+
+    Broadcast-centroid cross join + per-vector top-1 — the standard IVF
+    build map; one narrow stage at scale. Ties break by cell_id, cosine
+    on the centroid's own norm, matching ``ivf_topk``'s assignment."""
+    cents = centroids.select("cell_id", "centv").withColumn(
+        "__centn", norm(F.col("centv"))
+    )
+    staged = vectors.withColumn("__vn", norm(F.col(vec_col)))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("cell_id"))
+    return (
+        staged.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__cos",
+            dot(F.col(vec_col), F.col("centv"))
+            / (F.col("__vn") * F.col("__centn")),
+        )
+        .withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") == 1)
+        .select(id_col, vec_col, "__vn", "cell_id")
+    )
+
+
+def _cell_part(batch_id: int) -> Column:
+    return F.concat(F.lit("c"), F.col("cell_id"), F.lit(f"_b{batch_id}"))
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_path: str,
+    *,
+    trained: bool = True,
+    n_cells: int = IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build a PERSISTED IVF index: centroids + cell-assigned vectors
+    as two snapshot tables under ``index_path``.
+
+    The vector table is partitioned by ``(cell, batch)`` — searches
+    prune to the probed cells at the MANIFEST (no scan, no listing of
+    cold cells) and :func:`append_ivf_index` batches land in fresh
+    partitions, so the historical index is carried by reference and
+    never rewritten. This is ivf_topk's exact search semantics with
+    the build cost paid once instead of per query.
+
+    ``trained=True`` trains the k-means codebook (a model artifact —
+    at 100 TB train on a deterministic sample upstream); ``False``
+    uses the id-prefix stand-in, matching ``ivf_topk``'s default.
+    """
+    from ..sources.snapshot import write_snapshot
+
+    if trained:
+        centroids = kmeans_codebook(
+            corpus, k=n_cells, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        centroids = corpus.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "centv"
+            ),
+        )
+    write_snapshot(centroids, f"{index_path}/centroids", "cell_id")
+    assigned = assign_cells(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    ).withColumn("__part", _cell_part(0))
+    write_snapshot(assigned, f"{index_path}/vectors", "__part")
+
+
+def append_ivf_index(
+    new_vectors: DataFrame,
+    index_path: str,
+    *,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    app_id: str = "ivf-index",
+) -> int:
+    """Add a batch of vectors to a persisted IVF index incrementally.
+
+    Assigns against the STORED centroids (the codebook is fixed at
+    build time — re-training would invalidate old assignments) and
+    merges into partitions suffixed ``_b{batch_id}``: every prior
+    partition is carried by reference, and the txn watermark makes a
+    replayed batch a no-op."""
+    from ..sources.snapshot import merge_snapshot, read_snapshot
+
+    spark = new_vectors.sparkSession
+    centroids = read_snapshot(spark, f"{index_path}/centroids")
+    assigned = assign_cells(
+        new_vectors, centroids, id_col=id_col, vec_col=vec_col
+    ).withColumn("__part", _cell_part(batch_id))
+    return merge_snapshot(
+        f"{index_path}/vectors",
+        assigned,
+        id_col,
+        "__part",
+        txn=(app_id, batch_id),
+    )
+
+
+def search_ivf_index(
+    queries: DataFrame,
+    index_path: str,
+    k: int,
+    *,
+    n_probe: int = IVF_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: read ONLY the probed cells.
+
+    The query set's probed cells are resolved driver-side (a plan
+    decision — queries are small by contract) and handed to
+    ``read_snapshot(partition_filter=...)``, so unprobed cells are
+    pruned from the scan at the manifest. Scoring then broadcasts the
+    (query, probed-cell) frame against the pruned scan — per-query
+    work is ~``n_probe / n_cells`` of brute force, now with the I/O
+    pruned to match. Result (query_id, neighbor_id, rank, cos) is
+    identical to ``ivf_topk`` under the same centroids.
+    """
+    from ..sources.snapshot import read_snapshot
+
+    spark = queries.sparkSession
+    centroids = read_snapshot(spark, f"{index_path}/centroids")
+    q = _probe_cells(queries, centroids, n_probe, id_col, vec_col)
+    probed = {
+        f"c{r.cell_id}"
+        for r in q.select("cell_id").distinct().collect()
+    }
+    vecs = read_snapshot(
+        spark,
+        f"{index_path}/vectors",
+        partition_filter=lambda p: p.split("=", 1)[1].rsplit("_b", 1)[0]
+        in probed,
+    )
+    scored = (
+        vecs.join(F.broadcast(q), "cell_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cos",
+            dot(F.col("qv"), F.col(vec_col)) / (F.col("__qn") * F.col("__vn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "rank", "cos"
+        )
+    )
+
+
+def _probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, qv, __qn, cell_id) for each query's n_probe nearest
+    cells — the multi-probe analogue of ``assign_cells``."""
+    cents = centroids.select("cell_id", "centv").withColumn(
+        "__centn", norm(F.col("centv"))
+    )
+    staged = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("__qn", norm(F.col("qv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__cell_cos"), F.asc("cell_id")
+    )
+    return (
+        staged.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__cell_cos",
+            dot(F.col("qv"), F.col("centv"))
+            / (F.col("__qn") * F.col("__centn")),
+        )
+        .withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") <= n_probe)
+        .select("query_id", "qv", "__qn", "cell_id")
+    )

@@ -51,6 +51,7 @@ import json
 import os
 import shutil
 import uuid
+from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -94,7 +95,11 @@ def read_manifest(path: str, version: int | None = None) -> dict:
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    *,
+    partition_filter: "Callable[[str], bool] | None" = None,
 ) -> DataFrame:
     """Scan a snapshot: exactly the directories its manifest lists.
 
@@ -103,12 +108,22 @@ def read_snapshot(
     uniform depth under the base), then unioned by name: one scan per
     referenced commit, not per partition — merge history bounds the
     commit count and :func:`expire_snapshots` keeps it small.
+
+    ``partition_filter`` prunes at the MANIFEST — it receives each
+    partition name (``"col=value"``) and unselected directories are
+    never even listed, let alone scanned. This is partition pruning
+    decided from table metadata (the same job as a format's manifest
+    filter), available to callers whose predicate isn't expressible as
+    a column filter (e.g. the IVF probe set).
     """
     man = read_manifest(path, version)
-    if not man["partitions"]:
+    parts = man["partitions"]
+    if partition_filter is not None:
+        parts = {p: rel for p, rel in parts.items() if partition_filter(p)}
+    if not parts:
         raise FileNotFoundError(f"no snapshot at {path}")
     by_commit: dict[str, list[str]] = {}
-    for rel in man["partitions"].values():
+    for rel in parts.values():
         commit = os.path.dirname(rel)  # data/<commit-id>
         by_commit.setdefault(commit, []).append(os.path.join(path, rel))
     scans = [
