@@ -35,7 +35,44 @@ def main(argv: list[str] | None = None) -> int:
     p_sql.add_argument("--sf-dir", default=None)
     p_sql.add_argument("--limit", type=int, default=20)
 
+    p_sn = sub.add_parser("snapshot", help="inspect a snapshot table")
+    p_sn.add_argument("action", choices=["history", "read", "expire"])
+    p_sn.add_argument("path")
+    p_sn.add_argument("--version", type=int, default=None)
+    p_sn.add_argument("--keep", type=int, default=2)
+    p_sn.add_argument("--limit", type=int, default=20)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "snapshot":
+        from .sources.snapshot import (
+            current_version,
+            expire_snapshots,
+            read_manifest,
+            read_snapshot,
+        )
+
+        if args.action == "history":
+            for v in range(1, current_version(args.path) + 1):
+                try:
+                    m = read_manifest(args.path, v)
+                except FileNotFoundError:
+                    continue  # expired version
+                print(
+                    f"v{v}  op={m['operation']:9s} "
+                    f"partitions={len(m['partitions'])} txn={m.get('txn') or {}}"
+                )
+            return 0
+        if args.action == "expire":
+            removed = expire_snapshots(args.path, keep=args.keep)
+            print(f"removed {len(removed)} unreferenced commit dirs")
+            return 0
+        from .session import get_spark as _gs
+
+        read_snapshot(_gs("cli"), args.path, args.version).show(
+            args.limit, truncate=False
+        )
+        return 0
 
     from .plans import ORACLES, QUERIES
 

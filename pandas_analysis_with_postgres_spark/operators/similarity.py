@@ -679,12 +679,19 @@ def search_ivf_index(
         f"c{r.cell_id}"
         for r in q.select("cell_id").distinct().collect()
     }
-    vecs = read_snapshot(
-        spark,
-        f"{index_path}/vectors",
-        partition_filter=lambda p: p.split("=", 1)[1].rsplit("_b", 1)[0]
-        in probed,
-    )
+    try:
+        vecs = read_snapshot(
+            spark,
+            f"{index_path}/vectors",
+            partition_filter=lambda p: p.split("=", 1)[1].rsplit("_b", 1)[0]
+            in probed,
+        )
+    except FileNotFoundError:
+        # Every probed cell is empty (tiny/degenerate index): no
+        # neighbors, not an error.
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, cos double"
+        )
     scored = (
         vecs.join(F.broadcast(q), "cell_id")
         .filter(F.col(id_col) != F.col("query_id"))

@@ -22,3 +22,27 @@ def test_list_prints_every_query(capsys):
 def test_requires_subcommand():
     with pytest.raises(SystemExit):
         main([])
+
+
+def test_snapshot_history_and_expire(spark, tmp_path, capsys):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        merge_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, 10)], "k long, p long"), path, "p"
+    )
+    merge_snapshot(
+        path,
+        spark.createDataFrame([(2, 20)], "k long, p long"),
+        "k",
+        "p",
+        txn=("job", 0),
+    )
+    assert main(["snapshot", "history", path]) == 0
+    out = capsys.readouterr().out
+    assert "v1" in out and "v2" in out and "op=merge" in out and "'job': 0" in out
+    assert main(["snapshot", "expire", path, "--keep", "1"]) == 0
+    assert "removed 0" in capsys.readouterr().out  # both dirs referenced
