@@ -363,6 +363,7 @@ def minhash_dedup_pairs(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -381,7 +382,14 @@ def minhash_dedup_pairs(
     rival the signature stage itself.
     """
     docs = _rebalance(docs)
-    sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col)
+    # ``signatures``: reuse a precomputed signature frame (incremental
+    # ingest computes it anyway for the store) instead of paying the
+    # full-text hash stage a second time.
+    sigs = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(docs, text_col=text_col, id_col=id_col)
+    )
     cand = lsh_candidate_pairs(sigs).localCheckpoint(eager=False)
     ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
@@ -660,7 +668,11 @@ def incremental_minhash_dedup(
 
     # Within-batch near-dups, exact-verified; keep-first by id.
     within = minhash_dedup_pairs(
-        new_docs, threshold=threshold, text_col=text_col, id_col=id_col
+        new_docs,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+        signatures=sigs_new,
     )
     batch_dups = within.groupBy(F.col("doc_b").alias("doc_id")).agg(
         F.min("doc_a").alias("dup_of_batch")
@@ -679,6 +691,9 @@ def incremental_minhash_dedup(
         cand = (
             band_rows(store)
             .join(F.broadcast(new_bands), ["band_id", "band_key"])
+            # A replayed batch meets its own committed signatures —
+            # a doc is never a duplicate of itself.
+            .filter(F.col("doc_id") != F.col("new_id"))
             .select(F.col("doc_id").alias("old_id"), "new_id")
             .distinct()
         )
@@ -710,8 +725,9 @@ def incremental_minhash_dedup(
             F.min("old_id").alias("dup_of_store")
         )
     else:
+        idt = ids.schema["doc_id"].dataType.simpleString()
         store_dups = spark.createDataFrame(
-            [], "doc_id long, dup_of_store long"
+            [], f"doc_id {idt}, dup_of_store {idt}"
         )
 
     result = (

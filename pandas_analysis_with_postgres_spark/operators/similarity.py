@@ -553,21 +553,16 @@ def assign_cells(
     Broadcast-centroid cross join + per-vector top-1 — the standard IVF
     build map; one narrow stage at scale. Ties break by cell_id, cosine
     on the centroid's own norm, matching ``ivf_topk``'s assignment."""
-    cents = centroids.select("cell_id", "centv").withColumn(
-        "__centn", norm(F.col("centv"))
-    )
-    staged = vectors.withColumn("__vn", norm(F.col(vec_col)))
-    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("cell_id"))
-    return (
-        staged.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "__cos",
-            dot(F.col(vec_col), F.col("centv"))
-            / (F.col("__vn") * F.col("__centn")),
-        )
-        .withColumn("__cr", F.row_number().over(w))
-        .filter(F.col("__cr") == 1)
-        .select(id_col, vec_col, "__vn", "cell_id")
+    # One implementation of nearest-cell assignment: _probe_cells with
+    # n=1, re-aliased (keeps the tie-break and norm logic in one place;
+    # ivf_topk keeps its own inline copy only to preserve its pinned
+    # oracle plan).
+    out = _probe_cells(vectors, centroids, 1, id_col, vec_col)
+    return out.select(
+        F.col("query_id").alias(id_col),
+        F.col("qv").alias(vec_col),
+        F.col("__qn").alias("__vn"),
+        "cell_id",
     )
 
 

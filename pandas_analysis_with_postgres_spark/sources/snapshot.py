@@ -60,6 +60,12 @@ SNAPSHOT_DIR = "_snapshots"
 DATA_DIR = "data"
 
 
+def _now() -> float:
+    import time
+
+    return time.time()
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed first; re-read the snapshot and retry."""
 
@@ -189,7 +195,45 @@ def _commit(
         ) from exc
     finally:
         os.unlink(tmp)
+    _fsync_dir(snap)
     return version
+
+
+#: Characters Spark's catalog escapes in partition directory names
+#: (ExternalCatalogUtils.escapePathName): control chars plus this set.
+_HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _hive_part_name(partition_col: str, value) -> str:
+    """The directory name Spark writes for a partition value — hive
+    escaping and all. Deriving the touched-partition set with plain
+    f-string formatting instead silently misclassifies any value
+    containing ':'/'%'/'='/... (or NULL, or a bool) as a COLD
+    partition, and the manifest update would then drop the partition's
+    pre-existing rows."""
+    if value is None:
+        return f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+    if isinstance(value, bool):
+        raw = "true" if value else "false"
+    else:
+        raw = str(value)
+    esc = "".join(
+        f"%{ord(c):02X}" if (c in _HIVE_ESCAPE or ord(c) < 32) else c
+        for c in raw
+    )
+    return f"{partition_col}={esc}"
+
+
+def _fsync_dir(path) -> None:
+    """fsync a directory entry — os.link publishes atomically, but the
+    new name is only crash-durable once the directory itself is synced
+    (same reason the intent log in parquet.atomic_overwrite_partitions
+    is fsync'd)."""
+    fd = os.open(str(path), os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def _schema_meta(df: DataFrame, partition_col: str) -> dict:
@@ -249,6 +293,15 @@ def merge_snapshot(
     :class:`ConcurrentCommitError` and no reader ever saw partial
     state. Pass ``expected_version`` to pin the read version explicitly
     (read-check-write across a longer gap).
+
+    CONTRACT — stable partition values: a key's partition value is part
+    of its identity. Only source-touched partitions are anti-joined, so
+    a source row that moves an existing key to a DIFFERENT partition
+    inserts there while the old row survives in its cold partition
+    (carried by reference). Partition by attributes that never change
+    for a key (ingest date, bucket-of-key, batch id — as every caller
+    in this repo does); a mutable partition column needs a full-table
+    MERGE instead.
     """
     from pyspark.sql import functions as F
 
@@ -263,8 +316,11 @@ def merge_snapshot(
         # This transaction (e.g. a replayed streaming micro-batch) is
         # already in the table — idempotent no-op.
         return parent
+    # The source plan runs up to three times below (touched-set
+    # collect, anti-join, write) — materialize it once.
+    source = source.localCheckpoint(eager=False)
     touched = {
-        f"{partition_col}={r[0]}"
+        _hive_part_name(partition_col, r[0])
         for r in source.select(partition_col).distinct().collect()
     }
     if parent == 0 or not man["partitions"]:
@@ -278,24 +334,10 @@ def merge_snapshot(
             txn,
         )
 
-    touched_rels = {
-        part: rel for part, rel in man["partitions"].items() if part in touched
-    }
-    if touched_rels:
-        by_commit: dict[str, list[str]] = {}
-        for rel in touched_rels.values():
-            by_commit.setdefault(os.path.dirname(rel), []).append(
-                os.path.join(target_path, rel)
-            )
-        scans = [
-            spark.read.option(
-                "basePath", os.path.join(target_path, commit)
-            ).parquet(*sorted(dirs))
-            for commit, dirs in sorted(by_commit.items())
-        ]
-        existing = scans[0]
-        for s in scans[1:]:
-            existing = existing.unionByName(s)
+    if any(part in touched for part in man["partitions"]):
+        existing = read_snapshot(
+            spark, target_path, parent, partition_filter=lambda p: p in touched
+        )
         merged = existing.join(source, key, "left_anti").unionByName(
             source.select(*existing.columns)
         )
@@ -318,9 +360,18 @@ def merge_snapshot(
     )
 
 
-def expire_snapshots(path: str, *, keep: int = 2) -> list[str]:
+def expire_snapshots(
+    path: str, *, keep: int = 2, min_age_sec: float = 3600.0
+) -> list[str]:
     """Drop manifests older than the newest ``keep`` and delete data
-    directories no kept manifest references. Returns removed dirs."""
+    directories no kept manifest references. Returns removed dirs.
+
+    ``min_age_sec`` guards the race with an IN-FLIGHT writer: a commit
+    dir exists (data fully written) for a window before its manifest is
+    linked, and GC'ing it in that window would publish a manifest
+    pointing at deleted files. Only commit dirs older than the
+    threshold are considered — the same age-based guard Delta/Iceberg
+    maintenance uses. Pass 0 only when no writer can be active."""
     snap = _snap_dir(path)
     if not snap.is_dir():
         return []
@@ -333,10 +384,15 @@ def expire_snapshots(path: str, *, keep: int = 2) -> list[str]:
         for rel in read_manifest(path, v)["partitions"].values():
             live_commits.add(rel.split(os.sep)[1])  # data/<commit>/<part>
     removed = []
+    cutoff = _now() - min_age_sec
     data_root = Path(path) / DATA_DIR
     if data_root.is_dir():
         for commit_dir in data_root.iterdir():
-            if commit_dir.is_dir() and commit_dir.name not in live_commits:
+            if (
+                commit_dir.is_dir()
+                and commit_dir.name not in live_commits
+                and commit_dir.stat().st_mtime <= cutoff
+            ):
                 shutil.rmtree(commit_dir)
                 removed.append(str(commit_dir))
     for v in dropped:

@@ -83,12 +83,16 @@ def test_replayed_batch_is_idempotent(spark, store):
     _, v1 = incremental_minhash_dedup(
         _docs(spark, [(2, OTHER)]), store, batch_id=1
     )
-    # Crash-replay of batch 1 (same txn) commits nothing new.
-    _, v2 = incremental_minhash_dedup(
+    # Crash-replay of batch 1 (same txn) commits nothing new — and
+    # the RESULT must not flag the doc as a dup of its own committed
+    # signature (the caller acts on the result).
+    res2, v2 = incremental_minhash_dedup(
         _docs(spark, [(2, OTHER)]), store, batch_id=1
     )
     assert v1 == 2 and v2 == 2
     assert read_snapshot(spark, store).count() == 2
+    row = {r.doc_id: r for r in res2.collect()}[2]
+    assert not row.is_dup and row.dup_of is None
 
 
 def test_store_side_never_shuffles(spark, store):

@@ -96,7 +96,7 @@ def test_torn_manifest_is_impossible(spark, base):
     assert current_version(base) == 1
     assert (8, "zz", 40) not in _rows(read_snapshot(spark, base))
     # Expiry removes the unreferenced commit dir.
-    removed = expire_snapshots(base, keep=1)
+    removed = expire_snapshots(base, keep=1, min_age_sec=0)
     assert len(removed) == 1
     assert _rows(read_snapshot(spark, base)) == {
         (1, "a", 10),
@@ -108,7 +108,7 @@ def test_torn_manifest_is_impossible(spark, base):
 def test_expire_keeps_referenced_dirs(spark, base):
     src = spark.createDataFrame([(4, "d", 30)], "k long, v string, p long")
     merge_snapshot(base, src, "k", "p")  # v2 references v1's dirs for p=10/20
-    expire_snapshots(base, keep=1)
+    expire_snapshots(base, keep=1, min_age_sec=0)
     assert not (Path(base) / "_snapshots" / "v00000001.json").exists()
     # v2 still fully readable: its carried-by-reference dirs survived GC
     assert _rows(read_snapshot(spark, base)) == {
@@ -179,3 +179,31 @@ def test_stream_merge_sink_end_to_end(spark, tmp_path):
         stream2, table, "event_id", "event_type", app_id="e2e", checkpoint_dir=ckpt
     )
     assert read_manifest(table)["version"] == man["version"]
+
+
+def test_expire_age_guard_protects_inflight_commits(spark, base):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        _write_commit_data,
+    )
+
+    orphan = spark.createDataFrame([(8, "zz", 40)], "k long, v string, p long")
+    _write_commit_data(orphan, base, "p")  # in-flight: data, no manifest yet
+    # A fresh unreferenced dir survives default-age GC...
+    assert expire_snapshots(base, keep=1) == []
+    # ...and is collected once it is older than the threshold.
+    assert len(expire_snapshots(base, keep=1, min_age_sec=0)) == 1
+
+
+def test_hive_escaped_partition_values_merge_correctly(spark, tmp_path):
+    path = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "a", "12:00"), (2, "b", "13:00")], "k long, v string, p string"
+    )
+    assert write_snapshot(df, path, "p") == 1
+    # The escaped directory name is the manifest key.
+    assert "p=12%3A00" in read_manifest(path)["partitions"]
+    # Merging into the escaped partition must see its existing rows.
+    src = spark.createDataFrame([(3, "c", "12:00")], "k long, v string, p string")
+    merge_snapshot(path, src, "k", "p")
+    got = {(r.k, r.v, r.p) for r in read_snapshot(spark, path).collect()}
+    assert got == {(1, "a", "12:00"), (2, "b", "13:00"), (3, "c", "12:00")}
