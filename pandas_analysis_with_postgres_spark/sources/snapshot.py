@@ -140,7 +140,9 @@ def read_snapshot(
     ]
     out = scans[0]
     for s in scans[1:]:
-        out = out.unionByName(s)
+        # allowMissingColumns: commits written before a schema-evolving
+        # merge lack the newer columns — their rows read back as NULL.
+        out = out.unionByName(s, allowMissingColumns=True)
     meta = man.get("schema") or {}
     if meta:
         from pyspark.sql import functions as F
@@ -338,8 +340,17 @@ def merge_snapshot(
         existing = read_snapshot(
             spark, target_path, parent, partition_filter=lambda p: p in touched
         )
+        # Schema evolution: the source may ADD columns (existing rows
+        # get NULL); it must still cover every existing column so no
+        # data is silently dropped.
+        missing = [c for c in existing.columns if c not in source.columns]
+        if missing:
+            raise ValueError(
+                f"merge source is missing table columns {missing}; "
+                "schema evolution only adds columns"
+            )
         merged = existing.join(source, key, "left_anti").unionByName(
-            source.select(*existing.columns)
+            source, allowMissingColumns=True
         )
     else:
         merged = source

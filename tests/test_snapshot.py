@@ -207,3 +207,25 @@ def test_hive_escaped_partition_values_merge_correctly(spark, tmp_path):
     merge_snapshot(path, src, "k", "p")
     got = {(r.k, r.v, r.p) for r in read_snapshot(spark, path).collect()}
     assert got == {(1, "a", "12:00"), (2, "b", "13:00"), (3, "c", "12:00")}
+
+
+def test_schema_evolution_adds_column(spark, base):
+    src = spark.createDataFrame(
+        [(2, "B", 10, 0.9), (9, "n", 30, 0.5)],
+        "k long, v string, p long, score double",
+    )
+    merge_snapshot(base, src, "k", "p")
+    got = read_snapshot(spark, base)
+    rows = {(r.k, r.v, r.p, r.score) for r in got.collect()}
+    assert rows == {
+        (1, "a", 10, None),  # rewritten partition, old row → NULL score
+        (2, "B", 10, 0.9),
+        (3, "c", 20, None),  # cold partition (old files) → NULL score
+        (9, "n", 30, 0.5),
+    }
+    # A source that DROPS a column is rejected, not silently lossy.
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([(4, 10)], "k long, p long")
+    with _pytest.raises(ValueError, match="missing table columns"):
+        merge_snapshot(base, bad, "k", "p")
