@@ -36,7 +36,9 @@ def main(argv: list[str] | None = None) -> int:
     p_sql.add_argument("--limit", type=int, default=20)
 
     p_sn = sub.add_parser("snapshot", help="inspect a snapshot table")
-    p_sn.add_argument("action", choices=["history", "read", "expire"])
+    p_sn.add_argument(
+        "action", choices=["history", "read", "expire", "compact"]
+    )
     p_sn.add_argument("path")
     p_sn.add_argument("--version", type=int, default=None)
     p_sn.add_argument("--keep", type=int, default=2)
@@ -69,6 +71,12 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         from .session import get_spark as _gs
 
+        if args.action == "compact":
+            from .sources.snapshot import compact_snapshot
+
+            v = compact_snapshot(_gs("cli"), args.path)
+            print(f"compacted into v{v}")
+            return 0
         read_snapshot(_gs("cli"), args.path, args.version).show(
             args.limit, truncate=False
         )

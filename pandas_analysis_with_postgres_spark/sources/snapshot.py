@@ -409,3 +409,25 @@ def expire_snapshots(
     for v in dropped:
         os.unlink(snap / _manifest_name(v))
     return removed
+
+
+def compact_snapshot(spark: SparkSession, path: str) -> int:
+    """Rewrite the current snapshot as ONE fresh commit.
+
+    A long merge history leaves the live version referencing many
+    commit directories (one scan each in :func:`read_snapshot`);
+    compaction rewrites the current contents into a single commit and
+    publishes it as a normal version — readers pinned to older
+    versions are untouched, and a concurrent writer loses or wins the
+    same optimistic race as any other commit. Run together with
+    :func:`expire_snapshots` as table maintenance.
+    """
+    parent = current_version(path)
+    man = read_manifest(path, parent)
+    meta = man.get("schema") or {}
+    partition_col = meta.get("partition_col")
+    if not partition_col:
+        raise ValueError(f"{path} has no committed schema metadata")
+    df = read_snapshot(spark, path, parent)
+    entries = _write_commit_data(df, path, partition_col)
+    return _commit(path, parent, entries, "compact", meta)

@@ -229,3 +229,37 @@ def test_schema_evolution_adds_column(spark, base):
     bad = spark.createDataFrame([(4, 10)], "k long, p long")
     with _pytest.raises(ValueError, match="missing table columns"):
         merge_snapshot(base, bad, "k", "p")
+
+
+def test_compact_rewrites_to_one_commit(spark, base):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        compact_snapshot,
+    )
+
+    for i, (k, v, p) in enumerate([(4, "d", 30), (5, "e", 40), (2, "B", 10)]):
+        merge_snapshot(
+            base,
+            spark.createDataFrame([(k, v, p)], "k long, v string, p long"),
+            "k",
+            "p",
+        )
+    before = read_manifest(base)
+    n_commits = len({rel.split(os.sep)[1] for rel in before["partitions"].values()})
+    assert n_commits > 1  # history references several commits
+    v = compact_snapshot(spark, base)
+    after = read_manifest(base, v)
+    assert after["operation"] == "compact"
+    assert len({rel.split(os.sep)[1] for rel in after["partitions"].values()}) == 1
+    # Contents identical to the pre-compaction snapshot.
+    assert _rows(read_snapshot(spark, base, v)) == _rows(
+        read_snapshot(spark, base, v - 1)
+    )
+    # Old commits now unreferenced by the live version → expirable.
+    expire_snapshots(base, keep=1, min_age_sec=0)
+    assert _rows(read_snapshot(spark, base)) == {
+        (1, "a", 10),
+        (2, "B", 10),
+        (3, "c", 20),
+        (4, "d", 30),
+        (5, "e", 40),
+    }
