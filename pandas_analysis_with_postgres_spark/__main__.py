@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
     p_sn.add_argument("path")
     p_sn.add_argument("--version", type=int, default=None)
     p_sn.add_argument("--keep", type=int, default=2)
+    p_sn.add_argument(
+        "--min-age-sec",
+        type=float,
+        default=3600.0,
+        help="GC only commit dirs older than this (0 = no writer active)",
+    )
     p_sn.add_argument("--limit", type=int, default=20)
 
     args = ap.parse_args(argv)
@@ -66,7 +72,9 @@ def main(argv: list[str] | None = None) -> int:
                 )
             return 0
         if args.action == "expire":
-            removed = expire_snapshots(args.path, keep=args.keep)
+            removed = expire_snapshots(
+                args.path, keep=args.keep, min_age_sec=args.min_age_sec
+            )
             print(f"removed {len(removed)} unreferenced commit dirs")
             return 0
         from .session import get_spark as _gs

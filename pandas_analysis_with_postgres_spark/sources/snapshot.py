@@ -213,7 +213,9 @@ def _hive_part_name(partition_col: str, value) -> str:
     containing ':'/'%'/'='/... (or NULL, or a bool) as a COLD
     partition, and the manifest update would then drop the partition's
     pre-existing rows."""
-    if value is None:
+    if value is None or value == "":
+        # Spark maps both NULL and the empty string to the default
+        # partition directory.
         return f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
     if isinstance(value, bool):
         raw = "true" if value else "false"
@@ -245,6 +247,7 @@ def _schema_meta(df: DataFrame, partition_col: str) -> dict:
     return {
         "partition_col": partition_col,
         "partition_type": df.schema[partition_col].dataType.simpleString(),
+        "columns": df.columns,
     }
 
 
@@ -256,6 +259,18 @@ def _write_commit_data(
     commit_id = uuid.uuid4().hex[:12]
     out = Path(path) / DATA_DIR / commit_id
     df.write.mode("overwrite").partitionBy(partition_col).parquet(str(out))
+    # Make the data as durable as the manifest that will reference it:
+    # a durable manifest pointing at page-cache-only parquet would be
+    # worse than no commit. (On HDFS/S3 close() already guarantees
+    # this; local filesystems need the explicit sync.)
+    for root, dirs, files in os.walk(out):
+        for name in files:
+            fd = os.open(os.path.join(root, name), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        _fsync_dir(root)
     entries = {}
     for p in out.iterdir():
         if p.is_dir() and p.name.startswith(f"{partition_col}="):
@@ -318,6 +333,21 @@ def merge_snapshot(
         # This transaction (e.g. a replayed streaming micro-batch) is
         # already in the table — idempotent no-op.
         return parent
+    # Python str() must render partition values exactly as Spark
+    # names the directories; that holds for integral/string/date/bool
+    # but NOT for float/double (Java Double.toString: '2.0E-5' vs
+    # Python '2e-05') or timestamps — a mismatch would misclassify a
+    # hot partition as cold and silently drop its rows. Refuse the
+    # types whose rendering differs; they are poor partition keys
+    # anyway.
+    ptype = source.schema[partition_col].dataType.simpleString()
+    if ptype not in {
+        "tinyint", "smallint", "int", "bigint", "string", "date", "boolean"
+    }:
+        raise ValueError(
+            f"unsupported partition column type {ptype!r} for merge "
+            "(use an integral, string, date, or boolean partition key)"
+        )
     # The source plan runs up to three times below (touched-set
     # collect, anti-join, write) — materialize it once.
     source = source.localCheckpoint(eager=False)
@@ -325,6 +355,14 @@ def merge_snapshot(
         _hive_part_name(partition_col, r[0])
         for r in source.select(partition_col).distinct().collect()
     }
+    prev_cols = (man.get("schema") or {}).get("columns")
+    if prev_cols:
+        lost = [c for c in prev_cols if c not in source.columns]
+        if lost:
+            raise ValueError(
+                f"merge source is missing table columns {lost}; "
+                "schema evolution only adds columns"
+            )
     if parent == 0 or not man["partitions"]:
         entries = _write_commit_data(source, target_path, partition_col)
         return _commit(
@@ -341,14 +379,8 @@ def merge_snapshot(
             spark, target_path, parent, partition_filter=lambda p: p in touched
         )
         # Schema evolution: the source may ADD columns (existing rows
-        # get NULL); it must still cover every existing column so no
-        # data is silently dropped.
-        missing = [c for c in existing.columns if c not in source.columns]
-        if missing:
-            raise ValueError(
-                f"merge source is missing table columns {missing}; "
-                "schema evolution only adds columns"
-            )
+        # get NULL); the missing-column guard above already ensured no
+        # table column is silently dropped.
         merged = existing.join(source, key, "left_anti").unionByName(
             source, allowMissingColumns=True
         )

@@ -263,3 +263,37 @@ def test_compact_rewrites_to_one_commit(spark, base):
         (4, "d", 30),
         (5, "e", 40),
     }
+
+
+def test_merge_guards_unrenderable_partition_types(spark, tmp_path):
+    path = str(tmp_path / "d")
+    df = spark.createDataFrame([(1, 0.5)], "k long, p double")
+    write_snapshot(df, path, "p")
+    with pytest.raises(ValueError, match="partition column type"):
+        merge_snapshot(
+            path, spark.createDataFrame([(2, 0.5)], "k long, p double"), "k", "p"
+        )
+
+
+def test_empty_string_partition_is_default_partition(spark, tmp_path):
+    path = str(tmp_path / "e")
+    df = spark.createDataFrame([(1, "x", ""), (2, "y", "a")], "k long, v string, p string")
+    write_snapshot(df, path, "p")
+    assert "p=__HIVE_DEFAULT_PARTITION__" in read_manifest(path)["partitions"]
+    # Merging a row into the empty-string partition must see its rows.
+    merge_snapshot(
+        path,
+        spark.createDataFrame([(3, "z", "")], "k long, v string, p string"),
+        "k",
+        "p",
+    )
+    ks = {r.k for r in read_snapshot(spark, path).collect()}
+    assert ks == {1, 2, 3}
+
+
+def test_lossy_source_rejected_even_on_new_partitions(spark, base):
+    # Column-dropping source touching ONLY a brand-new partition must
+    # still be rejected (the guard is overlap-independent).
+    bad = spark.createDataFrame([(4, 99)], "k long, p long")
+    with pytest.raises(ValueError, match="missing table columns"):
+        merge_snapshot(base, bad, "k", "p")
