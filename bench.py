@@ -38,7 +38,7 @@ HEADLINE = (
     "q27_cosine_topk",
     "q28_lsh_topk",
     "q30_text_stats",
-    "q36_stream_hourly_counts",
+    "a36_live_hourly_counts",
     "q42_ivf_topk",
 )
 
@@ -48,50 +48,50 @@ HEADLINE = (
 EXTRA = (
     "q50_promo_range_join",
     "q53_corpus_curation",
-    "q60_repetition_signals",
-    "q61_decontamination",
-    "q62_source_mixing",
-    "q63_sequence_packing",
-    "q64_pii_redaction",
-    "q65_ivf_kmeans_topk",
-    "q66_hll_distinct",
-    "q67_bloom_decontamination",
-    "q68_cms_heavy_hitters",
-    "q69_bm25_topk",
-    "q70_bigram_lm_surprisal",
-    "q71_bpe_train",
-    "q72_stream_hll_users",
-    "q73_doc_chunks",
-    "q74_rolling_spend",
-    "q75_value_outliers",
-    "q76_event_pivot",
-    "q77_lineitem_melt_profile",
-    "q78_key_skew_profile",
-    "q79_source_sample",
-    "q80_price_quartiles",
-    "q81_spend_deciles",
-    "q82_session_funnel",
-    "q83_retention_cohorts",
-    "q84_event_sequences",
-    "q85_bpe_encode",
-    "q86_supply_pagerank",
-    "q87_event_transitions",
-    "q88_orders_profile",
-    "q89_fuzzy_token_pairs",
-    "q90_price_histogram_quantiles",
-    "q91_weighted_doc_sample",
-    "q92_grouping_sets",
-    "q93_stream_enrich",
-    "q94_user_median_py",
-    "q95_bloom_join_revenue",
-    "q96_order_value_spread",
+    "a60_repetition_signals",
+    "a61_decontamination",
+    "a62_source_mixing",
+    "a63_sequence_packing",
+    "a64_pii_redaction",
+    "a65_ivf_kmeans_topk",
+    "a66_hll_distinct",
+    "a67_bloom_decontamination",
+    "a68_cms_heavy_hitters",
+    "a69_bm25_topk",
+    "a70_bigram_lm_surprisal",
+    "a71_bpe_train",
+    "a72_live_hll_users",
+    "a73_doc_chunks",
+    "a74_rolling_spend",
+    "a75_value_outliers",
+    "a76_event_pivot",
+    "a77_lineitem_melt_profile",
+    "a78_key_skew_profile",
+    "a79_source_sample",
+    "a80_price_quartiles",
+    "a81_spend_deciles",
+    "a82_session_funnel",
+    "a83_retention_cohorts",
+    "a84_event_sequences",
+    "a85_bpe_encode",
+    "a86_supply_pagerank",
+    "a87_event_transitions",
+    "a88_orders_profile",
+    "a89_fuzzy_token_pairs",
+    "a90_price_histogram_quantiles",
+    "a91_weighted_doc_sample",
+    "a92_grouping_sets",
+    "a93_live_enrich",
+    "a94_user_median_py",
+    "a95_bloom_join_revenue",
+    "a96_order_value_spread",
     # round 3: q85 above is now encode-only (persisted merges trained
     # by the earlier q71 entry); these are the round's new/retuned
     # shapes worth tracking.
     "q23_ngram_jaccard_pairs",
     "q35a_media_checksum",
     "q49_dedup_keep",
-    "q56_stream_stream_join",
+    "a56_live_pair_join",
 )
 
 

@@ -622,6 +622,27 @@ def containment_pairs(
 # ---------------------------------------------------------------------
 # Incremental dedup against a persisted signature store
 # ---------------------------------------------------------------------
+def _parse_spark_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf value ('10485760', '10MB', '1g',
+    '-1') into bytes; unparseable values fall back to Spark's 10 MiB
+    default."""
+    s = str(value).strip().lower()
+    for suffix, mult in (
+        ("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2), ("kb", 1024),
+        ("t", 1024**4), ("g", 1024**3), ("m", 1024**2), ("k", 1024),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            break
+    else:
+        mult = 1
+    try:
+        return int(float(s)) * mult
+    except ValueError:
+        return 10 * 1024 * 1024
+
+
 def incremental_minhash_dedup(
     new_docs: DataFrame,
     store_path: str,
@@ -631,6 +652,7 @@ def incremental_minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     app_id: str = "minhash-store",
+    broadcast_batch: bool | None = None,
 ):
     """Dedup a NEW batch of documents against everything already
     accepted, without ever recomputing the historical corpus — the
@@ -643,10 +665,18 @@ def incremental_minhash_dedup(
     zero store rewrite, and the ``txn=(app_id, batch_id)`` watermark
     makes a replayed batch a no-op (exactly-once ingest).
 
-    Join strategy: the store is the big side and is NEVER shuffled —
-    the new batch's exploded band frame (small by assumption: one
+    Join strategy: the store is the big side and should not shuffle —
+    the new batch's exploded band frame (small in the steady state: one
     ingest batch vs the whole corpus) is broadcast against a single
-    store scan. Cross-corpus matches are verified by the signature
+    store scan. The broadcast is SIZE-GATED (``broadcast_batch=None``,
+    the default): the batch's signature count (already materialized by
+    the checkpoint, so the count is free) times a conservative
+    bytes-per-row estimate is compared against
+    ``spark.sql.autoBroadcastJoinThreshold`` — a bootstrap or backfill
+    batch of millions of documents degrades to a plain shuffle join
+    (result-identical) instead of OOMing the driver. Pass ``True`` /
+    ``False`` to force either plan. Cross-corpus matches are verified
+    by the signature
     Jaccard estimate (fraction of equal minhashes ≥ ``threshold``) —
     the store holds signatures, not text, so the estimate IS the
     verification, with NUM_PERMS=32 giving σ ≈ 0.09 at j=0.5;
@@ -665,6 +695,18 @@ def incremental_minhash_dedup(
     sigs_new = minhash_signatures(
         new_docs, text_col=text_col, id_col=id_col
     ).localCheckpoint()
+
+    if broadcast_batch is None:
+        thr = _parse_spark_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        )
+        n_new = sigs_new.count()  # checkpointed → metadata-cheap
+        # Largest broadcast frame is the exploded band set (LSH_BANDS
+        # rows/doc) or the full signature row (NUM_PERMS longs + id);
+        # ~64 B per band row / per column is deliberately pessimistic.
+        est_bytes = n_new * max(LSH_BANDS * 64, NUM_PERMS * 8 + 64)
+        broadcast_batch = thr > 0 and est_bytes <= thr
+    _hint = F.broadcast if broadcast_batch else (lambda df: df)
 
     # Within-batch near-dups, exact-verified; keep-first by id.
     within = minhash_dedup_pairs(
@@ -690,7 +732,7 @@ def incremental_minhash_dedup(
         )
         cand = (
             band_rows(store)
-            .join(F.broadcast(new_bands), ["band_id", "band_key"])
+            .join(_hint(new_bands), ["band_id", "band_key"])
             # A replayed batch meets its own committed signatures —
             # a doc is never a duplicate of itself.
             .filter(F.col("doc_id") != F.col("new_id"))
@@ -713,11 +755,13 @@ def incremental_minhash_dedup(
             )
             / NUM_PERMS
         )
-        # Broadcast the candidate pairs too: the store-side signature
-        # lookup must stream the store scan, never shuffle it.
+        # Hint the candidate pairs too: when broadcasting, the
+        # store-side signature lookup streams the store scan without
+        # shuffling it; when the gate demoted the batch, these joins
+        # shuffle like any other and stay result-identical.
         est = (
-            F.broadcast(cand).join(old_sigs, "old_id")
-            .join(F.broadcast(new_sigs), "new_id")
+            _hint(cand).join(old_sigs, "old_id")
+            .join(_hint(new_sigs), "new_id")
             .select("new_id", "old_id", matches.alias("est_jaccard"))
             .filter(F.col("est_jaccard") >= threshold)
         )

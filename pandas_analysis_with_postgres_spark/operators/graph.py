@@ -30,6 +30,16 @@ PAGERANK_DAMP_PCT = 85
 PAGERANK_ROUNDS = 3
 
 
+def _shuffle_partitions(spark) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating the
+    literal string "auto" that AQE-managed platforms set — fall back to
+    the cluster's default parallelism instead of failing the caller."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -92,9 +102,7 @@ def pagerank(
         derived = any(k in plan for k in ("Join", "Aggregate", "Window", "Union"))
         if derived and "LogicalRDD" not in plan.splitlines()[0]:
             edges = edges.localCheckpoint()
-        parts = int(
-            edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        parts = _shuffle_partitions(edges.sparkSession)
         prof = (
             edges.groupBy(dst)
             .agg(F.count(F.lit(1)).alias("n"))

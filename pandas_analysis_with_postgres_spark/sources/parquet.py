@@ -102,6 +102,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         key = None
     if key is not None and key in _LOAD_CACHE:
         return _LOAD_CACHE[key]
+    if key is not None:
+        # Evict stale entries before inserting: DataFrames from stopped
+        # sessions (different applicationId) pin dead JVM plan objects,
+        # and a regenerated fixture (same dir/name, different mtime)
+        # leaves its superseded entry unreachable forever. A long-lived
+        # process cycling sessions would otherwise grow this dict
+        # without bound.
+        app_id = key[0]
+        stale = [
+            k
+            for k in _LOAD_CACHE
+            if k[0] != app_id or (k[1], k[2]) == (key[1], key[2])
+        ]
+        for k in stale:
+            del _LOAD_CACHE[k]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)

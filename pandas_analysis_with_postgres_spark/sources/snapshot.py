@@ -132,12 +132,24 @@ def read_snapshot(
     for rel in parts.values():
         commit = os.path.dirname(rel)  # data/<commit-id>
         by_commit.setdefault(commit, []).append(os.path.join(path, rel))
-    scans = [
-        spark.read.option("basePath", os.path.join(path, commit)).parquet(
-            *sorted(dirs)
-        )
-        for commit, dirs in sorted(by_commit.items())
-    ]
+    # Partition values must come back as the RAW directory string and be
+    # cast per the manifest-pinned type. Letting Spark's hive inference
+    # guess first corrupts string-typed values that look numeric
+    # ('0123' → int 123 → cast back as '123'); inference runs eagerly
+    # when the reader resolves the file index, so toggling the session
+    # conf around these reads is sufficient and leak-free.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    infer_old = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    try:
+        scans = [
+            spark.read.option("basePath", os.path.join(path, commit)).parquet(
+                *sorted(dirs)
+            )
+            for commit, dirs in sorted(by_commit.items())
+        ]
+    finally:
+        spark.conf.set(infer_key, infer_old)
     out = scans[0]
     for s in scans[1:]:
         # allowMissingColumns: commits written before a schema-evolving
@@ -414,20 +426,38 @@ def expire_snapshots(
     linked, and GC'ing it in that window would publish a manifest
     pointing at deleted files. Only commit dirs older than the
     threshold are considered — the same age-based guard Delta/Iceberg
-    maintenance uses. Pass 0 only when no writer can be active."""
+    maintenance uses. The guard also applies to MANIFEST deletion, so a
+    slow writer pinned via ``expected_version`` to a recently-dropped
+    parent still reads it and fails through the documented
+    :class:`ConcurrentCommitError` path, not ``FileNotFoundError``.
+    Pass 0 only when no writer can be active.
+
+    ``keep`` must be >= 1 — the newest manifest is the table; expiring
+    all history would silently turn ``keep=0`` into keep-everything
+    (``versions[-0:]`` is the whole list), so it is rejected."""
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
     snap = _snap_dir(path)
     if not snap.is_dir():
         return []
     versions = sorted(
         int(p.stem[1:]) for p in snap.glob("v*.json") if p.stem[1:].isdigit()
     )
-    kept, dropped = versions[-keep:], versions[:-keep]
+    cutoff = _now() - min_age_sec
+    # Only manifests old enough to clear the in-flight-writer guard are
+    # actually dropped this pass; younger ones are retained (and keep
+    # their data live) until a later maintenance run.
+    dropped = [
+        v
+        for v in versions[:-keep]
+        if (snap / _manifest_name(v)).stat().st_mtime <= cutoff
+    ]
+    retained = [v for v in versions if v not in set(dropped)]
     live_commits = set()
-    for v in kept:
+    for v in retained:
         for rel in read_manifest(path, v)["partitions"].values():
             live_commits.add(rel.split(os.sep)[1])  # data/<commit>/<part>
     removed = []
-    cutoff = _now() - min_age_sec
     data_root = Path(path) / DATA_DIR
     if data_root.is_dir():
         for commit_dir in data_root.iterdir():

@@ -453,20 +453,33 @@ def stream_merge_sink(
     commit; the manifest's transaction watermark makes that replay a
     no-op, so the table sees every batch exactly once even though the
     stream delivers at-least-once. A concurrent writer racing the sink
-    surfaces as ``ConcurrentCommitError``, failing the batch — the
-    stream retries it, re-reading the fresh snapshot (optimistic
-    retry, driven by the engine's own replay machinery).
+    surfaces as ``ConcurrentCommitError``; the merge is retried IN-RUN
+    against the fresh snapshot (bounded attempts — optimistic retry is
+    result-identical because each attempt re-reads the current
+    version). Under ``trigger(availableNow)`` an exception escaping
+    ``foreachBatch`` would terminate the query, so without this loop
+    exactly-once would only hold after a manual restart from the
+    checkpoint; if all attempts lose the race, that is still the
+    fallback (the txn watermark makes the restart a no-op for any batch
+    that did land).
     """
-    from ..sources.snapshot import merge_snapshot
+    from ..sources.snapshot import ConcurrentCommitError, merge_snapshot
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        merge_snapshot(
-            table_path,
-            batch_df,
-            key,
-            partition_col,
-            txn=(app_id, batch_id),
-        )
+        attempts = 5
+        for i in range(attempts):
+            try:
+                merge_snapshot(
+                    table_path,
+                    batch_df,
+                    key,
+                    partition_col,
+                    txn=(app_id, batch_id),
+                )
+                return
+            except ConcurrentCommitError:
+                if i == attempts - 1:
+                    raise
 
     foreach_batch_sink(
         df, _merge, checkpoint_dir=checkpoint_dir, timeout_sec=timeout_sec

@@ -36,16 +36,16 @@ SMOKE = (
     "q27_cosine_topk",
     "q28_lsh_topk",
     "q30_text_stats",
-    "q36_stream_hourly_counts",
+    "a36_live_hourly_counts",
     "q42_ivf_topk",
-    "q73_doc_chunks",
-    "q74_rolling_spend",
-    "q82_session_funnel",
-    "q84_event_sequences",
-    "q85_bpe_encode",
-    "q86_supply_pagerank",
-    "q89_fuzzy_token_pairs",
-    "q95_bloom_join_revenue",
+    "a73_doc_chunks",
+    "a74_rolling_spend",
+    "a82_session_funnel",
+    "a84_event_sequences",
+    "a85_bpe_encode",
+    "a86_supply_pagerank",
+    "a89_fuzzy_token_pairs",
+    "a95_bloom_join_revenue",
 )
 
 

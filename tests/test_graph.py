@@ -116,3 +116,30 @@ def test_bpe_encode_leftmost_nonoverlapping(spark):
     got = apply_bpe_merges(docs, merges, rounds=1).collect()[0]
     assert got.encoded == "a_a a"
     assert got.n_pieces == 2
+
+
+def test_shuffle_partitions_tolerates_auto(spark):
+    # AQE-managed platforms set the conf to the literal string "auto";
+    # the salting profile must fall back to defaultParallelism instead
+    # of raising ValueError (round-4 advisor finding).
+    from pandas_analysis_with_postgres_spark.operators.graph import (
+        _shuffle_partitions,
+    )
+
+    # Spark's conf.set validates the value, so simulate a session that
+    # was BUILT with the managed value (how the platforms deliver it).
+    class _Conf:
+        def get(self, key):
+            return "auto"
+
+    class _Ctx:
+        defaultParallelism = 7
+
+    class _Session:
+        conf = _Conf()
+        sparkContext = _Ctx()
+
+    assert _shuffle_partitions(_Session()) == 7
+    assert _shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )

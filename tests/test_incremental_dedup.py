@@ -121,3 +121,62 @@ def test_store_side_never_shuffles(spark, store):
     )
     # The band join must be a BroadcastHashJoin (store side streamed).
     assert "BroadcastHashJoin" in plan
+
+
+def test_broadcast_gate_demotes_large_batch_and_matches(spark, store):
+    """With a tiny autoBroadcastJoinThreshold the size gate must demote
+    the batch-side broadcast to a plain shuffle join (no driver OOM on
+    a backfill batch) while producing byte-identical results."""
+    from pandas_analysis_with_postgres_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    incremental_minhash_dedup(
+        _docs(spark, [(1, BASE), (2, OTHER)]), store, batch_id=0
+    )
+    batch = _docs(spark, [(10, BASE + " x"), (11, "unrelated words here")])
+
+    def run(bb, bid):
+        res, _ = incremental_minhash_dedup(
+            batch, store, batch_id=bid, app_id=f"gate-{bid}", broadcast_batch=bb
+        )
+        return {tuple(r) for r in res.collect()}
+
+    # Force-off vs force-on: identical rows (the gate changes only the
+    # physical join, never the answer). Distinct app_ids keep the txn
+    # watermark from short-circuiting the second run; both batches
+    # commit the same survivor set so the store state stays comparable.
+    assert run(False, 1) == run(True, 2)
+
+    # The auto gate keys off autoBroadcastJoinThreshold: below the
+    # batch's estimated size it must NOT plan a broadcast of new_bands.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64b")
+        from pandas_analysis_with_postgres_spark.operators.dedup import (
+            _parse_spark_bytes,
+        )
+
+        assert _parse_spark_bytes("64b") == 64
+        sigs = minhash_signatures(batch).localCheckpoint()
+        n = sigs.count()
+        assert n * 16 * 64 > 64  # estimate really exceeds the threshold
+        # auto mode → demoted to shuffle joins; the answer is unchanged
+        res, _ = incremental_minhash_dedup(
+            batch, store, batch_id=3, app_id="gate-3"
+        )
+        assert {r.doc_id for r in res.collect() if r.is_dup} == {10}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_parse_spark_bytes_units():
+    from pandas_analysis_with_postgres_spark.operators.dedup import (
+        _parse_spark_bytes,
+    )
+
+    assert _parse_spark_bytes("10485760") == 10 * 1024 * 1024
+    assert _parse_spark_bytes("10MB") == 10 * 1024 * 1024
+    assert _parse_spark_bytes("1g") == 1024**3
+    assert _parse_spark_bytes("-1") == -1
+    assert _parse_spark_bytes("nonsense") == 10 * 1024 * 1024

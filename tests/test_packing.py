@@ -15,7 +15,7 @@ from .conftest import SF_SMOKE
 
 def test_pack_offsets_contiguous_and_budgeted(spark):
     out = (
-        QUERIES["q63_sequence_packing"](spark, SF_SMOKE)
+        QUERIES["a63_sequence_packing"](spark, SF_SMOKE)
         .orderBy("source", "doc_id")
         .collect()
     )

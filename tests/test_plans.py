@@ -77,7 +77,7 @@ def test_q61_decontamination_broadcasts_bench(spark):
     """Decontamination must broadcast the benchmark side (shingles and
     set sizes) and never self-join the corpus: the corpus is scanned
     once; every join on the path is a broadcast hash join."""
-    p = _plan(spark, "q61_decontamination")
+    p = _plan(spark, "a61_decontamination")
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
@@ -95,7 +95,7 @@ def test_q50_range_join_not_nested_loop(spark):
 
 #: Declared Python crossings: the grouped-Pandas surface demonstrator.
 #: Everything else oracled must stay JVM-side.
-DECLARED_PYTHON = {"q94_user_median_py"}
+DECLARED_PYTHON = {"a94_user_median_py"}
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -103,8 +103,6 @@ def test_no_python_row_eval_in_oracled_queries(spark, name):
     """Every hash-verified query stays JVM-side end-to-end (except the
     explicitly declared grouped-Python surface, which must still never
     be row-at-a-time)."""
-    if name.startswith(("q36", "q37", "q38", "q39")):
-        pytest.skip("streaming plans are checked at runtime, not explain")
     p = _plan(spark, name)
     assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time Python UDF"
     if name in DECLARED_PYTHON:
@@ -139,13 +137,13 @@ def test_q73_chunking_is_shuffle_free(spark):
     """Chunking is embarrassingly parallel: explode + substring must
     plan as a Generate with NO Exchange — cost scales with output
     bytes, never with a shuffle of document text."""
-    p = _plan(spark, "q73_doc_chunks")
+    p = _plan(spark, "a73_doc_chunks")
     assert "Generate" in p
     assert "Exchange" not in p, p
 
 
 def test_q74_rolling_window_single_shuffle(spark):
-    p = _plan(spark, "q74_rolling_spend")
+    p = _plan(spark, "a74_rolling_spend")
     assert _op_counts(p)["Exchange"] == 1, p
     assert "SortMergeJoin" not in p
 
@@ -154,19 +152,19 @@ def test_q82_funnel_windows_share_one_shuffle(spark):
     """Sessionize + per-session windows + session groupBy all key on
     user_id: Catalyst must reuse the single user_id hash partitioning
     (one data Exchange; the second is the final 1-row global agg)."""
-    p = _plan(spark, "q82_session_funnel")
+    p = _plan(spark, "a82_session_funnel")
     assert _op_counts(p)["Exchange"] == 2, p
 
 
 def test_q84_sequences_single_shuffle(spark):
-    p = _plan(spark, "q84_event_sequences")
+    p = _plan(spark, "a84_event_sequences")
     assert _op_counts(p)["Exchange"] == 1, p
 
 
 def test_q85_bpe_rules_broadcast(spark):
     """Each one-row merge rule joins in as a broadcast; the corpus is
     never cartesian-replicated or shuffled for rule application."""
-    p = _plan(spark, "q85_bpe_encode")
+    p = _plan(spark, "a85_bpe_encode")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
 
@@ -176,5 +174,5 @@ def test_q91_topk_is_take_ordered_not_global_window_sort(spark):
     (per-partition top-k + k-row merge); a row_number over an
     unpartitioned window before the filter would instead funnel the
     whole table through one task's global sort."""
-    p = _plan(spark, "q91_weighted_doc_sample")
+    p = _plan(spark, "a91_weighted_doc_sample")
     assert "TakeOrderedAndProject" in p, p

@@ -137,3 +137,26 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_load_cache_evicts_stale_entries(spark):
+    # _LOAD_CACHE must not grow without bound: entries from other
+    # applications and superseded mtimes for the same (dir, name) are
+    # evicted on insert (round-4 advisor finding).
+    from pandas_analysis_with_postgres_spark.sources import parquet as pq
+
+    pq._LOAD_CACHE.clear()
+    pq.load_table(spark, "/root/testdata/sf0.001", "region")
+    assert len(pq._LOAD_CACHE) == 1
+    live_key = next(iter(pq._LOAD_CACHE))
+    # simulate a dead session's entry and a stale-mtime entry
+    dead = ("app-gone", live_key[1], live_key[2], live_key[3])
+    stale = (live_key[0], live_key[1], "nation", 0)
+    pq._LOAD_CACHE[dead] = pq._LOAD_CACHE[live_key]
+    pq._LOAD_CACHE[stale] = pq._LOAD_CACHE[live_key]
+    pq.load_table(spark, "/root/testdata/sf0.001", "nation")
+    keys = set(pq._LOAD_CACHE)
+    assert dead not in keys  # other-app entry evicted
+    assert stale not in keys  # superseded mtime evicted
+    assert live_key in keys
+    assert len(keys) == 2

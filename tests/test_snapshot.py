@@ -297,3 +297,104 @@ def test_lossy_source_rejected_even_on_new_partitions(spark, base):
     bad = spark.createDataFrame([(4, 99)], "k long, p long")
     with pytest.raises(ValueError, match="missing table columns"):
         merge_snapshot(base, bad, "k", "p")
+
+
+def test_string_partition_numeric_looking_values_not_corrupted(spark, tmp_path):
+    # Hive partition-value inference would read '0123' back as int 123
+    # and '1e2' as double 100.0; the snapshot scan must disable
+    # inference and cast from the RAW directory string per the
+    # manifest-pinned type (round-4 advisor finding).
+    df = spark.createDataFrame(
+        [(1, "a", "0123"), (2, "b", "1e2"), (3, "c", "plain")],
+        "k long, v string, p string",
+    )
+    path = str(tmp_path / "strp")
+    write_snapshot(df, path, "p")
+    got = read_snapshot(spark, path)
+    assert dict(got.dtypes)["p"] == "string"
+    assert _rows(got) == {(1, "a", "0123"), (2, "b", "1e2"), (3, "c", "plain")}
+    # merge into the numeric-looking partition: touched-set naming and
+    # read-back values agree, so the key updates instead of duplicating
+    src = spark.createDataFrame([(1, "A", "0123")], "k long, v string, p string")
+    merge_snapshot(path, src, "k", "p")
+    assert _rows(read_snapshot(spark, path)) == {
+        (1, "A", "0123"),
+        (2, "b", "1e2"),
+        (3, "c", "plain"),
+    }
+    # the session conf is restored after the scan
+    assert (
+        spark.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled")
+        != "false"
+    )
+
+
+def test_expire_rejects_keep_zero(base):
+    # versions[-0:] == the whole list, so keep=0 would silently keep
+    # everything while claiming to expire all history — reject it.
+    with pytest.raises(ValueError, match="keep"):
+        expire_snapshots(base, keep=0)
+
+
+def test_expire_age_guard_applies_to_manifests(spark, base):
+    # Three versions; default min_age must retain even the out-of-keep
+    # manifests (they are younger than the threshold), so a slow writer
+    # pinned to an old parent still reads it and loses via
+    # ConcurrentCommitError, not FileNotFoundError.
+    src = spark.createDataFrame([(7, "x", 20)], "k long, v string, p long")
+    merge_snapshot(base, src, "k", "p")
+    src2 = spark.createDataFrame([(8, "y", 20)], "k long, v string, p long")
+    merge_snapshot(base, src2, "k", "p")
+    assert current_version(base) == 3
+    assert expire_snapshots(base, keep=1) == []
+    assert read_manifest(base, 1)["version"] == 1  # still readable
+    # the pinned slow writer follows the documented optimistic path
+    late = spark.createDataFrame([(9, "z", 20)], "k long, v string, p long")
+    with pytest.raises(ConcurrentCommitError):
+        merge_snapshot(base, late, "k", "p", expected_version=1)
+    # age-cleared expiry then drops them for real
+    expire_snapshots(base, keep=1, min_age_sec=0)
+    assert not os.path.exists(
+        os.path.join(base, "_snapshots", "v00000001.json")
+    )
+
+
+def test_stream_merge_sink_retries_lost_race_in_run(spark, tmp_path, monkeypatch):
+    # A ConcurrentCommitError inside foreachBatch under
+    # trigger(availableNow) would terminate the query; the sink must
+    # retry the merge in-run against the fresh snapshot instead.
+    from pandas_analysis_with_postgres_spark.sources import snapshot as snap_mod
+    from pandas_analysis_with_postgres_spark.streaming import (
+        events_stream_multibatch,
+        stream_merge_sink,
+    )
+
+    real = snap_mod.merge_snapshot
+    failures = {"left": 2}
+
+    def flaky(*args, **kwargs):
+        if failures["left"] > 0:
+            failures["left"] -= 1
+            raise snap_mod.ConcurrentCommitError("simulated lost race")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(snap_mod, "merge_snapshot", flaky)
+    sf_dir = "/root/testdata/sf0.001"
+    table = str(tmp_path / "events_tbl")
+    stream = events_stream_multibatch(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    stream_merge_sink(
+        stream,
+        table,
+        "event_id",
+        "event_type",
+        app_id="retry",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert failures["left"] == 0  # the race really happened and was retried
+    from pandas_analysis_with_postgres_spark.sources.parquet import load_table
+
+    assert read_snapshot(spark, table).count() == load_table(
+        spark, sf_dir, "events"
+    ).count()

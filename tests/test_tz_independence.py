@@ -18,10 +18,10 @@ from .conftest import SF_ORACLE
 
 EPOCH_QUERIES = (
     "q19_user_sessions",
-    "q74_rolling_spend",
-    "q82_session_funnel",
-    "q84_event_sequences",
-    "q87_event_transitions",
+    "a74_rolling_spend",
+    "a82_session_funnel",
+    "a84_event_sequences",
+    "a87_event_transitions",
 )
 
 
