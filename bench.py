@@ -92,6 +92,11 @@ EXTRA = (
     "q35a_media_checksum",
     "q49_dedup_keep",
     "a56_live_pair_join",
+    # round 4: real media decode (PPM/WAV numpy codecs under
+    # mapInPandas) and SQL time travel over the snapshot layer.
+    "a35_media_features",
+    "a97_audio_features",
+    "a98_snapshot_time_travel",
 )
 
 

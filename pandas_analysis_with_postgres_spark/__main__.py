@@ -37,9 +37,20 @@ def main(argv: list[str] | None = None) -> int:
 
     p_sn = sub.add_parser("snapshot", help="inspect a snapshot table")
     p_sn.add_argument(
-        "action", choices=["history", "read", "expire", "compact"]
+        "action", choices=["history", "read", "expire", "compact", "sql"]
     )
     p_sn.add_argument("path")
+    p_sn.add_argument(
+        "--query",
+        default=None,
+        help="(sql) statement to run; the snapshot is visible as --as",
+    )
+    p_sn.add_argument(
+        "--as",
+        dest="view_name",
+        default="snapshot",
+        help="(sql) temp-view name for the snapshot table",
+    )
     p_sn.add_argument("--version", type=int, default=None)
     p_sn.add_argument("--keep", type=int, default=2)
     p_sn.add_argument(
@@ -84,6 +95,19 @@ def main(argv: list[str] | None = None) -> int:
 
             v = compact_snapshot(_gs("cli"), args.path)
             print(f"compacted into v{v}")
+            return 0
+        if args.action == "sql":
+            # time travel as SQL: pin --version, query the temp view
+            from .sources.snapshot import register_snapshot_view
+
+            if not args.query:
+                print("snapshot sql requires --query", file=sys.stderr)
+                return 2
+            spark = _gs("cli")
+            register_snapshot_view(
+                spark, args.path, args.view_name, version=args.version
+            )
+            spark.sql(args.query).show(args.limit, truncate=False)
             return 0
         read_snapshot(_gs("cli"), args.path, args.version).show(
             args.limit, truncate=False

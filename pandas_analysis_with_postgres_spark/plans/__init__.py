@@ -38,6 +38,9 @@ RENAMES = {
     "q72_stream_hll_users": "a72_live_hll_users",
     "q93_stream_enrich": "a93_live_enrich",
     # non-streaming queries outside the r01–r03 driver window
+    # (q35 was inside it but only as a rows-only check; round 4 gives
+    # it a full hash oracle, so it joins the rotation for a hard row)
+    "q35_media_features": "a35_media_features",
     "q57_frame_sample": "a57_frame_sample",
     "q58_dq_violations": "a58_dq_violations",
     "q59_rare_token_score": "a59_rare_token_score",

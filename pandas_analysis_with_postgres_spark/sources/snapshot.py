@@ -166,6 +166,31 @@ def read_snapshot(
     return out
 
 
+def register_snapshot_view(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    *,
+    version: int | None = None,
+) -> DataFrame:
+    """Expose a snapshot table — optionally pinned to an older
+    ``version`` — as a SQL temp view, so time travel is plain
+    ``spark.sql``::
+
+        register_snapshot_view(spark, tbl, "events_v3", version=3)
+        spark.sql("SELECT ... FROM events_v3 JOIN events_now ...")
+
+    The view wraps the manifest-resolved scan of
+    :func:`read_snapshot`, so it keeps snapshot isolation (a writer
+    committing v4 never changes what ``events_v3`` reads) and
+    partition pruning. Registering the same name again simply
+    re-points it (``createOrReplaceTempView`` semantics).
+    """
+    df = read_snapshot(spark, path, version)
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def _commit(
     path: str,
     parent: int,
@@ -307,6 +332,7 @@ def merge_snapshot(
     *,
     expected_version: int | None = None,
     txn: tuple[str, int] | None = None,
+    strict: bool = False,
 ) -> int:
     """MERGE (upsert-by-key) into a snapshot table, rewriting only the
     partitions the source touches.
@@ -331,6 +357,20 @@ def merge_snapshot(
     for a key (ingest date, bucket-of-key, batch id — as every caller
     in this repo does); a mutable partition column needs a full-table
     MERGE instead.
+
+    ``strict=True`` ENFORCES that contract instead of trusting it: the
+    source's keys are semi-joined against the keys living in the
+    NON-touched partitions of the parent snapshot, and a hit raises
+    ``ValueError`` (naming offending keys) before any data is written —
+    no partial state, no silent stale duplicate. Cost: one extra scan
+    of the cold partitions' key column (columnar parquet prunes the
+    rest), which is why it is opt-in — at 100 TB the whole point of
+    the partition-scoped MERGE is NOT reading cold data. Turn it on
+    for tables whose writers you don't control; leave it off for
+    pipelines whose partition key is immutable by construction. When
+    a key moves between two partitions both touched by the source,
+    both are rewritten and the old row is anti-joined away — that case
+    is safe without strict.
     """
     from pyspark.sql import functions as F
 
@@ -385,6 +425,27 @@ def merge_snapshot(
             _schema_meta(source, partition_col),
             txn,
         )
+
+    if strict:
+        cold = {p for p in man["partitions"] if p not in touched}
+        if cold:
+            cold_keys = read_snapshot(
+                spark, target_path, parent, partition_filter=lambda p: p in cold
+            ).select(key)
+            moved = (
+                cold_keys.join(source.select(key), key, "semi")
+                .limit(5)
+                .collect()
+            )
+            if moved:
+                raise ValueError(
+                    "merge source moves existing key(s) "
+                    f"{sorted(r[0] for r in moved)} out of their current "
+                    f"partition of {target_path}; the stable-partition "
+                    "contract forbids this (the stale row would survive in "
+                    "its cold partition). Use a full-table merge or fix the "
+                    "partition key."
+                )
 
     if any(part in touched for part in man["partitions"]):
         existing = read_snapshot(

@@ -78,8 +78,158 @@ def _skewed_pagerank(spark, label: str):
     return pagerank(edges)
 
 
+def _component_smokes(spark, base: str, big: str) -> dict[str, dict[str, float]]:
+    """Scale smoke for the round-3 table-format layer — these are not
+    ``queries()`` entries (they need table setup), so they get bespoke
+    drivers. Asymptotes under test:
+
+    - ``snapshot_merge_hot_partition``: MERGE cost follows the touched
+      partition, not the table — the full-overwrite comparator is the
+      cost it avoids.
+    - ``incremental_minhash_dedup_batch``: a fixed 500-doc ingest batch
+      against a 10× larger signature store pays one bigger store scan,
+      never a store shuffle or recompute.
+    - ``ivf_probe_pruned_vs_fullscan``: the probed search reads
+      n_probe/n_cells of the index at the manifest; the comparator runs
+      the IDENTICAL scoring plan over the unpruned read.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pandas_analysis_with_postgres_spark.functions.vectors import dot
+    from pandas_analysis_with_postgres_spark.operators import similarity as SIM
+    from pandas_analysis_with_postgres_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    from pandas_analysis_with_postgres_spark.sources.parquet import load_table
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    out: dict[str, dict[str, float]] = {}
+    datasets = (("sf0.1", base), ("sf1", big))
+
+    row: dict[str, float] = {}
+    for label, d in datasets:
+        tmp = tempfile.mkdtemp(prefix="smoke_snap_")
+        try:
+            orders = load_table(spark, d, "orders").select(
+                "o_orderkey",
+                "o_custkey",
+                "o_totalprice",
+                F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            )
+            t0 = time.perf_counter()
+            write_snapshot(orders, f"{tmp}/t", "month")
+            row[f"{label}_overwrite"] = round(time.perf_counter() - t0, 2)
+            hot = orders.agg(F.max("month")).collect()[0][0]
+            src = orders.filter(F.col("month") == hot).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 1.0
+            )
+            t0 = time.perf_counter()
+            merge_snapshot(f"{tmp}/t", src, "o_orderkey", "month")
+            row[label] = round(time.perf_counter() - t0, 2)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    row["ratio"] = round(row["sf1"] / row["sf0.1"], 1) if row["sf0.1"] else 0.0
+    out["snapshot_merge_hot_partition"] = row
+
+    row = {}
+    for label, d in datasets:
+        tmp = tempfile.mkdtemp(prefix="smoke_incdedup_")
+        try:
+            docs = load_table(spark, d, "documents")
+            # untimed setup: bootstrap the signature store with the corpus
+            incremental_minhash_dedup(docs, f"{tmp}/store", batch_id=0)
+            batch = (
+                docs.orderBy("doc_id")
+                .limit(500)
+                .select((F.col("doc_id") + 90_000_000).alias("doc_id"), "text")
+            )
+            t0 = time.perf_counter()
+            res, _ = incremental_minhash_dedup(batch, f"{tmp}/store", batch_id=1)
+            res.write.format("noop").mode("overwrite").save()
+            row[label] = round(time.perf_counter() - t0, 2)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    row["ratio"] = round(row["sf1"] / row["sf0.1"], 1) if row["sf0.1"] else 0.0
+    out["incremental_minhash_dedup_batch"] = row
+
+    row = {}
+    # The fixture embeddings (20k rows) are too small for I/O to matter
+    # — job fixed costs drown the scan. Build the index over a LARGE
+    # deterministic synthetic corpus instead, the shape where manifest
+    # pruning is the point: n_probe/n_cells of the bytes read.
+    sizes = {"sf0.1": 400_000, "sf1": 4_000_000}
+    dim = 16
+    for label, _ in datasets:
+        tmp = tempfile.mkdtemp(prefix="smoke_ivf_")
+        try:
+            vec = F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (
+                    F.pmod(F.xxhash64(F.col("id") * dim + j), F.lit(1000))
+                    / 500.0
+                    - 1.0
+                ),
+            )
+            corpus = spark.range(sizes[label]).select(
+                F.col("id").alias("vec_id"), vec.alias("embedding")
+            )
+            SIM.build_ivf_index(corpus, f"{tmp}/ivf", trained=False)
+            queries = corpus.filter(
+                F.col("vec_id") % (sizes[label] // 8) == 7
+            ).localCheckpoint()
+            # comparator FIRST (so JVM warmup favors the pruned run's
+            # opponent, not the claim): identical scoring plan over the
+            # UNPRUNED vectors read.
+            centroids = read_snapshot(spark, f"{tmp}/ivf/centroids")
+            q = SIM._probe_cells(
+                queries, centroids, SIM.IVF_PROBE, "vec_id", "embedding"
+            )
+            vecs = read_snapshot(spark, f"{tmp}/ivf/vectors")
+            scored = (
+                vecs.join(F.broadcast(q), "cell_id")
+                .filter(F.col("vec_id") != F.col("query_id"))
+                .withColumn(
+                    "cos",
+                    dot(F.col("qv"), F.col("embedding"))
+                    / (F.col("__qn") * F.col("__vn")),
+                )
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("cos"), F.asc("vec_id")
+            )
+            full = (
+                scored.withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= 10)
+                .select("query_id", "vec_id", "rank", "cos")
+            )
+            t0 = time.perf_counter()
+            full.write.format("noop").mode("overwrite").save()
+            row[f"{label}_fullscan"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            SIM.search_ivf_index(queries, f"{tmp}/ivf", 10).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            row[label] = round(time.perf_counter() - t0, 2)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    row["ratio"] = round(row["sf1"] / row["sf0.1"], 1) if row["sf0.1"] else 0.0
+    out["ivf_probe_pruned_vs_fullscan"] = row
+    return out
+
+
 def main() -> None:
     names = sys.argv[1:] or list(SMOKE)
+    components_only = names == ["--components"]
+    if components_only:
+        names = []
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     big = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR",
@@ -113,6 +263,10 @@ def main() -> None:
         row["ratio"] = round(row["sf1"] / row["sf0.1"], 1) if row["sf0.1"] else 0.0
         out["skewed_pagerank_hub30pct"] = row
         print(f"# skewed_pagerank_hub30pct: {row}", file=sys.stderr, flush=True)
+    if not sys.argv[1:] or components_only:
+        for cname, crow in _component_smokes(spark, base, big).items():
+            out[cname] = crow
+            print(f"# {cname}: {crow}", file=sys.stderr, flush=True)
     print(json.dumps({"smoke": out}))
 
 

@@ -13,7 +13,10 @@ def test_list_prints_every_query(capsys):
     assert main(["list"]) == 0
     out = capsys.readouterr().out
     assert "q01_pricing_summary" in out and "oracle" in out
-    assert "q35_media_features" in out and "rows-only" in out
+    # round 4: the media featurize path got a real decoder + full hash
+    # oracle, so NO query is rows-only any more.
+    assert "a35_media_features" in out
+    assert "rows-only" not in out
     from pandas_analysis_with_postgres_spark.plans import QUERIES
 
     assert len(out.strip().splitlines()) == len(QUERIES)
@@ -46,3 +49,53 @@ def test_snapshot_history_and_expire(spark, tmp_path, capsys):
     assert "v1" in out and "v2" in out and "op=merge" in out and "'job': 0" in out
     assert main(["snapshot", "expire", path, "--keep", "1"]) == 0
     assert "removed 0" in capsys.readouterr().out  # both dirs referenced
+
+
+def test_snapshot_sql_time_travel(spark, tmp_path, capsys):
+    """`snapshot sql --version N --query ...` registers the pinned
+    version as a temp view and runs plain SQL against it."""
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        merge_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, 10)], "k long, p long"), path, "p"
+    )
+    merge_snapshot(
+        path,
+        spark.createDataFrame([(2, 20)], "k long, p long"),
+        "k",
+        "p",
+    )
+    assert (
+        main(
+            [
+                "snapshot",
+                "sql",
+                path,
+                "--version",
+                "1",
+                "--query",
+                "SELECT count(*) AS n FROM snapshot",
+            ]
+        )
+        == 0
+    )
+    assert "1" in capsys.readouterr().out  # v1 has one row, v2 two
+    assert (
+        main(
+            [
+                "snapshot",
+                "sql",
+                path,
+                "--query",
+                "SELECT count(*) AS n FROM snapshot",
+            ]
+        )
+        == 0
+    )
+    assert "2" in capsys.readouterr().out
+    # missing --query is a usage error, not a crash
+    assert main(["snapshot", "sql", path]) == 2

@@ -91,3 +91,77 @@ def test_append_carries_history_and_is_idempotent(spark, emb, index):
     assert (
         read_snapshot(spark, vec_dir).filter("vec_id >= 1000000").count() == 5
     )
+
+
+def _drift_fixture(spark):
+    """Deterministic two-epoch corpus: the build epoch clusters around
+    the positive unit axes, the appended epoch around the NEGATIVE
+    axes — vectors the frozen codebook has no cells for."""
+
+    def jitter(i, d):
+        return ((i * 37 + d * 11) % 13 - 6) / 40.0
+
+    dim = 8
+    base = []
+    for i in range(240):
+        axis = i % dim
+        v = [jitter(i, d) for d in range(dim)]
+        v[axis] += 1.0
+        base.append((i, v))
+    drift = []
+    for i in range(240):
+        axis = i % dim
+        v = [jitter(i + 7, d) for d in range(dim)]
+        v[axis] -= 1.0
+        drift.append((10_000 + i, v))
+    schema = "vec_id long, embedding array<double>"
+    return (
+        spark.createDataFrame(base, schema).localCheckpoint(),
+        spark.createDataFrame(drift, schema).localCheckpoint(),
+    )
+
+
+def _recall(spark, approx_df, truth_df) -> float:
+    truth = {(r.query_id, r.neighbor_id) for r in truth_df.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in approx_df.collect()}
+    return len(got & truth) / len(truth)
+
+
+def test_rebuild_restores_recall_after_drift(spark, tmp_path):
+    """append_ivf_index assigns against the build-time codebook, so a
+    distribution shift decays probe recall; rebuild_ivf_index
+    re-clusters the current contents and must restore it."""
+    from pandas_analysis_with_postgres_spark.operators.similarity import (
+        cosine_topk,
+        rebuild_ivf_index,
+    )
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        current_version,
+    )
+
+    base, drift = _drift_fixture(spark)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, trained=True)
+    append_ivf_index(drift, path, batch_id=1)
+
+    queries = drift.filter(F.col("vec_id") % 40 == 3)
+    k = 5
+    truth = cosine_topk(base.unionByName(drift), queries, k)
+    before = _recall(spark, search_ivf_index(queries, path, k), truth)
+
+    vec_v, cent_v = rebuild_ivf_index(spark, path)
+    assert vec_v == current_version(f"{path}/vectors")
+    assert cent_v == current_version(f"{path}/centroids")
+    after = _recall(spark, search_ivf_index(queries, path, k), truth)
+
+    # Floors with slack below the measured values; the rebuild must
+    # also strictly improve on the drifted codebook.
+    print(f"recall before={before:.3f} after={after:.3f}")
+    assert after >= 0.8, f"post-rebuild recall {after:.2f}"
+    assert after > before + 0.1, (before, after)
+
+    # Rebuilt index stays exact w.r.t. its own semantics: searching
+    # the base epoch still returns well-formed ranked rows.
+    got = search_ivf_index(queries, path, k)
+    per_q = got.groupBy("query_id").count().collect()
+    assert all(r["count"] == k for r in per_q)

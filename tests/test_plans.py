@@ -93,9 +93,14 @@ def test_q50_range_join_not_nested_loop(spark):
     assert "CartesianProduct" not in p, p
 
 
-#: Declared Python crossings: the grouped-Pandas surface demonstrator.
-#: Everything else oracled must stay JVM-side.
-DECLARED_PYTHON = {"a94_user_median_py"}
+#: Declared Python crossings: the grouped-Pandas surface demonstrator
+#: and the two REAL media decoders (round 4) — numpy codecs must run
+#: in Python, Arrow-batched. Everything else oracled stays JVM-side.
+DECLARED_PYTHON = {
+    "a94_user_median_py",
+    "a35_media_features",
+    "a97_audio_features",
+}
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -106,9 +111,11 @@ def test_no_python_row_eval_in_oracled_queries(spark, name):
     p = _plan(spark, name)
     assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time Python UDF"
     if name in DECLARED_PYTHON:
-        assert "FlatMapGroupsInPandas" in p or "ArrowEvalPython" in p, (
-            f"{name} is declared Arrow-batched Python but plans otherwise"
-        )
+        assert (
+            "FlatMapGroupsInPandas" in p
+            or "ArrowEvalPython" in p
+            or "MapInPandas" in p
+        ), f"{name} is declared Arrow-batched Python but plans otherwise"
         return
     assert "ArrowEvalPython" not in p and "MapInPandas" not in p, (
         f"{name} unexpectedly crosses into Python"
@@ -118,7 +125,7 @@ def test_no_python_row_eval_in_oracled_queries(spark, name):
 def test_featurize_is_arrow_batched(spark):
     """The one declared Python crossing is Arrow-batched mapInPandas,
     never row-at-a-time."""
-    p = _plan(spark, "q35_media_features")
+    p = _plan(spark, "a35_media_features")
     assert "MapInPandas" in p
     assert "BatchEvalPython" not in p
 
