@@ -83,9 +83,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
             return 0
         if args.action == "expire":
-            removed = expire_snapshots(
-                args.path, keep=args.keep, min_age_sec=args.min_age_sec
-            )
+            try:
+                removed = expire_snapshots(
+                    args.path, keep=args.keep, min_age_sec=args.min_age_sec
+                )
+            except ValueError as exc:  # e.g. --keep 0
+                print(str(exc), file=sys.stderr)
+                return 2
             print(f"removed {len(removed)} unreferenced commit dirs")
             return 0
         from .session import get_spark as _gs

@@ -77,7 +77,19 @@ def attach_ppm_payload(
     Catalyst (string concat + encode), so the SQL oracle can reproduce
     every derived feature from the same base table — which is what
     makes the decoded statistics hash-verifiable.
+
+    Rows whose text cannot render a valid image are FILTERED here, not
+    crashed on downstream: width-0 (text under 3 chars) and non-ASCII
+    text (where byte positions diverge from character positions, so
+    the SQL oracle's per-character arithmetic would not describe the
+    raster bytes). The current fixtures are all-ASCII with length
+    >= 44, so the filter passes everything — it exists for arbitrary
+    caller corpora and fixture regeneration.
     """
+    docs = docs.filter(
+        (F.length(text_col) >= 3)
+        & (F.octet_length(F.col(text_col)) == F.length(text_col))
+    )
     w = F.floor(F.length(text_col) / 3).cast("int")
     header = F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" 1\n255\n"))
     raster = F.expr(f"substring({text_col}, 1, 3 * floor(length({text_col}) / 3))")
@@ -193,11 +205,17 @@ def _decode_any(payload: bytes) -> tuple[int, float, int]:
     """
     head = bytes(payload[:4]) if payload is not None else b""
     if head[:2] == b"P6":
-        w, h, sr, sg, sb = decode_ppm(payload)
-        return 1, (sr + sg + sb) / (3.0 * w * h), 3
+        try:
+            w, h, sr, sg, sb = decode_ppm(payload)
+            return 1, (sr + sg + sb) / (3.0 * w * h), 3
+        except ValueError:
+            pass  # magic collision (e.g. text starting "P6 ...") → stub
     if head == b"RIFF":
-        _, _, n, total = decode_wav_pcm(payload)
-        return 1, total / float(n) if n else 0.0, 1
+        try:
+            _, _, n, total = decode_wav_pcm(payload)
+            return 1, total / float(n) if n else 0.0, 1
+        except ValueError:
+            pass
     n_frames, feature_mean = _decode_stub(payload)
     return n_frames, feature_mean, 1
 
@@ -298,7 +316,15 @@ def attach_wav_payload(
     unsigned 8-bit samples. Built entirely in Catalyst — the header's
     little-endian size fields via :func:`_le_bytes` — so the oracle
     can re-derive every decoded statistic from the base table.
+
+    Same guard as :func:`attach_ppm_payload`: empty and non-ASCII
+    texts are filtered (the oracle's per-character ``ascii()`` sums
+    only describe the sample bytes when char == byte).
     """
+    docs = docs.filter(
+        (F.length(text_col) >= 1)
+        & (F.octet_length(F.col(text_col)) == F.length(text_col))
+    )
     n = F.octet_length(F.col(text_col)).cast("long")
     rate = F.lit(sample_rate).cast("long")
     header = F.concat(

@@ -678,10 +678,15 @@ def rebuild_ivf_index(
     wrong, and version-pinned readers are untouched. Returns the new
     (vectors_version, centroids_version).
     """
-    from ..sources.snapshot import read_snapshot, write_snapshot
+    from ..sources.snapshot import current_version, read_snapshot, write_snapshot
 
+    # Pin the version read so a concurrent append between this read and
+    # the rewrite loses the optimistic race (ConcurrentCommitError)
+    # instead of being silently discarded from the rebuilt index.
+    vec_parent = current_version(f"{index_path}/vectors")
+    cent_parent = current_version(f"{index_path}/centroids")
     corpus = (
-        read_snapshot(spark, f"{index_path}/vectors")
+        read_snapshot(spark, f"{index_path}/vectors", vec_parent)
         .select(F.col(id_col), F.col(vec_col))
         .localCheckpoint()
     )
@@ -698,9 +703,14 @@ def rebuild_ivf_index(
     # vectors first, then centroids: the race window shows new vectors
     # under old centroids (valid, degraded) rather than probing
     # centroids whose cells don't exist yet.
-    vectors_v = write_snapshot(assigned, f"{index_path}/vectors", "__part")
+    vectors_v = write_snapshot(
+        assigned, f"{index_path}/vectors", "__part", expected_version=vec_parent
+    )
     centroids_v = write_snapshot(
-        centroids, f"{index_path}/centroids", "cell_id"
+        centroids,
+        f"{index_path}/centroids",
+        "cell_id",
+        expected_version=cent_parent,
     )
     return vectors_v, centroids_v
 

@@ -50,6 +50,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
 from collections.abc import Callable
 from pathlib import Path
@@ -58,6 +59,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 SNAPSHOT_DIR = "_snapshots"
 DATA_DIR = "data"
+
+#: Serializes the partition-inference conf toggle in read_snapshot:
+#: the conf is session-global, and interleaved toggles from two
+#: threads (e.g. a foreachBatch micro-batch merge racing a driver-side
+#: read) could otherwise restore the wrong value and leave inference
+#: disabled session-wide.
+_INFER_LOCK = threading.RLock()
 
 
 def _now() -> float:
@@ -139,17 +147,18 @@ def read_snapshot(
     # when the reader resolves the file index, so toggling the session
     # conf around these reads is sufficient and leak-free.
     infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    infer_old = spark.conf.get(infer_key, "true")
-    spark.conf.set(infer_key, "false")
-    try:
-        scans = [
-            spark.read.option("basePath", os.path.join(path, commit)).parquet(
-                *sorted(dirs)
-            )
-            for commit, dirs in sorted(by_commit.items())
-        ]
-    finally:
-        spark.conf.set(infer_key, infer_old)
+    with _INFER_LOCK:
+        infer_old = spark.conf.get(infer_key, "true")
+        spark.conf.set(infer_key, "false")
+        try:
+            scans = [
+                spark.read.option(
+                    "basePath", os.path.join(path, commit)
+                ).parquet(*sorted(dirs))
+                for commit, dirs in sorted(by_commit.items())
+            ]
+        finally:
+            spark.conf.set(infer_key, infer_old)
     out = scans[0]
     for s in scans[1:]:
         # allowMissingColumns: commits written before a schema-evolving

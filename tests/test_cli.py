@@ -99,3 +99,16 @@ def test_snapshot_sql_time_travel(spark, tmp_path, capsys):
     assert "2" in capsys.readouterr().out
     # missing --query is a usage error, not a crash
     assert main(["snapshot", "sql", path]) == 2
+
+
+def test_snapshot_expire_keep_zero_is_usage_error(spark, tmp_path, capsys):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, 10)], "k long, p long"), path, "p"
+    )
+    assert main(["snapshot", "expire", path, "--keep", "0"]) == 2
+    assert "keep" in capsys.readouterr().err

@@ -165,3 +165,38 @@ def test_rebuild_restores_recall_after_drift(spark, tmp_path):
     got = search_ivf_index(queries, path, k)
     per_q = got.groupBy("query_id").count().collect()
     assert all(r["count"] == k for r in per_q)
+
+
+def test_rebuild_loses_race_to_concurrent_append(spark, tmp_path):
+    """rebuild pins the version it read; an append committing in the
+    gap must surface as ConcurrentCommitError, never be silently
+    dropped from the rebuilt index (code-review finding, round 4)."""
+    from unittest import mock
+
+    from pandas_analysis_with_postgres_spark.operators import similarity as SIM
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        ConcurrentCommitError,
+    )
+
+    base, drift = _drift_fixture(spark)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, trained=False)
+
+    from pandas_analysis_with_postgres_spark.sources import snapshot as snap_mod
+
+    orig_write = snap_mod.write_snapshot
+    raced = {"done": False}
+
+    def racing_write(df, p, pc, **kw):
+        # First write of the rebuild: sneak an append in underneath.
+        if not raced["done"] and p.endswith("/vectors"):
+            raced["done"] = True
+            append_ivf_index(drift.limit(5), path, batch_id=9)
+        return orig_write(df, p, pc, **kw)
+
+    with mock.patch.object(snap_mod, "write_snapshot", racing_write):
+        with pytest.raises(ConcurrentCommitError):
+            SIM.rebuild_ivf_index(spark, path)
+    # the concurrently appended batch survives in the live version
+    got = read_snapshot(spark, f"{path}/vectors")
+    assert got.filter(F.col("vec_id") >= 10_000).count() == 5

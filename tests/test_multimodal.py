@@ -171,3 +171,33 @@ def test_featurize_audio_roundtrip(spark):
     assert (row.n_samples, row.sample_sum) == (len(b), sum(b))
     assert row.mean_sample == pytest.approx(sum(b) / len(b))
     assert row.duration_sec == pytest.approx(len(b) / 8000.0)
+
+
+def test_decode_any_falls_back_to_stub_on_magic_collision():
+    """A text payload that merely STARTS with 'P6' or 'RIFF' is not
+    media; the generic featurize path must fall through to the stub
+    instead of crashing (code-review finding, round 4)."""
+    from pandas_analysis_with_postgres_spark.operators.multimodal import (
+        _decode_any,
+        _decode_stub,
+    )
+
+    for text in (b"P6 chipset notes for the board", b"RIFF container overview"):
+        n_frames, mean, dim = _decode_any(text)
+        assert (n_frames, mean) == _decode_stub(text)
+        assert dim == 1
+
+
+def test_attach_builders_filter_undecodable_rows(spark):
+    """Short and non-ASCII documents are filtered by the payload
+    builders (their bytes can't be described by the oracle's
+    per-character arithmetic), never crashed on downstream."""
+    docs = spark.createDataFrame(
+        [(1, "ok" * 30), (2, "ab"), (3, "café au lait"), (4, "")],
+        "doc_id long, text string",
+    )
+    ppm_ids = {r.doc_id for r in attach_ppm_payload(docs).collect()}
+    assert ppm_ids == {1}
+    # wav only needs length >= 1, so the 2-char ASCII doc passes too
+    wav_ids = {r.doc_id for r in attach_wav_payload(docs).collect()}
+    assert wav_ids == {1, 2}
