@@ -12,6 +12,7 @@ from .streams import (
     events_stream,
     events_stream_multibatch,
     foreach_batch_sink,
+    stream_dedup_ingest,
     stream_merge_sink,
     run_available_now,
     session_window_agg,
@@ -31,6 +32,7 @@ __all__ = [
     "dedup_within_watermark",
     "run_available_now",
     "foreach_batch_sink",
+    "stream_dedup_ingest",
     "stream_merge_sink",
     "windowed_hll_registers",
 ]

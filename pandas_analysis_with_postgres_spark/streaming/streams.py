@@ -484,3 +484,66 @@ def stream_merge_sink(
     foreach_batch_sink(
         df, _merge, checkpoint_dir=checkpoint_dir, timeout_sec=timeout_sec
     )
+
+
+def stream_dedup_ingest(
+    df: DataFrame,
+    store_path: str,
+    results_path: str,
+    *,
+    app_id: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming steady-state dedup ingest — the 100 TB pipeline's
+    front door, composed from the round-3/4 flagship pieces: each
+    micro-batch of documents is deduped against the persisted MinHash
+    signature store (``operators.dedup.incremental_minhash_dedup`` —
+    store scanned once, never shuffled, size-gated batch broadcast)
+    and the per-document verdicts land in a second snapshot table,
+    partitioned by batch.
+
+    Exactly once, twice over: both the store commit and the results
+    commit carry ``txn=(app_id, batch_id)`` watermarks, so Structured
+    Streaming's crash-replay of the last micro-batch re-commits
+    nothing. (A replayed batch may *recompute* slightly different
+    verdict labels — its own survivors are already in the store, so a
+    within-batch dup can re-resolve as a store dup — but the
+    recomputed frame is discarded by the results table's watermark;
+    persisted state never diverges.) Lost optimistic races retry
+    in-run like :func:`stream_merge_sink`.
+    """
+    from ..operators.dedup import incremental_minhash_dedup
+    from ..sources.snapshot import ConcurrentCommitError, merge_snapshot
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        attempts = 5
+        for i in range(attempts):
+            try:
+                res, _ = incremental_minhash_dedup(
+                    batch_df,
+                    store_path,
+                    batch_id=batch_id,
+                    threshold=threshold,
+                    text_col=text_col,
+                    id_col=id_col,
+                    app_id=app_id,
+                )
+                merge_snapshot(
+                    results_path,
+                    res.withColumn("__batch", F.lit(batch_id)),
+                    "doc_id",
+                    "__batch",
+                    txn=(f"{app_id}-results", batch_id),
+                )
+                return
+            except ConcurrentCommitError:
+                if i == attempts - 1:
+                    raise
+
+    foreach_batch_sink(
+        df, _ingest, checkpoint_dir=checkpoint_dir, timeout_sec=timeout_sec
+    )

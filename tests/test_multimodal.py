@@ -201,3 +201,46 @@ def test_attach_builders_filter_undecodable_rows(spark):
     # wav only needs length >= 1, so the 2-char ASCII doc passes too
     wav_ids = {r.doc_id for r in attach_wav_payload(docs).collect()}
     assert wav_ids == {1, 2}
+
+
+# Property tests: the decoders agree with independent per-byte
+# arithmetic for ANY ASCII text the payload builders would accept.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ascii_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    min_size=3,
+    max_size=200,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(text=_ascii_text)
+def test_ppm_payload_decode_property(text):
+    w = len(text) // 3
+    raster = text.encode()[: 3 * w]
+    payload = f"P6\n{w} 1\n255\n".encode() + raster
+    assert decode_ppm(payload) == (
+        w,
+        1,
+        sum(raster[0::3]),
+        sum(raster[1::3]),
+        sum(raster[2::3]),
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(text=_ascii_text)
+def test_wav_payload_decode_property(text):
+    data = text.encode()
+
+    def le(n, k):
+        return int(n).to_bytes(k, "little")
+
+    payload = (
+        b"RIFF" + le(36 + len(data), 4) + b"WAVEfmt " + le(16, 4)
+        + le(1, 2) + le(1, 2) + le(8000, 4) + le(8000, 4)
+        + le(1, 2) + le(8, 2) + b"data" + le(len(data), 4) + data
+    )
+    assert decode_wav_pcm(payload) == (8000, 1, len(data), sum(data))

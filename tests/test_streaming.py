@@ -198,3 +198,69 @@ def test_foreach_batch_checkpoint_resume_exactly_once(spark, tmp_path):
     )
     assert sum(late) == per_file[2], "late file not delivered exactly once"
     assert sum(delivered) + sum(late) == total
+
+
+def test_stream_dedup_ingest_end_to_end(spark, tmp_path):
+    """Streaming steady-state dedup: micro-batches dedupe against the
+    persisted signature store; verdicts land in a results snapshot;
+    crash-replay from the checkpoint commits nothing new."""
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_manifest,
+        read_snapshot,
+    )
+    from pandas_analysis_with_postgres_spark.streaming import stream_dedup_ingest
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river today"
+    )
+    other = "completely different content about query planners and joins"
+    land = tmp_path / "landing"
+    land.mkdir()
+    b0 = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(10, base + " x"), (11, "novel third document entirely new words")],
+        "doc_id long, text string",
+    )
+    b0.coalesce(1).write.parquet(str(land / "f0.parquet"))
+    b1.coalesce(1).write.parquet(str(land / "f1.parquet"))
+    import os
+
+    # deterministic oldest-first pickup
+    for i, name in enumerate(sorted(os.listdir(land))):
+        os.utime(land / name, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    store = str(tmp_path / "store")
+    results = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land / "*.parquet"))
+        )
+        stream_dedup_ingest(
+            stream, store, results, app_id="ingest", checkpoint_dir=ckpt
+        )
+
+    run()
+    verdicts = {
+        r.doc_id: (r.is_dup, r.dup_of, r.method)
+        for r in read_snapshot(spark, results).collect()
+    }
+    assert verdicts[1] == (False, None, None)
+    assert verdicts[2] == (False, None, None)
+    assert verdicts[10] == (True, 1, "store")  # cross-batch near-dup
+    assert verdicts[11] == (False, None, None)
+    # store holds exactly the survivors
+    assert {r.doc_id for r in read_snapshot(spark, store).collect()} == {1, 2, 11}
+    store_v = read_manifest(store)["version"]
+    results_v = read_manifest(results)["version"]
+    assert store_v >= 2 and results_v >= 2  # one commit per micro-batch
+
+    # drain again from the same checkpoint: nothing new
+    run()
+    assert read_manifest(store)["version"] == store_v
+    assert read_manifest(results)["version"] == results_v
