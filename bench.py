@@ -97,6 +97,7 @@ EXTRA = (
     "a35_media_features",
     "a97_audio_features",
     "a98_snapshot_time_travel",
+    "a99_zorder_key",
 )
 
 

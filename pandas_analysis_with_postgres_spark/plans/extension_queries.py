@@ -1988,6 +1988,49 @@ GROUP BY o_orderstatus
 """
 
 
+def q99_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (o_custkey, o_totalprice) —
+    the write-side clustering decision of ``sources.layout`` exposed
+    as a hash-verified query: rank-scale each column to 8 bits
+    (percent_rank — identical (rank-1)/(n-1) semantics in both
+    engines), interleave the bits. Deterministic integer output, so
+    the layout math itself is oracle-checked, not just asserted by the
+    pruning test."""
+    from ..sources.layout import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 50 == 0
+    )
+    return orders.select(
+        "o_orderkey",
+        zorder_key(orders, ["o_custkey", "o_totalprice"], bits=8).alias("zkey"),
+    )
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    terms = " | ".join(
+        f"(((kx >> {j}) & 1) << {2 * j}) | (((ky >> {j}) & 1) << {2 * j + 1})"
+        for j in range(bits)
+    )
+    return f"""
+WITH s AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 50 = 0
+), r AS (
+  SELECT o_orderkey,
+    least(CAST(floor(percent_rank() OVER (ORDER BY o_custkey) * {1 << bits})
+          AS BIGINT), {(1 << bits) - 1}) AS kx,
+    least(CAST(floor(percent_rank() OVER (ORDER BY o_totalprice) * {1 << bits})
+          AS BIGINT), {(1 << bits) - 1}) AS ky
+  FROM s
+)
+SELECT o_orderkey, CAST({terms} AS BIGINT) AS zkey FROM r
+"""
+
+
+Q99_SQL = _zorder_oracle()
+
+
 def q35a_media_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic half of the media featurize path, split out so it
     is hash-verified (operators.multimodal.media_checksums): payload
@@ -2048,6 +2091,7 @@ EXTENSION_QUERIES = {
     "q85_bpe_encode": q85_bpe_encode,
     "a97_audio_features": q97_audio_features,
     "a98_snapshot_time_travel": q98_snapshot_time_travel,
+    "a99_zorder_key": q99_zorder_key,
 }
 
 EXTENSION_ORACLES = {
@@ -2068,6 +2112,7 @@ EXTENSION_ORACLES = {
     "q35a_media_checksum": Q35A_SQL,
     "a97_audio_features": Q97_SQL,
     "a98_snapshot_time_travel": Q98_SQL,
+    "a99_zorder_key": Q99_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,
