@@ -1,3 +1,4 @@
+from .layout import write_zordered, zorder_key
 from .parquet import (
     TABLES,
     compact,
@@ -18,4 +19,6 @@ __all__ = [
     "register_views",
     "write_bucketed",
     "write_table",
+    "write_zordered",
+    "zorder_key",
 ]

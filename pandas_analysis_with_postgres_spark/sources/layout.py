@@ -26,26 +26,56 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Bits taken from each column. 16 bits x up to 4 columns stays well
+#: Bits taken from each column: 256 buckets per dimension. Pruning
+#: acts at file/row-group granularity (hundreds of units, not
+#: millions), so 2^8 buckets per column already saturates layout
+#: quality while keeping the quantile boundary array and the
+#: interleave expression small; 8 bits x up to 8 columns stays well
 #: inside a signed 64-bit key.
-ZORDER_BITS = 16
+ZORDER_BITS = 8
 
 
 def _rank_scale(df: DataFrame, col: str, bits: int) -> Column:
-    """Scale a column to an unsigned ``bits``-bit integer by rank.
+    """Scale a column to an unsigned ``bits``-bit integer by EXACT
+    rank (percent_rank; ties keep equal ranks) — maps any orderable
+    dtype and any skew onto the full 2^bits range.
 
-    Percent-rank over the column (ties keep equal ranks) maps any
-    numeric/orderable dtype and any skew onto the full 2^bits range —
-    raw values would waste key bits on outliers. One window over a
-    single ordering; at scale replace with an approx-quantile CDF
-    lookup (same key semantics, no global window) — the interleave
-    below is shared by both.
+    ⚠ The unpartitioned window is a single-task global sort: this
+    variant exists for the ORACLED key query (exact, engine-agnostic
+    semantics over a subsample), not for laying out big tables —
+    :func:`write_zordered` uses :func:`_quantile_scale`, which has the
+    same key semantics up to quantile-sketch error and no global
+    window.
     """
     from pyspark.sql import Window
 
     pr = F.percent_rank().over(Window.orderBy(F.col(col)))
     return F.least(
         F.floor(pr * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+    )
+
+
+def _quantile_scale(df: DataFrame, col: str, bits: int) -> Column:
+    """Scale a numeric column to an unsigned ``bits``-bit integer by
+    approx-quantile CDF lookup — the SCALE path for layout writes.
+
+    One distributed ``approxQuantile`` pass computes ``2^bits - 1``
+    boundaries (a sketch merge, no sort, no shuffle of the data);
+    the bucket of a value is then "how many boundaries are <= v",
+    evaluated as an ``F.aggregate`` fold over the literal boundary
+    array — O(2^bits) codegen comparisons per row, zero joins, zero
+    windows. Skew lands evenly across buckets because boundaries are
+    quantiles, not value-range slices.
+    """
+    n_bounds = (1 << bits) - 1
+    probs = [(i + 1) / (1 << bits) for i in range(n_bounds)]
+    bounds = df.approxQuantile(col, probs, 0.001)
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    v = F.col(col).cast("double")
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + F.when(v >= b, 1).otherwise(0).cast("long"),
     )
 
 
@@ -89,8 +119,14 @@ def write_zordered(
     the key itself is dropped from the stored schema. Row-group
     min/max stats for every participating column then stay tight in
     every file, which is what the scan-side filter pushdown prunes on.
+
+    Columns are scaled by the distributed approx-quantile CDF
+    (:func:`_quantile_scale`) — no global sort anywhere in the write:
+    one quantile sketch per column, one range shuffle total.
     """
-    key = zorder_key(df, cols, bits=bits)
+    key = interleave_bits(
+        [_quantile_scale(df, c, bits) for c in cols], bits
+    )
     (
         df.withColumn("__zkey", key)
         .repartitionByRange(num_files, F.col("__zkey"))

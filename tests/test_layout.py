@@ -82,3 +82,38 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
 
     # and the laid-out data is the same data
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_write_path_has_no_global_window(spark):
+    """The layout WRITE must never plan a single-task global sort:
+    quantile scaling is sketch-based, so the only Exchange is the one
+    range shuffle that splits the curve into files."""
+    import contextlib
+    import io
+
+    from pandas_analysis_with_postgres_spark.sources.layout import (
+        _quantile_scale,
+    )
+
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    key = interleave_bits(
+        [_quantile_scale(orders, c, 8) for c in ("o_custkey", "o_totalprice")],
+        8,
+    )
+    df = (
+        orders.withColumn("__zkey", key)
+        .repartitionByRange(8, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan, plan
+    import re
+
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
