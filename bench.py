@@ -98,6 +98,13 @@ EXTRA = (
     "a97_audio_features",
     "a98_snapshot_time_travel",
     "a99_zorder_key",
+    # round 4 (late): boilerplate-line dedup, trained quality
+    # classifier, two-level global rank/sharding, manifest-stats
+    # pruned snapshot scan.
+    "z01_boilerplate_lines",
+    "z02_quality_classifier",
+    "z03_global_rank_shards",
+    "z04_stats_pruned_scan",
 )
 
 

@@ -799,3 +799,75 @@ def incremental_minhash_dedup(
         txn=(app_id, batch_id),
     )
     return result, version
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_per_line: int = 10,
+    min_docs: int = 2,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Corpus-wide boilerplate-line removal — the C4/RefinedWeb "drop
+    lines that repeat across documents" pass (navigation chrome, cookie
+    banners, license footers) that document-level dedup cannot catch.
+
+    A "line" is a run of ``tokens_per_line`` whitespace tokens (the
+    fixture corpus has no newlines; with real text, split on newlines
+    first and this operator is unchanged). A line is boilerplate when
+    it occurs in >= ``min_docs`` DISTINCT documents and is at least
+    ``min_line_chars`` characters. Every document comes back with its
+    surviving lines re-joined in original order plus an
+    ``n_removed_lines`` count — a document whose lines are all
+    boilerplate survives with empty ``clean_text`` (dropping it is the
+    caller's policy decision).
+
+    Scale shape: explode → one count shuffle keyed by line text → one
+    join back keyed by line text → one per-document re-assembly
+    aggregation. The boilerplate side of the join is bounded by the
+    number of REPEATED distinct lines, and raw text never leaves the
+    line grain: no all-pairs, no driver materialization. Line-keyed
+    shuffles can skew on pathological corpora (one line in millions of
+    docs) — the count side is a plain aggregate (AQE-splittable), and
+    the join key is the same line text, salted automatically by AQE
+    skew handling when enabled.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_lines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(tokens_per_line)).cast("int"), F.lit(1)
+    )
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * tokens_per_line + 1, tokens_per_line), " "
+        ),
+    )
+    exploded = docs.select(id_col, F.posexplode(lines).alias("pos", "line"))
+    boiler = (
+        exploded.groupBy("line")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(
+            (F.col("__nd") >= min_docs)
+            & (F.length("line") >= min_line_chars)
+        )
+        .select("line", F.lit(True).alias("__boiler"))
+    )
+    marked = exploded.join(boiler, "line", "left").select(
+        id_col,
+        F.struct(
+            "pos", "line", F.coalesce("__boiler", F.lit(False)).alias("b")
+        ).alias("s"),
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("s")).alias("ls")
+    )
+    kept = F.filter("ls", lambda s: ~s.getField("b"))
+    return agg.select(
+        id_col,
+        F.array_join(
+            F.transform(kept, lambda s: s.getField("line")), " "
+        ).alias("clean_text"),
+        (F.size("ls") - F.size(kept)).cast("long").alias("n_removed_lines"),
+    )

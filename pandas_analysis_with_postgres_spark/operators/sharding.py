@@ -1,0 +1,73 @@
+"""Scale-safe global ordering: contiguous ranks and shard assignment
+without a single-task sort.
+
+The last step of a training-data pipeline is writing N equal shards in
+a deterministic global order. The naive plan — ``row_number() OVER
+(ORDER BY key)`` — collapses to ONE task holding the whole table
+(Spark physically plans an empty-partition window as a global sort
+into a single partition): correct on 60k rows, dead at 100 TB.
+
+``global_rank`` computes the identical ranks with the standard
+two-level construction:
+
+1. coarse order-aligned bucket = ``key DIV bucket_width`` — a pure
+   projection, no shuffle;
+2. exact per-bucket counts (one map-side-combined aggregation), cumsum
+   on the driver — O(#buckets) rows, bounded by keyspace/bucket_width,
+   a metadata-sized frame at any data scale;
+3. ``rank = bucket_offset + row_number() OVER (PARTITION BY bucket
+   ORDER BY key)`` — the window now runs per-bucket, fully parallel,
+   and the bucket offsets join back via broadcast.
+
+The result is bit-identical to the naive global window (the oracle
+replays exactly that), which is the point: same answer, scalable plan.
+
+Contract: ``order_col`` values must be UNIQUE (they are ranks'
+tie-breaker-free sort key). Ties would make ``row_number`` historic
+nondeterminism in both plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    *,
+    bucket_width: int = 4096,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Add a contiguous 1-based ``rank`` (global order by
+    ``order_col``) and, when ``num_shards`` is set, an equal-size
+    ``shard`` in [0, num_shards) — ``shard = (rank-1)*S DIV total``,
+    integer-exact in any engine.
+
+    Choose ``bucket_width`` so keyspace/width stays driver-friendly
+    (≤ ~1e6 buckets): the driver materializes one (bucket, count) row
+    per NON-EMPTY bucket, never the data.
+    """
+    bucket = F.expr(f"CAST({order_col} AS BIGINT) DIV {bucket_width}")
+    staged = df.withColumn("__bucket", bucket)
+    rows = staged.groupBy("__bucket").count().collect()
+    offsets = []
+    acc = 0
+    for r in sorted(rows, key=lambda r: r["__bucket"]):
+        offsets.append((r["__bucket"], acc))
+        acc += r["count"]
+    total = acc
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, "__bucket long, __offset long")
+    w = Window.partitionBy("__bucket").orderBy(order_col)
+    out = (
+        staged.join(F.broadcast(off), "__bucket")
+        .withColumn("rank", F.col("__offset") + F.row_number().over(w))
+        .drop("__bucket", "__offset")
+    )
+    if num_shards is not None:
+        out = out.withColumn(
+            "shard",
+            F.expr(f"(rank - 1) * {num_shards} DIV {total}").cast("int"),
+        )
+    return out

@@ -2031,6 +2031,173 @@ SELECT o_orderkey, CAST({terms} AS BIGINT) AS zkey FROM r
 Q99_SQL = _zorder_oracle()
 
 
+def z01_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate-line removal (C4/RefinedWeb line-grain
+    dedup) — operators.dedup.remove_boilerplate_lines over the
+    documents table: 10-token lines repeated across >=2 distinct docs
+    are stripped, surviving lines re-joined in original order. Line
+    counts, join, and re-assembly are one count shuffle + one join +
+    one aggregation; the oracle replays the identical line grammar
+    with generate_subscripts ordinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.remove_boilerplate_lines(docs)
+
+
+Z01_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+seg AS (SELECT doc_id,
+          list_transform(
+            generate_series(0, greatest(CAST(ceil(len(toks) / 10.0) AS BIGINT), 1) - 1),
+            i -> array_to_string(toks[i*10+1 : i*10+10], ' ')) AS ls
+        FROM d),
+l AS (SELECT doc_id, unnest(ls) AS line,
+             generate_subscripts(ls, 1) - 1 AS pos
+      FROM seg),
+b AS (SELECT line FROM l GROUP BY line
+      HAVING COUNT(DISTINCT doc_id) >= 2 AND length(line) >= 10)
+SELECT l.doc_id,
+       coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+                           ' ' ORDER BY l.pos), '') AS clean_text,
+       CAST(COUNT(b.line) AS BIGINT) AS n_removed_lines
+FROM l LEFT JOIN b ON l.line = b.line
+GROUP BY l.doc_id
+"""
+
+
+def z02_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned text-quality gate (operators.classifier): a multinomial
+    naive-Bayes / log-linear model whose token weights are trained
+    in-plan from a labeled split of the corpus (positive = lang='en')
+    and applied to every document — the exactly-reproducible core of
+    the fasttext-style quality classifier every LLM pipeline runs.
+    Training is one token-count shuffle; scoring is one vocab-bounded
+    join + the q70 position-ordered fold, so the double sums are
+    bit-replayable and the oracle retrains the identical model."""
+    from ..operators.classifier import class_prior, score_docs, train_token_llr
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = F.col("lang") == "en"
+    weights = train_token_llr(docs, label)
+    prior = class_prior(docs, label)
+    return score_docs(docs, weights, prior)
+
+
+Z02_SQL = """
+WITH d AS (SELECT doc_id, (lang = 'en') AS y,
+                  string_split(text, ' ') AS ts FROM documents),
+tok AS (SELECT doc_id, y, unnest(ts) AS t,
+               generate_subscripts(ts, 1) - 1 AS pos FROM d),
+cnt AS (SELECT t,
+          CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+          CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nc
+        FROM tok GROUP BY t),
+tot AS (SELECT
+          CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos_total,
+          CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS neg_total,
+          CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+        FROM tok),
+w AS (SELECT t,
+        ln((pc + 1)::DOUBLE / (pos_total + v)::DOUBLE)
+          - ln((nc + 1)::DOUBLE / (neg_total + v)::DOUBLE) AS llr
+      FROM cnt CROSS JOIN tot),
+pr AS (SELECT ln((SUM(CASE WHEN y THEN 1 ELSE 0 END) + 1)::DOUBLE
+              / (SUM(CASE WHEN y THEN 0 ELSE 1 END) + 1)::DOUBLE) AS ln_prior
+       FROM d),
+f AS (SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+             list_reduce(list_prepend(0.0::DOUBLE, list(llr ORDER BY pos)),
+                         (a, b) -> a + b) AS s
+      FROM tok JOIN w USING (t) GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       round(ln_prior + s, 8) AS score,
+       (ln_prior + s) > 0 AS is_positive
+FROM f CROSS JOIN pr
+"""
+
+
+def z03_global_rank_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ranks + equal shard assignment over orders
+    WITHOUT a single-task global window (operators.sharding): coarse
+    DIV-bucket, per-bucket counts cumsum'd on the driver (metadata-
+    sized), broadcast offsets + per-bucket row_number. Bit-identical
+    to the naive ``row_number() OVER (ORDER BY ...)`` the oracle runs
+    — same answer, scalable plan (pinned: no SinglePartition window
+    in tests/test_sharding.py)."""
+    from ..operators.sharding import global_rank
+
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = global_rank(orders, "o_orderkey", bucket_width=4096, num_shards=8)
+    return ranked.select("o_orderkey", "rank", "shard")
+
+
+Z03_SQL = """
+WITH r AS (SELECT o_orderkey,
+                  ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rank,
+                  COUNT(*) OVER () AS n
+           FROM orders)
+SELECT o_orderkey, CAST(rank AS BIGINT) AS rank,
+       CAST((rank - 1) * 8 // n AS INT) AS shard
+FROM r
+"""
+
+
+#: z04's stats-partitioned snapshot tables, one per (applicationId,
+#: sf_dir) — memoized for the same reason as q98's.
+_STATS_TABLES: dict = {}
+
+
+def z04_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest column-statistics data skipping (sources.snapshot
+    round-4 layer) exercised end-to-end: orders land in a snapshot
+    table partitioned by an ingest-style bucket with footer-harvested
+    min/max stats on o_orderkey; the query reads a key window through
+    ``column_ranges`` — partitions whose recorded range excludes the
+    window are pruned AT THE MANIFEST (never listed; pinned via
+    inputFiles in tests/test_snapshot.py) — then applies the real
+    filter and aggregates. The oracle replays filter+aggregate from
+    the base table, so the skipping layer is hash-verified as an
+    I/O optimization that changes nothing."""
+    import tempfile
+
+    from ..sources.snapshot import read_snapshot, write_snapshot
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _STATS_TABLES.get(key)
+    if path is None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.expr("o_orderkey DIV 4096").alias("bucket"),
+        )
+        path = tempfile.mkdtemp(prefix="snap_stats_") + "/tbl"
+        write_snapshot(orders, path, "bucket", stats_cols=["o_orderkey"])
+        _STATS_TABLES[key] = path
+    lo, hi = 10000, 19999
+    scan = read_snapshot(spark, path, column_ranges={"o_orderkey": (lo, hi)})
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    return (
+        scan.filter(F.col("o_orderkey").between(lo, hi))
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.sum(cents).alias("price_cents"),
+        )
+    )
+
+
+Z04_SQL = """
+SELECT o_orderstatus AS status,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         AS BIGINT) AS price_cents
+FROM orders
+WHERE o_orderkey BETWEEN 10000 AND 19999
+GROUP BY o_orderstatus
+"""
+
+
 def q35a_media_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic half of the media featurize path, split out so it
     is hash-verified (operators.multimodal.media_checksums): payload
@@ -2092,6 +2259,10 @@ EXTENSION_QUERIES = {
     "a97_audio_features": q97_audio_features,
     "a98_snapshot_time_travel": q98_snapshot_time_travel,
     "a99_zorder_key": q99_zorder_key,
+    "z01_boilerplate_lines": z01_boilerplate_lines,
+    "z02_quality_classifier": z02_quality_classifier,
+    "z03_global_rank_shards": z03_global_rank_shards,
+    "z04_stats_pruned_scan": z04_stats_pruned_scan,
 }
 
 EXTENSION_ORACLES = {
@@ -2113,6 +2284,10 @@ EXTENSION_ORACLES = {
     "a97_audio_features": Q97_SQL,
     "a98_snapshot_time_travel": Q98_SQL,
     "a99_zorder_key": Q99_SQL,
+    "z01_boilerplate_lines": Z01_SQL,
+    "z02_quality_classifier": Z02_SQL,
+    "z03_global_rank_shards": Z03_SQL,
+    "z04_stats_pruned_scan": Z04_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -108,12 +108,86 @@ def read_manifest(path: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
+def _stat_json(v):
+    """Normalize a parquet-footer statistic to a JSON-storable value
+    that still ORDERS correctly after the round-trip: ints/floats/bools
+    compare natively, dates/timestamps as ISO-8601 strings compare
+    lexicographically in time order. Returns None for types whose
+    JSON rendering would not preserve ordering (bytes, decimals) —
+    the column's stats are then simply not recorded (conservative)."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max prunes nothing useful; skip
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, str):
+        # Parquet writers may TRUNCATE long string statistics (the
+        # truncated max can undershoot the true max); only trust
+        # short values, far below any truncation threshold.
+        return v if len(v) <= 64 else None
+    return None
+
+
+def _footer_stats(part_dir: Path, cols: list[str]) -> dict:
+    """Aggregate per-column min/max for one partition directory from
+    the parquet FOOTERS the write already produced — no extra Spark
+    job, no data read. A column is recorded only if EVERY row group in
+    every file carries usable min/max for it; otherwise it is omitted
+    and readers keep the partition (conservative)."""
+    import pyarrow.parquet as pq
+
+    mins: dict = {}
+    maxs: dict = {}
+    bad: set = set()
+    for f in sorted(part_dir.glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for i in range(row_group.num_columns):
+                chunk = row_group.column(i)
+                name = chunk.path_in_schema
+                if name not in cols or name in bad:
+                    continue
+                st = chunk.statistics
+                lo = _stat_json(st.min) if st is not None and st.has_min_max else None
+                hi = _stat_json(st.max) if st is not None and st.has_min_max else None
+                if lo is None or hi is None:
+                    bad.add(name)
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
+                    continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {c: [mins[c], maxs[c]] for c in mins}
+
+
+def _ranges_overlap(stats: dict, column_ranges: dict) -> bool:
+    """True unless some column's recorded [min,max] provably excludes
+    the requested [lo,hi] (open ends allowed). Missing stats keep the
+    partition — skipping is an I/O optimization, never a filter."""
+    for col, (lo, hi) in column_ranges.items():
+        rng = stats.get(col)
+        if not rng:
+            continue
+        cmin, cmax = rng
+        lo_n, hi_n = _stat_json(lo), _stat_json(hi)
+        if (hi is not None and hi_n is not None and cmin > hi_n) or (
+            lo is not None and lo_n is not None and cmax < lo_n
+        ):
+            return False
+    return True
+
+
 def read_snapshot(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     *,
     partition_filter: "Callable[[str], bool] | None" = None,
+    column_ranges: dict | None = None,
 ) -> DataFrame:
     """Scan a snapshot: exactly the directories its manifest lists.
 
@@ -129,11 +203,28 @@ def read_snapshot(
     decided from table metadata (the same job as a format's manifest
     filter), available to callers whose predicate isn't expressible as
     a column filter (e.g. the IVF probe set).
+
+    ``column_ranges`` = ``{col: (lo, hi)}`` prunes with the manifest's
+    recorded column STATISTICS (see ``stats_cols`` on the writers):
+    a partition whose stored ``[min, max]`` for ``col`` provably
+    excludes ``[lo, hi]`` (either bound may be None = open) is
+    skipped at the manifest — data skipping on NON-partition columns,
+    the manifest-stats half of what Iceberg/Delta do. It is an I/O
+    optimization with a conservative contract: partitions lacking
+    stats are kept, and the caller must still apply the real filter
+    to the returned frame.
     """
     man = read_manifest(path, version)
     parts = man["partitions"]
     if partition_filter is not None:
         parts = {p: rel for p, rel in parts.items() if partition_filter(p)}
+    if column_ranges:
+        all_stats = man.get("stats") or {}
+        parts = {
+            p: rel
+            for p, rel in parts.items()
+            if _ranges_overlap(all_stats.get(p) or {}, column_ranges)
+        }
     if not parts:
         raise FileNotFoundError(f"no snapshot at {path}")
     by_commit: dict[str, list[str]] = {}
@@ -207,6 +298,7 @@ def _commit(
     op: str,
     schema: dict | None = None,
     txn: tuple[str, int] | None = None,
+    stats: dict | None = None,
 ) -> int:
     """Atomically publish ``parent + 1``; raise on a lost race.
 
@@ -228,6 +320,9 @@ def _commit(
         "operation": op,
         "schema": schema or {},
         "txn": txns,
+        # {partition_name: {col: [min, max]}} — only for partitions
+        # present in `partitions`, only for the table's stats_cols.
+        "stats": {p: s for p, s in (stats or {}).items() if p in partitions},
     }
     tmp = snap / f".tmp-{uuid.uuid4().hex[:12]}"
     with open(tmp, "w") as f:
@@ -286,22 +381,35 @@ def _fsync_dir(path) -> None:
         os.close(fd)
 
 
-def _schema_meta(df: DataFrame, partition_col: str) -> dict:
+def _schema_meta(
+    df: DataFrame, partition_col: str, stats_cols: list[str] | None = None
+) -> dict:
     """Pin the partition column's declared type in the manifest: hive
     path inference re-guesses types per scan (LONG becomes INT when the
-    values happen to fit), and two commits must never disagree."""
-    return {
+    values happen to fit), and two commits must never disagree.
+    ``stats_cols`` is a TABLE property: every later merge/compact keeps
+    collecting footer stats for the same columns without each writer
+    restating them."""
+    meta = {
         "partition_col": partition_col,
         "partition_type": df.schema[partition_col].dataType.simpleString(),
         "columns": df.columns,
     }
+    if stats_cols:
+        meta["stats_cols"] = list(stats_cols)
+    return meta
 
 
 def _write_commit_data(
-    df: DataFrame, path: str, partition_col: str
-) -> dict[str, str]:
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    stats_cols: list[str] | None = None,
+) -> tuple[dict[str, str], dict]:
     """Write df's partitions under a fresh commit dir; return the
-    manifest entries {partition_value: relative_dir}."""
+    manifest entries {partition_value: relative_dir} plus, when
+    ``stats_cols`` is set, per-partition column min/max harvested from
+    the just-written parquet footers (zero extra I/O over the data)."""
     commit_id = uuid.uuid4().hex[:12]
     out = Path(path) / DATA_DIR / commit_id
     df.write.mode("overwrite").partitionBy(partition_col).parquet(str(out))
@@ -318,19 +426,41 @@ def _write_commit_data(
                 os.close(fd)
         _fsync_dir(root)
     entries = {}
+    stats = {}
     for p in out.iterdir():
         if p.is_dir() and p.name.startswith(f"{partition_col}="):
             entries[p.name] = os.path.join(DATA_DIR, commit_id, p.name)
-    return entries
+            if stats_cols:
+                s = _footer_stats(p, stats_cols)
+                if s:
+                    stats[p.name] = s
+    return entries, stats
 
 
 def write_snapshot(
-    df: DataFrame, path: str, partition_col: str, *, expected_version: int | None = None
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    *,
+    expected_version: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
-    """Full overwrite as a new snapshot (old versions stay readable)."""
+    """Full overwrite as a new snapshot (old versions stay readable).
+
+    ``stats_cols`` turns on manifest column statistics for the table:
+    per-partition min/max for those columns, harvested from the parquet
+    footers at commit time and carried forward by every later
+    merge/compact, queried via ``read_snapshot(column_ranges=...)``."""
     parent = current_version(path) if expected_version is None else expected_version
-    entries = _write_commit_data(df, path, partition_col)
-    return _commit(path, parent, entries, "overwrite", _schema_meta(df, partition_col))
+    entries, stats = _write_commit_data(df, path, partition_col, stats_cols)
+    return _commit(
+        path,
+        parent,
+        entries,
+        "overwrite",
+        _schema_meta(df, partition_col, stats_cols),
+        stats=stats,
+    )
 
 
 def merge_snapshot(
@@ -342,9 +472,17 @@ def merge_snapshot(
     expected_version: int | None = None,
     txn: tuple[str, int] | None = None,
     strict: bool = False,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """MERGE (upsert-by-key) into a snapshot table, rewriting only the
     partitions the source touches.
+
+    Column statistics: an existing table's ``stats_cols`` (pinned in
+    its manifest by the first writer) are maintained automatically —
+    rewritten partitions get fresh footer stats, cold partitions carry
+    their recorded stats by reference alongside their data. Passing
+    ``stats_cols`` here only matters for the BOOTSTRAP commit of a new
+    table (it is ignored, with the manifest winning, afterwards).
 
     Reads the current snapshot, applies update-matched /
     insert-unmatched against ``source`` for the touched partitions
@@ -424,15 +562,21 @@ def merge_snapshot(
                 f"merge source is missing table columns {lost}; "
                 "schema evolution only adds columns"
             )
+    table_stats_cols = (man.get("schema") or {}).get("stats_cols") or (
+        stats_cols if parent == 0 or not man["partitions"] else None
+    )
     if parent == 0 or not man["partitions"]:
-        entries = _write_commit_data(source, target_path, partition_col)
+        entries, stats = _write_commit_data(
+            source, target_path, partition_col, table_stats_cols
+        )
         return _commit(
             target_path,
             parent,
             entries,
             "merge",
-            _schema_meta(source, partition_col),
+            _schema_meta(source, partition_col, table_stats_cols),
             txn,
+            stats=stats,
         )
 
     if strict:
@@ -468,20 +612,30 @@ def merge_snapshot(
         )
     else:
         merged = source
-    new_entries = _write_commit_data(merged, target_path, partition_col)
+    new_entries, new_stats = _write_commit_data(
+        merged, target_path, partition_col, table_stats_cols
+    )
     partitions = {
         part: rel
         for part, rel in man["partitions"].items()
         if part not in touched  # carried by reference
     }
     partitions.update(new_entries)
+    # Cold partitions keep their recorded stats alongside their data.
+    stats = {
+        part: s
+        for part, s in (man.get("stats") or {}).items()
+        if part not in touched
+    }
+    stats.update(new_stats)
     return _commit(
         target_path,
         parent,
         partitions,
         "merge",
-        _schema_meta(source, partition_col),
+        _schema_meta(source, partition_col, table_stats_cols),
         txn,
+        stats=stats,
     )
 
 
@@ -543,7 +697,13 @@ def expire_snapshots(
     return removed
 
 
-def compact_snapshot(spark: SparkSession, path: str) -> int:
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    *,
+    zorder_by: list[str] | None = None,
+    num_files: int = 8,
+) -> int:
     """Rewrite the current snapshot as ONE fresh commit.
 
     A long merge history leaves the live version referencing many
@@ -553,7 +713,21 @@ def compact_snapshot(spark: SparkSession, path: str) -> int:
     versions are untouched, and a concurrent writer loses or wins the
     same optimistic race as any other commit. Run together with
     :func:`expire_snapshots` as table maintenance.
+
+    ``zorder_by`` makes the rewrite a RE-CLUSTERING pass as well — the
+    lakehouse ``OPTIMIZE ... ZORDER BY`` maintenance op: rows are laid
+    out along the Morton curve of the named columns WITHIN each hive
+    partition (quantile-scaled keys from ``sources.layout`` — no
+    global sort; one range shuffle over (partition, zkey) into
+    ``num_files`` tasks + an in-task sort), so parquet row-group
+    min/max footers stay tight for EVERY named column and scan-side
+    filter pushdown skips row groups on any of them. Composes with the
+    manifest layer for free: the table's ``stats_cols`` are harvested
+    from the freshly clustered footers, so manifest-level skipping and
+    row-group-level skipping tighten together.
     """
+    from pyspark.sql import functions as F
+
     parent = current_version(path)
     man = read_manifest(path, parent)
     meta = man.get("schema") or {}
@@ -561,5 +735,21 @@ def compact_snapshot(spark: SparkSession, path: str) -> int:
     if not partition_col:
         raise ValueError(f"{path} has no committed schema metadata")
     df = read_snapshot(spark, path, parent)
-    entries = _write_commit_data(df, path, partition_col)
-    return _commit(path, parent, entries, "compact", meta)
+    if zorder_by:
+        from .layout import ZORDER_BITS, _quantile_scale, interleave_bits
+
+        key = interleave_bits(
+            [_quantile_scale(df, c, ZORDER_BITS) for c in zorder_by],
+            ZORDER_BITS,
+        )
+        df = (
+            df.withColumn("__zkey", key)
+            .repartitionByRange(num_files, F.col(partition_col), F.col("__zkey"))
+            .sortWithinPartitions(partition_col, "__zkey")
+            .drop("__zkey")
+        )
+    entries, stats = _write_commit_data(
+        df, path, partition_col, meta.get("stats_cols")
+    )
+    op = "compact+zorder" if zorder_by else "compact"
+    return _commit(path, parent, entries, op, meta, stats=stats)

@@ -398,3 +398,157 @@ def test_stream_merge_sink_retries_lost_race_in_run(spark, tmp_path, monkeypatch
     assert read_snapshot(spark, table).count() == load_table(
         spark, sf_dir, "events"
     ).count()
+
+
+# ---------------------------------------------------------------- stats
+
+
+class TestManifestColumnStats:
+    """Manifest column statistics + data skipping (round-4 layer):
+    per-partition min/max harvested from parquet footers at commit
+    time, maintained across merges (cold partitions carry stats by
+    reference), pruned at the manifest via
+    read_snapshot(column_ranges=...)."""
+
+    @pytest.fixture()
+    def stats_tbl(self, spark, tmp_path):
+        # partition p correlates with disjoint k ranges: p=0 holds
+        # k 0..9, p=1 holds k 100..109, p=2 holds k 200..209.
+        rows = [(p * 100 + i, f"v{p*100+i}", p) for p in range(3) for i in range(10)]
+        df = spark.createDataFrame(rows, "k long, v string, p long")
+        path = str(tmp_path / "stats_tbl")
+        assert write_snapshot(df, path, "p", stats_cols=["k"]) == 1
+        return path
+
+    def test_stats_recorded_per_partition(self, stats_tbl):
+        man = read_manifest(stats_tbl)
+        assert man["schema"]["stats_cols"] == ["k"]
+        assert man["stats"]["p=0"]["k"] == [0, 9]
+        assert man["stats"]["p=2"]["k"] == [200, 209]
+
+    def test_column_ranges_prune_at_manifest(self, spark, stats_tbl):
+        got = read_snapshot(spark, stats_tbl, column_ranges={"k": (100, 109)})
+        # only partition p=1's directory is ever touched
+        assert all("/p=1/" in f for f in got.inputFiles())
+        assert {r.k for r in got.collect()} == set(range(100, 110))
+
+    def test_pruned_plus_filter_equals_full_scan_filter(self, spark, stats_tbl):
+        pruned = read_snapshot(
+            spark, stats_tbl, column_ranges={"k": (5, 104)}
+        ).filter("k BETWEEN 5 AND 104")
+        full = read_snapshot(spark, stats_tbl).filter("k BETWEEN 5 AND 104")
+        assert {r.k for r in pruned.collect()} == {r.k for r in full.collect()}
+        # and the pruned scan skipped partition p=2 entirely
+        assert not any("/p=2/" in f for f in pruned.inputFiles())
+
+    def test_all_pruned_raises_like_partition_filter(self, spark, stats_tbl):
+        with pytest.raises(FileNotFoundError):
+            read_snapshot(spark, stats_tbl, column_ranges={"k": (1000, 2000)})
+
+    def test_open_ended_ranges(self, spark, stats_tbl):
+        lo_open = read_snapshot(spark, stats_tbl, column_ranges={"k": (None, 9)})
+        assert all("/p=0/" in f for f in lo_open.inputFiles())
+        hi_open = read_snapshot(spark, stats_tbl, column_ranges={"k": (200, None)})
+        assert all("/p=2/" in f for f in hi_open.inputFiles())
+
+    def test_merge_refreshes_hot_and_carries_cold_stats(self, spark, stats_tbl):
+        # rewrite p=1 with a wider k range; p=0/p=2 stats must survive
+        src = spark.createDataFrame(
+            [(150, "v150", 1)], "k long, v string, p long"
+        )
+        assert merge_snapshot(stats_tbl, src, "k", "p") == 2
+        man = read_manifest(stats_tbl)
+        assert man["stats"]["p=1"]["k"] == [100, 150]  # refreshed from footers
+        assert man["stats"]["p=0"]["k"] == [0, 9]  # carried with the cold dir
+        # skipping still correct after the merge: only p=1 can hold
+        # k=150, and the caller's real filter lands the exact row
+        got = read_snapshot(spark, stats_tbl, column_ranges={"k": (150, 150)})
+        assert all("/p=1/" in f for f in got.inputFiles())
+        assert {r.k for r in got.filter("k = 150").collect()} == {150}
+
+    def test_merge_bootstrap_records_stats(self, spark, tmp_path):
+        path = str(tmp_path / "boot_tbl")
+        src = spark.createDataFrame([(7, "x", 0)], "k long, v string, p long")
+        assert merge_snapshot(path, src, "k", "p", stats_cols=["k"]) == 1
+        assert read_manifest(path)["stats"]["p=0"]["k"] == [7, 7]
+        # and a follow-up merge keeps collecting without restating
+        assert merge_snapshot(
+            path,
+            spark.createDataFrame([(9, "y", 0)], "k long, v string, p long"),
+            "k",
+            "p",
+        ) == 2
+        assert read_manifest(path)["stats"]["p=0"]["k"] == [7, 9]
+
+    def test_missing_stats_keep_partition(self, spark, base):
+        # `base` was written without stats_cols: column_ranges must be
+        # a no-op (conservative), never a filter.
+        got = read_snapshot(spark, base, column_ranges={"k": (999, 999)})
+        assert got.count() == 3
+
+    def test_string_stats_and_compact_preserves(self, spark, tmp_path):
+        from pandas_analysis_with_postgres_spark.sources.snapshot import (
+            compact_snapshot,
+        )
+
+        df = spark.createDataFrame(
+            [("apple", 0), ("banana", 0), ("pear", 1), ("zebra", 1)],
+            "name string, p long",
+        )
+        path = str(tmp_path / "str_tbl")
+        write_snapshot(df, path, "p", stats_cols=["name"])
+        man = read_manifest(path)
+        assert man["stats"]["p=0"]["name"] == ["apple", "banana"]
+        got = read_snapshot(spark, path, column_ranges={"name": ("a", "c")})
+        assert all("/p=0/" in f for f in got.inputFiles())
+        # compaction recomputes stats for the rewritten layout
+        compact_snapshot(spark, path)
+        man2 = read_manifest(path)
+        assert man2["stats"]["p=1"]["name"] == ["pear", "zebra"]
+
+
+class TestZOrderCompact:
+    """compact_snapshot(zorder_by=...) — OPTIMIZE ZORDER as snapshot
+    maintenance: re-clusters rows along the Morton curve within each
+    hive partition so row-group footers stay tight on every named
+    column, while contents, versioning, and manifest stats behave like
+    a plain compact."""
+
+    def _grid_table(self, spark, tmp_path):
+        import itertools
+
+        n = 64
+        rows = [
+            (x * 1000 + y, x, y, 0)
+            for x, y in itertools.product(range(n), range(n))
+        ]
+        df = spark.createDataFrame(rows, "k long, x long, y long, p long")
+        path = str(tmp_path / "ztbl")
+        assert write_snapshot(df, path, "p", stats_cols=["x"]) == 1
+        return path
+
+    def test_zorder_compact_prunes_on_both_columns(self, spark, tmp_path):
+        from pandas_analysis_with_postgres_spark.sources.layout import (
+            rowgroup_prune_fraction,
+        )
+        from pandas_analysis_with_postgres_spark.sources.snapshot import (
+            compact_snapshot,
+        )
+
+        path = self._grid_table(spark, tmp_path)
+        # v1 arrived x-major: y stats are blind across every file
+        v1_dir = os.path.join(path, read_manifest(path, 1)["partitions"]["p=0"])
+        assert rowgroup_prune_fraction(v1_dir, "y", 0, 7) == 0.0
+        assert compact_snapshot(spark, path, zorder_by=["x", "y"]) == 2
+        man = read_manifest(path)
+        assert man["operation"] == "compact+zorder"
+        part_dir = os.path.join(path, man["partitions"]["p=0"])
+        # the re-clustered layout prunes row groups on BOTH columns
+        assert rowgroup_prune_fraction(part_dir, "x", 0, 7) >= 0.25
+        assert rowgroup_prune_fraction(part_dir, "y", 0, 7) >= 0.25
+        # contents identical; manifest stats recomputed and still exact
+        got = read_snapshot(spark, path)
+        assert got.count() == 64 * 64
+        assert man["stats"]["p=0"]["x"] == [0, 63]
+        # older version still readable (time travel untouched)
+        assert read_snapshot(spark, path, 1).count() == 64 * 64
