@@ -2163,11 +2163,18 @@ def z04_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _STATS_TABLES.get(key)
     if path is None:
-        orders = load_table(spark, sf_dir, "orders").select(
+        base = load_table(spark, sf_dir, "orders")
+        # Partition COUNT must not scale with the data: fix ~64
+        # ingest-style buckets at any SF (manifests and the footer
+        # harvest are O(partitions); a width constant in the keyspace
+        # would mint thousands of tiny partitions at 10x).
+        max_key = base.agg(F.max("o_orderkey")).collect()[0][0]
+        width = max(max_key // 64, 1)
+        orders = base.select(
             "o_orderkey",
             "o_orderstatus",
             "o_totalprice",
-            F.expr("o_orderkey DIV 4096").alias("bucket"),
+            F.expr(f"o_orderkey DIV {width}").alias("bucket"),
         )
         path = tempfile.mkdtemp(prefix="snap_stats_") + "/tbl"
         write_snapshot(orders, path, "bucket", stats_cols=["o_orderkey"])

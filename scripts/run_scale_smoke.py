@@ -46,6 +46,10 @@ SMOKE = (
     "a86_supply_pagerank",
     "a89_fuzzy_token_pairs",
     "a95_bloom_join_revenue",
+    # round-4 late additions
+    "z01_boilerplate_lines",
+    "z02_quality_classifier",
+    "z03_global_rank_shards",
 )
 
 
@@ -222,6 +226,65 @@ def _component_smokes(spark, base: str, big: str) -> dict[str, dict[str, float]]
             shutil.rmtree(tmp, ignore_errors=True)
     row["ratio"] = round(row["sf1"] / row["sf0.1"], 1) if row["sf0.1"] else 0.0
     out["ivf_probe_pruned_vs_fullscan"] = row
+
+    # --- round-4 late: manifest column-stats skipping + z-order compact.
+    # Asymptote under test: a key-window aggregate over a stats-pruned
+    # read touches ONE partition's files regardless of table size
+    # (flat), while the identical aggregate over the unpruned read
+    # scans the whole table (grows with N). The table is synthetic
+    # (ingest-ordered ids → correlated bucket/id stats, the realistic
+    # shape), 64 partitions at both scales.
+    row = {}
+    zrow = {}
+    sizes = {"sf0.1": 2_000_000, "sf1": 20_000_000}
+    for label, _ in datasets:
+        tmp = tempfile.mkdtemp(prefix="smoke_stats_")
+        try:
+            n = sizes[label]
+            width = n // 64
+            tbl = spark.range(n).select(
+                "id",
+                F.pmod(F.xxhash64("id"), F.lit(1000)).alias("v"),
+                F.expr(f"id DIV {width}").alias("bucket"),
+            )
+            write_snapshot(tbl, f"{tmp}/t", "bucket", stats_cols=["id"])
+            lo, hi = width * 7, width * 8 - 1
+            # comparator first (JVM warmup favors the opponent)
+            full = (
+                read_snapshot(spark, f"{tmp}/t")
+                .filter(F.col("id").between(lo, hi))
+                .agg(F.sum("v").alias("s"))
+            )
+            t0 = time.perf_counter()
+            full.write.format("noop").mode("overwrite").save()
+            row[f"{label}_fullscan"] = round(time.perf_counter() - t0, 2)
+            pruned = (
+                read_snapshot(
+                    spark, f"{tmp}/t", column_ranges={"id": (lo, hi)}
+                )
+                .filter(F.col("id").between(lo, hi))
+                .agg(F.sum("v").alias("s"))
+            )
+            t0 = time.perf_counter()
+            pruned.write.format("noop").mode("overwrite").save()
+            row[label] = round(time.perf_counter() - t0, 2)
+            # z-order compact of the same table: maintenance cost must
+            # track table size (~linear), nothing worse.
+            from pandas_analysis_with_postgres_spark.sources.snapshot import (
+                compact_snapshot,
+            )
+
+            t0 = time.perf_counter()
+            compact_snapshot(spark, f"{tmp}/t", zorder_by=["id", "v"])
+            zrow[label] = round(time.perf_counter() - t0, 2)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    row["ratio"] = round(row["sf1"] / row["sf0.1"], 1) if row["sf0.1"] else 0.0
+    out["stats_skip_pruned_vs_fullscan"] = row
+    zrow["ratio"] = (
+        round(zrow["sf1"] / zrow["sf0.1"], 1) if zrow["sf0.1"] else 0.0
+    )
+    out["zorder_compact"] = zrow
     return out
 
 
