@@ -60,6 +60,12 @@ def main(argv: list[str] | None = None) -> int:
         help="GC only commit dirs older than this (0 = no writer active)",
     )
     p_sn.add_argument("--limit", type=int, default=20)
+    p_sn.add_argument(
+        "--zorder",
+        default=None,
+        help="(compact) comma-separated columns to re-cluster along "
+        "the Morton curve while compacting (OPTIMIZE ZORDER)",
+    )
 
     args = ap.parse_args(argv)
 
@@ -97,8 +103,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.action == "compact":
             from .sources.snapshot import compact_snapshot
 
-            v = compact_snapshot(_gs("cli"), args.path)
-            print(f"compacted into v{v}")
+            zorder = (
+                [c.strip() for c in args.zorder.split(",") if c.strip()]
+                if args.zorder
+                else None
+            )
+            v = compact_snapshot(_gs("cli"), args.path, zorder_by=zorder)
+            label = "compacted+zordered" if zorder else "compacted"
+            print(f"{label} into v{v}")
             return 0
         if args.action == "sql":
             # time travel as SQL: pin --version, query the temp view

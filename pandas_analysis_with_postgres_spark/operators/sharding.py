@@ -71,3 +71,62 @@ def global_rank(
             F.expr(f"(rank - 1) * {num_shards} DIV {total}").cast("int"),
         )
     return out
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    num_shards: int,
+    *,
+    bucket_width: int = 4096,
+    token_col: str | None = None,
+) -> dict:
+    """Export ``df`` as ``num_shards`` equal, contiguous,
+    deterministically ordered shards — the final write of a
+    training-data pipeline (each trainer rank reads ``shard=i``).
+
+    Built on :func:`global_rank`: shard boundaries follow the global
+    order of ``order_col`` (shard 0 holds the lowest ranks), rows are
+    clustered one-shard-per-task and sorted by rank inside each file,
+    and the hive layout ``path/shard=N/`` makes a single shard's read
+    a partition-pruned scan. Returns (and writes as
+    ``path/_shards.json``) a manifest with per-shard row counts — and
+    per-shard ``token_col`` sums when given, the number a training
+    scheduler actually balances on. The manifest aggregate is
+    O(num_shards), collected AFTER the data write from the same
+    ranked frame.
+    """
+    import json
+    import os
+
+    ranked = global_rank(
+        df, order_col, bucket_width=bucket_width, num_shards=num_shards
+    )
+    ranked = ranked.localCheckpoint(eager=False)
+    (
+        ranked.repartition(num_shards, "shard")
+        .sortWithinPartitions("rank")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    aggs = [F.count(F.lit(1)).alias("rows"), F.min("rank").alias("lo"),
+            F.max("rank").alias("hi")]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).alias("token_sum"))
+    per = {
+        int(r["shard"]): {
+            k: int(r[k]) for k in (["rows", "lo", "hi"] + (["token_sum"] if token_col else []))
+        }
+        for r in ranked.groupBy("shard").agg(*aggs).collect()
+    }
+    manifest = {
+        "num_shards": num_shards,
+        "order_col": order_col,
+        "total_rows": sum(s["rows"] for s in per.values()),
+        "shards": per,
+    }
+    with open(os.path.join(path, "_shards.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

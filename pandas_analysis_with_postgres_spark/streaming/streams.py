@@ -547,3 +547,68 @@ def stream_dedup_ingest(
     foreach_batch_sink(
         df, _ingest, checkpoint_dir=checkpoint_dir, timeout_sec=timeout_sec
     )
+
+
+def stream_quality_gate(
+    df: DataFrame,
+    weights: DataFrame,
+    prior: DataFrame,
+    out_path: str,
+    *,
+    app_id: str,
+    checkpoint_dir: str,
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming quality gate: score each micro-batch of documents
+    under a PRE-TRAINED token-LLR model (``operators.classifier`` —
+    the model is a batch artifact, trained offline, broadcast at
+    scoring time) and commit only rows with ``score > threshold`` to a
+    snapshot table, partitioned by micro-batch.
+
+    This is the ingest-side quality filter of an LLM data pipeline:
+    train once on a labeled corpus, then gate the firehose. Scoring is
+    a per-batch aggregation (explode → vocab join → per-doc fold), so
+    it runs inside ``foreachBatch`` where batch semantics apply — no
+    streaming state, no watermark. Exactly-once via the snapshot txn
+    watermark; lost optimistic races retried in-run (same posture as
+    :func:`stream_dedup_ingest`). Rejected rows are simply not
+    committed — verdict auditing is what :func:`stream_dedup_ingest`'s
+    results table shape is for, composable here the same way.
+    """
+    from ..operators.classifier import score_docs
+    from ..sources.snapshot import ConcurrentCommitError, merge_snapshot
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        scored = score_docs(
+            batch_df, weights, prior, id_col=id_col, text_col=text_col
+        )
+        kept = (
+            batch_df.join(
+                scored.filter(F.col("score") > threshold).select(
+                    id_col, "score"
+                ),
+                id_col,
+            )
+            .withColumn("__batch", F.lit(batch_id))
+        )
+        attempts = 5
+        for i in range(attempts):
+            try:
+                merge_snapshot(
+                    out_path,
+                    kept,
+                    id_col,
+                    "__batch",
+                    txn=(app_id, batch_id),
+                )
+                return
+            except ConcurrentCommitError:
+                if i == attempts - 1:
+                    raise
+
+    foreach_batch_sink(
+        df, _gate, checkpoint_dir=checkpoint_dir, timeout_sec=timeout_sec
+    )

@@ -112,3 +112,21 @@ def test_snapshot_expire_keep_zero_is_usage_error(spark, tmp_path, capsys):
     )
     assert main(["snapshot", "expire", path, "--keep", "0"]) == 2
     assert "keep" in capsys.readouterr().err
+
+
+def test_snapshot_compact_zorder_flag(spark, tmp_path, capsys):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_manifest,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    rows = [(i, i % 13, 0) for i in range(200)]
+    write_snapshot(
+        spark.createDataFrame(rows, "x long, y long, p long"), path, "p"
+    )
+    assert main(["snapshot", "compact", path, "--zorder", "x,y"]) == 0
+    assert "compacted+zordered into v2" in capsys.readouterr().out
+    assert read_manifest(path)["operation"] == "compact+zorder"
+    assert read_snapshot(spark, path).count() == 200

@@ -62,3 +62,37 @@ def test_plan_has_no_single_partition_window(spark):
     assert "SinglePartition" not in plan
     # the offsets frame joins via broadcast, not a shuffle
     assert "BroadcastHashJoin" in plan
+
+
+def test_write_shards_layout_manifest_and_order(spark, tmp_path):
+    import json
+
+    from pandas_analysis_with_postgres_spark.operators.sharding import (
+        write_shards,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "text", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    path = str(tmp_path / "shards")
+    man = write_shards(docs, path, "doc_id", 4, token_col="n_tokens")
+    n = docs.count()
+    assert man["total_rows"] == n
+    assert set(man["shards"]) == {0, 1, 2, 3}
+    sizes = [man["shards"][s]["rows"] for s in range(4)]
+    assert max(sizes) - min(sizes) <= 1
+    # manifest on disk matches the returned one (keys back as strings)
+    disk = json.load(open(f"{path}/_shards.json"))
+    assert disk["total_rows"] == n and len(disk["shards"]) == 4
+    # shards are contiguous rank ranges in global doc_id order
+    for s in range(3):
+        assert man["shards"][s]["hi"] + 1 == man["shards"][s + 1]["lo"]
+    # a single shard reads back partition-pruned and holds exactly the
+    # lowest doc_ids for shard 0
+    shard0 = spark.read.option("basePath", path).parquet(f"{path}/shard=0")
+    ids = sorted(r.doc_id for r in shard0.collect())
+    all_ids = sorted(r.doc_id for r in docs.collect())
+    assert ids == all_ids[: len(ids)]
+    # token sums add up
+    total_tokens = docs.agg(F.sum("n_tokens")).collect()[0][0]
+    assert sum(man["shards"][s]["token_sum"] for s in range(4)) == total_tokens

@@ -264,3 +264,69 @@ def test_stream_dedup_ingest_end_to_end(spark, tmp_path):
     run()
     assert read_manifest(store)["version"] == store_v
     assert read_manifest(results)["version"] == results_v
+
+
+def test_stream_quality_gate_end_to_end(spark, tmp_path):
+    """Streaming quality gate: micro-batches scored under a
+    pre-trained token-LLR model; only passing docs committed, one
+    version per batch; checkpoint replay commits nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pandas_analysis_with_postgres_spark.operators.classifier import (
+        class_prior,
+        train_token_llr,
+    )
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_manifest,
+        read_snapshot,
+    )
+    from pandas_analysis_with_postgres_spark.streaming import stream_quality_gate
+
+    train = spark.createDataFrame(
+        [
+            (100, "good clean prose text here", True),
+            (101, "clean text with good words", True),
+            (102, "spam spam buy now spam", False),
+            (103, "buy spam now now spam", False),
+        ],
+        "doc_id long, text string, y boolean",
+    )
+    weights = train_token_llr(train, F.col("y")).localCheckpoint()
+    prior = class_prior(train, F.col("y")).localCheckpoint()
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    spark.createDataFrame(
+        [(1, "clean good prose"), (2, "spam buy spam")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(land / "f0.parquet"))
+    spark.createDataFrame(
+        [(3, "good words here"), (4, "now buy now")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(str(land / "f1.parquet"))
+    for i, name in enumerate(sorted(os.listdir(land))):
+        os.utime(land / name, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    out = str(tmp_path / "gated")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land / "*.parquet"))
+        )
+        stream_quality_gate(
+            stream, weights, prior, out, app_id="gate", checkpoint_dir=ckpt
+        )
+
+    run()
+    got = {r.doc_id for r in read_snapshot(spark, out).collect()}
+    assert got == {1, 3}  # spammy docs gated out in both batches
+    v = read_manifest(out)["version"]
+    assert v >= 2  # one commit per micro-batch
+    # replay from the same checkpoint: nothing new to commit
+    run()
+    assert read_manifest(out)["version"] == v
