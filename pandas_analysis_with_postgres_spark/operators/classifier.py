@@ -84,18 +84,24 @@ def score_docs(
     decimals (absorbs the ≤1-ulp ln() disagreement between engines —
     same rationale as q70). ``prior`` is a one-row frame with a
     ``ln_prior`` column (broadcast). Tokens absent from the weight
-    table are dropped by the inner join — with weights trained on the
-    scored corpus itself that set is empty; for out-of-corpus scoring
-    it is the standard ignore-OOV choice.
+    table contribute 0 (the standard ignore-OOV choice, via LEFT join
+    + coalesce) — crucially the DOCUMENT still gets a row, scored at
+    the prior, so an out-of-vocabulary document streaming through
+    :func:`~..streaming.streams.stream_quality_gate` is gated on its
+    prior rather than silently vanishing. With weights trained on the
+    scored corpus itself the OOV set is empty and the LEFT join
+    degenerates to the inner one (the z02 oracle's shape).
 
-    Output: ``(id_col, n_tokens, score, is_positive)``.
+    Output: ``(id_col, n_tokens, score, is_positive)`` — ``n_tokens``
+    counts ALL document tokens, in- or out-of-vocabulary.
     """
     tok = docs.select(
         id_col,
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t"),
     )
     folded = (
-        tok.join(weights, "t")
+        tok.join(weights, "t", "left")
+        .withColumn("llr", F.coalesce("llr", F.lit(0.0)))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -845,13 +845,15 @@ def remove_boilerplate_lines(
         ),
     )
     exploded = docs.select(id_col, F.posexplode(lines).alias("pos", "line"))
+    # The length floor is applied BEFORE the count shuffle: lines too
+    # short to ever qualify (a large fraction of real corpora) never
+    # enter the groupBy, cutting the detection side's shuffle volume;
+    # the post-agg threshold then only sees qualifying lines.
     boiler = (
-        exploded.groupBy("line")
+        exploded.filter(F.length("line") >= min_line_chars)
+        .groupBy("line")
         .agg(F.count_distinct(id_col).alias("__nd"))
-        .filter(
-            (F.col("__nd") >= min_docs)
-            & (F.length("line") >= min_line_chars)
-        )
+        .filter(F.col("__nd") >= min_docs)
         .select("line", F.lit(True).alias("__boiler"))
     )
     marked = exploded.join(boiler, "line", "left").select(

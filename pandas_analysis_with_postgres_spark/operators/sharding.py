@@ -51,6 +51,18 @@ def global_rank(
     bucket = F.expr(f"CAST({order_col} AS BIGINT) DIV {bucket_width}")
     staged = df.withColumn("__bucket", bucket)
     rows = staged.groupBy("__bucket").count().collect()
+    # NULL keys (or keys CAST cannot make integral) land in a NULL
+    # bucket, which an equi-join would silently drop — refuse loudly
+    # instead: ranks over a partial frame are a correctness landmine
+    # for shard exports. Detected from the already-collected counts,
+    # no extra job.
+    null_bucket = next((r for r in rows if r["__bucket"] is None), None)
+    if null_bucket is not None:
+        raise ValueError(
+            f"global_rank: {null_bucket['count']} row(s) have a NULL "
+            f"(or non-integral) {order_col!r}; the order column must be "
+            "non-null integral-castable"
+        )
     offsets = []
     acc = 0
     for r in sorted(rows, key=lambda r: r["__bucket"]):
@@ -88,14 +100,18 @@ def write_shards(
 
     Built on :func:`global_rank`: shard boundaries follow the global
     order of ``order_col`` (shard 0 holds the lowest ranks), rows are
-    clustered one-shard-per-task and sorted by rank inside each file,
-    and the hive layout ``path/shard=N/`` makes a single shard's read
-    a partition-pruned scan. Returns (and writes as
-    ``path/_shards.json``) a manifest with per-shard row counts — and
-    per-shard ``token_col`` sums when given, the number a training
-    scheduler actually balances on. The manifest aggregate is
-    O(num_shards), collected AFTER the data write from the same
-    ranked frame.
+    shard-clustered (hash repartition on the shard id — a task may
+    carry more than one shard, never a split shard) and sorted by rank
+    inside each file, and the hive layout ``path/shard=N/`` makes a
+    single shard's read a partition-pruned scan. Returns (and writes
+    as ``path/_shards.json``) a manifest with per-shard row counts —
+    and per-shard ``token_col`` sums when given, the number a training
+    scheduler actually balances on. EVERY shard id in
+    ``[0, num_shards)`` has a manifest entry: a shard left empty
+    because rows < num_shards reports ``rows: 0`` (and no data dir),
+    so a scheduler iterating the manifest never hits a hole. The
+    manifest aggregate is O(num_shards), collected AFTER the data
+    write from the same ranked frame.
     """
     import json
     import os
@@ -121,6 +137,14 @@ def write_shards(
         }
         for r in ranked.groupBy("shard").agg(*aggs).collect()
     }
+    # No holes: a shard with no rows (num_shards > total rows) still
+    # gets an explicit zero entry.
+    for s in range(num_shards):
+        per.setdefault(
+            s,
+            {"rows": 0, "lo": None, "hi": None}
+            | ({"token_sum": 0} if token_col else {}),
+        )
     manifest = {
         "num_shards": num_shards,
         "order_col": order_col,

@@ -55,28 +55,42 @@ def _rank_scale(df: DataFrame, col: str, bits: int) -> Column:
     )
 
 
-def _quantile_scale(df: DataFrame, col: str, bits: int) -> Column:
-    """Scale a numeric column to an unsigned ``bits``-bit integer by
+def _quantile_scales(
+    df: DataFrame, cols: list[str], bits: int
+) -> list[Column]:
+    """Scale numeric columns to unsigned ``bits``-bit integers by
     approx-quantile CDF lookup — the SCALE path for layout writes.
 
-    One distributed ``approxQuantile`` pass computes ``2^bits - 1``
-    boundaries (a sketch merge, no sort, no shuffle of the data);
-    the bucket of a value is then "how many boundaries are <= v",
-    evaluated as an ``F.aggregate`` fold over the literal boundary
-    array — O(2^bits) codegen comparisons per row, zero joins, zero
-    windows. Skew lands evenly across buckets because boundaries are
-    quantiles, not value-range slices.
+    ONE distributed ``approxQuantile`` pass computes ``2^bits - 1``
+    boundaries for ALL columns together (a sketch merge, no sort, no
+    shuffle of the data — and no per-column re-scan: PySpark's
+    multi-column form shares the pass); the bucket of a value is then
+    "how many boundaries are <= v", evaluated as an ``F.aggregate``
+    fold over the literal boundary array — O(2^bits) codegen
+    comparisons per row, zero joins, zero windows. Skew lands evenly
+    across buckets because boundaries are quantiles, not value-range
+    slices.
     """
     n_bounds = (1 << bits) - 1
     probs = [(i + 1) / (1 << bits) for i in range(n_bounds)]
-    bounds = df.approxQuantile(col, probs, 0.001)
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
-    v = F.col(col).cast("double")
-    return F.aggregate(
-        arr,
-        F.lit(0).cast("long"),
-        lambda acc, b: acc + F.when(v >= b, 1).otherwise(0).cast("long"),
-    )
+    all_bounds = df.approxQuantile(cols, probs, 0.001)
+    out = []
+    for col, bounds in zip(cols, all_bounds):
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        v = F.col(col).cast("double")
+        out.append(
+            F.aggregate(
+                arr,
+                F.lit(0).cast("long"),
+                lambda acc, b: acc + F.when(v >= b, 1).otherwise(0).cast("long"),
+            )
+        )
+    return out
+
+
+def _quantile_scale(df: DataFrame, col: str, bits: int) -> Column:
+    """Single-column form of :func:`_quantile_scales`."""
+    return _quantile_scales(df, [col], bits)[0]
 
 
 def interleave_bits(keys: list[Column], bits: int = ZORDER_BITS) -> Column:
@@ -121,12 +135,11 @@ def write_zordered(
     every file, which is what the scan-side filter pushdown prunes on.
 
     Columns are scaled by the distributed approx-quantile CDF
-    (:func:`_quantile_scale`) — no global sort anywhere in the write:
-    one quantile sketch per column, one range shuffle total.
+    (:func:`_quantile_scales`) — no global sort anywhere in the write:
+    ONE shared quantile-sketch pass for all columns, one range shuffle
+    total.
     """
-    key = interleave_bits(
-        [_quantile_scale(df, c, bits) for c in cols], bits
-    )
+    key = interleave_bits(_quantile_scales(df, cols, bits), bits)
     (
         df.withColumn("__zkey", key)
         .repartitionByRange(num_files, F.col("__zkey"))

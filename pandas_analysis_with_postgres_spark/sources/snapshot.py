@@ -166,18 +166,25 @@ def _footer_stats(part_dir: Path, cols: list[str]) -> dict:
 
 def _ranges_overlap(stats: dict, column_ranges: dict) -> bool:
     """True unless some column's recorded [min,max] provably excludes
-    the requested [lo,hi] (open ends allowed). Missing stats keep the
-    partition — skipping is an I/O optimization, never a filter."""
+    the requested [lo,hi] (open ends allowed). Missing stats — and
+    bounds whose type cannot be compared with the stored stats — keep
+    the partition: skipping is an I/O optimization, never a filter,
+    so anything unprovable must scan."""
     for col, (lo, hi) in column_ranges.items():
         rng = stats.get(col)
         if not rng:
             continue
         cmin, cmax = rng
         lo_n, hi_n = _stat_json(lo), _stat_json(hi)
-        if (hi is not None and hi_n is not None and cmin > hi_n) or (
-            lo is not None and lo_n is not None and cmax < lo_n
-        ):
-            return False
+        try:
+            if (hi is not None and hi_n is not None and cmin > hi_n) or (
+                lo is not None and lo_n is not None and cmax < lo_n
+            ):
+                return False
+        except TypeError:
+            # e.g. string stats vs numeric bounds: not provably
+            # disjoint, so the partition stays in the scan.
+            continue
     return True
 
 
@@ -211,20 +218,33 @@ def read_snapshot(
     skipped at the manifest — data skipping on NON-partition columns,
     the manifest-stats half of what Iceberg/Delta do. It is an I/O
     optimization with a conservative contract: partitions lacking
-    stats are kept, and the caller must still apply the real filter
-    to the returned frame.
+    stats (or with bounds of an incomparable type) are kept, the
+    caller must still apply the real filter to the returned frame,
+    and a window that excludes EVERY partition returns an empty frame
+    with the table's schema — never an error — exactly like the
+    unpruned read + filter it replaces.
     """
     man = read_manifest(path, version)
     parts = man["partitions"]
     if partition_filter is not None:
         parts = {p: rel for p, rel in parts.items() if partition_filter(p)}
-    if column_ranges:
+    empty_result = False
+    if column_ranges and parts:
         all_stats = man.get("stats") or {}
-        parts = {
+        kept = {
             p: rel
             for p, rel in parts.items()
             if _ranges_overlap(all_stats.get(p) or {}, column_ranges)
         }
+        if not kept:
+            # Stats prove the window holds no rows. An unpruned read +
+            # filter would return an EMPTY frame, and skipping must be
+            # behavior-preserving — so scan one directory for its
+            # schema and emit zero rows (a footer-only read).
+            first = sorted(parts)[0]
+            kept = {first: parts[first]}
+            empty_result = True
+        parts = kept
     if not parts:
         raise FileNotFoundError(f"no snapshot at {path}")
     by_commit: dict[str, list[str]] = {}
@@ -263,6 +283,8 @@ def read_snapshot(
             meta["partition_col"],
             F.col(meta["partition_col"]).cast(meta["partition_type"]),
         )
+    if empty_result:
+        out = out.limit(0)
     return out
 
 
@@ -736,11 +758,10 @@ def compact_snapshot(
         raise ValueError(f"{path} has no committed schema metadata")
     df = read_snapshot(spark, path, parent)
     if zorder_by:
-        from .layout import ZORDER_BITS, _quantile_scale, interleave_bits
+        from .layout import ZORDER_BITS, _quantile_scales, interleave_bits
 
         key = interleave_bits(
-            [_quantile_scale(df, c, ZORDER_BITS) for c in zorder_by],
-            ZORDER_BITS,
+            _quantile_scales(df, zorder_by, ZORDER_BITS), ZORDER_BITS
         )
         df = (
             df.withColumn("__zkey", key)

@@ -576,7 +576,11 @@ def stream_quality_gate(
     watermark; lost optimistic races retried in-run (same posture as
     :func:`stream_dedup_ingest`). Rejected rows are simply not
     committed — verdict auditing is what :func:`stream_dedup_ingest`'s
-    results table shape is for, composable here the same way.
+    results table shape is for, composable here the same way. A
+    micro-batch that gates out ENTIRELY commits nothing (an empty
+    commit would publish a zero-partition manifest), so a stream whose
+    every batch fails the gate never creates the table — readers see
+    the usual missing-table ``FileNotFoundError``, not an empty frame.
     """
     from ..operators.classifier import score_docs
     from ..sources.snapshot import ConcurrentCommitError, merge_snapshot
@@ -593,7 +597,14 @@ def stream_quality_gate(
                 id_col,
             )
             .withColumn("__batch", F.lit(batch_id))
+            .localCheckpoint()  # scored once: emptiness check + merge
         )
+        if not kept.take(1):
+            # Fully-gated batch: committing an EMPTY source would
+            # bootstrap a zero-partition manifest (unreadable table).
+            # Skipping is replay-safe — the model is fixed for the
+            # run, so a crash-replayed batch re-gates to empty again.
+            return
         attempts = 5
         for i in range(attempts):
             try:

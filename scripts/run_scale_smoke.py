@@ -50,6 +50,7 @@ SMOKE = (
     "z01_boilerplate_lines",
     "z02_quality_classifier",
     "z03_global_rank_shards",
+    "z04_stats_pruned_scan",
 )
 
 

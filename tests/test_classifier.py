@@ -88,3 +88,18 @@ def test_no_python_row_eval(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_oov_document_scores_at_prior_not_dropped(spark):
+    docs = _frame(spark)
+    weights = train_token_llr(docs, F.col("y"))
+    prior = class_prior(docs, F.col("y"))
+    oov = spark.createDataFrame(
+        [(99, "entirely unseen vocabulary tokens")], "doc_id long, text string"
+    )
+    got = score_docs(oov, weights, prior).collect()
+    assert len(got) == 1
+    _, ln_prior = _reference_model()
+    r = got[0]
+    assert r.n_tokens == 4  # ALL tokens counted, not just in-vocab
+    assert abs(r.score - round(ln_prior, 8)) < 1e-7

@@ -96,3 +96,30 @@ def test_write_shards_layout_manifest_and_order(spark, tmp_path):
     # token sums add up
     total_tokens = docs.agg(F.sum("n_tokens")).collect()[0][0]
     assert sum(man["shards"][s]["token_sum"] for s in range(4)) == total_tokens
+
+
+def test_write_shards_more_shards_than_rows_has_no_manifest_holes(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.operators.sharding import (
+        write_shards,
+    )
+
+    df = spark.createDataFrame([(1, 5), (2, 6), (3, 7)], "k long, w long")
+    man = write_shards(df, str(tmp_path / "s"), "k", 8, token_col="w")
+    assert set(man["shards"]) == set(range(8))
+    assert man["total_rows"] == 3
+    assert sum(s["rows"] for s in man["shards"].values()) == 3
+    empty = [s for s in range(8) if man["shards"][s]["rows"] == 0]
+    assert len(empty) == 5
+    for s in empty:
+        assert man["shards"][s] == {"rows": 0, "lo": None, "hi": None, "token_sum": 0}
+
+
+def test_global_rank_rejects_null_keys(spark):
+    from pandas_analysis_with_postgres_spark.operators.sharding import (
+        global_rank,
+    )
+    import pytest
+
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    with pytest.raises(ValueError, match="NULL"):
+        global_rank(df, "k")

@@ -441,9 +441,21 @@ class TestManifestColumnStats:
         # and the pruned scan skipped partition p=2 entirely
         assert not any("/p=2/" in f for f in pruned.inputFiles())
 
-    def test_all_pruned_raises_like_partition_filter(self, spark, stats_tbl):
-        with pytest.raises(FileNotFoundError):
-            read_snapshot(spark, stats_tbl, column_ranges={"k": (1000, 2000)})
+    def test_all_pruned_returns_empty_frame_like_a_filter(self, spark, stats_tbl):
+        # skipping must be behavior-preserving: a window the stats
+        # prove empty returns zero rows with the table's schema, same
+        # as the unpruned read + filter would.
+        got = read_snapshot(spark, stats_tbl, column_ranges={"k": (1000, 2000)})
+        assert got.count() == 0
+        assert set(got.columns) == {"k", "v", "p"}
+        assert dict(got.dtypes)["p"] == "bigint"
+
+    def test_incomparable_bound_types_keep_partitions(self, spark, stats_tbl):
+        # numeric stats vs string bounds: not provably disjoint → scan
+        got = read_snapshot(
+            spark, stats_tbl, column_ranges={"k": ("a", "z")}
+        )
+        assert got.count() == 30
 
     def test_open_ended_ranges(self, spark, stats_tbl):
         lo_open = read_snapshot(spark, stats_tbl, column_ranges={"k": (None, 9)})

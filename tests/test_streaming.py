@@ -330,3 +330,42 @@ def test_stream_quality_gate_end_to_end(spark, tmp_path):
     # replay from the same checkpoint: nothing new to commit
     run()
     assert read_manifest(out)["version"] == v
+
+
+def test_stream_quality_gate_fully_gated_batch_commits_nothing(spark, tmp_path):
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pandas_analysis_with_postgres_spark.operators.classifier import (
+        class_prior,
+        train_token_llr,
+    )
+    from pandas_analysis_with_postgres_spark.sources.snapshot import read_snapshot
+    from pandas_analysis_with_postgres_spark.streaming import stream_quality_gate
+
+    train = spark.createDataFrame(
+        [(1, "good text", True), (2, "spam spam", False)],
+        "doc_id long, text string, y boolean",
+    )
+    weights = train_token_llr(train, F.col("y")).localCheckpoint()
+    prior = class_prior(train, F.col("y")).localCheckpoint()
+    land = tmp_path / "landing"
+    land.mkdir()
+    spark.createDataFrame(
+        [(10, "spam spam spam")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(str(land / "f0.parquet"))
+    out = str(tmp_path / "gated")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(land / "*.parquet"))
+    )
+    stream_quality_gate(
+        stream, weights, prior, out,
+        app_id="gate0", checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    # nothing passed the gate: no table was created (and no crash)
+    with pytest.raises(FileNotFoundError):
+        read_snapshot(spark, out)
