@@ -105,6 +105,8 @@ EXTRA = (
     "z02_quality_classifier",
     "z03_global_rank_shards",
     "z04_stats_pruned_scan",
+    "z05_shuffled_shards",
+    "z06_bloom_point_lookup",
 )
 
 

@@ -32,12 +32,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+#: Multiplicative-hash constants for :func:`shuffled_rank` — same
+#: engine-agnostic construction as the deterministic sampler (a79):
+#: odd (Knuth) multiplier, Mersenne-prime modulus 2^31-1. Sized so
+#: ``(key % MOD) * MULT + seed'`` stays below 2^63 for ANY bigint key
+#: — no overflow in either engine, so the permutation is exactly
+#: replayable in any SQL dialect with * and %.
+SHUFFLE_MULT = 2654435761
+SHUFFLE_MOD = (1 << 31) - 1
+
+
 def global_rank(
     df: DataFrame,
     order_col: str,
     *,
     bucket_width: int = 4096,
     num_shards: int | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Add a contiguous 1-based ``rank`` (global order by
     ``order_col``) and, when ``num_shards`` is set, an equal-size
@@ -47,6 +58,13 @@ def global_rank(
     Choose ``bucket_width`` so keyspace/width stays driver-friendly
     (≤ ~1e6 buckets): the driver materializes one (bucket, count) row
     per NON-EMPTY bucket, never the data.
+
+    ``tiebreak_col`` extends the in-bucket sort to
+    ``(order_col, tiebreak_col)`` for callers whose primary order
+    column is not unique by itself (e.g. :func:`shuffled_rank`'s
+    permutation values); the (order_col, tiebreak_col) PAIR must then
+    be unique. Bucketing stays on ``order_col`` alone, which is
+    correct because equal order values always share a bucket.
     """
     bucket = F.expr(f"CAST({order_col} AS BIGINT) DIV {bucket_width}")
     staged = df.withColumn("__bucket", bucket)
@@ -71,7 +89,8 @@ def global_rank(
     total = acc
     spark = df.sparkSession
     off = spark.createDataFrame(offsets, "__bucket long, __offset long")
-    w = Window.partitionBy("__bucket").orderBy(order_col)
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy("__bucket").orderBy(*order_cols)
     out = (
         staged.join(F.broadcast(off), "__bucket")
         .withColumn("rank", F.col("__offset") + F.row_number().over(w))
@@ -83,6 +102,50 @@ def global_rank(
             F.expr(f"(rank - 1) * {num_shards} DIV {total}").cast("int"),
         )
     return out
+
+
+def shuffled_rank(
+    df: DataFrame,
+    key_col: str,
+    *,
+    seed: int = 0,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic pseudorandom global PERMUTATION rank — the
+    "shuffle the corpus before training" step, reproducible across
+    reruns and engines: rank follows ``(key * MULT + seed') % MOD``
+    (multiplicative hash, Mersenne-prime modulus — the a79 sampler's
+    engine-agnostic construction) with the key itself as tie-break.
+    Different seeds give statistically independent permutations, so
+    per-epoch reshuffles are just ``seed=epoch``.
+
+    Same two-level scale shape as :func:`global_rank` (which this
+    wraps): permutation values spread uniformly over [0, MOD), so
+    DIV-bucketing them yields ~4096 evenly-loaded buckets regardless
+    of key skew. Keys must be unique and non-null integral-castable;
+    distinct keys may share a permutation value (MOD = 2^31-1 —
+    expected once the corpus nears billions of documents), in which
+    case the key tie-break keeps the rank total and deterministic
+    with a locally-sequential clump, statistically irrelevant.
+    Compose with :func:`write_shards` by pre-computing the permutation
+    column, or feed ``num_shards`` here for shard ids in shuffled
+    order.
+    """
+    perm = F.pmod(
+        F.pmod(F.col(key_col).cast("long"), F.lit(SHUFFLE_MOD))
+        * F.lit(SHUFFLE_MULT)
+        + F.lit((seed * 0x9E3779B9) % SHUFFLE_MOD),
+        F.lit(SHUFFLE_MOD),
+    )
+    staged = df.withColumn("__perm", perm)
+    out = global_rank(
+        staged,
+        "__perm",
+        bucket_width=SHUFFLE_MOD >> 12,
+        num_shards=num_shards,
+        tiebreak_col=key_col,
+    )
+    return out.drop("__perm")
 
 
 def write_shards(

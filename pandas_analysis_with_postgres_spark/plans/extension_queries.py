@@ -2140,9 +2140,118 @@ FROM r
 """
 
 
-#: z04's stats-partitioned snapshot tables, one per (applicationId,
+def z05_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudorandom corpus shuffle + shard assignment
+    (operators.sharding.shuffled_rank): rank follows a seeded
+    multiplicative-hash permutation — the reproducible
+    pre-training shuffle, per-epoch reshuffles = new seed — via the
+    same two-level construction as z03 (no single-task sort; the
+    permutation values DIV-bucket uniformly regardless of key skew).
+    The oracle replays the identical permutation arithmetic (all
+    intermediates < 2^63, so the engines agree exactly)."""
+    from ..operators.sharding import shuffled_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffled_rank(docs, "doc_id", seed=7, num_shards=8).select(
+        "doc_id", "rank", "shard"
+    )
+
+
+def _z05_oracle() -> str:
+    from ..operators.sharding import SHUFFLE_MOD, SHUFFLE_MULT
+
+    seed_term = (7 * 0x9E3779B9) % SHUFFLE_MOD
+    perm = (
+        f"((doc_id % {SHUFFLE_MOD}) * {SHUFFLE_MULT} + {seed_term}) "
+        f"% {SHUFFLE_MOD}"
+    )
+    return f"""
+WITH r AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY {perm}, doc_id) AS rank,
+                  COUNT(*) OVER () AS n
+           FROM documents)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+       CAST((rank - 1) * 8 // n AS INT) AS shard
+FROM r
+"""
+
+
+Z05_SQL = _z05_oracle()
+
+
+#: z04/z06's stats+bloom snapshot tables, one per (applicationId,
 #: sf_dir) — memoized for the same reason as q98's.
 _STATS_TABLES: dict = {}
+
+
+def _stats_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per app × fixture) the snapshot table z04 and z06
+    read: orders partitioned into ~64 ingest-style key buckets, with
+    manifest min/max stats on o_orderkey (correlated with the layout →
+    range skipping, z04) AND per-partition Bloom bitmaps on o_custkey
+    (scattered across every bucket → point-lookup skipping, z06)."""
+    import tempfile
+
+    from ..sources.snapshot import write_snapshot
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _STATS_TABLES.get(key)
+    if path is None:
+        base = load_table(spark, sf_dir, "orders")
+        # Partition COUNT must not scale with the data: fix ~64
+        # ingest-style buckets at any SF (manifests and the footer
+        # harvest are O(partitions); a width constant in the keyspace
+        # would mint thousands of tiny partitions at 10x).
+        max_key = base.agg(F.max("o_orderkey")).collect()[0][0]
+        width = max(max_key // 64, 1)
+        orders = base.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.expr(f"o_orderkey DIV {width}").alias("bucket"),
+        )
+        path = tempfile.mkdtemp(prefix="snap_stats_") + "/tbl"
+        write_snapshot(
+            orders,
+            path,
+            "bucket",
+            stats_cols=["o_orderkey"],
+            bloom_cols=["o_custkey"],
+        )
+        _STATS_TABLES[key] = path
+    return path
+
+
+def z06_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest Bloom-filter point-lookup skipping (sources.snapshot):
+    all orders of one customer, probed through per-partition Bloom
+    bitmaps on o_custkey — a key SCATTERED across every key-bucket
+    partition, so the min/max stats that served z04 prune nothing and
+    the bloom is what saves the scan. False positives are scanned and
+    removed by the real filter, so the oracle (filter+aggregate on the
+    base table) hash-verifies the pruning as behavior-free."""
+    from ..sources.snapshot import read_snapshot
+
+    path = _stats_snapshot_table(spark, sf_dir)
+    cust = 421
+    scan = read_snapshot(spark, path, point_lookups={"o_custkey": cust})
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    return scan.filter(F.col("o_custkey") == cust).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").alias("key_sum"),
+        F.sum(cents).alias("price_cents"),
+    )
+
+
+Z06_SQL = """
+SELECT COUNT(*)::BIGINT AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+         AS BIGINT) AS price_cents
+FROM orders
+WHERE o_custkey = 421
+"""
 
 
 def z04_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2160,25 +2269,7 @@ def z04_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.snapshot import read_snapshot, write_snapshot
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _STATS_TABLES.get(key)
-    if path is None:
-        base = load_table(spark, sf_dir, "orders")
-        # Partition COUNT must not scale with the data: fix ~64
-        # ingest-style buckets at any SF (manifests and the footer
-        # harvest are O(partitions); a width constant in the keyspace
-        # would mint thousands of tiny partitions at 10x).
-        max_key = base.agg(F.max("o_orderkey")).collect()[0][0]
-        width = max(max_key // 64, 1)
-        orders = base.select(
-            "o_orderkey",
-            "o_orderstatus",
-            "o_totalprice",
-            F.expr(f"o_orderkey DIV {width}").alias("bucket"),
-        )
-        path = tempfile.mkdtemp(prefix="snap_stats_") + "/tbl"
-        write_snapshot(orders, path, "bucket", stats_cols=["o_orderkey"])
-        _STATS_TABLES[key] = path
+    path = _stats_snapshot_table(spark, sf_dir)
     lo, hi = 10000, 19999
     scan = read_snapshot(spark, path, column_ranges={"o_orderkey": (lo, hi)})
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
@@ -2270,6 +2361,8 @@ EXTENSION_QUERIES = {
     "z02_quality_classifier": z02_quality_classifier,
     "z03_global_rank_shards": z03_global_rank_shards,
     "z04_stats_pruned_scan": z04_stats_pruned_scan,
+    "z05_shuffled_shards": z05_shuffled_shards,
+    "z06_bloom_point_lookup": z06_bloom_point_lookup,
 }
 
 EXTENSION_ORACLES = {
@@ -2295,6 +2388,8 @@ EXTENSION_ORACLES = {
     "z02_quality_classifier": Z02_SQL,
     "z03_global_rank_shards": Z03_SQL,
     "z04_stats_pruned_scan": Z04_SQL,
+    "z05_shuffled_shards": Z05_SQL,
+    "z06_bloom_point_lookup": Z06_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -131,6 +131,79 @@ def _stat_json(v):
     return None
 
 
+#: Per-partition Bloom filter sizing: m bits / k hashes. 4096 bits =
+#: 512 bytes (1 KiB hex in the manifest) per (partition, column); at
+#: k=4 the FPR is ~2.4e-3 at 500 keys/partition and still ~0.1 at
+#: 5k keys — size partitions (or accept weaker pruning) accordingly.
+BLOOM_BITS = 4096
+_BLOOM_MOD = (1 << 31) - 1
+#: Distinct odd multipliers (the xxhash/Murmur prime family) — one
+#: per hash. Same engine-exact construction as the shuffle
+#: permutation: all intermediates < 2^63.
+_BLOOM_MULTS = (2654435761, 2246822519, 3266489917, 668265263)
+
+
+def _bloom_positions(value: int) -> list[int]:
+    """The k bit positions of an integral key — pure int math,
+    bit-identical to the Catalyst expression in :func:`_compute_blooms`."""
+    v = value % _BLOOM_MOD
+    return [((v * m) % _BLOOM_MOD) % BLOOM_BITS for m in _BLOOM_MULTS]
+
+
+def _compute_blooms(
+    df: "DataFrame", partition_col: str, bloom_cols: list[str]
+) -> dict:
+    """Per-partition Bloom filters over integral key columns, computed
+    with ONE Spark aggregation (positions exploded, collect_set keyed
+    by (partition, column) — map-side combinable, ≤ m distinct ints
+    per group). Returns {hive_partition_name: {col: hex_bitmap}}.
+
+    This is the manifest's POINT-LOOKUP index: min/max stats prune
+    range scans only when the column correlates with the partition
+    layout; a Bloom filter prunes ``key = ?`` probes even when keys
+    are scattered uniformly (the dedup-store / entity-lookup shape).
+    Cost: one extra aggregate pass over the partitions being written.
+    """
+    from pyspark.sql import functions as F
+
+    for c in bloom_cols:
+        t = df.schema[c].dataType.simpleString()
+        if t not in {"tinyint", "smallint", "int", "bigint"}:
+            raise ValueError(
+                f"bloom_cols must be integral; {c!r} is {t!r}"
+            )
+    structs = []
+    for c in bloom_cols:
+        v = F.pmod(F.col(c).cast("long"), F.lit(_BLOOM_MOD))
+        pos = F.array(
+            *[
+                F.pmod(F.pmod(v * F.lit(m), F.lit(_BLOOM_MOD)), F.lit(BLOOM_BITS))
+                for m in _BLOOM_MULTS
+            ]
+        )
+        structs.append(F.struct(F.lit(c).alias("c"), pos.alias("ps")))
+    ex = (
+        df.select(F.col(partition_col).alias("__pv"), F.explode(F.array(*structs)).alias("s"))
+        .select("__pv", F.col("s.c").alias("c"), F.explode("s.ps").alias("pos"))
+    )
+    rows = ex.groupBy("__pv", "c").agg(F.collect_set("pos").alias("bits")).collect()
+    out: dict = {}
+    for r in rows:
+        part = _hive_part_name(partition_col, r["__pv"])
+        bm = bytearray(BLOOM_BITS // 8)
+        for b in r["bits"]:
+            bm[b // 8] |= 1 << (b % 8)
+        out.setdefault(part, {})[r["c"]] = bm.hex()
+    return out
+
+
+def _bloom_may_contain(hex_bits: str, value: int) -> bool:
+    bm = bytes.fromhex(hex_bits)
+    return all(
+        bm[p // 8] & (1 << (p % 8)) for p in _bloom_positions(value)
+    )
+
+
 def _footer_stats(part_dir: Path, cols: list[str]) -> dict:
     """Aggregate per-column min/max for one partition directory from
     the parquet FOOTERS the write already produced — no extra Spark
@@ -195,6 +268,7 @@ def read_snapshot(
     *,
     partition_filter: "Callable[[str], bool] | None" = None,
     column_ranges: dict | None = None,
+    point_lookups: dict | None = None,
 ) -> DataFrame:
     """Scan a snapshot: exactly the directories its manifest lists.
 
@@ -223,13 +297,38 @@ def read_snapshot(
     and a window that excludes EVERY partition returns an empty frame
     with the table's schema — never an error — exactly like the
     unpruned read + filter it replaces.
+
+    ``point_lookups`` = ``{col: int_value}`` prunes with the
+    manifest's per-partition BLOOM filters (see ``bloom_cols`` on the
+    writers): a partition whose bloom proves ``col = value`` absent is
+    skipped. This is the probe shape min/max stats cannot help with —
+    a key scattered uniformly across partitions. Same conservative
+    contract: no bloom → keep; false positives scan and are removed
+    by the caller's real filter; all-pruned → empty frame.
     """
     man = read_manifest(path, version)
     parts = man["partitions"]
     if partition_filter is not None:
         parts = {p: rel for p, rel in parts.items() if partition_filter(p)}
     empty_result = False
-    if column_ranges and parts:
+    if point_lookups and parts:
+        all_blooms = man.get("blooms") or {}
+        kept = {}
+        for p, rel in parts.items():
+            pb = all_blooms.get(p) or {}
+            if all(
+                not isinstance(v, int)
+                or c not in pb
+                or _bloom_may_contain(pb[c], v)
+                for c, v in point_lookups.items()
+            ):
+                kept[p] = rel
+        if not kept:
+            first = sorted(parts)[0]
+            kept = {first: parts[first]}
+            empty_result = True
+        parts = kept
+    if column_ranges and parts and not empty_result:
         all_stats = man.get("stats") or {}
         kept = {
             p: rel
@@ -321,6 +420,7 @@ def _commit(
     schema: dict | None = None,
     txn: tuple[str, int] | None = None,
     stats: dict | None = None,
+    blooms: dict | None = None,
 ) -> int:
     """Atomically publish ``parent + 1``; raise on a lost race.
 
@@ -345,6 +445,9 @@ def _commit(
         # {partition_name: {col: [min, max]}} — only for partitions
         # present in `partitions`, only for the table's stats_cols.
         "stats": {p: s for p, s in (stats or {}).items() if p in partitions},
+        # {partition_name: {col: hex_bitmap}} for the table's
+        # bloom_cols — the point-lookup skipping index.
+        "blooms": {p: b for p, b in (blooms or {}).items() if p in partitions},
     }
     tmp = snap / f".tmp-{uuid.uuid4().hex[:12]}"
     with open(tmp, "w") as f:
@@ -404,14 +507,17 @@ def _fsync_dir(path) -> None:
 
 
 def _schema_meta(
-    df: DataFrame, partition_col: str, stats_cols: list[str] | None = None
+    df: DataFrame,
+    partition_col: str,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Pin the partition column's declared type in the manifest: hive
     path inference re-guesses types per scan (LONG becomes INT when the
     values happen to fit), and two commits must never disagree.
-    ``stats_cols`` is a TABLE property: every later merge/compact keeps
-    collecting footer stats for the same columns without each writer
-    restating them."""
+    ``stats_cols``/``bloom_cols`` are TABLE properties: every later
+    merge/compact keeps collecting footer stats / bloom bitmaps for
+    the same columns without each writer restating them."""
     meta = {
         "partition_col": partition_col,
         "partition_type": df.schema[partition_col].dataType.simpleString(),
@@ -419,6 +525,8 @@ def _schema_meta(
     }
     if stats_cols:
         meta["stats_cols"] = list(stats_cols)
+    if bloom_cols:
+        meta["bloom_cols"] = list(bloom_cols)
     return meta
 
 
@@ -466,22 +574,28 @@ def write_snapshot(
     *,
     expected_version: int | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Full overwrite as a new snapshot (old versions stay readable).
 
     ``stats_cols`` turns on manifest column statistics for the table:
     per-partition min/max for those columns, harvested from the parquet
     footers at commit time and carried forward by every later
-    merge/compact, queried via ``read_snapshot(column_ranges=...)``."""
+    merge/compact, queried via ``read_snapshot(column_ranges=...)``.
+    ``bloom_cols`` likewise turns on per-partition Bloom bitmaps over
+    integral key columns (one extra aggregate pass at write), queried
+    via ``read_snapshot(point_lookups=...)``."""
     parent = current_version(path) if expected_version is None else expected_version
+    blooms = _compute_blooms(df, partition_col, bloom_cols) if bloom_cols else {}
     entries, stats = _write_commit_data(df, path, partition_col, stats_cols)
     return _commit(
         path,
         parent,
         entries,
         "overwrite",
-        _schema_meta(df, partition_col, stats_cols),
+        _schema_meta(df, partition_col, stats_cols, bloom_cols),
         stats=stats,
+        blooms=blooms,
     )
 
 
@@ -495,16 +609,19 @@ def merge_snapshot(
     txn: tuple[str, int] | None = None,
     strict: bool = False,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """MERGE (upsert-by-key) into a snapshot table, rewriting only the
     partitions the source touches.
 
-    Column statistics: an existing table's ``stats_cols`` (pinned in
-    its manifest by the first writer) are maintained automatically —
-    rewritten partitions get fresh footer stats, cold partitions carry
-    their recorded stats by reference alongside their data. Passing
-    ``stats_cols`` here only matters for the BOOTSTRAP commit of a new
-    table (it is ignored, with the manifest winning, afterwards).
+    Column statistics: an existing table's ``stats_cols`` /
+    ``bloom_cols`` (pinned in its manifest by the first writer) are
+    maintained automatically — rewritten partitions get fresh footer
+    stats and bloom bitmaps, cold partitions carry their recorded
+    entries by reference alongside their data. Passing
+    ``stats_cols``/``bloom_cols`` here only matters for the BOOTSTRAP
+    commit of a new table (they are ignored, with the manifest
+    winning, afterwards).
 
     Reads the current snapshot, applies update-matched /
     insert-unmatched against ``source`` for the touched partitions
@@ -584,10 +701,19 @@ def merge_snapshot(
                 f"merge source is missing table columns {lost}; "
                 "schema evolution only adds columns"
             )
+    bootstrap = parent == 0 or not man["partitions"]
     table_stats_cols = (man.get("schema") or {}).get("stats_cols") or (
-        stats_cols if parent == 0 or not man["partitions"] else None
+        stats_cols if bootstrap else None
     )
-    if parent == 0 or not man["partitions"]:
+    table_bloom_cols = (man.get("schema") or {}).get("bloom_cols") or (
+        bloom_cols if bootstrap else None
+    )
+    if bootstrap:
+        blooms = (
+            _compute_blooms(source, partition_col, table_bloom_cols)
+            if table_bloom_cols
+            else {}
+        )
         entries, stats = _write_commit_data(
             source, target_path, partition_col, table_stats_cols
         )
@@ -596,9 +722,12 @@ def merge_snapshot(
             parent,
             entries,
             "merge",
-            _schema_meta(source, partition_col, table_stats_cols),
+            _schema_meta(
+                source, partition_col, table_stats_cols, table_bloom_cols
+            ),
             txn,
             stats=stats,
+            blooms=blooms,
         )
 
     if strict:
@@ -634,6 +763,14 @@ def merge_snapshot(
         )
     else:
         merged = source
+    if table_bloom_cols:
+        # One extra aggregate pass over the REWRITTEN partitions only;
+        # the merged frame is re-derived from the checkpointed source
+        # plus the touched-partition scan.
+        merged = merged.localCheckpoint(eager=False)
+        new_blooms = _compute_blooms(merged, partition_col, table_bloom_cols)
+    else:
+        new_blooms = {}
     new_entries, new_stats = _write_commit_data(
         merged, target_path, partition_col, table_stats_cols
     )
@@ -643,21 +780,29 @@ def merge_snapshot(
         if part not in touched  # carried by reference
     }
     partitions.update(new_entries)
-    # Cold partitions keep their recorded stats alongside their data.
+    # Cold partitions keep their recorded stats/blooms alongside
+    # their data.
     stats = {
         part: s
         for part, s in (man.get("stats") or {}).items()
         if part not in touched
     }
     stats.update(new_stats)
+    blooms = {
+        part: b
+        for part, b in (man.get("blooms") or {}).items()
+        if part not in touched
+    }
+    blooms.update(new_blooms)
     return _commit(
         target_path,
         parent,
         partitions,
         "merge",
-        _schema_meta(source, partition_col, table_stats_cols),
+        _schema_meta(source, partition_col, table_stats_cols, table_bloom_cols),
         txn,
         stats=stats,
+        blooms=blooms,
     )
 
 
@@ -769,8 +914,14 @@ def compact_snapshot(
             .sortWithinPartitions(partition_col, "__zkey")
             .drop("__zkey")
         )
+    bloom_cols = meta.get("bloom_cols")
+    if bloom_cols:
+        df = df.localCheckpoint(eager=False)
+        blooms = _compute_blooms(df, partition_col, bloom_cols)
+    else:
+        blooms = {}
     entries, stats = _write_commit_data(
         df, path, partition_col, meta.get("stats_cols")
     )
     op = "compact+zorder" if zorder_by else "compact"
-    return _commit(path, parent, entries, op, meta, stats=stats)
+    return _commit(path, parent, entries, op, meta, stats=stats, blooms=blooms)

@@ -564,3 +564,71 @@ class TestZOrderCompact:
         assert man["stats"]["p=0"]["x"] == [0, 63]
         # older version still readable (time travel untouched)
         assert read_snapshot(spark, path, 1).count() == 64 * 64
+
+
+class TestManifestBlooms:
+    """Per-partition Bloom filters in the manifest: point-lookup
+    skipping for keys UNCORRELATED with the partition layout (where
+    min/max stats prune nothing)."""
+
+    @pytest.fixture()
+    def bloom_tbl(self, spark, tmp_path):
+        # keys interleave across partitions mod 3: every partition's
+        # [min,max] covers nearly the whole keyspace, so range stats
+        # are useless — exactly the bloom's job.
+        rows = [(k, f"v{k}", k % 3) for k in range(90)]
+        df = spark.createDataFrame(rows, "k long, v string, p long")
+        path = str(tmp_path / "bloom_tbl")
+        assert write_snapshot(df, path, "p", bloom_cols=["k"]) == 1
+        return path
+
+    def test_blooms_recorded_and_prune_point_lookup(self, spark, bloom_tbl):
+        man = read_manifest(bloom_tbl)
+        assert man["schema"]["bloom_cols"] == ["k"]
+        assert set(man["blooms"]) == {"p=0", "p=1", "p=2"}
+        # k=41 lives only in partition p=2 (41 % 3 == 2)
+        got = read_snapshot(spark, bloom_tbl, point_lookups={"k": 41})
+        assert all("/p=2/" in f for f in got.inputFiles())
+        assert {r.k for r in got.filter("k = 41").collect()} == {41}
+
+    def test_absent_key_returns_empty_frame(self, spark, bloom_tbl):
+        got = read_snapshot(spark, bloom_tbl, point_lookups={"k": 123456})
+        # bloom may false-positive a partition, but with high
+        # probability all three are pruned; either way the real
+        # filter yields nothing and nothing errors.
+        assert got.filter("k = 123456").count() == 0
+        assert set(got.columns) == {"k", "v", "p"}
+
+    def test_lookup_equivalent_to_full_scan(self, spark, bloom_tbl):
+        for key in (0, 1, 2, 33, 89, 1000):
+            pruned = read_snapshot(
+                spark, bloom_tbl, point_lookups={"k": key}
+            ).filter(f"k = {key}")
+            full = read_snapshot(spark, bloom_tbl).filter(f"k = {key}")
+            assert {r.k for r in pruned.collect()} == {
+                r.k for r in full.collect()
+            }, key
+
+    def test_merge_refreshes_hot_and_carries_cold_blooms(self, spark, bloom_tbl):
+        v1 = read_manifest(bloom_tbl)
+        src = spark.createDataFrame(
+            [(90, "v90", 0)], "k long, v string, p long"
+        )
+        assert merge_snapshot(bloom_tbl, src, "k", "p") == 2
+        man = read_manifest(bloom_tbl)
+        # cold partitions carry the identical bitmap by reference
+        assert man["blooms"]["p=1"] == v1["blooms"]["p=1"]
+        assert man["blooms"]["p=2"] == v1["blooms"]["p=2"]
+        # the new key is findable through the refreshed hot bloom
+        got = read_snapshot(spark, bloom_tbl, point_lookups={"k": 90})
+        assert {r.k for r in got.filter("k = 90").collect()} == {90}
+        assert all("/p=0/" in f for f in got.inputFiles())
+
+    def test_non_integral_bloom_col_rejected(self, spark, tmp_path):
+        df = spark.createDataFrame([("a", 0)], "s string, p long")
+        with pytest.raises(ValueError, match="integral"):
+            write_snapshot(df, str(tmp_path / "t"), "p", bloom_cols=["s"])
+
+    def test_tables_without_blooms_ignore_point_lookups(self, spark, base):
+        got = read_snapshot(spark, base, point_lookups={"k": 999})
+        assert got.count() == 3  # conservative: no bloom → full scan
