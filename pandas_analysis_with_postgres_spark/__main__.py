@@ -37,7 +37,8 @@ def main(argv: list[str] | None = None) -> int:
 
     p_sn = sub.add_parser("snapshot", help="inspect a snapshot table")
     p_sn.add_argument(
-        "action", choices=["history", "read", "expire", "compact", "sql"]
+        "action",
+        choices=["history", "read", "expire", "compact", "sql", "info"],
     )
     p_sn.add_argument("path")
     p_sn.add_argument(
@@ -87,6 +88,13 @@ def main(argv: list[str] | None = None) -> int:
                     f"v{v}  op={m['operation']:9s} "
                     f"partitions={len(m['partitions'])} txn={m.get('txn') or {}}"
                 )
+            return 0
+        if args.action == "info":
+            import json as _json
+
+            from .sources.snapshot import table_info
+
+            print(_json.dumps(table_info(args.path, args.version), indent=1))
             return 0
         if args.action == "expire":
             try:

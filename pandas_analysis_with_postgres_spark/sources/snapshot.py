@@ -925,3 +925,74 @@ def compact_snapshot(
     )
     op = "compact+zorder" if zorder_by else "compact"
     return _commit(path, parent, entries, op, meta, stats=stats, blooms=blooms)
+
+
+def table_info(path: str, version: int | None = None) -> dict:
+    """Describe a snapshot table — the observability surface a
+    maintenance scheduler reads: current version/operation, partition
+    and referenced-commit counts (the read-amplification signal
+    :func:`maintain_snapshot` acts on), stats/bloom coverage, txn
+    watermarks, and physical file/byte totals of the LIVE version.
+
+    The file walk is O(live files) driver-side listing — an info
+    call, not a hot path; everything else is one manifest read.
+    """
+    man = read_manifest(path, version)
+    commits = {os.path.dirname(rel) for rel in man["partitions"].values()}
+    n_files = 0
+    n_bytes = 0
+    for rel in man["partitions"].values():
+        d = Path(path) / rel
+        if d.is_dir():
+            for f in d.glob("*.parquet"):
+                n_files += 1
+                n_bytes += f.stat().st_size
+    meta = man.get("schema") or {}
+    return {
+        "version": man["version"],
+        "operation": man.get("operation"),
+        "partition_col": meta.get("partition_col"),
+        "n_partitions": len(man["partitions"]),
+        "n_commits_referenced": len(commits),
+        "n_versions_retained": len(
+            list(_snap_dir(path).glob("v*.json"))
+        ) if _snap_dir(path).is_dir() else 0,
+        "stats_cols": meta.get("stats_cols") or [],
+        "bloom_cols": meta.get("bloom_cols") or [],
+        "stats_partitions": len(man.get("stats") or {}),
+        "bloom_partitions": len(man.get("blooms") or {}),
+        "txn": man.get("txn") or {},
+        "n_files": n_files,
+        "n_bytes": n_bytes,
+    }
+
+
+def maintain_snapshot(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_commits: int = 4,
+    keep_versions: int = 2,
+    min_age_sec: float = 3600.0,
+) -> dict:
+    """One-call table maintenance with a read-amplification policy:
+    compact only when the live version references MORE than
+    ``max_commits`` commit directories (each one is a separate scan in
+    :func:`read_snapshot` — the cost signal), then GC history beyond
+    ``keep_versions``. Idempotent and cheap when healthy: a
+    just-compacted table reads one manifest and does nothing.
+
+    Returns ``{"compacted": new_version | None, "expired": [dirs]}``.
+    A concurrent writer can race the compact like any commit —
+    callers run maintenance on a schedule, so a lost
+    :class:`ConcurrentCommitError` round is simply retried next tick
+    (re-raised here for the caller to observe).
+    """
+    info = table_info(path)
+    compacted = None
+    if info["n_commits_referenced"] > max_commits:
+        compacted = compact_snapshot(spark, path)
+    expired = expire_snapshots(
+        path, keep=keep_versions, min_age_sec=min_age_sec
+    )
+    return {"compacted": compacted, "expired": expired}

@@ -130,3 +130,23 @@ def test_snapshot_compact_zorder_flag(spark, tmp_path, capsys):
     assert "compacted+zordered into v2" in capsys.readouterr().out
     assert read_manifest(path)["operation"] == "compact+zorder"
     assert read_snapshot(spark, path).count() == 200
+
+
+def test_snapshot_info_cli(spark, tmp_path, capsys):
+    import json
+
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, 0), (2, 1)], "k long, p long"),
+        path,
+        "p",
+        stats_cols=["k"],
+    )
+    assert main(["snapshot", "info", path]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["version"] == 1 and info["n_partitions"] == 2
+    assert info["stats_cols"] == ["k"]

@@ -632,3 +632,71 @@ class TestManifestBlooms:
     def test_tables_without_blooms_ignore_point_lookups(self, spark, base):
         got = read_snapshot(spark, base, point_lookups={"k": 999})
         assert got.count() == 3  # conservative: no bloom → full scan
+
+
+class TestInfoAndMaintenance:
+    def test_table_info_counts_and_coverage(self, spark, tmp_path):
+        from pandas_analysis_with_postgres_spark.sources.snapshot import (
+            table_info,
+        )
+
+        rows = [(k, f"v{k}", k % 2) for k in range(20)]
+        path = str(tmp_path / "t")
+        write_snapshot(
+            spark.createDataFrame(rows, "k long, v string, p long"),
+            path,
+            "p",
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+        merge_snapshot(
+            path,
+            spark.createDataFrame([(20, "x", 0)], "k long, v string, p long"),
+            "k",
+            "p",
+        )
+        info = table_info(path)
+        assert info["version"] == 2 and info["operation"] == "merge"
+        assert info["partition_col"] == "p" and info["n_partitions"] == 2
+        # p=1 carried from commit 1, p=0 rewritten by commit 2
+        assert info["n_commits_referenced"] == 2
+        assert info["stats_cols"] == ["k"] and info["bloom_cols"] == ["k"]
+        assert info["stats_partitions"] == 2 and info["bloom_partitions"] == 2
+        assert info["n_files"] > 0 and info["n_bytes"] > 0
+        assert info["n_versions_retained"] == 2
+
+    def test_maintain_compacts_only_past_threshold(self, spark, tmp_path):
+        from pandas_analysis_with_postgres_spark.sources.snapshot import (
+            maintain_snapshot,
+            read_manifest,
+            table_info,
+        )
+
+        path = str(tmp_path / "t")
+        write_snapshot(
+            spark.createDataFrame([(0, 0)], "k long, p long"), path, "p"
+        )
+        # three merges, each touching a NEW partition → 4 commits live
+        for i in range(1, 4):
+            merge_snapshot(
+                path,
+                spark.createDataFrame([(i, i)], "k long, p long"),
+                "k",
+                "p",
+            )
+        assert table_info(path)["n_commits_referenced"] == 4
+        # healthy under a loose threshold: nothing happens
+        r = maintain_snapshot(spark, path, max_commits=8, min_age_sec=0)
+        assert r["compacted"] is None
+        # tight threshold: compacted into one commit, history GC'd
+        r = maintain_snapshot(
+            spark, path, max_commits=2, keep_versions=1, min_age_sec=0
+        )
+        assert r["compacted"] == 5
+        info = table_info(path)
+        assert info["n_commits_referenced"] == 1
+        assert info["n_versions_retained"] == 1
+        assert read_snapshot(spark, path).count() == 4
+        # idempotent when healthy
+        r = maintain_snapshot(spark, path, max_commits=2, min_age_sec=0)
+        assert r["compacted"] is None and r["expired"] == []
