@@ -107,6 +107,7 @@ EXTRA = (
     "z04_stats_pruned_scan",
     "z05_shuffled_shards",
     "z06_bloom_point_lookup",
+    "z07_change_data_feed",
 )
 
 

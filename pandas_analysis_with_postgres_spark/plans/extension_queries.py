@@ -2254,6 +2254,42 @@ WHERE o_custkey = 421
 """
 
 
+def z07_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data feed between two snapshot versions
+    (sources.snapshot.diff_snapshots — the CDF surface): replays the
+    a98 table's v1→v2 MERGE as typed change rows. Only
+    manifest-changed partitions are scanned (cold partitions are
+    bit-identical by reference and contribute nothing). The history is
+    a pure function of the orders fixture, so the oracle reconstructs
+    the exact feed — every 20th order yields an update_pre at its base
+    price and an update_post at double — from the base table."""
+    from ..sources.snapshot import diff_snapshots
+
+    # ensure the memoized two-version table exists (the snapshot
+    # writes inside q98 are eager; its returned frame can be dropped)
+    q98_snapshot_time_travel(spark, sf_dir)
+    path = _TIMETRAVEL_TABLES[(spark.sparkContext.applicationId, sf_dir)]
+    d = diff_snapshots(spark, path, 1, 2, "o_orderkey")
+    return d.select(
+        "change_type",
+        "o_orderkey",
+        (F.col("price").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+
+
+Z07_SQL = """
+SELECT 'update_pre' AS change_type, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+FROM orders WHERE o_orderkey % 20 = 0
+UNION ALL
+SELECT 'update_post' AS change_type, o_orderkey,
+       CAST(CAST(o_totalprice * 2 AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+FROM orders WHERE o_orderkey % 20 = 0
+"""
+
+
 def z04_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest column-statistics data skipping (sources.snapshot
     round-4 layer) exercised end-to-end: orders land in a snapshot
@@ -2363,6 +2399,7 @@ EXTENSION_QUERIES = {
     "z04_stats_pruned_scan": z04_stats_pruned_scan,
     "z05_shuffled_shards": z05_shuffled_shards,
     "z06_bloom_point_lookup": z06_bloom_point_lookup,
+    "z07_change_data_feed": z07_change_data_feed,
 }
 
 EXTENSION_ORACLES = {
@@ -2390,6 +2427,7 @@ EXTENSION_ORACLES = {
     "z04_stats_pruned_scan": Z04_SQL,
     "z05_shuffled_shards": Z05_SQL,
     "z06_bloom_point_lookup": Z06_SQL,
+    "z07_change_data_feed": Z07_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

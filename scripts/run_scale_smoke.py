@@ -53,6 +53,7 @@ SMOKE = (
     "z04_stats_pruned_scan",
     "z05_shuffled_shards",
     "z06_bloom_point_lookup",
+    "z07_change_data_feed",
 )
 
 

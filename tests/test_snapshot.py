@@ -700,3 +700,97 @@ class TestInfoAndMaintenance:
         # idempotent when healthy
         r = maintain_snapshot(spark, path, max_commits=2, min_age_sec=0)
         assert r["compacted"] is None and r["expired"] == []
+
+
+class TestChangeDataFeed:
+    """diff_snapshots / read_changes: version-to-version change rows
+    derived from manifest-changed partitions only."""
+
+    def _chg(self, df):
+        return {
+            (r.change_type, r.k, r.v, r.p)
+            for r in df.select("change_type", "k", "v", "p").collect()
+        }
+
+    def test_diff_classifies_insert_update_delete(self, spark, base):
+        from pandas_analysis_with_postgres_spark.sources.snapshot import (
+            diff_snapshots,
+        )
+
+        # v2: update k=1, insert k=4 (new partition), leave p=20 cold
+        src = spark.createDataFrame(
+            [(1, "A", 10), (4, "d", 30)], "k long, v string, p long"
+        )
+        merge_snapshot(base, src, "k", "p")
+        got = self._chg(diff_snapshots(spark, base, 1, 2, "k"))
+        assert got == {
+            ("update_pre", 1, "a", 10),
+            ("update_post", 1, "A", 10),
+            ("insert", 4, "d", 30),
+        }
+
+    def test_diff_scans_only_changed_partitions(self, spark, base):
+        from pandas_analysis_with_postgres_spark.sources.snapshot import (
+            diff_snapshots,
+        )
+
+        src = spark.createDataFrame([(1, "A", 10)], "k long, v string, p long")
+        merge_snapshot(base, src, "k", "p")
+        d = diff_snapshots(spark, base, 1, 2, "k")
+        # cold partition p=20 carried by reference: never scanned
+        assert all("/p=20/" not in f for f in d.inputFiles())
+
+    def test_diff_from_version_zero_is_all_inserts(self, spark, base):
+        from pandas_analysis_with_postgres_spark.sources.snapshot import (
+            diff_snapshots,
+        )
+
+        got = self._chg(diff_snapshots(spark, base, 0, 1, "k"))
+        assert got == {
+            ("insert", 1, "a", 10),
+            ("insert", 2, "b", 10),
+            ("insert", 3, "c", 20),
+        }
+
+    def test_identical_versions_empty_feed(self, spark, base):
+        from pandas_analysis_with_postgres_spark.sources.snapshot import (
+            compact_snapshot,
+            diff_snapshots,
+        )
+
+        # a compact rewrites every partition dir but changes no DATA —
+        # rows pair up and the struct compare finds nothing
+        compact_snapshot(spark, base)
+        assert self._chg(diff_snapshots(spark, base, 1, 2, "k")) == set()
+        # same version to itself: no changed partitions at all
+        assert diff_snapshots(spark, base, 1, 1, "k").count() == 0
+
+    def test_read_changes_cumulative_with_versions(self, spark, base):
+        from pandas_analysis_with_postgres_spark.sources.snapshot import (
+            read_changes,
+        )
+
+        merge_snapshot(
+            base,
+            spark.createDataFrame([(4, "d", 30)], "k long, v string, p long"),
+            "k",
+            "p",
+        )
+        merge_snapshot(
+            base,
+            spark.createDataFrame([(4, "D", 30)], "k long, v string, p long"),
+            "k",
+            "p",
+        )
+        feed = read_changes(spark, base, since_version=1, key="k")
+        got = {
+            (r.version, r.change_type, r.k, r.v)
+            for r in feed.select("version", "change_type", "k", "v").collect()
+        }
+        assert got == {
+            (2, "insert", 4, "d"),
+            (3, "update_pre", 4, "d"),
+            (3, "update_post", 4, "D"),
+        }
+        # caught-up consumer gets an empty frame, not an error
+        assert read_changes(spark, base, since_version=3, key="k").count() == 0
