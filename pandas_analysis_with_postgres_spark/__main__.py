@@ -38,7 +38,9 @@ def main(argv: list[str] | None = None) -> int:
     p_sn = sub.add_parser("snapshot", help="inspect a snapshot table")
     p_sn.add_argument(
         "action",
-        choices=["history", "read", "expire", "compact", "sql", "info"],
+        choices=[
+            "history", "read", "expire", "compact", "sql", "info", "changes",
+        ],
     )
     p_sn.add_argument("path")
     p_sn.add_argument(
@@ -66,6 +68,17 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="(compact) comma-separated columns to re-cluster along "
         "the Morton curve while compacting (OPTIMIZE ZORDER)",
+    )
+    p_sn.add_argument(
+        "--since",
+        type=int,
+        default=0,
+        help="(changes) last version already consumed",
+    )
+    p_sn.add_argument(
+        "--key",
+        default=None,
+        help="(changes) the table's merge key column",
     )
 
     args = ap.parse_args(argv)
@@ -119,6 +132,18 @@ def main(argv: list[str] | None = None) -> int:
             v = compact_snapshot(_gs("cli"), args.path, zorder_by=zorder)
             label = "compacted+zordered" if zorder else "compacted"
             print(f"{label} into v{v}")
+            return 0
+        if args.action == "changes":
+            from .sources.snapshot import read_changes
+
+            if not args.key:
+                print("snapshot changes requires --key", file=sys.stderr)
+                return 2
+            read_changes(
+                _gs("cli"), args.path, since_version=args.since, key=args.key
+            ).orderBy("version", "change_type").show(
+                args.limit, truncate=False
+            )
             return 0
         if args.action == "sql":
             # time travel as SQL: pin --version, query the temp view

@@ -6,6 +6,8 @@ pushable, small sides broadcastable). Nothing here materializes.
 """
 
 from .aggregates import global_agg_col, group_count
+from .classifier import class_prior, score_docs, train_token_llr
+from .sharding import global_rank, shuffled_rank, write_shards
 from .joins import (
     cross_join_defaults,
     existence_flag_join,
@@ -20,6 +22,12 @@ from .windows import keep_first_dedup, top1_per_group
 
 __all__ = [
     "changed_rows",
+    "class_prior",
+    "score_docs",
+    "train_token_llr",
+    "global_rank",
+    "shuffled_rank",
+    "write_shards",
     "cross_join_defaults",
     "except_all_on",
     "existence_flag_join",

@@ -131,10 +131,15 @@ def _stat_json(v):
     return None
 
 
-#: Per-partition Bloom filter sizing: m bits / k hashes. 4096 bits =
-#: 512 bytes (1 KiB hex in the manifest) per (partition, column); at
-#: k=4 the FPR is ~2.4e-3 at 500 keys/partition and still ~0.1 at
-#: 5k keys — size partitions (or accept weaker pruning) accordingly.
+#: Default per-partition Bloom sizing: m bits / k=4 hashes. 4096 bits
+#: = 512 bytes (1 KiB hex in the manifest) per (partition, column);
+#: FPR ~2.4e-3 at 500 distinct keys/partition, ~0.1 at 5k, SATURATED
+#: (prunes nothing, still correct) beyond ~20k. Size via the writers'
+#: ``bloom_bits`` (a table property): aim m ≈ 10× the distinct keys
+#: per partition, and mind the manifest — bits/8 bytes × partitions
+#: of JSON. Per-partition blooms fit the dimension/dedup-store shape
+#: (modest keys per partition); a fact table with millions of keys
+#: per partition wants more partitions, not a megabyte bloom.
 BLOOM_BITS = 4096
 _BLOOM_MOD = (1 << 31) - 1
 #: Distinct odd multipliers (the xxhash/Murmur prime family) — one
@@ -143,15 +148,18 @@ _BLOOM_MOD = (1 << 31) - 1
 _BLOOM_MULTS = (2654435761, 2246822519, 3266489917, 668265263)
 
 
-def _bloom_positions(value: int) -> list[int]:
+def _bloom_positions(value: int, bits: int = BLOOM_BITS) -> list[int]:
     """The k bit positions of an integral key — pure int math,
     bit-identical to the Catalyst expression in :func:`_compute_blooms`."""
     v = value % _BLOOM_MOD
-    return [((v * m) % _BLOOM_MOD) % BLOOM_BITS for m in _BLOOM_MULTS]
+    return [((v * m) % _BLOOM_MOD) % bits for m in _BLOOM_MULTS]
 
 
 def _compute_blooms(
-    df: "DataFrame", partition_col: str, bloom_cols: list[str]
+    df: "DataFrame",
+    partition_col: str,
+    bloom_cols: list[str],
+    bits: int = BLOOM_BITS,
 ) -> dict:
     """Per-partition Bloom filters over integral key columns, computed
     with ONE Spark aggregation (positions exploded, collect_set keyed
@@ -177,7 +185,7 @@ def _compute_blooms(
         v = F.pmod(F.col(c).cast("long"), F.lit(_BLOOM_MOD))
         pos = F.array(
             *[
-                F.pmod(F.pmod(v * F.lit(m), F.lit(_BLOOM_MOD)), F.lit(BLOOM_BITS))
+                F.pmod(F.pmod(v * F.lit(m), F.lit(_BLOOM_MOD)), F.lit(bits))
                 for m in _BLOOM_MULTS
             ]
         )
@@ -190,7 +198,7 @@ def _compute_blooms(
     out: dict = {}
     for r in rows:
         part = _hive_part_name(partition_col, r["__pv"])
-        bm = bytearray(BLOOM_BITS // 8)
+        bm = bytearray(bits // 8)
         for b in r["bits"]:
             bm[b // 8] |= 1 << (b % 8)
         out.setdefault(part, {})[r["c"]] = bm.hex()
@@ -198,9 +206,12 @@ def _compute_blooms(
 
 
 def _bloom_may_contain(hex_bits: str, value: int) -> bool:
+    # The bitmap is self-describing: its length IS the table's
+    # bloom_bits, so readers need no metadata plumbing.
     bm = bytes.fromhex(hex_bits)
     return all(
-        bm[p // 8] & (1 << (p % 8)) for p in _bloom_positions(value)
+        bm[p // 8] & (1 << (p % 8))
+        for p in _bloom_positions(value, len(bm) * 8)
     )
 
 
@@ -511,6 +522,7 @@ def _schema_meta(
     partition_col: str,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    bloom_bits: int = BLOOM_BITS,
 ) -> dict:
     """Pin the partition column's declared type in the manifest: hive
     path inference re-guesses types per scan (LONG becomes INT when the
@@ -527,6 +539,7 @@ def _schema_meta(
         meta["stats_cols"] = list(stats_cols)
     if bloom_cols:
         meta["bloom_cols"] = list(bloom_cols)
+        meta["bloom_bits"] = int(bloom_bits)
     return meta
 
 
@@ -575,6 +588,7 @@ def write_snapshot(
     expected_version: int | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    bloom_bits: int = BLOOM_BITS,
 ) -> int:
     """Full overwrite as a new snapshot (old versions stay readable).
 
@@ -586,14 +600,20 @@ def write_snapshot(
     integral key columns (one extra aggregate pass at write), queried
     via ``read_snapshot(point_lookups=...)``."""
     parent = current_version(path) if expected_version is None else expected_version
-    blooms = _compute_blooms(df, partition_col, bloom_cols) if bloom_cols else {}
+    if bloom_bits % 8:
+        raise ValueError(f"bloom_bits must be a multiple of 8, got {bloom_bits}")
+    blooms = (
+        _compute_blooms(df, partition_col, bloom_cols, bloom_bits)
+        if bloom_cols
+        else {}
+    )
     entries, stats = _write_commit_data(df, path, partition_col, stats_cols)
     return _commit(
         path,
         parent,
         entries,
         "overwrite",
-        _schema_meta(df, partition_col, stats_cols, bloom_cols),
+        _schema_meta(df, partition_col, stats_cols, bloom_cols, bloom_bits),
         stats=stats,
         blooms=blooms,
     )
@@ -708,9 +728,12 @@ def merge_snapshot(
     table_bloom_cols = (man.get("schema") or {}).get("bloom_cols") or (
         bloom_cols if bootstrap else None
     )
+    table_bloom_bits = (man.get("schema") or {}).get("bloom_bits") or BLOOM_BITS
     if bootstrap:
         blooms = (
-            _compute_blooms(source, partition_col, table_bloom_cols)
+            _compute_blooms(
+                source, partition_col, table_bloom_cols, table_bloom_bits
+            )
             if table_bloom_cols
             else {}
         )
@@ -723,7 +746,11 @@ def merge_snapshot(
             entries,
             "merge",
             _schema_meta(
-                source, partition_col, table_stats_cols, table_bloom_cols
+                source,
+                partition_col,
+                table_stats_cols,
+                table_bloom_cols,
+                table_bloom_bits,
             ),
             txn,
             stats=stats,
@@ -768,7 +795,9 @@ def merge_snapshot(
         # the merged frame is re-derived from the checkpointed source
         # plus the touched-partition scan.
         merged = merged.localCheckpoint(eager=False)
-        new_blooms = _compute_blooms(merged, partition_col, table_bloom_cols)
+        new_blooms = _compute_blooms(
+            merged, partition_col, table_bloom_cols, table_bloom_bits
+        )
     else:
         new_blooms = {}
     new_entries, new_stats = _write_commit_data(
@@ -799,7 +828,13 @@ def merge_snapshot(
         parent,
         partitions,
         "merge",
-        _schema_meta(source, partition_col, table_stats_cols, table_bloom_cols),
+        _schema_meta(
+            source,
+            partition_col,
+            table_stats_cols,
+            table_bloom_cols,
+            table_bloom_bits,
+        ),
         txn,
         stats=stats,
         blooms=blooms,
@@ -917,7 +952,9 @@ def compact_snapshot(
     bloom_cols = meta.get("bloom_cols")
     if bloom_cols:
         df = df.localCheckpoint(eager=False)
-        blooms = _compute_blooms(df, partition_col, bloom_cols)
+        blooms = _compute_blooms(
+            df, partition_col, bloom_cols, meta.get("bloom_bits") or BLOOM_BITS
+        )
     else:
         blooms = {}
     entries, stats = _write_commit_data(

@@ -285,6 +285,56 @@ def _component_smokes(spark, base: str, big: str) -> dict[str, dict[str, float]]
             shutil.rmtree(tmp, ignore_errors=True)
     row["ratio"] = round(row["sf1"] / row["sf0.1"], 1) if row["sf0.1"] else 0.0
     out["stats_skip_pruned_vs_fullscan"] = row
+
+    # --- CDC: diff cost follows CHANGED partitions, not table size.
+    # One partition of a 64-partition table is updated; the
+    # manifest-pruned diff scans only it, while the naive comparator
+    # runs the identical join logic over BOTH full versions.
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        diff_snapshots,
+    )
+
+    crow: dict[str, float] = {}
+    for label, _ in datasets:
+        tmp = tempfile.mkdtemp(prefix="smoke_cdc_")
+        try:
+            n = sizes[label]
+            width = n // 64
+            tbl = spark.range(n).select(
+                "id",
+                F.pmod(F.xxhash64("id"), F.lit(1000)).alias("v"),
+                F.expr(f"id DIV {width}").alias("bucket"),
+            )
+            write_snapshot(tbl, f"{tmp}/t", "bucket")
+            upd = tbl.filter(F.col("bucket") == 7).withColumn(
+                "v", F.col("v") + 1
+            )
+            merge_snapshot(f"{tmp}/t", upd, "id", "bucket")
+            # comparator first: naive full-version diff (same joins)
+            a = read_snapshot(spark, f"{tmp}/t", 1)
+            b = read_snapshot(spark, f"{tmp}/t", 2)
+            pair = (
+                a.select("id", F.struct("v", "bucket").alias("__a"))
+                .join(
+                    b.select("id", F.struct("v", "bucket").alias("__b")),
+                    "id",
+                )
+                .filter(~F.col("__a").eqNullSafe(F.col("__b")))
+            )
+            t0 = time.perf_counter()
+            pair.write.format("noop").mode("overwrite").save()
+            crow[f"{label}_fulldiff"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            diff_snapshots(spark, f"{tmp}/t", 1, 2, "id").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            crow[label] = round(time.perf_counter() - t0, 2)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    crow["ratio"] = (
+        round(crow["sf1"] / crow["sf0.1"], 1) if crow["sf0.1"] else 0.0
+    )
+    out["cdc_diff_changed_partitions"] = crow
     zrow["ratio"] = (
         round(zrow["sf1"] / zrow["sf0.1"], 1) if zrow["sf0.1"] else 0.0
     )

@@ -150,3 +150,23 @@ def test_snapshot_info_cli(spark, tmp_path, capsys):
     info = json.loads(capsys.readouterr().out)
     assert info["version"] == 1 and info["n_partitions"] == 2
     assert info["stats_cols"] == ["k"]
+
+
+def test_snapshot_changes_cli(spark, tmp_path, capsys):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        merge_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, 0)], "k long, p long"), path, "p"
+    )
+    merge_snapshot(
+        path, spark.createDataFrame([(2, 0)], "k long, p long"), "k", "p"
+    )
+    assert main(["snapshot", "changes", path, "--since", "1", "--key", "k"]) == 0
+    out = capsys.readouterr().out
+    assert "insert" in out and "2" in out
+    # missing --key is a usage error, not a traceback
+    assert main(["snapshot", "changes", path]) == 2

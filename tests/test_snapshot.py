@@ -794,3 +794,44 @@ class TestChangeDataFeed:
         }
         # caught-up consumer gets an empty frame, not an error
         assert read_changes(spark, base, since_version=3, key="k").count() == 0
+
+
+def test_bloom_bits_table_property(spark, tmp_path):
+    """bloom_bits is a per-table property: a larger bitmap survives
+    merges (read side self-describes bits from the bitmap length)."""
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_manifest,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    rows = [(k, k % 2) for k in range(40)]
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame(rows, "k long, p long"),
+        path,
+        "p",
+        bloom_cols=["k"],
+        bloom_bits=65536,
+    )
+    man = read_manifest(path)
+    assert man["schema"]["bloom_bits"] == 65536
+    assert len(man["blooms"]["p=0"]["k"]) == 65536 // 4  # hex chars
+    merge_snapshot(
+        path,
+        spark.createDataFrame([(41, 1)], "k long, p long"),
+        "k",
+        "p",
+    )
+    man2 = read_manifest(path)
+    assert len(man2["blooms"]["p=1"]["k"]) == 65536 // 4  # refreshed at table bits
+    got = read_snapshot(spark, path, point_lookups={"k": 41})
+    assert {r.k for r in got.filter("k = 41").collect()} == {41}
+    with pytest.raises(ValueError, match="multiple of 8"):
+        write_snapshot(
+            spark.createDataFrame(rows, "k long, p long"),
+            str(tmp_path / "t2"),
+            "p",
+            bloom_cols=["k"],
+            bloom_bits=100,
+        )
