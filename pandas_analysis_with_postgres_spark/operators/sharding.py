@@ -32,14 +32,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-#: Multiplicative-hash constants for :func:`shuffled_rank` — same
-#: engine-agnostic construction as the deterministic sampler (a79):
-#: odd (Knuth) multiplier, Mersenne-prime modulus 2^31-1. Sized so
-#: ``(key % MOD) * MULT + seed'`` stays below 2^63 for ANY bigint key
-#: — no overflow in either engine, so the permutation is exactly
-#: replayable in any SQL dialect with * and %.
-SHUFFLE_MULT = 2654435761
-SHUFFLE_MOD = (1 << 31) - 1
+from ..functions.inthash import HASH_MOD, HASH_MULTS
+
+#: Multiplicative-hash constants for :func:`shuffled_rank` — the
+#: shared engine-exact construction (see ``functions.inthash`` for
+#: the overflow and SIGN reasoning: replaying the permutation in a
+#: dialect whose ``%`` follows the dividend's sign requires the
+#: pmod-equivalent ``((v % MOD) + MOD) % MOD`` when keys can be
+#: negative; plain ``%`` is exact for non-negative keys).
+SHUFFLE_MULT = HASH_MULTS[0]
+SHUFFLE_MOD = HASH_MOD
 
 
 def global_rank(

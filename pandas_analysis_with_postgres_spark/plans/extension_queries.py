@@ -2148,7 +2148,9 @@ def z05_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     same two-level construction as z03 (no single-task sort; the
     permutation values DIV-bucket uniformly regardless of key skew).
     The oracle replays the identical permutation arithmetic (all
-    intermediates < 2^63, so the engines agree exactly)."""
+    intermediates < 2^63, so the engines agree exactly; the oracle's
+    plain `%` is valid because doc_id is non-negative — negative keys
+    would need the pmod-equivalent form, see functions.inthash)."""
     from ..operators.sharding import shuffled_rank
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2202,7 +2204,9 @@ def _stats_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
         # ingest-style buckets at any SF (manifests and the footer
         # harvest are O(partitions); a width constant in the keyspace
         # would mint thousands of tiny partitions at 10x).
-        max_key = base.agg(F.max("o_orderkey")).collect()[0][0]
+        max_key, n_rows = base.agg(
+            F.max("o_orderkey"), F.count(F.lit(1))
+        ).collect()[0]
         width = max(max_key // 64, 1)
         orders = base.select(
             "o_orderkey",
@@ -2212,12 +2216,21 @@ def _stats_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
             F.expr(f"o_orderkey DIV {width}").alias("bucket"),
         )
         path = tempfile.mkdtemp(prefix="snap_stats_") + "/tbl"
+        # Bloom sizing follows the data (m ≈ 10× the keys one
+        # partition holds, next power of two, floor 4096): the
+        # default 4096 bits saturates past ~500 keys/partition and
+        # would prune nothing at larger SFs.
+        per_part = max(n_rows // 64, 1)
+        bits = 4096
+        while bits < 10 * per_part:
+            bits <<= 1
         write_snapshot(
             orders,
             path,
             "bucket",
             stats_cols=["o_orderkey"],
             bloom_cols=["o_custkey"],
+            bloom_bits=bits,
         )
         _STATS_TABLES[key] = path
     return path

@@ -141,11 +141,10 @@ def _stat_json(v):
 #: (modest keys per partition); a fact table with millions of keys
 #: per partition wants more partitions, not a megabyte bloom.
 BLOOM_BITS = 4096
-_BLOOM_MOD = (1 << 31) - 1
-#: Distinct odd multipliers (the xxhash/Murmur prime family) — one
-#: per hash. Same engine-exact construction as the shuffle
-#: permutation: all intermediates < 2^63.
-_BLOOM_MULTS = (2654435761, 2246822519, 3266489917, 668265263)
+#: The shared engine-exact hash family (one home for the modulus /
+#: multiplier reasoning): see ``functions.inthash``.
+from ..functions.inthash import HASH_MOD as _BLOOM_MOD  # noqa: E402
+from ..functions.inthash import HASH_MULTS as _BLOOM_MULTS  # noqa: E402
 
 
 def _bloom_positions(value: int, bits: int = BLOOM_BITS) -> list[int]:
@@ -602,6 +601,13 @@ def write_snapshot(
     parent = current_version(path) if expected_version is None else expected_version
     if bloom_bits % 8:
         raise ValueError(f"bloom_bits must be a multiple of 8, got {bloom_bits}")
+    if bloom_cols:
+        # Pin the plan's output before evaluating it twice (bloom agg
+        # + data write): a nondeterministic input would otherwise
+        # persist bitmaps disagreeing with the written rows — bloom
+        # pruning would then silently drop real data. Same reason
+        # merge/compact checkpoint before their bloom pass.
+        df = df.localCheckpoint(eager=False)
     blooms = (
         _compute_blooms(df, partition_col, bloom_cols, bloom_bits)
         if bloom_cols
@@ -1025,9 +1031,14 @@ def maintain_snapshot(
     :class:`ConcurrentCommitError` round is simply retried next tick
     (re-raised here for the caller to observe).
     """
-    info = table_info(path)
+    # Decision needs only the manifest — NOT table_info's O(live
+    # files) stat walk; 'cheap when healthy' means one JSON read.
+    man = read_manifest(path)
+    n_commits = len(
+        {os.path.dirname(rel) for rel in man["partitions"].values()}
+    )
     compacted = None
-    if info["n_commits_referenced"] > max_commits:
+    if n_commits > max_commits:
         compacted = compact_snapshot(spark, path)
     expired = expire_snapshots(
         path, keep=keep_versions, min_age_sec=min_age_sec
@@ -1081,17 +1092,31 @@ def diff_snapshots(
         return a.select(F.lit("delete").alias("change_type"), "*")
     cols = [c for c in a.columns if c in set(b.columns)]
     rest = [c for c in cols if c != key]
-    av, bv = a.select(*cols), b.select(*cols)
-    inserts = bv.join(av.select(key), key, "anti").select(
-        F.lit("insert").alias("change_type"), *cols
-    )
-    deletes = av.join(bv.select(key), key, "anti").select(
-        F.lit("delete").alias("change_type"), *cols
-    )
+    # Each side feeds three joins (both antis + the update pair) —
+    # checkpoint once so the changed partitions are scanned once per
+    # side, keeping the O(changed partitions) claim honest.
+    av = a.select(*cols).localCheckpoint(eager=False)
+    bv = b.select(*cols).localCheckpoint(eager=False)
+    # Null-safe key matching: with the equi-join form, an UNCHANGED
+    # NULL-key row in a rewritten partition would surface as a
+    # phantom insert+delete pair (NULL never equi-matches). The merge
+    # contract already treats the key as unique; eqNullSafe extends
+    # correct classification to the at-most-one-NULL-key case.
+    ak = av.select(F.col(key).alias("__ak"))
+    bk = bv.select(F.col(key).alias("__bk"))
+    inserts = bv.join(
+        ak, F.col(key).eqNullSafe(F.col("__ak")), "anti"
+    ).select(F.lit("insert").alias("change_type"), *cols)
+    deletes = av.join(
+        bk, F.col(key).eqNullSafe(F.col("__bk")), "anti"
+    ).select(F.lit("delete").alias("change_type"), *cols)
     pair = av.select(
-        key, F.struct(*rest).alias("__va")
+        F.col(key).alias("__k"), F.struct(*rest).alias("__va")
     ).join(
-        bv.select(key, F.struct(*rest).alias("__vb")), key
+        bv.select(F.col(key).alias("__k2"), F.struct(*rest).alias("__vb")),
+        F.col("__k").eqNullSafe(F.col("__k2")),
+    ).select(
+        F.col("__k").alias(key), "__va", "__vb"
     ).filter(~F.col("__va").eqNullSafe(F.col("__vb")))
     pre = pair.select(
         F.lit("update_pre").alias("change_type"),

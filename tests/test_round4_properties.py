@@ -128,9 +128,10 @@ def test_shuffled_rank_is_total_permutation(keys, seed):
         shuffled_rank,
     )
 
-    nonneg = [abs(k) for k in keys]
-    nonneg = list(dict.fromkeys(nonneg))  # uniqueness after abs
-    df = _spark.createDataFrame([(k,) for k in nonneg], "k long")
+    # keys INCLUDE negatives: Python's % is pmod-consistent (non-
+    # negative residue), matching Spark's pmod bit-for-bit — the sign
+    # caveat documented in functions.inthash.
+    df = _spark.createDataFrame([(k,) for k in keys], "k long")
     got = {r.k: r.rank for r in shuffled_rank(df, "k", seed=seed).collect()}
     seed_term = (seed * 0x9E3779B9) % SHUFFLE_MOD
 
@@ -139,7 +140,7 @@ def test_shuffled_rank_is_total_permutation(keys, seed):
 
     expect = {
         k: i + 1
-        for i, k in enumerate(sorted(nonneg, key=lambda k: (perm(k), k)))
+        for i, k in enumerate(sorted(keys, key=lambda k: (perm(k), k)))
     }
     assert got == expect
 
@@ -175,20 +176,26 @@ def test_stats_skipping_is_behavior_preserving(tmp_rows, window):
         write_snapshot,
     )
 
+    import shutil
+
     lo, hi = window
-    path = tempfile.mkdtemp(prefix="statsprop_") + "/t"
-    df = _spark.createDataFrame(tmp_rows, "k long, p long")
-    write_snapshot(df, path, "p", stats_cols=["k"])
-    pruned = {
-        r.k
-        for r in read_snapshot(
-            _spark, path, column_ranges={"k": (lo, hi)}
-        )
-        .filter(f"k BETWEEN {lo} AND {hi}")
-        .collect()
-    }
-    expect = {k for k, _ in tmp_rows if lo <= k <= hi}
-    assert pruned == expect
+    root = tempfile.mkdtemp(prefix="statsprop_")
+    try:
+        path = root + "/t"
+        df = _spark.createDataFrame(tmp_rows, "k long, p long")
+        write_snapshot(df, path, "p", stats_cols=["k"])
+        pruned = {
+            r.k
+            for r in read_snapshot(
+                _spark, path, column_ranges={"k": (lo, hi)}
+            )
+            .filter(f"k BETWEEN {lo} AND {hi}")
+            .collect()
+        }
+        expect = {k for k, _ in tmp_rows if lo <= k <= hi}
+        assert pruned == expect
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @settings(
@@ -205,14 +212,20 @@ def test_bloom_point_lookup_is_behavior_preserving(tmp_rows, probe):
         write_snapshot,
     )
 
-    path = tempfile.mkdtemp(prefix="bloomprop_") + "/t"
-    df = _spark.createDataFrame(tmp_rows, "k long, p long")
-    write_snapshot(df, path, "p", bloom_cols=["k"])
-    pruned = {
-        r.k
-        for r in read_snapshot(_spark, path, point_lookups={"k": probe})
-        .filter(f"k = {probe}")
-        .collect()
-    }
-    expect = {k for k, _ in tmp_rows if k == probe}
-    assert pruned == expect
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="bloomprop_")
+    try:
+        path = root + "/t"
+        df = _spark.createDataFrame(tmp_rows, "k long, p long")
+        write_snapshot(df, path, "p", bloom_cols=["k"])
+        pruned = {
+            r.k
+            for r in read_snapshot(_spark, path, point_lookups={"k": probe})
+            .filter(f"k = {probe}")
+            .collect()
+        }
+        expect = {k for k, _ in tmp_rows if k == probe}
+        assert pruned == expect
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
