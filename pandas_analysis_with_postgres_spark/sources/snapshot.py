@@ -1160,3 +1160,43 @@ def read_changes(
             step, allowMissingColumns=True
         )
     return out
+
+
+def consume_changes(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    apply_fn: "Callable[[DataFrame, int, int], None]",
+    cursor_path: str,
+) -> dict:
+    """The consumer half of the CDC loop: read the change feed after
+    the durable cursor, hand it to ``apply_fn(feed, from_v, to_v)``,
+    then advance the cursor atomically (tmp + fsync + rename — the
+    same durability discipline as the commit protocol).
+
+    Delivery is AT-LEAST-ONCE by construction: a crash between
+    ``apply_fn`` returning and the cursor rename re-delivers the same
+    version range on restart. Consumers get exactly-once the same way
+    the streaming sinks do — make ``apply_fn`` idempotent on the
+    version range, e.g. ``merge_snapshot(..., txn=(consumer_id,
+    to_v))`` into a snapshot table, whose txn watermark turns the
+    redelivery into a no-op. Returns
+    ``{"from_version", "to_version", "applied"}`` (applied=False when
+    already caught up — one manifest read, no scan).
+    """
+    cur = 0
+    if os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            cur = json.load(f)["version"]
+    latest = current_version(path)
+    if cur >= latest:
+        return {"from_version": cur, "to_version": latest, "applied": False}
+    feed = read_changes(spark, path, since_version=cur, key=key)
+    apply_fn(feed, cur, latest)
+    tmp = f"{cursor_path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"version": latest}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, cursor_path)
+    return {"from_version": cur, "to_version": latest, "applied": True}

@@ -835,3 +835,64 @@ def test_bloom_bits_table_property(spark, tmp_path):
             bloom_cols=["k"],
             bloom_bits=100,
         )
+
+
+def test_consume_changes_durable_cursor_loop(spark, tmp_path):
+    """The CDC consumer loop: at-least-once delivery with a durable
+    cursor; exactly-once when apply_fn is txn-idempotent."""
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        consume_changes,
+        merge_snapshot,
+        write_snapshot,
+    )
+
+    src_tbl = str(tmp_path / "src")
+    cursor = str(tmp_path / "cursor.json")
+    write_snapshot(
+        spark.createDataFrame([(1, "a", 0)], "k long, v string, p long"),
+        src_tbl,
+        "p",
+    )
+    merge_snapshot(
+        src_tbl,
+        spark.createDataFrame([(2, "b", 0)], "k long, v string, p long"),
+        "k",
+        "p",
+    )
+    seen = []
+
+    def apply_fn(feed, from_v, to_v):
+        seen.append((from_v, to_v, {(r.change_type, r.k) for r in feed.collect()}))
+
+    r = consume_changes(spark, src_tbl, "k", apply_fn, cursor)
+    assert r == {"from_version": 0, "to_version": 2, "applied": True}
+    assert seen[0][2] == {("insert", 1), ("insert", 2)}
+    # caught up: no scan, no apply
+    r = consume_changes(spark, src_tbl, "k", apply_fn, cursor)
+    assert r["applied"] is False and len(seen) == 1
+    # new commit → only the delta is delivered
+    merge_snapshot(
+        src_tbl,
+        spark.createDataFrame([(2, "B", 0)], "k long, v string, p long"),
+        "k",
+        "p",
+    )
+    consume_changes(spark, src_tbl, "k", apply_fn, cursor)
+    assert seen[1][:2] == (2, 3)
+    assert seen[1][2] == {("update_pre", 2), ("update_post", 2)}
+    # crash inside apply_fn: cursor does NOT advance → redelivery
+    def boom(feed, from_v, to_v):
+        raise RuntimeError("crash")
+
+    merge_snapshot(
+        src_tbl,
+        spark.createDataFrame([(3, "c", 0)], "k long, v string, p long"),
+        "k",
+        "p",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        consume_changes(spark, src_tbl, "k", boom, cursor)
+    r = consume_changes(spark, src_tbl, "k", apply_fn, cursor)
+    assert r["applied"] is True and seen[-1][2] == {("insert", 3)}
