@@ -35,11 +35,22 @@ def main(argv: list[str] | None = None) -> int:
     p_sql.add_argument("--sf-dir", default=None)
     p_sql.add_argument("--limit", type=int, default=20)
 
+    p_sh = sub.add_parser(
+        "export-shards",
+        help="write a fixture table as N equal ordered training shards",
+    )
+    p_sh.add_argument("table")
+    p_sh.add_argument("out")
+    p_sh.add_argument("--order-col", required=True)
+    p_sh.add_argument("--num-shards", type=int, default=8)
+    p_sh.add_argument("--sf-dir", default=None)
+
     p_sn = sub.add_parser("snapshot", help="inspect a snapshot table")
     p_sn.add_argument(
         "action",
         choices=[
-            "history", "read", "expire", "compact", "sql", "info", "changes",
+            "history", "read", "expire", "compact", "sql", "info",
+            "changes", "maintain",
         ],
     )
     p_sn.add_argument("path")
@@ -74,6 +85,13 @@ def main(argv: list[str] | None = None) -> int:
         type=int,
         default=0,
         help="(changes) last version already consumed",
+    )
+    p_sn.add_argument(
+        "--max-commits",
+        type=int,
+        default=4,
+        help="(maintain) compact when the live version references "
+        "more commit dirs than this",
     )
     p_sn.add_argument(
         "--key",
@@ -133,6 +151,20 @@ def main(argv: list[str] | None = None) -> int:
             label = "compacted+zordered" if zorder else "compacted"
             print(f"{label} into v{v}")
             return 0
+        if args.action == "maintain":
+            import json as _json
+
+            from .sources.snapshot import maintain_snapshot
+
+            r = maintain_snapshot(
+                _gs("cli"),
+                args.path,
+                max_commits=args.max_commits,
+                keep_versions=args.keep,
+                min_age_sec=args.min_age_sec,
+            )
+            print(_json.dumps(r))
+            return 0
         if args.action == "changes":
             from .sources.snapshot import read_changes
 
@@ -180,6 +212,24 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "sql":
         register_views(spark, sf_dir)
         spark.sql(args.statement).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "export-shards":
+        import json as _json
+
+        from .operators.sharding import write_shards
+        from .sources.parquet import TABLES, load_table
+
+        if args.table not in TABLES:
+            print(f"unknown table {args.table!r}", file=sys.stderr)
+            return 2
+        man = write_shards(
+            load_table(spark, sf_dir, args.table),
+            args.out,
+            args.order_col,
+            args.num_shards,
+        )
+        print(_json.dumps(man, indent=1, sort_keys=True))
         return 0
 
     if args.query not in QUERIES:

@@ -170,3 +170,48 @@ def test_snapshot_changes_cli(spark, tmp_path, capsys):
     assert "insert" in out and "2" in out
     # missing --key is a usage error, not a traceback
     assert main(["snapshot", "changes", path]) == 2
+
+
+def test_snapshot_maintain_cli(spark, tmp_path, capsys):
+    import json
+
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        merge_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(0, 0)], "k long, p long"), path, "p"
+    )
+    for i in range(1, 4):
+        merge_snapshot(
+            path,
+            spark.createDataFrame([(i, i)], "k long, p long"),
+            "k",
+            "p",
+        )
+    assert main(
+        ["snapshot", "maintain", path, "--max-commits", "2",
+         "--keep", "1", "--min-age-sec", "0"]
+    ) == 0
+    r = json.loads(capsys.readouterr().out)
+    assert r["compacted"] == 5 and len(r["expired"]) > 0
+
+
+def test_export_shards_cli(tmp_path, capsys):
+    import json
+
+    out = str(tmp_path / "shards")
+    assert main(
+        ["export-shards", "documents", out, "--order-col", "doc_id",
+         "--num-shards", "4", "--sf-dir", "/root/testdata/sf0.001"]
+    ) == 0
+    man = json.loads(capsys.readouterr().out)
+    assert man["num_shards"] == 4 and man["total_rows"] > 0
+    import os
+
+    assert os.path.isfile(f"{out}/_shards.json")
+    assert main(
+        ["export-shards", "nope", out, "--order-col", "x"]
+    ) == 2
