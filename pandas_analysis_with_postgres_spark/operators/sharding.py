@@ -69,7 +69,14 @@ def global_rank(
     correct because equal order values always share a bucket.
     """
     bucket = F.expr(f"CAST({order_col} AS BIGINT) DIV {bucket_width}")
-    staged = df.withColumn("__bucket", bucket)
+    # Pin the input plan BEFORE collecting bucket counts: the counts
+    # job and the rank join below are two evaluations of ``df``, and a
+    # nondeterministic source (sample(), limit(), rand-derived keys)
+    # would otherwise yield offsets inconsistent with the second pass —
+    # silently gapped/duplicate ranks. Same guard write_snapshot uses
+    # before computing bloom bitmaps. eager=False: the counts job
+    # itself materializes the checkpoint, no extra pass.
+    staged = df.withColumn("__bucket", bucket).localCheckpoint(eager=False)
     rows = staged.groupBy("__bucket").count().collect()
     # NULL keys (or keys CAST cannot make integral) land in a NULL
     # bucket, which an equi-join would silently drop — refuse loudly
@@ -181,10 +188,12 @@ def write_shards(
     import json
     import os
 
+    # global_rank pins its input plan internally, so the ranked frame
+    # is already deterministic across the data write and the manifest
+    # aggregate below; checkpointing here again would double-buffer.
     ranked = global_rank(
         df, order_col, bucket_width=bucket_width, num_shards=num_shards
     )
-    ranked = ranked.localCheckpoint(eager=False)
     (
         ranked.repartition(num_shards, "shard")
         .sortWithinPartitions("rank")

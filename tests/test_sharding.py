@@ -123,3 +123,20 @@ def test_global_rank_rejects_null_keys(spark):
     df = spark.createDataFrame([(1,), (None,)], "k long")
     with pytest.raises(ValueError, match="NULL"):
         global_rank(df, "k")
+
+
+def test_global_rank_pins_nondeterministic_sources(spark):
+    """A rand-derived order key must yield the same contiguous ranks in
+    the bucket-count pass and the rank join (the input plan is
+    localCheckpoint-pinned inside global_rank); without the pin the two
+    evaluations see different keys → gapped/duplicate ranks."""
+    orders = load_table(spark, SF, "orders").select("o_orderkey")
+    # new random key every evaluation; seed-less rand is re-drawn per job
+    nondet = orders.withColumn(
+        "k", (F.rand() * 1_000_000_000).cast("long") * 10_000 + F.col("o_orderkey")
+    )
+    ranked = global_rank(nondet, "k", bucket_width=1 << 30)
+    rows = ranked.select("rank").collect()
+    n = nondet.count()
+    ranks = sorted(r.rank for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
