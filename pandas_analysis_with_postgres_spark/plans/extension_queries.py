@@ -1913,6 +1913,30 @@ WHERE length(text) >= 1 AND octet_length(encode(text)) = length(text)
 """
 
 
+#: Memoized snapshot-table temp dirs (q98/z04/z06) are removed at
+#: process exit: they must outlive their query (the returned DataFrame
+#: scans lazily) and their memoization key (applicationId), but
+#: leaking them across bench/test runs accretes /tmp garbage.
+_TEMP_SNAPSHOT_DIRS: list[str] = []
+
+
+def _tracked_mkdtemp(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _TEMP_SNAPSHOT_DIRS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True)
+                for p in _TEMP_SNAPSHOT_DIRS
+            ]
+        )
+    _TEMP_SNAPSHOT_DIRS.append(d)
+    return d
+
+
 #: q98's snapshot tables, one per (applicationId, sf_dir) — see its
 #: docstring for why they are memoized rather than deleted.
 _TIMETRAVEL_TABLES: dict = {}
@@ -1936,7 +1960,6 @@ def q98_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     registration), not the setup writes. The dir cannot be deleted at
     return because the returned DataFrame scans it lazily.
     """
-    import tempfile
 
     from ..sources.snapshot import (
         merge_snapshot,
@@ -1954,7 +1977,7 @@ def q98_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             F.col("o_totalprice").alias("price"),
         )
-        path = tempfile.mkdtemp(prefix="snap_timetravel_") + "/tbl"
+        path = _tracked_mkdtemp("snap_timetravel_") + "/tbl"
         write_snapshot(seed, path, "o_orderstatus")
         upd = seed.filter(F.col("o_orderkey") % 20 == 0).withColumn(
             "price", F.col("price") * 2
@@ -2192,7 +2215,6 @@ def _stats_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
     manifest min/max stats on o_orderkey (correlated with the layout →
     range skipping, z04) AND per-partition Bloom bitmaps on o_custkey
     (scattered across every bucket → point-lookup skipping, z06)."""
-    import tempfile
 
     from ..sources.snapshot import write_snapshot
 
@@ -2215,7 +2237,7 @@ def _stats_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
             "o_totalprice",
             F.expr(f"o_orderkey DIV {width}").alias("bucket"),
         )
-        path = tempfile.mkdtemp(prefix="snap_stats_") + "/tbl"
+        path = _tracked_mkdtemp("snap_stats_") + "/tbl"
         # Bloom sizing follows the data (m ≈ 10× the keys one
         # partition holds, next power of two, floor 4096): the
         # default 4096 bits saturates past ~500 keys/partition and
@@ -2314,7 +2336,6 @@ def z04_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter and aggregates. The oracle replays filter+aggregate from
     the base table, so the skipping layer is hash-verified as an
     I/O optimization that changes nothing."""
-    import tempfile
 
     from ..sources.snapshot import read_snapshot, write_snapshot
 

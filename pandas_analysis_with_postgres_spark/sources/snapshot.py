@@ -587,7 +587,7 @@ def write_snapshot(
     expected_version: int | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
-    bloom_bits: int = BLOOM_BITS,
+    bloom_bits: int | None = None,
 ) -> int:
     """Full overwrite as a new snapshot (old versions stay readable).
 
@@ -597,8 +597,24 @@ def write_snapshot(
     merge/compact, queried via ``read_snapshot(column_ranges=...)``.
     ``bloom_cols`` likewise turns on per-partition Bloom bitmaps over
     integral key columns (one extra aggregate pass at write), queried
-    via ``read_snapshot(point_lookups=...)``."""
+    via ``read_snapshot(point_lookups=...)``.
+
+    Like :func:`merge_snapshot`, an EXISTING table's recorded
+    ``stats_cols``/``bloom_cols``/``bloom_bits`` are table properties:
+    an overwrite that omits them inherits the prior manifest's values,
+    so a routine full refresh never silently disables the table's
+    skipping indexes. Pass them explicitly to change (or, with ``[]``,
+    drop) the properties."""
     parent = current_version(path) if expected_version is None else expected_version
+    prior_schema = (read_manifest(path, parent).get("schema") or {}) if parent else {}
+    if stats_cols is None:
+        stats_cols = prior_schema.get("stats_cols")
+    if bloom_cols is None:
+        bloom_cols = prior_schema.get("bloom_cols")
+        if bloom_cols and bloom_bits is None:
+            bloom_bits = prior_schema.get("bloom_bits")
+    if bloom_bits is None:
+        bloom_bits = BLOOM_BITS
     if bloom_bits % 8:
         raise ValueError(f"bloom_bits must be a multiple of 8, got {bloom_bits}")
     if bloom_cols:
@@ -1132,18 +1148,27 @@ def diff_snapshots(
 
 
 def read_changes(
-    spark: SparkSession, path: str, *, since_version: int, key: str
+    spark: SparkSession,
+    path: str,
+    *,
+    since_version: int,
+    key: str,
+    end_version: int | None = None,
 ) -> DataFrame:
     """Cumulative change feed: every commit AFTER ``since_version`` up
-    to the current version, as per-step :func:`diff_snapshots` results
-    tagged with the producing ``version``. The incremental-consumer
-    loop: remember the last version you processed, call with it, apply
-    the feed, repeat. Cost is the sum of per-step changed partitions —
-    versions expired out of retention raise through
-    ``read_manifest``'s FileNotFoundError (retain what you replay)."""
+    to ``end_version`` (default: the current version at call time), as
+    per-step :func:`diff_snapshots` results tagged with the producing
+    ``version``. The incremental-consumer loop: remember the last
+    version you processed, call with it, apply the feed, repeat. Cost
+    is the sum of per-step changed partitions — versions expired out of
+    retention raise through ``read_manifest``'s FileNotFoundError
+    (retain what you replay). Loop consumers should pass the
+    ``end_version`` they snapshotted (see :func:`consume_changes`): a
+    commit landing between their version read and this call must not
+    widen the feed past the range their cursor will record."""
     from pyspark.sql import functions as F
 
-    current = current_version(path)
+    current = end_version if end_version is not None else current_version(path)
     if since_version >= current:
         base = read_snapshot(spark, path, current).limit(0)
         return base.select(
@@ -1191,7 +1216,14 @@ def consume_changes(
     latest = current_version(path)
     if cur >= latest:
         return {"from_version": cur, "to_version": latest, "applied": False}
-    feed = read_changes(spark, path, since_version=cur, key=key)
+    # Bound the feed to the version snapshot taken above: a commit
+    # landing between current_version() and read_changes() would
+    # otherwise be delivered now AND redelivered later (the cursor
+    # records ``latest``), double-applying under apply_fns that key
+    # idempotence on (consumer_id, to_version).
+    feed = read_changes(
+        spark, path, since_version=cur, key=key, end_version=latest
+    )
     apply_fn(feed, cur, latest)
     tmp = f"{cursor_path}.tmp-{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:

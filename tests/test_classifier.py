@@ -103,3 +103,49 @@ def test_oov_document_scores_at_prior_not_dropped(spark):
     r = got[0]
     assert r.n_tokens == 4  # ALL tokens counted, not just in-vocab
     assert abs(r.score - round(ln_prior, 8)) < 1e-7
+
+
+def test_oov_scoring_matches_reference_left_join_semantics(spark):
+    """The advisor-flagged contract: weights trained ELSEWHERE (here: a
+    subset excluding doc 5) still score every document — OOV tokens
+    contribute 0, n_tokens counts all tokens, and a fully-OOV document
+    is gated on the prior instead of vanishing (the stream_quality_gate
+    use case). Checked against the same independent arithmetic model
+    restricted to the training subset."""
+    docs = _frame(spark)
+    train = docs.filter(F.col("doc_id") != 5)
+    weights = train_token_llr(train, F.col("y"))
+    prior = class_prior(train, F.col("y"))
+    # score the full corpus PLUS a document that is 100% OOV
+    target = docs.select("doc_id", "text").union(
+        spark.createDataFrame([(6, "zz qq xx")], "doc_id long, text string")
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.score)
+        for r in score_docs(target, weights, prior).collect()
+    }
+    # reference arithmetic over the training subset only
+    sub = [d for d in DOCS if d[0] != 5]
+    pos_tok, neg_tok = {}, {}
+    for _, t, y in sub:
+        for w in t.split(" "):
+            (pos_tok if y else neg_tok)[w] = (pos_tok if y else neg_tok).get(w, 0) + 1
+    vocab = set(pos_tok) | set(neg_tok)
+    pt, nt, v = sum(pos_tok.values()), sum(neg_tok.values()), len(vocab)
+    llr = {
+        w: math.log((pos_tok.get(w, 0) + 1) / (pt + v))
+        - math.log((neg_tok.get(w, 0) + 1) / (nt + v))
+        for w in vocab
+    }
+    n_pos = sum(1 for d in sub if d[2])
+    ln_prior = math.log((n_pos + 1) / (len(sub) - n_pos + 1))
+    cases = [(i, t) for i, t, _ in DOCS] + [(6, "zz qq xx")]
+    assert set(got) == {i for i, _ in cases}  # every doc gets a row
+    for doc_id, text in cases:
+        toks = text.split(" ")
+        expect = ln_prior + sum(llr.get(w, 0.0) for w in toks)
+        n, score = got[doc_id]
+        assert n == len(toks), doc_id  # ALL tokens counted, OOV included
+        assert abs(score - round(expect, 8)) < 1e-7, doc_id
+    # the fully-OOV doc scores exactly the prior
+    assert abs(got[6][1] - round(ln_prior, 8)) < 1e-12

@@ -896,3 +896,70 @@ def test_consume_changes_durable_cursor_loop(spark, tmp_path):
         consume_changes(spark, src_tbl, "k", boom, cursor)
     r = consume_changes(spark, src_tbl, "k", apply_fn, cursor)
     assert r["applied"] is True and seen[-1][2] == {("insert", 3)}
+
+
+def test_overwrite_inherits_table_stats_and_bloom_properties(spark, tmp_path):
+    """stats_cols/bloom_cols/bloom_bits are TABLE properties: a full
+    overwrite that omits them must inherit the prior manifest's values
+    (advisor round-4) — a routine refresh never silently disables the
+    skipping indexes. Explicit [] still drops them."""
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_manifest,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    df = spark.createDataFrame(
+        [(p * 100 + i, p) for p in range(3) for i in range(10)], "k long, p long"
+    )
+    path = str(tmp_path / "tbl")
+    assert (
+        write_snapshot(
+            df, path, "p", stats_cols=["k"], bloom_cols=["k"], bloom_bits=8192
+        )
+        == 1
+    )
+    # overwrite WITHOUT repeating the properties
+    assert write_snapshot(df, path, "p") == 2
+    man = read_manifest(path, 2)
+    assert man["schema"]["stats_cols"] == ["k"]
+    assert man["schema"]["bloom_cols"] == ["k"]
+    assert man["schema"]["bloom_bits"] == 8192
+    assert man["stats"]["p=0"]["k"] == [0, 9]
+    # skipping still works against the inherited stats
+    got = read_snapshot(spark, path, column_ranges={"k": (100, 109)})
+    assert {r.k for r in got.collect()} == set(range(100, 110))
+    # explicit empty list drops the property
+    assert write_snapshot(df, path, "p", stats_cols=[], bloom_cols=[]) == 3
+    man3 = read_manifest(path, 3)
+    assert "stats_cols" not in man3.get("schema", {})
+    assert "bloom_cols" not in man3.get("schema", {})
+
+
+def test_read_changes_end_version_bounds_feed(spark, tmp_path):
+    """A commit landing between the consumer's version snapshot and
+    its read_changes call must not widen the feed (advisor round-4):
+    with end_version pinned, later commits are excluded and redelivered
+    in the next cycle."""
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        merge_snapshot,
+        read_changes,
+        write_snapshot,
+    )
+
+    tbl = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, "a", 0)], "k long, v string, p long"), tbl, "p"
+    )
+    merge_snapshot(
+        tbl, spark.createDataFrame([(2, "b", 0)], "k long, v string, p long"), "k", "p"
+    )
+    # consumer snapshots latest=2, then a concurrent commit lands (v3)
+    merge_snapshot(
+        tbl, spark.createDataFrame([(3, "c", 0)], "k long, v string, p long"), "k", "p"
+    )
+    feed = read_changes(spark, tbl, since_version=0, key="k", end_version=2)
+    assert {(r.change_type, r.k, r.version) for r in feed.collect()} == {
+        ("insert", 1, 1),
+        ("insert", 2, 2),
+    }
