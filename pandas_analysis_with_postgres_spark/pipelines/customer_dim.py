@@ -40,21 +40,24 @@ from ..operators.setops import union_by_name
 from ..operators.upsert import upsert
 from ..operators.windows import top1_per_group
 
-#: Notification-topic → flag-column encoding (reference SQL-8/SQL-9,
-#: ``dmCustomerProc.py:104-112,122-139``). Topic IDs are the
-#: reference's; the reference names only the first and last flag
-#: (``is_marketing`` … ``is_fair_data``, ``dmCustomerProc.py:102-103``),
-#: the middle names are ours.
+#: Notification-topic → flag-column encoding (reference SQL-8/SQL-9).
+#: Both topic IDs and ALL nine flag names are the reference's, spelled
+#: out in its multi-column init (``dmCustomerProc.py:102-103``) and
+#: assigned per topic at ``dmCustomerProc.py:104-112`` (defaults
+#: likewise at ``:122-139``): 10000→is_marketing, 30000→is_referral_t,
+#: 70000→is_cc_expire, 110000/110001/110002→is_usage_75/90/100,
+#: 50000→is_transaction_confirmation, 90000→is_roaming_zone_change,
+#: 40000→is_fair_data.
 TOPIC_FLAGS = {
     10000: "is_marketing",
-    30000: "is_email_ntf",
-    40000: "is_sms_ntf",
-    50000: "is_push_ntf",
-    70000: "is_call_ntf",
-    90000: "is_campaign",
-    110000: "is_survey",
-    110001: "is_third_party",
-    110002: "is_fair_data",
+    30000: "is_referral_t",
+    40000: "is_fair_data",
+    50000: "is_transaction_confirmation",
+    70000: "is_cc_expire",
+    90000: "is_roaming_zone_change",
+    110000: "is_usage_75",
+    110001: "is_usage_90",
+    110002: "is_usage_100",
 }
 
 
