@@ -807,3 +807,100 @@ def _probe_cells(
         .filter(F.col("__cr") <= n_probe)
         .select("query_id", "qv", "__qn", "cell_id")
     )
+
+
+def cell_blocked_pairs(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs blocked by k-means cell: cosine ≥
+    ``threshold`` computed only between vectors assigned to the SAME
+    centroid (id_a < id_b). The third blocker next to LSH
+    (:func:`lsh_candidate_pairs`) and SimHash — it is the one SemDeDup
+    (Abbas et al. 2023, public) uses, and the right one when a trained
+    codebook already exists (shared with the IVF index).
+
+    Scale: one broadcast-centroid assignment map, then an equi-join on
+    ``cell_id`` — pair work is Σ_cell |cell|², never |corpus|². The
+    operator inherits SemDeDup's own scaling rule: grow k with the
+    corpus (k ∝ N keeps E|cell| constant, so total pair work stays
+    linear); a pathologically hot cell is a data-distribution signal,
+    not a plan flaw — re-train with larger k or pre-split on an
+    auxiliary hash.
+    """
+    assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    return _pairs_from_assigned(assigned, threshold, id_col, vec_col)
+
+
+def _pairs_from_assigned(
+    assigned: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    a = assigned.select(
+        "cell_id",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__vn").alias("__na"),
+    )
+    b = assigned.select(
+        "cell_id",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__vn").alias("__nb"),
+    )
+    return (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("cell_id", "id_a", "id_b", "cos")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public): cluster embeddings with the trained
+    k-means codebook, call two documents semantic duplicates when their
+    cosine within a cluster clears ``threshold``, and keep one
+    representative per duplicate set via the paper's greedy rule made
+    deterministic: a document is DROPPED iff some LOWER-id document in
+    its cell is ≥-threshold similar to it (i.e. every pair drops its
+    ``id_b``). Greedy-by-id is the published semantics — it is not
+    transitive-closure dedup (see ``dedup.connected_components`` /
+    q49 for that); both policies are deliberate library members.
+
+    Returns ``(id_col, cell_id, kept)`` for EVERY corpus row — callers
+    filter ``kept`` to materialize the surviving corpus, or aggregate
+    for a drop-rate audit. Cost = :func:`cell_blocked_pairs` + one
+    anti-join-shaped flag join on ``id_col``.
+    """
+    # one assignment pass shared by the pair join and the output frame
+    assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    dropped = (
+        _pairs_from_assigned(assigned, threshold, id_col, vec_col)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "cell_id")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell_id",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )

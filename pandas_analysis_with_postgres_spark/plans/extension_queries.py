@@ -1163,9 +1163,10 @@ def q65_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_ivf_oracle() -> str:
-    """Replay kmeans_codebook (c0 → a1 → c1 → … ) then the probed IVF
-    search, all from operators.similarity constants."""
+def _codebook_ctes() -> tuple[list[str], str]:
+    """CTE chain replaying kmeans_codebook (c0 → a1 → c1 → …) from
+    operators.similarity constants. Returns (ctes, final_cte_name);
+    shared by the a65 and z08 oracles."""
     dims = f"(SELECT unnest(generate_series(1, {SIM.DIM})) AS i) d"
     recompute = (
         "SELECT cell_id, list(dimval ORDER BY pos) AS centv FROM ("
@@ -1192,7 +1193,13 @@ def _kmeans_ivf_oracle() -> str:
     for r in range(1, SIM.KMEANS_ITERS + 1):
         ctes.append(f"a{r} AS ({assign.format(r=r - 1)})")
         ctes.append(f"c{r} AS ({recompute.format(r=r)})")
-    last = f"c{SIM.KMEANS_ITERS}"
+    return ctes, f"c{SIM.KMEANS_ITERS}"
+
+
+def _kmeans_ivf_oracle() -> str:
+    """Replay kmeans_codebook (c0 → a1 → c1 → … ) then the probed IVF
+    search, all from operators.similarity constants."""
+    ctes, last = _codebook_ctes()
     cos_c = _cos_sql("cv", "centv")
     cos_q = _cos_sql("qv", "centv")
     cos_s = _cos_sql("qv", "cv")
@@ -2349,6 +2356,64 @@ FROM orders WHERE o_orderkey % 20 = 0
 """
 
 
+#: z08 semantic-dedup threshold: on the near-random fixture corpus it
+#: drops 67/500 vectors at sf0.01 — enough kept AND dropped rows that
+#: both branches of the keep rule are hash-verified.
+SEMANTIC_DEDUP_T = 0.35
+
+
+def z08_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): embeddings clustered by the trained k-means
+    codebook (the a65 model artifact, memoized per app × fixture);
+    within each cell, a vector is dropped when a LOWER-id cell-mate
+    clears cosine ≥ 0.35 — the paper's greedy keep-one rule made
+    deterministic by id order. Pair work is Σ_cell |cell|² (equi-join
+    on cell_id, plan-pinned cartesian-free); the oracle replays the
+    codebook training, the assignment, and the greedy rule exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(
+        emb, _trained_codebook(spark, sf_dir), threshold=SEMANTIC_DEDUP_T
+    ).orderBy("vec_id")
+
+
+def _semantic_dedup_oracle() -> str:
+    ctes, last = _codebook_ctes()
+    cos_c = _cos_sql("e.v", "c.centv")
+    cos_p = _cos_sql("pa.v", "pb.v")
+    ctes.append(
+        f"""fass AS MATERIALIZED (
+  SELECT vid, v, cell_id FROM (
+    SELECT e.vid, e.v, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vid
+                              ORDER BY {cos_c} DESC, c.cell_id ASC) AS cr
+    FROM ev e CROSS JOIN {last} c
+  ) WHERE cr = 1
+)"""
+    )
+    ctes.append(
+        f"""dropped AS (
+  SELECT DISTINCT pb.vid AS vid
+  FROM fass pa JOIN fass pb
+    ON pa.cell_id = pb.cell_id AND pa.vid < pb.vid
+  WHERE {cos_p} >= {SEMANTIC_DEDUP_T}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT f.vid AS vec_id, f.cell_id,
+       (d.vid IS NULL) AS kept
+FROM fass f LEFT JOIN dropped d ON f.vid = d.vid
+ORDER BY f.vid
+"""
+    )
+
+
+Z08_SQL = _semantic_dedup_oracle()
+
+
 def z04_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest column-statistics data skipping (sources.snapshot
     round-4 layer) exercised end-to-end: orders land in a snapshot
@@ -2458,6 +2523,7 @@ EXTENSION_QUERIES = {
     "z05_shuffled_shards": z05_shuffled_shards,
     "z06_bloom_point_lookup": z06_bloom_point_lookup,
     "z07_change_data_feed": z07_change_data_feed,
+    "z08_semantic_dedup": z08_semantic_dedup,
 }
 
 EXTENSION_ORACLES = {
@@ -2486,6 +2552,7 @@ EXTENSION_ORACLES = {
     "z05_shuffled_shards": Z05_SQL,
     "z06_bloom_point_lookup": Z06_SQL,
     "z07_change_data_feed": Z07_SQL,
+    "z08_semantic_dedup": Z08_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -183,3 +183,13 @@ def test_q91_topk_is_take_ordered_not_global_window_sort(spark):
     whole table through one task's global sort."""
     p = _plan(spark, "a91_weighted_doc_sample")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_z08_semantic_dedup_plan_shape(spark):
+    """The SemDeDup pair work must be an equi-join on cell_id — never
+    an all-pairs corpus product. The only nested-loop allowed is the
+    broadcast-centroid assignment (k rows), which is by design."""
+    p = _plan(spark, "z08_semantic_dedup")
+    assert "CartesianProduct" not in p, p
+    # the corpus-side pair join is a hash/sort-merge equi-join
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
