@@ -2414,6 +2414,46 @@ ORDER BY f.vid
 Z08_SQL = _semantic_dedup_oracle()
 
 
+def z09_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window retrieval chunking via an Arrow-batched Python
+    UDTF lateral join (operators.udtfs.SlidingChunker) — the
+    table-function quadrant of the Python surface (pandas_udf /
+    applyInPandas / mapInPandas / applyInPandasWithState are the other
+    four, all already oracled). 16-token windows, stride 12, so chunk
+    boundaries overlap by 4 tokens; unlike a73's contiguous chunks a
+    boundary-adjacent retrieval hit lands in two windows. Narrow map —
+    no shuffle; plan-pinned ArrowEvalPythonUDTF (never the
+    row-at-a-time BatchEvalPythonUDTF)."""
+    from ..operators.udtfs import sliding_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sliding_chunks(spark, docs)
+
+
+def _chunk_udtf_oracle() -> str:
+    from ..operators.udtfs import CHUNK_SIZE, CHUNK_STRIDE
+
+    s, w = CHUNK_STRIDE, CHUNK_SIZE
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+            CASE WHEN n <= {w} THEN 0
+                 ELSE CAST(ceil((n - {w})::DOUBLE / {s}) AS INT) END)) AS chunk_idx
+  FROM n
+)
+SELECT doc_id, chunk_idx::INT AS chunk_idx,
+       len(list_slice(toks, chunk_idx*{s} + 1, chunk_idx*{s} + {w}))::INT AS n_tokens,
+       array_to_string(list_slice(toks, chunk_idx*{s} + 1, chunk_idx*{s} + {w}), ' ') AS chunk
+FROM idx
+"""
+
+
+Z09_SQL = _chunk_udtf_oracle()
+
+
 def z04_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest column-statistics data skipping (sources.snapshot
     round-4 layer) exercised end-to-end: orders land in a snapshot
@@ -2524,6 +2564,7 @@ EXTENSION_QUERIES = {
     "z06_bloom_point_lookup": z06_bloom_point_lookup,
     "z07_change_data_feed": z07_change_data_feed,
     "z08_semantic_dedup": z08_semantic_dedup,
+    "z09_chunk_udtf": z09_chunk_udtf,
 }
 
 EXTENSION_ORACLES = {
@@ -2553,6 +2594,7 @@ EXTENSION_ORACLES = {
     "z06_bloom_point_lookup": Z06_SQL,
     "z07_change_data_feed": Z07_SQL,
     "z08_semantic_dedup": Z08_SQL,
+    "z09_chunk_udtf": Z09_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

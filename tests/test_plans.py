@@ -100,6 +100,7 @@ DECLARED_PYTHON = {
     "a94_user_median_py",
     "a35_media_features",
     "a97_audio_features",
+    "z09_chunk_udtf",
 }
 
 
@@ -193,3 +194,13 @@ def test_z08_semantic_dedup_plan_shape(spark):
     assert "CartesianProduct" not in p, p
     # the corpus-side pair join is a hash/sort-merge equi-join
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_z09_udtf_is_arrow_batched_narrow_map(spark):
+    """The UDTF lateral join must be the Arrow-batched variant and a
+    narrow map: no shuffle anywhere — it scales exactly like the scan
+    it is fused onto."""
+    p = _plan(spark, "z09_chunk_udtf")
+    assert "ArrowEvalPythonUDTF" in p
+    assert "BatchEvalPythonUDTF" not in p.replace("ArrowEvalPythonUDTF", "")
+    assert "Exchange" not in p, "chunking must not shuffle"
