@@ -2454,6 +2454,116 @@ FROM idx
 Z09_SQL = _chunk_udtf_oracle()
 
 
+#: z10's two-round SCD2 snapshot tables, memoized like q98's.
+_SCD2_TABLES: dict = {}
+
+SCD2_BUCKETS = 16
+
+
+def _scd2_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per app × fixture) the z10 lakehouse SCD2 table:
+    bootstrap round opens every customer at 1995-01-01; round 2 changes
+    every 5th customer's balance at 1996-01-01, closing the superseded
+    version. Injected clocks throughout — fully replayable."""
+    import os
+
+    from ..operators.scd2 import scd2_merge_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _SCD2_TABLES.get(key)
+    if path is None:
+        cust = load_table(spark, sf_dir, "customer")
+        cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+        base = cust.select(
+            "c_custkey", "c_mktsegment", cents.alias("acctbal_cents")
+        )
+        staged1 = base.withColumns(
+            {
+                "change_ts": F.lit("1995-01-01").cast("timestamp"),
+                "create_ts": F.lit("1994-01-01").cast("timestamp"),
+            }
+        )
+        path = _tracked_mkdtemp("snap_scd2_") + "/tbl"
+        scd2_merge_snapshot(
+            path,
+            staged1,
+            "c_custkey",
+            change_ts_col="change_ts",
+            create_ts_col="create_ts",
+            now=F.lit("2024-01-01").cast("timestamp"),
+            n_buckets=SCD2_BUCKETS,
+        )
+        staged2 = staged1.withColumns(
+            {
+                "acctbal_cents": F.when(
+                    F.col("c_custkey") % 5 == 0,
+                    F.col("acctbal_cents") + 1000,
+                ).otherwise(F.col("acctbal_cents")),
+                "change_ts": F.lit("1996-01-01").cast("timestamp"),
+            }
+        )
+        scd2_merge_snapshot(
+            path,
+            staged2,
+            "c_custkey",
+            change_ts_col="change_ts",
+            create_ts_col="create_ts",
+            now=F.lit("2024-02-01").cast("timestamp"),
+            n_buckets=SCD2_BUCKETS,
+        )
+        _SCD2_TABLES[key] = path
+    return path
+
+
+def z10_scd2_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 maintained ON the snapshot-table layer
+    (operators.scd2.scd2_merge_snapshot → replace_partitions): the
+    reference's SQL-14…16 history machinery landing in a versioned,
+    bucket-partitioned lakehouse table — one maintenance round reads
+    and rewrites ONLY the buckets containing changed keys (cold
+    buckets carried by reference; partial-touch pruning pinned in
+    tests/test_scd2_snapshot.py). The oracle replays both rounds'
+    final history arithmetically from the base table."""
+    from ..sources.snapshot import read_snapshot
+
+    path = _scd2_snapshot_table(spark, sf_dir)
+    return read_snapshot(spark, path).select(
+        "c_custkey",
+        "bucket",
+        "c_mktsegment",
+        "acctbal_cents",
+        "is_current_record",
+        "effective_from_date",
+        "effective_to_date",
+        "sys_effective_from_date",
+        "sys_effective_to_date",
+    )
+
+
+Z10_SQL = f"""
+WITH base AS (
+  SELECT c_custkey, c_custkey % {SCD2_BUCKETS} AS bucket, c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents
+  FROM customer
+)
+SELECT c_custkey, bucket, c_mktsegment, acctbal_cents,
+       CASE WHEN c_custkey % 5 = 0 THEN 0 ELSE 1 END AS is_current_record,
+       TIMESTAMP '1995-01-01' AS effective_from_date,
+       CASE WHEN c_custkey % 5 = 0 THEN TIMESTAMP '1996-01-01' END
+           AS effective_to_date,
+       TIMESTAMP '2024-01-01' AS sys_effective_from_date,
+       CASE WHEN c_custkey % 5 = 0 THEN TIMESTAMP '2024-02-01' END
+           AS sys_effective_to_date
+FROM base
+UNION ALL
+SELECT c_custkey, bucket, c_mktsegment, acctbal_cents + 1000,
+       1 AS is_current_record,
+       TIMESTAMP '1996-01-01', NULL,
+       TIMESTAMP '2024-02-01', NULL
+FROM base WHERE c_custkey % 5 = 0
+"""
+
+
 def z04_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest column-statistics data skipping (sources.snapshot
     round-4 layer) exercised end-to-end: orders land in a snapshot
@@ -2565,6 +2675,7 @@ EXTENSION_QUERIES = {
     "z07_change_data_feed": z07_change_data_feed,
     "z08_semantic_dedup": z08_semantic_dedup,
     "z09_chunk_udtf": z09_chunk_udtf,
+    "z10_scd2_lakehouse": z10_scd2_lakehouse,
 }
 
 EXTENSION_ORACLES = {
@@ -2595,6 +2706,7 @@ EXTENSION_ORACLES = {
     "z07_change_data_feed": Z07_SQL,
     "z08_semantic_dedup": Z08_SQL,
     "z09_chunk_udtf": Z09_SQL,
+    "z10_scd2_lakehouse": Z10_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

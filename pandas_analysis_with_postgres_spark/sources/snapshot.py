@@ -700,6 +700,81 @@ def merge_snapshot(
     both are rewritten and the old row is anti-joined away — that case
     is safe without strict.
     """
+    def combine(existing: DataFrame, src: DataFrame) -> DataFrame:
+        return existing.join(src, key, "left_anti").unionByName(
+            src, allowMissingColumns=True
+        )
+
+    return _partition_scoped_commit(
+        target_path,
+        source,
+        partition_col,
+        expected_version=expected_version,
+        txn=txn,
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
+        combine=combine,
+        strict_key=key if strict else None,
+        operation="merge",
+    )
+
+
+def replace_partitions(
+    target_path: str,
+    source: DataFrame,
+    partition_col: str,
+    *,
+    expected_version: int | None = None,
+    txn: tuple[str, int] | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> int:
+    """Dynamic partition overwrite as a snapshot commit: ``source`` is
+    the COMPLETE new content of every partition value it contains;
+    those partitions are replaced atomically, all others are carried by
+    reference (never read, never rewritten). The snapshot-layer
+    analogue of ``parquet.overwrite_partitions`` — and the primitive
+    :func:`scd2_merge_snapshot` builds on, where the new partition
+    content is COMPUTED from the old (close-outs rewrite rows, which
+    an upsert-by-key merge cannot express).
+
+    Shares :func:`merge_snapshot`'s optimistic concurrency, txn
+    idempotence, schema-evolution guard, and stats/bloom maintenance;
+    there is no key and therefore no stable-partition contract — the
+    caller asserts the frame IS the partition truth.
+    """
+    return _partition_scoped_commit(
+        target_path,
+        source,
+        partition_col,
+        expected_version=expected_version,
+        txn=txn,
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
+        combine=lambda existing, src: src,
+        strict_key=None,
+        operation="replace",
+    )
+
+
+def _partition_scoped_commit(
+    target_path: str,
+    source: DataFrame,
+    partition_col: str,
+    *,
+    expected_version: int | None,
+    txn: tuple[str, int] | None,
+    stats_cols: list[str] | None,
+    bloom_cols: list[str] | None,
+    combine,
+    strict_key: str | None,
+    operation: str,
+) -> int:
+    """Shared partition-scoped commit: read parent manifest, derive the
+    touched partition set from ``source``, build the new content of the
+    touched partitions via ``combine(existing, source)``, write them,
+    and publish a manifest carrying cold partitions by reference.
+    ``strict_key`` enables merge's moved-key contract check."""
     from pyspark.sql import functions as F
 
     spark = source.sparkSession
@@ -766,7 +841,7 @@ def merge_snapshot(
             target_path,
             parent,
             entries,
-            "merge",
+            operation,
             _schema_meta(
                 source,
                 partition_col,
@@ -779,14 +854,14 @@ def merge_snapshot(
             blooms=blooms,
         )
 
-    if strict:
+    if strict_key is not None:
         cold = {p for p in man["partitions"] if p not in touched}
         if cold:
             cold_keys = read_snapshot(
                 spark, target_path, parent, partition_filter=lambda p: p in cold
-            ).select(key)
+            ).select(strict_key)
             moved = (
-                cold_keys.join(source.select(key), key, "semi")
+                cold_keys.join(source.select(strict_key), strict_key, "semi")
                 .limit(5)
                 .collect()
             )
@@ -807,9 +882,7 @@ def merge_snapshot(
         # Schema evolution: the source may ADD columns (existing rows
         # get NULL); the missing-column guard above already ensured no
         # table column is silently dropped.
-        merged = existing.join(source, key, "left_anti").unionByName(
-            source, allowMissingColumns=True
-        )
+        merged = combine(existing, source)
     else:
         merged = source
     if table_bloom_cols:
@@ -849,7 +922,7 @@ def merge_snapshot(
         target_path,
         parent,
         partitions,
-        "merge",
+        operation,
         _schema_meta(
             source,
             partition_col,
