@@ -108,6 +108,11 @@ EXTRA = (
     "z05_shuffled_shards",
     "z06_bloom_point_lookup",
     "z07_change_data_feed",
+    # round 5: SemDeDup cell-blocked semantic dedup, UDTF chunking,
+    # lakehouse SCD2 (replace_partitions bucket rewrite).
+    "z08_semantic_dedup",
+    "z09_chunk_udtf",
+    "z10_scd2_lakehouse",
 )
 
 
