@@ -2540,6 +2540,100 @@ def z10_scd2_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: z11's (source table, view table, cursor) fixture, memoized per
+#: (applicationId, sf_dir) like the other snapshot fixtures.
+_MATVIEW_TABLES: dict = {}
+
+
+def _matview_tables(spark: SparkSession, sf_dir: str) -> str:
+    """Build the z11 incremental-view fixture: a source snapshot table
+    seeded from 2/3 of orders, then a second commit inserting the rest
+    and bumping every present %5 key's price by 777 cents — with ONE
+    maintenance cycle after each commit, so the view's final state is
+    the product of two genuine delta applications (never a full
+    recompute)."""
+    import os
+
+    from ..sources.matview import maintain_sum_view
+    from ..sources.snapshot import merge_snapshot, write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    paths = _MATVIEW_TABLES.get(key)
+    if paths is None:
+        root = _tracked_mkdtemp("snap_matview_")
+        src, view, cursor = (
+            root + "/src",
+            root + "/view",
+            root + "/cursor.json",
+        )
+        cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+            "long"
+        )
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            cents.alias("price_cents"),
+            F.pmod(F.col("o_orderkey"), F.lit(8)).alias("pbucket"),
+        )
+        write_snapshot(base.filter(F.col("o_orderkey") % 3 != 0), src, "pbucket")
+        maintain_sum_view(
+            spark,
+            src,
+            view,
+            key="o_orderkey",
+            group_col="o_orderstatus",
+            sum_col="price_cents",
+            cursor_path=cursor,
+        )
+        second = base.filter(F.col("o_orderkey") % 3 == 0).unionByName(
+            base.filter(
+                (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 3 != 0)
+            ).withColumn("price_cents", F.col("price_cents") + 777)
+        )
+        merge_snapshot(src, second, "o_orderkey", "pbucket")
+        maintain_sum_view(
+            spark,
+            src,
+            view,
+            key="o_orderkey",
+            group_col="o_orderstatus",
+            sum_col="price_cents",
+            cursor_path=cursor,
+        )
+        paths = view
+        _MATVIEW_TABLES[key] = paths
+    return paths
+
+
+def z11_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the change-data
+    feed (sources.matview.maintain_sum_view): per-status order counts
+    and cent totals kept up to date by applying ONLY the CDF deltas of
+    each source commit (+post −pre signed aggregation → bucket-pruned
+    view merge, txn-idempotent = exactly-once). The oracle recomputes
+    the view's final state directly from the base table, so the entire
+    delta algebra is hash-verified."""
+    from ..sources.snapshot import read_snapshot
+
+    view = _matview_tables(spark, sf_dir)
+    return read_snapshot(spark, view).select(
+        F.col("o_orderstatus"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("total").cast("long").alias("total_cents"),
+    )
+
+
+Z11_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                + CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0
+                       THEN 777 ELSE 0 END) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 Z10_SQL = f"""
 WITH base AS (
   SELECT c_custkey, c_custkey % {SCD2_BUCKETS} AS bucket, c_mktsegment,
@@ -2676,6 +2770,7 @@ EXTENSION_QUERIES = {
     "z08_semantic_dedup": z08_semantic_dedup,
     "z09_chunk_udtf": z09_chunk_udtf,
     "z10_scd2_lakehouse": z10_scd2_lakehouse,
+    "z11_incremental_matview": z11_incremental_matview,
 }
 
 EXTENSION_ORACLES = {
@@ -2707,6 +2802,7 @@ EXTENSION_ORACLES = {
     "z08_semantic_dedup": Z08_SQL,
     "z09_chunk_udtf": Z09_SQL,
     "z10_scd2_lakehouse": Z10_SQL,
+    "z11_incremental_matview": Z11_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -1,0 +1,126 @@
+"""Incremental materialized-view maintenance over the change-data feed.
+
+A 100 TB warehouse does not recompute its downstream aggregates from
+scratch on every upstream commit — it applies the DELTA. This module
+closes that loop with the pieces already in the repo: the source table
+emits a CDF (``snapshot.diff_snapshots`` rows tagged
+insert/delete/update_pre/update_post), the durable-cursor consumer
+(``snapshot.consume_changes``) delivers it at-least-once, and the
+aggregate table is itself a snapshot table updated via a
+txn-idempotent ``merge_snapshot`` — so the whole pipeline is
+exactly-once end-to-end.
+
+Why additive aggregates: SUM and COUNT are self-inverse under the CDF
+signs (+post −pre), so a group's new value is ``old + Σ signed
+deltas`` with NO access to the source's unchanged rows. One
+maintenance cycle costs O(changed partitions of the source) + O(
+touched groups of the view) — independent of both table sizes. (MIN /
+MAX / DISTINCT are not incrementally maintainable from deltas alone —
+a deleted minimum needs a rescan; that is a fundamental property of
+the algebra, not a limitation of this implementation, and callers
+needing them should recompute or keep a sketch.)
+
+Scale shape per cycle: the feed is scanned once (manifest-scoped), the
+signed delta is one map-side-combinable aggregation producing
+O(touched groups) rows, the view read is pruned to the touched groups'
+buckets, and the merge rewrites only those buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: The view's partition key: a stable bucket of the group column so a
+#: maintenance cycle touching few groups rewrites few partitions.
+VIEW_BUCKETS = 16
+
+
+def signed_delta(
+    feed: DataFrame, group_col: str, sum_col: str
+) -> DataFrame:
+    """Collapse a CDF frame to per-group ``(d_rows, d_sum)``:
+    insert/update_post count +, delete/update_pre count −. Groups whose
+    delta nets to zero still emit a row (harmless: the merge rewrites
+    their bucket with unchanged values)."""
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_post"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return feed.groupBy(group_col).agg(
+        F.sum(sign).alias("d_rows"),
+        F.sum(sign * F.col(sum_col)).alias("d_sum"),
+    )
+
+
+def maintain_sum_view(
+    spark: SparkSession,
+    source_path: str,
+    view_path: str,
+    *,
+    key: str,
+    group_col: str,
+    sum_col: str,
+    cursor_path: str,
+    consumer_id: str = "matview",
+    n_buckets: int = VIEW_BUCKETS,
+) -> dict:
+    """Run ONE maintenance cycle: consume the source's change feed
+    after the durable cursor and fold it into the per-group
+    ``(n_rows, total)`` view table. Returns ``consume_changes``'s
+    ``{"from_version", "to_version", "applied"}``.
+
+    Exactly-once: redelivery after a crash between view-merge and
+    cursor advance is absorbed by the view table's txn watermark
+    (``txn=(consumer_id, to_version)``) — the replayed merge is a
+    no-op, then the cursor advances.
+    """
+    from .snapshot import current_version, merge_snapshot, read_snapshot
+
+    def apply_fn(feed: DataFrame, from_v: int, to_v: int) -> None:
+        delta = signed_delta(feed, group_col, sum_col).withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col(group_col)), F.lit(n_buckets)),
+        )
+        delta = delta.localCheckpoint(eager=False)
+        if current_version(view_path) > 0:
+            touched = {
+                f"bucket={r[0]}"
+                for r in delta.select("bucket").distinct().collect()
+            }
+            existing = read_snapshot(
+                spark,
+                view_path,
+                partition_filter=lambda p: p in touched,
+            ).select(group_col, "n_rows", "total")
+        else:
+            # types follow the delta (pass an integral cents column for
+            # engine-exact totals; doubles cancel only approximately)
+            existing = delta.select(
+                group_col,
+                F.col("d_rows").alias("n_rows"),
+                F.col("d_sum").alias("total"),
+            ).limit(0)
+        merged = delta.join(existing, group_col, "left").select(
+            group_col,
+            "bucket",
+            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows")).alias(
+                "n_rows"
+            ),
+            (F.coalesce(F.col("total"), F.lit(0)) + F.col("d_sum")).alias(
+                "total"
+            ),
+        )
+        # A group whose rows all vanished stays as an n_rows=0 tombstone
+        # (a partition-scoped MERGE cannot delete a key from its
+        # bucket); readers filter n_rows > 0. This is data, not drift —
+        # the tombstone's totals are exactly zero for integral columns.
+        merge_snapshot(
+            view_path,
+            merged,
+            group_col,
+            "bucket",
+            txn=(consumer_id, to_v),
+        )
+
+    from .snapshot import consume_changes
+
+    return consume_changes(spark, source_path, key, apply_fn, cursor_path)
