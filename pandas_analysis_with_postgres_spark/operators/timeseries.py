@@ -1,0 +1,97 @@
+"""Time-series regularization: resample onto a fixed grid + gap fill.
+
+Sensor/event streams arrive irregularly; every downstream consumer
+(feature windows, anomaly baselines, training tensors) wants a regular
+grid. The reference has no time-series surface at all (its only
+timestamps are ETL bookkeeping, SURVEY §1), so this is extension
+surface, built from four scale-safe pieces:
+
+1. per-(key, bucket) LAST observation — one map-side-combinable
+   ``max(struct(ts, tiebreak, value))`` aggregate (deterministic: the
+   struct order is (ts, tiebreak), both unique together);
+2. the global grid span — a 1-row aggregate broadcast to every key
+   (the q12 defaults pattern);
+3. the dense grid — ``sequence() × explode`` per key, a narrow map
+   producing |keys| × |buckets| rows (that product IS the output size,
+   so nothing here is super-linear);
+4. forward fill — ``last(value, ignorenulls=True)`` over a
+   per-key ordered window: one shuffle on the key, state bounded by
+   the grid length.
+
+Two shuffles total (aggregate, window), both on the series key —
+at 100 TB the window never sees raw events, only the |buckets|-bounded
+per-key grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def resample_ffill(
+    events: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    interval: str = "1 day",
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Resample ``value_col`` onto a regular ``interval`` grid per
+    ``key_col``, forward-filling gaps from the last observation.
+
+    Returns ``(key_col, bucket_ts, n_obs, value_ffill)`` — one row per
+    key per grid bucket across the TABLE's global time span: ``n_obs``
+    counts that bucket's raw events (0 for gaps), ``value_ffill`` is
+    the value of the latest observation at or before the bucket
+    (latest by ``(ts, tiebreak)``), NULL until the key's first
+    observation. ``bucket`` overrides the default
+    ``date_trunc``-by-interval bucketing expression.
+    """
+    unit = interval.split()[-1].rstrip("s")
+    if bucket is None:
+        bucket = F.date_trunc(unit, F.col(ts_col))
+    obs = (
+        events.select(
+            key_col,
+            bucket.alias("bucket_ts"),
+            F.struct(ts_col, tiebreak_col, value_col).alias("__o"),
+        )
+        .groupBy(key_col, "bucket_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max("__o").getField(value_col).alias("__last_v"),
+        )
+    )
+    span = events.agg(
+        F.date_trunc(unit, F.min(ts_col)).alias("__lo"),
+        F.date_trunc(unit, F.max(ts_col)).alias("__hi"),
+    )
+    grid = (
+        events.select(key_col)
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(
+                    F.col("__lo"), F.col("__hi"), F.expr(f"interval {interval}")
+                )
+            ).alias("bucket_ts"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, [key_col, "bucket_ts"], "left")
+        .select(
+            key_col,
+            "bucket_ts",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            F.last("__last_v", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+    )

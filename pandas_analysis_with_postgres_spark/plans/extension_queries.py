@@ -2540,6 +2540,55 @@ def z10_scd2_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def z12_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators.timeseries.resample_ffill):
+    every user's event `value` resampled onto the daily grid spanning
+    the whole table, gaps forward-filled from the latest observation
+    (latest by (ts, event_id) — deterministic), NULL before a user's
+    first event. n_obs audits bucket density (0 = a filled gap). Two
+    shuffles (daily aggregate + per-user window over the 30-row grid);
+    the window never sees raw events."""
+    from ..operators.timeseries import resample_ffill
+
+    events = load_table(spark, sf_dir, "events")
+    return resample_ffill(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+    )
+
+
+Z12_SQL = """
+WITH ranked AS (
+  SELECT user_id, date_trunc('day', ts) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, date_trunc('day', ts)) AS n_obs
+  FROM events
+),
+daily AS (
+  SELECT user_id, day, n_obs, value AS last_v FROM ranked WHERE rn = 1
+),
+span AS (
+  SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT u.user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket_ts
+  FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN span
+)
+SELECT g.user_id, g.bucket_ts,
+       COALESCE(d.n_obs, 0) AS n_obs,
+       last_value(d.last_v IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+FROM grid g LEFT JOIN daily d
+  ON g.user_id = d.user_id AND g.bucket_ts = d.day
+"""
+
+
 #: z11's (source table, view table, cursor) fixture, memoized per
 #: (applicationId, sf_dir) like the other snapshot fixtures.
 _MATVIEW_TABLES: dict = {}
@@ -2771,6 +2820,7 @@ EXTENSION_QUERIES = {
     "z09_chunk_udtf": z09_chunk_udtf,
     "z10_scd2_lakehouse": z10_scd2_lakehouse,
     "z11_incremental_matview": z11_incremental_matview,
+    "z12_resample_ffill": z12_resample_ffill,
 }
 
 EXTENSION_ORACLES = {
@@ -2803,6 +2853,7 @@ EXTENSION_ORACLES = {
     "z09_chunk_udtf": Z09_SQL,
     "z10_scd2_lakehouse": Z10_SQL,
     "z11_incremental_matview": Z11_SQL,
+    "z12_resample_ffill": Z12_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -1,0 +1,87 @@
+"""resample_ffill: grid completeness, forward fill, tie-breaking."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pandas_analysis_with_postgres_spark.operators.timeseries import (
+    resample_ffill,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+
+
+def test_grid_ffill_and_leading_nulls(spark):
+    d = dt.datetime
+    rows = [
+        # user 1: obs on day 1 and day 3 → day 2 gap forward-fills 10.0
+        (1, d(2024, 1, 1, 5), 1, 10.0),
+        (2, d(2024, 1, 3, 6), 1, 30.0),
+        # user 2: first obs on day 3 → days 1-2 are NULL
+        (3, d(2024, 1, 3, 1), 2, 7.0),
+        # day 4 exists only via user 2 → user 1 forward-fills 30.0 there
+        (4, d(2024, 1, 4, 2), 2, 9.0),
+    ]
+    out = {
+        (r.user_id, r.bucket_ts.day): (r.n_obs, r.value_ffill)
+        for r in resample_ffill(
+            _events(spark, rows),
+            key_col="user_id",
+            ts_col="ts",
+            value_col="value",
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    # full 2-user × 4-day grid
+    assert len(out) == 8
+    assert out[(1, 1)] == (1, 10.0)
+    assert out[(1, 2)] == (0, 10.0)  # gap forward-filled
+    assert out[(1, 3)] == (1, 30.0)
+    assert out[(1, 4)] == (0, 30.0)  # trailing fill
+    assert out[(2, 1)] == (0, None)  # before first observation
+    assert out[(2, 2)] == (0, None)
+    assert out[(2, 3)] == (1, 7.0)
+    assert out[(2, 4)] == (1, 9.0)
+
+
+def test_same_bucket_latest_wins_with_tiebreak(spark):
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1, 1), 1, 1.0),
+        (3, d(2024, 1, 1, 2), 1, 3.0),  # same ts as event 2, higher id
+        (2, d(2024, 1, 1, 2), 1, 2.0),
+    ]
+    out = resample_ffill(
+        _events(spark, rows),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+    ).collect()
+    assert len(out) == 1
+    assert out[0].n_obs == 3 and out[0].value_ffill == 3.0
+
+
+def test_hourly_interval(spark):
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 1, 0, 10), 1, 5.0),
+        (2, d(2024, 1, 1, 3, 50), 1, 8.0),
+    ]
+    out = sorted(
+        resample_ffill(
+            _events(spark, rows),
+            key_col="user_id",
+            ts_col="ts",
+            value_col="value",
+            tiebreak_col="event_id",
+            interval="1 hour",
+        ).collect(),
+        key=lambda r: r.bucket_ts,
+    )
+    assert [r.bucket_ts.hour for r in out] == [0, 1, 2, 3]
+    assert [r.value_ffill for r in out] == [5.0, 5.0, 5.0, 8.0]
