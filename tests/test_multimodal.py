@@ -244,3 +244,56 @@ def test_wav_payload_decode_property(text):
         + le(1, 2) + le(8, 2) + b"data" + le(len(data), 4) + data
     )
     assert decode_wav_pcm(payload) == (8000, 1, len(data), sum(data))
+
+
+class TestResizeImages:
+    """resize_images: nearest-neighbor index map, payload round-trip."""
+
+    def _media(self, spark, text):
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            attach_ppm_payload,
+        )
+
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return attach_ppm_payload(docs)
+
+    def test_hand_computed_downsample(self, spark):
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            resize_images,
+        )
+
+        # 4-pixel strip "ABCabcDEFdef" -> resize to 2: cols 0 and 2
+        row = resize_images(
+            self._media(spark, "ABCabcDEFdef"), target_width=2
+        ).collect()[0]
+        assert (row.src_width, row.width, row.height) == (4, 2, 1)
+        assert row.sum_r == ord("A") + ord("D")
+        assert row.sum_g == ord("B") + ord("E")
+        assert row.sum_b == ord("C") + ord("F")
+
+    def test_upsample_duplicates_columns(self, spark):
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            resize_images,
+        )
+
+        # 1-pixel strip upsampled to 3: the pixel repeats
+        row = resize_images(self._media(spark, "XYZ"), target_width=3).collect()[0]
+        assert row.src_width == 1 and row.width == 3
+        assert (row.sum_r, row.sum_g, row.sum_b) == (
+            3 * ord("X"),
+            3 * ord("Y"),
+            3 * ord("Z"),
+        )
+
+    def test_resized_payload_is_valid_ppm(self, spark):
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            decode_ppm,
+            resize_images,
+        )
+
+        row = resize_images(
+            self._media(spark, "ABCabcDEFdef"), target_width=2
+        ).collect()[0]
+        w, h, sr, sg, sb = decode_ppm(bytes(row.payload))
+        assert (w, h) == (2, 1)
+        assert (sr, sg, sb) == (row.sum_r, row.sum_g, row.sum_b)
