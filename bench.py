@@ -113,6 +113,9 @@ EXTRA = (
     "z08_semantic_dedup",
     "z09_chunk_udtf",
     "z10_scd2_lakehouse",
+    "z11_incremental_matview",
+    "z12_resample_ffill",
+    "z13_image_resize",
 )
 
 

@@ -101,6 +101,7 @@ DECLARED_PYTHON = {
     "a35_media_features",
     "a97_audio_features",
     "z09_chunk_udtf",
+    "z13_image_resize",
 }
 
 
