@@ -728,6 +728,7 @@ def replace_partitions(
     txn: tuple[str, int] | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    drop_partitions: "set[str] | None" = None,
 ) -> int:
     """Dynamic partition overwrite as a snapshot commit: ``source`` is
     the COMPLETE new content of every partition value it contains;
@@ -742,6 +743,13 @@ def replace_partitions(
     idempotence, schema-evolution guard, and stats/bloom maintenance;
     there is no key and therefore no stable-partition contract — the
     caller asserts the frame IS the partition truth.
+
+    ``drop_partitions`` removes the named partitions ("col=value")
+    from the manifest in the SAME commit — how :func:`delete_where`
+    expresses a partition emptied by a row-level delete (an empty
+    frame cannot name the partition it is the new content of). Their
+    data directories stay on disk for older versions until
+    :func:`expire_snapshots` reclaims them.
     """
     return _partition_scoped_commit(
         target_path,
@@ -754,6 +762,7 @@ def replace_partitions(
         combine=lambda existing, src: src,
         strict_key=None,
         operation="replace",
+        drop_partitions=drop_partitions,
     )
 
 
@@ -769,6 +778,7 @@ def _partition_scoped_commit(
     combine,
     strict_key: str | None,
     operation: str,
+    drop_partitions: "set[str] | None" = None,
 ) -> int:
     """Shared partition-scoped commit: read parent manifest, derive the
     touched partition set from ``source``, build the new content of the
@@ -898,10 +908,11 @@ def _partition_scoped_commit(
     new_entries, new_stats = _write_commit_data(
         merged, target_path, partition_col, table_stats_cols
     )
+    drops = drop_partitions or set()
     partitions = {
         part: rel
         for part, rel in man["partitions"].items()
-        if part not in touched  # carried by reference
+        if part not in touched and part not in drops  # carried by reference
     }
     partitions.update(new_entries)
     # Cold partitions keep their recorded stats/blooms alongside
@@ -909,13 +920,13 @@ def _partition_scoped_commit(
     stats = {
         part: s
         for part, s in (man.get("stats") or {}).items()
-        if part not in touched
+        if part not in touched and part not in drops
     }
     stats.update(new_stats)
     blooms = {
         part: b
         for part, b in (man.get("blooms") or {}).items()
-        if part not in touched
+        if part not in touched and part not in drops
     }
     blooms.update(new_blooms)
     return _commit(
@@ -934,6 +945,88 @@ def _partition_scoped_commit(
         stats=stats,
         blooms=blooms,
     )
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    *,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Row-level DELETE as a snapshot commit — the opt-out/right-to-be-
+    forgotten primitive a training-data table needs: rows where
+    ``condition`` is TRUE are removed; rows where it is FALSE **or
+    NULL** are kept (standard DELETE WHERE three-valued logic).
+    ``condition`` is a Column or a SQL string.
+
+    Cost shape: one column-pruned scan finds the partitions that
+    actually contain matches (only the condition's columns + the
+    partition column are read); ONLY those partitions are re-read and
+    rewritten without the matching rows — a delete touching 0.1% of
+    partitions rewrites 0.1% of the table. A partition emptied
+    entirely is dropped from the manifest in the same commit
+    (``replace_partitions(drop_partitions=...)``). Old versions still
+    see the deleted rows until :func:`expire_snapshots` reclaims them
+    — physical erasure requires expiry, which the returned dict
+    states explicitly.
+
+    Returns ``{"version", "deleted_rows", "rewritten_partitions",
+    "dropped_partitions", "physical_erasure_requires_expiry"}``;
+    a no-match delete commits nothing and returns the parent version.
+    """
+    from pyspark.sql import Column, functions as F
+
+    cond = condition if isinstance(condition, Column) else F.expr(condition)
+    parent = current_version(path)
+    man = read_manifest(path, parent)
+    pcol = (man.get("schema") or {}).get("partition_col")
+    if pcol is None:
+        raise ValueError(f"{path} has no committed snapshot to delete from")
+    cur = read_snapshot(spark, path, parent)
+    hits = (
+        cur.groupBy(pcol)
+        .agg(F.sum(F.when(cond, 1).otherwise(0)).alias("n"))
+        .filter(F.col("n") > 0)
+        .collect()
+    )
+    if not hits:
+        return {
+            "version": parent,
+            "deleted_rows": 0,
+            "rewritten_partitions": 0,
+            "dropped_partitions": 0,
+            "physical_erasure_requires_expiry": True,
+        }
+    affected = {_hive_part_name(pcol, r[0]) for r in hits}
+    deleted = sum(r["n"] for r in hits)
+    keep = (
+        read_snapshot(
+            spark, path, parent, partition_filter=lambda p: p in affected
+        )
+        .filter(~F.coalesce(cond, F.lit(False)))
+        .localCheckpoint(eager=False)
+    )
+    kept_parts = {
+        _hive_part_name(pcol, r[0])
+        for r in keep.select(pcol).distinct().collect()
+    }
+    emptied = affected - kept_parts
+    version = replace_partitions(
+        path,
+        keep,
+        pcol,
+        expected_version=parent,
+        txn=txn,
+        drop_partitions=emptied,
+    )
+    return {
+        "version": version,
+        "deleted_rows": int(deleted),
+        "rewritten_partitions": len(kept_parts & affected),
+        "dropped_partitions": len(emptied),
+        "physical_erasure_requires_expiry": True,
+    }
 
 
 def expire_snapshots(

@@ -54,6 +54,13 @@ SMOKE = (
     "z05_shuffled_shards",
     "z06_bloom_point_lookup",
     "z07_change_data_feed",
+    # round-5 additions
+    "z08_semantic_dedup",
+    "z09_chunk_udtf",
+    "z10_scd2_lakehouse",
+    "z11_incremental_matview",
+    "z12_resample_ffill",
+    "z13_image_resize",
 )
 
 
