@@ -50,7 +50,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "history", "read", "expire", "compact", "sql", "info",
-            "changes", "maintain",
+            "changes", "maintain", "delete",
         ],
     )
     p_sn.add_argument("path")
@@ -97,6 +97,12 @@ def main(argv: list[str] | None = None) -> int:
         "--key",
         default=None,
         help="(changes) the table's merge key column",
+    )
+    p_sn.add_argument(
+        "--where",
+        default=None,
+        help="(delete) SQL predicate; matching rows are removed "
+        "(rows where it is NULL are kept)",
     )
 
     args = ap.parse_args(argv)
@@ -163,6 +169,17 @@ def main(argv: list[str] | None = None) -> int:
                 keep_versions=args.keep,
                 min_age_sec=args.min_age_sec,
             )
+            print(_json.dumps(r))
+            return 0
+        if args.action == "delete":
+            import json as _json
+
+            from .sources.snapshot import delete_where
+
+            if not args.where:
+                print("snapshot delete requires --where", file=sys.stderr)
+                return 2
+            r = delete_where(_gs("cli"), args.path, args.where)
             print(_json.dumps(r))
             return 0
         if args.action == "changes":

@@ -2540,6 +2540,51 @@ def z10_scd2_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: z14's opt-out-delete snapshot tables, memoized like q98's.
+_DELETE_TABLES: dict = {}
+
+
+def z14_optout_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on the snapshot layer
+    (sources.snapshot.delete_where) — the opt-out / right-to-be-
+    forgotten flow of a training-data table: orders land bucket-
+    partitioned, every 7th order key is deleted (simulating an opt-out
+    list), and the query reads the post-delete table. Only partitions
+    containing matches are rewritten (carry-by-reference pinned in
+    tests/test_delete_where.py); prior versions still see the rows
+    until expiry, and the CDF reports them as deletes. The oracle
+    replays the surviving set from the base table."""
+    import os
+
+    from ..sources.snapshot import delete_where, read_snapshot, write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _DELETE_TABLES.get(key)
+    if path is None:
+        cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            cents.alias("price_cents"),
+            F.pmod(F.col("o_orderkey"), F.lit(8)).alias("pbucket"),
+        )
+        path = _tracked_mkdtemp("snap_delete_") + "/tbl"
+        write_snapshot(base, path, "pbucket")
+        delete_where(spark, path, "o_orderkey % 7 = 0", txn=("optout", 1))
+        _DELETE_TABLES[key] = path
+    return read_snapshot(spark, path).select(
+        "o_orderkey", "o_orderstatus", "price_cents"
+    )
+
+
+Z14_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+FROM orders
+WHERE o_orderkey % 7 <> 0
+"""
+
+
 #: z13 resize target width (source strips are ~14-180 px wide, so both
 #: down- and up-sampling paths execute on the fixture).
 RESIZE_TW = 16
@@ -2872,6 +2917,7 @@ EXTENSION_QUERIES = {
     "z11_incremental_matview": z11_incremental_matview,
     "z12_resample_ffill": z12_resample_ffill,
     "z13_image_resize": z13_image_resize,
+    "z14_optout_delete": z14_optout_delete,
 }
 
 EXTENSION_ORACLES = {
@@ -2906,6 +2952,7 @@ EXTENSION_ORACLES = {
     "z11_incremental_matview": Z11_SQL,
     "z12_resample_ffill": Z12_SQL,
     "z13_image_resize": Z13_SQL,
+    "z14_optout_delete": Z14_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

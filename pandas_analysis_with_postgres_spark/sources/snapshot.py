@@ -1020,6 +1020,15 @@ def delete_where(
         txn=txn,
         drop_partitions=emptied,
     )
+    if version == parent:
+        # txn watermark absorbed a replayed delete — nothing committed.
+        return {
+            "version": version,
+            "deleted_rows": 0,
+            "rewritten_partitions": 0,
+            "dropped_partitions": 0,
+            "physical_erasure_requires_expiry": True,
+        }
     return {
         "version": version,
         "deleted_rows": int(deleted),

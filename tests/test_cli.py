@@ -215,3 +215,25 @@ def test_export_shards_cli(tmp_path, capsys):
     assert main(
         ["export-shards", "nope", out, "--order-col", "x"]
     ) == 2
+
+
+def test_snapshot_delete_cli(spark, tmp_path, capsys):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 1)], "k long, p long"
+        ),
+        path,
+        "p",
+    )
+    assert main(["snapshot", "delete", path, "--where", "k = 2"]) == 0
+    out = capsys.readouterr().out
+    assert '"deleted_rows": 1' in out
+    assert {r.k for r in read_snapshot(spark, path).collect()} == {1, 3}
+    # missing --where is a usage error, not a traceback
+    assert main(["snapshot", "delete", path]) == 2
