@@ -116,6 +116,7 @@ EXTRA = (
     "z11_incremental_matview",
     "z12_resample_ffill",
     "z13_image_resize",
+    "z14_optout_delete",
 )
 
 
