@@ -117,6 +117,7 @@ EXTRA = (
     "z12_resample_ffill",
     "z13_image_resize",
     "z14_optout_delete",
+    "z15_schema_evolution",
 )
 
 

@@ -2540,6 +2540,71 @@ def z10_scd2_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: z15's schema-evolution snapshot tables, memoized like q98's.
+_EVOLVE_TABLES: dict = {}
+
+
+def z15_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY schema evolution
+    (sources.snapshot.evolve_snapshot_schema): a column rename + drop
+    as one JSON commit, no data rewrite — the only affordable shape at
+    100 TB. The fixture seeds 2/3 of orders (old physical names
+    ``price_cents``/``legacy_flag``), renames ``price_cents →
+    amount_cents`` and drops ``legacy_flag``, then merges the
+    remaining third written natively under the NEW name — so the final
+    read spans commits from BOTH sides of the evolution, with the
+    rename chain applied at scan time and time travel preserving the
+    old schema (pinned in tests/test_schema_evolution.py). The oracle
+    replays the final logical table from the base table."""
+    import os
+
+    from ..sources.snapshot import (
+        evolve_snapshot_schema,
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _EVOLVE_TABLES.get(key)
+    if path is None:
+        cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            cents.alias("price_cents"),
+            F.lit(1).alias("legacy_flag"),
+            F.pmod(F.col("o_orderkey"), F.lit(8)).alias("pbucket"),
+        )
+        path = _tracked_mkdtemp("snap_evolve_") + "/tbl"
+        write_snapshot(base.filter(F.col("o_orderkey") % 3 != 0), path, "pbucket")
+        evolve_snapshot_schema(
+            path, renames={"price_cents": "amount_cents"}, drops=["legacy_flag"]
+        )
+        late = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey") % 3 == 0)
+            .select(
+                "o_orderkey",
+                "o_orderstatus",
+                cents.alias("amount_cents"),
+                F.pmod(F.col("o_orderkey"), F.lit(8)).alias("pbucket"),
+            )
+        )
+        merge_snapshot(path, late, "o_orderkey", "pbucket")
+        _EVOLVE_TABLES[key] = path
+    return read_snapshot(spark, path).select(
+        "o_orderkey", "o_orderstatus", "amount_cents"
+    )
+
+
+Z15_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amount_cents
+FROM orders
+"""
+
+
 #: z14's opt-out-delete snapshot tables, memoized like q98's.
 _DELETE_TABLES: dict = {}
 
@@ -2918,6 +2983,7 @@ EXTENSION_QUERIES = {
     "z12_resample_ffill": z12_resample_ffill,
     "z13_image_resize": z13_image_resize,
     "z14_optout_delete": z14_optout_delete,
+    "z15_schema_evolution": z15_schema_evolution,
 }
 
 EXTENSION_ORACLES = {
@@ -2953,6 +3019,7 @@ EXTENSION_ORACLES = {
     "z12_resample_ffill": Z12_SQL,
     "z13_image_resize": Z13_SQL,
     "z14_optout_delete": Z14_SQL,
+    "z15_schema_evolution": Z15_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

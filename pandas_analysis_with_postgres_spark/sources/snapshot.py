@@ -379,11 +379,31 @@ def read_snapshot(
             ]
         finally:
             spark.conf.set(infer_key, infer_old)
+    meta0 = man.get("schema") or {}
+    renames = meta0.get("renames") or []
+    dropped = meta0.get("dropped") or []
+    if renames or dropped:
+        # Metadata-only schema evolution (evolve_snapshot_schema):
+        # apply the cumulative rename chain to EACH commit scan before
+        # the union — a commit written before a rename carries the old
+        # physical name (mapped), one written after already has the new
+        # name (no-op); old names are never reused (enforced at evolve
+        # time), so applying the full chain to every scan is safe.
+        # Dropped columns are hidden after the union.
+        def _logical(s):
+            for old, new in renames:
+                if old in s.columns:
+                    s = s.withColumnRenamed(old, new)
+            return s
+
+        scans = [_logical(s) for s in scans]
     out = scans[0]
     for s in scans[1:]:
         # allowMissingColumns: commits written before a schema-evolving
         # merge lack the newer columns — their rows read back as NULL.
         out = out.unionByName(s, allowMissingColumns=True)
+    if dropped:
+        out = out.drop(*[c for c in dropped if c in out.columns])
     meta = man.get("schema") or {}
     if meta:
         from pyspark.sql import functions as F
@@ -539,6 +559,18 @@ def _schema_meta(
     if bloom_cols:
         meta["bloom_cols"] = list(bloom_cols)
         meta["bloom_bits"] = int(bloom_bits)
+    return meta
+
+
+def _carry_evolution(meta: dict, prev_meta: dict) -> dict:
+    """Carry evolve_snapshot_schema's rename/drop lists into a new
+    commit's schema meta: older referenced commits still hold the old
+    physical names, so the read-side mapping must survive every
+    merge/replace/compact (applying a rename whose old name is absent
+    is a no-op, so over-carrying after a full rewrite is harmless)."""
+    for k in ("renames", "dropped"):
+        if prev_meta.get(k):
+            meta[k] = prev_meta[k]
     return meta
 
 
@@ -820,7 +852,8 @@ def _partition_scoped_commit(
         _hive_part_name(partition_col, r[0])
         for r in source.select(partition_col).distinct().collect()
     }
-    prev_cols = (man.get("schema") or {}).get("columns")
+    prev_meta = man.get("schema") or {}
+    prev_cols = prev_meta.get("columns")
     if prev_cols:
         lost = [c for c in prev_cols if c not in source.columns]
         if lost:
@@ -828,6 +861,16 @@ def _partition_scoped_commit(
                 f"merge source is missing table columns {lost}; "
                 "schema evolution only adds columns"
             )
+    retired = {old for old, _ in (prev_meta.get("renames") or [])} | set(
+        prev_meta.get("dropped") or []
+    )
+    bad = [c for c in source.columns if c in retired]
+    if bad:
+        raise ValueError(
+            f"source uses retired column name(s) {bad} (renamed or "
+            "dropped by evolve_snapshot_schema); retired names are "
+            "never reusable"
+        )
     bootstrap = parent == 0 or not man["partitions"]
     table_stats_cols = (man.get("schema") or {}).get("stats_cols") or (
         stats_cols if bootstrap else None
@@ -852,12 +895,15 @@ def _partition_scoped_commit(
             parent,
             entries,
             operation,
-            _schema_meta(
-                source,
-                partition_col,
-                table_stats_cols,
-                table_bloom_cols,
-                table_bloom_bits,
+            _carry_evolution(
+                _schema_meta(
+                    source,
+                    partition_col,
+                    table_stats_cols,
+                    table_bloom_cols,
+                    table_bloom_bits,
+                ),
+                prev_meta,
             ),
             txn,
             stats=stats,
@@ -934,16 +980,91 @@ def _partition_scoped_commit(
         parent,
         partitions,
         operation,
-        _schema_meta(
-            source,
-            partition_col,
-            table_stats_cols,
-            table_bloom_cols,
-            table_bloom_bits,
+        _carry_evolution(
+            _schema_meta(
+                source,
+                partition_col,
+                table_stats_cols,
+                table_bloom_cols,
+                table_bloom_bits,
+            ),
+            prev_meta,
         ),
         txn,
         stats=stats,
         blooms=blooms,
+    )
+
+
+def evolve_snapshot_schema(
+    path: str,
+    *,
+    renames: dict | None = None,
+    drops: list[str] | None = None,
+    expected_version: int | None = None,
+) -> int:
+    """METADATA-ONLY column rename/drop — no data rewrite, the whole
+    point at 100 TB (a physical rename of a 100 TB table is a full
+    rewrite; here it is one JSON commit). Readers of the new version
+    see the logical schema applied over every referenced commit (the
+    rename chain maps old physical names at scan time, dropped columns
+    are hidden after the union); TIME TRAVEL to older versions still
+    shows the old schema, because the mapping lives in each version's
+    manifest.
+
+    Rules (enforced): renamed-from and dropped names RETIRE — they can
+    never be reused by later writers (merge/replace reject sources
+    that mention them), which is what makes applying the cumulative
+    chain to every commit safe. The partition column and the
+    stats/bloom index columns cannot be renamed or dropped (their
+    per-partition index entries are keyed by physical name); evolve
+    the indexes first if needed. Returns the committed version.
+    """
+    renames = dict(renames or {})
+    drops = list(drops or [])
+    if not renames and not drops:
+        raise ValueError("evolve_snapshot_schema: nothing to do")
+    parent = (
+        current_version(path) if expected_version is None else expected_version
+    )
+    man = read_manifest(path, parent)
+    meta = dict(man.get("schema") or {})
+    if not meta:
+        raise ValueError(f"{path} has no committed snapshot to evolve")
+    cols = list(meta.get("columns") or [])
+    protected = {meta.get("partition_col")}
+    protected.update(meta.get("stats_cols") or [])
+    protected.update(meta.get("bloom_cols") or [])
+    retired = {old for old, _ in (meta.get("renames") or [])} | set(
+        meta.get("dropped") or []
+    )
+    for old, new in renames.items():
+        if old in protected:
+            raise ValueError(f"cannot rename {old!r}: partition/index column")
+        if old not in cols:
+            raise ValueError(f"cannot rename {old!r}: not a table column")
+        if new in cols or new in retired or new in renames:
+            raise ValueError(f"rename target {new!r} collides")
+    for c in drops:
+        if c in protected:
+            raise ValueError(f"cannot drop {c!r}: partition/index column")
+        if c not in cols and c not in renames.values():
+            raise ValueError(f"cannot drop {c!r}: not a table column")
+    new_cols = [renames.get(c, c) for c in cols]
+    new_cols = [c for c in new_cols if c not in set(drops)]
+    meta["columns"] = new_cols
+    meta["renames"] = list(meta.get("renames") or []) + [
+        [old, new] for old, new in renames.items()
+    ]
+    meta["dropped"] = list(meta.get("dropped") or []) + drops
+    return _commit(
+        path,
+        parent,
+        dict(man["partitions"]),
+        "evolve",
+        meta,
+        stats=dict(man.get("stats") or {}),
+        blooms=dict(man.get("blooms") or {}),
     )
 
 
