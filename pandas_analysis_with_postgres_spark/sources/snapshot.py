@@ -562,13 +562,39 @@ def _schema_meta(
     return meta
 
 
+def _enforce_constraints(df: DataFrame, constraints: list[str]) -> None:
+    """Reject the commit if any written row violates a CHECK
+    constraint (expr IS FALSE; NULL passes, per the SQL standard).
+    One aggregate pass; the error names each violated constraint and
+    its violation count."""
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.sum(
+            F.when(F.expr(c) | F.expr(c).isNull(), 0).otherwise(1)
+        ).alias(f"c{i}")
+        for i, c in enumerate(constraints)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    violated = {
+        c: int(row[f"c{i}"] or 0)
+        for i, c in enumerate(constraints)
+        if (row[f"c{i}"] or 0) > 0
+    }
+    if violated:
+        raise ValueError(
+            f"CHECK constraint violation(s), commit rejected: {violated}"
+        )
+
+
 def _carry_evolution(meta: dict, prev_meta: dict) -> dict:
-    """Carry evolve_snapshot_schema's rename/drop lists into a new
-    commit's schema meta: older referenced commits still hold the old
-    physical names, so the read-side mapping must survive every
-    merge/replace/compact (applying a rename whose old name is absent
-    is a no-op, so over-carrying after a full rewrite is harmless)."""
-    for k in ("renames", "dropped"):
+    """Carry evolve_snapshot_schema's rename/drop lists — and the
+    table's CHECK constraints — into a new commit's schema meta: older
+    referenced commits still hold the old physical names, so the
+    read-side mapping must survive every merge/replace/compact
+    (applying a rename whose old name is absent is a no-op, so
+    over-carrying after a full rewrite is harmless)."""
+    for k in ("renames", "dropped", "constraints"):
         if prev_meta.get(k):
             meta[k] = prev_meta[k]
     return meta
@@ -620,6 +646,7 @@ def write_snapshot(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     bloom_bits: int | None = None,
+    constraints: list[str] | None = None,
 ) -> int:
     """Full overwrite as a new snapshot (old versions stay readable).
 
@@ -636,11 +663,22 @@ def write_snapshot(
     an overwrite that omits them inherits the prior manifest's values,
     so a routine full refresh never silently disables the table's
     skipping indexes. Pass them explicitly to change (or, with ``[]``,
-    drop) the properties."""
+    drop) the properties.
+
+    ``constraints`` — CHECK constraints (SQL boolean expressions, the
+    Delta ``ADD CONSTRAINT`` shape) enforced on EVERY subsequent
+    write: a commit whose written rows violate any constraint is
+    REJECTED before publishing (standard CHECK three-valued logic —
+    NULL passes). A table property like the others: inherited on
+    omission, redefined explicitly, dropped with ``[]``. Cost: one
+    extra aggregate pass over the rows being written (cold partitions
+    were validated when written)."""
     parent = current_version(path) if expected_version is None else expected_version
     prior_schema = (read_manifest(path, parent).get("schema") or {}) if parent else {}
     if stats_cols is None:
         stats_cols = prior_schema.get("stats_cols")
+    if constraints is None:
+        constraints = prior_schema.get("constraints")
     if bloom_cols is None:
         bloom_cols = prior_schema.get("bloom_cols")
         if bloom_cols and bloom_bits is None:
@@ -649,25 +687,30 @@ def write_snapshot(
         bloom_bits = BLOOM_BITS
     if bloom_bits % 8:
         raise ValueError(f"bloom_bits must be a multiple of 8, got {bloom_bits}")
-    if bloom_cols:
-        # Pin the plan's output before evaluating it twice (bloom agg
-        # + data write): a nondeterministic input would otherwise
-        # persist bitmaps disagreeing with the written rows — bloom
-        # pruning would then silently drop real data. Same reason
-        # merge/compact checkpoint before their bloom pass.
+    if bloom_cols or constraints:
+        # Pin the plan's output before evaluating it twice (bloom agg /
+        # constraint check + data write): a nondeterministic input
+        # would otherwise persist bitmaps (or pass checks) disagreeing
+        # with the written rows. Same reason merge/compact checkpoint
+        # before their bloom pass.
         df = df.localCheckpoint(eager=False)
+    if constraints:
+        _enforce_constraints(df, constraints)
     blooms = (
         _compute_blooms(df, partition_col, bloom_cols, bloom_bits)
         if bloom_cols
         else {}
     )
     entries, stats = _write_commit_data(df, path, partition_col, stats_cols)
+    meta = _schema_meta(df, partition_col, stats_cols, bloom_cols, bloom_bits)
+    if constraints:
+        meta["constraints"] = list(constraints)
     return _commit(
         path,
         parent,
         entries,
         "overwrite",
-        _schema_meta(df, partition_col, stats_cols, bloom_cols, bloom_bits),
+        meta,
         stats=stats,
         blooms=blooms,
     )
@@ -879,7 +922,10 @@ def _partition_scoped_commit(
         bloom_cols if bootstrap else None
     )
     table_bloom_bits = (man.get("schema") or {}).get("bloom_bits") or BLOOM_BITS
+    table_constraints = prev_meta.get("constraints")
     if bootstrap:
+        if table_constraints:
+            _enforce_constraints(source, table_constraints)
         blooms = (
             _compute_blooms(
                 source, partition_col, table_bloom_cols, table_bloom_bits
@@ -941,11 +987,14 @@ def _partition_scoped_commit(
         merged = combine(existing, source)
     else:
         merged = source
-    if table_bloom_cols:
+    if table_bloom_cols or table_constraints:
         # One extra aggregate pass over the REWRITTEN partitions only;
         # the merged frame is re-derived from the checkpointed source
         # plus the touched-partition scan.
         merged = merged.localCheckpoint(eager=False)
+    if table_constraints:
+        _enforce_constraints(merged, table_constraints)
+    if table_bloom_cols:
         new_blooms = _compute_blooms(
             merged, partition_col, table_bloom_cols, table_bloom_bits
         )
@@ -1313,6 +1362,7 @@ def table_info(path: str, version: int | None = None) -> dict:
             list(_snap_dir(path).glob("v*.json"))
         ) if _snap_dir(path).is_dir() else 0,
         "stats_cols": meta.get("stats_cols") or [],
+        "constraints": meta.get("constraints") or [],
         "bloom_cols": meta.get("bloom_cols") or [],
         "stats_partitions": len(man.get("stats") or {}),
         "bloom_partitions": len(man.get("blooms") or {}),
