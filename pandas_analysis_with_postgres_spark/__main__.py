@@ -50,7 +50,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "history", "read", "expire", "compact", "sql", "info",
-            "changes", "maintain", "delete",
+            "changes", "maintain", "delete", "tag",
         ],
     )
     p_sn.add_argument("path")
@@ -97,6 +97,11 @@ def main(argv: list[str] | None = None) -> int:
         "--key",
         default=None,
         help="(changes) the table's merge key column",
+    )
+    p_sn.add_argument(
+        "--tag",
+        default=None,
+        help="(tag) name to pin the version under (a retention root)",
     )
     p_sn.add_argument(
         "--where",
@@ -170,6 +175,15 @@ def main(argv: list[str] | None = None) -> int:
                 min_age_sec=args.min_age_sec,
             )
             print(_json.dumps(r))
+            return 0
+        if args.action == "tag":
+            from .sources.snapshot import list_tags, tag_snapshot
+
+            if not args.tag:
+                print("snapshot tag requires --tag", file=sys.stderr)
+                return 2
+            v = tag_snapshot(args.path, args.tag, args.version)
+            print(f"tagged v{v} as {args.tag!r}; tags: {list_tags(args.path)}")
             return 0
         if args.action == "delete":
             import json as _json

@@ -99,13 +99,78 @@ def current_version(path: str) -> int:
     return max(versions, default=0)
 
 
-def read_manifest(path: str, version: int | None = None) -> dict:
-    """Load one manifest (default: the newest)."""
+def read_manifest(path: str, version: "int | str | None" = None) -> dict:
+    """Load one manifest (default: the newest). A string ``version``
+    is resolved as a TAG name (:func:`tag_snapshot`)."""
+    if isinstance(version, str):
+        version = resolve_tag(path, version)
     v = current_version(path) if version is None else version
     if v == 0:
         return {"version": 0, "parent": 0, "partitions": {}, "operation": "empty"}
     with open(_snap_dir(path) / _manifest_name(v)) as f:
         return json.load(f)
+
+
+_TAG_DIR = "tags"
+_TAG_NAME_OK = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-"
+
+
+def _tag_path(path: str, name: str) -> Path:
+    if not name or any(ch not in _TAG_NAME_OK for ch in name):
+        raise ValueError(f"invalid tag name {name!r} (use [A-Za-z0-9._-])")
+    return _snap_dir(path) / _TAG_DIR / f"{name}.json"
+
+
+def tag_snapshot(path: str, name: str, version: int | None = None) -> int:
+    """Pin a version under a NAME — the "training-data release"
+    primitive: a tag is a named pointer a reader can resolve
+    (``read_snapshot(spark, path, "v2024-q3")``) and, crucially, a
+    RETENTION ROOT — :func:`expire_snapshots` never drops a tagged
+    version or its data, however old, until the tag is deleted.
+    Re-tagging an existing name re-points it. Returns the pinned
+    version."""
+    v = current_version(path) if version is None else version
+    if v < 1 or not (_snap_dir(path) / _manifest_name(v)).exists():
+        raise ValueError(f"cannot tag {path} at nonexistent version {v}")
+    tp = _tag_path(path, name)
+    tp.parent.mkdir(parents=True, exist_ok=True)
+    tmp = tp.parent / f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "version": v, "created": _now()}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, tp)
+    _fsync_dir(tp.parent)
+    return v
+
+
+def resolve_tag(path: str, name: str) -> int:
+    """Tag name → version; raises KeyError for an unknown tag."""
+    tp = _tag_path(path, name)
+    if not tp.exists():
+        raise KeyError(f"no tag {name!r} on {path}")
+    with open(tp) as f:
+        return json.load(f)["version"]
+
+
+def list_tags(path: str) -> dict[str, int]:
+    """All tags as {name: version}."""
+    d = _snap_dir(path) / _TAG_DIR
+    if not d.is_dir():
+        return {}
+    out = {}
+    for p in d.glob("*.json"):
+        with open(p) as f:
+            t = json.load(f)
+        out[t["name"]] = t["version"]
+    return out
+
+
+def delete_tag(path: str, name: str) -> None:
+    """Remove a tag (its version becomes expirable again)."""
+    tp = _tag_path(path, name)
+    if tp.exists():
+        os.unlink(tp)
 
 
 def _stat_json(v):
@@ -274,7 +339,7 @@ def _ranges_overlap(stats: dict, column_ranges: dict) -> bool:
 def read_snapshot(
     spark: SparkSession,
     path: str,
-    version: int | None = None,
+    version: "int | str | None" = None,
     *,
     partition_filter: "Callable[[str], bool] | None" = None,
     column_ranges: dict | None = None,
@@ -1225,6 +1290,10 @@ def expire_snapshots(
     :class:`ConcurrentCommitError` path, not ``FileNotFoundError``.
     Pass 0 only when no writer can be active.
 
+    TAGGED versions (:func:`tag_snapshot`) are retention roots: they
+    and their data survive expiry regardless of age until the tag is
+    deleted.
+
     ``keep`` must be >= 1 — the newest manifest is the table; expiring
     all history would silently turn ``keep=0`` into keep-everything
     (``versions[-0:]`` is the whole list), so it is rejected."""
@@ -1240,10 +1309,12 @@ def expire_snapshots(
     # Only manifests old enough to clear the in-flight-writer guard are
     # actually dropped this pass; younger ones are retained (and keep
     # their data live) until a later maintenance run.
+    tagged = set(list_tags(path).values())
     dropped = [
         v
         for v in versions[:-keep]
-        if (snap / _manifest_name(v)).stat().st_mtime <= cutoff
+        if v not in tagged
+        and (snap / _manifest_name(v)).stat().st_mtime <= cutoff
     ]
     retained = [v for v in versions if v not in set(dropped)]
     live_commits = set()
@@ -1363,6 +1434,7 @@ def table_info(path: str, version: int | None = None) -> dict:
         ) if _snap_dir(path).is_dir() else 0,
         "stats_cols": meta.get("stats_cols") or [],
         "constraints": meta.get("constraints") or [],
+        "tags": list_tags(path),
         "bloom_cols": meta.get("bloom_cols") or [],
         "stats_partitions": len(man.get("stats") or {}),
         "bloom_partitions": len(man.get("blooms") or {}),

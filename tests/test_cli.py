@@ -237,3 +237,19 @@ def test_snapshot_delete_cli(spark, tmp_path, capsys):
     assert {r.k for r in read_snapshot(spark, path).collect()} == {1, 3}
     # missing --where is a usage error, not a traceback
     assert main(["snapshot", "delete", path]) == 2
+
+
+def test_snapshot_tag_cli(spark, tmp_path, capsys):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        resolve_tag,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, 0)], "k long, p long"), path, "p"
+    )
+    assert main(["snapshot", "tag", path, "--tag", "rel-1"]) == 0
+    assert "rel-1" in capsys.readouterr().out
+    assert resolve_tag(path, "rel-1") == 1
+    assert main(["snapshot", "tag", path]) == 2

@@ -963,3 +963,48 @@ def test_read_changes_end_version_bounds_feed(spark, tmp_path):
         ("insert", 1, 1),
         ("insert", 2, 2),
     }
+
+
+def test_tags_pin_versions_and_survive_expiry(spark, tmp_path):
+    """Tags: named version pointers that are RETENTION ROOTS — expiry
+    keeps a tagged version and its data however old, until untagged."""
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        delete_tag,
+        expire_snapshots,
+        list_tags,
+        merge_snapshot,
+        read_snapshot,
+        resolve_tag,
+        tag_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, 0)], "k long, p long"), path, "p"
+    )
+    tag_snapshot(path, "release-1")
+    for i in range(2, 6):
+        merge_snapshot(
+            path,
+            spark.createDataFrame([(i, 0)], "k long, p long"),
+            "k",
+            "p",
+        )
+    assert resolve_tag(path, "release-1") == 1
+    # read by tag name
+    assert {r.k for r in read_snapshot(spark, path, "release-1").collect()} == {1}
+    # aggressive expiry keeps the tagged v1 (and the newest 2)
+    expire_snapshots(path, keep=2, min_age_sec=0.0)
+    assert {r.k for r in read_snapshot(spark, path, "release-1").collect()} == {1}
+    assert list_tags(path) == {"release-1": 1}
+    # untag → the version becomes expirable
+    delete_tag(path, "release-1")
+    expire_snapshots(path, keep=2, min_age_sec=0.0)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path, 1).collect()
+    # invalid tag names rejected
+    with _pytest.raises(ValueError):
+        tag_snapshot(path, "bad/name")
