@@ -118,6 +118,7 @@ EXTRA = (
     "z13_image_resize",
     "z14_optout_delete",
     "z15_schema_evolution",
+    "z16_audio_resample",
 )
 
 

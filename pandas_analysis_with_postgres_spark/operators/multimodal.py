@@ -223,6 +223,19 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, int, int]:
     an exact int (unsigned byte values for PCM8, signed LE for PCM16).
     Raises ``ValueError`` on malformed chunks or non-PCM encodings.
     """
+    sample_rate, n_channels, bits, samples = parse_wav(payload)
+    return (
+        sample_rate,
+        n_channels,
+        int(samples.size),
+        int(samples.sum(dtype=np.int64)),
+    )
+
+
+def parse_wav(payload: bytes) -> "tuple[int, int, int, np.ndarray]":
+    """Chunk-walking half of :func:`decode_wav_pcm`: returns
+    ``(sample_rate, n_channels, bits, samples)`` or raises ValueError.
+    Shared with :func:`resample_audio`, which needs the samples."""
     buf = bytes(payload or b"")
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -251,13 +264,7 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, int, int]:
                 raise ValueError("truncated data chunk")
             sample_rate, n_channels, bits = fmt
             dtype = np.uint8 if bits == 8 else np.dtype("<i2")
-            samples = np.frombuffer(body, dtype=dtype)
-            return (
-                sample_rate,
-                n_channels,
-                int(samples.size),
-                int(samples.sum(dtype=np.int64)),
-            )
+            return sample_rate, n_channels, bits, np.frombuffer(body, dtype=dtype)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     raise ValueError("no data chunk")
 
@@ -506,3 +513,73 @@ def media_metadata(media: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_frames"),
     )
+
+
+#: Output schema of resample_audio: decimated payload + exact stats.
+RESAMPLED_AUDIO_SCHEMA = (
+    "doc_id long, src_rate int, rate int, src_samples long, "
+    "n_samples long, sample_sum long, payload binary"
+)
+
+
+def resample_audio(media: DataFrame, *, factor: int = 4) -> DataFrame:
+    """REAL audio downsample under Arrow-batched ``mapInPandas``:
+    every PCM payload is parsed (:func:`parse_wav`), DECIMATED by the
+    integer ``factor`` (keep samples ``0, k, 2k, …`` — the exact
+    integer index map, so the SQL oracle replays the resampled sum
+    per character), and re-encoded as a valid RIFF/WAVE file at
+    ``rate // factor``. Mono only (the fixture's shape); stereo needs
+    frame-wise decimation, rejected loudly rather than silently
+    averaged.
+
+    This is the oracle-replayable CORE of resampling; a production
+    pipeline low-pass-filters before decimating (anti-aliasing), which
+    is a numpy convolution away but destroys exact replay — the
+    deterministic index map is the part worth hash-verifying.
+
+    Scale shape: identical to :func:`featurize_audio` — a narrow map
+    fused onto the scan, payload bytes never shuffle.
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "src_rate", "rate", "src_samples",
+                "n_samples", "sample_sum", "payload",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, bits, samples = parse_wav(payload)
+                if ch != 1:
+                    raise ValueError(
+                        f"resample_audio supports mono only, got {ch} channels"
+                    )
+                dec = samples[::factor]
+                new_rate = max(rate // factor, 1)
+                body = dec.tobytes()
+                block = 1 if bits == 8 else 2
+                header = (
+                    b"RIFF"
+                    + (36 + len(body)).to_bytes(4, "little")
+                    + b"WAVEfmt "
+                    + (16).to_bytes(4, "little")
+                    + (1).to_bytes(2, "little")
+                    + (1).to_bytes(2, "little")
+                    + new_rate.to_bytes(4, "little")
+                    + (new_rate * block).to_bytes(4, "little")
+                    + block.to_bytes(2, "little")
+                    + bits.to_bytes(2, "little")
+                    + b"data"
+                    + len(body).to_bytes(4, "little")
+                )
+                out["doc_id"].append(doc_id)
+                out["src_rate"].append(rate)
+                out["rate"].append(new_rate)
+                out["src_samples"].append(int(samples.size))
+                out["n_samples"].append(int(dec.size))
+                out["sample_sum"].append(int(dec.sum(dtype=np.int64)))
+                out["payload"].append(header + body)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(rs, schema=RESAMPLED_AUDIO_SCHEMA)

@@ -2540,6 +2540,47 @@ def z10_scd2_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: z16 decimation factor: 8000 Hz fixture audio → 2000 Hz.
+AUDIO_DECIMATE = 4
+
+
+def z16_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio downsample (operators.multimodal.resample_audio):
+    every WAV payload decimated 4× (keep samples 0, 4, 8, … — the
+    exact-replay core of resampling; production adds an anti-alias
+    low-pass first) and re-encoded as a valid 2000 Hz RIFF/WAVE file.
+    The oracle replays the decimated sample sum per character from the
+    base table. Audio twin of z13's image resize — the multimodal
+    surface now covers decode / featurize / frame-sample / resize /
+    resample, all real."""
+    from ..operators.multimodal import attach_wav_payload, resample_audio
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_wav_payload(docs)
+    return resample_audio(media, factor=AUDIO_DECIMATE).select(
+        "doc_id", "src_rate", "rate", "src_samples", "n_samples", "sample_sum"
+    )
+
+
+def _audio_resample_oracle() -> str:
+    k = AUDIO_DECIMATE
+    return f"""
+SELECT doc_id,
+       8000 AS src_rate, {8000 // k} AS rate,
+       length(text)::BIGINT AS src_samples,
+       ((length(text) + {k - 1}) // {k})::BIGINT AS n_samples,
+       list_reduce(list_prepend(0::BIGINT,
+           list_transform(generate_series(0, (length(text) - 1) // {k}),
+               j -> ascii(substring(text, (j * {k} + 1)::INT, 1))::BIGINT)),
+           (a, b) -> a + b) AS sample_sum
+FROM documents
+WHERE length(text) >= 1 AND octet_length(encode(text)) = length(text)
+"""
+
+
+Z16_SQL = _audio_resample_oracle()
+
+
 #: z15's schema-evolution snapshot tables, memoized like q98's.
 _EVOLVE_TABLES: dict = {}
 
@@ -2984,6 +3025,7 @@ EXTENSION_QUERIES = {
     "z13_image_resize": z13_image_resize,
     "z14_optout_delete": z14_optout_delete,
     "z15_schema_evolution": z15_schema_evolution,
+    "z16_audio_resample": z16_audio_resample,
 }
 
 EXTENSION_ORACLES = {
@@ -3020,6 +3062,7 @@ EXTENSION_ORACLES = {
     "z13_image_resize": Z13_SQL,
     "z14_optout_delete": Z14_SQL,
     "z15_schema_evolution": Z15_SQL,
+    "z16_audio_resample": Z16_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

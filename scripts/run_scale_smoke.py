@@ -63,6 +63,7 @@ SMOKE = (
     "z13_image_resize",
     "z14_optout_delete",
     "z15_schema_evolution",
+    "z16_audio_resample",
 )
 
 

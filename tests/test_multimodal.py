@@ -297,3 +297,46 @@ class TestResizeImages:
         w, h, sr, sg, sb = decode_ppm(bytes(row.payload))
         assert (w, h) == (2, 1)
         assert (sr, sg, sb) == (row.sum_r, row.sum_g, row.sum_b)
+
+
+class TestResampleAudio:
+    """resample_audio: decimation index map, payload round-trip."""
+
+    def _media(self, spark, text):
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            attach_wav_payload,
+        )
+
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return attach_wav_payload(docs)
+
+    def test_hand_computed_decimation(self, spark):
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            resample_audio,
+        )
+
+        # samples = bytes of "ABCDEFG"; factor 3 keeps A, D, G
+        row = resample_audio(self._media(spark, "ABCDEFG"), factor=3).collect()[0]
+        assert (row.src_rate, row.rate) == (8000, 2666)
+        assert (row.src_samples, row.n_samples) == (7, 3)
+        assert row.sample_sum == ord("A") + ord("D") + ord("G")
+
+    def test_resampled_payload_is_valid_wav(self, spark):
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            decode_wav_pcm,
+            resample_audio,
+        )
+
+        row = resample_audio(self._media(spark, "ABCDEFG"), factor=3).collect()[0]
+        rate, ch, n, total = decode_wav_pcm(bytes(row.payload))
+        assert (rate, ch, n, total) == (2666, 1, 3, row.sample_sum)
+
+    def test_factor_one_is_identity(self, spark):
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            decode_wav_pcm,
+            resample_audio,
+        )
+
+        row = resample_audio(self._media(spark, "xyz"), factor=1).collect()[0]
+        assert row.n_samples == row.src_samples == 3
+        assert decode_wav_pcm(bytes(row.payload))[0] == 8000

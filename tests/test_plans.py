@@ -102,6 +102,7 @@ DECLARED_PYTHON = {
     "a97_audio_features",
     "z09_chunk_udtf",
     "z13_image_resize",
+    "z16_audio_resample",
 }
 
 
