@@ -175,6 +175,7 @@ def scd2_merge_snapshot(
     """
     from ..sources.snapshot import (
         current_version,
+        read_manifest,
         read_snapshot,
         replace_partitions,
     )
@@ -184,7 +185,17 @@ def scd2_merge_snapshot(
         "bucket", F.pmod(F.col(key).cast("long"), F.lit(n_buckets))
     ).localCheckpoint(eager=False)
     parent = current_version(path)
-    if parent == 0:
+    existing_parts = (
+        set(read_manifest(path, parent)["partitions"]) if parent else set()
+    )
+    touched = {
+        f"bucket={r[0]}"
+        for r in staged_b.select("bucket").distinct().collect()
+    }
+    if parent == 0 or not (touched & existing_parts):
+        # bootstrap, or every touched bucket is new to the table — no
+        # history exists for these keys (read_snapshot would raise on
+        # an all-pruned partition filter)
         history = staged_b.limit(0).withColumns(
             {
                 "effective_from_date": F.lit(None).cast("timestamp"),
@@ -195,10 +206,6 @@ def scd2_merge_snapshot(
             }
         )
     else:
-        touched = {
-            f"bucket={r[0]}"
-            for r in staged_b.select("bucket").distinct().collect()
-        }
         history = read_snapshot(
             spark, path, parent, partition_filter=lambda p: p in touched
         )

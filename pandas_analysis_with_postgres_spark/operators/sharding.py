@@ -188,12 +188,17 @@ def write_shards(
     import json
     import os
 
-    # global_rank pins its input plan internally, so the ranked frame
-    # is already deterministic across the data write and the manifest
-    # aggregate below; checkpointing here again would double-buffer.
     ranked = global_rank(
         df, order_col, bucket_width=bucket_width, num_shards=num_shards
     )
+    # global_rank pins its INPUT, which fixes the bucket offsets — but
+    # the per-bucket row_number still resolves ties by shuffle arrival
+    # order, which can differ between the data write and the manifest
+    # aggregate (two jobs). Checkpoint the RANKED output so both read
+    # one materialization; order_col uniqueness makes this redundant,
+    # but the manifest must match the files even for contract-breaking
+    # inputs.
+    ranked = ranked.localCheckpoint(eager=False)
     (
         ranked.repartition(num_shards, "shard")
         .sortWithinPartitions("rank")

@@ -49,8 +49,18 @@ def resample_ffill(
     observation. ``bucket`` overrides the default
     ``date_trunc``-by-interval bucketing expression.
     """
-    unit = interval.split()[-1].rstrip("s")
+    parts = interval.split()
+    unit = parts[-1].rstrip("s")
+    mult = parts[0] if len(parts) == 2 else "1"
     if bucket is None:
+        if mult != "1":
+            # date_trunc cannot express a multi-unit grid; without a
+            # caller-supplied bucket the observations would land on
+            # off-grid buckets and silently vanish in the grid join.
+            raise ValueError(
+                f"interval {interval!r} needs an explicit `bucket` "
+                "expression (date_trunc only supports 1-unit grids)"
+            )
         bucket = F.date_trunc(unit, F.col(ts_col))
     obs = (
         events.select(

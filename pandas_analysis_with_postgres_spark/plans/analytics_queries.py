@@ -802,8 +802,16 @@ def q88_orders_profile(
                 "AS (column, n_nulls, min_repr, max_repr)"
             ),
         )
-        return base.join(F.broadcast(est), "column").select(
-            "column", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr"
+        # LEFT join: an all-NULL column emits zero HLL probes and has
+        # no estimate row — it must still profile (n_distinct 0), as
+        # the exact mode does.
+        return base.join(F.broadcast(est), "column", "left").select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            "min_repr",
+            "max_repr",
         )
     stacked = ", ".join(
         f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"

@@ -2790,7 +2790,7 @@ FROM grid g LEFT JOIN daily d
 """
 
 
-#: z11's (source table, view table, cursor) fixture, memoized per
+#: z11's (source table, view table) fixture, memoized per
 #: (applicationId, sf_dir) like the other snapshot fixtures.
 _MATVIEW_TABLES: dict = {}
 
@@ -2811,11 +2811,7 @@ def _matview_tables(spark: SparkSession, sf_dir: str) -> str:
     paths = _MATVIEW_TABLES.get(key)
     if paths is None:
         root = _tracked_mkdtemp("snap_matview_")
-        src, view, cursor = (
-            root + "/src",
-            root + "/view",
-            root + "/cursor.json",
-        )
+        src, view = root + "/src", root + "/view"
         cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
             "long"
         )
@@ -2833,7 +2829,6 @@ def _matview_tables(spark: SparkSession, sf_dir: str) -> str:
             key="o_orderkey",
             group_col="o_orderstatus",
             sum_col="price_cents",
-            cursor_path=cursor,
         )
         second = base.filter(F.col("o_orderkey") % 3 == 0).unionByName(
             base.filter(
@@ -2848,7 +2843,6 @@ def _matview_tables(spark: SparkSession, sf_dir: str) -> str:
             key="o_orderkey",
             group_col="o_orderstatus",
             sum_col="price_cents",
-            cursor_path=cursor,
         )
         paths = view
         _MATVIEW_TABLES[key] = paths

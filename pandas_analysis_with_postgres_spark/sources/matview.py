@@ -4,11 +4,24 @@ A 100 TB warehouse does not recompute its downstream aggregates from
 scratch on every upstream commit — it applies the DELTA. This module
 closes that loop with the pieces already in the repo: the source table
 emits a CDF (``snapshot.diff_snapshots`` rows tagged
-insert/delete/update_pre/update_post), the durable-cursor consumer
-(``snapshot.consume_changes``) delivers it at-least-once, and the
-aggregate table is itself a snapshot table updated via a
-txn-idempotent ``merge_snapshot`` — so the whole pipeline is
-exactly-once end-to-end.
+insert/delete/update_pre/update_post), and the aggregate table is
+itself a snapshot table updated via a txn-idempotent
+``merge_snapshot``.
+
+Exactly-once WITHOUT a separate cursor: the view table's own txn
+watermark IS the durable cursor. Each cycle reads the watermark
+``txn[consumer_id]`` from the view's manifest, consumes the feed
+``(watermark, latest]`` (bounded to the ``latest`` snapshotted before
+the read — a racing source commit is delivered next cycle), and merges
+with ``txn=(consumer_id, latest)`` — so consumed-range bookkeeping and
+the data it produced advance in ONE atomic commit. There is no state
+that can diverge: a crash anywhere either left the commit published
+(watermark advanced, next cycle starts after it) or not (next cycle
+replays the identical range). A separate cursor file would reintroduce
+the classic double-apply race: crash between merge and cursor write,
+then a NEW source commit widens the retry's range so its txn version
+exceeds the recorded watermark and the already-applied deltas land
+again.
 
 Why additive aggregates: SUM and COUNT are self-inverse under the CDF
 signs (+post −pre), so a group's new value is ``old + Σ signed
@@ -59,68 +72,78 @@ def maintain_sum_view(
     key: str,
     group_col: str,
     sum_col: str,
-    cursor_path: str,
     consumer_id: str = "matview",
     n_buckets: int = VIEW_BUCKETS,
 ) -> dict:
     """Run ONE maintenance cycle: consume the source's change feed
-    after the durable cursor and fold it into the per-group
-    ``(n_rows, total)`` view table. Returns ``consume_changes``'s
+    after the view's recorded watermark and fold it into the per-group
+    ``(n_rows, total)`` view table. Returns
     ``{"from_version", "to_version", "applied"}``.
 
-    Exactly-once: redelivery after a crash between view-merge and
-    cursor advance is absorbed by the view table's txn watermark
-    (``txn=(consumer_id, to_version)``) — the replayed merge is a
-    no-op, then the cursor advances.
+    Exactly-once by construction: the consumed range and its data
+    advance in one atomic view commit (module docstring) — there is no
+    separate cursor to diverge from the data.
     """
-    from .snapshot import current_version, merge_snapshot, read_snapshot
+    from .snapshot import (
+        current_version,
+        merge_snapshot,
+        read_changes,
+        read_manifest,
+        read_snapshot,
+    )
 
-    def apply_fn(feed: DataFrame, from_v: int, to_v: int) -> None:
-        delta = signed_delta(feed, group_col, sum_col).withColumn(
-            "bucket",
-            F.pmod(F.xxhash64(F.col(group_col)), F.lit(n_buckets)),
-        )
-        delta = delta.localCheckpoint(eager=False)
-        if current_version(view_path) > 0:
-            touched = {
-                f"bucket={r[0]}"
-                for r in delta.select("bucket").distinct().collect()
-            }
-            existing = read_snapshot(
-                spark,
-                view_path,
-                partition_filter=lambda p: p in touched,
-            ).select(group_col, "n_rows", "total")
-        else:
-            # types follow the delta (pass an integral cents column for
-            # engine-exact totals; doubles cancel only approximately)
-            existing = delta.select(
-                group_col,
-                F.col("d_rows").alias("n_rows"),
-                F.col("d_sum").alias("total"),
-            ).limit(0)
-        merged = delta.join(existing, group_col, "left").select(
-            group_col,
-            "bucket",
-            (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows")).alias(
-                "n_rows"
-            ),
-            (F.coalesce(F.col("total"), F.lit(0)) + F.col("d_sum")).alias(
-                "total"
-            ),
-        )
-        # A group whose rows all vanished stays as an n_rows=0 tombstone
-        # (a partition-scoped MERGE cannot delete a key from its
-        # bucket); readers filter n_rows > 0. This is data, not drift —
-        # the tombstone's totals are exactly zero for integral columns.
-        merge_snapshot(
+    latest = current_version(source_path)
+    cur = int(
+        (read_manifest(view_path).get("txn") or {}).get(consumer_id, 0)
+    )
+    if cur >= latest:
+        return {"from_version": cur, "to_version": latest, "applied": False}
+    feed = read_changes(
+        spark, source_path, since_version=cur, key=key, end_version=latest
+    )
+    delta = signed_delta(feed, group_col, sum_col).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64(F.col(group_col)), F.lit(n_buckets)),
+    )
+    delta = delta.localCheckpoint(eager=False)
+    view_parts = set(read_manifest(view_path)["partitions"])
+    touched = {
+        f"bucket={r[0]}" for r in delta.select("bucket").distinct().collect()
+    }
+    if touched & view_parts:
+        existing = read_snapshot(
+            spark,
             view_path,
-            merged,
+            partition_filter=lambda p: p in touched,
+        ).select(group_col, "n_rows", "total")
+    else:
+        # empty or brand-new buckets only: no history to fold in.
+        # Types follow the delta (pass an integral cents column for
+        # engine-exact totals; doubles cancel only approximately).
+        existing = delta.select(
             group_col,
-            "bucket",
-            txn=(consumer_id, to_v),
-        )
-
-    from .snapshot import consume_changes
-
-    return consume_changes(spark, source_path, key, apply_fn, cursor_path)
+            F.col("d_rows").alias("n_rows"),
+            F.col("d_sum").alias("total"),
+        ).limit(0)
+    merged = delta.join(existing, group_col, "left").select(
+        group_col,
+        "bucket",
+        (F.coalesce(F.col("n_rows"), F.lit(0)) + F.col("d_rows")).alias(
+            "n_rows"
+        ),
+        (F.coalesce(F.col("total"), F.lit(0)) + F.col("d_sum")).alias(
+            "total"
+        ),
+    )
+    # A group whose rows all vanished stays as an n_rows=0 tombstone
+    # (a partition-scoped MERGE cannot delete a key from its
+    # bucket); readers filter n_rows > 0. This is data, not drift —
+    # the tombstone's totals are exactly zero for integral columns.
+    merge_snapshot(
+        view_path,
+        merged,
+        group_col,
+        "bucket",
+        txn=(consumer_id, latest),
+    )
+    return {"from_version": cur, "to_version": latest, "applied": True}

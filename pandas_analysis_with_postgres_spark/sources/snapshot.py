@@ -746,8 +746,11 @@ def write_snapshot(
         constraints = prior_schema.get("constraints")
     if bloom_cols is None:
         bloom_cols = prior_schema.get("bloom_cols")
-        if bloom_cols and bloom_bits is None:
-            bloom_bits = prior_schema.get("bloom_bits")
+    if bloom_bits is None:
+        # inherited even when bloom_cols is restated explicitly — a
+        # refresh repeating the columns must not silently shrink the
+        # table's sized bitmaps back to the default
+        bloom_bits = prior_schema.get("bloom_bits")
     if bloom_bits is None:
         bloom_bits = BLOOM_BITS
     if bloom_bits % 8:
@@ -1152,6 +1155,8 @@ def evolve_snapshot_schema(
     retired = {old for old, _ in (meta.get("renames") or [])} | set(
         meta.get("dropped") or []
     )
+    if len(set(renames.values())) != len(renames):
+        raise ValueError(f"duplicate rename targets in {renames}")
     for old, new in renames.items():
         if old in protected:
             raise ValueError(f"cannot rename {old!r}: partition/index column")

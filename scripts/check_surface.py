@@ -15,8 +15,9 @@ from __future__ import annotations
 
 import re
 import sys
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 #: Queries allowed to ship without an oracle, WITH the reason. Empty
 #: today — every declared query is hash-oracled — but the allowlist

@@ -80,3 +80,19 @@ def test_delete_where_rewrite_respects_constraints(spark, tmp_path):
     r = delete_where(spark, path, "k = 1")
     assert r["deleted_rows"] == 1
     assert {x.k for x in read_snapshot(spark, path).collect()} == {2}
+
+
+def test_restating_bloom_cols_keeps_sized_bits(spark, tmp_path):
+    """Code-review finding: a refresh that restates bloom_cols but not
+    bloom_bits must keep the table's sized bitmaps, not shrink to the
+    4096 default."""
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        _df(spark, [(1, 1, 0)]), path, "p", bloom_cols=["k"], bloom_bits=65536
+    )
+    write_snapshot(_df(spark, [(2, 2, 0)]), path, "p", bloom_cols=["k"])
+    assert read_manifest(path)["schema"]["bloom_bits"] == 65536

@@ -29,7 +29,7 @@ def _view_state(spark, view):
     }
 
 
-def _maintain(spark, src, view, cursor):
+def _maintain(spark, src, view):
     return maintain_sum_view(
         spark,
         src,
@@ -37,20 +37,18 @@ def _maintain(spark, src, view, cursor):
         key="k",
         group_col="grp",
         sum_col="v",
-        cursor_path=cursor,
     )
 
 
 def test_delta_maintenance_matches_direct_aggregate(spark, tmp_path):
     src = str(tmp_path / "src")
     view = str(tmp_path / "view")
-    cursor = str(tmp_path / "cur.json")
     write_snapshot(
         _rows(spark, [(1, "a", 10, 0), (2, "a", 20, 0), (3, "b", 5, 1)]),
         src,
         "p",
     )
-    r = _maintain(spark, src, view, cursor)
+    r = _maintain(spark, src, view)
     assert r["applied"] and r["to_version"] == 1
     assert _view_state(spark, view) == {"a": (2, 30), "b": (1, 5)}
 
@@ -58,51 +56,55 @@ def test_delta_maintenance_matches_direct_aggregate(spark, tmp_path):
     merge_snapshot(
         src, _rows(spark, [(2, "a", 25, 0), (4, "b", 7, 1)]), "k", "p"
     )
-    r = _maintain(spark, src, view, cursor)
+    r = _maintain(spark, src, view)
     assert r["applied"] and r["to_version"] == 2
     assert _view_state(spark, view) == {"a": (2, 35), "b": (2, 12)}
     # caught up: no-op
-    assert _maintain(spark, src, view, cursor)["applied"] is False
+    assert _maintain(spark, src, view)["applied"] is False
 
 
 def test_deletes_decrement_and_leave_tombstones(spark, tmp_path):
     src = str(tmp_path / "src")
     view = str(tmp_path / "view")
-    cursor = str(tmp_path / "cur.json")
     write_snapshot(
         _rows(spark, [(1, "a", 10, 0), (2, "b", 20, 0), (3, "b", 5, 0)]),
         src,
         "p",
     )
-    _maintain(spark, src, view, cursor)
+    _maintain(spark, src, view)
     # replace partition p=0 WITHOUT group a: its row is a CDF delete
     replace_partitions(
         src, _rows(spark, [(2, "b", 20, 0), (3, "b", 6, 0)]), "p"
     )
-    _maintain(spark, src, view, cursor)
+    _maintain(spark, src, view)
     state = _view_state(spark, view)
     assert state["b"] == (2, 26)
     # vanished group stays as an n_rows=0 tombstone; readers filter
     assert state["a"] == (0, 0)
 
 
-def test_redelivery_is_exactly_once(spark, tmp_path):
+def test_watermark_is_the_cursor_no_double_apply(spark, tmp_path):
+    """The range bookkeeping IS the view commit (txn watermark): a
+    crash can never leave an applied range unrecorded, and — the
+    code-review race — a NEW source commit landing after a crash
+    cannot widen a retry into double-applying the old range, because
+    the watermark already covers it."""
     src = str(tmp_path / "src")
     view = str(tmp_path / "view")
-    cursor = str(tmp_path / "cur.json")
     write_snapshot(_rows(spark, [(1, "a", 10, 0)]), src, "p")
-    _maintain(spark, src, view, cursor)
+    _maintain(spark, src, view)
     merge_snapshot(src, _rows(spark, [(2, "a", 5, 0)]), "k", "p")
-    _maintain(spark, src, view, cursor)
+    _maintain(spark, src, view)
     assert _view_state(spark, view) == {"a": (2, 15)}
-    # simulate a crash AFTER the view merge but BEFORE the cursor
-    # advance: wind the cursor back and redeliver the same range
-    import json
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_manifest,
+    )
 
-    with open(cursor, "w") as f:
-        json.dump({"version": 1}, f)
-    r = _maintain(spark, src, view, cursor)
-    assert r["applied"] is True  # redelivered...
-    assert _view_state(spark, view) == {"a": (2, 15)}  # ...applied once
-    # cursor restored; further cycles are no-ops
-    assert _maintain(spark, src, view, cursor)["applied"] is False
+    assert (read_manifest(view).get("txn") or {}).get("matview") == 2
+    # a new source commit after the "crash": the next cycle consumes
+    # ONLY (2, 3] — the applied range is never replayed
+    merge_snapshot(src, _rows(spark, [(3, "a", 1, 0)]), "k", "p")
+    r = _maintain(spark, src, view)
+    assert (r["from_version"], r["to_version"]) == (2, 3)
+    assert _view_state(spark, view) == {"a": (3, 16)}
+    assert _maintain(spark, src, view)["applied"] is False

@@ -209,7 +209,7 @@ def test_matview_equals_direct_aggregate_after_random_commits(
     )
 
     root = tmp_path_factory.mktemp("mv")
-    src, view, cursor = str(root / "s"), str(root / "v"), str(root / "c.json")
+    src, view = str(root / "s"), str(root / "v")
     state: dict[int, tuple[str, int]] = {}
     for ci, batch in enumerate(commits):
         # last write per key wins within a batch (merge contract: the
@@ -231,7 +231,6 @@ def test_matview_equals_direct_aggregate_after_random_commits(
             key="k",
             group_col="grp",
             sum_col="val",
-            cursor_path=cursor,
         )
     got = {
         r.grp: (r.n_rows, r.total)

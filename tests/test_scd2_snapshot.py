@@ -103,3 +103,19 @@ def test_txn_makes_replayed_round_a_noop(spark, tmp_path):
     )
     assert v2 == 1
     assert read_snapshot(spark, path).count() == 1
+
+
+def test_delta_into_brand_new_buckets_only(spark, tmp_path):
+    """A non-bootstrap round whose keys all land in buckets absent
+    from the parent manifest must open them as fresh history (the
+    code-review FileNotFoundError path)."""
+    import datetime as dt
+
+    path = str(tmp_path / "scd2new")
+    rows1 = [(0, "a", dt.datetime(1995, 1, 1), dt.datetime(1994, 1, 1))]
+    _apply(path, _staged(spark, rows1), "2024-01-01")  # only bucket 0
+    rows2 = [(5, "b", dt.datetime(1995, 1, 1), dt.datetime(1994, 1, 1))]
+    assert _apply(path, _staged(spark, rows2), "2024-02-01") == 2  # bucket 1
+    hist = {r.k: r for r in read_snapshot(spark, path).collect()}
+    assert set(hist) == {0, 5}
+    assert hist[5].is_current_record == 1

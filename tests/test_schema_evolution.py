@@ -98,3 +98,9 @@ def test_compact_and_chained_renames_preserve_logical_schema(spark, tmp_path):
     out2 = read_snapshot(spark, path, v)
     assert "amount_cents" in out2.columns
     assert {r.k: r.amount_cents for r in out2.collect()} == {1: 10, 2: 20}
+
+
+def test_duplicate_rename_targets_rejected(spark, tmp_path):
+    path = _seed(spark, tmp_path)
+    with pytest.raises(ValueError, match="duplicate rename targets"):
+        evolve_snapshot_schema(path, renames={"v": "x", "amt": "x"})

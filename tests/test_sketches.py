@@ -121,3 +121,35 @@ class TestApproxProfile:
         a_rows = {r.column: (r.n_rows, r.n_nulls, r.min_repr, r.max_repr)
                   for r in q88_orders_profile(spark, sf, approx=True).collect()}
         assert e_rows == a_rows
+
+
+def test_approx_profile_keeps_all_null_columns(spark):
+    """Code-review finding: an all-NULL column emits no HLL probes and
+    must still profile with n_distinct 0 (left join), matching exact
+    mode's output shape."""
+    from pandas_analysis_with_postgres_spark.plans import analytics_queries as AQ
+
+    # monkey-patch the profiled column set to include an all-NULL col
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(1,), (2,)], "a long").withColumn(
+        "b", F.lit(None).cast("long")
+    )
+    df.createOrReplaceTempView("__null_prof")
+    orig_cols, orig_load = AQ.PROFILE_COLS, AQ.load_table
+    try:
+        AQ.PROFILE_COLS = (("a", "int"), ("b", "int"))
+        AQ.load_table = lambda spark, sf, name: spark.table("__null_prof")
+        exact = {
+            r.column: (r.n_nulls, r.n_distinct)
+            for r in AQ.q88_orders_profile(spark, "unused").collect()
+        }
+        approx = {
+            r.column: (r.n_nulls, r.n_distinct)
+            for r in AQ.q88_orders_profile(spark, "unused", approx=True).collect()
+        }
+    finally:
+        AQ.PROFILE_COLS, AQ.load_table = orig_cols, orig_load
+    assert exact["b"] == (2, 0)
+    assert approx["b"] == (2, 0)
+    assert set(approx) == {"a", "b"}

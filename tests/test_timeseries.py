@@ -85,3 +85,19 @@ def test_hourly_interval(spark):
     )
     assert [r.bucket_ts.hour for r in out] == [0, 1, 2, 3]
     assert [r.value_ffill for r in out] == [5.0, 5.0, 5.0, 8.0]
+
+
+def test_multi_unit_interval_without_bucket_is_rejected(spark):
+    import datetime as dt
+    import pytest
+
+    ev = _events(spark, [(1, dt.datetime(2024, 1, 1), 1, 1.0)])
+    with pytest.raises(ValueError, match="explicit `bucket`"):
+        resample_ffill(
+            ev,
+            key_col="user_id",
+            ts_col="ts",
+            value_col="value",
+            tiebreak_col="event_id",
+            interval="2 days",
+        )
