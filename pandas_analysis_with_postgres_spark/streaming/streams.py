@@ -623,3 +623,68 @@ def stream_quality_gate(
     foreach_batch_sink(
         df, _gate, checkpoint_dir=checkpoint_dir, timeout_sec=timeout_sec
     )
+
+
+def stream_sum_view(
+    df: DataFrame,
+    source_path: str,
+    view_path: str,
+    *,
+    key: str,
+    partition_col: str,
+    group_col: str,
+    sum_col: str,
+    app_id: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming ingest with a CONTINUOUSLY-MAINTAINED aggregate view:
+    each micro-batch (1) merges into the ``source_path`` snapshot table
+    exactly-once (the :func:`stream_merge_sink` txn discipline), then
+    (2) folds the resulting change feed into the ``view_path``
+    per-group (n_rows, total) view via
+    ``sources.matview.maintain_sum_view`` — whose exactly-once needs no
+    extra machinery here: the view's own txn watermark is its cursor,
+    so a crash between (1) and (2) just leaves the view one cycle
+    behind, and the NEXT batch's maintenance (or a manual cycle)
+    catches it up; a replayed batch re-runs (1) as a watermark no-op
+    and (2) sees an unchanged source version.
+
+    This closes the lakehouse loop end-to-end under streaming: ingest →
+    versioned table → CDF → incremental aggregate, every hop
+    idempotent.
+    """
+    from ..sources.matview import maintain_sum_view
+    from ..sources.snapshot import ConcurrentCommitError, merge_snapshot
+
+    def _ingest_and_maintain(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        attempts = 5
+        for i in range(attempts):
+            try:
+                merge_snapshot(
+                    source_path,
+                    batch_df,
+                    key,
+                    partition_col,
+                    txn=(app_id, batch_id),
+                )
+                break
+            except ConcurrentCommitError:
+                if i == attempts - 1:
+                    raise
+        maintain_sum_view(
+            spark,
+            source_path,
+            view_path,
+            key=key,
+            group_col=group_col,
+            sum_col=sum_col,
+        )
+
+    foreach_batch_sink(
+        df,
+        _ingest_and_maintain,
+        checkpoint_dir=checkpoint_dir,
+        timeout_sec=timeout_sec,
+    )

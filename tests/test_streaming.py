@@ -369,3 +369,67 @@ def test_stream_quality_gate_fully_gated_batch_commits_nothing(spark, tmp_path):
     # nothing passed the gate: no table was created (and no crash)
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, out)
+
+
+def test_stream_sum_view_end_to_end(spark, tmp_path):
+    """Streaming ingest + continuously-maintained aggregate view: each
+    micro-batch merges into the source table and folds its CDF delta
+    into the view; checkpoint replay commits nothing to either."""
+    import os
+
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_manifest,
+        read_snapshot,
+    )
+    from pandas_analysis_with_postgres_spark.streaming.streams import (
+        stream_sum_view,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    spark.createDataFrame(
+        [(1, "a", 10, 0), (2, "b", 5, 0)], "k long, grp string, v long, p long"
+    ).coalesce(1).write.parquet(str(land / "f0.parquet"))
+    spark.createDataFrame(
+        [(2, "b", 7, 0), (3, "a", 1, 1)], "k long, grp string, v long, p long"
+    ).coalesce(1).write.parquet(str(land / "f1.parquet"))
+    for i, name in enumerate(sorted(os.listdir(land))):
+        os.utime(land / name, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("k long, grp string, v long, p long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land / "*.parquet"))
+        )
+        stream_sum_view(
+            stream,
+            src,
+            view,
+            key="k",
+            partition_col="p",
+            group_col="grp",
+            sum_col="v",
+            app_id="sv",
+            checkpoint_dir=ckpt,
+        )
+
+    run()
+    # final source state: k1 (a,10), k2 (b,7 — updated), k3 (a,1)
+    got = {
+        r.grp: (r.n_rows, r.total)
+        for r in read_snapshot(spark, view).collect()
+        if r.n_rows > 0
+    }
+    assert got == {"a": (2, 11), "b": (1, 7)}
+    src_v = read_manifest(src)["version"]
+    view_v = read_manifest(view)["version"]
+    assert src_v >= 2 and view_v >= 2  # one commit per batch per table
+    # checkpoint replay: both tables unchanged
+    run()
+    assert read_manifest(src)["version"] == src_v
+    assert read_manifest(view)["version"] == view_v
