@@ -99,3 +99,47 @@ def test_kmeans_codebook_recovers_clusters(spark):
     assert cb[0][0] == qmean([f(1.0), f(0.9), f(0.95)])
     assert cb[1][1] == qmean([f(1.0), f(0.9)])
     assert abs(cb[0][1]) < 0.05 and abs(cb[1][0]) < 0.05
+
+
+def test_cell_blocking_recall_regimes(spark):
+    """semantic_dedup's cell blocking, measured against all-pairs
+    ground truth in BOTH regimes: near-identical duplicates (the
+    SemDeDup use case — planted perturbed copies, cosine ≈ 0.9999)
+    must block with recall 1.0; weakly-similar pairs of near-random
+    vectors (cosine ≥ 0.3 — NOT the operator's use case) block poorly
+    by design (same-cluster-only), which is the documented tradeoff
+    vs lsh_candidate_pairs."""
+    from pyspark.sql import functions as F
+
+    from pandas_analysis_with_postgres_spark.operators.similarity import (
+        cell_blocked_pairs,
+        cosine_near_pairs_exact,
+        kmeans_codebook,
+    )
+    from pandas_analysis_with_postgres_spark.sources.parquet import load_table
+
+    emb = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", "embedding")
+        .limit(200)
+    )
+    dup = emb.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "x + IF(i = 0, CAST(0.01 AS FLOAT), CAST(0.0 AS FLOAT)))"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(dup)
+    cb = kmeans_codebook(corpus, k=16, iters=2)
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in cell_blocked_pairs(corpus, cb, threshold=0.95).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_pairs_exact(corpus, threshold=0.95).collect()
+    }
+    assert exact, "fixture must contain near-dup ground truth"
+    recall = len(blocked & exact) / len(exact)
+    assert recall >= 0.95, recall  # true near-dups share a cell
