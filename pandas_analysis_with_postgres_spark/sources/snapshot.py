@@ -383,6 +383,17 @@ def read_snapshot(
     """
     man = read_manifest(path, version)
     parts = man["partitions"]
+    if not parts and man.get("version", 0) > 0:
+        # A committed but EMPTY table (e.g. delete_where removed every
+        # row, dropping every partition): a zero-row frame with the
+        # recorded schema, mirroring what scanning zero files of a
+        # known schema would produce. Tables from before the schema
+        # was recorded fall through to the historical error below.
+        sj = (man.get("schema") or {}).get("spark_schema")
+        if sj:
+            from pyspark.sql.types import StructType
+
+            return spark.createDataFrame([], StructType.fromJson(json.loads(sj)))
     if partition_filter is not None:
         parts = {p: rel for p, rel in parts.items() if partition_filter(p)}
     empty_result = False
@@ -618,6 +629,9 @@ def _schema_meta(
         "partition_col": partition_col,
         "partition_type": df.schema[partition_col].dataType.simpleString(),
         "columns": df.columns,
+        # full typed schema: lets an EMPTY table (all partitions
+        # deleted) read back as a zero-row frame instead of an error
+        "spark_schema": df.schema.json(),
     }
     if stats_cols:
         meta["stats_cols"] = list(stats_cols)

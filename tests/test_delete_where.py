@@ -93,3 +93,25 @@ def test_txn_makes_replayed_delete_idempotent(spark, tmp_path):
     assert r2["version"] == 3  # txn watermark absorbed the replay
     assert r2["deleted_rows"] == 0  # and the report says so
     assert {x.k for x in read_snapshot(spark, path).collect()} == {1, 2}
+
+
+def test_deleting_every_row_leaves_a_readable_empty_table(spark, tmp_path):
+    """Hypothesis-found edge: a delete matching EVERY row drops every
+    partition; the table must read back as a zero-row frame with its
+    recorded schema, not FileNotFoundError."""
+    path = _tbl(spark, tmp_path, [(1, "a", 0), (2, "b", 1)])
+    r = delete_where(spark, path, "k >= 0")
+    assert r["deleted_rows"] == 2 and r["dropped_partitions"] == 2
+    out = read_snapshot(spark, path)
+    assert out.count() == 0
+    assert out.columns == ["k", "v", "p"]
+    # and the table is still writable afterwards
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        merge_snapshot,
+    )
+
+    merge_snapshot(
+        path, spark.createDataFrame([(9, "z", 0)], "k long, v string, p long"),
+        "k", "p",
+    )
+    assert {x.k for x in read_snapshot(spark, path).collect()} == {9}
