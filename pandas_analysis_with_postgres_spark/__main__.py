@@ -45,12 +45,23 @@ def main(argv: list[str] | None = None) -> int:
     p_sh.add_argument("--num-shards", type=int, default=8)
     p_sh.add_argument("--sf-dir", default=None)
 
+    p_mv = sub.add_parser(
+        "matview",
+        help="one incremental maintenance cycle of a SUM/COUNT view "
+        "over a snapshot table's change feed",
+    )
+    p_mv.add_argument("source")
+    p_mv.add_argument("view")
+    p_mv.add_argument("--key", required=True)
+    p_mv.add_argument("--group-col", required=True)
+    p_mv.add_argument("--sum-col", required=True)
+
     p_sn = sub.add_parser("snapshot", help="inspect a snapshot table")
     p_sn.add_argument(
         "action",
         choices=[
             "history", "read", "expire", "compact", "sql", "info",
-            "changes", "maintain", "delete", "tag",
+            "changes", "maintain", "delete", "tag", "evolve",
         ],
     )
     p_sn.add_argument("path")
@@ -104,6 +115,20 @@ def main(argv: list[str] | None = None) -> int:
         help="(tag) name to pin the version under (a retention root)",
     )
     p_sn.add_argument(
+        "--rename",
+        action="append",
+        default=None,
+        metavar="OLD=NEW",
+        help="(evolve) metadata-only column rename; repeatable",
+    )
+    p_sn.add_argument(
+        "--drop",
+        action="append",
+        default=None,
+        metavar="COL",
+        help="(evolve) metadata-only column drop; repeatable",
+    )
+    p_sn.add_argument(
         "--where",
         default=None,
         help="(delete) SQL predicate; matching rows are removed "
@@ -111,6 +136,23 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "matview":
+        import json as _json
+
+        from .session import get_spark as _gs
+        from .sources.matview import maintain_sum_view
+
+        r = maintain_sum_view(
+            _gs("cli"),
+            args.source,
+            args.view,
+            key=args.key,
+            group_col=args.group_col,
+            sum_col=args.sum_col,
+        )
+        print(_json.dumps(r))
+        return 0
 
     if args.cmd == "snapshot":
         from .sources.snapshot import (
@@ -175,6 +217,24 @@ def main(argv: list[str] | None = None) -> int:
                 min_age_sec=args.min_age_sec,
             )
             print(_json.dumps(r))
+            return 0
+        if args.action == "evolve":
+            from .sources.snapshot import evolve_snapshot_schema
+
+            renames = {}
+            for r in args.rename or []:
+                if "=" not in r:
+                    print(f"--rename needs OLD=NEW, got {r!r}", file=sys.stderr)
+                    return 2
+                old, new = r.split("=", 1)
+                renames[old] = new
+            if not renames and not args.drop:
+                print("snapshot evolve needs --rename and/or --drop", file=sys.stderr)
+                return 2
+            v = evolve_snapshot_schema(
+                args.path, renames=renames, drops=args.drop or []
+            )
+            print(f"evolved to v{v}: renames={renames} drops={args.drop or []}")
             return 0
         if args.action == "tag":
             from .sources.snapshot import list_tags, tag_snapshot

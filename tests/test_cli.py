@@ -253,3 +253,41 @@ def test_snapshot_tag_cli(spark, tmp_path, capsys):
     assert "rel-1" in capsys.readouterr().out
     assert resolve_tag(path, "rel-1") == 1
     assert main(["snapshot", "tag", path]) == 2
+
+
+def test_snapshot_evolve_cli(spark, tmp_path, capsys):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, 2, 0)], "k long, amt long, p long"), path, "p"
+    )
+    assert main(["snapshot", "evolve", path, "--rename", "amt=amount"]) == 0
+    assert "amount" in read_snapshot(spark, path).columns
+    assert main(["snapshot", "evolve", path]) == 2  # nothing to do
+
+
+def test_matview_cli(spark, tmp_path, capsys):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    src = str(tmp_path / "s")
+    view = str(tmp_path / "v")
+    write_snapshot(
+        spark.createDataFrame([(1, "a", 10, 0)], "k long, grp string, v long, p long"),
+        src,
+        "p",
+    )
+    assert main(
+        ["matview", src, view, "--key", "k", "--group-col", "grp", "--sum-col", "v"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert '"applied": true' in out
+    assert {(r.grp, r.n_rows, r.total) for r in read_snapshot(spark, view).collect()} == {
+        ("a", 1, 10)
+    }
