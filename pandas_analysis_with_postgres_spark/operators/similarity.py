@@ -913,3 +913,33 @@ def semantic_dedup(
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def semantic_dedup_auto(
+    corpus: DataFrame,
+    *,
+    threshold: float,
+    avg_cell: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """:func:`semantic_dedup` with the codebook size chosen by the
+    operator's own scaling rule instead of left to the caller:
+    ``k = ceil(N / avg_cell)`` keeps the EXPECTED cell population
+    constant as the corpus grows, so total pair work stays ~linear in
+    N (measured in tests/test_semantic_dedup.py) — fixed k would make
+    it quadratic. One metadata-scale ``count()`` picks k; training
+    inits from the vectors with ``id_col < k`` (the deterministic
+    kmeans_codebook init), so ids must be dense enough to supply k
+    seeds. ``avg_cell`` is the pair-work knob: SemDeDup's paper runs
+    ~tens of thousands of points per cluster on 100M-scale corpora;
+    the default 256 suits mid-size batches — at 100 TB, raise it and
+    train on a deterministic sample upstream (the codebook is a model
+    artifact either way)."""
+    n = corpus.count()
+    k = max(2, -(-n // avg_cell))
+    cb = kmeans_codebook(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    return semantic_dedup(
+        corpus, cb, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )

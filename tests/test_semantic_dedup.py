@@ -80,3 +80,60 @@ def test_every_row_gets_exactly_one_output_row(spark):
     assert out.count() == corpus.count()
     assert out.select("vec_id").distinct().count() == corpus.count()
     assert out.filter(F.col("kept").isNull()).count() == 0
+
+
+def test_auto_k_keeps_pair_work_linear(spark):
+    """semantic_dedup_auto's k = ceil(N/avg_cell): growing the corpus
+    4x grows same-cell candidate pairs ~4x (linear), where a FIXED
+    codebook would grow them ~16x (quadratic). Measured on fixture
+    embeddings with threshold -1 (every same-cell pair counts)."""
+    from pandas_analysis_with_postgres_spark.operators.similarity import (
+        cell_blocked_pairs,
+        kmeans_codebook,
+    )
+    from pandas_analysis_with_postgres_spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    small = emb.filter("vec_id < 100")
+    big = emb.filter("vec_id < 400")
+
+    def pairs(corpus, n, avg):
+        k = max(2, -(-n // avg))
+        cb = kmeans_codebook(corpus, k=k, iters=1)
+        return cell_blocked_pairs(corpus, cb, threshold=-1.0).count()
+
+    p_small = pairs(small, 100, 50)   # k=2
+    p_big = pairs(big, 400, 50)       # k=8
+    ratio = p_big / max(p_small, 1)
+    # linear scaling target 4x; allow clustering imbalance up to 8x —
+    # far below the fixed-k quadratic 16x
+    assert ratio < 8, (p_small, p_big, ratio)
+
+
+def test_auto_equals_manual_with_same_k(spark):
+    from pandas_analysis_with_postgres_spark.operators.similarity import (
+        kmeans_codebook,
+        semantic_dedup,
+        semantic_dedup_auto,
+    )
+    from pandas_analysis_with_postgres_spark.sources.parquet import load_table
+
+    emb = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("vec_id", "embedding")
+        .limit(64)
+    )
+    auto = {
+        (r.vec_id, r.cell_id, r.kept)
+        for r in semantic_dedup_auto(
+            emb, threshold=0.35, avg_cell=16
+        ).collect()
+    }
+    cb = kmeans_codebook(emb, k=4, iters=2)  # ceil(64/16) = 4
+    manual = {
+        (r.vec_id, r.cell_id, r.kept)
+        for r in semantic_dedup(emb, cb, threshold=0.35).collect()
+    }
+    assert auto == manual
