@@ -206,3 +206,18 @@ def test_z09_udtf_is_arrow_batched_narrow_map(spark):
     assert "ArrowEvalPythonUDTF" in p
     assert "BatchEvalPythonUDTF" not in p.replace("ArrowEvalPythonUDTF", "")
     assert "Exchange" not in p, "chunking must not shuffle"
+
+
+def test_z12_resample_plan_shape(spark):
+    """The global-span join must broadcast the 1-row span (never a
+    CartesianProduct), and the forward-fill window must partition by
+    the series key — never an empty-partition global window. (The one
+    SinglePartition exchange in the plan is the 2-column global
+    min/max span aggregate — O(1) rows, by design.)"""
+    p = _plan(spark, "z12_resample_ffill")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row span × keys, by design
+    assert "windowspecdefinition(user_id" in p
+    import re
+
+    assert not re.search(r"windowspecdefinition\((?:bucket_ts|__)", p)
