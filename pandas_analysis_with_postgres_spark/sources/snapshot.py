@@ -498,11 +498,11 @@ def register_snapshot_view(
     path: str,
     name: str,
     *,
-    version: int | None = None,
+    version: "int | str | None" = None,
 ) -> DataFrame:
     """Expose a snapshot table — optionally pinned to an older
-    ``version`` — as a SQL temp view, so time travel is plain
-    ``spark.sql``::
+    ``version`` (an int, or a TAG name) — as a SQL temp view, so time
+    travel is plain ``spark.sql``::
 
         register_snapshot_view(spark, tbl, "events_v3", version=3)
         spark.sql("SELECT ... FROM events_v3 JOIN events_now ...")
