@@ -119,6 +119,7 @@ EXTRA = (
     "z14_optout_delete",
     "z15_schema_evolution",
     "z16_audio_resample",
+    "z17_warc_extract",
 )
 
 

@@ -2540,6 +2540,37 @@ def z10_scd2_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def z17_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WARC (ISO 28500) record parsing (sources.warc): every
+    document becomes a two-record web-archive blob (response +
+    metadata) built in Catalyst, and the parser walks header blocks +
+    Content-Length byte counts to explode typed record rows under
+    Arrow-batched mapInPandas — the Common-Crawl ingestion kernel.
+    Every parsed field is hash-replayed by the oracle from the base
+    table."""
+    from ..sources.warc import attach_warc_payload, extract_warc
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_warc(attach_warc_payload(docs))
+
+
+Z17_SQL = """
+WITH base AS (
+  SELECT doc_id, text, lang FROM documents
+  WHERE length(text) >= 1 AND octet_length(encode(text)) = length(text)
+)
+SELECT doc_id, 0 AS record_idx, 'response' AS warc_type,
+       'http://example.com/doc/' || doc_id::VARCHAR AS target_uri,
+       length(text)::BIGINT AS content_length, text AS body
+FROM base
+UNION ALL
+SELECT doc_id, 1, 'metadata',
+       'http://example.com/doc/' || doc_id::VARCHAR,
+       (5 + length(lang))::BIGINT, 'lang=' || lang
+FROM base
+"""
+
+
 #: z16 decimation factor: 8000 Hz fixture audio → 2000 Hz.
 AUDIO_DECIMATE = 4
 
@@ -3020,6 +3051,7 @@ EXTENSION_QUERIES = {
     "z14_optout_delete": z14_optout_delete,
     "z15_schema_evolution": z15_schema_evolution,
     "z16_audio_resample": z16_audio_resample,
+    "z17_warc_extract": z17_warc_extract,
 }
 
 EXTENSION_ORACLES = {
@@ -3057,6 +3089,7 @@ EXTENSION_ORACLES = {
     "z14_optout_delete": Z14_SQL,
     "z15_schema_evolution": Z15_SQL,
     "z16_audio_resample": Z16_SQL,
+    "z17_warc_extract": Z17_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

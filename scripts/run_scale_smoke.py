@@ -64,6 +64,7 @@ SMOKE = (
     "z14_optout_delete",
     "z15_schema_evolution",
     "z16_audio_resample",
+    "z17_warc_extract",
 )
 
 

@@ -103,6 +103,7 @@ DECLARED_PYTHON = {
     "z09_chunk_udtf",
     "z13_image_resize",
     "z16_audio_resample",
+    "z17_warc_extract",
 }
 
 
