@@ -120,6 +120,7 @@ EXTRA = (
     "z15_schema_evolution",
     "z16_audio_resample",
     "z17_warc_extract",
+    "z18_compressed_blobs",
 )
 
 

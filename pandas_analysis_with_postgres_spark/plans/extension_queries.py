@@ -2540,6 +2540,37 @@ def z10_scd2_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def z18_compressed_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-blob round-trip
+    (operators.multimodal.compress_payloads / decompress_payloads —
+    stdlib zlib under Arrow-batched mapInPandas): documents stored as
+    gzip blobs and decoded back, verified byte-for-byte — the output
+    is the DECOMPRESSED text plus its byte count, which the oracle
+    replays from the base table (compressed sizes are zlib-build
+    facts, deliberately excluded from the hashed surface; the
+    round-trip equality is what proves the codec path)."""
+    from ..operators.multimodal import (
+        attach_binary_payload,
+        compress_payloads,
+        decompress_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_binary_payload(docs)
+    back = decompress_payloads(compress_payloads(blobs))
+    return back.select(
+        "doc_id",
+        "n_bytes",
+        F.decode(F.col("payload"), "UTF-8").alias("body"),
+    )
+
+
+Z18_SQL = """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, text AS body
+FROM documents
+"""
+
+
 def z17_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL WARC (ISO 28500) record parsing (sources.warc): every
     document becomes a two-record web-archive blob (response +
@@ -3052,6 +3083,7 @@ EXTENSION_QUERIES = {
     "z15_schema_evolution": z15_schema_evolution,
     "z16_audio_resample": z16_audio_resample,
     "z17_warc_extract": z17_warc_extract,
+    "z18_compressed_blobs": z18_compressed_blobs,
 }
 
 EXTENSION_ORACLES = {
@@ -3090,6 +3122,7 @@ EXTENSION_ORACLES = {
     "z15_schema_evolution": Z15_SQL,
     "z16_audio_resample": Z16_SQL,
     "z17_warc_extract": Z17_SQL,
+    "z18_compressed_blobs": Z18_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -65,6 +65,7 @@ SMOKE = (
     "z15_schema_evolution",
     "z16_audio_resample",
     "z17_warc_extract",
+    "z18_compressed_blobs",
 )
 
 

@@ -340,3 +340,37 @@ class TestResampleAudio:
         row = resample_audio(self._media(spark, "xyz"), factor=1).collect()[0]
         assert row.n_samples == row.src_samples == 3
         assert decode_wav_pcm(bytes(row.payload))[0] == 8000
+
+
+class TestCompressedBlobs:
+    def test_roundtrip_and_compression_happens(self, spark):
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            attach_binary_payload,
+            compress_payloads,
+            decompress_payloads,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "the " * 100)], "doc_id long, text string"
+        )
+        comp = compress_payloads(attach_binary_payload(docs)).collect()[0]
+        assert comp.orig_bytes == 400
+        assert comp.comp_bytes < comp.orig_bytes  # repetitive text shrinks
+        back = decompress_payloads(
+            compress_payloads(attach_binary_payload(docs))
+        ).collect()[0]
+        assert bytes(back.payload).decode() == "the " * 100
+
+    def test_corrupt_stream_raises(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            decompress_payloads,
+        )
+
+        bad = spark.createDataFrame([(1,)], "doc_id long").select(
+            "doc_id", F.encode(F.lit("not-gzip"), "UTF-8").alias("payload")
+        )
+        with pytest.raises(Exception, match="zlib|Error|error"):
+            decompress_payloads(bad).collect()

@@ -104,6 +104,7 @@ DECLARED_PYTHON = {
     "z13_image_resize",
     "z16_audio_resample",
     "z17_warc_extract",
+    "z18_compressed_blobs",
 }
 
 
