@@ -121,6 +121,7 @@ EXTRA = (
     "z16_audio_resample",
     "z17_warc_extract",
     "z18_compressed_blobs",
+    "z19_webdataset_roundtrip",
 )
 
 

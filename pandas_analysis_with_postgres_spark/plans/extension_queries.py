@@ -2540,6 +2540,35 @@ def z10_scd2_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WDS_SHARD = 64
+
+
+def z19_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar-shard round-trip (sources.webdataset): documents
+    packed 64-per-shard into REAL POSIX tar blobs (applyInPandas per
+    shard, deterministic framing) and walked back out (mapInPandas,
+    stdlib tarfile) — the de-facto multimodal training container. The
+    hashed surface is the UNPACKED members, replayed from the base
+    table; tar framing bytes are container facts outside it (same
+    policy as z18's gzip sizes)."""
+    from ..sources.webdataset import pack_webdataset, unpack_webdataset
+
+    docs = load_table(spark, sf_dir, "documents")
+    members = unpack_webdataset(
+        pack_webdataset(docs, samples_per_shard=WDS_SHARD)
+    )
+    return members.select("shard", "member", "size", "body")
+
+
+Z19_SQL = f"""
+SELECT (doc_id // {WDS_SHARD})::BIGINT AS shard,
+       doc_id::VARCHAR || '.txt' AS member,
+       octet_length(encode(text))::BIGINT AS size,
+       text AS body
+FROM documents
+"""
+
+
 def z18_compressed_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-blob round-trip
     (operators.multimodal.compress_payloads / decompress_payloads —
@@ -3084,6 +3113,7 @@ EXTENSION_QUERIES = {
     "z16_audio_resample": z16_audio_resample,
     "z17_warc_extract": z17_warc_extract,
     "z18_compressed_blobs": z18_compressed_blobs,
+    "z19_webdataset_roundtrip": z19_webdataset_roundtrip,
 }
 
 EXTENSION_ORACLES = {
@@ -3123,6 +3153,7 @@ EXTENSION_ORACLES = {
     "z16_audio_resample": Z16_SQL,
     "z17_warc_extract": Z17_SQL,
     "z18_compressed_blobs": Z18_SQL,
+    "z19_webdataset_roundtrip": Z19_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

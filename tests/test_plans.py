@@ -105,6 +105,7 @@ DECLARED_PYTHON = {
     "z16_audio_resample",
     "z17_warc_extract",
     "z18_compressed_blobs",
+    "z19_webdataset_roundtrip",
 }
 
 
