@@ -832,14 +832,15 @@ def cell_blocked_pairs(
     not a plan flaw — re-train with larger k or pre-split on an
     auxiliary hash.
 
-    Recall (measured, pinned in tests/test_ann_recall.py): TRUE
-    near-duplicates (cosine ≥ ~0.95) block with recall 1.0 — a
+    Recall (both regimes measured and banded in
+    tests/test_ann_recall.py::test_cell_blocking_recall_regimes): TRUE
+    near-duplicates (cosine ≥ ~0.95) block with recall ≥ 0.95 — a
     near-identical pair always shares its nearest centroid. Weakly
     similar pairs (threshold ≤ ~0.4 on near-random vectors) block at
-    ~0.27: same-cluster-only candidate generation is SemDeDup's
-    deliberate tradeoff, NOT a general near-pair finder — use
-    :func:`lsh_candidate_pairs` (multi-table OR) when low-threshold
-    recall matters.
+    roughly 0.27 (pinned to the 0.05–0.7 band): same-cluster-only
+    candidate generation is SemDeDup's deliberate tradeoff, NOT a
+    general near-pair finder — use :func:`lsh_candidate_pairs`
+    (multi-table OR) when low-threshold recall matters.
     """
     assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
     return _pairs_from_assigned(assigned, threshold, id_col, vec_col)

@@ -393,7 +393,20 @@ def read_snapshot(
         if sj:
             from pyspark.sql.types import StructType
 
-            return spark.createDataFrame([], StructType.fromJson(json.loads(sj)))
+            empty = spark.createDataFrame(
+                [], StructType.fromJson(json.loads(sj))
+            )
+            # the recorded spark_schema is the PHYSICAL schema of the
+            # last data-writing commit; apply the evolution chain so an
+            # evolved-then-emptied table presents its logical columns
+            meta0 = man.get("schema") or {}
+            for old, new in meta0.get("renames") or []:
+                if old in empty.columns:
+                    empty = empty.withColumnRenamed(old, new)
+            drops0 = [c for c in meta0.get("dropped") or [] if c in empty.columns]
+            if drops0:
+                empty = empty.drop(*drops0)
+            return empty
     if partition_filter is not None:
         parts = {p: rel for p, rel in parts.items() if partition_filter(p)}
     empty_result = False

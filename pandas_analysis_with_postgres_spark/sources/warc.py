@@ -42,6 +42,10 @@ def attach_warc_payload(
     docs = docs.filter(
         (F.length(text_col) >= 1)
         & (F.octet_length(F.col(text_col)) == F.length(text_col))
+        # a NULL lang would NULL the whole concatenated payload —
+        # filter it like the other unrepresentable rows (the oracle
+        # applies the same predicate)
+        & F.col("lang").isNotNull()
     )
 
     def record(wtype: F.Column, uri_suffix, body: F.Column) -> F.Column:
@@ -103,6 +107,8 @@ def parse_warc(payload: bytes) -> list[dict]:
         if "content-length" not in fields:
             raise ValueError("WARC record missing Content-Length")
         clen = int(fields["content-length"])
+        if clen < 0:
+            raise ValueError(f"negative Content-Length {clen}")
         body_start = head_end + len(sep)
         body = buf[body_start : body_start + clen]
         if len(body) < clen:

@@ -49,9 +49,14 @@ def pack_webdataset(
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
-        (F.col(id_col).cast("long") / samples_per_shard)
-        .cast("long")
-        .alias("shard"),
+        # exact integer FLOOR division for any bigint: subtract the
+        # pmod remainder (making the dividend an exact multiple, where
+        # truncating DIV equals floor) — double division would round
+        # past 2^53 and truncate negatives toward zero
+        F.expr(
+            f"(CAST({id_col} AS BIGINT) - pmod(CAST({id_col} AS BIGINT), "
+            f"{samples_per_shard})) DIV {samples_per_shard}"
+        ).alias("shard"),
     )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -90,6 +95,11 @@ def unpack_webdataset(shards: DataFrame) -> DataFrame:
             for shard, payload in zip(pdf["shard"], pdf["payload"]):
                 with tarfile.open(fileobj=io.BytesIO(bytes(payload))) as tar:
                     for info in tar.getmembers():
+                        if not info.isreg():
+                            raise ValueError(
+                                f"non-regular tar member {info.name!r} "
+                                "(WebDataset shards hold plain files only)"
+                            )
                         body = tar.extractfile(info).read()
                         out["shard"].append(int(shard))
                         out["member"].append(info.name)

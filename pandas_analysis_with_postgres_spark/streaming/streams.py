@@ -673,14 +673,25 @@ def stream_sum_view(
             except ConcurrentCommitError:
                 if i == attempts - 1:
                     raise
-        maintain_sum_view(
-            spark,
-            source_path,
-            view_path,
-            key=key,
-            group_col=group_col,
-            sum_col=sum_col,
-        )
+        # the view merge can lose an optimistic race against a manual
+        # maintenance cycle (CLI `matview`) — retry in-run like every
+        # other sink here; each attempt re-reads the fresh watermark,
+        # so a racing cycle that already applied the range turns the
+        # retry into a caught-up no-op.
+        for i in range(attempts):
+            try:
+                maintain_sum_view(
+                    spark,
+                    source_path,
+                    view_path,
+                    key=key,
+                    group_col=group_col,
+                    sum_col=sum_col,
+                )
+                break
+            except ConcurrentCommitError:
+                if i == attempts - 1:
+                    raise
 
     foreach_batch_sink(
         df,

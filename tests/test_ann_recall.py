@@ -143,3 +143,18 @@ def test_cell_blocking_recall_regimes(spark):
     assert exact, "fixture must contain near-dup ground truth"
     recall = len(blocked & exact) / len(exact)
     assert recall >= 0.95, recall  # true near-dups share a cell
+    # weak regime (threshold 0.3 over near-random vectors): blocking
+    # recall is poor BY DESIGN (same-cluster-only). Pin the band so a
+    # silent regression to ~0 — or an accidental all-pairs plan that
+    # would push it to 1.0 — both fail.
+    blocked_w = {
+        (r.id_a, r.id_b)
+        for r in cell_blocked_pairs(emb, kmeans_codebook(emb, k=16, iters=2),
+                                    threshold=0.3).collect()
+    }
+    exact_w = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_pairs_exact(emb, threshold=0.3).collect()
+    }
+    recall_w = len(blocked_w & exact_w) / max(len(exact_w), 1)
+    assert 0.05 <= recall_w <= 0.7, recall_w

@@ -104,3 +104,19 @@ def test_duplicate_rename_targets_rejected(spark, tmp_path):
     path = _seed(spark, tmp_path)
     with pytest.raises(ValueError, match="duplicate rename targets"):
         evolve_snapshot_schema(path, renames={"v": "x", "amt": "x"})
+
+
+def test_evolved_then_emptied_table_presents_logical_schema(spark, tmp_path):
+    """Second-review finding: the empty-table read path must apply the
+    rename/drop chain, not the raw physical schema."""
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        delete_where,
+    )
+
+    path = _seed(spark, tmp_path)
+    delete_where(spark, path, "k >= 0")  # empties the table
+    evolve_snapshot_schema(path, renames={"amt": "amount"}, drops=["v"])
+    out = read_snapshot(spark, path)
+    assert out.count() == 0
+    assert "amount" in out.columns and "amt" not in out.columns
+    assert "v" not in out.columns

@@ -72,3 +72,19 @@ def test_extract_explodes_per_record(spark):
     by = {(r.doc_id, r.record_idx): r for r in rows}
     assert by[(1, 0)].body == "aaa" and by[(1, 0)].content_length == 3
     assert by[(2, 1)].body == "lang=fr"
+
+
+def test_negative_content_length_raises():
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        parse_warc(b"WARC/1.0\r\nContent-Length: -4\r\n\r\n")
+
+
+def test_null_lang_rows_are_filtered_consistently(spark):
+    docs = spark.createDataFrame(
+        [(1, "ok text", "en"), (2, "no lang", None)],
+        "doc_id long, text string, lang string",
+    )
+    rows = extract_warc(attach_warc_payload(docs)).collect()
+    # doc 2 filtered entirely (its payload would be NULL); doc 1 intact
+    assert {r.doc_id for r in rows} == {1}
+    assert len(rows) == 2

@@ -53,3 +53,11 @@ def test_corrupt_tar_raises(spark):
     )
     with pytest.raises(Exception, match="tar|Tar|read"):
         unpack_webdataset(bad).collect()
+
+
+def test_negative_ids_floor_to_lower_shard(spark):
+    docs = spark.createDataFrame(
+        [(-1, "neg"), (0, "zero")], "doc_id long, text string"
+    )
+    shards = {r.shard for r in pack_webdataset(docs, samples_per_shard=64).collect()}
+    assert shards == {-1, 0}  # floor division, matching the oracle's //
