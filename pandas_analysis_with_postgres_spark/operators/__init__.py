@@ -15,12 +15,21 @@ from .joins import (
     range_join,
 )
 from .packing import pack_sequences
-from .scd2 import scd2_apply
+from .scd2 import scd2_apply, scd2_merge_snapshot
+from .similarity import cell_blocked_pairs, semantic_dedup, semantic_dedup_auto
+from .timeseries import resample_ffill
+from .udtfs import sliding_chunks
 from .setops import changed_rows, except_all_on, union_by_name
 from .upsert import upsert, upsert_partitioned
 from .windows import keep_first_dedup, top1_per_group
 
 __all__ = [
+    "cell_blocked_pairs",
+    "semantic_dedup",
+    "semantic_dedup_auto",
+    "resample_ffill",
+    "sliding_chunks",
+    "scd2_merge_snapshot",
     "changed_rows",
     "class_prior",
     "score_docs",
