@@ -43,6 +43,13 @@ def main(argv: list[str] | None = None) -> int:
     p_sh.add_argument("out")
     p_sh.add_argument("--order-col", required=True)
     p_sh.add_argument("--num-shards", type=int, default=8)
+    p_sh.add_argument(
+        "--format",
+        dest="file_format",
+        choices=["parquet", "json"],
+        default="parquet",
+        help="shard file format (json = JSONL for trainer loaders)",
+    )
     p_sh.add_argument("--sf-dir", default=None)
 
     p_mv = sub.add_parser(
@@ -319,6 +326,7 @@ def main(argv: list[str] | None = None) -> int:
             args.out,
             args.order_col,
             args.num_shards,
+            file_format=args.file_format,
         )
         print(_json.dumps(man, indent=1, sort_keys=True))
         return 0

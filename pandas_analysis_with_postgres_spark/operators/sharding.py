@@ -165,6 +165,7 @@ def write_shards(
     *,
     bucket_width: int = 4096,
     token_col: str | None = None,
+    file_format: str = "parquet",
 ) -> dict:
     """Export ``df`` as ``num_shards`` equal, contiguous,
     deterministically ordered shards — the final write of a
@@ -184,6 +185,10 @@ def write_shards(
     so a scheduler iterating the manifest never hits a hole. The
     manifest aggregate is O(num_shards), collected AFTER the data
     write from the same ranked frame.
+
+    ``file_format``: ``"parquet"`` (default) or ``"json"`` — JSONL is
+    what many trainer data loaders stream directly; the layout,
+    ordering, and manifest are identical either way.
     """
     import json
     import os
@@ -199,12 +204,15 @@ def write_shards(
     # but the manifest must match the files even for contract-breaking
     # inputs.
     ranked = ranked.localCheckpoint(eager=False)
+    if file_format not in {"parquet", "json"}:
+        raise ValueError(f"unsupported shard format {file_format!r}")
     (
         ranked.repartition(num_shards, "shard")
         .sortWithinPartitions("rank")
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
+        .format(file_format)
+        .save(path)
     )
     aggs = [F.count(F.lit(1)).alias("rows"), F.min("rank").alias("lo"),
             F.max("rank").alias("hi")]

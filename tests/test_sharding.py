@@ -140,3 +140,34 @@ def test_global_rank_pins_nondeterministic_sources(spark):
     n = nondet.count()
     ranks = sorted(r.rank for r in rows)
     assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_write_shards_jsonl_format(spark, tmp_path):
+    """file_format="json": same layout/ordering/manifest, JSONL files
+    a trainer loader can stream directly."""
+    import json as _json
+    import os
+
+    orders = load_table(spark, SF, "orders").select("o_orderkey")
+    out = str(tmp_path / "jshards")
+    man = __import__(
+        "pandas_analysis_with_postgres_spark.operators.sharding",
+        fromlist=["write_shards"],
+    ).write_shards(orders, out, "o_orderkey", 4, file_format="json")
+    assert man["num_shards"] == 4
+    # shard 0 holds the lowest keys, files are real JSONL
+    sdir = os.path.join(out, "shard=0")
+    files = [f for f in os.listdir(sdir) if f.endswith(".json")]
+    assert files
+    with open(os.path.join(sdir, files[0])) as f:
+        first = _json.loads(f.readline())
+    assert first["rank"] == 1
+    # and the manifest totals match the parquet variant's contract
+    assert sum(sh["rows"] for sh in man["shards"].values()) == orders.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported shard format"):
+        __import__(
+            "pandas_analysis_with_postgres_spark.operators.sharding",
+            fromlist=["write_shards"],
+        ).write_shards(orders, out, "o_orderkey", 4, file_format="csvx")
