@@ -92,6 +92,13 @@ RENAMES = {
 #: through r04) that must occupy the first 50 insertion slots of
 #: ``queries()``. Order within the list is semantic grouping only —
 #: membership in the first 50 is what the driver window keys on.
+#:
+#: ROUND-6 ROTATION PROCEDURE (see README §"Driver-window rotation
+#: schedule" for the full table): once CORRECTNESS_r05 lands green
+#: rows for this list, replace it with the round-6 window —
+#: a93_live_enrich, z08–z19, a36–a39/a47/a57, then q01–… to fill 50 —
+#: and re-run `python scripts/check_surface.py` (pytest enforces the
+#: 50-slot integrity automatically).
 ROTATION = [
     # text/data-quality extensions (a58–a64)
     "a58_dq_violations",
