@@ -128,7 +128,14 @@ def tag_snapshot(path: str, name: str, version: int | None = None) -> int:
     RETENTION ROOT — :func:`expire_snapshots` never drops a tagged
     version or its data, however old, until the tag is deleted.
     Re-tagging an existing name re-points it. Returns the pinned
-    version."""
+    version.
+
+    Ordering note: tag BEFORE running expiry — expiry reads the tag
+    set once at its start, so a tag created concurrently with an
+    in-flight expire may land on a version that pass is already
+    dropping (the same read-then-act window every retention system
+    has; the age guard makes it unreachable under the documented
+    maintenance cadence)."""
     v = current_version(path) if version is None else version
     if v < 1 or not (_snap_dir(path) / _manifest_name(v)).exists():
         raise ValueError(f"cannot tag {path} at nonexistent version {v}")
