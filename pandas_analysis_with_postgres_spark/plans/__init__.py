@@ -88,75 +88,74 @@ RENAMES = {
 }
 
 
-#: Round-5 driver window: the 50 queries (of 51 never driver-checked
-#: through r04) that must occupy the first 50 insertion slots of
-#: ``queries()``. Order within the list is semantic grouping only —
-#: membership in the first 50 is what the driver window keys on.
+#: Round-6 driver window: the 50 queries occupying the first 50
+#: insertion slots of ``queries()``. Per README §"Driver-window
+#: rotation schedule": the one deferred streaming query (a93), the
+#: thirteen never-driver-checked round-5 additions (z08–z19), the six
+#: queries green only under pre-rename keys (a36–a39/a47/a57), then
+#: q01–q31 to re-verify the reference core under current keys.
 #:
-#: ROUND-6 ROTATION PROCEDURE (see README §"Driver-window rotation
-#: schedule" for the full table): once CORRECTNESS_r05 lands green
-#: rows for this list, replace it with the round-6 window —
-#: a93_live_enrich, z08–z19, a36–a39/a47/a57, then q01–… to fill 50 —
-#: and re-run `python scripts/check_surface.py` (pytest enforces the
-#: 50-slot integrity automatically).
+#: ROUND-7 ROTATION PROCEDURE: once CORRECTNESS_r06 lands green rows
+#: for this list, replace it with q32–q54 + any round-6 additions and
+#: re-run `python scripts/check_surface.py` (pytest enforces the
+#: 50-slot integrity automatically). After round 6 the key space is
+#: FROZEN — no further renames or re-keys.
 ROTATION = [
-    # text/data-quality extensions (a58–a64)
-    "a58_dq_violations",
-    "a59_rare_token_score",
-    "a60_repetition_signals",
-    "a61_decontamination",
-    "a62_source_mixing",
-    "a63_sequence_packing",
-    "a64_pii_redaction",
-    # ANN / sketches / retrieval / LM (a65–a71, a85)
-    "a65_ivf_kmeans_topk",
-    "a66_hll_distinct",
-    "a67_bloom_decontamination",
-    "a68_cms_heavy_hitters",
-    "a69_bm25_topk",
-    "a70_bigram_lm_surprisal",
-    "a71_bpe_train",
-    "a85_bpe_encode",
-    # warehouse analytics (a73–a84, a86–a92, a94–a96)
-    "a73_doc_chunks",
-    "a74_rolling_spend",
-    "a75_value_outliers",
-    "a76_event_pivot",
-    "a77_lineitem_melt_profile",
-    "a78_key_skew_profile",
-    "a79_source_sample",
-    "a80_price_quartiles",
-    "a81_spend_deciles",
-    "a82_session_funnel",
-    "a83_retention_cohorts",
-    "a84_event_sequences",
-    "a86_supply_pagerank",
-    "a87_event_transitions",
-    "a88_orders_profile",
-    "a89_fuzzy_token_pairs",
-    "a90_price_histogram_quantiles",
-    "a91_weighted_doc_sample",
-    "a92_grouping_sets",
-    "a94_user_median_py",
-    "a95_bloom_join_revenue",
-    "a96_order_value_spread",
-    # round-4 additions (a97–a99, z01–z07)
-    "a97_audio_features",
-    "a98_snapshot_time_travel",
-    "a99_zorder_key",
-    "z01_boilerplate_lines",
-    "z02_quality_classifier",
-    "z03_global_rank_shards",
-    "z04_stats_pruned_scan",
-    "z05_shuffled_shards",
-    "z06_bloom_point_lookup",
-    "z07_change_data_feed",
-    # streaming never driver-checked under ANY name (a36–a39/a47 were
-    # green in the r01 window under their pre-rename keys with
-    # byte-identical plans, so they rotate later with a93)
-    "a55_live_enriched_counts",
-    "a56_live_pair_join",
-    "a72_live_hll_users",
+    # the one streaming query deferred from round 5 (map-only enrich)
+    "a93_live_enrich",
+    # round-5 additions, never driver-checked (z08–z19)
+    "z08_semantic_dedup",
+    "z09_chunk_udtf",
+    "z10_scd2_lakehouse",
+    "z11_incremental_matview",
+    "z12_resample_ffill",
+    "z13_image_resize",
+    "z14_optout_delete",
+    "z15_schema_evolution",
+    "z16_audio_resample",
+    "z17_warc_extract",
+    "z18_compressed_blobs",
+    "z19_webdataset_roundtrip",
+    # green in r01/r02 only under pre-rename keys (byte-identical plans)
+    "a36_live_hourly_counts",
+    "a37_live_sessions",
+    "a38_live_dedup",
+    "a39_live_sliding_counts",
+    "a47_live_stateful_counts",
+    "a57_frame_sample",
+    # reference core re-verification under current keys (q01–q21)
+    "q01_pricing_summary",
+    "q02_customer_profile",
+    "q03_latest_order_per_customer",
+    "q04_order_counts",
+    "q05_customer_flags",
+    "q06_first_order_per_customer",
+    "q07_distinct_open_order_customers",
+    "q08_party_union",
+    "q09_except_all",
+    "q10_customers_without_orders",
+    "q11_customers_with_orders",
+    "q12_spend_with_defaults",
+    "q13_user_event_flags",
+    "q14_order_priority_flags",
+    "q15_upsert",
+    "q16_scd2",
+    "q17_max_quantity_lineitems",
+    "q18_event_props_rollup",
+    "q19_user_sessions",
+    "q20_hourly_rollup",
+    "q21_order_sequence_analytics",
+    # LLM-pipeline core re-verification (q22–q31)
+    "q22_dedup_exact",
+    "q23_ngram_jaccard_pairs",
+    "q24_minhash_dedup",
+    "q25_simhash",
+    "q26_simhash_pairs",
+    "q27_cosine_topk",
+    "q28_lsh_topk",
+    "q29_cosine_near_pairs",
+    "q30_text_stats",
+    "q31_lang_profile",
 ]
 
 
