@@ -233,8 +233,12 @@ def ngram_jaccard_pairs(
     Plan shape: explode distinct shingles → self-equi-join on shingle →
     count co-occurrences per pair → jaccard = co / (na + nb - co).
     Only pairs sharing ≥1 shingle ever materialize, so cost follows
-    shingle collisions, not |docs|². The per-doc shingle-count side is
-    tiny (id, count) → broadcast into the final join.
+    shingle collisions, not |docs|². The per-doc shingle-count frames
+    are one row PER DOCUMENT, so they join by plain shuffle hash join
+    on the doc id — broadcasting them would be O(|docs|) driver/executor
+    memory (billions of rows at 100 TB, a guaranteed OOM). AQE is free
+    to promote the join at runtime when the corpus really is tiny; the
+    plan must not force it.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
@@ -260,8 +264,8 @@ def ngram_jaccard_pairs(
     na = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     nb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     out = (
-        co.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
+        co.join(na, "doc_a")
+        .join(nb, "doc_b")
         .withColumn("jaccard", F.col("co") / (F.col("na") + F.col("nb") - F.col("co")))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -669,9 +669,16 @@ def rebuild_ivf_index(
     data and probe recall decays. Rebuilding re-clusters everything
     the index now holds.
 
-    Init: the ``n_cells`` lowest-id vectors (orderBy + limit →
-    TakeOrderedAndProject, a distributed top-k; the k collected rows
-    are codebook-sized, same budget as the probe-cell collect).
+    Init: the ``n_cells`` lowest-id vectors, seeded IN-PLAN — a
+    distributed top-k (``orderBy + limit`` → TakeOrderedAndProject)
+    renumbered 0..k-1 by a window over the already-k-row frame, the
+    same idiom as ``kmeans_codebook``'s ``filter(id < k)`` but valid
+    for the sparse/re-keyed ids an appended index accumulates. No
+    vector ever crosses the driver: with auto-scaled k = N/256 the
+    old ``collect()`` seeding pulled O(k·dim) — tens of GB on a large
+    index — through the driver; the window here sees exactly k rows
+    (codebook-sized, executor-side), so the single-partition sort is
+    bounded by the same budget as the codebook itself.
     Old versions of both tables stay readable (normal snapshot
     commits); a search racing the rebuild between the two commits sees
     new vectors under old centroids — degraded for that one read, not
@@ -690,10 +697,13 @@ def rebuild_ivf_index(
         .select(F.col(id_col), F.col(vec_col))
         .localCheckpoint()
     )
-    seeds = corpus.orderBy(id_col).limit(n_cells).collect()
-    cents0 = spark.createDataFrame(
-        [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(seeds)],
-        "cell_id long, centv array<double>",
+    cents0 = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centv"),
+        )
     )
     vecs = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     centroids = _lloyd_rounds(vecs, cents0, iters).localCheckpoint()

@@ -41,11 +41,42 @@ buckets, and the merge rewrites only those buckets.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 #: The view's partition key: a stable bucket of the group column so a
 #: maintenance cycle touching few groups rewrites few partitions.
 VIEW_BUCKETS = 16
+
+
+def _pin_n_buckets(view_path: str, n_buckets: int) -> None:
+    """``n_buckets`` is FIXED AT BOOTSTRAP: the merge's stable-partition
+    contract hashes each group to ``bucket = xxhash64(group) % n``, so
+    a later cycle run with a different ``n`` re-homes groups into
+    different buckets — the old row survives in its cold bucket and
+    the view silently accumulates duplicate rows per group. Record the
+    bootstrap value in a write-once sidecar and raise on mismatch (the
+    same constraint scd2's lakehouse merge documents; here it is
+    enforced). The sidecar is config, not data — rewriting it with
+    identical content on a concurrent bootstrap is idempotent."""
+    cfg = os.path.join(view_path, "_view_config.json")
+    if os.path.exists(cfg):
+        with open(cfg) as f:
+            recorded = int(json.load(f)["n_buckets"])
+        if recorded != n_buckets:
+            raise ValueError(
+                f"n_buckets={n_buckets} does not match the value this view "
+                f"was bootstrapped with ({recorded}); the bucket layout is "
+                f"fixed at bootstrap — re-create the view to change it"
+            )
+        return
+    os.makedirs(view_path, exist_ok=True)
+    tmp = cfg + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"n_buckets": int(n_buckets)}, f)
+    os.replace(tmp, cfg)
 
 
 def signed_delta(
@@ -92,10 +123,20 @@ def maintain_sum_view(
         read_snapshot,
     )
 
+    _pin_n_buckets(view_path, n_buckets)
     latest = current_version(source_path)
-    cur = int(
-        (read_manifest(view_path).get("txn") or {}).get(consumer_id, 0)
-    )
+    # ONE pinned read of the view manifest: watermark, existing rows,
+    # and the commit's expected_version all derive from the same
+    # version. Without the pin, a concurrent maintenance cycle (e.g.
+    # CLI `matview` racing stream_sum_view) committing between the
+    # watermark read and the existing-rows read would be re-read fresh
+    # at commit time — no ConcurrentCommitError — and the overlapping
+    # delta range folded in TWICE. Pinning makes any interleaved view
+    # commit lose the optimistic race; the caller's retry re-reads
+    # watermark + existing rows together.
+    view_meta = read_manifest(view_path)
+    view_parent = int(view_meta["version"])
+    cur = int((view_meta.get("txn") or {}).get(consumer_id, 0))
     if cur >= latest:
         return {"from_version": cur, "to_version": latest, "applied": False}
     feed = read_changes(
@@ -106,7 +147,7 @@ def maintain_sum_view(
         F.pmod(F.xxhash64(F.col(group_col)), F.lit(n_buckets)),
     )
     delta = delta.localCheckpoint(eager=False)
-    view_parts = set(read_manifest(view_path)["partitions"])
+    view_parts = set(view_meta.get("partitions") or {})
     touched = {
         f"bucket={r[0]}" for r in delta.select("bucket").distinct().collect()
     }
@@ -114,6 +155,7 @@ def maintain_sum_view(
         existing = read_snapshot(
             spark,
             view_path,
+            view_parent,
             partition_filter=lambda p: p in touched,
         ).select(group_col, "n_rows", "total")
     else:
@@ -144,6 +186,7 @@ def maintain_sum_view(
         merged,
         group_col,
         "bucket",
+        expected_version=view_parent,
         txn=(consumer_id, latest),
     )
     return {"from_version": cur, "to_version": latest, "applied": True}

@@ -127,6 +127,20 @@ def _recall(spark, approx_df, truth_df) -> float:
     return len(got & truth) / len(truth)
 
 
+def test_rebuild_seeds_in_plan_no_vector_collect():
+    """rebuild_ivf_index must seed k-means in-plan: with auto-scaled
+    k = N/256 a driver-side ``collect()`` of seed vectors pulls
+    O(k·dim) — tens of GB on a large index — through the driver. Pin
+    the source: no ``.collect(`` anywhere in the function body."""
+    import inspect
+
+    from pandas_analysis_with_postgres_spark.operators.similarity import (
+        rebuild_ivf_index,
+    )
+
+    assert ".collect(" not in inspect.getsource(rebuild_ivf_index)
+
+
 def test_rebuild_restores_recall_after_drift(spark, tmp_path):
     """append_ivf_index assigns against the build-time codebook, so a
     distribution shift decays probe recall; rebuild_ivf_index

@@ -73,6 +73,19 @@ def test_q29_near_pairs_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_q23_no_broadcast_of_per_document_frames(spark):
+    """q23's per-doc shingle-count frames are one row PER DOCUMENT —
+    O(|docs|) rows, billions at 100 TB. The plan must not FORCE them
+    broadcast: no broadcast hint may survive into the optimized
+    logical plan (AQE is still free to promote the join at runtime
+    when the corpus genuinely fits, which is the correct behavior).
+    """
+    df = QUERIES["q23_ngram_jaccard_pairs"](spark, SF_ORACLE)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in optimized, optimized
+    assert "UnresolvedHint" not in optimized, optimized
+
+
 def test_q61_decontamination_broadcasts_bench(spark):
     """Decontamination must broadcast the benchmark side (shingles and
     set sizes) and never self-join the corpus: the corpus is scanned
