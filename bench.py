@@ -122,6 +122,7 @@ EXTRA = (
     "z17_warc_extract",
     "z18_compressed_blobs",
     "z19_webdataset_roundtrip",
+    "z20_sql_merge",
 )
 
 
@@ -159,18 +160,30 @@ def main() -> None:
     extra = run(EXTRA)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_extra": extra,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_extra": extra,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    print(line)
+    # The driver's BENCH_r*.json keeps only an output tail, which has
+    # truncated the headline block in past rounds — append the FULL
+    # line to a repo-side history so every round's numbers stay
+    # readable without re-running the suite (r05 judge ask #7).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_history.jsonl"),
+            "a",
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still the contract
 
 
 if __name__ == "__main__":

@@ -31,7 +31,7 @@ from ..operators.multimodal import (
     media_metadata,
 )
 from ..operators.packing import SEQ_BUDGET, pack_sequences
-from ..sources.parquet import load_table
+from ..sources.parquet import load_table, register_views
 
 # ---------------------------------------------------------------------
 # SQL fragment generators (shared arithmetic with operators.dedup /
@@ -2569,6 +2569,115 @@ FROM documents
 """
 
 
+_SQL_MERGE_TABLES: dict = {}
+
+#: The z20 MERGE statement — executed verbatim by the front-end
+#: (sources.sql_merge.execute_merge), parsed and routed to the
+#: snapshot layer's partition-scoped merge. Exercises both WHEN
+#: clauses plus a MATCHED guard.
+Z20_MERGE_STMT = """
+MERGE INTO cust_balance AS t
+USING (
+  SELECT o_custkey AS cust_id,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS spend_cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+) AS s
+ON t.c_custkey = s.cust_id
+WHEN MATCHED AND s.n_orders >= 2 THEN UPDATE SET
+  balance_cents = t.balance_cents + s.spend_cents,
+  c_mktsegment = 'UPDATED'
+WHEN NOT MATCHED THEN INSERT
+  (c_custkey, c_name, c_mktsegment, balance_cents, pbucket)
+  VALUES (s.cust_id, concat('NEW#', CAST(s.cust_id AS STRING)), 'NEWSEG',
+          s.spend_cents, pmod(s.cust_id, 8))
+"""
+
+
+def _sql_merge_table(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from ..sources.snapshot import write_snapshot
+    from ..sources.sql_merge import execute_merge
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _SQL_MERGE_TABLES.get(key)
+    if path is None:
+        base = load_table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("balance_cents"),
+            F.pmod(F.col("c_custkey"), F.lit(8)).alias("pbucket"),
+        )
+        path = _tracked_mkdtemp("snap_sqlmerge_") + "/tbl"
+        write_snapshot(base.filter(F.col("c_custkey") % 3 != 0), path, "pbucket")
+        register_views(spark, sf_dir, "orders")
+        execute_merge(
+            spark,
+            Z20_MERGE_STMT,
+            tables={"cust_balance": path},
+            txn=("z20", 1),
+        )
+        _SQL_MERGE_TABLES[key] = path
+    return path
+
+
+def z20_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MERGE INTO`` as one SQL statement (sources.sql_merge): the
+    reference's SQL-11…16 warehouse-maintenance intent
+    (dmCustomerProc.py:185-232, UPDATE-from + INSERT-if-absent)
+    written the way a warehouse user writes it and routed to the
+    snapshot layer's partition-scoped merge (touched buckets rewritten,
+    cold buckets carried by reference, optimistic commit). The target
+    holds customers with c_custkey % 3 <> 0; the USING side aggregates
+    per-customer order spend; matched customers with ≥2 orders get
+    their balance bumped (guard exercised), absent customers are
+    inserted. DuckDB 1.0 in this container predates MERGE support, so
+    the oracle replays the identical final state as a
+    LEFT JOIN + NOT EXISTS union."""
+    from ..sources.snapshot import read_snapshot
+
+    path = _sql_merge_table(spark, sf_dir)
+    return read_snapshot(spark, path).select(
+        "c_custkey", "c_name", "c_mktsegment", "balance_cents"
+    )
+
+
+Z20_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS balance_cents
+  FROM customer WHERE c_custkey % 3 <> 0
+),
+spend AS (
+  SELECT o_custkey AS cust_id,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              AS BIGINT) AS spend_cents,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT b.c_custkey,
+       b.c_name,
+       CASE WHEN s.cust_id IS NOT NULL AND s.n_orders >= 2
+            THEN 'UPDATED' ELSE b.c_mktsegment END AS c_mktsegment,
+       CASE WHEN s.cust_id IS NOT NULL AND s.n_orders >= 2
+            THEN b.balance_cents + s.spend_cents
+            ELSE b.balance_cents END AS balance_cents
+FROM base b LEFT JOIN spend s ON b.c_custkey = s.cust_id
+UNION ALL
+SELECT s.cust_id AS c_custkey,
+       'NEW#' || CAST(s.cust_id AS VARCHAR) AS c_name,
+       'NEWSEG' AS c_mktsegment,
+       s.spend_cents AS balance_cents
+FROM spend s
+WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.c_custkey = s.cust_id)
+"""
+
+
 def z18_compressed_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-blob round-trip
     (operators.multimodal.compress_payloads / decompress_payloads —
@@ -3115,6 +3224,7 @@ EXTENSION_QUERIES = {
     "z17_warc_extract": z17_warc_extract,
     "z18_compressed_blobs": z18_compressed_blobs,
     "z19_webdataset_roundtrip": z19_webdataset_roundtrip,
+    "z20_sql_merge": z20_sql_merge,
 }
 
 EXTENSION_ORACLES = {
@@ -3155,6 +3265,7 @@ EXTENSION_ORACLES = {
     "z17_warc_extract": Z17_SQL,
     "z18_compressed_blobs": Z18_SQL,
     "z19_webdataset_roundtrip": Z19_SQL,
+    "z20_sql_merge": Z20_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -1,0 +1,159 @@
+"""MERGE INTO front-end (sources.sql_merge): grammar, routing to the
+snapshot layer's partition-scoped merge, and the guarded error paths.
+The full statement → final-table state is hash-verified against the
+DuckDB oracle in test_oracle.py (z20); these tests pin the semantics
+the oracle can't see — cold-partition carry, guards, rejections."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_analysis_with_postgres_spark.sources.snapshot import (
+    read_manifest,
+    read_snapshot,
+    write_snapshot,
+)
+from pandas_analysis_with_postgres_spark.sources.sql_merge import (
+    execute_merge,
+    parse_merge,
+)
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 100, 10), (2, "b", 200, 10), (3, "c", 300, 20)],
+        "k long, name string, cents long, p long",
+    )
+    path = str(tmp_path / "tbl")
+    assert write_snapshot(df, path, "p") == 1
+    return path
+
+
+MERGE = """
+MERGE INTO tbl AS t
+USING (SELECT * FROM VALUES (2, 99), (3, 1), (9, 500) AS v(k, delta)) AS s
+ON t.k = s.k
+WHEN MATCHED AND s.delta > 10 THEN UPDATE SET cents = t.cents + s.delta
+WHEN NOT MATCHED THEN INSERT (k, name, cents, p) VALUES
+  (s.k, concat('new', CAST(s.k AS STRING)), s.delta, s.k * 10)
+"""
+
+
+def test_merge_statement_updates_inserts_guards_and_carries_cold(spark, tbl):
+    v1 = read_manifest(tbl, 1)
+    v = execute_merge(spark, MERGE, tables={"tbl": tbl})
+    assert v == 2
+    assert _rows(read_snapshot(spark, tbl)) == {
+        (1, "a", 100, 10),    # unmatched target row survives
+        (2, "b", 299, 10),    # matched, guard passes → updated
+        (3, "c", 300, 20),    # matched but guard fails → untouched
+        (9, "new9", 500, 90), # not matched → inserted
+    }
+    # p=20's key 3 failed the guard → partition untouched, carried by
+    # reference (the partition-scoped rewrite the statement must keep)
+    v2 = read_manifest(tbl, 2)
+    assert v2["partitions"]["p=20"] == v1["partitions"]["p=20"]
+    assert v2["partitions"]["p=10"] != v1["partitions"]["p=10"]
+
+
+def test_merge_is_sql_only_no_python_row_eval(spark, tbl):
+    """The statement's expressions must evaluate as Catalyst
+    expressions (F.expr), never Python row UDFs."""
+    from pandas_analysis_with_postgres_spark.sources.sql_merge import (
+        parse_merge as _,  # noqa: F401 — import check only
+    )
+    import io
+    import contextlib
+
+    p = parse_merge(MERGE)
+    assert p["update_set"] == {"cents": "t.cents + s.delta"}
+    assert p["update_guard"] == "s.delta > 10"
+    assert p["insert_cols"] == ["k", "name", "cents", "p"]
+    # plan of the final table scan contains no Python eval nodes
+    df = read_snapshot(spark, tbl)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "BatchEvalPython" not in buf.getvalue()
+
+
+def test_update_only_and_insert_only_merges(spark, tmp_path):
+    df = spark.createDataFrame([(1, 10, 0)], "k long, v long, p long")
+    path = str(tmp_path / "t2")
+    write_snapshot(df, path, "p")
+    execute_merge(
+        spark,
+        """MERGE INTO t AS t USING (SELECT 1 AS k, 5 AS d) AS s
+           ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = t.v + s.d""",
+        tables={"t": path},
+    )
+    assert _rows(read_snapshot(spark, path)) == {(1, 15, 0)}
+    execute_merge(
+        spark,
+        """MERGE INTO t AS t USING (SELECT 7 AS k, 70 AS d) AS s
+           ON t.k = s.k WHEN NOT MATCHED THEN INSERT (k, v, p)
+           VALUES (s.k, s.d, 1)""",
+        tables={"t": path},
+    )
+    assert _rows(read_snapshot(spark, path)) == {(1, 15, 0), (7, 70, 1)}
+
+
+def test_merge_rejections(spark, tbl):
+    with pytest.raises(ValueError, match="DELETE"):
+        execute_merge(
+            spark,
+            """MERGE INTO tbl AS t USING (SELECT 1 AS k) AS s ON t.k = s.k
+               WHEN MATCHED THEN DELETE""",
+            tables={"tbl": tbl},
+        )
+    with pytest.raises(ValueError, match="merge key|partition column"):
+        execute_merge(
+            spark,
+            """MERGE INTO tbl AS t USING (SELECT 1 AS k) AS s ON t.k = s.k
+               WHEN MATCHED THEN UPDATE SET p = 99""",
+            tables={"tbl": tbl},
+        )
+    with pytest.raises(ValueError, match="every target column"):
+        execute_merge(
+            spark,
+            """MERGE INTO tbl AS t USING (SELECT 9 AS k) AS s ON t.k = s.k
+               WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)""",
+            tables={"tbl": tbl},
+        )
+    with pytest.raises(ValueError, match="equi-condition"):
+        execute_merge(
+            spark,
+            """MERGE INTO tbl AS t USING (SELECT 1 AS k) AS s
+               ON t.k = s.k AND t.p = 1
+               WHEN MATCHED THEN UPDATE SET cents = 0""",
+            tables={"tbl": tbl},
+        )
+    with pytest.raises(ValueError, match="unknown MERGE target"):
+        execute_merge(
+            spark,
+            """MERGE INTO nope AS t USING (SELECT 1 AS k) AS s ON t.k = s.k
+               WHEN MATCHED THEN UPDATE SET cents = 0""",
+            tables={"tbl": tbl},
+        )
+
+
+def test_merge_against_view_source_and_txn_idempotence(spark, tbl):
+    """USING a registered temp view; the txn marker makes redelivery a
+    no-op at the snapshot layer (same machinery as streaming sinks)."""
+    spark.createDataFrame([(2, 1000)], "k long, delta long").createOrReplaceTempView(
+        "merge_src"
+    )
+    stmt = """MERGE INTO tbl AS t USING merge_src AS s ON t.k = s.k
+              WHEN MATCHED THEN UPDATE SET cents = t.cents + s.delta"""
+    execute_merge(spark, stmt, tables={"tbl": tbl}, txn=("m", 1))
+    before = _rows(read_snapshot(spark, tbl))
+    assert (2, "b", 1200, 10) in before
+    # redelivered with the same txn: snapshot layer drops it
+    execute_merge(spark, stmt, tables={"tbl": tbl}, txn=("m", 1))
+    assert _rows(read_snapshot(spark, tbl)) == before
