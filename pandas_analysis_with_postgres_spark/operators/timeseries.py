@@ -74,9 +74,18 @@ def resample_ffill(
             F.max("__o").getField(value_col).alias("__last_v"),
         )
     )
+    # Span endpoints come from the BUCKET expression, not date_trunc of
+    # raw ts: a caller-supplied bucket (required for multi-unit grids)
+    # may use anchors date_trunc knows nothing about (e.g. epoch-based
+    # 2-day boundaries), and a span drawn from a different anchor
+    # produces grid values that never equal any observation bucket —
+    # every observation silently vanishing in the left join below, the
+    # exact loss mode the mult != 1 guard exists to prevent. min/max of
+    # the bucket itself is by construction on-grid, and for the default
+    # bucket min(date_trunc(ts)) ≡ date_trunc(min(ts)).
     span = events.agg(
-        F.date_trunc(unit, F.min(ts_col)).alias("__lo"),
-        F.date_trunc(unit, F.max(ts_col)).alias("__hi"),
+        F.min(bucket).alias("__lo"),
+        F.max(bucket).alias("__hi"),
     )
     grid = (
         events.select(key_col)

@@ -2727,7 +2727,7 @@ Z17_SQL = """
 WITH base AS (
   SELECT doc_id, text, lang FROM documents
   WHERE length(text) >= 1 AND octet_length(encode(text)) = length(text)
-    AND lang IS NOT NULL
+    AND lang IS NOT NULL AND octet_length(encode(lang)) = length(lang)
 )
 SELECT doc_id, 0 AS record_idx, 'response' AS warc_type,
        'http://example.com/doc/' || doc_id::VARCHAR AS target_uri,

@@ -789,6 +789,21 @@ def write_snapshot(
         bloom_bits = BLOOM_BITS
     if bloom_bits % 8:
         raise ValueError(f"bloom_bits must be a multiple of 8, got {bloom_bits}")
+    # Retired names stay retired across a FULL overwrite too (the
+    # merge/replace path enforces this in _partition_scoped_commit):
+    # the read-side cumulative rename chain spans the table's whole
+    # history, so letting an overwrite resurrect a renamed/dropped name
+    # would make old-version reads ambiguous forever after.
+    retired = {old for old, _ in (prior_schema.get("renames") or [])} | set(
+        prior_schema.get("dropped") or []
+    )
+    bad = [c for c in df.columns if c in retired]
+    if bad:
+        raise ValueError(
+            f"overwrite uses retired column name(s) {bad} (renamed or "
+            "dropped by evolve_snapshot_schema); retired names are "
+            "never reusable"
+        )
     if bloom_cols or constraints:
         # Pin the plan's output before evaluating it twice (bloom agg /
         # constraint check + data write): a nondeterministic input
@@ -807,6 +822,14 @@ def write_snapshot(
     meta = _schema_meta(df, partition_col, stats_cols, bloom_cols, bloom_bits)
     if constraints:
         meta["constraints"] = list(constraints)
+    # Carry the rename/drop registry through the overwrite (NOT
+    # constraints — those are inherited-on-None above, and carrying
+    # them here would undo an explicit `constraints=[]` drop).
+    # Over-carrying after a full rewrite is harmless: the registry
+    # only ever gates name reuse and read-side rename resolution.
+    for k in ("renames", "dropped"):
+        if prior_schema.get(k):
+            meta[k] = prior_schema[k]
     return _commit(
         path,
         parent,

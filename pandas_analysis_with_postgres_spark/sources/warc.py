@@ -46,6 +46,13 @@ def attach_warc_payload(
         # filter it like the other unrepresentable rows (the oracle
         # applies the same predicate)
         & F.col("lang").isNotNull()
+        # lang feeds the metadata record's Content-Length arithmetic
+        # (5 + length in CHARS on the oracle side vs octet_length of
+        # the body here), so it needs the same ASCII byte==char guard
+        # as the text — enforced where the other unrepresentable rows
+        # are filtered, so a non-ASCII lang in a future fixture reads
+        # as the fixture gap it is, not a parser bug
+        & (F.octet_length(F.col("lang")) == F.length(F.col("lang")))
     )
 
     def record(wtype: F.Column, uri_suffix, body: F.Column) -> F.Column:

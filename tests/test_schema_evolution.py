@@ -120,3 +120,49 @@ def test_evolved_then_emptied_table_presents_logical_schema(spark, tmp_path):
     assert out.count() == 0
     assert "amount" in out.columns and "amt" not in out.columns
     assert "v" not in out.columns
+
+
+def test_overwrite_cannot_resurrect_retired_names_and_carries_registry(
+    spark, tmp_path
+):
+    """Code-review regression: a FULL overwrite after
+    evolve_snapshot_schema must carry the rename/drop registry and
+    reject retired names, like merge/replace do — otherwise a later
+    writer can resurrect a retired name and break the read-side
+    cumulative rename chain."""
+    import pytest
+
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        evolve_snapshot_schema,
+        read_manifest,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, 10, 0)], "k long, old_v long, p long")
+    write_snapshot(df, path, "p")
+    evolve_snapshot_schema(path, renames={"old_v": "v"})
+
+    # overwrite with the retired name: rejected before any write
+    with pytest.raises(ValueError, match="retired"):
+        write_snapshot(
+            spark.createDataFrame([(1, 99, 0)], "k long, old_v long, p long"),
+            path,
+            "p",
+        )
+
+    # a clean overwrite carries the registry forward
+    v = write_snapshot(
+        spark.createDataFrame([(1, 99, 0)], "k long, v long, p long"),
+        path,
+        "p",
+    )
+    meta = read_manifest(path, v).get("schema") or {}
+    assert ["old_v", "v"] in [list(r) for r in meta.get("renames") or []]
+    # and the registry still gates the NEXT writer after the overwrite
+    with pytest.raises(ValueError, match="retired"):
+        write_snapshot(
+            spark.createDataFrame([(2, 5, 0)], "k long, old_v long, p long"),
+            path,
+            "p",
+        )

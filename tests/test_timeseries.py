@@ -101,3 +101,39 @@ def test_multi_unit_interval_without_bucket_is_rejected(spark):
             tiebreak_col="event_id",
             interval="2 days",
         )
+
+
+def test_custom_bucket_with_non_trunc_anchor_keeps_observations(spark):
+    """Code-review regression: the grid span must be computed from the
+    BUCKET expression, not date_trunc of raw ts — an epoch-based 2-day
+    bucket is not aligned to date_trunc('day') anchors, and a
+    mismatched span silently drops every observation (n_obs=0
+    everywhere)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    d = dt.datetime
+    rows = [
+        (1, d(2024, 1, 2, 5), 1, 10.0),
+        (2, d(2024, 1, 5, 6), 1, 50.0),
+    ]
+    # epoch-based 2-day boundaries: NOT what date_trunc('day') anchors
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("ts") - (F.unix_timestamp("ts") % (2 * 86400)))
+    )
+    out = resample_ffill(
+        _events(spark, rows),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        tiebreak_col="event_id",
+        interval="2 days",
+        bucket=bucket,
+    ).collect()
+    # both observations land on-grid (pre-fix: n_obs was 0 everywhere)
+    assert sum(r.n_obs for r in out) == 2
+    filled = {r.bucket_ts: (r.n_obs, r.value_ffill) for r in out}
+    # grid endpoints are the observations' own (epoch-anchored) buckets
+    assert len(filled) == 2
+    assert sorted(v for _, v in filled.values()) == [10.0, 50.0]
