@@ -2747,13 +2747,14 @@ AUDIO_DECIMATE = 4
 
 def z16_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio downsample (operators.multimodal.resample_audio):
-    every WAV payload decimated 4× (keep samples 0, 4, 8, … — the
-    exact-replay core of resampling; production adds an anti-alias
-    low-pass first) and re-encoded as a valid 2000 Hz RIFF/WAVE file.
-    The oracle replays the decimated sample sum per character from the
-    base table. Audio twin of z13's image resize — the multimodal
-    surface now covers decode / featurize / frame-sample / resize /
-    resample, all real."""
+    every WAV payload low-pass filtered (length-4 integer boxcar — the
+    anti-alias pre-filter, all-ones coefficients so replay stays
+    exact) and decimated 4×, re-encoded as a valid 2000 Hz RIFF/WAVE
+    file. The oracle replays each block's floor-mean per character
+    from the base table, so the FILTER ARITHMETIC itself is
+    hash-verified, not just the index map. Audio twin of z13's image
+    resize — the multimodal surface covers decode / featurize /
+    frame-sample / resize / resample, all real."""
     from ..operators.multimodal import attach_wav_payload, resample_audio
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2764,7 +2765,16 @@ def z16_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _audio_resample_oracle() -> str:
+    # Replays the boxcar anti-alias filter exactly: output sample j is
+    # floor(sum(chars in block j) / block_len) — integer coefficients,
+    # so DuckDB's // reproduces the engine's int64 floor-mean.
     k = AUDIO_DECIMATE
+    block_sum = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(generate_series(1, least({k}, length(text) - j * {k})), "
+        f"t -> ascii(substring(text, (j * {k} + t)::INT, 1))::BIGINT)), "
+        "(a, b) -> a + b)"
+    )
     return f"""
 SELECT doc_id,
        8000 AS src_rate, {8000 // k} AS rate,
@@ -2772,7 +2782,8 @@ SELECT doc_id,
        ((length(text) + {k - 1}) // {k})::BIGINT AS n_samples,
        list_reduce(list_prepend(0::BIGINT,
            list_transform(generate_series(0, (length(text) - 1) // {k}),
-               j -> ascii(substring(text, (j * {k} + 1)::INT, 1))::BIGINT)),
+               j -> ({block_sum}
+                     // least({k}, length(text) - j * {k})::BIGINT))),
            (a, b) -> a + b) AS sample_sum
 FROM documents
 WHERE length(text) >= 1 AND octet_length(encode(text)) = length(text)

@@ -315,11 +315,45 @@ class TestResampleAudio:
             resample_audio,
         )
 
-        # samples = bytes of "ABCDEFG"; factor 3 keeps A, D, G
-        row = resample_audio(self._media(spark, "ABCDEFG"), factor=3).collect()[0]
+        # raw index map: samples = bytes of "ABCDEFG"; factor 3 keeps A, D, G
+        row = resample_audio(
+            self._media(spark, "ABCDEFG"), factor=3, anti_alias=False
+        ).collect()[0]
         assert (row.src_rate, row.rate) == (8000, 2666)
         assert (row.src_samples, row.n_samples) == (7, 3)
         assert row.sample_sum == ord("A") + ord("D") + ord("G")
+
+    def test_boxcar_coefficients_hand_computed(self, spark):
+        """The anti-alias pre-filter is a length-k all-ones boxcar:
+        output j = floor(block mean) in exact int64 — coefficients
+        pinned by hand-computing every block of "ABCDEFG" at k=3."""
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            resample_audio,
+        )
+
+        row = resample_audio(self._media(spark, "ABCDEFG"), factor=3).collect()[0]
+        blocks = [
+            (ord("A") + ord("B") + ord("C")) // 3,  # 66
+            (ord("D") + ord("E") + ord("F")) // 3,  # 69
+            ord("G") // 1,                          # 71 (partial block)
+        ]
+        assert (row.src_samples, row.n_samples) == (7, 3)
+        assert row.sample_sum == sum(blocks) == 206
+
+    def test_anti_alias_rejects_nyquist_tone(self, spark):
+        """An alternating (Nyquist-rate) tone decimated raw at k=2
+        aliases to a shifted DC (keeps only the peaks); the boxcar
+        path yields the true block mean — the aliasing failure mode
+        the filter exists to remove."""
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            resample_audio,
+        )
+
+        media = self._media(spark, "aAaAaAaA")  # 97,65 alternating
+        raw = resample_audio(media, factor=2, anti_alias=False).collect()[0]
+        assert raw.sample_sum == 4 * ord("a")  # alias: all peaks
+        filt = resample_audio(media, factor=2).collect()[0]
+        assert filt.sample_sum == 4 * ((ord("a") + ord("A")) // 2)  # true DC
 
     def test_resampled_payload_is_valid_wav(self, spark):
         from pandas_analysis_with_postgres_spark.operators.multimodal import (
