@@ -68,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "history", "read", "expire", "compact", "sql", "info",
-            "changes", "maintain", "delete", "tag", "evolve",
+            "changes", "maintain", "delete", "tag", "evolve", "merge",
         ],
     )
     p_sn.add_argument("path")
@@ -274,6 +274,20 @@ def main(argv: list[str] | None = None) -> int:
             ).orderBy("version", "change_type").show(
                 args.limit, truncate=False
             )
+            return 0
+        if args.action == "merge":
+            # MERGE INTO as a statement: the snapshot table is named
+            # --as inside the statement; USING may reference any
+            # registered temp view or inline subquery.
+            from .sources.sql_merge import execute_merge
+
+            if not args.query:
+                print("snapshot merge requires --query", file=sys.stderr)
+                return 2
+            v = execute_merge(
+                _gs("cli"), args.query, tables={args.view_name: args.path}
+            )
+            print(f"committed version {v}")
             return 0
         if args.action == "sql":
             # time travel as SQL: pin --version, query the temp view

@@ -954,3 +954,144 @@ def semantic_dedup_auto(
     return semantic_dedup(
         corpus, cb, threshold=threshold, id_col=id_col, vec_col=vec_col
     )
+
+
+def incremental_semantic_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    centroids: DataFrame,
+    *,
+    batch_id: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    app_id: str = "semdedup-store",
+    broadcast_batch: bool | None = None,
+) -> "tuple[DataFrame, int]":
+    """Semantic-dedup a NEW batch of embeddings against everything
+    already accepted — the steady-state ingest twin of
+    :func:`semantic_dedup` (whole-corpus bootstrap) and the embedding-
+    level sibling of ``dedup.incremental_minhash_dedup``, sharing its
+    store design: the store is an append-only snapshot log of KEPT
+    vectors with their cell assignments, one partition per ingest
+    batch, so committing a batch carries every older partition by
+    reference (zero rewrite) and the ``txn=(app_id, batch_id)``
+    watermark makes a replayed batch a no-op.
+
+    ``centroids`` is the PERSISTED codebook (cell_id, centv) — a model
+    artifact trained offline (``kmeans_codebook`` → ``write_snapshot``)
+    and read per batch, NOT retrained: ``semantic_dedup_auto``'s
+    k ∝ N rule is a bootstrap-time decision; the steady state assigns
+    against frozen cells (retrain via ``rebuild_ivf_index``-style
+    maintenance when drift decays match quality).
+
+    Join strategy mirrors the minhash store: the store is the big side
+    and never shuffles — the batch's assigned frame joins it on
+    ``cell_id``, batch side broadcast when the SIZE GATE passes
+    (vector rows are fat: dim doubles + norm, estimated conservatively
+    against autoBroadcastJoinThreshold; a backfill batch degrades to a
+    plain shuffle join, result-identical). Dedup rule is SemDeDup's
+    greedy order made arrival-deterministic: a new doc is dropped iff
+    some STORED doc shares its cell at cosine ≥ threshold, or a
+    lower-id doc within its own batch does (exact
+    ``_pairs_from_assigned`` arithmetic both ways).
+
+    Returns ``(result, committed_version)``: one row per new doc —
+    ``(id_col, cell_id, is_dup, dup_of, method)`` with method
+    'store' | 'batch' | NULL — and the store gains the batch's
+    survivors. Replay caveat (same as minhash): a replayed batch meets
+    its own committed vectors (self-matches filtered by id), so a
+    within-batch dup may re-resolve as method='store'; the recomputed
+    frame is discarded by the results-side txn watermark, persisted
+    state never diverges.
+    """
+    from .dedup import _parse_spark_bytes
+    from ..sources.snapshot import merge_snapshot, read_snapshot
+
+    spark = new_docs.sparkSession
+    assigned = assign_cells(
+        new_docs.select(id_col, vec_col), centroids, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
+
+    dim = 0
+    first = assigned.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if first:
+        dim = int(first[0]["d"])
+    if broadcast_batch is None:
+        thr = _parse_spark_bytes(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        )
+        n_new = assigned.count()  # checkpointed → metadata-cheap
+        est_bytes = n_new * (dim * 8 + 64)
+        broadcast_batch = thr > 0 and est_bytes <= thr
+    _hint = F.broadcast if broadcast_batch else (lambda df: df)
+
+    # Within-batch pairs: exact cell-blocked cosine; keep-lowest-id.
+    batch_dups = (
+        _pairs_from_assigned(assigned, threshold, id_col, vec_col)
+        .groupBy(F.col("id_b").alias(id_col))
+        .agg(F.min("id_a").alias("dup_of_batch"))
+    )
+
+    try:
+        store = read_snapshot(spark, store_path)
+        has_store = True
+    except FileNotFoundError:
+        has_store = False
+    if has_store:
+        new_side = assigned.select(
+            "cell_id",
+            F.col(id_col).alias("new_id"),
+            F.col(vec_col).alias("nv"),
+            F.col("__vn").alias("__nn"),
+        )
+        old_side = store.select(
+            "cell_id",
+            F.col(id_col).alias("old_id"),
+            F.col(vec_col).alias("ov"),
+            F.col("__vn").alias("__on"),
+        )
+        store_dups = (
+            old_side.join(_hint(new_side), "cell_id")
+            # a replayed batch meets its own committed vectors — a doc
+            # is never a duplicate of itself
+            .filter(F.col("old_id") != F.col("new_id"))
+            .withColumn(
+                "cos",
+                dot(F.col("ov"), F.col("nv")) / (F.col("__on") * F.col("__nn")),
+            )
+            .filter(F.col("cos") >= threshold)
+            .groupBy(F.col("new_id").alias(id_col))
+            .agg(F.min("old_id").alias("dup_of_store"))
+        )
+    else:
+        idt = assigned.schema[id_col].dataType.simpleString()
+        store_dups = spark.createDataFrame([], f"{id_col} {idt}, dup_of_store {idt}")
+
+    result = (
+        assigned.select(id_col, "cell_id")
+        .join(batch_dups, id_col, "left")
+        .join(store_dups, id_col, "left")
+        .select(
+            id_col,
+            "cell_id",
+            F.coalesce("dup_of_store", "dup_of_batch").alias("dup_of"),
+            F.when(F.col("dup_of_store").isNotNull(), "store")
+            .when(F.col("dup_of_batch").isNotNull(), "batch")
+            .alias("method"),
+        )
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+        .localCheckpoint()
+    )
+
+    survivors = assigned.join(
+        result.filter("is_dup").select(id_col), id_col, "left_anti"
+    ).withColumn("__batch", F.lit(batch_id))
+    version = merge_snapshot(
+        store_path,
+        survivors,
+        id_col,
+        "__batch",
+        txn=(app_id, batch_id),
+    )
+    return result, version

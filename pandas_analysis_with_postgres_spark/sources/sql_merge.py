@@ -24,23 +24,38 @@ pipeline uses; anything else raises with the offending clause named):
     ON t.<key> = s.<key>             -- single equi-key (merge key)
     WHEN MATCHED [AND <guard>] THEN UPDATE SET col = expr [, ...]
     WHEN NOT MATCHED [AND <guard>] THEN INSERT (cols) VALUES (exprs)
+    WHEN NOT MATCHED BY SOURCE [AND <guard>] THEN DELETE
+    WHEN NOT MATCHED BY SOURCE [AND <guard>] THEN UPDATE SET ...
 
-Either WHEN clause may be omitted (update-only / insert-only merges).
-``WHEN MATCHED THEN DELETE`` is intentionally NOT routed through this
-path: the snapshot layer's row-level delete (``delete_where``) is a
-different physical operation (anti-rewrite + CDF delete rows) and a
-guarded API call, not a silent merge side-effect — callers get a
-pointed error. All value expressions are Spark SQL (evaluated via
-``F.expr`` over the aliased join), never Python.
+Any WHEN clause may be omitted (update-only / insert-only merges; at
+most one BY SOURCE clause). ``WHEN MATCHED THEN DELETE`` is
+intentionally NOT routed through this path: the snapshot layer's
+row-level delete (``delete_where``) is a different physical operation
+(anti-rewrite + CDF delete rows) and a guarded API call, not a silent
+merge side-effect — callers get a pointed error. (``NOT MATCHED BY
+SOURCE THEN DELETE`` is different: there the delete set is DEFINED by
+the merge join itself — full-sync semantics — so it belongs here.)
+All value expressions are Spark SQL (evaluated via ``F.expr`` over the
+aliased join), never Python.
 
-Scale shape: the matched set is ``target ⋈ source`` on the merge key —
-one join whose small side is the source batch (AQE broadcasts it when
-it fits), NOT a driver-side loop; the insert set is the complementary
-anti-join. The rewrite itself is ``merge_snapshot``'s contract: only
-partitions touched by the upsert frame are rewritten, cold partitions
-carry by reference, and the commit is optimistic (ConcurrentCommitError
-on a lost race). At 100 TB a MERGE costs O(source) + O(touched
-partitions), independent of table size.
+Scale shape, two tiers:
+
+- Without a BY SOURCE clause the statement routes to
+  ``merge_snapshot``: the matched set is ``target ⋈ source`` on the
+  merge key — one join whose small side is the source batch (AQE
+  broadcasts it when it fits); only partitions touched by the upsert
+  frame are rewritten, cold partitions carry by reference. Cost
+  O(source) + O(touched partitions), independent of table size.
+- A BY SOURCE clause makes the statement full-sync: every target row
+  must be classified matched/unmatched, so the target is scanned ONCE
+  in full (that scan is what the semantics mean — same as Delta), but
+  the rewrite is still scoped to partitions that actually CHANGED
+  (guard-failing rows leave their partitions cold, carried by
+  reference; fully-deleted partitions are dropped in the same commit
+  via ``replace_partitions(drop_partitions=...)``).
+
+Both tiers commit optimistically (ConcurrentCommitError on a lost
+race) and accept a ``txn`` idempotence marker.
 """
 
 from __future__ import annotations
@@ -61,7 +76,8 @@ _MERGE_RE = re.compile(
 )
 
 _WHEN_RE = re.compile(
-    r"""WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<guard>.+?))?\s+THEN\s+
+    r"""WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+(?P<bysrc>BY\s+SOURCE))?
+    (?:\s+AND\s+(?P<guard>.+?))?\s+THEN\s+
     (?P<action>UPDATE\s+SET\s+.+?|INSERT\s*\(.+?\)\s*VALUES\s*\(.+?\)|DELETE)
     \s*(?=WHEN\s+(?:NOT\s+)?MATCHED|$)""",
     re.IGNORECASE | re.DOTALL | re.VERBOSE,
@@ -121,6 +137,9 @@ def parse_merge(sql: str) -> dict:
         "insert_cols": None,
         "insert_vals": None,
         "insert_guard": None,
+        "by_source_action": None,   # 'delete' | 'update'
+        "by_source_set": None,
+        "by_source_guard": None,
     }
     whens = d["whens"]
     matched_spans = list(_WHEN_RE.finditer(whens))
@@ -128,10 +147,34 @@ def parse_merge(sql: str) -> dict:
         whens[m0.start(): m0.end()] for m0 in matched_spans
     ).strip() != whens.strip():
         raise ValueError(f"unparseable WHEN clauses: {whens.strip()!r}")
+    def _parse_set(action: str) -> dict:
+        sets = {}
+        for item in _split_top(action[action.upper().index("SET") + 3:]):
+            lhs, rhs = item.split("=", 1)
+            sets[lhs.strip().split(".")[-1]] = rhs.strip()
+        return sets
+
     for w in matched_spans:
         action = w.group("action").strip()
         is_not = bool(w.group("not"))
+        by_source = bool(w.group("bysrc"))
         guard = (w.group("guard") or "").strip() or None
+        if by_source and not is_not:
+            raise ValueError("MATCHED BY SOURCE is not a MERGE clause")
+        if by_source:
+            if out["by_source_action"] is not None:
+                raise ValueError("multiple WHEN NOT MATCHED BY SOURCE clauses")
+            if action.upper() == "DELETE":
+                out["by_source_action"] = "delete"
+            elif action.upper().startswith("UPDATE"):
+                out["by_source_action"] = "update"
+                out["by_source_set"] = _parse_set(action)
+            else:
+                raise ValueError(
+                    "WHEN NOT MATCHED BY SOURCE supports UPDATE SET or DELETE"
+                )
+            out["by_source_guard"] = guard
+            continue
         if action.upper() == "DELETE":
             raise ValueError(
                 "WHEN MATCHED THEN DELETE is not routed through MERGE: "
@@ -144,11 +187,7 @@ def parse_merge(sql: str) -> dict:
             if out["update_set"] is not None:
                 raise ValueError("multiple WHEN MATCHED UPDATE clauses")
             out["update_guard"] = guard
-            out["update_set"] = {}
-            for item in _split_top(action[action.upper().index("SET") + 3:]):
-                lhs, rhs = item.split("=", 1)
-                col = lhs.strip().split(".")[-1]
-                out["update_set"][col] = rhs.strip()
+            out["update_set"] = _parse_set(action)
         else:
             if not is_not:
                 raise ValueError("WHEN MATCHED cannot INSERT")
@@ -166,7 +205,11 @@ def parse_merge(sql: str) -> dict:
             out["insert_vals"] = _split_top(mi.group("vals"))
             if len(out["insert_cols"]) != len(out["insert_vals"]):
                 raise ValueError("INSERT column/value count mismatch")
-    if out["update_set"] is None and out["insert_cols"] is None:
+    if (
+        out["update_set"] is None
+        and out["insert_cols"] is None
+        and out["by_source_action"] is None
+    ):
         raise ValueError("MERGE needs at least one WHEN clause")
     return out
 
@@ -186,7 +229,12 @@ def execute_merge(
     Returns the new snapshot version. Concurrency/idempotence are
     ``merge_snapshot``'s: optimistic commit, optional ``txn`` marker.
     """
-    from .snapshot import merge_snapshot, read_manifest, read_snapshot
+    from .snapshot import (
+        merge_snapshot,
+        read_manifest,
+        read_snapshot,
+        replace_partitions,
+    )
 
     p = parse_merge(sql)
     if p["target"] not in tables:
@@ -213,49 +261,133 @@ def execute_merge(
     ss = src.alias(s_alias)
     on = F.col(f"{t_alias}.{t_key}") == F.col(f"{s_alias}.{s_key}")
 
-    parts = []
-    if p["update_set"] is not None:
-        bad = set(p["update_set"]) - set(t_cols)
+    def _check_set(sets: dict, clause: str) -> None:
+        bad = set(sets) - set(t_cols)
         if bad:
-            raise ValueError(f"UPDATE SET of unknown columns: {sorted(bad)}")
-        if t_key in p["update_set"] or pcol in p["update_set"]:
+            raise ValueError(f"{clause} SET of unknown columns: {sorted(bad)}")
+        if t_key in sets or pcol in sets:
             raise ValueError(
-                f"UPDATE SET may not reassign the merge key ({t_key!r}) or "
+                f"{clause} SET may not reassign the merge key ({t_key!r}) or "
                 f"partition column ({pcol!r}): a key's partition value is "
                 f"part of its identity (merge_snapshot contract)"
             )
-        matched = tt.join(ss, on, "inner")
-        if p["update_guard"]:
-            matched = matched.filter(F.expr(p["update_guard"]))
-        parts.append(
-            matched.select(
-                *[
-                    F.expr(p["update_set"].get(c, f"{t_alias}.{c}")).alias(c)
-                    for c in t_cols
-                ]
-            )
+
+    def _apply_set(df: DataFrame, sets: dict) -> DataFrame:
+        return df.select(
+            *[F.expr(sets.get(c, f"{t_alias}.{c}")).alias(c) for c in t_cols]
         )
-    if p["insert_cols"] is not None:
-        if set(p["insert_cols"]) != set(t_cols):
-            raise ValueError(
-                f"INSERT must supply every target column (incl. the partition "
-                f"column {pcol!r}): expected {sorted(t_cols)}, got "
-                f"{sorted(p['insert_cols'])}"
-            )
+
+    if p["update_set"] is not None:
+        _check_set(p["update_set"], "UPDATE")
+    if p["by_source_set"] is not None:
+        _check_set(p["by_source_set"], "NOT MATCHED BY SOURCE UPDATE")
+    if p["insert_cols"] is not None and set(p["insert_cols"]) != set(t_cols):
+        raise ValueError(
+            f"INSERT must supply every target column (incl. the partition "
+            f"column {pcol!r}): expected {sorted(t_cols)}, got "
+            f"{sorted(p['insert_cols'])}"
+        )
+
+    def _inserts() -> DataFrame:
         unmatched = ss.join(tt, on, "left_anti")
         if p["insert_guard"]:
             unmatched = unmatched.filter(F.expr(p["insert_guard"]))
         vals = dict(zip(p["insert_cols"], p["insert_vals"]))
-        parts.append(unmatched.select(*[F.expr(vals[c]).alias(c) for c in t_cols]))
+        return unmatched.select(*[F.expr(vals[c]).alias(c) for c in t_cols])
 
-    upsert = parts[0]
-    for extra in parts[1:]:
-        upsert = upsert.unionByName(extra)
-    return merge_snapshot(
+    if p["by_source_action"] is None:
+        # Fast path: partition-scoped upsert, cost O(source) +
+        # O(touched partitions) — merge_snapshot's contract.
+        parts = []
+        if p["update_set"] is not None:
+            matched = tt.join(ss, on, "inner")
+            if p["update_guard"]:
+                matched = matched.filter(F.expr(p["update_guard"]))
+            parts.append(_apply_set(matched, p["update_set"]))
+        if p["insert_cols"] is not None:
+            parts.append(_inserts())
+        upsert = parts[0]
+        for extra in parts[1:]:
+            upsert = upsert.unionByName(extra)
+        return merge_snapshot(
+            path,
+            upsert,
+            t_key,
+            pcol,
+            expected_version=meta["version"],
+            txn=txn,
+        )
+
+    # Full-sync path (a BY SOURCE clause): classify every target row,
+    # rewrite only the partitions that actually change, drop partitions
+    # the deletes emptied. The full-table classification scan is what
+    # BY SOURCE means; the rewrite stays change-scoped.
+    def _guard_split(df: DataFrame, guard: "str | None"):
+        """(rows where guard is TRUE, rows where it is FALSE or NULL) —
+        standard three-valued clause semantics."""
+        if not guard:
+            return df, df.limit(0)
+        g = F.expr(guard)
+        return df.filter(g), df.filter(~F.coalesce(g, F.lit(False)))
+
+    t_only = [f"{t_alias}.{c}" for c in t_cols]
+    matched = tt.join(ss, on, "inner")
+    if p["update_set"] is not None:
+        upd_pass, upd_fail = _guard_split(matched, p["update_guard"])
+        matched_new = _apply_set(upd_pass, p["update_set"]).unionByName(
+            upd_fail.select(*[F.col(c).alias(a) for c, a in zip(t_only, t_cols)])
+        )
+        changed_matched = upd_pass.select(F.expr(f"{t_alias}.{pcol}").alias(pcol))
+    else:
+        matched_new = matched.select(
+            *[F.col(c).alias(a) for c, a in zip(t_only, t_cols)]
+        )
+        changed_matched = matched_new.select(pcol).limit(0)
+
+    anti_t = tt.join(ss, on, "left_anti")  # target rows with no match
+    bs_pass, bs_keep = _guard_split(anti_t, p["by_source_guard"])
+    if p["by_source_action"] == "delete":
+        bs_new = bs_keep.select(*t_cols)
+    else:
+        bs_new = _apply_set(bs_pass, p["by_source_set"]).unionByName(
+            bs_keep.select(*t_cols)
+        )
+    changed_bs = bs_pass.select(F.col(pcol))
+
+    full_new = matched_new.unionByName(bs_new)
+    if p["insert_cols"] is not None:
+        inserts = _inserts()
+        full_new = full_new.unionByName(inserts)
+        changed_ins = inserts.select(pcol)
+    else:
+        changed_ins = full_new.select(pcol).limit(0)
+
+    full_new = full_new.localCheckpoint(eager=False)
+    changed = (
+        changed_matched.unionByName(changed_bs)
+        .unionByName(changed_ins)
+        .distinct()
+        .collect()
+    )  # O(partitions) driver metadata, same budget as delete_where
+    from .snapshot import _hive_part_name
+
+    affected = {_hive_part_name(pcol, r[0]) for r in changed}
+    if not affected:
+        return meta["version"]  # nothing changed: commit nothing
+    content = full_new.filter(
+        F.col(pcol).isin([r[0] for r in changed])
+        if changed
+        else F.lit(False)
+    ).localCheckpoint(eager=False)
+    present = {
+        _hive_part_name(pcol, r[0])
+        for r in content.select(pcol).distinct().collect()
+    }
+    return replace_partitions(
         path,
-        upsert,
-        t_key,
+        content,
         pcol,
         expected_version=meta["version"],
         txn=txn,
+        drop_partitions=affected - present,
     )

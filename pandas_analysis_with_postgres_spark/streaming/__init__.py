@@ -13,6 +13,7 @@ from .streams import (
     events_stream_multibatch,
     foreach_batch_sink,
     stream_dedup_ingest,
+    stream_semantic_dedup_ingest,
     stream_quality_gate,
     stream_merge_sink,
     run_available_now,
@@ -34,6 +35,7 @@ __all__ = [
     "run_available_now",
     "foreach_batch_sink",
     "stream_dedup_ingest",
+    "stream_semantic_dedup_ingest",
     "stream_quality_gate",
     "stream_merge_sink",
     "windowed_hll_registers",

@@ -181,6 +181,58 @@ def _component_smokes(spark, base: str, big: str) -> dict[str, dict[str, float]]
     row["ratio"] = round(row["sf1"] / row["sf0.1"], 1) if row["sf0.1"] else 0.0
     out["incremental_minhash_dedup_batch"] = row
 
+    # incremental_semantic_dedup_batch: the embedding-level twin — a
+    # fixed 500-vector batch against a 10× larger vector store under a
+    # frozen codebook pays one bigger cell-joined store scan, never a
+    # store shuffle or codebook retrain. The store is bootstrapped by
+    # DIRECT assignment + write (untimed — running the full dedup over
+    # the bootstrap corpus is the WHOLE-CORPUS operator's job and
+    # would violate the k ∝ N rule at this fixed k); the timed part is
+    # the steady-state batch, which is what the operator is for.
+    row = {}
+    sem_sizes = {"sf0.1": 100_000, "sf1": 1_000_000}
+    sem_dim = 16
+    sem_k = 256
+    for label, _ in datasets:
+        tmp = tempfile.mkdtemp(prefix="smoke_semdedup_")
+        try:
+            vec = F.transform(
+                F.sequence(F.lit(0), F.lit(sem_dim - 1)),
+                lambda j: (
+                    F.pmod(F.xxhash64(F.col("id") * sem_dim + j), F.lit(1000))
+                    / 500.0
+                    - 1.0
+                ).cast("float"),
+            )
+            corpus = spark.range(sem_sizes[label]).select(
+                F.col("id").alias("vec_id"), vec.alias("embedding")
+            )
+            # frozen codebook: the first k corpus vectors (a smoke
+            # stand-in for the trained artifact)
+            cents = corpus.filter(F.col("vec_id") < sem_k).select(
+                F.col("vec_id").alias("cell_id"),
+                F.transform(
+                    F.col("embedding"), lambda x: x.cast("double")
+                ).alias("centv"),
+            ).localCheckpoint()
+            assigned = SIM.assign_cells(corpus, cents).withColumn(
+                "__batch", F.lit(0)
+            )
+            write_snapshot(assigned, f"{tmp}/store", "__batch")
+            batch = spark.range(500).select(
+                (F.col("id") + 90_000_000).alias("vec_id"), vec.alias("embedding")
+            )
+            t0 = time.perf_counter()
+            res, _ = SIM.incremental_semantic_dedup(
+                batch, f"{tmp}/store", cents, batch_id=1, threshold=0.95
+            )
+            res.write.format("noop").mode("overwrite").save()
+            row[label] = round(time.perf_counter() - t0, 2)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    row["ratio"] = round(row["sf1"] / row["sf0.1"], 1) if row["sf0.1"] else 0.0
+    out["incremental_semantic_dedup_batch"] = row
+
     row = {}
     # The fixture embeddings (20k rows) are too small for I/O to matter
     # — job fixed costs drown the scan. Build the index over a LARGE

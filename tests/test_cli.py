@@ -291,3 +291,33 @@ def test_matview_cli(spark, tmp_path, capsys):
     assert {(r.grp, r.n_rows, r.total) for r in read_snapshot(spark, view).collect()} == {
         ("a", 1, 10)
     }
+
+
+def test_snapshot_merge_statement(spark, tmp_path, capsys):
+    """`snapshot merge --query "MERGE INTO ..."` routes the statement
+    through the SQL front-end to the partition-scoped snapshot merge."""
+    from pandas_analysis_with_postgres_spark.__main__ import main
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, 10, 0)], "k long, v long, p long"), path, "p"
+    )
+    rc = main(
+        [
+            "snapshot",
+            "merge",
+            path,
+            "--as",
+            "tbl",
+            "--query",
+            "MERGE INTO tbl AS t USING (SELECT 1 AS k, 5 AS d) AS s "
+            "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = t.v + s.d",
+        ]
+    )
+    assert rc == 0
+    assert "committed version 2" in capsys.readouterr().out
+    assert [tuple(r) for r in read_snapshot(spark, path).collect()] == [(1, 15, 0)]

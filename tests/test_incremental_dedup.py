@@ -180,3 +180,86 @@ def test_parse_spark_bytes_units():
     assert _parse_spark_bytes("1g") == 1024**3
     assert _parse_spark_bytes("-1") == -1
     assert _parse_spark_bytes("nonsense") == 10 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------
+# incremental_semantic_dedup: the embedding-level twin (r05 ask #9)
+# ---------------------------------------------------------------------
+class TestIncrementalSemanticDedup:
+    """Steady-state embedding dedup against a persisted vector store
+    and a persisted (frozen) codebook."""
+
+    DIM = 4
+
+    def _vecs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, f"vec_id long, embedding array<float>"
+        )
+
+    def _cents(self, spark):
+        # two frozen cells on the first two axes — the persisted
+        # codebook artifact, NOT retrained per batch
+        return spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+            "cell_id long, centv array<double>",
+        )
+
+    def _run(self, spark, store, rows, batch_id):
+        from pandas_analysis_with_postgres_spark.operators.similarity import (
+            incremental_semantic_dedup,
+        )
+
+        return incremental_semantic_dedup(
+            self._vecs(spark, rows),
+            store,
+            self._cents(spark),
+            batch_id=batch_id,
+            threshold=0.95,
+        )
+
+    def test_bootstrap_then_cross_and_within_batch_dups(self, spark, tmp_path):
+        store = str(tmp_path / "vec_store")
+        res, v = self._run(
+            spark,
+            store,
+            [(1, [1.0, 0.05, 0.0, 0.0]), (2, [0.0, 1.0, 0.05, 0.0])],
+            0,
+        )
+        assert v == 1
+        got = {r.vec_id: r for r in res.collect()}
+        assert not got[1].is_dup and not got[2].is_dup
+        assert read_snapshot(spark, store).count() == 2
+
+        res, v = self._run(
+            spark,
+            store,
+            [
+                # near-dup of stored vec 1 (same cell, cos ≈ 1)
+                (10, [1.0, 0.06, 0.0, 0.0]),
+                # within-batch dup pair: 11 survives (lower id), 12 drops
+                (11, [0.0, 0.0, 1.0, 0.0]),
+                (12, [0.0, 0.0, 1.0, 0.01]),
+            ],
+            1,
+        )
+        assert v == 2
+        got = {r.vec_id: (r.is_dup, r.dup_of, r.method) for r in res.collect()}
+        assert got[10] == (True, 1, "store")
+        assert got[11][0] is False
+        assert got[12] == (True, 11, "batch")
+        # store gains only the survivors; older partition untouched
+        assert {r.vec_id for r in read_snapshot(spark, store).collect()} == {1, 2, 11}
+        m = read_manifest(store, 2)
+        assert m["partitions"]["__batch=0"] == read_manifest(store, 1)["partitions"]["__batch=0"]
+
+    def test_replayed_batch_is_noop_and_self_matches_filtered(self, spark, tmp_path):
+        store = str(tmp_path / "vec_store")
+        self._run(spark, store, [(1, [1.0, 0.05, 0.0, 0.0])], 0)
+        v1 = read_manifest(store)["version"]
+        # replay batch 0: its own committed vector must not make it a
+        # dup of itself, and the store commit is dropped by the txn
+        res, v = self._run(spark, store, [(1, [1.0, 0.05, 0.0, 0.0])], 0)
+        assert v == v1  # txn watermark: no new commit
+        got = {r.vec_id: r for r in res.collect()}
+        assert not got[1].is_dup
+        assert read_snapshot(spark, store).count() == 1

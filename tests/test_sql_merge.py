@@ -157,3 +157,94 @@ def test_merge_against_view_source_and_txn_idempotence(spark, tbl):
     # redelivered with the same txn: snapshot layer drops it
     execute_merge(spark, stmt, tables={"tbl": tbl}, txn=("m", 1))
     assert _rows(read_snapshot(spark, tbl)) == before
+
+
+def test_merge_not_matched_by_source_full_sync(spark, tmp_path):
+    """BY SOURCE clause = full-sync: unmatched target rows delete (or
+    update) under standard guard logic; the rewrite stays scoped to
+    partitions that actually changed, emptied partitions are dropped,
+    untouched partitions carry by reference."""
+    path = str(tmp_path / "sync")
+    write_snapshot(
+        spark.createDataFrame(
+            [
+                (1, "a", 100, 10),
+                (2, "b", 200, 10),
+                (3, "c", 300, 20),
+                (4, "d", 400, 30),
+            ],
+            "k long, name string, cents long, p long",
+        ),
+        path,
+        "p",
+    )
+    v = execute_merge(
+        spark,
+        """MERGE INTO sync AS t
+           USING (SELECT * FROM VALUES (2, 50), (9, 500) AS v(k, d)) AS s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET cents = t.cents + s.d
+           WHEN NOT MATCHED THEN INSERT (k, name, cents, p)
+             VALUES (s.k, 'new', s.d, 20)
+           WHEN NOT MATCHED BY SOURCE AND t.cents >= 300 THEN DELETE""",
+        tables={"sync": path},
+    )
+    assert v == 2
+    assert _rows(read_snapshot(spark, path)) == {
+        (1, "a", 100, 10),   # unmatched, guard fails (100 < 300) → kept
+        (2, "b", 250, 10),   # matched → updated
+        (9, "new", 500, 20), # inserted
+        # 3 deleted (p=20 rewritten), 4 deleted (p=30 emptied)
+    }
+    m = read_manifest(path, 2)
+    assert set(m["partitions"]) == {"p=10", "p=20"}  # p=30 dropped
+
+
+def test_merge_by_source_update_and_cold_partition_carry(spark, tmp_path):
+    path = str(tmp_path / "sync2")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, 100, 10), (2, 200, 20), (3, 300, 30)],
+            "k long, cents long, p long",
+        ),
+        path,
+        "p",
+    )
+    v1 = read_manifest(path, 1)
+    v = execute_merge(
+        spark,
+        """MERGE INTO t2 AS t
+           USING (SELECT 1 AS k) AS s ON t.k = s.k
+           WHEN NOT MATCHED BY SOURCE AND t.cents <= 200 THEN UPDATE SET
+             cents = 0""",
+        tables={"t2": path},
+    )
+    assert v == 2
+    assert _rows(read_snapshot(spark, path)) == {
+        (1, 100, 10),  # matched → untouched
+        (2, 0, 20),    # unmatched, guard passes → zeroed
+        (3, 300, 30),  # unmatched, guard fails → untouched
+    }
+    m2 = read_manifest(path, 2)
+    # only p=20 changed; p=10 and p=30 carried by reference
+    assert m2["partitions"]["p=10"] == v1["partitions"]["p=10"]
+    assert m2["partitions"]["p=30"] == v1["partitions"]["p=30"]
+    assert m2["partitions"]["p=20"] != v1["partitions"]["p=20"]
+
+
+def test_merge_by_source_no_change_commits_nothing(spark, tmp_path):
+    path = str(tmp_path / "sync3")
+    write_snapshot(
+        spark.createDataFrame([(1, 100, 10)], "k long, cents long, p long"),
+        path,
+        "p",
+    )
+    v = execute_merge(
+        spark,
+        """MERGE INTO t3 AS t
+           USING (SELECT 1 AS k) AS s ON t.k = s.k
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        tables={"t3": path},
+    )
+    assert v == 1  # every target row matched: nothing to do, no commit
+    assert read_manifest(path)["version"] == 1

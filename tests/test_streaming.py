@@ -433,3 +433,85 @@ def test_stream_sum_view_end_to_end(spark, tmp_path):
     run()
     assert read_manifest(src)["version"] == src_v
     assert read_manifest(view)["version"] == view_v
+
+
+def test_stream_semantic_dedup_ingest_end_to_end(spark, tmp_path):
+    """Streaming steady-state SEMANTIC dedup (r05 ask #9): micro-
+    batches of embeddings dedupe against the persisted vector store
+    under a persisted frozen codebook; verdicts land in a results
+    snapshot; crash-replay from the checkpoint commits nothing new."""
+    import os
+
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_manifest,
+        read_snapshot,
+        write_snapshot,
+    )
+    from pandas_analysis_with_postgres_spark.streaming import (
+        stream_semantic_dedup_ingest,
+    )
+
+    # persisted codebook: two frozen cells on the first two axes
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0], 0), (1, [0.0, 1.0, 0.0, 0.0], 0)],
+        "cell_id long, centv array<double>, p long",
+    )
+    cents_path = str(tmp_path / "centroids")
+    write_snapshot(cents.select("cell_id", "centv", "p"), cents_path, "p")
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    schema = "vec_id long, embedding array<float>"
+    b0 = spark.createDataFrame(
+        [(1, [1.0, 0.05, 0.0, 0.0]), (2, [0.0, 1.0, 0.05, 0.0])], schema
+    )
+    b1 = spark.createDataFrame(
+        [
+            (10, [1.0, 0.06, 0.0, 0.0]),   # near-dup of stored vec 1
+            (11, [0.0, 0.9, 0.5, 0.0]),    # same cell as 2, below threshold
+        ],
+        schema,
+    )
+    b0.coalesce(1).write.parquet(str(land / "f0.parquet"))
+    b1.coalesce(1).write.parquet(str(land / "f1.parquet"))
+    for i, name in enumerate(sorted(os.listdir(land))):
+        os.utime(land / name, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    store = str(tmp_path / "vec_store")
+    results = str(tmp_path / "results")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land / "*.parquet"))
+        )
+        stream_semantic_dedup_ingest(
+            stream,
+            store,
+            results,
+            cents_path,
+            app_id="semingest",
+            checkpoint_dir=ckpt,
+            threshold=0.95,
+        )
+
+    run()
+    verdicts = {
+        r.vec_id: (r.is_dup, r.dup_of, r.method)
+        for r in read_snapshot(spark, results).collect()
+    }
+    assert verdicts[1] == (False, None, None)
+    assert verdicts[2] == (False, None, None)
+    assert verdicts[10] == (True, 1, "store")  # cross-batch semantic dup
+    assert verdicts[11] == (False, None, None)
+    assert {r.vec_id for r in read_snapshot(spark, store).collect()} == {1, 2, 11}
+    store_v = read_manifest(store)["version"]
+    results_v = read_manifest(results)["version"]
+    assert store_v >= 2 and results_v >= 2
+
+    # drain again from the same checkpoint: nothing new
+    run()
+    assert read_manifest(store)["version"] == store_v
+    assert read_manifest(results)["version"] == results_v
