@@ -123,6 +123,7 @@ EXTRA = (
     "z18_compressed_blobs",
     "z19_webdataset_roundtrip",
     "z20_sql_merge",
+    "z21_sql_merge_sync",
 )
 
 

@@ -2647,6 +2647,83 @@ def z20_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The z21 full-sync MERGE: matched orders re-priced from the feed,
+#: stale orders (absent from the feed) deleted under a guard.
+Z21_MERGE_STMT = """
+MERGE INTO ord_sync AS t
+USING (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS feed_cents
+  FROM orders WHERE o_orderkey % 2 = 0
+) AS s
+ON t.o_orderkey = s.k
+WHEN MATCHED THEN UPDATE SET price_cents = s.feed_cents + 1
+WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 3 = 0 THEN DELETE
+"""
+
+
+def _sql_merge_sync_table(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from ..sources.snapshot import write_snapshot
+    from ..sources.sql_merge import execute_merge
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _SQL_MERGE_TABLES.get((key, "sync"))
+    if path is None:
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("price_cents"),
+            F.pmod(F.col("o_orderkey"), F.lit(8)).alias("pbucket"),
+        )
+        path = _tracked_mkdtemp("snap_sqlsync_") + "/tbl"
+        write_snapshot(base, path, "pbucket")
+        register_views(spark, sf_dir, "orders")
+        execute_merge(
+            spark,
+            Z21_MERGE_STMT,
+            tables={"ord_sync": path},
+            txn=("z21", 1),
+        )
+        _SQL_MERGE_TABLES[(key, "sync")] = path
+    return path
+
+
+def z21_sql_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-sync ``MERGE INTO`` with a ``WHEN NOT MATCHED BY SOURCE``
+    clause (sources.sql_merge): the warehouse refresh shape — a feed
+    carrying the CURRENT state of even-keyed orders re-prices its
+    matches and deletes guarded stale rows (odd keys divisible by 3)
+    the feed no longer carries. The engine classifies every target row
+    in one scan (what BY SOURCE means) but rewrites only CHANGED
+    bucket partitions via replace_partitions, dropping emptied ones in
+    the same commit (pinned in tests/test_sql_merge.py). The oracle
+    replays the final table state arithmetically from the base table."""
+    from ..sources.snapshot import read_snapshot
+
+    path = _sql_merge_sync_table(spark, sf_dir)
+    return read_snapshot(spark, path).select(
+        "o_orderkey", "o_orderstatus", "price_cents"
+    )
+
+
+Z21_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents
+  FROM orders
+)
+SELECT o_orderkey, o_orderstatus,
+       CASE WHEN o_orderkey % 2 = 0 THEN price_cents + 1
+            ELSE price_cents END AS price_cents
+FROM base
+WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 <> 0
+"""
+
+
 Z20_SQL = """
 WITH base AS (
   SELECT c_custkey, c_name, c_mktsegment,
@@ -3236,6 +3313,7 @@ EXTENSION_QUERIES = {
     "z18_compressed_blobs": z18_compressed_blobs,
     "z19_webdataset_roundtrip": z19_webdataset_roundtrip,
     "z20_sql_merge": z20_sql_merge,
+    "z21_sql_merge_sync": z21_sql_merge_sync,
 }
 
 EXTENSION_ORACLES = {
@@ -3277,6 +3355,7 @@ EXTENSION_ORACLES = {
     "z18_compressed_blobs": Z18_SQL,
     "z19_webdataset_roundtrip": Z19_SQL,
     "z20_sql_merge": Z20_SQL,
+    "z21_sql_merge_sync": Z21_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,
