@@ -408,3 +408,81 @@ class TestCompressedBlobs:
         )
         with pytest.raises(Exception, match="zlib|Error|error"):
             decompress_payloads(bad).collect()
+
+
+class TestSincResample:
+    """The fixed-point windowed-sinc path (anti_alias='sinc'):
+    coefficients pinned, DC preserved exactly, Nyquist tone rejected
+    harder than the boxcar."""
+
+    def _media(self, spark, text):
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            attach_wav_payload,
+        )
+
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return attach_wav_payload(docs)
+
+    def test_tap_coefficients_pinned(self):
+        import numpy as np
+
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            sinc_taps,
+        )
+
+        taps = sinc_taps(2)  # 9 taps, half_width 2, scale 1024
+        assert taps.size == 9 and taps.dtype == np.int64
+        # symmetric, center = scale·hann-center ≈ 1024, Nyquist zeros
+        assert taps[4] == 1024
+        assert list(taps) == list(taps[::-1])
+        assert taps[0] == 0 and taps[2] == 0 and taps[6] == 0  # sinc zeros
+        assert taps.sum() > 0
+
+    def test_dc_is_exact_and_nyquist_rejected(self, spark):
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            resample_audio,
+        )
+
+        def _pcm(row):  # 8-bit mono samples after the 44-byte header
+            return list(bytes(row.payload)[44:])
+
+        # constant signal: (c·Σtaps)//Σtaps == c — interior samples
+        # exact; only the zero-padded EDGES lose mass (documented)
+        const = resample_audio(
+            self._media(spark, "QQQQQQQQQQQQQQQQ"), factor=2, anti_alias="sinc"
+        ).collect()[0]
+        assert const.n_samples == 8
+        # fully-covered windows (tap half-span = 4 source samples →
+        # output index 2..5) reproduce Q exactly; nearer the edge the
+        # missing negative sidelobe mass overshoots by ≤1
+        assert set(_pcm(const)[2:-2]) == {ord("Q")}
+        # Nyquist tone: raw decimation keeps all peaks (deviation 16
+        # from DC); sinc interior samples sit within 1 of true DC
+        media = self._media(spark, "aAaAaAaAaAaAaAaA")
+        raw = resample_audio(media, factor=2, anti_alias=False).collect()[0]
+        sinc = resample_audio(media, factor=2, anti_alias="sinc").collect()[0]
+        dc = (ord("a") + ord("A")) / 2
+        assert all(s == ord("a") for s in _pcm(raw))  # alias: all peaks
+        assert all(abs(s - dc) <= 1 for s in _pcm(sinc)[2:-2])
+
+    def test_payload_still_valid_wav(self, spark):
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            decode_wav_pcm,
+            resample_audio,
+        )
+
+        row = resample_audio(
+            self._media(spark, "ABCDEFGH"), factor=2, anti_alias="sinc"
+        ).collect()[0]
+        rate, ch, n, total = decode_wav_pcm(bytes(row.payload))
+        assert (rate, ch, n, total) == (4000, 1, 4, row.sample_sum)
+
+    def test_bad_anti_alias_value_rejected(self, spark):
+        import pytest
+
+        from pandas_analysis_with_postgres_spark.operators.multimodal import (
+            resample_audio,
+        )
+
+        with pytest.raises(ValueError, match="anti_alias"):
+            resample_audio(self._media(spark, "abc"), factor=2, anti_alias="fir")
