@@ -647,6 +647,23 @@ def _parse_spark_bytes(value: str) -> int:
         return 10 * 1024 * 1024
 
 
+def size_gated_broadcast(
+    spark: "SparkSession", n_rows: int, bytes_per_row: int
+) -> bool:
+    """The SHARED broadcast size gate for steady-state ingest dedup
+    (minhash and semantic twins): estimate the batch's broadcast
+    frame pessimistically and compare against
+    ``spark.sql.autoBroadcastJoinThreshold`` — a bootstrap/backfill
+    batch of millions of rows degrades to a plain shuffle join
+    (result-identical) instead of OOMing the driver. One home so a
+    future gate fix (e.g. '-1' handling) cannot silently miss a twin.
+    """
+    thr = _parse_spark_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    )
+    return thr > 0 and n_rows * bytes_per_row <= thr
+
+
 def incremental_minhash_dedup(
     new_docs: DataFrame,
     store_path: str,
@@ -701,15 +718,14 @@ def incremental_minhash_dedup(
     ).localCheckpoint()
 
     if broadcast_batch is None:
-        thr = _parse_spark_bytes(
-            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
-        )
-        n_new = sigs_new.count()  # checkpointed → metadata-cheap
         # Largest broadcast frame is the exploded band set (LSH_BANDS
         # rows/doc) or the full signature row (NUM_PERMS longs + id);
         # ~64 B per band row / per column is deliberately pessimistic.
-        est_bytes = n_new * max(LSH_BANDS * 64, NUM_PERMS * 8 + 64)
-        broadcast_batch = thr > 0 and est_bytes <= thr
+        broadcast_batch = size_gated_broadcast(
+            spark,
+            sigs_new.count(),  # checkpointed → metadata-cheap
+            max(LSH_BANDS * 64, NUM_PERMS * 8 + 64),
+        )
     _hint = F.broadcast if broadcast_batch else (lambda df: df)
 
     # Within-batch near-dups, exact-verified; keep-first by id.

@@ -581,7 +581,10 @@ def resample_audio(
     """
     if factor < 1:
         raise ValueError(f"factor must be >= 1, got {factor}")
-    if anti_alias not in (True, False, "sinc"):
+    # identity checks, not ==: 1 == True would pass validation but
+    # fail the `is True` dispatch below — a truthy request for
+    # anti-aliasing silently decimating raw
+    if not (anti_alias is True or anti_alias is False or anti_alias == "sinc"):
         raise ValueError(f"anti_alias must be True, False, or 'sinc', got {anti_alias!r}")
     taps = sinc_taps(factor) if anti_alias == "sinc" else None
 

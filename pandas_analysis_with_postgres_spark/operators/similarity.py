@@ -1005,7 +1005,7 @@ def incremental_semantic_dedup(
     frame is discarded by the results-side txn watermark, persisted
     state never diverges.
     """
-    from .dedup import _parse_spark_bytes
+    from .dedup import size_gated_broadcast
     from ..sources.snapshot import merge_snapshot, read_snapshot
 
     spark = new_docs.sparkSession
@@ -1013,17 +1013,14 @@ def incremental_semantic_dedup(
         new_docs.select(id_col, vec_col), centroids, id_col=id_col, vec_col=vec_col
     ).localCheckpoint()
 
-    dim = 0
-    first = assigned.select(F.size(vec_col).alias("d")).limit(1).collect()
-    if first:
-        dim = int(first[0]["d"])
     if broadcast_batch is None:
-        thr = _parse_spark_bytes(
-            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        # checkpointed → both probes are metadata-cheap; skipped
+        # entirely when the caller forces the plan
+        first = assigned.select(F.size(vec_col).alias("d")).limit(1).collect()
+        dim = int(first[0]["d"]) if first else 0
+        broadcast_batch = size_gated_broadcast(
+            spark, assigned.count(), dim * 8 + 64
         )
-        n_new = assigned.count()  # checkpointed → metadata-cheap
-        est_bytes = n_new * (dim * 8 + 64)
-        broadcast_batch = thr > 0 and est_bytes <= thr
     _hint = F.broadcast if broadcast_batch else (lambda df: df)
 
     # Within-batch pairs: exact cell-blocked cosine; keep-lowest-id.

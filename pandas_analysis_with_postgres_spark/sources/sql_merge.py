@@ -85,11 +85,27 @@ _WHEN_RE = re.compile(
 
 
 def _split_top(text: str) -> list[str]:
-    """Split on commas at paren depth 0 (SET lists / VALUES lists may
-    contain function calls)."""
-    out, depth, cur = [], 0, []
-    for ch in text:
-        if ch == "(":
+    """Split on commas at paren depth 0, OUTSIDE single-quoted SQL
+    string literals (SET lists / VALUES lists may contain function
+    calls and literals like ``'a,b'`` or ``'x)'``; '' is the SQL
+    quote escape and stays inside the literal)."""
+    out, depth, cur, in_str = [], 0, [], False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and text[i + 1] == "'":  # '' escape
+                    cur.append("''")
+                    i += 2
+                    continue
+                in_str = False
+            cur.append(ch)
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -98,6 +114,7 @@ def _split_top(text: str) -> list[str]:
             cur = []
         else:
             cur.append(ch)
+        i += 1
     if cur:
         out.append("".join(cur).strip())
     return out
@@ -257,6 +274,31 @@ def execute_merge(
         src = spark.sql(p["source_subquery"])
     else:
         src = spark.table(p["source_view"])
+    # Pin the source plan: every path below evaluates it more than once
+    # (dup-key check + matched/anti joins; the full-sync path also
+    # collects the changed-partition set before materializing content),
+    # and a nondeterministic USING subquery must not classify on one
+    # run and write another's rows.
+    src = src.localCheckpoint(eager=False)
+    # ANSI MERGE errors when a target row is matched by more than one
+    # source row; we enforce the slightly stronger (and cheaper to
+    # state) contract that the source's merge keys are unique — dup
+    # keys silently become duplicate table rows otherwise, corrupting
+    # the upsert-by-key invariant every later merge relies on. One
+    # map-side-combinable aggregate over the (small) source.
+    dup = (
+        src.groupBy(s_key)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"MERGE source has duplicate merge keys (first few: "
+            f"{[r[0] for r in dup]}); aggregate the USING side to one "
+            f"row per key — ANSI MERGE rejects multi-matches"
+        )
     tt = read_snapshot(spark, path, meta["version"] or None).alias(t_alias)
     ss = src.alias(s_alias)
     on = F.col(f"{t_alias}.{t_key}") == F.col(f"{s_alias}.{s_key}")
@@ -374,11 +416,16 @@ def execute_merge(
     affected = {_hive_part_name(pcol, r[0]) for r in changed}
     if not affected:
         return meta["version"]  # nothing changed: commit nothing
-    content = full_new.filter(
-        F.col(pcol).isin([r[0] for r in changed])
-        if changed
-        else F.lit(False)
-    ).localCheckpoint(eager=False)
+    # NULL-safe membership: isin() never matches NULL, which would
+    # silently drop a changed __HIVE_DEFAULT_PARTITION__ from `content`
+    # while it sits in `affected` — replace_partitions would then DROP
+    # the whole NULL partition, untouched rows included.
+    vals = [r[0] for r in changed]
+    non_null = [v for v in vals if v is not None]
+    member = F.col(pcol).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in vals):
+        member = member | F.col(pcol).isNull()
+    content = full_new.filter(member).localCheckpoint(eager=False)
     present = {
         _hive_part_name(pcol, r[0])
         for r in content.select(pcol).distinct().collect()

@@ -486,3 +486,17 @@ class TestSincResample:
 
         with pytest.raises(ValueError, match="anti_alias"):
             resample_audio(self._media(spark, "abc"), factor=2, anti_alias="fir")
+
+
+def test_resample_truthy_int_anti_alias_rejected(spark):
+    """anti_alias=1 passes a `==`-based membership test (1 == True)
+    but would dispatch to raw decimation — identity validation must
+    reject it loudly (code-review finding)."""
+    from pandas_analysis_with_postgres_spark.operators.multimodal import (
+        attach_wav_payload,
+        resample_audio,
+    )
+
+    docs = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="anti_alias"):
+        resample_audio(attach_wav_payload(docs), factor=2, anti_alias=1)

@@ -248,3 +248,58 @@ def test_merge_by_source_no_change_commits_nothing(spark, tmp_path):
     )
     assert v == 1  # every target row matched: nothing to do, no commit
     assert read_manifest(path)["version"] == 1
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tbl):
+    """ANSI MERGE errors when one target row is matched by more than
+    one source row; the front-end enforces source-key uniqueness (the
+    cheaper, stronger contract) instead of silently writing duplicate
+    rows for one key."""
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        execute_merge(
+            spark,
+            """MERGE INTO tbl AS t
+               USING (SELECT * FROM VALUES (2, 1), (2, 9) AS v(k, d)) AS s
+               ON t.k = s.k WHEN MATCHED THEN UPDATE SET cents = s.d""",
+            tables={"tbl": tbl},
+        )
+
+
+def test_merge_string_literals_with_commas_and_parens(spark, tbl):
+    """Quote-aware clause splitting: literals containing commas or
+    parens must parse (code-review finding)."""
+    v = execute_merge(
+        spark,
+        """MERGE INTO tbl AS t USING (SELECT 9 AS k) AS s ON t.k = s.k
+           WHEN NOT MATCHED THEN INSERT (k, name, cents, p)
+           VALUES (s.k, concat('a,b', ')('), 7, 0)""",
+        tables={"tbl": tbl},
+    )
+    assert v == 2
+    got = {r.k: r.name for r in read_snapshot(spark, tbl).collect()}
+    assert got[9] == "a,b)("
+
+
+def test_full_sync_preserves_null_partition(spark, tmp_path):
+    """Code-review data-loss finding: a changed NULL partition
+    (__HIVE_DEFAULT_PARTITION__) must rewrite, not silently drop its
+    untouched rows through a NULL-blind isin filter."""
+    path = str(tmp_path / "nullp")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, 100, None), (2, 200, None), (3, 300, 1)],
+            "k long, cents long, p integer",
+        ),
+        path,
+        "p",
+    )
+    v = execute_merge(
+        spark,
+        """MERGE INTO np AS t USING (SELECT 3 AS k) AS s ON t.k = s.k
+           WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN DELETE""",
+        tables={"np": path},
+    )
+    assert v == 2
+    # k=1 deleted from the NULL partition; k=2 (same partition,
+    # untouched) must SURVIVE; k=3 matched, partition p=1 cold
+    assert _rows(read_snapshot(spark, path)) == {(2, 200, None), (3, 300, 1)}
