@@ -167,8 +167,14 @@ def list_tags(path: str) -> dict[str, int]:
         return {}
     out = {}
     for p in d.glob("*.json"):
-        with open(p) as f:
-            t = json.load(f)
+        try:
+            with open(p) as f:
+                t = json.load(f)
+        except FileNotFoundError:
+            # glob-then-open race with delete_tag: a tag unlinked in
+            # between is simply a deleted tag, not a reason to abort
+            # the maintenance pass that asked for retention roots
+            continue
         out[t["name"]] = t["version"]
     return out
 
@@ -508,6 +514,33 @@ def read_snapshot(
             meta["partition_col"],
             F.col(meta["partition_col"]).cast(meta["partition_type"]),
         )
+        # Conform to the table's LOGICAL schema: pruning (partition_filter
+        # / stats / bloom) may have kept only commits written BEFORE a
+        # schema-evolving merge, so evolution-added columns would be
+        # missing from the union — the caller's mandatory real filter on
+        # that column would then raise instead of matching the unpruned
+        # read + filter this scan must be equivalent to (the column is
+        # NULL-filled there). The recorded spark_schema is the physical
+        # schema of the last data-writing commit; its fields, run through
+        # the rename chain minus drops, are the logical column set.
+        sj = meta.get("spark_schema")
+        if sj:
+            from pyspark.sql.types import StructType
+
+            def _chain(name: str) -> str:
+                for old, new in renames:
+                    if name == old:
+                        name = new
+                return name
+
+            for f in StructType.fromJson(json.loads(sj)).fields:
+                logical_name = _chain(f.name)
+                if logical_name in dropped:
+                    continue
+                if logical_name not in out.columns:
+                    out = out.withColumn(
+                        logical_name, F.lit(None).cast(f.dataType)
+                    )
     if empty_result:
         out = out.limit(0)
     return out
@@ -547,18 +580,26 @@ def _commit(
     txn: tuple[str, int] | None = None,
     stats: dict | None = None,
     blooms: dict | None = None,
+    parent_txns: dict | None = None,
 ) -> int:
     """Atomically publish ``parent + 1``; raise on a lost race.
 
     ``txn=(app_id, version)`` records an idempotence watermark carried
     forward from the parent manifest — the mechanism behind
     exactly-once ``foreachBatch`` sinks (same public pattern as
-    Delta's txnAppId/txnVersion).
+    Delta's txnAppId/txnVersion). ``parent_txns`` lets a caller that
+    already parsed the parent manifest hand over its txn dict instead
+    of paying a second full-manifest parse here (large tables carry
+    big partition maps in that JSON).
     """
     snap = _snap_dir(path)
     snap.mkdir(parents=True, exist_ok=True)
     version = parent + 1
-    txns = dict(read_manifest(path, parent).get("txn") or {})
+    txns = dict(
+        (read_manifest(path, parent).get("txn") or {})
+        if parent_txns is None
+        else parent_txns
+    )
     if txn is not None:
         txns[txn[0]] = txn[1]
     manifest = {
@@ -630,6 +671,46 @@ def _fsync_dir(path) -> None:
         os.fsync(fd)
     finally:
         os.close(fd)
+
+
+def _check_retired(columns, prev_meta: dict, who: str) -> None:
+    """Reject retired column names (renamed-from or dropped by
+    evolve_snapshot_schema): the read-side cumulative rename chain
+    spans the table's whole history, so ANY writer resurrecting a
+    retired name would make old-version reads ambiguous forever. One
+    home for the rule — overwrite and merge/replace must never
+    diverge on it."""
+    retired = {old for old, _ in (prev_meta.get("renames") or [])} | set(
+        prev_meta.get("dropped") or []
+    )
+    bad = [c for c in columns if c in retired]
+    if bad:
+        raise ValueError(
+            f"{who} uses retired column name(s) {bad} (renamed or "
+            "dropped by evolve_snapshot_schema); retired names are "
+            "never reusable"
+        )
+
+
+def _check_partition_type(df: DataFrame, partition_col: str, op: str) -> None:
+    """Python str() must render partition values exactly as Spark
+    names the directories; that holds for integral/string/date/bool
+    but NOT for float/double (Java Double.toString: '2.0E-5' vs
+    Python '2e-05') or timestamps — a mismatch misclassifies a hot
+    partition as cold (merge silently drops its rows) and keys bloom
+    bitmaps / delete scans to directory names that don't exist.
+    Refuse the types whose rendering differs AT TABLE CREATION too,
+    not only in the merge path: a write_snapshot-created float table
+    would bootstrap fine and fail later, with its recorded bloom
+    bitmaps silently discarded at commit time."""
+    ptype = df.schema[partition_col].dataType.simpleString()
+    if ptype not in {
+        "tinyint", "smallint", "int", "bigint", "string", "date", "boolean"
+    }:
+        raise ValueError(
+            f"unsupported partition column type {ptype!r} for {op} "
+            "(use an integral, string, date, or boolean partition key)"
+        )
 
 
 def _schema_meta(
@@ -772,8 +853,10 @@ def write_snapshot(
     omission, redefined explicitly, dropped with ``[]``. Cost: one
     extra aggregate pass over the rows being written (cold partitions
     were validated when written)."""
+    _check_partition_type(df, partition_col, "overwrite")
     parent = current_version(path) if expected_version is None else expected_version
-    prior_schema = (read_manifest(path, parent).get("schema") or {}) if parent else {}
+    prior_man = read_manifest(path, parent) if parent else {}
+    prior_schema = prior_man.get("schema") or {}
     if stats_cols is None:
         stats_cols = prior_schema.get("stats_cols")
     if constraints is None:
@@ -789,21 +872,7 @@ def write_snapshot(
         bloom_bits = BLOOM_BITS
     if bloom_bits % 8:
         raise ValueError(f"bloom_bits must be a multiple of 8, got {bloom_bits}")
-    # Retired names stay retired across a FULL overwrite too (the
-    # merge/replace path enforces this in _partition_scoped_commit):
-    # the read-side cumulative rename chain spans the table's whole
-    # history, so letting an overwrite resurrect a renamed/dropped name
-    # would make old-version reads ambiguous forever after.
-    retired = {old for old, _ in (prior_schema.get("renames") or [])} | set(
-        prior_schema.get("dropped") or []
-    )
-    bad = [c for c in df.columns if c in retired]
-    if bad:
-        raise ValueError(
-            f"overwrite uses retired column name(s) {bad} (renamed or "
-            "dropped by evolve_snapshot_schema); retired names are "
-            "never reusable"
-        )
+    _check_retired(df.columns, prior_schema, "overwrite")
     if bloom_cols or constraints:
         # Pin the plan's output before evaluating it twice (bloom agg /
         # constraint check + data write): a nondeterministic input
@@ -838,6 +907,7 @@ def write_snapshot(
         meta,
         stats=stats,
         blooms=blooms,
+        parent_txns=prior_man.get("txn") or {},
     )
 
 
@@ -901,9 +971,15 @@ def merge_snapshot(
     is safe without strict.
     """
     def combine(existing: DataFrame, src: DataFrame) -> DataFrame:
-        return existing.join(src, key, "left_anti").unionByName(
-            src, allowMissingColumns=True
-        )
+        # eqNullSafe, not an equi-join: a plain join never matches a
+        # NULL key, so upserting a NULL-key row would KEEP the old one
+        # and append the new — two NULL-key rows where the merge
+        # contract promises key uniqueness (and diff_snapshots, which
+        # supports the at-most-one-NULL-key case, would misread the
+        # feed). Null-safe anti-join preserves replace semantics.
+        return existing.join(
+            src, existing[key].eqNullSafe(src[key]), "left_anti"
+        ).unionByName(src, allowMissingColumns=True)
 
     return _partition_scoped_commit(
         target_path,
@@ -998,21 +1074,7 @@ def _partition_scoped_commit(
         # This transaction (e.g. a replayed streaming micro-batch) is
         # already in the table — idempotent no-op.
         return parent
-    # Python str() must render partition values exactly as Spark
-    # names the directories; that holds for integral/string/date/bool
-    # but NOT for float/double (Java Double.toString: '2.0E-5' vs
-    # Python '2e-05') or timestamps — a mismatch would misclassify a
-    # hot partition as cold and silently drop its rows. Refuse the
-    # types whose rendering differs; they are poor partition keys
-    # anyway.
-    ptype = source.schema[partition_col].dataType.simpleString()
-    if ptype not in {
-        "tinyint", "smallint", "int", "bigint", "string", "date", "boolean"
-    }:
-        raise ValueError(
-            f"unsupported partition column type {ptype!r} for merge "
-            "(use an integral, string, date, or boolean partition key)"
-        )
+    _check_partition_type(source, partition_col, "merge")
     # The source plan runs up to three times below (touched-set
     # collect, anti-join, write) — materialize it once.
     source = source.localCheckpoint(eager=False)
@@ -1029,16 +1091,7 @@ def _partition_scoped_commit(
                 f"merge source is missing table columns {lost}; "
                 "schema evolution only adds columns"
             )
-    retired = {old for old, _ in (prev_meta.get("renames") or [])} | set(
-        prev_meta.get("dropped") or []
-    )
-    bad = [c for c in source.columns if c in retired]
-    if bad:
-        raise ValueError(
-            f"source uses retired column name(s) {bad} (renamed or "
-            "dropped by evolve_snapshot_schema); retired names are "
-            "never reusable"
-        )
+    _check_retired(source.columns, prev_meta, "source")
     bootstrap = parent == 0 or not man["partitions"]
     table_stats_cols = (man.get("schema") or {}).get("stats_cols") or (
         stats_cols if bootstrap else None
@@ -1079,6 +1132,7 @@ def _partition_scoped_commit(
             txn,
             stats=stats,
             blooms=blooms,
+            parent_txns=man.get("txn") or {},
         )
 
     if strict_key is not None:
@@ -1087,8 +1141,16 @@ def _partition_scoped_commit(
             cold_keys = read_snapshot(
                 spark, target_path, parent, partition_filter=lambda p: p in cold
             ).select(strict_key)
+            # null-safe: a NULL-key row moved between partitions must
+            # trip the check like any other (a plain semi-join never
+            # matches NULL and would let the stale duplicate survive)
+            src_keys = source.select(F.col(strict_key).alias("__sk"))
             moved = (
-                cold_keys.join(source.select(strict_key), strict_key, "semi")
+                cold_keys.join(
+                    src_keys,
+                    F.col(strict_key).eqNullSafe(F.col("__sk")),
+                    "semi",
+                )
                 .limit(5)
                 .collect()
             )
@@ -1167,6 +1229,7 @@ def _partition_scoped_commit(
         txn,
         stats=stats,
         blooms=blooms,
+        parent_txns=man.get("txn") or {},
     )
 
 
@@ -1241,6 +1304,7 @@ def evolve_snapshot_schema(
         meta,
         stats=dict(man.get("stats") or {}),
         blooms=dict(man.get("blooms") or {}),
+        parent_txns=man.get("txn") or {},
     )
 
 
@@ -1396,6 +1460,19 @@ def expire_snapshots(
                 removed.append(str(commit_dir))
     for v in dropped:
         os.unlink(snap / _manifest_name(v))
+    # Crashed-writer manifest/tag temp files (.tmp-<hex>, written then
+    # hard-linked by _commit / tag_snapshot): a writer killed between
+    # the write and the link leaks one forever — the docstring's
+    # crash-cleanup story must actually cover them. Same age guard as
+    # data dirs (an in-flight writer's temp is younger than cutoff).
+    for d in (snap, snap / _TAG_DIR):
+        if d.is_dir():
+            for tmp in d.glob(".tmp-*"):
+                try:
+                    if tmp.stat().st_mtime <= cutoff:
+                        tmp.unlink()
+                except FileNotFoundError:
+                    pass  # concurrent maintenance pass got it first
     return removed
 
 
@@ -1711,4 +1788,9 @@ def consume_changes(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, cursor_path)
+    # fsync the containing directory too — the rename itself is not
+    # durable until the dir entry is synced (same discipline as
+    # _commit/tag_snapshot; without it a power loss can resurrect the
+    # old cursor and redeliver an applied range)
+    _fsync_dir(Path(cursor_path).parent)
     return {"from_version": cur, "to_version": latest, "applied": True}

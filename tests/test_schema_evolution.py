@@ -166,3 +166,45 @@ def test_overwrite_cannot_resurrect_retired_names_and_carries_registry(
             path,
             "p",
         )
+
+
+def test_pruned_scan_conforms_to_logical_schema(spark, tmp_path):
+    """Code-review finding: pruning that keeps only PRE-evolution
+    commits must still present evolution-added columns (NULL-filled),
+    exactly like the unpruned read + filter it replaces — and an
+    all-pruned empty frame must carry the full logical schema."""
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, 10, 0), (2, 20, 1)], "k long, v long, p long"
+        ),
+        path,
+        "p",
+        stats_cols=["v"],
+    )
+    # schema-evolving merge adds column x, touching ONLY p=2
+    merge_snapshot(
+        path,
+        spark.createDataFrame([(3, 30, 99, 2)], "k long, v long, x long, p long"),
+        "k",
+        "p",
+    )
+    # partition_filter keeps only the pre-evolution commits
+    pruned = read_snapshot(
+        spark, path, partition_filter=lambda p: p in {"p=0", "p=1"}
+    )
+    assert "x" in pruned.columns
+    rows = {(r.k, r.x) for r in pruned.collect()}
+    assert rows == {(1, None), (2, None)}
+    # the caller's mandatory real filter now works instead of raising
+    assert pruned.filter("x = 99").count() == 0
+    # stats-pruned to zero rows: empty frame still has the full schema
+    empty = read_snapshot(spark, path, column_ranges={"v": (1000, 2000)})
+    assert set(empty.columns) == {"k", "v", "x", "p"}
+    assert empty.count() == 0

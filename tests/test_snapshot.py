@@ -265,10 +265,19 @@ def test_compact_rewrites_to_one_commit(spark, base):
     }
 
 
-def test_merge_guards_unrenderable_partition_types(spark, tmp_path):
+def test_unrenderable_partition_types_rejected_at_creation_and_merge(
+    spark, tmp_path
+):
+    """Python str() and Java Double.toString disagree on float
+    rendering ('2e-05' vs '2.0E-5'), so float/timestamp partition keys
+    are refused — at TABLE CREATION (code-review finding: a
+    write_snapshot-created float table bootstrapped fine and failed
+    later with its bloom bitmaps silently discarded) as well as on
+    the merge path."""
     path = str(tmp_path / "d")
     df = spark.createDataFrame([(1, 0.5)], "k long, p double")
-    write_snapshot(df, path, "p")
+    with pytest.raises(ValueError, match="partition column type"):
+        write_snapshot(df, path, "p")
     with pytest.raises(ValueError, match="partition column type"):
         merge_snapshot(
             path, spark.createDataFrame([(2, 0.5)], "k long, p double"), "k", "p"
@@ -1008,3 +1017,54 @@ def test_tags_pin_versions_and_survive_expiry(spark, tmp_path):
     # invalid tag names rejected
     with _pytest.raises(ValueError):
         tag_snapshot(path, "bad/name")
+
+
+def test_merge_replaces_null_key_row(spark, tmp_path):
+    """Code-review finding: a plain equi-join never matches a NULL
+    key, so upserting a NULL-key row used to KEEP the old row and
+    append the new one — two NULL-key rows where the merge contract
+    promises key uniqueness. The null-safe anti-join must replace."""
+    path = str(tmp_path / "nk")
+    write_snapshot(
+        spark.createDataFrame(
+            [(None, "old", 0), (1, "a", 0)], "k integer, v string, p long"
+        ),
+        path,
+        "p",
+    )
+    merge_snapshot(
+        path,
+        spark.createDataFrame([(None, "NEW", 0)], "k integer, v string, p long"),
+        "k",
+        "p",
+    )
+    rows = {(r.k, r.v) for r in read_snapshot(spark, path).collect()}
+    assert rows == {(None, "NEW"), (1, "a")}
+
+
+def test_expire_removes_crashed_writer_temp_files(spark, tmp_path):
+    """Code-review finding: a writer killed between the manifest temp
+    write and the os.link leaks a .tmp-* file; expire_snapshots must
+    deliver the docstring's crash-cleanup story for them too (with
+    the same age guard that protects in-flight writers)."""
+    import os
+    import time
+
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        expire_snapshots,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, 0)], "k long, p long"), path, "p"
+    )
+    snap = tmp_path / "t" / "_snapshots"
+    stale = snap / ".tmp-deadbeef"
+    stale.write_text("{}")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+    fresh = snap / ".tmp-cafebabe"
+    fresh.write_text("{}")  # in-flight writer: younger than cutoff
+    expire_snapshots(path, keep=2, min_age_sec=3600)
+    assert not stale.exists()
+    assert fresh.exists()
