@@ -124,6 +124,10 @@ EXTRA = (
     "z19_webdataset_roundtrip",
     "z20_sql_merge",
     "z21_sql_merge_sync",
+    # round 6: product-quantized ANN (z22 carries one-time codebook
+    # training; z23 reuses the cached artifact — ADC + exact rerank).
+    "z22_pq_topk",
+    "z23_pq_refine",
 )
 
 

@@ -10,6 +10,11 @@ tables/bits, IVF cells/probes) stays an informed decision:
 - ``lsh_topk`` with Hamming-1 multiprobe (its default) must hold
   recall ≥ 0.6 (measured 0.82; single-probe measures 0.42, the
   monolithic-bucket regression 0.02).
+- PQ (vs exact-L2 truth, ``l2_topk``): pure ADC over the compressed
+  codes must hold ≥ 0.5 (measured 0.66 at M=16, ksub=64 on the
+  near-random fixture — the hard case, no cluster structure); the
+  production ADC-shortlist→exact-rerank path (``pq_refine_topk``,
+  shortlist 50) must hold ≥ 0.9 (measured 0.98).
 """
 
 from __future__ import annotations
@@ -99,6 +104,80 @@ def test_kmeans_codebook_recovers_clusters(spark):
     assert cb[0][0] == qmean([f(1.0), f(0.9), f(0.95)])
     assert cb[1][1] == qmean([f(1.0), f(0.9)])
     assert abs(cb[0][1]) < 0.05 and abs(cb[1][0]) < 0.05
+
+
+@pytest.fixture(scope="module")
+def pq_setup(spark):
+    """Train codebooks + encode once per module (the model-artifact
+    flow); returns (emb, queries, books, codes, exact-L2 truth)."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    truth_l2 = _pairs(SIM.l2_topk(emb, q, K))
+    books = SIM.pq_codebooks(emb).localCheckpoint()
+    codes = SIM.pq_encode(emb, books).localCheckpoint()
+    return emb, q, books, codes, truth_l2
+
+
+def test_pq_adc_recall_floor(spark, pq_setup):
+    emb, q, books, codes, truth_l2 = pq_setup
+    got = _pairs(SIM.pq_adc_topk(codes, q, books, K))
+    r = len(got & truth_l2) / len(truth_l2)
+    # Measures 0.66 on the near-random fixture (no cluster structure —
+    # the hard case for PQ). Defaults M=16/ksub=64 were chosen on this
+    # number; see the PQ constants block in operators/similarity.py.
+    assert r >= 0.5, f"PQ-ADC recall@{K} = {r:.2f} < 0.5"
+
+
+def test_pq_refine_recall_floor(spark, pq_setup):
+    emb, q, books, codes, truth_l2 = pq_setup
+    got = _pairs(SIM.pq_refine_topk(emb, codes, q, books, K, shortlist=50))
+    r = len(got & truth_l2) / len(truth_l2)
+    # Measures 0.98: the exact rerank recovers nearly everything the
+    # 50-wide ADC shortlist covers.
+    assert r >= 0.9, f"PQ-refine recall@{K} = {r:.2f} < 0.9"
+
+
+def test_pq_codes_shape_and_pack(spark, pq_setup):
+    """Every vector gets exactly PQ_M codes, each in [0, PQ_KSUB);
+    pq_pack lays them out m-ordered — the parquet at-rest layout."""
+    emb, q, books, codes, _ = pq_setup
+    n = emb.count()
+    bad = codes.filter(
+        (F.col("code") < 0) | (F.col("code") >= SIM.PQ_KSUB)
+    ).count()
+    assert bad == 0
+    per_vec = codes.groupBy("vid").count()
+    assert per_vec.filter(F.col("count") != SIM.PQ_M).count() == 0
+    assert per_vec.count() == n
+    packed = SIM.pq_pack(codes)
+    assert packed.count() == n
+    row = packed.filter(F.col("vid") == 0).collect()[0]
+    long_form = {
+        (r.m, r.code)
+        for r in codes.filter(F.col("vid") == 0).collect()
+    }
+    assert {(m, c) for m, c in enumerate(row.codes)} == long_form
+
+
+def test_pq_refine_exact_distances(spark, pq_setup):
+    """Refine's d2 column is EXACT L2² (not the ADC approximation):
+    wherever refine and l2_topk agree on a neighbor, the distances
+    must be bit-identical — both use the same sequential fold."""
+    emb, q, books, codes, _ = pq_setup
+    exact = {
+        (r.query_id, r.neighbor_id): r.d2
+        for r in SIM.l2_topk(emb, q, K).collect()
+    }
+    ref = {
+        (r.query_id, r.neighbor_id): r.d2
+        for r in SIM.pq_refine_topk(
+            emb, codes, q, books, K, shortlist=50
+        ).collect()
+    }
+    shared = set(exact) & set(ref)
+    assert shared, "refine must recover some exact neighbors"
+    for key in shared:
+        assert exact[key] == ref[key], key
 
 
 def test_cell_blocking_recall_regimes(spark):
