@@ -124,10 +124,12 @@ EXTRA = (
     "z19_webdataset_roundtrip",
     "z20_sql_merge",
     "z21_sql_merge_sync",
-    # round 6: product-quantized ANN (z22 carries one-time codebook
-    # training; z23 reuses the cached artifact — ADC + exact rerank).
+    # round 6: product-quantized ANN (z22 carries the one-time index
+    # build — codebooks + encode; z23/z24 reuse the cached artifacts:
+    # exact rerank and IVF-probed ADC respectively).
     "z22_pq_topk",
     "z23_pq_refine",
+    "z24_ivfpq_topk",
 )
 
 

@@ -193,6 +193,28 @@ def test_pq_sampled_training_recall_and_equivalence(spark, pq_setup):
     assert r_ref >= 0.85, f"sampled refine recall@{K} = {r_ref:.2f}"
 
 
+def test_ivfpq_recall_floor_and_probe_invariant(spark, pq_setup):
+    """IVF-PQ (z24): recall@5 vs exact-L2 truth must hold ≥ 0.5
+    (measured 0.62 at probe 4/16 on the near-random fixture — the
+    no-cluster worst case; the full-ADC ceiling is 0.66, sweep in the
+    constants block), and every returned neighbor must actually live
+    in one of its query's probed cells — the pruning contract."""
+    emb, q, books, codes, truth_l2 = pq_setup
+    coarse = SIM.ivfpq_coarse(emb).localCheckpoint()
+    cells = SIM.ivfpq_cells(emb, coarse).localCheckpoint()
+    got_df = SIM.ivfpq_topk(cells, codes, q, coarse, books, K)
+    got = _pairs(got_df)
+    r = len(got & truth_l2) / len(truth_l2)
+    assert r >= 0.5, f"IVFPQ recall@{K} = {r:.2f} < 0.5"
+    probed = {
+        (r_.query_id, r_.cell_id)
+        for r_ in SIM.ivfpq_probes(q, coarse).collect()
+    }
+    cell_of = {r_.vid: r_.cell_id for r_ in cells.collect()}
+    for qid, nid in got:
+        assert (qid, cell_of[nid]) in probed, (qid, nid)
+
+
 def test_pq_refine_exact_distances(spark, pq_setup):
     """Refine's d2 column is EXACT L2² (not the ADC approximation):
     wherever refine and l2_topk agree on a neighbor, the distances
