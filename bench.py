@@ -130,6 +130,7 @@ EXTRA = (
     "z22_pq_topk",
     "z23_pq_refine",
     "z24_ivfpq_topk",
+    "z25_ivfpq_index_search",
 )
 
 

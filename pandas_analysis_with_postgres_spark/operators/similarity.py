@@ -1622,3 +1622,163 @@ def ivfpq_topk(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    index_path: str,
+    *,
+    books: DataFrame | None = None,
+    coarse: DataFrame | None = None,
+    n_cells: int = IVFPQ_CELLS,
+    n_sub: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build a PERSISTED IVF-PQ index: three snapshot tables under
+    ``index_path`` —
+
+    - ``books``  (m, code, centv): the fine PQ codebooks,
+    - ``coarse`` (m=0, code, centv): the coarse quantizer,
+    - ``codes``  (vid, cell_id, codes): one row per vector, its
+      n_sub packed PQ codes, PARTITIONED BY (cell, batch) — the
+      snapshot layout IS FAISS's inverted-list file: a probe reads
+      only its cells' partitions (pruned at the manifest, cold cells
+      never listed) and each row is ~n_sub small ints, so the probed
+      I/O is (n_probe/n_cells)·N·n_sub bytes, not vectors.
+
+    Pass pre-trained ``books``/``coarse`` to reuse existing model
+    artifacts; otherwise both train here (deterministic contract of
+    :func:`pq_codebooks`). Train-once: appends assign against the
+    STORED quantizers (retraining would orphan old codes — that is
+    :func:`rebuild_ivf_index`'s job in the IVF family)."""
+    from ..sources.snapshot import write_snapshot
+
+    if books is None:
+        books = pq_codebooks(
+            corpus, n_sub=n_sub, ksub=ksub, id_col=id_col, vec_col=vec_col
+        )
+    if coarse is None:
+        coarse = ivfpq_coarse(
+            corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        )
+    write_snapshot(books, f"{index_path}/books", "m")
+    write_snapshot(coarse, f"{index_path}/coarse", "code")
+    rows = _ivfpq_code_rows(corpus, books, coarse, 0, n_sub, id_col, vec_col)
+    write_snapshot(rows, f"{index_path}/codes", "__part")
+
+
+def _ivfpq_code_rows(
+    batch: DataFrame,
+    books: DataFrame,
+    coarse: DataFrame,
+    batch_id: int,
+    n_sub: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vid, cell_id, codes, __part): encode + assign one batch into
+    the at-rest inverted-list row layout."""
+    packed = pq_pack(
+        pq_encode(batch, books, n_sub=n_sub, id_col=id_col, vec_col=vec_col)
+    )
+    cells = ivfpq_cells(batch, coarse, id_col=id_col, vec_col=vec_col)
+    return (
+        packed.join(cells, "vid")
+        .withColumn("__part", _cell_part(batch_id))
+        .select("vid", "cell_id", "codes", "__part")
+    )
+
+
+def append_ivfpq_index(
+    new_vectors: DataFrame,
+    index_path: str,
+    *,
+    batch_id: int,
+    n_sub: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    app_id: str = "ivfpq-index",
+) -> int:
+    """Add a batch to a persisted IVF-PQ index: encode + assign
+    against the STORED quantizers (both are frozen model artifacts)
+    and merge into partitions suffixed ``_b{batch_id}`` — prior
+    partitions carried by reference, the txn watermark makes a
+    replayed batch a no-op. Encode is embarrassingly incremental:
+    batches never see each other."""
+    from ..sources.snapshot import merge_snapshot, read_snapshot
+
+    spark = new_vectors.sparkSession
+    books = read_snapshot(spark, f"{index_path}/books")
+    coarse = read_snapshot(spark, f"{index_path}/coarse")
+    rows = _ivfpq_code_rows(
+        new_vectors, books, coarse, batch_id, n_sub, id_col, vec_col
+    )
+    return merge_snapshot(
+        f"{index_path}/codes", rows, "vid", "__part", txn=(app_id, batch_id)
+    )
+
+
+def search_ivfpq_index(
+    queries: DataFrame,
+    index_path: str,
+    k: int,
+    *,
+    n_probe: int = IVFPQ_PROBE,
+    n_sub: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index: resolve the query set's probed
+    cells driver-side (|Q|·n_probe rows — a plan decision, queries are
+    small by contract), read ONLY those cells' code partitions via
+    ``read_snapshot(partition_filter=...)`` (manifest pruning — cold
+    cells never listed), unpack the packed codes (position = m, the
+    pq_pack contract), and run the candidate-restricted ADC scan.
+    Raw vectors are never read: the probed I/O is the compressed
+    inverted lists alone.
+
+    Returns (query_id, neighbor_id, rank, ad2, cell_id) — ad2
+    identical to :func:`ivfpq_topk` under the same quantizers, plus
+    the neighbor's cell for list-level diagnostics."""
+    from ..sources.snapshot import read_snapshot
+
+    spark = queries.sparkSession
+    books = read_snapshot(spark, f"{index_path}/books")
+    coarse = read_snapshot(spark, f"{index_path}/coarse")
+    probes = ivfpq_probes(
+        queries, coarse, n_probe, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
+    probed = {f"c{r.cell_id}" for r in probes.select("cell_id").distinct().collect()}
+    try:
+        store = read_snapshot(
+            spark,
+            f"{index_path}/codes",
+            partition_filter=lambda p: p.split("=", 1)[1].rsplit("_b", 1)[0]
+            in probed,
+        )
+    except FileNotFoundError:
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, rank long, ad2 double, "
+            "cell_id int",
+        )
+    codes_long = store.select(
+        "vid", F.posexplode("codes").alias("m", "code")
+    )
+    cand = store.select("vid", "cell_id").join(F.broadcast(probes), "cell_id")
+    adc = pq_adc_topk(
+        codes_long,
+        queries,
+        books,
+        k,
+        n_sub=n_sub,
+        candidates=cand.select("query_id", "vid"),
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    return adc.join(
+        store.select(F.col("vid").alias("neighbor_id"), "cell_id"),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "rank", "ad2", "cell_id")

@@ -3511,9 +3511,112 @@ FROM scored QUALIFY rank <= 5
     )
 
 
+_IVFPQ_STORES: dict = {}
+
+
+def _ivfpq_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build the z25 fixture: a persisted IVF-PQ index seeded from the
+    vid%3==0 slice of embeddings, then two appends landing the %3==1
+    and %3==2 slices in their own batch partitions — so the store's
+    final contents are the product of three genuine incremental
+    encodes against the FROZEN stored quantizers (the cached z22/z24
+    artifacts, trained on the full table, so the oracle's one training
+    replay covers every batch)."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _IVFPQ_STORES.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("ivfpq_idx_") + "/index"
+        books, _codes = _pq_index(spark, sf_dir)
+        coarse, _cells = _ivfpq_index(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        SIM.build_ivfpq_index(
+            emb.filter(F.col("vec_id") % 3 == 0),
+            path,
+            books=books,
+            coarse=coarse,
+        )
+        for b in (1, 2):
+            SIM.append_ivfpq_index(
+                emb.filter(F.col("vec_id") % 3 == b), path, batch_id=b
+            )
+        _IVFPQ_STORES[key] = path
+    return path
+
+
+def z25_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ index, built incrementally and probed
+    (operators.similarity.build/append/search_ivfpq_index): the codes
+    table partitioned by (cell, batch) IS FAISS's inverted-list file
+    laid out as a snapshot table — three batches land as independent
+    encodes against the frozen stored quantizers (prior partitions
+    carried by reference, txn-idempotent replay), and the search reads
+    ONLY the probed cells' partitions (pruned at the manifest, pinned
+    by inputFiles in tests/test_ivfpq_index.py) before the
+    candidate-restricted ADC scan. Raw vectors are never read. The
+    oracle replays training, all three batch encodes (one encode SQL —
+    encoding is batch-independent by construction), probe selection,
+    and the restricted ADC, plus each neighbor's inverted-list cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = _ivfpq_store(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 10)
+    return SIM.search_ivfpq_index(qs, store, 5)
+
+
+def _ivfpq_store_oracle() -> str:
+    """z24's chains plus the neighbor's cell — the store layout adds
+    cell_id to every returned row."""
+    quant = float(SIM.KMEANS_QUANT)
+    ctes, fine_codes = _pq_train_ctes("", SIM.PQ_M, SIM.PQ_KSUB)
+    coarse_ctes, coarse_codes = _pq_train_ctes("c", 1, SIM.IVFPQ_CELLS)
+    ctes += coarse_ctes
+    ctes.append(_pq_lut_cte(f"pc{SIM.PQ_ITERS}"))
+    ctes.append(
+        f"cells AS (SELECT vid, code AS cell_id FROM {coarse_codes})"
+    )
+    probe_d2 = _pq_l2_sql("q.v", "0", "c.centv", SIM.DIM)
+    ctes.append(
+        "probes AS (SELECT query_id, cell_id FROM ("
+        "SELECT q.vid AS query_id, c.code AS cell_id, "
+        "ROW_NUMBER() OVER (PARTITION BY q.vid ORDER BY "
+        + probe_d2
+        + " ASC, c.code ASC) AS cr "
+        "FROM (SELECT vec_id AS vid, embedding AS v FROM embeddings "
+        f"WHERE vec_id < 10) q CROSS JOIN cpc{SIM.PQ_ITERS} c"
+        f") WHERE cr <= {SIM.IVFPQ_PROBE})"
+    )
+    ctes.append(
+        "cand AS (SELECT p.query_id, cl.vid "
+        "FROM cells cl JOIN probes p ON cl.cell_id = p.cell_id)"
+    )
+    ctes.append(
+        "scored AS (SELECT ca.query_id, k.vid, SUM(l.qd2) AS qsum "
+        f"FROM {fine_codes} k JOIN cand ca ON k.vid = ca.vid "
+        "JOIN lut l ON l.query_id = ca.query_id "
+        "AND k.m = l.m AND k.code = l.code "
+        "WHERE k.vid <> ca.query_id GROUP BY ca.query_id, k.vid)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s.query_id, s.vid AS neighbor_id, s.rank, s.ad2,
+       cl.cell_id::INT AS cell_id
+FROM (SELECT query_id, vid,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY qsum ASC, vid ASC) AS rank,
+             qsum::DOUBLE / {quant} AS ad2
+      FROM scored QUALIFY rank <= 5) s
+JOIN cells cl ON s.vid = cl.vid
+"""
+    )
+
+
 Z22_SQL = _pq_oracle()
 Z23_SQL = _pq_refine_oracle(50)
 Z24_SQL = _ivfpq_oracle()
+Z25_SQL = _ivfpq_store_oracle()
 
 
 def z24_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3615,6 +3718,7 @@ EXTENSION_QUERIES = {
     "z22_pq_topk": z22_pq_topk,
     "z23_pq_refine": z23_pq_refine,
     "z24_ivfpq_topk": z24_ivfpq_topk,
+    "z25_ivfpq_index_search": z25_ivfpq_index_search,
 }
 
 EXTENSION_ORACLES = {
@@ -3660,6 +3764,7 @@ EXTENSION_ORACLES = {
     "z22_pq_topk": Z22_SQL,
     "z23_pq_refine": Z23_SQL,
     "z24_ivfpq_topk": Z24_SQL,
+    "z25_ivfpq_index_search": Z25_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,
