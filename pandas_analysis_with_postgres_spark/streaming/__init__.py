@@ -14,6 +14,7 @@ from .streams import (
     foreach_batch_sink,
     stream_dedup_ingest,
     stream_semantic_dedup_ingest,
+    stream_ivfpq_ingest,
     stream_quality_gate,
     stream_merge_sink,
     run_available_now,
@@ -36,6 +37,7 @@ __all__ = [
     "foreach_batch_sink",
     "stream_dedup_ingest",
     "stream_semantic_dedup_ingest",
+    "stream_ivfpq_ingest",
     "stream_quality_gate",
     "stream_merge_sink",
     "windowed_hll_registers",

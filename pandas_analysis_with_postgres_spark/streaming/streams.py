@@ -625,6 +625,60 @@ def stream_semantic_dedup_ingest(
     )
 
 
+def stream_ivfpq_ingest(
+    df: DataFrame,
+    index_path: str,
+    *,
+    app_id: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming IVF-PQ index maintenance — the ANN-index twin of
+    :func:`stream_semantic_dedup_ingest`: each micro-batch of
+    (id, embedding) rows is PQ-encoded and cell-assigned against the
+    index's STORED quantizers (frozen model artifacts, read fresh each
+    batch so an offline rebuild is picked up at the next micro-batch)
+    and appended as its own ``_b{batch_id}`` partitions
+    (``operators.similarity.append_ivfpq_index``). Encoding is
+    batch-independent by construction, so a live search
+    (``search_ivfpq_index``) sees every committed batch immediately.
+
+    Exactly-once: the append's ``txn=(app_id, batch_id)`` watermark
+    makes Structured Streaming's crash-replay of the last micro-batch
+    a no-op; lost optimistic races against a concurrent maintenance
+    writer retry in-run. Micro-batch ids share the ``_b{n}`` suffix
+    space with bootstrap batches — colliding ids are merged by key
+    (correct, but the touched partitions are rewritten), so bootstrap
+    the store at batch ids streaming will not reuse if
+    carry-by-reference matters.
+    """
+    from ..operators.similarity import append_ivfpq_index
+    from ..sources.snapshot import ConcurrentCommitError
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        attempts = 5
+        for i in range(attempts):
+            try:
+                append_ivfpq_index(
+                    batch_df,
+                    index_path,
+                    batch_id=batch_id,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                    app_id=app_id,
+                )
+                return
+            except ConcurrentCommitError:
+                if i == attempts - 1:
+                    raise
+
+    foreach_batch_sink(
+        df, _ingest, checkpoint_dir=checkpoint_dir, timeout_sec=timeout_sec
+    )
+
+
 def stream_quality_gate(
     df: DataFrame,
     weights: DataFrame,

@@ -98,3 +98,62 @@ def test_append_carries_history_and_is_idempotent(spark, emb, index):
     assert (
         read_snapshot(spark, codes_dir).filter("vid >= 1000000").count() == 5
     )
+
+
+def test_stream_ivfpq_ingest_end_to_end(spark, emb, quantizers, tmp_path):
+    """Streaming index maintenance: micro-batches of new vectors are
+    encoded against the stored quantizers and land as their own batch
+    partitions; a live probe sees them; crash-replay from the
+    checkpoint commits nothing new."""
+    import os
+
+    from pandas_analysis_with_postgres_spark.streaming import (
+        stream_ivfpq_ingest,
+    )
+
+    books, coarse = quantizers
+    path = str(tmp_path / "ivfpq")
+    SIM.build_ivfpq_index(emb, path, books=books, coarse=coarse)
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    schema = "vec_id long, embedding array<float>"
+    base = {r.vec_id: r.embedding for r in emb.filter(F.col("vec_id") < 2).collect()}
+    b0 = spark.createDataFrame([(1_000_000, base[0])], schema)
+    b1 = spark.createDataFrame([(1_000_001, base[1])], schema)
+    b0.coalesce(1).write.parquet(str(land / "f0.parquet"))
+    b1.coalesce(1).write.parquet(str(land / "f1.parquet"))
+    for i, name in enumerate(sorted(os.listdir(land))):
+        os.utime(land / name, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land / "*.parquet"))
+        )
+        stream_ivfpq_ingest(
+            stream, path, app_id="ivfpqstream", checkpoint_dir=ckpt
+        )
+
+    run()
+    codes_dir = f"{path}/codes"
+    v = read_manifest(codes_dir)["version"]
+    assert v >= 3  # bootstrap + 2 micro-batches
+    stored = {
+        r.vid for r in read_snapshot(spark, codes_dir).collect()
+    }
+    assert {1_000_000, 1_000_001} <= stored
+    # The streamed exact copy of vector 0 ties it in ADC distance and
+    # must surface in a live probe.
+    q = emb.filter(F.col("vec_id") == 0)
+    hits = {
+        r.neighbor_id for r in SIM.search_ivfpq_index(q, path, 3).collect()
+    }
+    assert 1_000_000 in hits
+
+    # Drain again from the same checkpoint: nothing new commits.
+    run()
+    assert read_manifest(codes_dir)["version"] == v
