@@ -1491,7 +1491,13 @@ def pq_refine_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
     exact = (
-        short.join(cv, "neighbor_id")
+        # shortlist is |Q|·shortlist rows but reaches here through a
+        # window agg with no size stats — without the hint Spark can
+        # fall back to a sort-merge join that shuffles the FULL
+        # raw-vector corpus, the exact thing this stage exists to
+        # avoid. Broadcasting the shortlist keeps the corpus scan a
+        # map-side semi-lookup.
+        cv.join(F.broadcast(short), "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .withColumn("d2", _l2sq(F.col("__qv"), F.col("__cv"), DIM))
     )
@@ -1706,7 +1712,15 @@ def append_ivfpq_index(
     and merge into partitions suffixed ``_b{batch_id}`` — prior
     partitions carried by reference, the txn watermark makes a
     replayed batch a no-op. Encode is embarrassingly incremental:
-    batches never see each other."""
+    batches never see each other.
+
+    Re-delivering an EXISTING vid (an embedding update) leaves the
+    old row in its cold partition; :func:`search_ivfpq_index` resolves
+    visible duplicates latest-batch-wins, but a probe that sees only
+    the old cell still returns the stale encoding — inherent to
+    inverted-list updates without deletion. For strict supersession
+    delete the old row first (row-level delete is a first-class
+    snapshot op) or rebuild."""
     from ..sources.snapshot import merge_snapshot, read_snapshot
 
     spark = new_vectors.sparkSession
@@ -1759,11 +1773,41 @@ def search_ivfpq_index(
             in probed,
         )
     except FileNotFoundError:
+        # Matches the normal path's types: ids and cell/code values are
+        # long by this module's numeric-dense-id contract.
         return spark.createDataFrame(
             [],
             "query_id long, neighbor_id long, rank long, ad2 double, "
-            "cell_id int",
+            "cell_id long",
         )
+    # Latest-batch-wins dedup: a re-delivered vid (an embedding update
+    # through append/stream ingest) lands in a NEW batch partition
+    # while the old row survives in its cold one — without this,
+    # duplicate (vid, m) rows would double the ADC sums and the
+    # __nm == n_sub guard would silently DROP the vector from every
+    # result. max_by on the batch suffix keeps the newest encoding
+    # (map-side-combinable; ties within one batch break by
+    # (cell, codes) so even a pathological double-delivery stays
+    # deterministic). The three consumers below (codes unpack,
+    # candidate list, cell lookup) all build on this one groupBy, so
+    # Catalyst reuses its exchange (ReusedExchange) and the pruned
+    # partitions are scanned once per search — lineage stays intact
+    # for the manifest-pruning inputFiles pin.
+    batch = F.split(F.col("__part"), "_b").getItem(1).cast("long")
+    store = (
+        store.groupBy("vid")
+        .agg(
+            F.max_by(
+                F.struct("cell_id", "codes"),
+                F.struct(batch.alias("b"), "cell_id", "codes"),
+            ).alias("__r")
+        )
+        .select(
+            "vid",
+            F.col("__r.cell_id").alias("cell_id"),
+            F.col("__r.codes").alias("codes"),
+        )
+    )
     codes_long = store.select(
         "vid", F.posexplode("codes").alias("m", "code")
     )

@@ -3462,13 +3462,14 @@ FROM exact QUALIFY rank <= 5
     )
 
 
-def _ivfpq_oracle() -> str:
-    """z24: the fine-PQ chain (codes + LUT) and the coarse chain
-    (prefix 'c': 1 subspace of DIM dims, IVFPQ_CELLS codes — the SAME
-    training/encode SQL, exactly as ivfpq_coarse reuses pq_codebooks),
-    then probes (top-n_probe cells per query), candidates
-    (probed-cell membership), and the ADC sum restricted to them."""
-    quant = float(SIM.KMEANS_QUANT)
+def _ivfpq_ctes() -> list[str]:
+    """Shared IVF-PQ CTE chain (z24 AND z25 — one construction, two
+    final SELECTs): the fine-PQ chain (codes + LUT) and the coarse
+    chain (prefix 'c': 1 subspace of DIM dims, IVFPQ_CELLS codes — the
+    SAME training/encode SQL, exactly as ivfpq_coarse reuses
+    pq_codebooks), then probes (top-n_probe cells per query),
+    candidates (probed-cell membership), and the ADC sum restricted to
+    them, down to ``scored`` (query_id, vid, qsum) + ``cells``."""
     ctes, fine_codes = _pq_train_ctes("", SIM.PQ_M, SIM.PQ_KSUB)
     coarse_ctes, coarse_codes = _pq_train_ctes("c", 1, SIM.IVFPQ_CELLS)
     ctes += coarse_ctes
@@ -3498,9 +3499,14 @@ def _ivfpq_oracle() -> str:
         "AND k.m = l.m AND k.code = l.code "
         "WHERE k.vid <> ca.query_id GROUP BY ca.query_id, k.vid)"
     )
+    return ctes
+
+
+def _ivfpq_oracle() -> str:
+    quant = float(SIM.KMEANS_QUANT)
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_ivfpq_ctes())
         + f"""
 SELECT query_id, vid AS neighbor_id,
        ROW_NUMBER() OVER (PARTITION BY query_id
@@ -3565,44 +3571,15 @@ def z25_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_store_oracle() -> str:
-    """z24's chains plus the neighbor's cell — the store layout adds
-    cell_id to every returned row."""
+    """The same shared chain as z24 plus the neighbor's cell — the
+    store layout adds cell_id to every returned row."""
     quant = float(SIM.KMEANS_QUANT)
-    ctes, fine_codes = _pq_train_ctes("", SIM.PQ_M, SIM.PQ_KSUB)
-    coarse_ctes, coarse_codes = _pq_train_ctes("c", 1, SIM.IVFPQ_CELLS)
-    ctes += coarse_ctes
-    ctes.append(_pq_lut_cte(f"pc{SIM.PQ_ITERS}"))
-    ctes.append(
-        f"cells AS (SELECT vid, code AS cell_id FROM {coarse_codes})"
-    )
-    probe_d2 = _pq_l2_sql("q.v", "0", "c.centv", SIM.DIM)
-    ctes.append(
-        "probes AS (SELECT query_id, cell_id FROM ("
-        "SELECT q.vid AS query_id, c.code AS cell_id, "
-        "ROW_NUMBER() OVER (PARTITION BY q.vid ORDER BY "
-        + probe_d2
-        + " ASC, c.code ASC) AS cr "
-        "FROM (SELECT vec_id AS vid, embedding AS v FROM embeddings "
-        f"WHERE vec_id < 10) q CROSS JOIN cpc{SIM.PQ_ITERS} c"
-        f") WHERE cr <= {SIM.IVFPQ_PROBE})"
-    )
-    ctes.append(
-        "cand AS (SELECT p.query_id, cl.vid "
-        "FROM cells cl JOIN probes p ON cl.cell_id = p.cell_id)"
-    )
-    ctes.append(
-        "scored AS (SELECT ca.query_id, k.vid, SUM(l.qd2) AS qsum "
-        f"FROM {fine_codes} k JOIN cand ca ON k.vid = ca.vid "
-        "JOIN lut l ON l.query_id = ca.query_id "
-        "AND k.m = l.m AND k.code = l.code "
-        "WHERE k.vid <> ca.query_id GROUP BY ca.query_id, k.vid)"
-    )
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_ivfpq_ctes())
         + f"""
 SELECT s.query_id, s.vid AS neighbor_id, s.rank, s.ad2,
-       cl.cell_id::INT AS cell_id
+       cl.cell_id AS cell_id
 FROM (SELECT query_id, vid,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY qsum ASC, vid ASC) AS rank,

@@ -157,3 +157,26 @@ def test_stream_ivfpq_ingest_end_to_end(spark, emb, quantizers, tmp_path):
     # Drain again from the same checkpoint: nothing new commits.
     run()
     assert read_manifest(codes_dir)["version"] == v
+
+
+def test_redelivered_vid_is_deduped_latest_batch_wins(spark, emb, index):
+    """An embedding update re-delivered under the SAME vid lands in a
+    new batch partition while the old row survives in its cold one.
+    The search must return the vector ONCE (before the latest-wins
+    dedup, duplicate (vid, m) rows doubled the ADC sums and the
+    __nm == n_sub guard silently dropped it from every result)."""
+    copy = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(1_000_000).alias("vec_id"), "embedding"
+    )
+    SIM.append_ivfpq_index(copy, index, batch_id=1)
+    SIM.append_ivfpq_index(copy, index, batch_id=2)  # re-delivery
+    dup_rows = (
+        read_snapshot(spark, f"{index}/codes")
+        .filter("vid = 1000000")
+        .count()
+    )
+    assert dup_rows == 2, "fixture must actually create the duplicate"
+    q = emb.filter(F.col("vec_id") == 0)
+    got = SIM.search_ivfpq_index(q, index, 3).collect()
+    hits = [r.neighbor_id for r in got]
+    assert hits.count(1_000_000) == 1, hits
