@@ -1288,6 +1288,18 @@ def pq_codebooks(
         F.col("vid").alias("code"),
         F.transform("sv", lambda x: x.cast("double")).alias("centv"),
     )
+    # Dense-id seeding contract, enforced loudly: with sparse or
+    # offset ids `vid < ksub` yields fewer than ksub seeds and the
+    # codebook silently trains degenerate (fewer effective codes →
+    # quietly worse recall). One slim count on a train-once artifact.
+    n_seeds = cents.count()
+    if n_seeds != ksub * n_sub:
+        raise ValueError(
+            f"pq_codebooks needs dense ids 0..{ksub - 1} for seeding: "
+            f"found {n_seeds // n_sub if n_sub else 0} of {ksub} seed "
+            "vectors. Re-key the corpus (e.g. a global rank) or seed "
+            "via an explicit id remap upstream."
+        )
     for _ in range(iters):
         assigned = _nearest_code(subs, cents, DIM // n_sub, keep_sv=True).select(
             "m", "code", "sv"
@@ -1522,6 +1534,13 @@ def pq_refine_topk(
 #: probe 4 keeps ~94% of the ADC recall while scanning ~25% of the
 #: codes. Probe depth is the recall/cost dial; per-query work ≈
 #: n_probe/n_cells of the compressed scan.
+#:
+#: Residual encoding (FAISS's by_residual=true — PQ over
+#: v − coarse_centroid with per-(query, cell) LUTs) was prototyped
+#: and MEASURED WORSE here: recall@5 0.54 vs 0.62 no-residual. On a
+#: near-random corpus the coarse centroids remove no variance, so
+#: pooled-residual codebooks only add noise; revisit if real
+#: clustered embeddings replace the fixture.
 IVFPQ_CELLS = 16
 IVFPQ_PROBE = 4
 

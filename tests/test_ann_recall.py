@@ -293,3 +293,14 @@ def test_cell_blocking_recall_regimes(spark):
     }
     recall_w = len(blocked_w & exact_w) / max(len(exact_w), 1)
     assert 0.05 <= recall_w <= 0.7, recall_w
+
+
+def test_pq_codebooks_rejects_sparse_ids(spark):
+    """The dense-id seeding contract fails LOUDLY: offset ids would
+    otherwise train a degenerate codebook (fewer effective codes) and
+    only show up as quietly worse recall."""
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        (F.col("vec_id") + 1_000).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="dense ids"):
+        SIM.pq_codebooks(emb)
