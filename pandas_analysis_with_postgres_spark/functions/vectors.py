@@ -8,6 +8,13 @@ fold is strictly left-to-right, so the DuckDB oracle (sequential
 At 100 TB the brute-force path is a broadcast of the (small) query set
 against a partitioned scan of the corpus — no shuffle at all; the LSH
 path (operators.similarity) trades exactness for a bucket-join.
+
+Unrolling these folds at DIM=64 (the `_l2sq` trick that won at
+length 4 in the PQ subspace loop) was MEASURED WORSE here: the
+64-term expression trees (×3 per cosine) blow past whole-stage
+codegen's method-size limits and the stage falls back to interpreted
+mode wholesale — q27 0.68→2.2 s, q42 1.0→3.9 s, suite headline
+15→21 s. Unroll short fixed-width folds only; keep wide ones as HOFs.
 """
 
 from __future__ import annotations

@@ -1138,8 +1138,14 @@ def _l2sq(a: Column, b: Column, length: int) -> Column:
     per row), the unrolled form is plain arithmetic inside
     whole-stage codegen. On PQ's hot assignment stage (2M joined
     rows × length-4 folds at sf0.1) this is the difference between
-    2.5 s and milliseconds of CPU; every vector length here (PQ_SUB,
-    DIM) is a module constant."""
+    2.5 s and milliseconds of CPU. Caveat measured the hard way: the
+    win holds for SHORT lengths (PQ_SUB=4); at length 64 the huge
+    expression tree can push the stage past codegen's method-size
+    limit into interpreted fallback (see functions/vectors.py — the
+    module-wide dot/norm unroll was reverted on a 15→21 s suite
+    regression). The DIM-length call sites here are small frames
+    (|Q|·shortlist rerank, |Q|·cells probes) where either path is
+    milliseconds."""
     total: Column = F.lit(0.0)
     for i in range(1, length + 1):
         d = F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
