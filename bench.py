@@ -131,6 +131,7 @@ EXTRA = (
     "z23_pq_refine",
     "z24_ivfpq_topk",
     "z25_ivfpq_index_search",
+    "z26_jsonl_roundtrip",
 )
 
 

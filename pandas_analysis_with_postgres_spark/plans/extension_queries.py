@@ -2569,6 +2569,93 @@ FROM documents
 """
 
 
+_JSONL_DROPS: dict = {}
+
+#: Malformed landing-drop lines for z26 — fixed literals so the
+#: quarantine rows are oracle-replayable. One truncated object, one
+#: bare string, one type-violating doc_id.
+JSONL_BAD_LINES = (
+    '{"doc_id": 1, "source": "news", "text": "trunca',
+    "not json at all",
+    '{"doc_id": "not-a-number", "source": "web", "text": "x"}',
+)
+
+
+def _jsonl_drop(spark: SparkSession, sf_dir: str) -> str:
+    """Write the z26 landing drop once per (app, fixture): documents
+    as JSONL plus one extra part-file of malformed lines."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _JSONL_DROPS.get(key)
+    if path is None:
+        from ..sources.text_formats import write_jsonl
+
+        path = _tracked_mkdtemp("jsonl_drop_") + "/docs"
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        write_jsonl(docs, path)
+        with open(f"{path}/part-99999-malformed.json", "w") as fh:
+            fh.write("\n".join(JSONL_BAD_LINES) + "\n")
+        _JSONL_DROPS[key] = path
+    return path
+
+
+def z26_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL landing-drop round-trip with quarantine
+    (sources.text_formats.read_jsonl / write_jsonl): documents written
+    as JSON-lines (the training-data interchange format — one object
+    per line, splittable) and read back under a MANDATORY schema in
+    PERMISSIVE mode with a ``_corrupt_record`` column, the 100 TB
+    landing contract (no inference scan, no type drift, one bad line
+    quarantines instead of failing the drop). The drop includes three
+    fixed malformed lines; the hashed surface is every parsed field
+    PLUS the quarantine column, so schema enforcement, JSON escaping
+    (quotes/newlines in text survive the round trip), and the
+    corrupt-row routing are all oracle-replayed. Type-violating
+    fields (doc_id as string) null out and quarantine the raw line —
+    exactly what the oracle encodes."""
+    from ..sources.text_formats import CORRUPT_COL, read_jsonl
+
+    path = _jsonl_drop(spark, sf_dir)
+    back = read_jsonl(
+        spark,
+        path,
+        "doc_id long, source string, text string",
+        capture_corrupt=True,
+    )
+    return back.select(
+        "doc_id", "source", "text", F.col(CORRUPT_COL).alias("quarantined")
+    )
+
+
+def _jsonl_oracle() -> str:
+    bad_rows = ",\n".join(
+        "({}, {})".format(i, _sql_str(line))
+        for i, line in enumerate(JSONL_BAD_LINES)
+    )
+    return f"""
+SELECT doc_id, source, text, NULL AS quarantined FROM documents
+UNION ALL
+-- PERMISSIVE semantics: a malformed LINE nulls every field; a
+-- type-violating FIELD (idx 2: doc_id as string) nulls only itself,
+-- keeps the other parsed fields, and still quarantines the raw line.
+SELECT NULL AS doc_id,
+       CASE WHEN idx = 2 THEN 'web' END AS source,
+       CASE WHEN idx = 2 THEN 'x' END AS text,
+       line AS quarantined
+FROM (VALUES {bad_rows}) AS bad(idx, line)
+"""
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+Z26_SQL = _jsonl_oracle()
+
+
 _SQL_MERGE_TABLES: dict = {}
 
 #: The z20 MERGE statement — executed verbatim by the front-end
@@ -3696,6 +3783,7 @@ EXTENSION_QUERIES = {
     "z23_pq_refine": z23_pq_refine,
     "z24_ivfpq_topk": z24_ivfpq_topk,
     "z25_ivfpq_index_search": z25_ivfpq_index_search,
+    "z26_jsonl_roundtrip": z26_jsonl_roundtrip,
 }
 
 EXTENSION_ORACLES = {
@@ -3742,6 +3830,7 @@ EXTENSION_ORACLES = {
     "z23_pq_refine": Z23_SQL,
     "z24_ivfpq_topk": Z24_SQL,
     "z25_ivfpq_index_search": Z25_SQL,
+    "z26_jsonl_roundtrip": Z26_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,
