@@ -132,6 +132,7 @@ EXTRA = (
     "z24_ivfpq_topk",
     "z25_ivfpq_index_search",
     "z26_jsonl_roundtrip",
+    "z27_csv_roundtrip",
 )
 
 

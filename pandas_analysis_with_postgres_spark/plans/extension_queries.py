@@ -2656,6 +2656,93 @@ def _sql_str(s: str) -> str:
 Z26_SQL = _jsonl_oracle()
 
 
+_CSV_DROPS: dict = {}
+
+#: Fixed extra lines for the z27 CSV drop (after the per-file dummy
+#: header line that header=true consumes). Measured Spark PERMISSIVE
+#: semantics, which the oracle encodes row-for-row: a type-violating
+#: field nulls ONLY itself and quarantines the line; short rows pad
+#: missing fields with NULL and quarantine; long rows keep the parsed
+#: prefix and quarantine; a properly QUOTED embedded separator is a
+#: plain valid row.
+CSV_EXTRA_LINES = (
+    "abc,O,1.5",
+    "990000,F",
+    "990001,P,2.5,extra",
+    '990002,"has,comma",3.5',
+)
+
+
+def _csv_drop(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _CSV_DROPS.get(key)
+    if path is None:
+        from ..sources.text_formats import write_csv
+
+        path = _tracked_mkdtemp("csv_drop_") + "/orders"
+        base = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_csv(base, path)
+        with open(f"{path}/part-99999-extra.csv", "w") as fh:
+            fh.write("o_orderkey,o_orderstatus,o_totalprice\n")
+            fh.write("\n".join(CSV_EXTRA_LINES) + "\n")
+        _CSV_DROPS[key] = path
+    return path
+
+
+def z27_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV landing-drop round-trip with quarantine
+    (sources.text_formats.read_csv / write_csv — the CSV twin of z26):
+    orders written as headered CSV and read back under a mandatory
+    schema in PERMISSIVE mode with ``_corrupt_record``. The drop's
+    extra part-file pins every CSV edge the JSON path doesn't have:
+    quoted embedded separators parse as one field (valid, not
+    quarantined); a type-violating field nulls only itself; a SHORT
+    row pads missing fields with NULL; a LONG row keeps the parsed
+    prefix — all three quarantined with the raw line. Every mode is
+    hash-replayed by the oracle (semantics measured, not assumed)."""
+    from ..sources.text_formats import CORRUPT_COL, read_csv
+
+    path = _csv_drop(spark, sf_dir)
+    back = read_csv(
+        spark,
+        path,
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+        capture_corrupt=True,
+    )
+    return back.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col(CORRUPT_COL).alias("quarantined"),
+    )
+
+
+def _csv_oracle() -> str:
+    extras = ",\n".join(
+        "({})".format(row)
+        for row in (
+            f"NULL, 'O', 1.5, {_sql_str(CSV_EXTRA_LINES[0])}",
+            f"990000, 'F', NULL, {_sql_str(CSV_EXTRA_LINES[1])}",
+            f"990001, 'P', 2.5, {_sql_str(CSV_EXTRA_LINES[2])}",
+            "990002, 'has,comma', 3.5, NULL",
+        )
+    )
+    return f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice, NULL AS quarantined
+FROM orders
+UNION ALL
+SELECT * FROM (VALUES {extras})
+    AS extra(o_orderkey, o_orderstatus, o_totalprice, quarantined)
+"""
+
+
+Z27_SQL = _csv_oracle()
+
+
 _SQL_MERGE_TABLES: dict = {}
 
 #: The z20 MERGE statement — executed verbatim by the front-end
@@ -3784,6 +3871,7 @@ EXTENSION_QUERIES = {
     "z24_ivfpq_topk": z24_ivfpq_topk,
     "z25_ivfpq_index_search": z25_ivfpq_index_search,
     "z26_jsonl_roundtrip": z26_jsonl_roundtrip,
+    "z27_csv_roundtrip": z27_csv_roundtrip,
 }
 
 EXTENSION_ORACLES = {
@@ -3831,6 +3919,7 @@ EXTENSION_ORACLES = {
     "z24_ivfpq_topk": Z24_SQL,
     "z25_ivfpq_index_search": Z25_SQL,
     "z26_jsonl_roundtrip": Z26_SQL,
+    "z27_csv_roundtrip": Z27_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,
