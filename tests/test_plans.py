@@ -237,3 +237,50 @@ def test_z12_resample_plan_shape(spark):
     import re
 
     assert not re.search(r"windowspecdefinition\((?:bucket_ts|__)", p)
+
+
+def test_z22_pq_adc_plan_shape(spark):
+    """The ADC scan must broadcast the per-query LUT against the codes
+    frame with a partial-aggregable sum; the only window is the final
+    per-query top-k, and it must carry the WindowGroupLimit rank
+    pushdown (per-partition top-k, never a full sort of the scored
+    frame)."""
+    p = _plan(spark, "z22_pq_topk")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "WindowGroupLimit" in p, "rank<=k must push into the window"
+    assert p.count("Window (") == 1, p
+
+
+def test_pq_encode_argmin_is_map_side_min_by(spark):
+    """pq_encode's nearest-code argmin must plan as a min_by hash
+    aggregate with a partial (map-side) phase inside the broadcast-join
+    stage — NEVER a row_number window over the N·M·ksub joined frame
+    (the shape that shuffles and sorts 64x the input)."""
+    import contextlib
+    import io
+
+    from pandas_analysis_with_postgres_spark.operators import similarity as SIM
+    from pandas_analysis_with_postgres_spark.sources.parquet import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    books = SIM.pq_codebooks(emb).localCheckpoint()
+    df = SIM.pq_encode(emb, books)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "partial_min_by" in p, p
+    assert "Window" not in p, "argmin must not be a window"
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_z24_ivfpq_candidate_restriction(spark):
+    """IVF-PQ's ADC must scan candidates (vid-keyed join onto the
+    probed-cell membership) with the probe/LUT frames broadcast —
+    never an all-pairs product; the final ranking window carries the
+    rank pushdown."""
+    p = _plan(spark, "z24_ivfpq_topk")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "WindowGroupLimit" in p, p
