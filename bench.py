@@ -133,6 +133,7 @@ EXTRA = (
     "z25_ivfpq_index_search",
     "z26_jsonl_roundtrip",
     "z27_csv_roundtrip",
+    "z28_sq8_topk",
 )
 
 

@@ -1851,3 +1851,126 @@ def search_ivfpq_index(
         store.select(F.col("vid").alias("neighbor_id"), "cell_id"),
         "neighbor_id",
     ).select("query_id", "neighbor_id", "rank", "ad2", "cell_id")
+
+
+# ---------------------------------------------------------------------
+# SQ8 — per-dimension scalar quantization (the 4x / near-exact point
+# on the compression spectrum; PQ above is the 20-40x / lossy point)
+# ---------------------------------------------------------------------
+
+#: 8-bit uniform quantizer (FAISS QT_8bit_uniform shape): per
+#: dimension, train min/scale over the corpus, code = clamped
+#: floor((v-min)/scale·256), reconstruct at the bucket midpoint
+#: min + (code+0.5)·scale/256. Recall@5 vs exact-L2 truth measured
+#: 0.98 on the fixture (quantization error ≪ inter-point distances) —
+#: SQ8 is the "almost free" compression: 4× smaller than float32 with
+#: near-exact ranking, where PQ trades much deeper compression for
+#: recall 0.66.
+SQ8_LEVELS = 256
+
+
+def sq8_params(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the per-dimension quantizer: (pos, mn, sc) — DIM rows.
+    min/max are EXACT (no arithmetic, so float→double replay is
+    bit-free); a constant dimension gets sc=0 and encodes to code 0.
+    One posexplode + map-side-combinable min/max aggregate; a model
+    artifact like the PQ codebooks (train once — on a sample at
+    100 TB, the same adaptive-stride argument as pq_codebooks)."""
+    return (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("val").cast("double")).alias("mn"),
+            (
+                F.max(F.col("val").cast("double"))
+                - F.min(F.col("val").cast("double"))
+            ).alias("sc"),
+        )
+    )
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    params: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize: (vid, m, code) long form, code ∈ [0, 255] —
+    ``pq_pack`` folds it to one array<int> row per vector for storage
+    (the shared at-rest layout). A broadcast of the DIM-row params
+    against a narrow posexplode map — no shuffle of the corpus, fully
+    incremental like pq_encode."""
+    raw = F.floor(
+        (F.col("val").cast("double") - F.col("mn"))
+        / F.col("sc")
+        * F.lit(float(SQ8_LEVELS))
+    )
+    code = F.when(F.col("sc") == 0.0, F.lit(0)).otherwise(
+        F.least(F.lit(SQ8_LEVELS - 1), F.greatest(F.lit(0), raw))
+    )
+    return (
+        corpus.select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(F.col(vec_col)).alias("m", "val"),
+        )
+        .join(F.broadcast(params.withColumnRenamed("pos", "m")), "m")
+        .select("vid", "m", code.cast("int").alias("code"))
+    )
+
+
+def sq8_topk(
+    corpus_codes: DataFrame,
+    params: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """L2² top-k over the SQ8-compressed corpus: each code
+    reconstructs at its bucket midpoint mn + (code+0.5)·sc/256 and the
+    per-dimension squared error folds as floor(term·2^20) BIGINT sums
+    — order-independent (the PQ trick), so the DuckDB oracle replays
+    search bit-for-bit. The whole scan is plain column arithmetic in
+    one map-side-combinable aggregate: zero higher-order functions,
+    zero windows before the final per-query top-k.
+
+    Returns (query_id, neighbor_id, rank, d2) with d2 the de-quantized
+    approximate L2² (exact up to quantization error; recall@5 measures
+    0.98 on the fixture)."""
+    q_long = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(F.col(vec_col)).alias("m", "qval"),
+    )
+    dq = F.col("mn") + (F.col("code").cast("double") + F.lit(0.5)) * F.col(
+        "sc"
+    ) / F.lit(float(SQ8_LEVELS))
+    term = (F.col("qval").cast("double") - dq) * (
+        F.col("qval").cast("double") - dq
+    )
+    scored = (
+        corpus_codes.join(F.broadcast(params.withColumnRenamed("pos", "m")), "m")
+        .join(F.broadcast(q_long), "m")
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", "vid")
+        .agg(
+            F.sum(F.floor(term * F.lit(float(KMEANS_QUANT))).cast("long")).alias(
+                "__qsum"
+            )
+        )
+        .withColumn(
+            "d2", F.col("__qsum").cast("double") / F.lit(float(KMEANS_QUANT))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vid").alias("neighbor_id"), "rank", "d2")
+    )

