@@ -134,6 +134,7 @@ EXTRA = (
     "z26_jsonl_roundtrip",
     "z27_csv_roundtrip",
     "z28_sq8_topk",
+    "z29_orc_pushdown_summary",
 )
 
 

@@ -2826,6 +2826,74 @@ FROM scored QUALIFY rank <= 5
 Z28_SQL = _sq8_oracle()
 
 
+_ORC_DROPS: dict = {}
+
+
+def _orc_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write the z29 ORC estate once per (app, fixture): a lineitem
+    projection hive-partitioned by l_returnflag."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _ORC_DROPS.get(key)
+    if path is None:
+        from ..sources.orc_format import write_orc
+
+        path = _tracked_mkdtemp("orc_estate_") + "/lineitem"
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_shipdate",
+            "l_returnflag",
+        )
+        write_orc(li, path, "l_returnflag")
+        _ORC_DROPS[key] = path
+    return path
+
+
+def z29_orc_pushdown_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC estate scan with pushdown (sources.orc_format): lineitem
+    written as hive-partitioned ORC (partition = l_returnflag, the
+    other columnar standard — Hive-heritage estates are ORC-native),
+    then the q01-shaped summary over ONE partition and a shipdate
+    window. Both prunings are plan-pinned in tests/test_plans.py:
+    `PartitionFilters` keeps unread partitions off disk entirely and
+    `PushedFilters` carries the shipdate predicate into the native
+    vectorized ORC reader — the same scan discipline as the parquet
+    layer, proving format choice doesn't change the plan contract.
+    Sums are decimal (order-independent) exactly like q01."""
+    from ..sources.orc_format import read_orc
+
+    path = _orc_table(spark, sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        read_orc(spark, path)
+        .filter(
+            (F.col("l_returnflag") == "A")
+            & (F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Z29_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_returnflag = 'A' AND l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_linestatus
+"""
+
+
 _SQL_MERGE_TABLES: dict = {}
 
 #: The z20 MERGE statement — executed verbatim by the front-end
@@ -3956,6 +4024,7 @@ EXTENSION_QUERIES = {
     "z26_jsonl_roundtrip": z26_jsonl_roundtrip,
     "z27_csv_roundtrip": z27_csv_roundtrip,
     "z28_sq8_topk": z28_sq8_topk,
+    "z29_orc_pushdown_summary": z29_orc_pushdown_summary,
 }
 
 EXTENSION_ORACLES = {
@@ -4005,6 +4074,7 @@ EXTENSION_ORACLES = {
     "z26_jsonl_roundtrip": Z26_SQL,
     "z27_csv_roundtrip": Z27_SQL,
     "z28_sq8_topk": Z28_SQL,
+    "z29_orc_pushdown_summary": Z29_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -284,3 +284,16 @@ def test_z24_ivfpq_candidate_restriction(spark):
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
     assert "WindowGroupLimit" in p, p
+
+
+def test_z29_orc_scan_pushes_down_and_prunes_partitions(spark):
+    """The ORC estate must honor the same scan discipline as parquet:
+    the l_returnflag partition predicate prunes at PartitionFilters
+    (unread partitions never listed) and the shipdate predicate
+    reaches the native ORC reader via PushedFilters."""
+    p = _plan(spark, "z29_orc_pushdown_summary")
+    part = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert part and "l_returnflag" in part[0], p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_shipdate" in pushed[0], p
+    assert "Scan orc" in p, p
