@@ -135,6 +135,7 @@ EXTRA = (
     "z27_csv_roundtrip",
     "z28_sq8_topk",
     "z29_orc_pushdown_summary",
+    "z30_xml_roundtrip",
 )
 
 

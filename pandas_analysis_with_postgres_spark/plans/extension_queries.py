@@ -2826,6 +2826,45 @@ FROM scored QUALIFY rank <= 5
 Z28_SQL = _sq8_oracle()
 
 
+_XML_DROPS: dict = {}
+
+
+def _xml_drop(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _XML_DROPS.get(key)
+    if path is None:
+        from ..sources.text_formats import write_xml
+
+        path = _tracked_mkdtemp("xml_drop_") + "/docs"
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        write_xml(docs, path)
+        _XML_DROPS[key] = path
+    return path
+
+
+def z30_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML dump round-trip (sources.text_formats.read_xml / write_xml,
+    Spark 4's native XML reader): documents written one <doc> element
+    per record — the Wikipedia-dump / feed ingestion shape — and read
+    back under a mandatory schema. The full text column is hashed, so
+    entity escaping (angle brackets, ampersands, quotes, newlines) is
+    verified byte-exact; ``ignoreSurroundingSpaces`` is forced off
+    because the default TRIMS element text (measured — it silently
+    corrupts whitespace-significant bodies, and empty-string vs NULL
+    would stop round-tripping)."""
+    from ..sources.text_formats import read_xml
+
+    path = _xml_drop(spark, sf_dir)
+    return read_xml(spark, path, "doc_id long, source string, text string")
+
+
+Z30_SQL = "SELECT doc_id, source, text FROM documents"
+
+
 _ORC_DROPS: dict = {}
 
 
@@ -4025,6 +4064,7 @@ EXTENSION_QUERIES = {
     "z27_csv_roundtrip": z27_csv_roundtrip,
     "z28_sq8_topk": z28_sq8_topk,
     "z29_orc_pushdown_summary": z29_orc_pushdown_summary,
+    "z30_xml_roundtrip": z30_xml_roundtrip,
 }
 
 EXTENSION_ORACLES = {
@@ -4075,6 +4115,7 @@ EXTENSION_ORACLES = {
     "z27_csv_roundtrip": Z27_SQL,
     "z28_sq8_topk": Z28_SQL,
     "z29_orc_pushdown_summary": Z29_SQL,
+    "z30_xml_roundtrip": Z30_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,
