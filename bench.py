@@ -136,6 +136,7 @@ EXTRA = (
     "z28_sq8_topk",
     "z29_orc_pushdown_summary",
     "z30_xml_roundtrip",
+    "z31_blob_ingest",
 )
 
 

@@ -2826,6 +2826,57 @@ FROM scored QUALIFY rank <= 5
 Z28_SQL = _sq8_oracle()
 
 
+_BLOB_DROPS: dict = {}
+
+
+def _blob_drop(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the z31 blob directory once per (app, fixture):
+    one ``doc_{id}.bin`` file per document, bytes = UTF-8 text —
+    written executor-side (foreachPartition), no driver collect."""
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _BLOB_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("blob_drop_") + "/media"
+        os.makedirs(path, exist_ok=True)
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def _write(rows) -> None:
+            for r in rows:
+                with open(f"{path}/doc_{r.doc_id}.bin", "wb") as fh:
+                    fh.write(r.text.encode("utf-8"))
+
+        docs.foreachPartition(_write)
+        _BLOB_DROPS[key] = path
+    return path
+
+
+def z31_blob_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-addressed corpus ingestion (sources.binary_files): a
+    directory of raw blobs — the shape image/audio corpora actually
+    arrive in — scanned via the ``binaryFile`` source with a
+    ``pathGlobFilter`` that prunes at LISTING time, reduced to the
+    deterministic blob identity (basename, byte length, SHA-256).
+    That manifest is the dedup/decontamination join surface for
+    file-addressed data; bytes arrive verbatim (the oracle re-derives
+    every hash from the documents table, so UTF-8 encoding, file
+    framing, and the digest itself are all replayed). modificationTime
+    is machine state and never touches the hashed surface."""
+    from ..sources.binary_files import blob_manifest, read_binary_files
+
+    path = _blob_drop(spark, sf_dir)
+    return blob_manifest(read_binary_files(spark, path, glob="*.bin"))
+
+
+Z31_SQL = """
+SELECT 'doc_' || doc_id || '.bin' AS name,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
 _XML_DROPS: dict = {}
 
 
@@ -4065,6 +4116,7 @@ EXTENSION_QUERIES = {
     "z28_sq8_topk": z28_sq8_topk,
     "z29_orc_pushdown_summary": z29_orc_pushdown_summary,
     "z30_xml_roundtrip": z30_xml_roundtrip,
+    "z31_blob_ingest": z31_blob_ingest,
 }
 
 EXTENSION_ORACLES = {
@@ -4116,6 +4168,7 @@ EXTENSION_ORACLES = {
     "z28_sq8_topk": Z28_SQL,
     "z29_orc_pushdown_summary": Z29_SQL,
     "z30_xml_roundtrip": Z30_SQL,
+    "z31_blob_ingest": Z31_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,
