@@ -137,6 +137,7 @@ EXTRA = (
     "z29_orc_pushdown_summary",
     "z30_xml_roundtrip",
     "z31_blob_ingest",
+    "z32_duplicate_span_scrub",
 )
 
 

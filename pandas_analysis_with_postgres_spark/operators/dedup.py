@@ -893,3 +893,104 @@ def remove_boilerplate_lines(
         ).alias("clean_text"),
         (F.size("ls") - F.size(kept)).cast("long").alias("n_removed_lines"),
     )
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Substring-level duplicate-span scrub — the ExactSubstr pass of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), re-grained from suffix-array bytes to sliding token
+    windows: any run of ``span_tokens`` whitespace tokens that occurs
+    >= ``min_count`` times ANYWHERE in the corpus (across documents or
+    repeated inside one) is cut from every document. This is the layer
+    between line-grain boilerplate removal (:func:`remove_boilerplate_lines`,
+    disjoint 10-token blocks) and document-grain dedup: sliding windows
+    catch duplicated passages at ANY alignment, and overlapping hits
+    merge into one excised region via token-level coverage.
+
+    Every occurrence is scrubbed (the paper's deduplicate-all variant) —
+    keeping one canonical copy would need a global occurrence ranking,
+    a policy the caller can layer on. One pass is one fixpoint step:
+    excision creates new token adjacencies, so freshly-adjacent text
+    can in principle form new duplicate spans; iterate to convergence
+    if that matters (real pipelines run one pass).
+
+    Returns ``(id_col, clean_text, n_removed_tokens)`` for EVERY input
+    document — shorter-than-``span_tokens`` docs pass through verbatim,
+    fully-covered docs come back with empty ``clean_text`` (dropping is
+    the caller's policy).
+
+    Scale shape (all Catalyst, no UDFs): one sliding-window explode to
+    the token grain (N_tokens rows, each carrying an md5 of its span —
+    raw span text never shuffles), one count shuffle on the 16-byte
+    digest, one join back, a coverage explode bounded by
+    duplicate_occurrences x span_tokens, and one per-document
+    re-assembly aggregation. Everything is linear in corpus tokens; the
+    worst case (entire corpus duplicated) is a span_tokens-x coverage
+    blowup, the same bound the paper's suffix-array pass pays. Digest
+    collisions (md5) would merge distinct spans — at 2^64 spans that is
+    a birthday bound real pipelines accept; use the span text itself as
+    the key if bytes-on-the-wire matters less than exactness.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # Guard the window sequence: Spark's sequence(0, stop) COUNTS DOWN
+    # when stop < 0 (auto step -1), so short docs must get an explicit
+    # empty position array, not sequence(0, n - W).
+    positions = F.when(
+        n >= span_tokens,
+        F.sequence(F.lit(0), n - span_tokens),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = docs.select(
+        id_col,
+        F.explode(positions).alias("pos"),
+        toks.alias("__t"),
+    ).select(
+        id_col,
+        "pos",
+        F.md5(
+            F.array_join(F.slice("__t", F.col("pos") + 1, span_tokens), " ")
+        ).alias("h"),
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("h")
+    )
+    # Token-level coverage: each duplicate occurrence covers positions
+    # [pos, pos + W). distinct() collapses overlapping hits so the
+    # re-assembly join sees each excised token once.
+    cov = (
+        spans.join(dup, "h")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + span_tokens - 1)
+            ).alias("j"),
+        )
+        .distinct()
+        .withColumn("__cut", F.lit(True))
+    )
+    tokens = docs.select(id_col, F.posexplode(toks).alias("j", "tok"))
+    marked = tokens.join(cov, [id_col, "j"], "left").select(
+        id_col,
+        F.struct("j", "tok", F.coalesce("__cut", F.lit(False)).alias("c")).alias("s"),
+    )
+    agg = marked.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("s")).alias("ts")
+    )
+    kept = F.filter("ts", lambda s: ~s.getField("c"))
+    return agg.select(
+        id_col,
+        F.array_join(
+            F.transform(kept, lambda s: s.getField("tok")), " "
+        ).alias("clean_text"),
+        (F.size("ts") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+    )

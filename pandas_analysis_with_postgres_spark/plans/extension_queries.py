@@ -2877,6 +2877,41 @@ FROM documents
 """
 
 
+def z32_duplicate_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate-span scrub (operators.dedup.
+    scrub_duplicate_spans): the ExactSubstr pass of Lee et al. 2022 on
+    sliding 8-token windows — any span repeated >=2 times anywhere in
+    the corpus is excised from every document, overlapping hits merged
+    through token-level coverage. The layer between z01's disjoint
+    line-block boilerplate removal and q22/q24 document-grain dedup:
+    sliding windows catch duplicated passages at ANY alignment. Pure
+    Catalyst — window explode, one count shuffle on the span digest,
+    coverage join, per-doc ordered re-assembly; the oracle replays the
+    identical window grammar, md5 digests, and coverage semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.scrub_duplicate_spans(docs, span_tokens=8, min_count=2)
+
+
+Z32_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sp AS (SELECT doc_id, unnest(generate_series(0, len(t) - 8)) AS i, t
+       FROM d WHERE len(t) >= 8),
+sp2 AS (SELECT doc_id, i, md5(array_to_string(t[i+1 : i+8], ' ')) AS h
+        FROM sp),
+dup AS (SELECT h FROM sp2 GROUP BY h HAVING COUNT(*) >= 2),
+cov AS (SELECT DISTINCT doc_id, unnest(generate_series(i, i + 7)) AS j
+        FROM sp2 JOIN dup USING (h)),
+tok AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS j, unnest(t) AS tk
+        FROM d)
+SELECT tok.doc_id,
+       coalesce(string_agg(CASE WHEN cov.j IS NULL THEN tk END,
+                           ' ' ORDER BY tok.j), '') AS clean_text,
+       CAST(count(cov.j) AS BIGINT) AS n_removed_tokens
+FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.j = cov.j
+GROUP BY tok.doc_id
+"""
+
+
 _XML_DROPS: dict = {}
 
 
@@ -4117,6 +4152,7 @@ EXTENSION_QUERIES = {
     "z29_orc_pushdown_summary": z29_orc_pushdown_summary,
     "z30_xml_roundtrip": z30_xml_roundtrip,
     "z31_blob_ingest": z31_blob_ingest,
+    "z32_duplicate_span_scrub": z32_duplicate_span_scrub,
 }
 
 EXTENSION_ORACLES = {
@@ -4169,6 +4205,7 @@ EXTENSION_ORACLES = {
     "z29_orc_pushdown_summary": Z29_SQL,
     "z30_xml_roundtrip": Z30_SQL,
     "z31_blob_ingest": Z31_SQL,
+    "z32_duplicate_span_scrub": Z32_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,
