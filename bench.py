@@ -138,6 +138,9 @@ EXTRA = (
     "z30_xml_roundtrip",
     "z31_blob_ingest",
     "z32_duplicate_span_scrub",
+    "z33_manifest_aggregate",
+    "z34_metadata_sql",
+    "z35_sorted_neighborhood",
 )
 
 

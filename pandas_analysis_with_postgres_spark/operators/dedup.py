@@ -395,6 +395,26 @@ def minhash_dedup_pairs(
         else minhash_signatures(docs, text_col=text_col, id_col=id_col)
     )
     cand = lsh_candidate_pairs(sigs).localCheckpoint(eager=False)
+    return _verified_pairs(
+        docs, cand, threshold=threshold, text_col=text_col, id_col=id_col
+    )
+
+
+def _verified_pairs(
+    docs: DataFrame,
+    cand: DataFrame,
+    *,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of a candidate-pair frame
+    ``(doc_a, doc_b)`` — the shared tail of every blocking family
+    (LSH bands, sorted neighborhood): shingle arrays are computed ONLY
+    for documents appearing in some candidate pair (semi-join before
+    the hash work), the all-pairs quadratic never exists. Pairs whose
+    docs are both shingle-less divide 0/0 → NULL jaccard → dropped by
+    the threshold (same in the DuckDB oracle)."""
     ids = cand.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
@@ -412,6 +432,64 @@ def minhash_dedup_pairs(
         joined.withColumn("jaccard", co / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    *,
+    window: int = 8,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-duplicate pairs — the third
+    blocking family next to banded LSH (:func:`minhash_dedup_pairs`)
+    and byte-blocked SimHash (:func:`simhash_near_pairs`): rank every
+    document by its SimHash fingerprint (similar docs sort near each
+    other — high-order bits agree), take every pair within ``window``
+    rank positions as a candidate, verify with exact shingle Jaccard.
+
+    Why a third family: LSH recall is set by band/row shape and its
+    bucket joins can skew on clone-heavy corpora; SNM's candidate
+    count is EXACTLY N·(window−1) — flat, skew-free, budget-predictable
+    — at the cost of missing pairs whose fingerprints sort more than
+    ``window`` apart. The classic record-linkage trade (Hernández &
+    Stolfo's merge/purge), here with the fingerprint as the sort key.
+
+    Scale shape: the global sort is the two-level rank
+    (:func:`~..operators.sharding.global_rank` — O(non-empty buckets)
+    driver metadata, never the data), neighbors come from ONE
+    rank-equi-join (offsets exploded probe-side, no range join, no
+    window over a single partition), verification is bounded by the
+    candidate count via the shared semi-join-first tail.
+    """
+    from .sharding import global_rank
+
+    docs = _rebalance(docs)
+    sh = simhash(docs, text_col=text_col, id_col=id_col)
+    # 32-bit keyspace / 2^20 width = ≤4096 bucket rows on the driver
+    r = global_rank(
+        sh, "simhash", bucket_width=1 << 20, tiebreak_col="doc_id"
+    ).select("rank", "doc_id")
+    # rank frame feeds both sides of the self-join: pin it so the
+    # sort pipeline runs once
+    r = r.localCheckpoint(eager=False)
+    probe = r.select(
+        F.col("doc_id").alias("__a"),
+        F.explode(
+            F.sequence(F.col("rank") + 1, F.col("rank") + window - 1)
+        ).alias("rank"),
+    )
+    cand = (
+        probe.join(r.withColumnRenamed("doc_id", "__b"), "rank")
+        .select(
+            F.least("__a", "__b").alias("doc_a"),
+            F.greatest("__a", "__b").alias("doc_b"),
+        )
+    )
+    return _verified_pairs(
+        docs, cand, threshold=threshold, text_col=text_col, id_col=id_col
     )
 
 

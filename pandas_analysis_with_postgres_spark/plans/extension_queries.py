@@ -2912,6 +2912,142 @@ GROUP BY tok.doc_id
 """
 
 
+_SNAPAGG_DROPS: dict = {}
+
+
+def _snapagg_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the z33 snapshot fixture once per (app, fixture):
+    orders committed as a snapshot table partitioned by o_orderstatus
+    with o_totalprice column statistics."""
+    import os
+
+    from ..sources.snapshot import write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _SNAPAGG_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("snapagg_") + "/orders_tbl"
+        orders = load_table(spark, sf_dir, "orders")
+        write_snapshot(
+            orders,
+            path,
+            "o_orderstatus",
+            stats_cols=["o_totalprice", "o_orderdate"],
+        )
+        _SNAPAGG_DROPS[key] = path
+    return path
+
+
+def z33_manifest_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation (sources.snapshot.manifest_aggregate):
+    COUNT(*) + MIN/MAX over a statted column answered ENTIRELY from the
+    snapshot manifest — exact per-partition row counts recorded from
+    parquet footers at commit time under the reserved ``::n_rows`` key,
+    min/max from the table's stats_cols statistics. Zero data pages
+    read at query time: the Iceberg scan-planning / Delta numRecords
+    idiom, i.e. at 100 TB a dashboard's row-count poll costs one
+    O(partitions) JSON read instead of a cluster-wide scan. The oracle
+    recomputes the same aggregates from the raw rows, so the footer
+    harvest, manifest carry, and JSON round-trip are all replayed
+    against ground truth."""
+    from ..sources.snapshot import manifest_aggregate
+
+    path = _snapagg_table(spark, sf_dir)
+    agg = manifest_aggregate(path, columns=["o_totalprice"])
+    rng = agg["columns"]["o_totalprice"]
+    return spark.createDataFrame(
+        [
+            (
+                agg["n_rows"],
+                agg["n_partitions"],
+                float(rng["min"]),
+                float(rng["max"]),
+            )
+        ],
+        "n_rows long, n_partitions long, min_price double, max_price double",
+    )
+
+
+Z33_SQL = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT o_orderstatus) AS n_partitions,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM orders
+"""
+
+
+def z34_metadata_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-answered SQL front-end (sources.metadata_sql): the SQL
+    text a dashboard actually issues — ``SELECT COUNT(*), MIN, MAX FROM
+    orders`` — parsed against the strict metadata-answerable grammar
+    and routed to the manifest instead of a scan, with result TYPES
+    restored from the table's recorded spark_schema (MAX of the
+    timestamp column comes back as a timestamp, not the manifest's ISO
+    string). The refusal surface (WHERE/GROUP BY/COUNT(col)/
+    expressions → None, fall back to a real scan) is unit-pinned;
+    the zero-data-read claim is proven by a test that deletes every
+    parquet file and re-answers. Oracle recomputes from raw rows."""
+    from ..sources.metadata_sql import answer_from_manifest
+
+    path = _snapagg_table(spark, sf_dir)
+    out = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n_rows, MIN(o_totalprice) AS min_price,"
+        " MAX(o_totalprice) AS max_price, MIN(o_orderdate) AS first_order,"
+        " MAX(o_orderdate) AS last_order FROM orders",
+        {"orders": path},
+    )
+    assert out is not None  # grammar + table both provably answerable
+    return out
+
+
+Z34_SQL = """
+SELECT count(*) AS n_rows,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders
+"""
+
+
+def z35_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup blocking (operators.dedup.
+    sorted_neighborhood_pairs): the third blocking family beside
+    banded MinHash-LSH (q24) and byte-blocked SimHash (q26) — docs
+    ranked by SimHash fingerprint, every pair within 8 rank positions
+    a candidate (EXACTLY N*7 candidates: flat, skew-free, the classic
+    merge/purge trade), verified with the same exact shingle Jaccard
+    as q24 at the same 0.5 threshold so recall is directly comparable.
+    Sort is the two-level global rank (O(buckets) driver metadata);
+    neighbors come from one rank-equi-join with probe-side offset
+    explode — no range join, no single-partition window. The oracle
+    replays fingerprint, row_number rank, window join, and Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    return DD.sorted_neighborhood_pairs(docs, window=8, threshold=0.5)
+
+
+Z35_SQL = f"""
+WITH s AS ({_simhash_expr_sql()}),
+r AS (SELECT doc_id, row_number() OVER (ORDER BY simhash, doc_id) AS rnk
+      FROM s),
+cand AS (SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                greatest(a.doc_id, b.doc_id) AS doc_b
+         FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 7),
+sv AS ({_sv_sql()})
+SELECT c.doc_a, c.doc_b,
+       len(list_intersect(sa.sv, sb.sv))
+         / (len(sa.sv) + len(sb.sv) - len(list_intersect(sa.sv, sb.sv)))
+         AS jaccard
+FROM cand c
+JOIN sv sa ON sa.doc_id = c.doc_a
+JOIN sv sb ON sb.doc_id = c.doc_b
+WHERE len(list_intersect(sa.sv, sb.sv))
+      / (len(sa.sv) + len(sb.sv) - len(list_intersect(sa.sv, sb.sv))) >= 0.5
+"""
+
+
 _XML_DROPS: dict = {}
 
 
@@ -4153,6 +4289,9 @@ EXTENSION_QUERIES = {
     "z30_xml_roundtrip": z30_xml_roundtrip,
     "z31_blob_ingest": z31_blob_ingest,
     "z32_duplicate_span_scrub": z32_duplicate_span_scrub,
+    "z33_manifest_aggregate": z33_manifest_aggregate,
+    "z34_metadata_sql": z34_metadata_sql,
+    "z35_sorted_neighborhood": z35_sorted_neighborhood,
 }
 
 EXTENSION_ORACLES = {
@@ -4206,6 +4345,9 @@ EXTENSION_ORACLES = {
     "z30_xml_roundtrip": Z30_SQL,
     "z31_blob_ingest": Z31_SQL,
     "z32_duplicate_span_scrub": Z32_SQL,
+    "z33_manifest_aggregate": Z33_SQL,
+    "z34_metadata_sql": Z34_SQL,
+    "z35_sorted_neighborhood": Z35_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -31,6 +31,11 @@ def get_spark(app_name: str = "pandas_analysis_with_postgres_spark") -> SparkSes
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # INT96 (the legacy default for TIMESTAMP LTZ) carries NO
+        # parquet min/max statistics, silently disabling manifest
+        # stats / stats-pruned scans / manifest_aggregate for those
+        # columns. MICROS is the modern encoding every reader speaks.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -209,6 +209,14 @@ def _stat_json(v):
     return None
 
 
+#: Reserved per-partition stats key holding the EXACT row count
+#: harvested from parquet footers at commit time (``_write_commit_data``
+#: records it unconditionally; a data column with this literal name is
+#: rejected there). Lets ``manifest_aggregate`` answer COUNT(*) — and
+#: min/max over ``stats_cols`` — from the manifest alone, touching no
+#: data file: the Iceberg/Delta numRecords idiom.
+N_ROWS_KEY = "::n_rows"
+
 #: Default per-partition Bloom sizing: m bits / k=4 hashes. 4096 bits
 #: = 512 bytes (1 KiB hex in the manifest) per (partition, column);
 #: FPR ~2.4e-3 at 500 distinct keys/partition, ~0.1 at 5k, SATURATED
@@ -292,19 +300,23 @@ def _bloom_may_contain(hex_bits: str, value: int) -> bool:
     )
 
 
-def _footer_stats(part_dir: Path, cols: list[str]) -> dict:
-    """Aggregate per-column min/max for one partition directory from
-    the parquet FOOTERS the write already produced — no extra Spark
-    job, no data read. A column is recorded only if EVERY row group in
-    every file carries usable min/max for it; otherwise it is omitted
-    and readers keep the partition (conservative)."""
+def _footer_stats(part_dir: Path, cols: list[str]) -> tuple[dict, int]:
+    """Aggregate per-column min/max AND the exact row count for one
+    partition directory from the parquet FOOTERS the write already
+    produced — no extra Spark job, no data page read. A column is
+    recorded only if EVERY row group in every file carries usable
+    min/max for it; otherwise it is omitted and readers keep the
+    partition (conservative). The row count has no such caveat: every
+    parquet footer states ``num_rows`` exactly."""
     import pyarrow.parquet as pq
 
     mins: dict = {}
     maxs: dict = {}
     bad: set = set()
+    n_rows = 0
     for f in sorted(part_dir.glob("*.parquet")):
         md = pq.ParquetFile(str(f)).metadata
+        n_rows += md.num_rows
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
             for i in range(row_group.num_columns):
@@ -322,7 +334,7 @@ def _footer_stats(part_dir: Path, cols: list[str]) -> dict:
                     continue
                 mins[name] = lo if name not in mins else min(mins[name], lo)
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    return {c: [mins[c], maxs[c]] for c in mins}
+    return {c: [mins[c], maxs[c]] for c in mins}, n_rows
 
 
 def _ranges_overlap(stats: dict, column_ranges: dict) -> bool:
@@ -787,9 +799,19 @@ def _write_commit_data(
     stats_cols: list[str] | None = None,
 ) -> tuple[dict[str, str], dict]:
     """Write df's partitions under a fresh commit dir; return the
-    manifest entries {partition_value: relative_dir} plus, when
-    ``stats_cols`` is set, per-partition column min/max harvested from
-    the just-written parquet footers (zero extra I/O over the data)."""
+    manifest entries {partition_value: relative_dir} plus per-partition
+    footer statistics: exact row counts always (under the reserved
+    ``::n_rows`` key), column min/max when ``stats_cols`` is set —
+    harvested from the just-written parquet footers (zero extra I/O
+    over the data)."""
+    if N_ROWS_KEY in df.columns:
+        # Spark happily writes a parquet column literally named
+        # "::n_rows" (measured) — it would shadow the reserved stats
+        # key, so refuse at the one chokepoint every commit flows
+        # through rather than corrupt manifest counts silently.
+        raise ValueError(
+            f"column name {N_ROWS_KEY!r} is reserved for manifest row counts"
+        )
     commit_id = uuid.uuid4().hex[:12]
     out = Path(path) / DATA_DIR / commit_id
     df.write.mode("overwrite").partitionBy(partition_col).parquet(str(out))
@@ -810,10 +832,15 @@ def _write_commit_data(
     for p in out.iterdir():
         if p.is_dir() and p.name.startswith(f"{partition_col}="):
             entries[p.name] = os.path.join(DATA_DIR, commit_id, p.name)
-            if stats_cols:
-                s = _footer_stats(p, stats_cols)
-                if s:
-                    stats[p.name] = s
+            s, n_rows = _footer_stats(p, stats_cols or [])
+            # Row counts are recorded UNCONDITIONALLY (stats_cols only
+            # gates column min/max): every footer states num_rows
+            # exactly, so COUNT(*) — and the per-partition sizing any
+            # maintenance planner wants — is answerable from the
+            # manifest alone (manifest_aggregate), the Iceberg/Delta
+            # numRecords idiom.
+            s[N_ROWS_KEY] = n_rows
+            stats[p.name] = s
     return entries, stats
 
 
@@ -1794,3 +1821,101 @@ def consume_changes(
     # old cursor and redeliver an applied range)
     _fsync_dir(Path(cursor_path).parent)
     return {"from_version": cur, "to_version": latest, "applied": True}
+
+
+def manifest_aggregate(
+    path: str,
+    *,
+    columns: list[str] | None = None,
+    version: "int | str | None" = None,
+) -> dict:
+    """Answer ``COUNT(*)`` — and ``MIN``/``MAX`` over ``columns`` —
+    for a snapshot version from MANIFEST METADATA, reading no data
+    pages: the Iceberg "scan planning answers the query" / Delta
+    numRecords idiom. At 100 TB this is the difference between an
+    O(partitions) JSON read on the driver and a full-table scan for a
+    row count a dashboard polls every minute.
+
+    Row counts come from the reserved ``::n_rows`` stats entry every
+    commit records (exact, from parquet footer ``num_rows``); column
+    min/max come from the table's recorded ``stats_cols`` statistics.
+    ``columns`` are LOGICAL names — the schema-evolution rename chain
+    is resolved, so stats recorded under a pre-rename physical name
+    still serve the renamed column. Partitions predating the row-count
+    upgrade — or lacking stats for a requested column — fall back to a
+    footer harvest of just those partitions (footer bytes only, still
+    no data pages; driver-side, so it is a transition path, not the
+    steady state). A requested column with usable stats in NO source
+    raises rather than returning a silently-partial extreme.
+
+    Returns ``{"version", "n_rows", "n_partitions", "columns":
+    {col: {"min": v, "max": v}}}``. Min/max values are the manifest's
+    JSON renderings (`_stat_json`): numbers natively, dates/timestamps
+    as ISO-8601 strings — exact for numeric columns; long strings may
+    be unrecorded (parquet stat truncation) rather than wrong.
+    Aggregates other than COUNT/MIN/MAX (SUM, AVG) need data: use a
+    real scan, or maintain a materialized view (sources.matview).
+    """
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    renames = meta.get("renames") or []
+
+    def _chain(name: str) -> str:
+        for old, new in renames:
+            if name == old:
+                name = new
+        return name
+
+    want = list(columns or [])
+    # physical-name candidates for the wanted logical columns: the
+    # name itself plus any retired name whose rename chain lands on it
+    # (old commits' footers carry pre-rename physical names)
+    aliases = set(want)
+    for old, _new in renames:
+        if _chain(old) in aliases:
+            aliases.add(old)
+    stats = man.get("stats") or {}
+    parts = man.get("partitions") or {}
+    n_rows = 0
+    mins: dict = {}
+    maxs: dict = {}
+    missing: dict = {}
+    for pname, rel in parts.items():
+        entry = stats.get(pname) or {}
+        # logical view of this partition's recorded stats
+        logical = {_chain(k): v for k, v in entry.items() if k != N_ROWS_KEY}
+        need = [c for c in want if c not in logical]
+        if entry.get(N_ROWS_KEY) is None or need:
+            # pre-upgrade commit or un-tracked column: harvest the
+            # footers of THIS partition only (physical names in the
+            # files are pre-rename for old commits — map via _chain)
+            harvested, hrows = _footer_stats(Path(path) / rel, sorted(aliases))
+            logical.update({_chain(k): v for k, v in harvested.items()})
+            n_rows += (
+                entry[N_ROWS_KEY] if entry.get(N_ROWS_KEY) is not None else hrows
+            )
+        else:
+            n_rows += entry[N_ROWS_KEY]
+        for c in want:
+            rng = logical.get(c)
+            if rng is None:
+                missing.setdefault(c, []).append(pname)
+                continue
+            lo, hi = rng
+            mins[c] = lo if c not in mins else min(mins[c], lo)
+            maxs[c] = hi if c not in maxs else max(maxs[c], hi)
+    if missing:
+        raise ValueError(
+            "no usable min/max statistics for "
+            + ", ".join(f"{c!r} in {ps[:3]}" for c, ps in sorted(missing.items()))
+            + " — scan the data or add the column to stats_cols"
+        )
+    return {
+        "version": int(man.get("version") or 0),
+        "n_rows": int(n_rows),
+        "n_partitions": len(parts),
+        # an EMPTY table yields min/max None — SQL's MIN/MAX over zero
+        # rows — rather than raising (the missing-stats raise above is
+        # for partitions that HAVE rows but no usable statistics)
+        "columns": {c: {"min": mins.get(c), "max": maxs.get(c)} for c in want},
+    }

@@ -60,3 +60,64 @@ def test_overlapping_hits_merge_not_double_count(spark):
     }
     assert out[1] == ("tail one", 5)
     assert out[2] == ("head", 5)
+
+
+# --------------------------------------------------- property vs ref
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_spark = None
+
+
+@pytest.fixture(autouse=True)
+def _capture_spark(spark):
+    global _spark
+    _spark = spark
+    yield
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd"])
+_text = st.lists(_word, min_size=1, max_size=10).map(" ".join)
+_corpus = st.lists(_text, min_size=1, max_size=6)
+
+W = 3  # span tokens
+
+
+def _ref_scrub(texts):
+    """Independent per-doc reimplementation: sliding W-token spans,
+    any span occurring >=2 times anywhere is cut everywhere, coverage
+    merged at token grain."""
+    occ = {}
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    for i, ts in toks.items():
+        for p in range(len(ts) - W + 1):
+            occ.setdefault(" ".join(ts[p : p + W]), []).append((i, p))
+    covered = {i: set() for i in toks}
+    for span, hits in occ.items():
+        if len(hits) >= 2:
+            for i, p in hits:
+                covered[i].update(range(p, p + W))
+    out = {}
+    for i, ts in toks.items():
+        kept = [t for j, t in enumerate(ts) if j not in covered[i]]
+        out[i] = (" ".join(kept), len(ts) - len(kept))
+    return out
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_corpus)
+def test_scrub_matches_reference(texts):
+    df = _spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed_tokens)
+        for r in scrub_duplicate_spans(df, span_tokens=W).collect()
+    }
+    assert got == _ref_scrub(texts)
