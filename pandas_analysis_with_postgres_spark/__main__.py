@@ -69,6 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "history", "read", "expire", "compact", "sql", "info",
             "changes", "maintain", "delete", "tag", "evolve", "merge",
+            "stats",
         ],
     )
     p_sn.add_argument("path")
@@ -140,6 +141,11 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="(delete) SQL predicate; matching rows are removed "
         "(rows where it is NULL are kept)",
+    )
+    p_sn.add_argument(
+        "--columns",
+        default=None,
+        help="(stats) comma-separated columns for manifest min/max",
     )
 
     args = ap.parse_args(argv)
@@ -297,10 +303,42 @@ def main(argv: list[str] | None = None) -> int:
                 print("snapshot sql requires --query", file=sys.stderr)
                 return 2
             spark = _gs("cli")
+            # metadata-answerable statements (strict COUNT/MIN/MAX
+            # grammar) never touch data files — the warehouse
+            # optimizer rule, applied transparently before the scan
+            from .sources.metadata_sql import answer_from_manifest
+
+            meta_ans = answer_from_manifest(
+                spark,
+                args.query,
+                {args.view_name: args.path},
+                version=args.version,
+            )
+            if meta_ans is not None:
+                meta_ans.show(args.limit, truncate=False)
+                return 0
             register_snapshot_view(
                 spark, args.path, args.view_name, version=args.version
             )
             spark.sql(args.query).show(args.limit, truncate=False)
+            return 0
+        if args.action == "stats":
+            import json as _json
+
+            from .sources.snapshot import manifest_aggregate
+
+            cols = (
+                [c.strip() for c in args.columns.split(",") if c.strip()]
+                if args.columns
+                else None
+            )
+            print(
+                _json.dumps(
+                    manifest_aggregate(
+                        args.path, columns=cols, version=args.version
+                    )
+                )
+            )
             return 0
         read_snapshot(_gs("cli"), args.path, args.version).show(
             args.limit, truncate=False

@@ -1005,16 +1005,20 @@ def scrub_duplicate_spans(
     the caller's policy).
 
     Scale shape (all Catalyst, no UDFs): one sliding-window explode to
-    the token grain (N_tokens rows, each carrying an md5 of its span —
+    the span grain (N_tokens rows, each carrying an md5 of its span —
     raw span text never shuffles), one count shuffle on the 16-byte
-    digest, one join back, a coverage explode bounded by
-    duplicate_occurrences x span_tokens, and one per-document
-    re-assembly aggregation. Everything is linear in corpus tokens; the
-    worst case (entire corpus duplicated) is a span_tokens-x coverage
-    blowup, the same bound the paper's suffix-array pass pays. Digest
-    collisions (md5) would merge distinct spans — at 2^64 spans that is
-    a birthday bound real pipelines accept; use the span text itself as
-    the key if bytes-on-the-wire matters less than exactness.
+    digest, one join back — and then re-assembly WITHOUT a token-grain
+    shuffle: the duplicate span START POSITIONS are collected per
+    document (bounded by that document's duplicate occurrences, zero
+    for the typical clean document) and applied as an array ``filter``
+    + ``exists`` over the token array, so the only per-document data
+    movement is one join of the raw text against the hit lists. The
+    in-row cost is kept_check = O(tokens x dup_occurrences) worst case
+    (a fully self-repeating document); real corpora have a handful of
+    hits per dirty doc and none elsewhere. Digest collisions (md5)
+    would merge distinct spans — at 2^64 spans that is a birthday
+    bound real pipelines accept; use the span text itself as the key
+    if bytes-on-the-wire matters less than exactness.
     """
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
@@ -1042,33 +1046,22 @@ def scrub_duplicate_spans(
         .filter(F.col("__c") >= min_count)
         .select("h")
     )
-    # Token-level coverage: each duplicate occurrence covers positions
-    # [pos, pos + W). distinct() collapses overlapping hits so the
-    # re-assembly join sees each excised token once.
-    cov = (
+    # Duplicate-hit start positions per document — bounded by the
+    # doc's duplicate occurrences (empty for clean docs), NEVER the
+    # token grain. Overlapping hits need no interval merge: the
+    # exists() check below is coverage-idempotent.
+    hits = (
         spans.join(dup, "h")
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + span_tokens - 1)
-            ).alias("j"),
-        )
-        .distinct()
-        .withColumn("__cut", F.lit(True))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("__ps"))
     )
-    tokens = docs.select(id_col, F.posexplode(toks).alias("j", "tok"))
-    marked = tokens.join(cov, [id_col, "j"], "left").select(
+    ps = F.coalesce(F.col("__ps"), F.array().cast("array<int>"))
+    covered = lambda i: F.exists(  # noqa: E731 — bound below per-token
+        ps, lambda p: (i >= p) & (i <= p + span_tokens - 1)
+    )
+    kept = F.filter(toks, lambda t, i: ~covered(i))
+    return docs.join(hits, id_col, "left").select(
         id_col,
-        F.struct("j", "tok", F.coalesce("__cut", F.lit(False)).alias("c")).alias("s"),
-    )
-    agg = marked.groupBy(id_col).agg(
-        F.array_sort(F.collect_list("s")).alias("ts")
-    )
-    kept = F.filter("ts", lambda s: ~s.getField("c"))
-    return agg.select(
-        id_col,
-        F.array_join(
-            F.transform(kept, lambda s: s.getField("tok")), " "
-        ).alias("clean_text"),
-        (F.size("ts") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed_tokens"),
     )

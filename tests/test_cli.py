@@ -321,3 +321,58 @@ def test_snapshot_merge_statement(spark, tmp_path, capsys):
     assert rc == 0
     assert "committed version 2" in capsys.readouterr().out
     assert [tuple(r) for r in read_snapshot(spark, path).collect()] == [(1, 15, 0)]
+
+
+def test_snapshot_stats_and_metadata_sql_routing(spark, tmp_path, capsys):
+    """`snapshot stats` prints manifest_aggregate JSON without a
+    SparkSession; `snapshot sql` answers the strict COUNT/MIN/MAX
+    grammar from the manifest (proven: data files deleted) and still
+    falls back to a real scan for anything else."""
+    import json
+    from pathlib import Path
+
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, 5.0, 10), (2, 9.5, 20)], "k long, amt double, p long"
+        ),
+        path,
+        "p",
+        stats_cols=["amt"],
+    )
+    assert main(["snapshot", "stats", path, "--columns", "amt"]) == 0
+    agg = json.loads(capsys.readouterr().out)
+    assert agg["n_rows"] == 2 and agg["columns"]["amt"]["max"] == 9.5
+
+    # WHERE is not metadata-answerable: must fall back to the scan
+    # (data still present) and produce the filtered count
+    assert (
+        main(
+            [
+                "snapshot", "sql", path,
+                "--query", "SELECT count(*) AS n FROM snapshot WHERE k = 1",
+            ]
+        )
+        == 0
+    )
+    assert "1" in capsys.readouterr().out
+
+    # now remove every data file: the strict grammar must still answer
+    for f in Path(path).rglob("*.parquet"):
+        f.unlink()
+    assert (
+        main(
+            [
+                "snapshot", "sql", path,
+                "--query",
+                "SELECT count(*) AS n, MAX(amt) AS hi FROM snapshot",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "2" in out and "9.5" in out

@@ -297,3 +297,32 @@ def test_z29_orc_scan_pushes_down_and_prunes_partitions(spark):
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
     assert pushed and "l_shipdate" in pushed[0], p
     assert "Scan orc" in p, p
+
+
+def test_z32_reassembly_has_no_token_grain_shuffle(spark):
+    """The span scrub's ONLY aggregations are the span-digest count and
+    the per-doc hit-list collect (both bounded by duplicate
+    occurrences); document re-assembly is an in-row array filter — a
+    plan with a collect_list over the token grain or a per-doc Sort of
+    exploded tokens would re-introduce the shuffle the rewrite removed
+    (measured 6.94 -> 4.27 s at sf1)."""
+    p = _plan(spark, "z32_duplicate_span_scrub")
+    # no token-grain posexplode: both Generates are the span-position
+    # explode (sequence 0..n-W), reconstruction never leaves the row
+    assert "posexplode" not in p, p
+    # one partial+final pair of ObjectHashAggregate — the per-doc hit
+    # LIST collect (bounded by dup occurrences), nothing token-grain.
+    # (formatted explain lists each node twice: tree + details)
+    assert 2 <= p.count("ObjectHashAggregate") <= 4, p
+    # no per-doc Sort of exploded rows anywhere (in-row sort_array of
+    # the hit list does not create a Sort node)
+    assert "\n+- Sort" not in p and ":- Sort" not in p, p
+
+
+def test_z35_snm_joins_are_hash_equi_joins(spark):
+    """SNM's neighbor pairing is ONE rank-equi-join and its verify
+    tail joins by doc id — a range join would surface as
+    BroadcastNestedLoopJoin/CartesianProduct and quadratic work."""
+    p = _plan(spark, "z35_sorted_neighborhood")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
