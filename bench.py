@@ -141,6 +141,7 @@ EXTRA = (
     "z33_manifest_aggregate",
     "z34_metadata_sql",
     "z35_sorted_neighborhood",
+    "z36_warc_datasource",
 )
 
 

@@ -3028,6 +3028,58 @@ def z35_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.sorted_neighborhood_pairs(docs, window=8, threshold=0.5)
 
 
+_WARC_DROPS: dict = {}
+
+
+def _warc_file_drop(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the z36 WARC estate once per (app, fixture): one
+    ``doc_<id>.warc`` file per (representable) document, bytes = the
+    same Catalyst-built two-record archive z17 parses in-plan —
+    written executor-side, no driver collect."""
+    import os
+
+    from ..sources.warc import attach_warc_payload
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _WARC_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("warc_drop_") + "/crawl"
+        os.makedirs(path, exist_ok=True)
+        blobs = attach_warc_payload(
+            load_table(spark, sf_dir, "documents")
+        ).select("doc_id", "payload")
+
+        def _write(rows) -> None:
+            for r in rows:
+                with open(f"{path}/doc_{r.doc_id}.warc", "wb") as fh:
+                    fh.write(bytes(r.payload))
+
+        blobs.foreachPartition(_write)
+        _WARC_DROPS[key] = path
+    return path
+
+
+def z36_warc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC estate through Spark 4's Python DataSource API
+    (sources.pyds.WarcFileDataSource): a directory of real .warc FILES
+    read via the REGISTERED format — ``spark.read.format("warcfile")
+    .load(dir)`` — with one InputPartition per archive (file-grain
+    executor parallelism, paths-only driver state), each task walking
+    records with the same ISO-28500 kernel z17 fuses onto an in-plan
+    scan. Same logical output as z17 through a disjoint pipeline
+    (filesystem estate + engine-planned source vs Catalyst-built
+    payloads + mapInPandas), so the SAME oracle hash-verifies both."""
+    from ..sources.pyds import WarcFileDataSource
+
+    path = _warc_file_drop(spark, sf_dir)
+    spark.dataSource.register(WarcFileDataSource)
+    return spark.read.format("warcfile").load(path)
+
+
+# z36's oracle IS Z17_SQL (defined below): same logical output through
+# a disjoint pipeline — see the EXTENSION_ORACLES entry.
+
+
 Z35_SQL = f"""
 WITH s AS ({_simhash_expr_sql()}),
 r AS (SELECT doc_id, row_number() OVER (ORDER BY simhash, doc_id) AS rnk
@@ -4292,6 +4344,7 @@ EXTENSION_QUERIES = {
     "z33_manifest_aggregate": z33_manifest_aggregate,
     "z34_metadata_sql": z34_metadata_sql,
     "z35_sorted_neighborhood": z35_sorted_neighborhood,
+    "z36_warc_datasource": z36_warc_datasource,
 }
 
 EXTENSION_ORACLES = {
@@ -4348,6 +4401,7 @@ EXTENSION_ORACLES = {
     "z33_manifest_aggregate": Z33_SQL,
     "z34_metadata_sql": Z34_SQL,
     "z35_sorted_neighborhood": Z35_SQL,
+    "z36_warc_datasource": Z17_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

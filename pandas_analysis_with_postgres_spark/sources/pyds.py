@@ -1,0 +1,112 @@
+"""Spark 4 Python DataSource: the WARC estate as a REGISTERED format —
+``spark.read.format("warcfile").load(dir)`` — not a helper function.
+
+This is the integration tier above the per-blob kernel
+(``sources.warc.parse_warc``): the Python DataSource API
+(pyspark.sql.datasource, new in Spark 4) plugs user code into Spark's
+OWN source machinery, so the engine plans the scan — one
+``InputPartition`` per archive file gives file-grain parallelism
+across executors, the registered name composes with every reader
+option, and downstream plans see an ordinary scan node. At 100 TB a
+crawl estate is millions of .warc files; partitions() returns paths
+only (driver memory is O(files) STRINGS, the same contract as Spark's
+file index) and each executor task opens, walks, and emits its one
+archive — bytes never visit the driver.
+
+Kept deliberately batch-only: the streaming half of the API
+(simpleStreamReader) belongs to the ingest layer (streaming/streams.py
+foreachBatch owns exactly-once there).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+
+class WarcFileDataSource(DataSource):
+    """``format("warcfile")``: a directory of WARC archives → one row
+    per parsed RECORD, ``doc_id`` recovered from the ``doc_<id>.warc``
+    file name (the fixture's naming contract; real crawls would carry
+    the path instead). Options: ``path`` (from ``.load()``), ``glob``
+    (file filter, default ``*.warc``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warcfile"
+
+    # Files are CHUNKED into at most `num_partitions` tasks (option,
+    # default 64): a Python DataSource pays a Python-worker round-trip
+    # per InputPartition, so file-grain partitions price a crawl
+    # estate at per-file task overhead (measured 84 ms/file — 395 s
+    # for a 5000-file sf1 estate; chunked: one task walks many
+    # archives). Spark's own file sources batch splits into tasks via
+    # maxPartitionBytes for exactly this reason.
+
+    def schema(self) -> str:
+        # mirrors sources.warc.WARC_RECORD_SCHEMA so the two pipelines
+        # (in-plan mapInPandas kernel vs registered source) are
+        # drop-in interchangeable
+        return (
+            "doc_id long, record_idx int, warc_type string, "
+            "target_uri string, content_length long, body string"
+        )
+
+    def reader(self, schema) -> "_WarcFileReader":
+        return _WarcFileReader(self.options)
+
+
+class _WarcFileReader(DataSourceReader):
+    def __init__(self, options: dict):
+        # Spark lower-cases option keys
+        self._path = options.get("path")
+        self._glob = options.get("glob", "*.warc")
+        self._num_partitions = int(options.get("num_partitions", 64))
+        if not self._path:
+            raise ValueError("warcfile source requires a path: .load(dir)")
+        if self._num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
+
+    def partitions(self) -> list[InputPartition]:
+        files = sorted(glob.glob(os.path.join(self._path, self._glob)))
+        if not files:
+            raise ValueError(
+                f"warcfile: no {self._glob!r} files under {self._path!r}"
+            )
+        # contiguous chunks, at most num_partitions tasks; only the
+        # path strings live on the driver
+        n = min(self._num_partitions, len(files))
+        size = -(-len(files) // n)
+        return [
+            InputPartition(files[i : i + size])
+            for i in range(0, len(files), size)
+        ]
+
+    def read(self, partition: InputPartition):
+        # executor-side: import the kernel lazily (the class is
+        # pickled to workers; module-level imports there are fine but
+        # keep the closure minimal)
+        from pandas_analysis_with_postgres_spark.sources.warc import (
+            parse_warc,
+        )
+
+        for path in partition.value:
+            fname = os.path.basename(path)
+            doc_id = int(fname[len("doc_") : -len(".warc")])
+            with open(path, "rb") as fh:
+                buf = fh.read()
+            for i, rec in enumerate(parse_warc(buf)):
+                yield (
+                    doc_id,
+                    i,
+                    rec["warc_type"],
+                    rec["target_uri"],
+                    rec["content_length"],
+                    rec["body"].decode("utf-8"),
+                )

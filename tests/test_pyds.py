@@ -1,0 +1,73 @@
+"""WarcFileDataSource: Spark 4 Python DataSource registration —
+file-grain partitions, glob filtering, loud empty-estate errors."""
+
+from __future__ import annotations
+
+import pytest
+
+from pandas_analysis_with_postgres_spark.sources.pyds import (
+    WarcFileDataSource,
+    _WarcFileReader,
+)
+
+CRLF = "\r\n"
+
+
+def _warc(doc_id: int, body: str) -> bytes:
+    rec = (
+        f"WARC/1.0{CRLF}WARC-Type: response{CRLF}"
+        f"WARC-Record-ID: <urn:uuid:{doc_id}>{CRLF}"
+        f"WARC-Target-URI: http://example.com/doc/{doc_id}{CRLF}"
+        f"Content-Length: {len(body)}{CRLF}{CRLF}{body}{CRLF}{CRLF}"
+    )
+    return rec.encode()
+
+
+@pytest.fixture()
+def estate(tmp_path):
+    for i, body in [(1, "alpha"), (2, "beta"), (7, "gamma")]:
+        (tmp_path / f"doc_{i}.warc").write_bytes(_warc(i, body))
+    (tmp_path / "notes.txt").write_bytes(b"not an archive")
+    return str(tmp_path)
+
+
+def test_registered_format_reads_records(spark, estate):
+    spark.dataSource.register(WarcFileDataSource)
+    got = {
+        (r.doc_id, r.body)
+        for r in spark.read.format("warcfile").load(estate).collect()
+    }
+    # the .txt file is excluded by the default *.warc glob
+    assert got == {(1, "alpha"), (2, "beta"), (7, "gamma")}
+
+
+def test_partitions_chunk_files_not_one_per_archive(estate):
+    # per-file tasks price a crawl estate at Python-worker overhead
+    # per archive (measured 84 ms/file); files chunk into at most
+    # num_partitions tasks, each walking its contiguous slice
+    assert len(_WarcFileReader({"path": estate}).partitions()) == 3
+    parts = _WarcFileReader(
+        {"path": estate, "num_partitions": "2"}
+    ).partitions()
+    assert len(parts) == 2
+    assert sorted(sum((p.value for p in parts), [])) == sorted(
+        sum((q.value for q in _WarcFileReader({"path": estate}).partitions()), [])
+    )
+
+
+def test_empty_estate_and_missing_path_are_loud(tmp_path):
+    with pytest.raises(ValueError, match="no '\\*\\.warc'"):
+        _WarcFileReader({"path": str(tmp_path)}).partitions()
+    with pytest.raises(ValueError, match="requires a path"):
+        _WarcFileReader({})
+
+
+def test_glob_option_filters_listing(spark, estate):
+    spark.dataSource.register(WarcFileDataSource)
+    got = (
+        spark.read.format("warcfile")
+        .option("glob", "doc_1.warc")
+        .load(estate)
+        .collect()
+    )
+    assert [(r.doc_id, r.body) for r in got] == [(1, "alpha")]
