@@ -142,6 +142,7 @@ EXTRA = (
     "z34_metadata_sql",
     "z35_sorted_neighborhood",
     "z36_warc_datasource",
+    "z37_live_warc_ingest",
 )
 
 

@@ -3080,6 +3080,48 @@ def z36_warc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a disjoint pipeline — see the EXTENSION_ORACLES entry.
 
 
+def z37_live_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC landing zone as a REGISTERED Spark 4 streaming source
+    (sources.pyds.WarcStreamDataSource, SimpleDataSourceStreamReader):
+    ``readStream.format("warcstream").load(dir)`` drains the estate
+    under availableNow — offsets are a checkpointable high-water mark
+    on sorted file names (the monotone-naming landing-zone contract;
+    incremental pickup and replay-between-offsets are unit-pinned in
+    tests/test_pyds.py). The parsed record stream is then profiled
+    per record type (batch-side aggregate after the drain), and the
+    oracle recomputes the profile from the base table — record counts
+    AND total Content-Length bytes, so the parse arithmetic rides the
+    hash too."""
+    from ..sources.pyds import WarcStreamDataSource
+    from ..streaming import run_available_now
+
+    path = _warc_file_drop(spark, sf_dir)
+    spark.dataSource.register(WarcStreamDataSource)
+    records = run_available_now(
+        spark.readStream.format("warcstream").load(path)
+    )
+    return records.groupBy("warc_type").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("content_length").alias("total_bytes"),
+    )
+
+
+Z37_SQL = """
+WITH base AS (
+  SELECT doc_id, text, lang FROM documents
+  WHERE length(text) >= 1 AND octet_length(encode(text)) = length(text)
+    AND lang IS NOT NULL AND octet_length(encode(lang)) = length(lang)
+)
+SELECT 'response' AS warc_type,
+       count(*)::BIGINT AS n_records,
+       sum(length(text))::BIGINT AS total_bytes
+FROM base
+UNION ALL
+SELECT 'metadata', count(*)::BIGINT, sum(5 + length(lang))::BIGINT
+FROM base
+"""
+
+
 Z35_SQL = f"""
 WITH s AS ({_simhash_expr_sql()}),
 r AS (SELECT doc_id, row_number() OVER (ORDER BY simhash, doc_id) AS rnk
@@ -4345,6 +4387,7 @@ EXTENSION_QUERIES = {
     "z34_metadata_sql": z34_metadata_sql,
     "z35_sorted_neighborhood": z35_sorted_neighborhood,
     "z36_warc_datasource": z36_warc_datasource,
+    "z37_live_warc_ingest": z37_live_warc_ingest,
 }
 
 EXTENSION_ORACLES = {
@@ -4402,6 +4445,7 @@ EXTENSION_ORACLES = {
     "z34_metadata_sql": Z34_SQL,
     "z35_sorted_neighborhood": Z35_SQL,
     "z36_warc_datasource": Z17_SQL,
+    "z37_live_warc_ingest": Z37_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -71,3 +71,49 @@ def test_glob_option_filters_listing(spark, estate):
         .collect()
     )
     assert [(r.doc_id, r.body) for r in got] == [(1, "alpha")]
+
+
+# ------------------------------------------------- streaming reader
+
+from pandas_analysis_with_postgres_spark.sources.pyds import (  # noqa: E402
+    WarcStreamDataSource,
+    _WarcStreamReader,
+)
+
+
+def test_stream_reader_incremental_pickup_and_replay(estate, tmp_path):
+    r = _WarcStreamReader({"path": estate})
+    rows1, off1 = r.read(r.initialOffset())
+    assert {t[0] for t in rows1} == {1, 2, 7} and off1 == {
+        "last": "doc_7.warc"
+    }
+    # nothing new: same offset back, no rows
+    rows2, off2 = r.read(off1)
+    assert rows2 == [] and off2 == off1
+    # a file LANDS (monotone name contract: sorts after doc_7)
+    import pathlib
+
+    pathlib.Path(estate, "doc_9.warc").write_bytes(_warc(9, "delta"))
+    rows3, off3 = r.read(off1)
+    assert [(t[0], t[5]) for t in rows3] == [(9, "delta")]
+    assert off3 == {"last": "doc_9.warc"}
+    # recovery replay between committed offsets is exactly that window
+    replay = r.readBetweenOffsets(off1, off3)
+    assert [(t[0], t[5]) for t in replay] == [(9, "delta")]
+    assert [t[0] for t in r.readBetweenOffsets(r.initialOffset(), off1)] == [
+        1, 2, 7,
+    ]
+
+
+def test_stream_source_drains_under_available_now(spark, estate):
+    from pandas_analysis_with_postgres_spark.streaming import (
+        run_available_now,
+    )
+
+    spark.dataSource.register(WarcStreamDataSource)
+    got = run_available_now(
+        spark.readStream.format("warcstream").load(estate)
+    )
+    assert {(r.doc_id, r.body) for r in got.collect()} == {
+        (1, "alpha"), (2, "beta"), (7, "gamma"),
+    }
