@@ -143,6 +143,7 @@ EXTRA = (
     "z35_sorted_neighborhood",
     "z36_warc_datasource",
     "z37_live_warc_ingest",
+    "z38_variant_analytics",
 )
 
 

@@ -3122,6 +3122,65 @@ FROM base
 """
 
 
+def z38_variant_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: the
+    events fixture's JSON ``props`` strings are wrapped into a NESTED
+    document in-plan, ``parse_json``-ed to variant once, and typed
+    fields extracted by path — ``variant_get('$.meta.k', 'bigint')``,
+    ``'$.type'`` as string, and ``try_variant_get`` on an absent path
+    proving missing→NULL semantics — then profiled per type. This is
+    the binary-encoded semi-structured columnar path (Databricks/
+    Iceberg VARIANT; shredded access without a rigid schema), NOT
+    ``get_json_object`` string re-parsing per field. The oracle
+    extracts the same paths from the raw JSON with DuckDB's JSON
+    functions — equivalent by construction since the nested doc wraps
+    ``props`` verbatim."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"meta":'),
+        F.col("props"),
+        F.lit(',"type":"'),
+        F.col("event_type"),
+        F.lit('"}'),
+    )
+    v = F.parse_json(doc)
+    return (
+        ev.select(
+            F.variant_get(v, "$.type", "string").alias("event_type"),
+            F.variant_get(v, "$.meta.k", "bigint").alias("k"),
+            F.try_variant_get(v, "$.meta.absent", "bigint").alias("absent"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count("absent").alias("n_absent"),
+        )
+    )
+
+
+Z38_SQL = """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k,
+       sum(CASE WHEN json_extract(props, '$.absent') IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_absent
+FROM events
+GROUP BY event_type
+"""
+
+
+# z39 (transformWithState running totals) is implemented at
+# streaming/streams.py::tws_running_totals but NOT declared here: the
+# TWS Python worker protocol requires google.protobuf, absent from
+# this container (measured: "TransformWithStateInPySpark driver worker
+# exited" → ImportError google.protobuf.descriptor). Gated behind
+# tests/test_tws.py (importorskip), same policy as live Postgres.
+
 Z35_SQL = f"""
 WITH s AS ({_simhash_expr_sql()}),
 r AS (SELECT doc_id, row_number() OVER (ORDER BY simhash, doc_id) AS rnk
@@ -4388,6 +4447,7 @@ EXTENSION_QUERIES = {
     "z35_sorted_neighborhood": z35_sorted_neighborhood,
     "z36_warc_datasource": z36_warc_datasource,
     "z37_live_warc_ingest": z37_live_warc_ingest,
+    "z38_variant_analytics": z38_variant_analytics,
 }
 
 EXTENSION_ORACLES = {
@@ -4446,6 +4506,7 @@ EXTENSION_ORACLES = {
     "z35_sorted_neighborhood": Z35_SQL,
     "z36_warc_datasource": Z17_SQL,
     "z37_live_warc_ingest": Z37_SQL,
+    "z38_variant_analytics": Z38_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

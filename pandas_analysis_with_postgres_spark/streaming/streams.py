@@ -829,3 +829,71 @@ def stream_sum_view(
         checkpoint_dir=checkpoint_dir,
         timeout_sec=timeout_sec,
     )
+
+
+def tws_running_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value-sum) through Spark 4's
+    ``transformWithState`` — the NEW arbitrary-stateful API (typed,
+    composable state handles, timers, TTL) that supersedes
+    ``applyInPandasWithState``'s single-blob GroupState. One
+    ``ValueState`` per user holds ``(n, s)``; each micro-batch folds
+    its rows in and emits the post-batch running totals (update mode —
+    the upsert-sink contract, exactly :func:`stateful_user_counts`'s
+    emission shape, so the same MAX/arg-MAX collapse makes the drained
+    result batch-count-invariant).
+
+    Scale notes: state lives in the per-partition state store keyed by
+    user (RocksDB on a real cluster), Arrow-batched per group like the
+    rest of the Python boundary; the processor never sees another
+    key's rows. ``timeMode="None"``: no timers — expiry belongs to a
+    TTL on the handle when ingest is unbounded.
+
+    Environment requirements (measured): TWS needs the RocksDB state
+    store provider (``spark.sql.streaming.stateStore.providerClass`` —
+    the HDFS-backed default lacks multi-column-family state) AND
+    google.protobuf for its Python worker protocol. This container
+    ships neither protobuf nor pip access, so the operator is gated
+    behind ``tests/test_tws.py`` (importorskip) rather than declared
+    in the oracle surface — the same policy as live Postgres.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, s double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._totals.get() if self._totals.exists() else None
+            n, s = (int(prev[0]), float(prev[1])) if prev else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [n],
+                    "total_value": [s],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningTotals(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
