@@ -144,6 +144,7 @@ EXTRA = (
     "z36_warc_datasource",
     "z37_live_warc_ingest",
     "z38_variant_analytics",
+    "z39_arrow_spread",
 )
 
 

@@ -61,3 +61,56 @@ def grouped_median_cents(events: DataFrame) -> DataFrame:
         .groupBy("event_type", "day")
         .applyInPandas(_median_fn, MEDIAN_SCHEMA)
     )
+
+
+def arrow_value_spread(events: DataFrame) -> DataFrame:
+    """Per-user value profile through the ARROW-NATIVE Python quadrant
+    — ``applyInArrow`` for the grouped reduction, ``mapInArrow`` for
+    the narrow post-map — completing the boundary matrix next to
+    pandas_udf / applyInPandas / mapInPandas / applyInPandasWithState /
+    UDTF. pyarrow.Table in, pyarrow.Table out: no pandas conversion on
+    either edge, which is the entire point of the API — for
+    numeric-kernel work the pandas layer only adds a copy and dtype
+    coercions on top of the Arrow buffers Spark already speaks.
+
+    The group-key guidance from :func:`grouped_median_cents` applies
+    unchanged (per-group call overhead; giant groups materialize in
+    one worker). Determinism: min/max/count over doubles are
+    order-independent, so the result hash-matches the SQL oracle — a
+    float sum would not.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def spread(table: pa.Table) -> pa.Table:
+        v = table.column("value")
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [table.column("user_id")[0].as_py()], pa.int64()
+                ),
+                "n_events": pa.array([table.num_rows], pa.int64()),
+                "lo": pa.array([pc.min(v).as_py()], pa.float64()),
+                "hi": pa.array([pc.max(v).as_py()], pa.float64()),
+            }
+        )
+
+    def widen(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            yield from t.append_column(
+                "spread",
+                pc.subtract(t.column("hi"), t.column("lo")),
+            ).to_batches()
+
+    grouped = (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInArrow(
+            spread, "user_id long, n_events long, lo double, hi double"
+        )
+    )
+    return grouped.mapInArrow(
+        widen,
+        "user_id long, n_events long, lo double, hi double, spread double",
+    )

@@ -3174,12 +3174,37 @@ GROUP BY event_type
 """
 
 
-# z39 (transformWithState running totals) is implemented at
+# transformWithState running totals is implemented at
 # streaming/streams.py::tws_running_totals but NOT declared here: the
 # TWS Python worker protocol requires google.protobuf, absent from
 # this container (measured: "TransformWithStateInPySpark driver worker
 # exited" → ImportError google.protobuf.descriptor). Gated behind
 # tests/test_tws.py (importorskip), same policy as live Postgres.
+
+
+def z39_arrow_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-NATIVE Python quadrant (operators.py_grouped.
+    arrow_value_spread): per-user value profile via ``applyInArrow``
+    (grouped reduction, pyarrow.Table in/out — no pandas layer) chained
+    into ``mapInArrow`` (narrow post-map adding the spread), completing
+    the Python-boundary matrix beside pandas_udf / applyInPandas /
+    mapInPandas / applyInPandasWithState / UDTF (a94, z09). min/max/
+    count are order-independent, so even the Python-side result
+    hash-matches the SQL oracle exactly."""
+    from ..operators.py_grouped import arrow_value_spread
+
+    return arrow_value_spread(load_table(spark, sf_dir, "events"))
+
+
+Z39_SQL = """
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       min(value) AS lo,
+       max(value) AS hi,
+       max(value) - min(value) AS spread
+FROM events
+GROUP BY user_id
+"""
 
 Z35_SQL = f"""
 WITH s AS ({_simhash_expr_sql()}),
@@ -4448,6 +4473,7 @@ EXTENSION_QUERIES = {
     "z36_warc_datasource": z36_warc_datasource,
     "z37_live_warc_ingest": z37_live_warc_ingest,
     "z38_variant_analytics": z38_variant_analytics,
+    "z39_arrow_spread": z39_arrow_spread,
 }
 
 EXTENSION_ORACLES = {
@@ -4507,6 +4533,7 @@ EXTENSION_ORACLES = {
     "z36_warc_datasource": Z17_SQL,
     "z37_live_warc_ingest": Z37_SQL,
     "z38_variant_analytics": Z38_SQL,
+    "z39_arrow_spread": Z39_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

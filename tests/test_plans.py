@@ -119,7 +119,21 @@ DECLARED_PYTHON = {
     "z17_warc_extract",
     "z18_compressed_blobs",
     "z19_webdataset_roundtrip",
+    "z39_arrow_spread",  # the Arrow-native quadrant (applyInArrow+mapInArrow)
 }
+
+#: Every Arrow-batched Python crossing node Spark can plan — the
+#: undeclared-query blacklist must name ALL of them, else a new
+#: quadrant passes the pin vacuously (z39 did until these two were
+#: added).
+_PY_NODES = (
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapGroupsInArrow",
+    "MapInArrow",
+    "PythonMapInArrow",
+)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
@@ -130,13 +144,11 @@ def test_no_python_row_eval_in_oracled_queries(spark, name):
     p = _plan(spark, name)
     assert "BatchEvalPython" not in p, f"{name} uses a row-at-a-time Python UDF"
     if name in DECLARED_PYTHON:
-        assert (
-            "FlatMapGroupsInPandas" in p
-            or "ArrowEvalPython" in p
-            or "MapInPandas" in p
-        ), f"{name} is declared Arrow-batched Python but plans otherwise"
+        assert any(n in p for n in _PY_NODES), (
+            f"{name} is declared Arrow-batched Python but plans otherwise"
+        )
         return
-    assert "ArrowEvalPython" not in p and "MapInPandas" not in p, (
+    assert not any(n in p for n in _PY_NODES), (
         f"{name} unexpectedly crosses into Python"
     )
 
