@@ -2984,10 +2984,14 @@ def z34_metadata_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     and routed to the manifest instead of a scan, with result TYPES
     restored from the table's recorded spark_schema (MAX of the
     timestamp column comes back as a timestamp, not the manifest's ISO
-    string). The refusal surface (WHERE/GROUP BY/COUNT(col)/
-    expressions → None, fall back to a real scan) is unit-pinned;
-    the zero-data-read claim is proven by a test that deletes every
-    parquet file and re-answers. Oracle recomputes from raw rows."""
+    string). The PARTITION column's extremes are served from the
+    manifest's partition NAMES — hive layout keeps those values out of
+    every data file, and "MAX(partition_col)" is the most-polled
+    metadata query there is. The refusal surface (WHERE/GROUP BY/
+    COUNT(col)/expressions → None, fall back to a real scan) is
+    unit-pinned; the zero-data-read claim is proven by a test that
+    deletes every parquet file and re-answers. Oracle recomputes from
+    raw rows."""
     from ..sources.metadata_sql import answer_from_manifest
 
     path = _snapagg_table(spark, sf_dir)
@@ -2995,7 +2999,8 @@ def z34_metadata_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         "SELECT COUNT(*) AS n_rows, MIN(o_totalprice) AS min_price,"
         " MAX(o_totalprice) AS max_price, MIN(o_orderdate) AS first_order,"
-        " MAX(o_orderdate) AS last_order FROM orders",
+        " MAX(o_orderdate) AS last_order, MIN(o_orderstatus) AS first_status,"
+        " MAX(o_orderstatus) AS last_status FROM orders",
         {"orders": path},
     )
     assert out is not None  # grammar + table both provably answerable
@@ -3007,7 +3012,9 @@ SELECT count(*) AS n_rows,
        min(o_totalprice) AS min_price,
        max(o_totalprice) AS max_price,
        min(o_orderdate) AS first_order,
-       max(o_orderdate) AS last_order
+       max(o_orderdate) AS last_order,
+       min(o_orderstatus) AS first_status,
+       max(o_orderstatus) AS last_status
 FROM orders
 """
 

@@ -1867,6 +1867,17 @@ def manifest_aggregate(
         return name
 
     want = list(columns or [])
+    # The PARTITION column's values live in directory names, not in
+    # any data file (hive layout) — footer stats can never serve it,
+    # but the manifest's partition list answers it exactly. This is
+    # the single most-polled metadata query there is
+    # ("SELECT max(day) FROM table"). NULL/empty partitions
+    # (__HIVE_DEFAULT_PARTITION__) are skipped, matching SQL MIN/MAX
+    # null semantics.
+    pcol = meta.get("partition_col")
+    part_col_wanted = pcol in want if pcol else False
+    if part_col_wanted:
+        want = [c for c in want if c != pcol]
     # physical-name candidates for the wanted logical columns: the
     # name itself plus any retired name whose rename chain lands on it
     # (old commits' footers carry pre-rename physical names)
@@ -1910,6 +1921,27 @@ def manifest_aggregate(
             + ", ".join(f"{c!r} in {ps[:3]}" for c, ps in sorted(missing.items()))
             + " — scan the data or add the column to stats_cols"
         )
+    if part_col_wanted:
+        vals = []
+        for pname in parts:
+            raw = pname.split("=", 1)[1]
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                continue  # NULL/empty partition: ignored like SQL MIN/MAX
+            from urllib.parse import unquote
+
+            v = unquote(raw)
+            ptype = meta.get("partition_type") or "string"
+            if ptype in ("tinyint", "smallint", "int", "bigint"):
+                vals.append(int(v))
+            elif ptype == "boolean":
+                vals.append(v == "true")
+            else:
+                # string/date: the hive rendering orders correctly
+                # (ISO dates lexicographically == chronologically)
+                vals.append(v)
+        want.append(pcol)
+        if vals:
+            mins[pcol], maxs[pcol] = min(vals), max(vals)
     return {
         "version": int(man.get("version") or 0),
         "n_rows": int(n_rows),

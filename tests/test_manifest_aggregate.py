@@ -96,3 +96,14 @@ def test_reserved_column_name_rejected(spark, tmp_path):
     df = spark.createDataFrame([(1, 10)], f"`{N_ROWS_KEY}` long, p long")
     with pytest.raises(ValueError, match="reserved"):
         write_snapshot(df, str(tmp_path / "bad"), "p")
+
+
+def test_partition_column_served_from_partition_names(base):
+    # partition values live in directory names, not data files — and
+    # must still be answerable with every parquet file gone
+    for f in Path(base).rglob("*.parquet"):
+        f.unlink()
+    agg = manifest_aggregate(base, columns=["p", "amt"])
+    assert agg["columns"]["p"] == {"min": 10, "max": 20}
+    assert agg["columns"]["amt"] == {"min": 7.25, "max": 90.0}
+    assert agg["n_rows"] == 4

@@ -115,3 +115,11 @@ def test_emptied_table_yields_count_zero_and_nulls(spark, tbl):
         spark, "SELECT COUNT(*) AS n, MIN(amt) AS lo FROM t", {"t": tbl}
     ).collect()[0]
     assert out.n == 0 and out.lo is None
+
+
+def test_partition_column_extremes_answered(spark, tbl):
+    # the most-polled metadata query there is: MAX(partition_col)
+    out = answer_from_manifest(
+        spark, "SELECT MAX(p) AS latest, MIN(p) AS earliest FROM t", {"t": tbl}
+    ).collect()[0]
+    assert (out.latest, out.earliest) == (20, 10)
