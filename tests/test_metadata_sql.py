@@ -123,3 +123,43 @@ def test_partition_column_extremes_answered(spark, tbl):
         spark, "SELECT MAX(p) AS latest, MIN(p) AS earliest FROM t", {"t": tbl}
     ).collect()[0]
     assert (out.latest, out.earliest) == (20, 10)
+
+
+# --------------------------------------------------------- parse fuzz
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True)
+_valid_item = st.one_of(
+    st.just("COUNT(*)"),
+    _ident.map(lambda c: f"MIN({c})"),
+    _ident.map(lambda c: f"MAX({c})"),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=120))
+def test_parser_never_crashes_on_arbitrary_text(sql):
+    # the refusal gate must refuse or parse — never raise
+    out = parse_metadata_select(sql)
+    assert out is None or (out["table"] and out["items"])
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_valid_item, min_size=1, max_size=4), _ident)
+def test_parser_accepts_exactly_the_generated_grammar(items, table):
+    sql = f"SELECT {', '.join(items)} FROM {table}"
+    out = parse_metadata_select(sql)
+    if out is None:
+        # only legal refusal: duplicate output names (e.g. two COUNT(*))
+        names = [
+            "count_star" if i == "COUNT(*)" else
+            i[:3].lower() + "_" + i[4:-1]
+            for i in items
+        ]
+        assert len(set(names)) != len(names)
+    else:
+        assert out["table"] == table and len(out["items"]) == len(items)
+        # appending a WHERE must flip it to refusal
+        assert parse_metadata_select(sql + " WHERE x > 1") is None
