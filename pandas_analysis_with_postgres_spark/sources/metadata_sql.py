@@ -8,12 +8,16 @@ minute.
 
 The grammar is deliberately STRICT: a single ``SELECT`` of
 ``COUNT(*)``/``MIN(col)``/``MAX(col)`` items (each optionally
-aliased) from ONE bare snapshot table — no WHERE, no GROUP BY, no
-JOIN, no expressions. Anything else returns ``None`` and the caller
-falls back to a real scan: a metadata answerer must refuse what it
-cannot prove, never approximate it. (COUNT(col) is NOT COUNT(*) —
-null-skipping needs null counts the manifest does not record — and a
-WHERE would need the pruning semantics of a real scan.)
+aliased) from ONE bare snapshot table, optionally ``WHERE <col> =
+<literal>`` — answered ONLY when ``<col>`` is the table's partition
+column, because partition equality is the one predicate the manifest
+proves exactly (it IS the partition index; ``COUNT(*) WHERE day = X``
+is the second-most-polled metadata query after bare COUNT). Anything
+else — GROUP BY, JOIN, expressions, non-partition or non-equality
+WHERE — returns ``None`` and the caller falls back to a real scan: a
+metadata answerer must refuse what it cannot prove, never approximate
+it. (COUNT(col) is NOT COUNT(*) — null-skipping needs null counts the
+manifest does not record.)
 
 Result types come from the table's recorded ``spark_schema``, so a
 metadata answer is schema-identical to the scan it replaced — MIN of a
@@ -30,7 +34,9 @@ from pyspark.sql import DataFrame, SparkSession
 from .snapshot import manifest_aggregate, read_manifest
 
 _STMT = re.compile(
-    r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>[A-Za-z_]\w*)\s*;?\s*$",
+    r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>[A-Za-z_]\w*)"
+    r"(?:\s+WHERE\s+(?P<wcol>[A-Za-z_]\w*)\s*=\s*"
+    r"(?P<wval>'[^']*'|-?\d+|true|false))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ITEM = re.compile(
@@ -60,7 +66,10 @@ def parse_metadata_select(sql: str) -> "dict | None":
     aliases = [a for _, _, a in items]
     if len(set(aliases)) != len(aliases):
         return None  # ambiguous output names — let a real engine error
-    return {"table": m.group("table"), "items": items}
+    where = (
+        (m.group("wcol"), m.group("wval")) if m.group("wcol") else None
+    )
+    return {"table": m.group("table"), "items": items, "where": where}
 
 
 def answer_from_manifest(
@@ -79,12 +88,34 @@ def answer_from_manifest(
     if parsed is None or parsed["table"] not in tables:
         return None
     path = tables[parsed["table"]]
+    schema_meta = read_manifest(path, version).get("schema") or {}
+    where = None
+    if parsed["where"] is not None:
+        wcol, raw = parsed["where"]
+        if wcol != schema_meta.get("partition_col"):
+            return None  # only partition equality is manifest-provable
+        ptype = schema_meta.get("partition_type") or "string"
+        if raw.startswith("'"):
+            if ptype in ("tinyint", "smallint", "int", "bigint", "boolean"):
+                return None  # quoted literal vs non-string partition
+            wval: object = raw[1:-1]
+        elif raw.lower() in ("true", "false"):
+            if ptype != "boolean":
+                return None
+            wval = raw.lower() == "true"
+        else:
+            if ptype not in ("tinyint", "smallint", "int", "bigint"):
+                return None  # bare integer vs string/date partition
+            wval = int(raw)
+        where = (wcol, wval)
     cols = sorted({c for _, c, _ in parsed["items"] if c})
-    agg = manifest_aggregate(path, columns=cols, version=version)
+    agg = manifest_aggregate(
+        path, columns=cols, version=version, where_partition=where
+    )
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    sj = (read_manifest(path, version).get("schema") or {}).get("spark_schema")
+    sj = schema_meta.get("spark_schema")
     field_types = (
         {f.name: f.dataType for f in StructType.fromJson(json.loads(sj)).fields}
         if sj

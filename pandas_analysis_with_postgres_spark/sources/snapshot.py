@@ -1828,6 +1828,7 @@ def manifest_aggregate(
     *,
     columns: list[str] | None = None,
     version: "int | str | None" = None,
+    where_partition: "tuple[str, object] | None" = None,
 ) -> dict:
     """Answer ``COUNT(*)`` — and ``MIN``/``MAX`` over ``columns`` —
     for a snapshot version from MANIFEST METADATA, reading no data
@@ -1847,6 +1848,13 @@ def manifest_aggregate(
     no data pages; driver-side, so it is a transition path, not the
     steady state). A requested column with usable stats in NO source
     raises rather than returning a silently-partial extreme.
+
+    ``where_partition=(col, value)`` restricts the aggregate to ONE
+    partition — the manifest can prove partition-equality pruning
+    exactly (it IS the partition index), so ``COUNT(*) WHERE day = X``
+    stays a metadata read; ``col`` must be the table's partition
+    column (raises otherwise — the SQL front-end refuses first and
+    falls back to a scan).
 
     Returns ``{"version", "n_rows", "n_partitions", "columns":
     {col: {"min": v, "max": v}}}``. Min/max values are the manifest's
@@ -1878,6 +1886,14 @@ def manifest_aggregate(
     part_col_wanted = pcol in want if pcol else False
     if part_col_wanted:
         want = [c for c in want if c != pcol]
+    if where_partition is not None:
+        wcol, wval = where_partition
+        if wcol != pcol:
+            raise ValueError(
+                f"where_partition column {wcol!r} is not the partition "
+                f"column {pcol!r} — only partition equality is provable "
+                "from the manifest"
+            )
     # physical-name candidates for the wanted logical columns: the
     # name itself plus any retired name whose rename chain lands on it
     # (old commits' footers carry pre-rename physical names)
@@ -1887,6 +1903,9 @@ def manifest_aggregate(
             aliases.add(old)
     stats = man.get("stats") or {}
     parts = man.get("partitions") or {}
+    if where_partition is not None:
+        target = _hive_part_name(pcol, where_partition[1])
+        parts = {p: rel for p, rel in parts.items() if p == target}
     n_rows = 0
     mins: dict = {}
     maxs: dict = {}

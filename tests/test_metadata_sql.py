@@ -31,13 +31,19 @@ def test_parse_accepts_the_strict_grammar():
             ("min", "amt", "min_amt"),
             ("max", "ts", "last"),
         ],
+        "where": None,
     }
+    q = parse_metadata_select("SELECT COUNT(*) FROM t WHERE day = '2024-01-01'")
+    assert q["where"] == ("day", "'2024-01-01'")
+    assert parse_metadata_select("SELECT COUNT(*) FROM t WHERE p = 10")[
+        "where"
+    ] == ("p", "10")
 
 
 @pytest.mark.parametrize(
     "sql",
     [
-        "SELECT COUNT(*) FROM t WHERE x > 1",  # WHERE needs a scan
+        "SELECT COUNT(*) FROM t WHERE x > 1",  # non-equality WHERE: scan
         "SELECT COUNT(*) FROM t GROUP BY x",
         "SELECT COUNT(x) FROM t",  # null-skipping: not num_rows
         "SELECT SUM(x) FROM t",  # needs data
@@ -163,3 +169,37 @@ def test_parser_accepts_exactly_the_generated_grammar(items, table):
         assert out["table"] == table and len(out["items"]) == len(items)
         # appending a WHERE must flip it to refusal
         assert parse_metadata_select(sql + " WHERE x > 1") is None
+
+
+def test_partition_equality_where_is_metadata_answered(spark, tbl):
+    from pathlib import Path
+
+    # prune to ONE partition from the manifest alone — proven by
+    # deleting every data file first
+    for f in Path(tbl).rglob("*.parquet"):
+        f.unlink()
+    out = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n, MAX(amt) AS hi FROM t WHERE p = 10",
+        {"t": tbl},
+    ).collect()[0]
+    assert (out.n, out.hi) == (2, 99.5)
+    # equality on a value with no partition: zero rows, NULL extremes
+    none = answer_from_manifest(
+        spark, "SELECT COUNT(*) AS n, MAX(amt) AS hi FROM t WHERE p = 77",
+        {"t": tbl},
+    ).collect()[0]
+    assert (none.n, none.hi) == (0, None)
+    # non-partition column or type-mismatched literal: refuse → scan
+    assert (
+        answer_from_manifest(
+            spark, "SELECT COUNT(*) FROM t WHERE k = 1", {"t": tbl}
+        )
+        is None
+    )
+    assert (
+        answer_from_manifest(
+            spark, "SELECT COUNT(*) FROM t WHERE p = 'ten'", {"t": tbl}
+        )
+        is None
+    )
