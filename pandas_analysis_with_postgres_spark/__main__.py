@@ -76,7 +76,9 @@ def main(argv: list[str] | None = None) -> int:
     p_sn.add_argument(
         "--query",
         default=None,
-        help="(sql) statement to run; the snapshot is visible as --as",
+        help="(sql) statement to run; the snapshot is visible as --as. "
+        "COUNT(*)/MIN/MAX selects — optionally WHERE <partition_col> = "
+        "<literal> — are answered from the manifest without a scan",
     )
     p_sn.add_argument(
         "--as",
