@@ -88,74 +88,72 @@ RENAMES = {
 }
 
 
-#: Round-6 driver window: the 50 queries occupying the first 50
+#: Round-7 driver window: the 50 queries occupying the first 50
 #: insertion slots of ``queries()``. Per README §"Driver-window
-#: rotation schedule": the one deferred streaming query (a93), the
-#: thirteen never-driver-checked round-5 additions (z08–z19), the six
-#: queries green only under pre-rename keys (a36–a39/a47/a57), then
-#: q01–q31 to re-verify the reference core under current keys.
+#: rotation schedule": the remaining q32–q54 reference/LLM block (19
+#: keys under current names — q36–q39/q47 renamed to a36–a39/a47 long
+#: ago, verified r06), the twenty round-6 additions z20–z39 (never
+#: driver-checked), and 11 fill slots from the keys with the OLDEST
+#: driver rows (the r05-only a58+ block). After this window every one
+#: of the 139 keys has a driver-green row under its current name.
 #:
-#: ROUND-7 ROTATION PROCEDURE: once CORRECTNESS_r06 lands green rows
-#: for this list, replace it with q32–q54 + any round-6 additions and
-#: re-run `python scripts/check_surface.py` (pytest enforces the
-#: 50-slot integrity automatically). After round 6 the key space is
-#: FROZEN — no further renames or re-keys.
+#: The key space is FROZEN — no further renames or re-keys. Future
+#: rotations only reorder; `scripts/check_surface.py` (run by pytest)
+#: enforces 50 distinct real keys and insertion-order integrity.
 ROTATION = [
-    # the one streaming query deferred from round 5 (map-only enrich)
-    "a93_live_enrich",
-    # round-5 additions, never driver-checked (z08–z19)
-    "z08_semantic_dedup",
-    "z09_chunk_udtf",
-    "z10_scd2_lakehouse",
-    "z11_incremental_matview",
-    "z12_resample_ffill",
-    "z13_image_resize",
-    "z14_optout_delete",
-    "z15_schema_evolution",
-    "z16_audio_resample",
-    "z17_warc_extract",
-    "z18_compressed_blobs",
-    "z19_webdataset_roundtrip",
-    # green in r01/r02 only under pre-rename keys (byte-identical plans)
-    "a36_live_hourly_counts",
-    "a37_live_sessions",
-    "a38_live_dedup",
-    "a39_live_sliding_counts",
-    "a47_live_stateful_counts",
-    "a57_frame_sample",
-    # reference core re-verification under current keys (q01–q21)
-    "q01_pricing_summary",
-    "q02_customer_profile",
-    "q03_latest_order_per_customer",
-    "q04_order_counts",
-    "q05_customer_flags",
-    "q06_first_order_per_customer",
-    "q07_distinct_open_order_customers",
-    "q08_party_union",
-    "q09_except_all",
-    "q10_customers_without_orders",
-    "q11_customers_with_orders",
-    "q12_spend_with_defaults",
-    "q13_user_event_flags",
-    "q14_order_priority_flags",
-    "q15_upsert",
-    "q16_scd2",
-    "q17_max_quantity_lineitems",
-    "q18_event_props_rollup",
-    "q19_user_sessions",
-    "q20_hourly_rollup",
-    "q21_order_sequence_analytics",
-    # LLM-pipeline core re-verification (q22–q31)
-    "q22_dedup_exact",
-    "q23_ngram_jaccard_pairs",
-    "q24_minhash_dedup",
-    "q25_simhash",
-    "q26_simhash_pairs",
-    "q27_cosine_topk",
-    "q28_lsh_topk",
-    "q29_cosine_near_pairs",
-    "q30_text_stats",
-    "q31_lang_profile",
+    # q32–q54 block: re-verification under current keys (last rows r01–r05)
+    "q32_lang_id",
+    "q33_token_count_by_source",
+    "q34_media_metadata",
+    "a35_media_features",
+    "q35a_media_checksum",
+    "q40_returnflag_rollup",
+    "q41_status_priority_cube",
+    "q42_ivf_topk",
+    "q43_distinct_customers_per_status",
+    "q44_sql_frontend",
+    "q45_asof_latest_order",
+    "q46_top_tokens",
+    "q48_props_map_rollup",
+    "q49_dedup_keep",
+    "q50_promo_range_join",
+    "q51_order_value_percentiles",
+    "q52_train_split",
+    "q53_corpus_curation",
+    "q54_multires_rollup",
+    # round-6 additions, never driver-checked (z20–z39)
+    "z20_sql_merge",
+    "z21_sql_merge_sync",
+    "z22_pq_topk",
+    "z23_pq_refine",
+    "z24_ivfpq_topk",
+    "z25_ivfpq_index_search",
+    "z26_jsonl_roundtrip",
+    "z27_csv_roundtrip",
+    "z28_sq8_topk",
+    "z29_orc_pushdown_summary",
+    "z30_xml_roundtrip",
+    "z31_blob_ingest",
+    "z32_duplicate_span_scrub",
+    "z33_manifest_aggregate",
+    "z34_metadata_sql",
+    "z35_sorted_neighborhood",
+    "z36_warc_datasource",
+    "z37_live_warc_ingest",
+    "z38_variant_analytics",
+    "z39_arrow_spread",
+    # fill: oldest remaining driver rows (r05-only a58+ block)
+    "a58_dq_violations",
+    "a59_rare_token_score",
+    "a60_repetition_signals",
+    "a61_decontamination",
+    "a62_source_mixing",
+    "a63_sequence_packing",
+    "a64_pii_redaction",
+    "a65_ivf_kmeans_topk",
+    "a66_hll_distinct",
+    "a67_bloom_decontamination",
+    "a68_cms_heavy_hitters",
 ]
 
 

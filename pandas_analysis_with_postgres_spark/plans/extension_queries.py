@@ -3089,12 +3089,17 @@ def z36_warc_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def z37_live_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WARC landing zone as a REGISTERED Spark 4 streaming source
-    (sources.pyds.WarcStreamDataSource, SimpleDataSourceStreamReader):
-    ``readStream.format("warcstream").load(dir)`` drains the estate
-    under availableNow — offsets are a checkpointable high-water mark
-    on sorted file names (the monotone-naming landing-zone contract;
-    incremental pickup and replay-between-offsets are unit-pinned in
-    tests/test_pyds.py). The parsed record stream is then profiled
+    (sources.pyds.WarcStreamDataSource — the FULL partition-planned
+    DataSourceStreamReader): ``readStream.format("warcstream")
+    .load(dir)`` drains the estate under availableNow — offsets are a
+    checkpointable high-water mark on sorted file names (the
+    monotone-naming landing-zone contract), the driver plans each
+    micro-batch's (start, end] name window into chunked file-range
+    partitions, and EXECUTOR tasks walk the archives with the same
+    kernel as the batch ``warcfile`` source — record bytes never visit
+    the driver (incremental pickup, replay determinism, and the
+    executor-partition plan are unit-pinned in tests/test_pyds.py).
+    The parsed record stream is then profiled
     per record type (batch-side aggregate after the drain), and the
     oracle recomputes the profile from the base table — record counts
     AND total Content-Length bytes, so the parse arithmetic rides the

@@ -15,8 +15,11 @@ archive — bytes never visit the driver.
 
 Both halves of the API are implemented: the batch source
 (``WarcFileDataSource``) and the streaming landing-zone source
-(``WarcStreamDataSource`` via ``SimpleDataSourceStreamReader`` —
-checkpointable offsets, deterministic replay). Exactly-once SINKS stay
+(``WarcStreamDataSource`` via the full partition-planned
+``DataSourceStreamReader`` — checkpointable name-high-water-mark
+offsets on the driver, record bytes read by EXECUTOR tasks walking
+chunked file ranges, deterministic replay because ``partitions(start,
+end)`` is a pure function of the two offsets). Exactly-once SINKS stay
 with the ingest layer (streaming/streams.py foreachBatch).
 """
 
@@ -91,30 +94,35 @@ class _WarcFileReader(DataSourceReader):
         ]
 
     def read(self, partition: InputPartition):
-        # executor-side: import the kernel lazily (the class is
-        # pickled to workers; module-level imports there are fine but
-        # keep the closure minimal)
-        from pandas_analysis_with_postgres_spark.sources.warc import (
-            parse_warc,
-        )
-
-        for path in partition.value:
-            fname = os.path.basename(path)
-            doc_id = int(fname[len("doc_") : -len(".warc")])
-            with open(path, "rb") as fh:
-                buf = fh.read()
-            for i, rec in enumerate(parse_warc(buf)):
-                yield (
-                    doc_id,
-                    i,
-                    rec["warc_type"],
-                    rec["target_uri"],
-                    rec["content_length"],
-                    rec["body"].decode("utf-8"),
-                )
+        return _walk_archives(partition.value)
 
 
-from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+def _walk_archives(paths):
+    """Executor-side kernel shared by the batch and streaming readers:
+    open each archive, parse ISO-28500 records, emit schema-shaped
+    tuples. Imported lazily inside the task (the reader object is
+    pickled to workers; keep the closure minimal)."""
+    from pandas_analysis_with_postgres_spark.sources.warc import (
+        parse_warc,
+    )
+
+    for path in paths:
+        fname = os.path.basename(path)
+        doc_id = int(fname[len("doc_") : -len(".warc")])
+        with open(path, "rb") as fh:
+            buf = fh.read()
+        for i, rec in enumerate(parse_warc(buf)):
+            yield (
+                doc_id,
+                i,
+                rec["warc_type"],
+                rec["target_uri"],
+                rec["content_length"],
+                rec["body"].decode("utf-8"),
+            )
+
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
 
 
 class WarcStreamDataSource(DataSource):
@@ -132,6 +140,18 @@ class WarcStreamDataSource(DataSource):
     the trade this contract avoids). A file landing with a
     smaller-sorting name is NOT picked up — contract, documented, and
     cheaper than silently double-reading.
+
+    Execution contract (the part that matters at 100 TB): this is the
+    FULL partition-planned ``DataSourceStreamReader``, not the simple
+    driver-reading variant. The driver only ever lists names —
+    ``latestOffset`` is O(names) strings, ``partitions(start, end)``
+    turns the ``(start, end]`` name window into ≤ ``num_partitions``
+    chunked file ranges — and EXECUTOR tasks open and walk the
+    archives via the same kernel as the batch ``warcfile`` source.
+    Record bytes never visit the driver. Replay on recovery is
+    deterministic because ``partitions`` is a pure function of the two
+    offsets over monotone names: re-planning a committed window lists
+    exactly the same files.
     """
 
     @classmethod
@@ -144,16 +164,23 @@ class WarcStreamDataSource(DataSource):
             "target_uri string, content_length long, body string"
         )
 
-    def simpleStreamReader(self, schema) -> "_WarcStreamReader":
+    def streamReader(self, schema) -> "_WarcStreamReader":
         return _WarcStreamReader(self.options)
 
 
-class _WarcStreamReader(SimpleDataSourceStreamReader):
+class _WarcStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self._path = options.get("path")
         self._glob = options.get("glob", "*.warc")
+        # micro-batches are smaller than a batch scan of the whole
+        # estate; 32 tasks per batch saturates local[32] and bounds
+        # the per-partition Python-worker round-trip (same economics
+        # as the batch source's chunking, measured at 84 ms/file)
+        self._num_partitions = int(options.get("num_partitions", 32))
         if not self._path:
             raise ValueError("warcstream source requires a path: .load(dir)")
+        if self._num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
 
     def initialOffset(self) -> dict:
         return {"last": ""}
@@ -164,44 +191,34 @@ class _WarcStreamReader(SimpleDataSourceStreamReader):
             for f in glob.glob(os.path.join(self._path, self._glob))
         )
 
-    def _rows(self, names: list[str]):
-        from pandas_analysis_with_postgres_spark.sources.warc import (
-            parse_warc,
-        )
+    def latestOffset(self) -> dict:
+        # driver-side listing only — O(names) strings, no bytes
+        names = self._names()
+        return {"last": names[-1]} if names else {"last": ""}
 
-        for name in names:
-            doc_id = int(name[len("doc_") : -len(".warc")])
-            with open(os.path.join(self._path, name), "rb") as fh:
-                buf = fh.read()
-            for i, rec in enumerate(parse_warc(buf)):
-                yield (
-                    doc_id,
-                    i,
-                    rec["warc_type"],
-                    rec["target_uri"],
-                    rec["content_length"],
-                    rec["body"].decode("utf-8"),
-                )
-
-    # read()/readBetweenOffsets return MATERIALIZED lists, not
-    # generators: the runner caches and copies the entry between
-    # latestOffset and planPartitions (copy.copy of a generator
-    # raises — measured). That is the simple API's design point
-    # anyway: SimpleDataSourceStreamReader reads on the DRIVER and is
-    # documented for low-throughput sources — right for a
-    # control-plane landing zone; a high-throughput estate pairs the
-    # offset logic with the partitioned batch source per window (or
-    # the full DataSourceStreamReader).
-    def read(self, start: dict):
-        names = [n for n in self._names() if n > start["last"]]
-        if not names:
-            return [], start
-        return list(self._rows(names)), {"last": names[-1]}
-
-    def readBetweenOffsets(self, start: dict, end: dict):
-        # deterministic replay on recovery: exactly the files in
-        # (start.last, end.last] by the same name order
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # pure function of (start, end]: recovery re-plans a committed
+        # window to exactly the same chunked file ranges
         names = [
             n for n in self._names() if start["last"] < n <= end["last"]
         ]
-        return list(self._rows(names))
+        if not names:
+            return []
+        n = min(self._num_partitions, len(names))
+        size = -(-len(names) // n)
+        return [
+            InputPartition(
+                [os.path.join(self._path, x) for x in names[i : i + size]]
+            )
+            for i in range(0, len(names), size)
+        ]
+
+    def read(self, partition: InputPartition):
+        # EXECUTOR-side: identical walk to the batch source — the
+        # driver never opens an archive
+        return _walk_archives(partition.value)
+
+    def commit(self, end: dict) -> None:
+        # offsets are recomputable from the filesystem listing; no
+        # source-side state to release
+        pass

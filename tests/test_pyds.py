@@ -81,28 +81,65 @@ from pandas_analysis_with_postgres_spark.sources.pyds import (  # noqa: E402
 )
 
 
+def _drain(r, start):
+    """One planned micro-batch: latestOffset on the driver, partition
+    plan for (start, end], executor-style read per partition."""
+    end = r.latestOffset()
+    parts = r.partitions(start, end)
+    rows = [t for p in parts for t in r.read(p)]
+    return rows, end, parts
+
+
 def test_stream_reader_incremental_pickup_and_replay(estate, tmp_path):
     r = _WarcStreamReader({"path": estate})
-    rows1, off1 = r.read(r.initialOffset())
+    rows1, off1, _ = _drain(r, r.initialOffset())
     assert {t[0] for t in rows1} == {1, 2, 7} and off1 == {
         "last": "doc_7.warc"
     }
-    # nothing new: same offset back, no rows
-    rows2, off2 = r.read(off1)
-    assert rows2 == [] and off2 == off1
+    # nothing new: empty partition plan, offset unchanged
+    rows2, off2, parts2 = _drain(r, off1)
+    assert rows2 == [] and parts2 == [] and off2 == off1
     # a file LANDS (monotone name contract: sorts after doc_7)
     import pathlib
 
     pathlib.Path(estate, "doc_9.warc").write_bytes(_warc(9, "delta"))
-    rows3, off3 = r.read(off1)
+    rows3, off3, _ = _drain(r, off1)
     assert [(t[0], t[5]) for t in rows3] == [(9, "delta")]
     assert off3 == {"last": "doc_9.warc"}
-    # recovery replay between committed offsets is exactly that window
-    replay = r.readBetweenOffsets(off1, off3)
+    # recovery replay: partitions() is a pure function of the two
+    # offsets, so re-planning a committed window lists the same files
+    replay = [t for p in r.partitions(off1, off3) for t in r.read(p)]
     assert [(t[0], t[5]) for t in replay] == [(9, "delta")]
-    assert [t[0] for t in r.readBetweenOffsets(r.initialOffset(), off1)] == [
-        1, 2, 7,
+    first = [
+        t for p in r.partitions(r.initialOffset(), off1) for t in r.read(p)
     ]
+    assert [t[0] for t in first] == [1, 2, 7]
+    r.commit(off3)  # no-op, must not raise
+
+
+def test_stream_reader_plans_executor_partitions(estate):
+    # the scale contract: the FULL DataSourceStreamReader — records
+    # are read by tasks, not the driver. Pin (a) the class is the
+    # partition-planned API, (b) a multi-file window plans >1
+    # partition (chunked, capped), (c) each partition carries only
+    # path strings (driver state is O(names)).
+    from pyspark.sql.datasource import (
+        DataSourceStreamReader,
+        SimpleDataSourceStreamReader,
+    )
+
+    r = _WarcStreamReader({"path": estate, "num_partitions": "2"})
+    assert isinstance(r, DataSourceStreamReader)
+    assert not isinstance(r, SimpleDataSourceStreamReader)
+    # the simple (driver-reading) hook is gone from the source
+    assert "simpleStreamReader" not in WarcStreamDataSource.__dict__
+    parts = r.partitions(r.initialOffset(), r.latestOffset())
+    assert len(parts) == 2  # 3 files chunked into 2 tasks
+    for p in parts:
+        assert all(isinstance(x, str) for x in p.value)  # paths only
+    # chunk cap respected when files exceed num_partitions
+    r1 = _WarcStreamReader({"path": estate, "num_partitions": "1"})
+    assert len(r1.partitions(r1.initialOffset(), r1.latestOffset())) == 1
 
 
 def test_stream_source_drains_under_available_now(spark, estate):
