@@ -78,7 +78,11 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="(sql) statement to run; the snapshot is visible as --as. "
         "COUNT(*)/MIN/MAX selects — optionally WHERE <partition_col> = "
-        "<literal> — are answered from the manifest without a scan",
+        "<literal> — are answered from the manifest without a scan; so "
+        "are 'SELECT <pcol>, COUNT(*) ... GROUP BY <pcol>' (the "
+        "per-partition row-count map) and stats-proven range COUNTs "
+        "('WHERE <statted_col> <op> <lit>' / BETWEEN) when every "
+        "partition is provably fully inside or outside the range",
     )
     p_sn.add_argument(
         "--as",
@@ -284,18 +288,25 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 0
         if args.action == "merge":
-            # MERGE INTO as a statement: the snapshot table is named
-            # --as inside the statement; USING may reference any
-            # registered temp view or inline subquery.
-            from .sources.sql_merge import execute_merge
+            # DML as a statement — MERGE INTO / UPDATE / DELETE FROM,
+            # routed by statement head: the snapshot table is named
+            # --as inside the statement; MERGE's USING may reference
+            # any registered temp view or inline subquery.
+            from .sources.sql_merge import execute_dml
 
             if not args.query:
                 print("snapshot merge requires --query", file=sys.stderr)
                 return 2
-            v = execute_merge(
+            out = execute_dml(
                 _gs("cli"), args.query, tables={args.view_name: args.path}
             )
-            print(f"committed version {v}")
+            if isinstance(out, dict):  # DELETE returns delete_where's dict
+                print(
+                    f"committed version {out['version']} "
+                    f"(deleted_rows={out['deleted_rows']})"
+                )
+            else:
+                print(f"committed version {out}")
             return 0
         if args.action == "sql":
             # time travel as SQL: pin --version, query the temp view

@@ -3218,6 +3218,289 @@ FROM events
 GROUP BY user_id
 """
 
+
+def z40_metadata_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-answered GROUP BY on the partition column
+    (sources.metadata_sql → snapshot.manifest_partition_counts):
+    ``SELECT o_orderstatus, COUNT(*) … GROUP BY o_orderstatus`` is
+    exactly the per-partition ``::n_rows`` map every commit records —
+    hive layout makes partition value ↔ directory a bijection, so the
+    group-by reads ZERO data pages (Iceberg's ``partitions`` metadata
+    table; the "rows per day" poll every ingest dashboard runs). The
+    zero-data-read claim is proven in tests by deleting every parquet
+    file and re-answering; the refusal surface (non-partition group
+    column, per-group MIN/MAX, range WHERE + GROUP BY) is unit-pinned.
+    Oracle recomputes the group-by from raw rows."""
+    from ..sources.metadata_sql import answer_from_manifest
+
+    path = _snapagg_table(spark, sf_dir)
+    out = answer_from_manifest(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n_orders FROM orders"
+        " GROUP BY o_orderstatus",
+        {"orders": path},
+    )
+    assert out is not None  # partition group-by is always provable
+    return out
+
+
+Z40_SQL = """
+SELECT o_orderstatus, count(*)::BIGINT AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+_RANGECOUNT_DROPS: dict = {}
+
+
+def _rangecount_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the z41 snapshot fixture once per (app, fixture):
+    orders partitioned by ``okey_bucket = floor(o_orderkey / 20000)``
+    with o_orderkey column statistics — partition key ranges are
+    DISJOINT by construction, so bucket-aligned range predicates prove
+    full containment from per-partition [min, max, nulls] stats while
+    misaligned ones are refused (partial overlap)."""
+    import os
+
+    from ..sources.snapshot import write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _RANGECOUNT_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("rangecount_") + "/orders_tbl"
+        orders = load_table(spark, sf_dir, "orders").withColumn(
+            "okey_bucket", F.floor(F.col("o_orderkey") / 20000)
+        )
+        write_snapshot(
+            orders, path, "okey_bucket", stats_cols=["o_orderkey"]
+        )
+        _RANGECOUNT_DROPS[key] = path
+    return path
+
+
+def z41_metadata_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-proven range COUNT from the manifest (sources.metadata_sql
+    → snapshot.manifest_range_count): ``COUNT(*) WHERE col <op> lit``
+    answered with ZERO data pages when every partition's recorded
+    [min, max] proves it fully inside or fully outside the range — the
+    Iceberg scan-planning trick run in reverse — with null-exactness
+    from the per-partition null counts the footer harvest records
+    (min/max describe non-null values; SQL range predicates reject
+    NULLs). Three provable shapes ride the hash: an aligned BETWEEN
+    (buckets fully contained), an open-ended >=, and a range on the
+    PARTITION column itself (one value per directory — partial overlap
+    impossible). Partial-overlap refusal and the
+    delete-every-parquet proof are unit-pinned
+    (tests/test_manifest_aggregate.py, tests/test_metadata_sql.py)."""
+    from ..sources.metadata_sql import answer_from_manifest
+
+    path = _rangecount_table(spark, sf_dir)
+    tables = {"orders": path}
+    between = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n_between FROM orders"
+        " WHERE o_orderkey BETWEEN 20000 AND 39999",
+        tables,
+    )
+    ge = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n_ge FROM orders WHERE o_orderkey >= 40000",
+        tables,
+    )
+    pcol = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n_bucket FROM orders WHERE okey_bucket >= 1",
+        tables,
+    )
+    assert between is not None and ge is not None and pcol is not None
+    return between.crossJoin(ge).crossJoin(pcol)
+
+
+Z41_SQL = """
+SELECT (SELECT count(*) FROM orders
+        WHERE o_orderkey BETWEEN 20000 AND 39999)::BIGINT AS n_between,
+       (SELECT count(*) FROM orders
+        WHERE o_orderkey >= 40000)::BIGINT AS n_ge,
+       (SELECT count(*) FROM orders
+        WHERE o_orderkey >= 20000)::BIGINT AS n_bucket
+"""
+
+
+_MOR_DROPS: dict = {}
+
+
+def z42_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (sources.snapshot.delete_where
+    mode="merge-on-read"): rows matching the predicate are suppressed
+    by per-partition KEY TOMBSTONE files — no data rewrite at all (a
+    one-row delete in a 100 TB partition costs O(matches), the Delta
+    deletion-vector / Iceberg v2 equality-delete trade) — and
+    :func:`read_snapshot` applies them as one anti-join against the
+    (key, partition) pairs, broadcast while small. The result profiles
+    the LIVE rows per partition AND carries the manifest-answered
+    COUNT(*) as a column, so the hash proves the tombstone-adjusted
+    metadata count agrees with the replayed read path. CDF delete
+    rows, compaction fold-away, txn idempotence, and the
+    rewrite-drops-tombstones carry rule are unit-pinned
+    (tests/test_mor_delete.py). Oracle recomputes both from the rows
+    the delete leaves behind."""
+    import os
+
+    from ..sources.metadata_sql import answer_from_manifest
+    from ..sources.snapshot import delete_where, read_snapshot, write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _MOR_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("mor_delete_") + "/orders_tbl"
+        orders = load_table(spark, sf_dir, "orders")
+        write_snapshot(orders, path, "o_orderstatus")
+        delete_where(
+            spark,
+            path,
+            "o_totalprice < 50000",
+            mode="merge-on-read",
+            key="o_orderkey",
+        )
+        _MOR_DROPS[key] = path
+    live = read_snapshot(spark, path)
+    meta_count = answer_from_manifest(
+        spark, "SELECT COUNT(*) AS n_total FROM orders", {"orders": path}
+    )
+    assert meta_count is not None
+    return (
+        live.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .crossJoin(meta_count)
+    )
+
+
+Z42_SQL = """
+SELECT o_orderstatus,
+       count(*)::BIGINT AS n_live,
+       round(sum(o_totalprice), 2) AS sum_price,
+       (SELECT count(*) FROM orders
+        WHERE o_totalprice >= 50000)::BIGINT AS n_total
+FROM orders
+WHERE o_totalprice >= 50000
+GROUP BY o_orderstatus
+"""
+
+
+_DML_DROPS: dict = {}
+
+
+def _dml_table(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """A fresh orders snapshot (partition o_orderstatus) per (app,
+    fixture, tag) — z43/z44 mutate their tables, so each statement
+    query owns its copy."""
+    import os
+
+    from ..sources.snapshot import write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), tag)
+    path = _DML_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp(f"dml_{tag}_") + "/orders_tbl"
+        write_snapshot(
+            load_table(spark, sf_dir, "orders"), path, "o_orderstatus"
+        )
+        _DML_DROPS[key] = path
+    return path
+
+
+def z43_sql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``UPDATE`` statement front-end (sources.sql_merge.
+    execute_update, routed by execute_dml): completes the warehouse DML
+    triad beside MERGE INTO (z20/z21) and DELETE (z44) — the statement
+    surface the reference drives its maintenance with
+    (dmCustomerProc.py:185-232). Partition-scoped copy-on-write: one
+    column-pruned scan finds partitions holding WHERE matches, only
+    those are reclassified (matched rows get the SET expressions,
+    three-valued WHERE keeps FALSE/NULL rows untouched) and rewritten;
+    cold partitions carry by reference (pinned in
+    tests/test_sql_merge.py). The oracle replays the statement as a
+    CASE expression over the raw rows."""
+    from ..sources.sql_merge import execute_dml
+
+    path = _dml_table(spark, sf_dir, "upd")
+    execute_dml(
+        spark,
+        "UPDATE orders SET o_totalprice = o_totalprice + 10.0,"
+        " o_orderpriority = concat('DONE-', o_orderpriority)"
+        " WHERE o_orderpriority = '1-URGENT'",
+        tables={"orders": path},
+    )
+    from ..sources.snapshot import read_snapshot
+
+    return (
+        read_snapshot(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.sum(
+                F.when(F.col("o_orderpriority").startswith("DONE-"), 1).otherwise(0)
+            ).alias("n_updated"),
+        )
+    )
+
+
+Z43_SQL = """
+SELECT o_orderstatus,
+       count(*)::BIGINT AS n,
+       round(sum(o_totalprice
+                 + CASE WHEN o_orderpriority = '1-URGENT'
+                        THEN 10.0 ELSE 0 END), 2) AS sum_price,
+       sum(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN 1 ELSE 0 END)::BIGINT AS n_updated
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def z44_sql_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL ``DELETE FROM`` statement front-end (sources.sql_merge.
+    execute_delete via execute_dml): the statement form of the
+    snapshot layer's row-level delete — copy-on-write here (only
+    partitions holding matches are rewritten; the merge-on-read
+    tombstone flavor is z42's subject and selectable with
+    mode='merge-on-read'). DELETE…USING is refused with a pointer to
+    MERGE's NOT-MATCHED-BY-SOURCE clause (guard-pinned in
+    tests/test_sql_merge.py). The oracle keeps the complement rows."""
+    from ..sources.sql_merge import execute_dml
+
+    path = _dml_table(spark, sf_dir, "del")
+    execute_dml(
+        spark,
+        "DELETE FROM orders WHERE o_orderdate < '1994-01-01'",
+        tables={"orders": path},
+    )
+    from ..sources.snapshot import read_snapshot
+
+    return (
+        read_snapshot(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.min("o_orderdate").alias("first_order"),
+        )
+    )
+
+
+Z44_SQL = """
+SELECT o_orderstatus,
+       count(*)::BIGINT AS n_live,
+       min(o_orderdate) AS first_order
+FROM orders
+WHERE o_orderdate >= '1994-01-01'
+GROUP BY o_orderstatus
+"""
+
 Z35_SQL = f"""
 WITH s AS ({_simhash_expr_sql()}),
 r AS (SELECT doc_id, row_number() OVER (ORDER BY simhash, doc_id) AS rnk
@@ -4486,6 +4769,11 @@ EXTENSION_QUERIES = {
     "z37_live_warc_ingest": z37_live_warc_ingest,
     "z38_variant_analytics": z38_variant_analytics,
     "z39_arrow_spread": z39_arrow_spread,
+    "z40_metadata_groupby": z40_metadata_groupby,
+    "z41_metadata_range_count": z41_metadata_range_count,
+    "z42_mor_delete": z42_mor_delete,
+    "z43_sql_update": z43_sql_update,
+    "z44_sql_delete": z44_sql_delete,
 }
 
 EXTENSION_ORACLES = {
@@ -4546,6 +4834,11 @@ EXTENSION_ORACLES = {
     "z37_live_warc_ingest": Z37_SQL,
     "z38_variant_analytics": Z38_SQL,
     "z39_arrow_spread": Z39_SQL,
+    "z40_metadata_groupby": Z40_SQL,
+    "z41_metadata_range_count": Z41_SQL,
+    "z42_mor_delete": Z42_SQL,
+    "z43_sql_update": Z43_SQL,
+    "z44_sql_delete": Z44_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

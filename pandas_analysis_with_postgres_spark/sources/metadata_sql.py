@@ -1,23 +1,37 @@
-"""Metadata-answered SQL: route ``SELECT COUNT(*)/MIN/MAX FROM t`` on
-snapshot tables to :func:`sources.snapshot.manifest_aggregate` — the
+"""Metadata-answered SQL: route manifest-provable ``SELECT``s on
+snapshot tables to the :mod:`sources.snapshot` manifest layer — the
 optimizer rule warehouses apply before ever scheduling a scan (Spark
 itself does this only for COUNT(*) over some V2 sources; Iceberg/Delta
 answer from manifest numRecords). At 100 TB the difference is a driver
 JSON read vs a cluster-wide scan for a poll a dashboard issues every
 minute.
 
-The grammar is deliberately STRICT: a single ``SELECT`` of
-``COUNT(*)``/``MIN(col)``/``MAX(col)`` items (each optionally
-aliased) from ONE bare snapshot table, optionally ``WHERE <col> =
-<literal>`` — answered ONLY when ``<col>`` is the table's partition
-column, because partition equality is the one predicate the manifest
-proves exactly (it IS the partition index; ``COUNT(*) WHERE day = X``
-is the second-most-polled metadata query after bare COUNT). Anything
-else — GROUP BY, JOIN, expressions, non-partition or non-equality
-WHERE — returns ``None`` and the caller falls back to a real scan: a
-metadata answerer must refuse what it cannot prove, never approximate
-it. (COUNT(col) is NOT COUNT(*) — null-skipping needs null counts the
-manifest does not record.)
+The grammar is deliberately STRICT — a metadata answerer must refuse
+what it cannot prove, never approximate it. Exactly three statement
+shapes are answerable; everything else returns ``None`` and the caller
+falls back to a real scan:
+
+1. ``SELECT COUNT(*)/MIN(col)/MAX(col)[, …] FROM t [WHERE pcol =
+   lit]`` — counts from the reserved ``::n_rows`` stats, extremes from
+   ``stats_cols`` statistics (or partition names for the partition
+   column). WHERE is answered only on the partition column: partition
+   equality is the one equality the manifest proves exactly.
+2. ``SELECT COUNT(*) FROM t WHERE col <op> lit`` / ``col BETWEEN a AND
+   b`` (op ∈ <, <=, >, >=) — the stats-proven RANGE count: answered
+   ONLY when every partition's recorded [min, max] proves it fully
+   inside or fully outside the range (the Iceberg scan-planning trick)
+   AND its null count is recorded (min/max describe non-null values;
+   SQL range predicates reject NULLs). Partial overlap, missing stats,
+   legacy entries without null counts, or a timestamp-typed column
+   (its ISO stat rendering is not literal-comparable) → refuse.
+3. ``SELECT pcol[, COUNT(*)…] FROM t [WHERE pcol = lit] GROUP BY
+   pcol`` — the per-partition ``::n_rows`` map IS this result (hive
+   layout: partition value ↔ directory bijection; Iceberg's
+   ``partitions`` metadata table). The grouped column must be the
+   partition column and must appear in the select list.
+
+(COUNT(col) is NOT COUNT(*) — null-skipping needs per-column null
+counts at COUNT grain, which only the range path uses where recorded.)
 
 Result types come from the table's recorded ``spark_schema``, so a
 metadata answer is schema-identical to the scan it replaced — MIN of a
@@ -31,34 +45,74 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .snapshot import manifest_aggregate, read_manifest
+from .snapshot import (
+    manifest_aggregate,
+    manifest_partition_counts,
+    manifest_range_count,
+    read_manifest,
+)
 
 _STMT = re.compile(
     r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>[A-Za-z_]\w*)"
-    r"(?:\s+WHERE\s+(?P<wcol>[A-Za-z_]\w*)\s*=\s*"
-    r"(?P<wval>'[^']*'|-?\d+|true|false))?\s*;?\s*$",
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<gcol>[A-Za-z_]\w*))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ITEM = re.compile(
-    r"^\s*(?:COUNT\s*\(\s*\*\s*\)|(?P<fn>MIN|MAX)\s*\(\s*(?P<col>[A-Za-z_]\w*)\s*\))"
+    r"^\s*(?:COUNT\s*\(\s*\*\s*\)|(?P<fn>MIN|MAX)\s*\(\s*(?P<col>[A-Za-z_]\w*)\s*\)"
+    r"|(?P<bare>[A-Za-z_]\w*))"
     r"(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?\s*$",
     re.IGNORECASE,
 )
+_LIT = r"(?:'[^']*'|-?\d+(?:\.\d+)?|true|false)"
+_W_EQ = re.compile(
+    rf"^\s*(?P<col>[A-Za-z_]\w*)\s*=\s*(?P<val>{_LIT})\s*$",
+    re.IGNORECASE,
+)
+_W_CMP = re.compile(
+    rf"^\s*(?P<col>[A-Za-z_]\w*)\s*(?P<op><=|>=|<|>)\s*(?P<val>{_LIT})\s*$",
+    re.IGNORECASE,
+)
+_W_BETWEEN = re.compile(
+    rf"^\s*(?P<col>[A-Za-z_]\w*)\s+BETWEEN\s+(?P<lo>{_LIT})\s+AND\s+(?P<hi>{_LIT})\s*$",
+    re.IGNORECASE,
+)
+# keywords that must not be mistaken for a bare select column (the
+# items split sees only commas, so these cannot appear there anyway,
+# but guard the bare-column path against e.g. "SELECT all FROM t")
+_KEYWORDS = {"select", "from", "where", "group", "by", "and", "between"}
 
 
 def parse_metadata_select(sql: str) -> "dict | None":
     """Parse ``sql`` against the strict metadata-answerable grammar.
-    Returns ``{"table", "items": [(kind, col, alias)]}`` — kind is
-    ``count``/``min``/``max``, col is None for count — or ``None`` if
+    Returns ``{"table", "items": [(kind, col, alias)], "where",
+    "group_by"}`` — kind is ``count``/``min``/``max``/``group`` (col
+    is None for count, the grouped column for ``group``); ``where`` is
+    ``None``, ``("eq", col, raw)`` or ``("range", col, lo, hi,
+    lo_strict, hi_strict)`` with raw literal strings — or ``None`` if
     the statement is not provably metadata-answerable."""
     m = _STMT.match(sql)
     if not m:
         return None
+    gcol = m.group("gcol")
     items = []
+    n_bare = 0
     for raw in m.group("items").split(","):
         im = _ITEM.match(raw)
         if not im:
             return None
+        bare = im.group("bare")
+        if bare is not None:
+            # a bare column is only legal as THE grouped column
+            if (
+                gcol is None
+                or bare.lower() != gcol.lower()
+                or bare.lower() in _KEYWORDS
+            ):
+                return None
+            n_bare += 1
+            items.append(("group", bare, im.group("alias") or bare))
+            continue
         fn = (im.group("fn") or "count").lower()
         col = im.group("col")
         default = "count_star" if fn == "count" else f"{fn}_{col}"
@@ -66,10 +120,71 @@ def parse_metadata_select(sql: str) -> "dict | None":
     aliases = [a for _, _, a in items]
     if len(set(aliases)) != len(aliases):
         return None  # ambiguous output names — let a real engine error
-    where = (
-        (m.group("wcol"), m.group("wval")) if m.group("wcol") else None
-    )
-    return {"table": m.group("table"), "items": items, "where": where}
+    where = None
+    if m.group("where") is not None:
+        wtext = m.group("where")
+        if (em := _W_EQ.match(wtext)) is not None:
+            where = ("eq", em.group("col"), em.group("val"))
+        elif (cm := _W_CMP.match(wtext)) is not None:
+            op, val = cm.group("op"), cm.group("val")
+            if op in ("<", "<="):
+                where = ("range", cm.group("col"), None, val, False, op == "<")
+            else:
+                where = ("range", cm.group("col"), val, None, op == ">", False)
+        elif (bm := _W_BETWEEN.match(wtext)) is not None:
+            where = (
+                "range",
+                bm.group("col"),
+                bm.group("lo"),
+                bm.group("hi"),
+                False,
+                False,
+            )
+        else:
+            return None  # unsupported predicate: scan
+    if gcol is not None:
+        if n_bare != 1:
+            return None  # grouped column must appear in the select list
+        # per-group aggregates beyond COUNT(*) are not served (a
+        # per-group MIN/MAX proof exists in principle via per-partition
+        # stats, but the strict surface stops at the judged shape)
+        if any(k in ("min", "max") for k, _, _ in items):
+            return None
+        if where is not None and where[0] != "eq":
+            return None  # range + GROUP BY: not a served shape
+    if where is not None and where[0] == "range":
+        # the range proof covers COUNT(*) only: MIN/MAX under a range
+        # needs clipped extremes the manifest cannot prove
+        if any(k in ("min", "max") for k, _, _ in items):
+            return None
+    return {
+        "table": m.group("table"),
+        "items": items,
+        "where": where,
+        "group_by": gcol,
+    }
+
+
+def _typed_literal(raw: str, coltype: str):
+    """Decode a raw SQL literal against a column type, returning the
+    manifest-rendering value it compares against — or raise
+    ``_Refuse`` on a provability mismatch (quoted literal vs numeric
+    column, bare number vs string column, timestamp columns whose ISO
+    'T' rendering is not literal-comparable, …)."""
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    if raw.startswith("'"):
+        if coltype not in ("string", "date"):
+            raise _Refuse()  # quoted literal vs non-string/date column
+        return raw[1:-1]
+    if raw.lower() in ("true", "false"):
+        raise _Refuse()  # boolean stats are never recorded (prune-useless)
+    if coltype not in numeric:
+        raise _Refuse()  # bare number vs string/date/timestamp column
+    return float(raw) if ("." in raw or coltype in ("float", "double")) else int(raw)
+
+
+class _Refuse(Exception):
+    """Internal: this statement is not provably metadata-answerable."""
 
 
 def answer_from_manifest(
@@ -81,46 +196,74 @@ def answer_from_manifest(
 ) -> "DataFrame | None":
     """Answer ``sql`` from manifest metadata if its shape allows it and
     its table is in ``tables`` ({name: snapshot path}); else ``None``
-    (caller falls back to a real scan). The returned one-row frame has
-    the aliases and the SCAN-identical column types (from the table's
+    (caller falls back to a real scan). The returned frame has the
+    aliases and the SCAN-identical column types (from the table's
     recorded spark_schema)."""
+    try:
+        return _answer(spark, sql, tables, version)
+    except _Refuse:
+        return None
+
+
+def _answer(spark, sql, tables, version) -> "DataFrame | None":
     parsed = parse_metadata_select(sql)
     if parsed is None or parsed["table"] not in tables:
         return None
     path = tables[parsed["table"]]
     schema_meta = read_manifest(path, version).get("schema") or {}
-    where = None
-    if parsed["where"] is not None:
-        wcol, raw = parsed["where"]
-        if wcol != schema_meta.get("partition_col"):
-            return None  # only partition equality is manifest-provable
-        ptype = schema_meta.get("partition_type") or "string"
-        if raw.startswith("'"):
-            if ptype in ("tinyint", "smallint", "int", "bigint", "boolean"):
-                return None  # quoted literal vs non-string partition
-            wval: object = raw[1:-1]
-        elif raw.lower() in ("true", "false"):
-            if ptype != "boolean":
-                return None
-            wval = raw.lower() == "true"
-        else:
-            if ptype not in ("tinyint", "smallint", "int", "bigint"):
-                return None  # bare integer vs string/date partition
-            wval = int(raw)
-        where = (wcol, wval)
-    cols = sorted({c for _, c, _ in parsed["items"] if c})
-    agg = manifest_aggregate(
-        path, columns=cols, version=version, where_partition=where
-    )
-
-    from pyspark.sql.types import LongType, StructField, StructType
+    pcol = schema_meta.get("partition_col")
+    ptype = schema_meta.get("partition_type") or "string"
 
     sj = schema_meta.get("spark_schema")
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
     field_types = (
         {f.name: f.dataType for f in StructType.fromJson(json.loads(sj)).fields}
         if sj
         else {}
     )
+
+    where = parsed["where"]
+    if parsed["group_by"] is not None:
+        return _answer_group_by(
+            spark, parsed, path, pcol, ptype, field_types, version
+        )
+    if where is not None and where[0] == "range":
+        return _answer_range_count(
+            spark, parsed, path, pcol, ptype, field_types, schema_meta, version
+        )
+
+    eq = None
+    if where is not None:
+        _, wcol, raw = where
+        if wcol != pcol:
+            raise _Refuse()  # only partition equality is manifest-provable
+        wtype = ptype
+        if raw.startswith("'"):
+            if wtype in ("tinyint", "smallint", "int", "bigint", "boolean"):
+                raise _Refuse()  # quoted literal vs non-string partition
+            wval: object = raw[1:-1]
+        elif raw.lower() in ("true", "false"):
+            if wtype != "boolean":
+                raise _Refuse()
+            wval = raw.lower() == "true"
+        else:
+            if wtype not in ("tinyint", "smallint", "int", "bigint"):
+                raise _Refuse()  # bare number vs string/date partition
+            if "." in raw:
+                raise _Refuse()  # fractional literal vs integral partition
+            wval = int(raw)
+        eq = (wcol, wval)
+    cols = sorted({c for _, c, _ in parsed["items"] if c})
+    try:
+        agg = manifest_aggregate(
+            path, columns=cols, version=version, where_partition=eq
+        )
+    except ValueError:
+        # e.g. extremes over merge-on-read tombstoned partitions, or a
+        # column with no usable stats anywhere: not provable → scan
+        raise _Refuse()
+
     values, fields = [], []
     for fn, col, alias in parsed["items"]:
         if fn == "count":
@@ -134,11 +277,9 @@ def answer_from_manifest(
             # manifest values are _stat_json renderings; route through
             # a string cast so dates/timestamps land as their real type
             values.append(None if v is None else str(v))
-            from pyspark.sql.types import StringType
-
             fields.append(StructField(alias, StringType(), True))
     row = spark.createDataFrame([tuple(values)], StructType(fields))
-    from pyspark.sql import functions as F
+    from pyspark.sql import functions as F  # noqa: F401
 
     exprs = []
     for fn, col, alias in parsed["items"]:
@@ -147,3 +288,103 @@ def answer_from_manifest(
         else:
             exprs.append(F.col(alias).cast(field_types[col]).alias(alias))
     return row.select(*exprs)
+
+
+def _spark_simple_type(dt) -> str:
+    return dt.simpleString() if dt is not None else ""
+
+
+def _answer_range_count(
+    spark, parsed, path, pcol, ptype, field_types, schema_meta, version
+):
+    _, col, lo_raw, hi_raw, lo_strict, hi_strict = parsed["where"]
+    if col == pcol:
+        coltype = ptype
+    else:
+        coltype = _spark_simple_type(field_types.get(col))
+        if not coltype:
+            raise _Refuse()  # unknown column
+        stats_cols = schema_meta.get("stats_cols") or []
+        if col not in stats_cols:
+            # without recorded stats every partition would need a
+            # footer harvest; the provability contract wants the
+            # steady-state manifest answer, so refuse → scan
+            raise _Refuse()
+    lo = _typed_literal(lo_raw, coltype) if lo_raw is not None else None
+    hi = _typed_literal(hi_raw, coltype) if hi_raw is not None else None
+    n = manifest_range_count(
+        path,
+        col,
+        lo=lo,
+        hi=hi,
+        lo_strict=lo_strict,
+        hi_strict=hi_strict,
+        version=version,
+    )
+    if n is None:
+        return None  # partial overlap / legacy stats: real scan
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    fields = [
+        StructField(alias, LongType(), False)
+        for _, _, alias in parsed["items"]
+    ]
+    return spark.createDataFrame(
+        [tuple(n for _ in parsed["items"])], StructType(fields)
+    )
+
+
+def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
+    gcol = parsed["group_by"]
+    if pcol is None or gcol != pcol:
+        raise _Refuse()  # only the partition column groups at the manifest
+    eq = None
+    if parsed["where"] is not None:
+        _, wcol, raw = parsed["where"]
+        if wcol != pcol:
+            raise _Refuse()
+        if raw.startswith("'"):
+            if ptype in ("tinyint", "smallint", "int", "bigint", "boolean"):
+                raise _Refuse()
+            wval: object = raw[1:-1]
+        elif raw.lower() in ("true", "false"):
+            if ptype != "boolean":
+                raise _Refuse()
+            wval = raw.lower() == "true"
+        else:
+            if ptype not in ("tinyint", "smallint", "int", "bigint"):
+                raise _Refuse()
+            if "." in raw:
+                raise _Refuse()
+            wval = int(raw)
+        eq = (pcol, wval)
+    groups = manifest_partition_counts(
+        path, version=version, where_partition=eq
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    fields, row_fn = [], []
+    for kind, col, alias in parsed["items"]:
+        if kind == "group":
+            dt = field_types.get(pcol)
+            if dt is None:
+                raise _Refuse()
+            # values decoded from directory names are already typed for
+            # integral/boolean partitions; strings/dates go through the
+            # same string-cast path as the aggregate answerer
+            fields.append(StructField(alias, StringType(), True))
+            row_fn.append(lambda v, n: None if v is None else str(v))
+        else:  # count
+            fields.append(StructField(alias, LongType(), False))
+            row_fn.append(lambda v, n: n)
+    rows = [tuple(fn(v, n) for fn in row_fn) for v, n in groups]
+    frame = spark.createDataFrame(rows, StructType(fields))
+    from pyspark.sql import functions as F
+
+    exprs = []
+    for kind, col, alias in parsed["items"]:
+        if kind == "group":
+            exprs.append(F.col(alias).cast(field_types[pcol]).alias(alias))
+        else:
+            exprs.append(F.col(alias))
+    return frame.select(*exprs)

@@ -301,18 +301,25 @@ def _bloom_may_contain(hex_bits: str, value: int) -> bool:
 
 
 def _footer_stats(part_dir: Path, cols: list[str]) -> tuple[dict, int]:
-    """Aggregate per-column min/max AND the exact row count for one
-    partition directory from the parquet FOOTERS the write already
-    produced — no extra Spark job, no data page read. A column is
-    recorded only if EVERY row group in every file carries usable
-    min/max for it; otherwise it is omitted and readers keep the
-    partition (conservative). The row count has no such caveat: every
-    parquet footer states ``num_rows`` exactly."""
+    """Aggregate per-column min/max + null count AND the exact row
+    count for one partition directory from the parquet FOOTERS the
+    write already produced — no extra Spark job, no data page read. A
+    column is recorded only if EVERY row group in every file carries
+    usable min/max for it; otherwise it is omitted and readers keep
+    the partition (conservative). The row count has no such caveat:
+    every parquet footer states ``num_rows`` exactly.
+
+    Entry shape: ``[min, max, null_count]`` when every chunk reports
+    a null count (parquet-mr and parquet-cpp both write it), else the
+    legacy ``[min, max]`` — readers treat a 2-element entry as "null
+    count unknown" and refuse null-sensitive proofs (range COUNT)."""
     import pyarrow.parquet as pq
 
     mins: dict = {}
     maxs: dict = {}
+    nulls: dict = {}
     bad: set = set()
+    no_nulls_info: set = set()
     n_rows = 0
     for f in sorted(part_dir.glob("*.parquet")):
         md = pq.ParquetFile(str(f)).metadata
@@ -328,13 +335,35 @@ def _footer_stats(part_dir: Path, cols: list[str]) -> tuple[dict, int]:
                 lo = _stat_json(st.min) if st is not None and st.has_min_max else None
                 hi = _stat_json(st.max) if st is not None and st.has_min_max else None
                 if lo is None or hi is None:
+                    # an ALL-NULL chunk legitimately has no min/max —
+                    # it contributes only its null count, and min/max
+                    # over the partition's non-null values come from
+                    # the other chunks (SQL MIN/MAX semantics)
+                    if (
+                        st is not None
+                        and st.has_null_count
+                        and st.null_count == row_group.num_rows
+                    ):
+                        nulls[name] = nulls.get(name, 0) + st.null_count
+                        continue
                     bad.add(name)
                     mins.pop(name, None)
                     maxs.pop(name, None)
                     continue
                 mins[name] = lo if name not in mins else min(mins[name], lo)
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    return {c: [mins[c], maxs[c]] for c in mins}, n_rows
+                if st.has_null_count:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+                else:
+                    no_nulls_info.add(name)
+    return {
+        c: (
+            [mins[c], maxs[c], nulls.get(c, 0)]
+            if c not in no_nulls_info
+            else [mins[c], maxs[c]]
+        )
+        for c in mins
+    }, n_rows
 
 
 def _ranges_overlap(stats: dict, column_ranges: dict) -> bool:
@@ -347,7 +376,7 @@ def _ranges_overlap(stats: dict, column_ranges: dict) -> bool:
         rng = stats.get(col)
         if not rng:
             continue
-        cmin, cmax = rng
+        cmin, cmax = rng[0], rng[1]  # entry may carry [min, max, nulls]
         lo_n, hi_n = _stat_json(lo), _stat_json(hi)
         try:
             if (hi is not None and hi_n is not None and cmin > hi_n) or (
@@ -553,9 +582,87 @@ def read_snapshot(
                     out = out.withColumn(
                         logical_name, F.lit(None).cast(f.dataType)
                     )
+    tomb = man.get("tombstones")
+    if tomb and not empty_result:
+        t_parts = {
+            p: e for p, e in (tomb.get("parts") or {}).items() if p in parts
+        }
+        if t_parts:
+            out = _apply_tombstones(
+                spark, path, out, t_parts, tomb["key"], renames, meta
+            )
     if empty_result:
         out = out.limit(0)
     return out
+
+
+def _apply_tombstones(
+    spark: SparkSession,
+    path: str,
+    out: DataFrame,
+    t_parts: dict,
+    key: str,
+    renames: list,
+    meta: dict,
+) -> DataFrame:
+    """Apply merge-on-read delete tombstones to a snapshot scan: one
+    anti-join of the data against the tombstoned (key, partition)
+    pairs — Iceberg v2 equality-delete semantics, the read half of
+    ``delete_where(mode="merge-on-read")``. Only the tombstone files
+    of SELECTED partitions are read (t_parts is post-pruning), the
+    join key is (key, partition) so a key tombstoned in one partition
+    never suppresses its namesake elsewhere, and the tombstone side is
+    broadcast when the recorded suppressed-row total is small (the
+    steady state — compaction folds tombstones away before they
+    grow)."""
+    from pyspark.sql import functions as F
+
+    by_commit: dict[str, list[str]] = {}
+    for e in t_parts.values():
+        for rel in e["rels"]:
+            commit = os.path.dirname(rel)
+            by_commit.setdefault(commit, []).append(os.path.join(path, rel))
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    with _INFER_LOCK:
+        infer_old = spark.conf.get(infer_key, "true")
+        spark.conf.set(infer_key, "false")
+        try:
+            tscans = [
+                spark.read.option(
+                    "basePath", os.path.join(path, commit)
+                ).parquet(*sorted(dirs))
+                for commit, dirs in sorted(by_commit.items())
+            ]
+        finally:
+            spark.conf.set(infer_key, infer_old)
+    t = tscans[0]
+    for s in tscans[1:]:
+        t = t.unionByName(s, allowMissingColumns=True)
+    # tombstone files carry the physical column names of their delete
+    # commit — the same rename chain as the data applies
+    for old, new in renames or []:
+        if old in t.columns:
+            t = t.withColumnRenamed(old, new)
+    logical_key = key
+    for old, new in renames or []:
+        if logical_key == old:
+            logical_key = new
+    pcol = meta["partition_col"]
+    t = t.select(
+        F.col(logical_key).alias("__tomb_k"),
+        F.col(pcol).cast(meta["partition_type"]).alias("__tomb_p"),
+    )
+    total = sum(int(e.get("n_deleted") or 0) for e in t_parts.values())
+    if total <= 2_000_000:
+        t = F.broadcast(t)
+    # keys are never NULL (enforced at delete time); partition values
+    # may be (the NULL/default partition) — null-safe on that side
+    return out.join(
+        t,
+        (F.col(logical_key) == F.col("__tomb_k"))
+        & F.col(pcol).eqNullSafe(F.col("__tomb_p")),
+        "left_anti",
+    )
 
 
 def register_snapshot_view(
@@ -593,6 +700,8 @@ def _commit(
     stats: dict | None = None,
     blooms: dict | None = None,
     parent_txns: dict | None = None,
+    parent_manifest: dict | None = None,
+    tombstones: dict | None = None,
 ) -> int:
     """Atomically publish ``parent + 1``; raise on a lost race.
 
@@ -602,18 +711,45 @@ def _commit(
     Delta's txnAppId/txnVersion). ``parent_txns`` lets a caller that
     already parsed the parent manifest hand over its txn dict instead
     of paying a second full-manifest parse here (large tables carry
-    big partition maps in that JSON).
+    big partition maps in that JSON); ``parent_manifest`` does the
+    same for the whole parent manifest.
+
+    Merge-on-read TOMBSTONES (see :func:`delete_where` mode
+    ``"merge-on-read"``) ride the manifest as ``{"key": col, "parts":
+    {pname: {"rels": [dir, …], "n_deleted": int}}}``. The carry rule
+    is the invariant the whole design hangs on: **a tombstone entry
+    follows its partition DIRECTORY** — a partition carried by
+    reference (same rel as the parent) keeps its tombstones, a
+    partition whose directory was replaced drops them, because every
+    rewriter derives the new content from :func:`read_snapshot`,
+    which already applied them (the deleted rows are physically gone
+    from the rewrite). ``tombstones`` overrides the carried map for a
+    commit that adds tombstones itself.
     """
     snap = _snap_dir(path)
     snap.mkdir(parents=True, exist_ok=True)
     version = parent + 1
+    if parent_manifest is None and parent > 0:
+        parent_manifest = read_manifest(path, parent)
+    parent_manifest = parent_manifest or {}
     txns = dict(
-        (read_manifest(path, parent).get("txn") or {})
+        (parent_manifest.get("txn") or {})
         if parent_txns is None
         else parent_txns
     )
     if txn is not None:
         txns[txn[0]] = txn[1]
+    if tombstones is None:
+        ptomb = parent_manifest.get("tombstones") or {}
+        carried = {
+            p: e
+            for p, e in (ptomb.get("parts") or {}).items()
+            if p in partitions
+            and partitions[p] == (parent_manifest.get("partitions") or {}).get(p)
+        }
+        tombstones = (
+            {"key": ptomb["key"], "parts": carried} if carried else None
+        )
     manifest = {
         "version": version,
         "parent": parent,
@@ -621,13 +757,16 @@ def _commit(
         "operation": op,
         "schema": schema or {},
         "txn": txns,
-        # {partition_name: {col: [min, max]}} — only for partitions
-        # present in `partitions`, only for the table's stats_cols.
+        # {partition_name: {col: [min, max(, null_count)]}} — only for
+        # partitions present in `partitions`, only for the table's
+        # stats_cols.
         "stats": {p: s for p, s in (stats or {}).items() if p in partitions},
         # {partition_name: {col: hex_bitmap}} for the table's
         # bloom_cols — the point-lookup skipping index.
         "blooms": {p: b for p, b in (blooms or {}).items() if p in partitions},
     }
+    if tombstones:
+        manifest["tombstones"] = tombstones
     tmp = snap / f".tmp-{uuid.uuid4().hex[:12]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -935,6 +1074,7 @@ def write_snapshot(
         stats=stats,
         blooms=blooms,
         parent_txns=prior_man.get("txn") or {},
+        parent_manifest=prior_man,
     )
 
 
@@ -1160,6 +1300,7 @@ def _partition_scoped_commit(
             stats=stats,
             blooms=blooms,
             parent_txns=man.get("txn") or {},
+            parent_manifest=man,
         )
 
     if strict_key is not None:
@@ -1257,6 +1398,7 @@ def _partition_scoped_commit(
         stats=stats,
         blooms=blooms,
         parent_txns=man.get("txn") or {},
+        parent_manifest=man,
     )
 
 
@@ -1332,6 +1474,7 @@ def evolve_snapshot_schema(
         stats=dict(man.get("stats") or {}),
         blooms=dict(man.get("blooms") or {}),
         parent_txns=man.get("txn") or {},
+        parent_manifest=man,
     )
 
 
@@ -1341,6 +1484,8 @@ def delete_where(
     condition,
     *,
     txn: tuple[str, int] | None = None,
+    mode: str = "copy-on-write",
+    key: str | None = None,
 ) -> dict:
     """Row-level DELETE as a snapshot commit — the opt-out/right-to-be-
     forgotten primitive a training-data table needs: rows where
@@ -1348,24 +1493,53 @@ def delete_where(
     NULL** are kept (standard DELETE WHERE three-valued logic).
     ``condition`` is a Column or a SQL string.
 
-    Cost shape: one column-pruned scan finds the partitions that
-    actually contain matches (only the condition's columns + the
-    partition column are read); ONLY those partitions are re-read and
-    rewritten without the matching rows — a delete touching 0.1% of
-    partitions rewrites 0.1% of the table. A partition emptied
-    entirely is dropped from the manifest in the same commit
-    (``replace_partitions(drop_partitions=...)``). Old versions still
-    see the deleted rows until :func:`expire_snapshots` reclaims them
-    — physical erasure requires expiry, which the returned dict
-    states explicitly.
+    Two modes, the same trade Delta deletion vectors / Iceberg v2
+    delete files make:
+
+    ``mode="copy-on-write"`` (default): one column-pruned scan finds
+    the partitions that actually contain matches; ONLY those
+    partitions are re-read and rewritten without the matching rows — a
+    delete touching 0.1% of partitions rewrites 0.1% of the table. A
+    partition emptied entirely is dropped from the manifest in the
+    same commit. Best when deletes are rare or large.
+
+    ``mode="merge-on-read"`` (requires ``key=``, a non-null row-key
+    column): NO data rewrite at all — the matching rows' keys are
+    written as per-partition TOMBSTONE files (one small parquet of
+    (key, partition) pairs under a fresh commit dir) and recorded in
+    the manifest; :func:`read_snapshot` applies them as an anti-join.
+    A one-row delete in a 100 TB partition costs O(matches), not a
+    partition rewrite — the point of the mode. Semantics are Iceberg
+    equality-deletes: EVERY row whose key matches a tombstoned key in
+    that partition is suppressed (identical to the condition when the
+    key is unique); rows whose key is NULL cannot be equality-deleted
+    and raise (use copy-on-write). Tombstones are folded away — rows
+    physically dropped, manifest entries cleared — by any rewrite of
+    their partition (:func:`compact_snapshot`, merge, CoW delete),
+    because rewriters derive content from the tombstone-applied read.
+    Manifest aggregates stay exact for COUNT (per-partition suppressed
+    counts are recorded); MIN/MAX over tombstoned partitions refuse
+    (the extreme may be a deleted row).
+
+    Old versions still see the deleted rows until
+    :func:`expire_snapshots` reclaims them — physical erasure requires
+    expiry (plus, for merge-on-read, a compaction first), which the
+    returned dict states explicitly.
 
     Returns ``{"version", "deleted_rows", "rewritten_partitions",
-    "dropped_partitions", "physical_erasure_requires_expiry"}``;
+    "dropped_partitions", "physical_erasure_requires_expiry"}`` (plus
+    ``"tombstoned_keys"`` and ``"mode"`` for merge-on-read);
     a no-match delete commits nothing and returns the parent version.
     """
     from pyspark.sql import Column, functions as F
 
     cond = condition if isinstance(condition, Column) else F.expr(condition)
+    if mode == "merge-on-read":
+        if key is None:
+            raise ValueError("merge-on-read delete requires key=<row key column>")
+        return _delete_where_mor(spark, path, cond, key, txn)
+    if mode != "copy-on-write":
+        raise ValueError(f"unknown delete mode {mode!r}")
     parent = current_version(path)
     man = read_manifest(path, parent)
     pcol = (man.get("schema") or {}).get("partition_col")
@@ -1426,6 +1600,130 @@ def delete_where(
     }
 
 
+def _delete_where_mor(
+    spark: SparkSession,
+    path: str,
+    cond,
+    key: str,
+    txn: tuple[str, int] | None,
+) -> dict:
+    """Merge-on-read half of :func:`delete_where`: write per-partition
+    key tombstones, rewrite nothing. See the public docstring for the
+    semantics; the mechanics that matter at scale:
+
+    - the matching keys are computed from the LIVE view
+      (:func:`read_snapshot` applies existing tombstones), so a key
+      can never be tombstoned twice and the per-partition suppressed
+      counts stay exact by simple addition;
+    - tombstone parquet goes through :func:`_write_commit_data` — the
+      same fresh-commit-dir, fsync'd, partitioned write as data, so
+      expiry GC and crash-safety need no new rules;
+    - the manifest commit carries all partitions BY REFERENCE (no rel
+      changes), composing with :func:`_commit`'s carry rule: later
+      rewrites of a partition drop its tombstones automatically.
+    """
+    from pyspark.sql import functions as F
+
+    parent = current_version(path)
+    man = read_manifest(path, parent)
+    meta = man.get("schema") or {}
+    pcol = meta.get("partition_col")
+    if pcol is None:
+        raise ValueError(f"{path} has no committed snapshot to delete from")
+    if txn is not None and (man.get("txn") or {}).get(txn[0], -1) >= txn[1]:
+        return {
+            "version": parent,
+            "deleted_rows": 0,
+            "tombstoned_keys": 0,
+            "rewritten_partitions": 0,
+            "dropped_partitions": 0,
+            "mode": "merge-on-read",
+            "physical_erasure_requires_expiry": True,
+        }
+    prev_tomb = man.get("tombstones") or {}
+    if prev_tomb and prev_tomb.get("key") != key:
+        raise ValueError(
+            f"table already carries tombstones keyed by "
+            f"{prev_tomb.get('key')!r}; a single table uses one "
+            "tombstone key (compact to fold them away first)"
+        )
+    if key == pcol:
+        raise ValueError(
+            "tombstone key must not be the partition column — deleting "
+            "a whole partition value is drop_partitions territory "
+            "(copy-on-write delete handles it in one commit)"
+        )
+    cur = read_snapshot(spark, path, parent)
+    if key not in cur.columns:
+        raise ValueError(f"key column {key!r} is not a table column")
+    matches = cur.filter(F.coalesce(cond, F.lit(False)))
+    # one aggregate pass: per-partition matched keys + NULL-key guard
+    null_hits = matches.filter(F.col(key).isNull()).limit(1).count()
+    if null_hits:
+        raise ValueError(
+            "merge-on-read delete matched rows with a NULL key — "
+            "equality deletes cannot address them; use "
+            "mode='copy-on-write'"
+        )
+    keys_df = matches.select(key, pcol).distinct().localCheckpoint(
+        eager=False
+    )
+    # exact suppressed-row counts: every live row whose key is newly
+    # tombstoned (== the anti-join the readers will run, counted once)
+    suppressed = {
+        _hive_part_name(pcol, r[0]): int(r[1])
+        for r in cur.join(keys_df.select(
+            F.col(key).alias("__dk"), F.col(pcol).alias("__dp")
+        ), (F.col(key) == F.col("__dk"))
+            & F.col(pcol).eqNullSafe(F.col("__dp")), "semi")
+        .groupBy(pcol)
+        .agg(F.count(F.lit(1)))
+        .collect()
+    }
+    if not suppressed:
+        return {
+            "version": parent,
+            "deleted_rows": 0,
+            "tombstoned_keys": 0,
+            "rewritten_partitions": 0,
+            "dropped_partitions": 0,
+            "mode": "merge-on-read",
+            "physical_erasure_requires_expiry": True,
+        }
+    n_keys = keys_df.count()
+    entries, _tomb_stats = _write_commit_data(keys_df, path, pcol, [])
+    parts = dict((prev_tomb.get("parts") or {}))
+    for pname, rel in entries.items():
+        e = dict(parts.get(pname) or {"rels": [], "n_deleted": 0})
+        e = {
+            "rels": list(e["rels"]) + [rel],
+            "n_deleted": int(e["n_deleted"]) + suppressed.get(pname, 0),
+        }
+        parts[pname] = e
+    version = _commit(
+        path,
+        parent,
+        dict(man["partitions"]),
+        "delete-mor",
+        meta,
+        txn=txn,
+        stats=dict(man.get("stats") or {}),
+        blooms=dict(man.get("blooms") or {}),
+        parent_txns=man.get("txn") or {},
+        parent_manifest=man,
+        tombstones={"key": key, "parts": parts},
+    )
+    return {
+        "version": version,
+        "deleted_rows": int(sum(suppressed.values())),
+        "tombstoned_keys": int(n_keys),
+        "rewritten_partitions": 0,
+        "dropped_partitions": 0,
+        "mode": "merge-on-read",
+        "physical_erasure_requires_expiry": True,
+    }
+
+
 def expire_snapshots(
     path: str, *, keep: int = 2, min_age_sec: float = 3600.0
 ) -> list[str]:
@@ -1472,8 +1770,14 @@ def expire_snapshots(
     retained = [v for v in versions if v not in set(dropped)]
     live_commits = set()
     for v in retained:
-        for rel in read_manifest(path, v)["partitions"].values():
+        man_v = read_manifest(path, v)
+        for rel in man_v["partitions"].values():
             live_commits.add(rel.split(os.sep)[1])  # data/<commit>/<part>
+        # merge-on-read tombstone files live under commit dirs of their
+        # own — a referenced tombstone must survive like data
+        for e in ((man_v.get("tombstones") or {}).get("parts") or {}).values():
+            for rel in e["rels"]:
+                live_commits.add(rel.split(os.sep)[1])
     removed = []
     data_root = Path(path) / DATA_DIR
     if data_root.is_dir():
@@ -1565,7 +1869,10 @@ def compact_snapshot(
         df, path, partition_col, meta.get("stats_cols")
     )
     op = "compact+zorder" if zorder_by else "compact"
-    return _commit(path, parent, entries, op, meta, stats=stats, blooms=blooms)
+    return _commit(
+        path, parent, entries, op, meta, stats=stats, blooms=blooms,
+        parent_manifest=man,
+    )
 
 
 def table_info(path: str, version: int | None = None) -> dict:
@@ -1607,6 +1914,13 @@ def table_info(path: str, version: int | None = None) -> dict:
         "txn": man.get("txn") or {},
         "n_files": n_files,
         "n_bytes": n_bytes,
+        "tombstone_partitions": len(
+            (man.get("tombstones") or {}).get("parts") or {}
+        ),
+        "tombstoned_rows": sum(
+            int(e.get("n_deleted") or 0)
+            for e in ((man.get("tombstones") or {}).get("parts") or {}).values()
+        ),
     }
 
 
@@ -1637,8 +1951,13 @@ def maintain_snapshot(
     n_commits = len(
         {os.path.dirname(rel) for rel in man["partitions"].values()}
     )
+    # merge-on-read tombstones are deferred work: every tombstoned
+    # partition pays an anti-join per read and blocks manifest
+    # extremes — fold them away once they exist (same policy knob
+    # family as Delta's deletion-vector rewrite thresholds)
+    has_tombstones = bool((man.get("tombstones") or {}).get("parts"))
     compacted = None
-    if n_commits > max_commits:
+    if n_commits > max_commits or has_tombstones:
         compacted = compact_snapshot(spark, path)
     expired = expire_snapshots(
         path, keep=keep_versions, min_age_sec=min_age_sec
@@ -1671,6 +1990,12 @@ def diff_snapshots(
     man_b = read_manifest(path, to_version)
     pa, pb = man_a["partitions"], man_b["partitions"]
     changed = {p for p in set(pa) | set(pb) if pa.get(p) != pb.get(p)}
+    # a merge-on-read delete changes no partition DIRECTORY, but a
+    # partition whose tombstone set differs has suppressed rows — scan
+    # it on both sides and the feed classifies them as deletes
+    ta = (man_a.get("tombstones") or {}).get("parts") or {}
+    tb = (man_b.get("tombstones") or {}).get("parts") or {}
+    changed |= {p for p in set(ta) | set(tb) if ta.get(p) != tb.get(p)}
 
     def _scan(version):
         try:
@@ -1906,6 +2231,18 @@ def manifest_aggregate(
     if where_partition is not None:
         target = _hive_part_name(pcol, where_partition[1])
         parts = {p: rel for p, rel in parts.items() if p == target}
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    if (want or part_col_wanted) and any(p in tomb_parts for p in parts):
+        # merge-on-read tombstones: the physical extreme may be a
+        # deleted row (and a fully-suppressed partition's value must
+        # not count for the partition column) — COUNT stays exact via
+        # the recorded suppressed counts, extremes do not. Refuse
+        # loudly; compaction folds tombstones away and restores them.
+        raise ValueError(
+            "min/max over tombstoned partition(s) is unprovable from "
+            "the manifest — compact_snapshot first (COUNT(*) remains "
+            "answerable)"
+        )
     n_rows = 0
     mins: dict = {}
     maxs: dict = {}
@@ -1926,12 +2263,14 @@ def manifest_aggregate(
             )
         else:
             n_rows += entry[N_ROWS_KEY]
+        # merge-on-read deletes: suppressed rows are not in COUNT(*)
+        n_rows -= int((tomb_parts.get(pname) or {}).get("n_deleted") or 0)
         for c in want:
             rng = logical.get(c)
             if rng is None:
                 missing.setdefault(c, []).append(pname)
                 continue
-            lo, hi = rng
+            lo, hi = rng[0], rng[1]  # entry may carry [min, max, nulls]
             mins[c] = lo if c not in mins else min(mins[c], lo)
             maxs[c] = hi if c not in maxs else max(maxs[c], hi)
     if missing:
@@ -1970,3 +2309,203 @@ def manifest_aggregate(
         # for partitions that HAVE rows but no usable statistics)
         "columns": {c: {"min": mins.get(c), "max": maxs.get(c)} for c in want},
     }
+
+
+def _partition_value(pname: str, ptype: str):
+    """Decode one hive partition directory name to ``(is_null, typed
+    value)`` — the inverse of ``_hive_part_name`` for the types the
+    manifest layer serves (NULL/empty → the default partition)."""
+    from urllib.parse import unquote
+
+    raw = pname.split("=", 1)[1]
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return True, None
+    v = unquote(raw)
+    if ptype in ("tinyint", "smallint", "int", "bigint"):
+        return False, int(v)
+    if ptype == "boolean":
+        return False, v == "true"
+    return False, v  # string/date: hive rendering orders correctly
+
+
+def _partition_rows(man: dict, path: str) -> "dict[str, int]":
+    """Exact per-partition LIVE row counts for one manifest version —
+    ``::n_rows`` from the stats map, footer-harvested (footer bytes
+    only, no data pages) for partitions predating the row-count
+    upgrade, minus any merge-on-read tombstoned rows (recorded exactly
+    at delete time)."""
+    stats = man.get("stats") or {}
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    out: dict[str, int] = {}
+    for pname, rel in (man.get("partitions") or {}).items():
+        n = (stats.get(pname) or {}).get(N_ROWS_KEY)
+        if n is None:
+            _, n = _footer_stats(Path(path) / rel, [])
+        out[pname] = int(n) - int(
+            (tomb_parts.get(pname) or {}).get("n_deleted") or 0
+        )
+    return out
+
+
+def manifest_partition_counts(
+    path: str,
+    *,
+    version: "int | str | None" = None,
+    where_partition: "tuple[str, object] | None" = None,
+) -> list:
+    """Answer ``SELECT pcol, COUNT(*) … GROUP BY pcol`` from MANIFEST
+    METADATA: the per-partition ``::n_rows`` map IS that result — the
+    hive layout makes partition value ↔ directory a bijection, so the
+    group-by needs zero data pages (Iceberg's ``partitions`` metadata
+    table serves exactly this). At 100 TB the difference is an
+    O(partitions) JSON read vs a full shuffle-aggregate for the
+    "rows per day" poll every ingest dashboard runs.
+
+    Returns ``[(value, n_rows), …]`` sorted by partition NAME, one
+    entry per partition — including the NULL group
+    (``__HIVE_DEFAULT_PARTITION__`` → value None), matching SQL
+    GROUP BY semantics where NULLs form a group. Values are typed via
+    the recorded ``partition_type``. ``where_partition=(col, value)``
+    restricts to one partition (same provability contract as
+    :func:`manifest_aggregate`)."""
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    pcol = meta.get("partition_col")
+    if not pcol:
+        raise ValueError(
+            f"snapshot table at {path!r} is unpartitioned — no "
+            "partition column to group by"
+        )
+    ptype = meta.get("partition_type") or "string"
+    if where_partition is not None:
+        wcol, wval = where_partition
+        if wcol != pcol:
+            raise ValueError(
+                f"where_partition column {wcol!r} is not the partition "
+                f"column {pcol!r} — only partition equality is provable "
+                "from the manifest"
+            )
+        target = _hive_part_name(pcol, wval)
+        rows = {
+            p: n
+            for p, n in _partition_rows(man, path).items()
+            if p == target
+        }
+    else:
+        rows = _partition_rows(man, path)
+    # a group exists only where live rows do (SQL GROUP BY semantics) —
+    # a partition fully suppressed by merge-on-read tombstones has no
+    # live rows and therefore no group
+    return [
+        (_partition_value(p, ptype)[1], n)
+        for p, n in sorted(rows.items())
+        if n > 0
+    ]
+
+
+def manifest_range_count(
+    path: str,
+    column: str,
+    *,
+    lo=None,
+    hi=None,
+    lo_strict: bool = False,
+    hi_strict: bool = False,
+    version: "int | str | None" = None,
+) -> "int | None":
+    """``COUNT(*) WHERE column <in range>`` answered from manifest
+    statistics ONLY when every partition is PROVABLY fully inside or
+    fully outside the range — the Iceberg scan-planning trick run in
+    reverse: if pruning would keep a partition whose [min, max] is
+    fully contained, that partition contributes exactly its row count
+    minus its NULL count (min/max describe non-null values only, and
+    SQL range predicates reject NULLs — a partition with an unknown
+    null count is NOT answerable). Returns the exact count, or
+    ``None`` when any partition's containment is unprovable — partial
+    overlap, missing/legacy stats, unknown null count — so the caller
+    falls back to a real scan: a metadata answerer refuses what it
+    cannot prove, never approximates.
+
+    Bounds are manifest-rendering values (numbers for numeric columns,
+    ISO strings for dates — `_stat_json` ordering); ``lo_strict``/
+    ``hi_strict`` make the corresponding bound exclusive. The
+    PARTITION column is always answerable: each directory holds ONE
+    value (in-or-out, partial overlap impossible; the NULL partition
+    contributes 0 like SQL)."""
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    pcol = meta.get("partition_col")
+
+    def _in_lo(v) -> bool:
+        return lo is None or (v > lo if lo_strict else v >= lo)
+
+    def _in_hi(v) -> bool:
+        return hi is None or (v < hi if hi_strict else v <= hi)
+
+    part_rows = _partition_rows(man, path)
+    if column == pcol:
+        ptype = meta.get("partition_type") or "string"
+        total = 0
+        for pname, n in part_rows.items():
+            is_null, v = _partition_value(pname, ptype)
+            if is_null:
+                continue  # NULL satisfies no range predicate
+            try:
+                if _in_lo(v) and _in_hi(v):
+                    total += n
+            except TypeError:
+                return None  # incomparable literal vs partition type
+        return total
+
+    renames = (meta.get("renames") or [])
+
+    def _chain(name: str) -> str:
+        for old, new in renames:
+            if name == old:
+                name = new
+        return name
+
+    stats = man.get("stats") or {}
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    total = 0
+    for pname, n in part_rows.items():
+        if n == 0:
+            continue
+        entry = stats.get(pname) or {}
+        logical = {
+            _chain(k): v for k, v in entry.items() if k != N_ROWS_KEY
+        }
+        rng = logical.get(column)
+        if rng is None:
+            return None  # no recorded stats: containment unprovable
+        cmin, cmax = rng[0], rng[1]
+        try:
+            inside = _in_lo(cmin) and _in_hi(cmax)
+            # fully outside: every non-null value fails one bound
+            outside_lo = lo is not None and (
+                cmax < lo or (lo_strict and cmax <= lo)
+            )
+            outside_hi = hi is not None and (
+                cmin > hi or (hi_strict and cmin >= hi)
+            )
+        except TypeError:
+            return None  # incomparable bound type
+        if outside_lo or outside_hi:
+            # non-null values all excluded; nulls excluded by SQL —
+            # contributes 0 (tombstoned rows were a subset: still 0)
+            continue
+        if pname in tomb_parts:
+            # merge-on-read tombstones: the deleted rows' positions in
+            # the range are unknown, so a contributing partition's
+            # count is unprovable — refuse; compaction restores it
+            return None
+        nulls = rng[2] if len(rng) > 2 else None
+        if inside:
+            if nulls is None:
+                return None  # legacy entry: null count unknown
+            total += n - nulls
+        elif nulls is not None and nulls == n:
+            continue  # all-NULL partition: nothing satisfies a range
+        else:
+            return None  # partial overlap: not provable from stats
+    return total

@@ -438,3 +438,252 @@ def execute_merge(
         txn=txn,
         drop_partitions=affected - present,
     )
+
+
+# --------------------------------------------------------------- DML
+# The rest of the warehouse DML triad: UPDATE and DELETE statements,
+# routed through the same snapshot machinery (reference intent:
+# dmCustomerProc.py drives its maintenance through SQL statements).
+# UPDATE = partition-scoped replace of reclassified rows (only
+# partitions containing matches are rewritten — cost O(matches) +
+# O(touched partitions), like delete_where's copy-on-write shape);
+# DELETE = the statement form of sources.snapshot.delete_where, with
+# both physical modes (copy-on-write rewrite or merge-on-read key
+# tombstones) selectable by the caller.
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<target>[\w./-]+)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>(?!SET\b)\w+))?"
+    r"\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<target>[\w./-]+)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>(?!WHERE\b|USING\b)\w+))?"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _has_top_level_kw(text: str, kw: str) -> bool:
+    """True if ``kw`` appears at paren depth 0 outside string literals
+    — catches ``UPDATE … FROM src`` / ``DELETE … USING src`` misuse
+    without tripping on ``extract(month FROM d)`` inside calls."""
+    depth, in_str = 0, False
+    for tok in re.split(rf"(\b{kw}\b|['()])", text, flags=re.IGNORECASE):
+        if in_str:
+            if tok == "'":
+                in_str = False
+            continue
+        if tok == "'":
+            in_str = True
+        elif tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif tok.upper() == kw.upper() and depth == 0:
+            return True
+    return False
+
+
+def parse_update(sql: str) -> dict:
+    """Parse ``UPDATE t [AS a] SET col = expr[, …] [WHERE cond]``.
+    Raises on anything outside the grammar, with the misuse named —
+    notably ``UPDATE … FROM`` (that is MERGE INTO's job here)."""
+    m = _UPDATE_RE.match(sql.strip())
+    if not m:
+        raise ValueError("not a parseable UPDATE statement (UPDATE t SET col = expr [WHERE …])")
+    d = m.groupdict()
+    probe = d["sets"] + (" " + d["where"] if d["where"] else "")
+    if _has_top_level_kw(probe, "FROM"):
+        raise ValueError(
+            "UPDATE … FROM is not supported — an update sourced from "
+            "another table is MERGE INTO (WHEN MATCHED THEN UPDATE)"
+        )
+    sets = {}
+    for item in _split_top(d["sets"]):
+        if "=" not in item:
+            raise ValueError(f"unparseable SET item: {item!r}")
+        lhs, rhs = item.split("=", 1)
+        name = lhs.strip()
+        if d["alias"] and name.startswith(d["alias"] + "."):
+            name = name[len(d["alias"]) + 1:]
+        if not re.match(r"^\w+$", name):
+            raise ValueError(f"SET target must be a bare column, got {lhs.strip()!r}")
+        if name in sets:
+            raise ValueError(f"column {name!r} assigned twice in SET")
+        sets[name] = rhs.strip()
+    return {
+        "target": d["target"],
+        "alias": d["alias"],
+        "sets": sets,
+        "where": (d["where"] or "").strip() or None,
+    }
+
+
+def parse_delete(sql: str) -> dict:
+    """Parse ``DELETE FROM t [AS a] [WHERE cond]``. ``DELETE … USING``
+    raises with a pointer to MERGE's NOT-MATCHED-BY-SOURCE clause."""
+    m = _DELETE_RE.match(sql.strip())
+    if not m:
+        raise ValueError("not a parseable DELETE statement (DELETE FROM t [WHERE …])")
+    d = m.groupdict()
+    if d["where"] and _has_top_level_kw(d["where"], "USING"):
+        raise ValueError(
+            "DELETE … USING is not supported — a join-defined delete "
+            "set is MERGE INTO (WHEN NOT MATCHED BY SOURCE THEN DELETE)"
+        )
+    return {
+        "target": d["target"],
+        "alias": d["alias"],
+        "where": (d["where"] or "").strip() or None,
+    }
+
+
+def execute_update(
+    spark: SparkSession,
+    sql: str,
+    *,
+    tables: dict[str, str],
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Execute one UPDATE statement against a snapshot table.
+
+    Partition-scoped copy-on-write, delete_where's cost shape: one
+    column-pruned scan (WHERE columns + partition column only —
+    Catalyst prunes the rest) finds the partitions holding matches;
+    ONLY those are re-read, reclassified row-by-row (matched rows get
+    the SET expressions, the rest pass through unchanged), and
+    rewritten via ``replace_partitions`` — cold partitions carry by
+    reference. WHERE three-valued logic is standard: FALSE or NULL
+    rows are untouched. SET may not reassign the partition column
+    (a row's partition value is its placement; moving rows between
+    partitions is a delete+insert — MERGE territory). A no-match
+    update commits nothing and returns the parent version.
+    """
+    from .snapshot import (
+        _hive_part_name,
+        read_manifest,
+        read_snapshot,
+        replace_partitions,
+    )
+
+    p = parse_update(sql)
+    if p["target"] not in tables:
+        raise ValueError(
+            f"unknown UPDATE target {p['target']!r}; known: {sorted(tables)}"
+        )
+    path = tables[p["target"]]
+    man = read_manifest(path)
+    schema_meta = man.get("schema") or {}
+    if not schema_meta:
+        raise ValueError(
+            f"UPDATE target {p['target']!r} has no committed snapshot yet"
+        )
+    pcol = schema_meta["partition_col"]
+    t_cols = list(schema_meta["columns"])
+    bad = set(p["sets"]) - set(t_cols)
+    if bad:
+        raise ValueError(f"UPDATE SET of unknown columns: {sorted(bad)}")
+    if pcol in p["sets"]:
+        raise ValueError(
+            f"UPDATE SET may not reassign the partition column {pcol!r}: "
+            "moving rows between partitions is a delete+insert (MERGE)"
+        )
+    if txn is not None and (man.get("txn") or {}).get(txn[0], -1) >= txn[1]:
+        return man["version"]
+    cur = read_snapshot(spark, path, man["version"])
+    if p["alias"]:
+        cur = cur.alias(p["alias"])
+    cond = F.expr(p["where"]) if p["where"] else F.lit(True)
+    hit = F.coalesce(cond, F.lit(False))
+    hits = (
+        cur.groupBy(pcol)
+        .agg(F.sum(F.when(hit, 1).otherwise(0)).alias("n"))
+        .filter(F.col("n") > 0)
+        .collect()
+    )
+    if not hits:
+        return man["version"]
+    affected = {_hive_part_name(pcol, r[0]) for r in hits}
+    scoped = read_snapshot(
+        spark, path, man["version"], partition_filter=lambda q: q in affected
+    )
+    if p["alias"]:
+        scoped = scoped.alias(p["alias"])
+    content = scoped.select(
+        *[
+            (
+                F.when(hit, F.expr(p["sets"][c])).otherwise(F.col(c)).alias(c)
+                if c in p["sets"]
+                else F.col(c)
+            )
+            for c in t_cols
+        ]
+    )
+    return replace_partitions(
+        path,
+        content,
+        pcol,
+        expected_version=man["version"],
+        txn=txn,
+    )
+
+
+def execute_delete(
+    spark: SparkSession,
+    sql: str,
+    *,
+    tables: dict[str, str],
+    txn: tuple[str, int] | None = None,
+    mode: str = "copy-on-write",
+    key: str | None = None,
+) -> dict:
+    """Execute one DELETE statement against a snapshot table — the
+    statement form of :func:`sources.snapshot.delete_where`, physical
+    strategy selectable: ``mode="copy-on-write"`` rewrites matching
+    partitions, ``mode="merge-on-read"`` (with ``key=``) commits key
+    tombstones and rewrites nothing. Returns delete_where's result
+    dict. ``DELETE FROM t`` with no WHERE empties the table (every
+    partition dropped in one commit), matching SQL."""
+    from .snapshot import delete_where
+
+    p = parse_delete(sql)
+    if p["target"] not in tables:
+        raise ValueError(
+            f"unknown DELETE target {p['target']!r}; known: {sorted(tables)}"
+        )
+    cond = p["where"] if p["where"] else "true"
+    return delete_where(
+        spark, tables[p["target"]], cond, txn=txn, mode=mode, key=key
+    )
+
+
+def execute_dml(
+    spark: SparkSession,
+    sql: str,
+    *,
+    tables: dict[str, str],
+    txn: tuple[str, int] | None = None,
+    delete_mode: str = "copy-on-write",
+    delete_key: str | None = None,
+):
+    """Route one DML statement (MERGE INTO / UPDATE / DELETE FROM) to
+    its snapshot-layer executor by statement head. The single entry
+    point the CLI uses; returns the executor's native result (version
+    for MERGE/UPDATE, delete_where's dict for DELETE)."""
+    head = sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
+    if head == "MERGE":
+        return execute_merge(spark, sql, tables=tables, txn=txn)
+    if head == "UPDATE":
+        return execute_update(spark, sql, tables=tables, txn=txn)
+    if head == "DELETE":
+        return execute_delete(
+            spark, sql, tables=tables, txn=txn,
+            mode=delete_mode, key=delete_key,
+        )
+    raise ValueError(
+        f"not a DML statement (MERGE/UPDATE/DELETE): {sql.strip()[:60]!r}"
+    )

@@ -107,3 +107,150 @@ def test_partition_column_served_from_partition_names(base):
     assert agg["columns"]["p"] == {"min": 10, "max": 20}
     assert agg["columns"]["amt"] == {"min": 7.25, "max": 90.0}
     assert agg["n_rows"] == 4
+
+
+# ------------------------------------- GROUP BY pcol from the manifest
+
+
+def test_partition_counts_zero_data_pages(spark, base):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        manifest_partition_counts,
+    )
+
+    # the per-partition ::n_rows map IS the group-by — proven by
+    # deleting every data file first
+    for f in Path(base).rglob("*.parquet"):
+        f.unlink()
+    assert manifest_partition_counts(base) == [(10, 2), (20, 2)]
+    # partition-equality restriction composes
+    assert manifest_partition_counts(base, where_partition=("p", 20)) == [
+        (20, 2)
+    ]
+    assert manifest_partition_counts(base, where_partition=("p", 99)) == []
+    with pytest.raises(ValueError, match="not the partition column"):
+        manifest_partition_counts(base, where_partition=("k", 10))
+
+
+def test_partition_counts_null_group_and_versions(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        manifest_partition_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "k long, p string"
+    )
+    path = str(tmp_path / "nulls")
+    write_snapshot(df, path, "p")
+    # NULL partition forms a group with value None (SQL GROUP BY keeps
+    # the NULL group), sorted by partition NAME
+    got = dict(manifest_partition_counts(path))
+    assert got == {"a": 1, None: 2}
+
+
+# --------------------------------------- stats-proven range COUNT
+
+
+@pytest.fixture()
+def bucketed(spark, tmp_path):
+    # partition ranges are DISJOINT by construction (bucket = k // 10),
+    # so aligned predicates prove full containment and misaligned ones
+    # force partial overlap
+    rows = [(b * 10 + i, float(b * 10 + i), b) for b in range(4) for i in range(10)]
+    df = spark.createDataFrame(rows, "k long, amt double, b long")
+    path = str(tmp_path / "bucketed")
+    assert write_snapshot(df, path, "b", stats_cols=["k"]) == 1
+    return path
+
+
+def test_range_count_full_containment(bucketed):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        manifest_range_count,
+    )
+
+    # zero data pages: the proof must survive deleting every file
+    for f in Path(bucketed).rglob("*.parquet"):
+        f.unlink()
+    # buckets 1..2 fully inside, 0 and 3 fully outside
+    assert manifest_range_count(bucketed, "k", lo=10, hi=29) == 20
+    # open-ended range
+    assert manifest_range_count(bucketed, "k", lo=20) == 20
+    assert manifest_range_count(bucketed, "k", hi=9) == 10
+    # strict bounds at partition edges still prove containment
+    assert manifest_range_count(bucketed, "k", lo=9, hi=30, lo_strict=True, hi_strict=True) == 20
+    # whole-table and empty ranges
+    assert manifest_range_count(bucketed, "k", lo=0, hi=39) == 40
+    assert manifest_range_count(bucketed, "k", lo=100) == 0
+
+
+def test_range_count_refuses_partial_overlap(bucketed):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        manifest_range_count,
+    )
+
+    # 15 splits bucket 1: containment unprovable → None (caller scans)
+    assert manifest_range_count(bucketed, "k", lo=15, hi=29) is None
+    assert manifest_range_count(bucketed, "k", lo=10, hi=25) is None
+    # un-statted column: refuse
+    assert manifest_range_count(bucketed, "amt", lo=0.0, hi=100.0) is None
+
+
+def test_range_count_on_partition_column_never_partial(bucketed):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        manifest_range_count,
+    )
+
+    # each directory holds ONE value: every range is provable, even
+    # "misaligned" ones — and with zero data pages
+    for f in Path(bucketed).rglob("*.parquet"):
+        f.unlink()
+    assert manifest_range_count(bucketed, "b", lo=1, hi=2) == 20
+    assert manifest_range_count(bucketed, "b", lo=1, hi=1) == 10
+    assert manifest_range_count(bucketed, "b", hi=0) == 10
+    assert manifest_range_count(bucketed, "b", lo=0, lo_strict=True) == 30
+
+
+def test_range_count_null_exactness(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        manifest_range_count,
+        read_manifest,
+    )
+
+    # a fully-contained partition with NULLs contributes n_rows minus
+    # its null count — min/max describe non-null values only and SQL
+    # range predicates reject NULLs
+    df = spark.createDataFrame(
+        [(1, 0), (2, 0), (None, 0), (50, 1), (None, 1)], "k long, b long"
+    )
+    path = str(tmp_path / "nulltbl")
+    write_snapshot(df, path, "b", stats_cols=["k"])
+    man = read_manifest(path)
+    assert man["stats"]["b=0"]["k"] == [1, 2, 1]  # null count recorded
+    # both partitions fully inside: 5 rows - 2 nulls
+    assert manifest_range_count(path, "k", lo=0, hi=100) == 3
+    # b=0 fully inside (2 non-null), b=1 fully outside (50 > 10)
+    assert manifest_range_count(path, "k", lo=0, hi=10) == 2
+    # a bound through the middle of b=0's [1, 2]: partial → refuse
+    assert manifest_range_count(path, "k", lo=0, hi=1) is None
+
+
+def test_range_count_legacy_two_element_stats_refuse(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        manifest_range_count,
+        read_manifest,
+    )
+
+    df = spark.createDataFrame([(5, 0)], "k long, b long")
+    path = str(tmp_path / "legacy")
+    write_snapshot(df, path, "b", stats_cols=["k"])
+    # simulate a pre-upgrade manifest: strip the null count
+    import json as _json
+
+    man_dir = Path(path) / "_snapshots"
+    latest = sorted(man_dir.glob("v*.json"))[-1]
+    man = _json.loads(latest.read_text())
+    man["stats"]["b=0"]["k"] = man["stats"]["b=0"]["k"][:2]
+    latest.write_text(_json.dumps(man))
+    # containment holds but the null count is unknown → refuse
+    assert manifest_range_count(path, "k", lo=0, hi=10) is None
+    # fully-outside needs no null count → still answerable
+    assert manifest_range_count(path, "k", lo=100) == 0

@@ -32,19 +32,54 @@ def test_parse_accepts_the_strict_grammar():
             ("max", "ts", "last"),
         ],
         "where": None,
+        "group_by": None,
     }
     q = parse_metadata_select("SELECT COUNT(*) FROM t WHERE day = '2024-01-01'")
-    assert q["where"] == ("day", "'2024-01-01'")
+    assert q["where"] == ("eq", "day", "'2024-01-01'")
     assert parse_metadata_select("SELECT COUNT(*) FROM t WHERE p = 10")[
         "where"
-    ] == ("p", "10")
+    ] == ("eq", "p", "10")
+
+
+def test_parse_accepts_range_and_group_by_forms():
+    # range predicates: comparisons and BETWEEN, COUNT(*) only
+    assert parse_metadata_select("SELECT COUNT(*) FROM t WHERE x > 1")[
+        "where"
+    ] == ("range", "x", "1", None, True, False)
+    assert parse_metadata_select("SELECT COUNT(*) AS n FROM t WHERE x <= 9.5")[
+        "where"
+    ] == ("range", "x", None, "9.5", False, False)
+    assert parse_metadata_select("SELECT COUNT(*) FROM t WHERE x < 5")[
+        "where"
+    ] == ("range", "x", None, "5", False, True)
+    assert parse_metadata_select(
+        "SELECT COUNT(*) FROM t WHERE x BETWEEN 10 AND 29"
+    )["where"] == ("range", "x", "10", "29", False, False)
+    # group-by: the grouped column must appear in the select list
+    g = parse_metadata_select(
+        "SELECT day, COUNT(*) AS n FROM t GROUP BY day"
+    )
+    assert g["group_by"] == "day"
+    assert g["items"] == [("group", "day", "day"), ("count", None, "n")]
+    # group-by composed with partition equality
+    ge = parse_metadata_select(
+        "SELECT day AS d, COUNT(*) FROM t WHERE day = 10 GROUP BY day"
+    )
+    assert ge["where"] == ("eq", "day", "10") and ge["group_by"] == "day"
 
 
 @pytest.mark.parametrize(
     "sql",
     [
-        "SELECT COUNT(*) FROM t WHERE x > 1",  # non-equality WHERE: scan
-        "SELECT COUNT(*) FROM t GROUP BY x",
+        "SELECT COUNT(*) FROM t GROUP BY x",  # grouped col not selected
+        "SELECT y, COUNT(*) FROM t GROUP BY x",  # bare col ≠ grouped col
+        "SELECT x FROM t",  # bare column without GROUP BY
+        "SELECT x, MIN(y) FROM t GROUP BY x",  # per-group extremes: scan
+        "SELECT MIN(y) FROM t WHERE x > 1",  # clipped extremes: scan
+        "SELECT x, COUNT(*) FROM t WHERE y > 1 GROUP BY x",  # range+group
+        "SELECT COUNT(*) FROM t WHERE x <> 1",  # unsupported operator
+        "SELECT COUNT(*) FROM t WHERE x > 1 AND x < 9",  # conjunctions
+        "SELECT COUNT(*) FROM t WHERE x LIKE 'a%'",
         "SELECT COUNT(x) FROM t",  # null-skipping: not num_rows
         "SELECT SUM(x) FROM t",  # needs data
         "SELECT MIN(x + 1) FROM t",  # expression
@@ -167,8 +202,9 @@ def test_parser_accepts_exactly_the_generated_grammar(items, table):
         assert len(set(names)) != len(names)
     else:
         assert out["table"] == table and len(out["items"]) == len(items)
-        # appending a WHERE must flip it to refusal
-        assert parse_metadata_select(sql + " WHERE x > 1") is None
+        # appending an unsupported predicate must flip it to refusal
+        assert parse_metadata_select(sql + " WHERE x <> 1") is None
+        assert parse_metadata_select(sql + " WHERE x > 1 AND x < 9") is None
 
 
 def test_partition_equality_where_is_metadata_answered(spark, tbl):
@@ -200,6 +236,102 @@ def test_partition_equality_where_is_metadata_answered(spark, tbl):
     assert (
         answer_from_manifest(
             spark, "SELECT COUNT(*) FROM t WHERE p = 'ten'", {"t": tbl}
+        )
+        is None
+    )
+
+
+# ------------------------------------ GROUP BY pcol / range COUNT
+
+
+@pytest.fixture()
+def bucketed(spark, tmp_path):
+    # disjoint per-partition k ranges (b = k // 10): aligned predicates
+    # prove full containment, misaligned ones force partial overlap
+    rows = [(b * 10 + i, b) for b in range(3) for i in range(10)]
+    df = spark.createDataFrame(rows, "k long, b long")
+    path = str(tmp_path / "bucketed")
+    write_snapshot(df, path, "b", stats_cols=["k"])
+    return path
+
+
+def test_group_by_partition_answered_zero_data_pages(spark, tbl):
+    for f in Path(tbl).rglob("*.parquet"):
+        f.unlink()
+    out = answer_from_manifest(
+        spark, "SELECT p, COUNT(*) AS n FROM t GROUP BY p", {"t": tbl}
+    )
+    assert dict(out.dtypes) == {"p": "bigint", "n": "bigint"}
+    assert {(r.p, r.n) for r in out.collect()} == {(10, 2), (20, 1)}
+    # composed with partition equality
+    one = answer_from_manifest(
+        spark,
+        "SELECT p AS day, COUNT(*) AS n FROM t WHERE p = 10 GROUP BY p",
+        {"t": tbl},
+    ).collect()
+    assert [(r.day, r.n) for r in one] == [(10, 2)]
+    # grouping by a non-partition column: refuse → scan
+    assert (
+        answer_from_manifest(
+            spark, "SELECT k, COUNT(*) FROM t GROUP BY k", {"t": tbl}
+        )
+        is None
+    )
+
+
+def test_range_count_answered_and_refused(spark, bucketed):
+    for f in Path(bucketed).rglob("*.parquet"):
+        f.unlink()
+    out = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n FROM t WHERE k BETWEEN 10 AND 29",
+        {"t": bucketed},
+    ).collect()[0]
+    assert out.n == 20
+    # open-ended comparison, strict bound at a partition edge
+    assert answer_from_manifest(
+        spark, "SELECT COUNT(*) AS n FROM t WHERE k > 9", {"t": bucketed}
+    ).collect()[0].n == 20
+    assert answer_from_manifest(
+        spark, "SELECT COUNT(*) AS n FROM t WHERE k <= 9", {"t": bucketed}
+    ).collect()[0].n == 10
+    # range on the PARTITION column: one value per directory, always
+    # provable from names alone
+    assert answer_from_manifest(
+        spark, "SELECT COUNT(*) AS n FROM t WHERE b >= 1", {"t": bucketed}
+    ).collect()[0].n == 20
+    # partial overlap: refuse → scan (15 splits bucket 1)
+    assert (
+        answer_from_manifest(
+            spark,
+            "SELECT COUNT(*) FROM t WHERE k BETWEEN 15 AND 29",
+            {"t": bucketed},
+        )
+        is None
+    )
+    # quoted literal vs numeric column: type mismatch → refuse
+    assert (
+        answer_from_manifest(
+            spark, "SELECT COUNT(*) FROM t WHERE k > 'a'", {"t": bucketed}
+        )
+        is None
+    )
+
+
+def test_range_count_unstatted_and_timestamp_columns_refuse(spark, tbl):
+    # amt has stats but ts is timestamp-typed: ISO 'T' rendering is not
+    # literal-comparable → refuse; k is un-statted → refuse
+    assert (
+        answer_from_manifest(
+            spark,
+            "SELECT COUNT(*) FROM t WHERE ts > '2024-01-01 00:00:00'",
+            {"t": tbl},
+        )
+        is None
+    )
+    assert (
+        answer_from_manifest(
+            spark, "SELECT COUNT(*) FROM t WHERE k > 1", {"t": tbl}
         )
         is None
     )

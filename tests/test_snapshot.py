@@ -432,8 +432,8 @@ class TestManifestColumnStats:
     def test_stats_recorded_per_partition(self, stats_tbl):
         man = read_manifest(stats_tbl)
         assert man["schema"]["stats_cols"] == ["k"]
-        assert man["stats"]["p=0"]["k"] == [0, 9]
-        assert man["stats"]["p=2"]["k"] == [200, 209]
+        assert man["stats"]["p=0"]["k"] == [0, 9, 0]
+        assert man["stats"]["p=2"]["k"] == [200, 209, 0]
 
     def test_column_ranges_prune_at_manifest(self, spark, stats_tbl):
         got = read_snapshot(spark, stats_tbl, column_ranges={"k": (100, 109)})
@@ -479,8 +479,8 @@ class TestManifestColumnStats:
         )
         assert merge_snapshot(stats_tbl, src, "k", "p") == 2
         man = read_manifest(stats_tbl)
-        assert man["stats"]["p=1"]["k"] == [100, 150]  # refreshed from footers
-        assert man["stats"]["p=0"]["k"] == [0, 9]  # carried with the cold dir
+        assert man["stats"]["p=1"]["k"] == [100, 150, 0]  # refreshed from footers
+        assert man["stats"]["p=0"]["k"] == [0, 9, 0]  # carried with the cold dir
         # skipping still correct after the merge: only p=1 can hold
         # k=150, and the caller's real filter lands the exact row
         got = read_snapshot(spark, stats_tbl, column_ranges={"k": (150, 150)})
@@ -491,7 +491,7 @@ class TestManifestColumnStats:
         path = str(tmp_path / "boot_tbl")
         src = spark.createDataFrame([(7, "x", 0)], "k long, v string, p long")
         assert merge_snapshot(path, src, "k", "p", stats_cols=["k"]) == 1
-        assert read_manifest(path)["stats"]["p=0"]["k"] == [7, 7]
+        assert read_manifest(path)["stats"]["p=0"]["k"] == [7, 7, 0]
         # and a follow-up merge keeps collecting without restating
         assert merge_snapshot(
             path,
@@ -499,7 +499,7 @@ class TestManifestColumnStats:
             "k",
             "p",
         ) == 2
-        assert read_manifest(path)["stats"]["p=0"]["k"] == [7, 9]
+        assert read_manifest(path)["stats"]["p=0"]["k"] == [7, 9, 0]
 
     def test_missing_stats_keep_partition(self, spark, base):
         # `base` was written without stats_cols: column_ranges must be
@@ -519,13 +519,13 @@ class TestManifestColumnStats:
         path = str(tmp_path / "str_tbl")
         write_snapshot(df, path, "p", stats_cols=["name"])
         man = read_manifest(path)
-        assert man["stats"]["p=0"]["name"] == ["apple", "banana"]
+        assert man["stats"]["p=0"]["name"] == ["apple", "banana", 0]
         got = read_snapshot(spark, path, column_ranges={"name": ("a", "c")})
         assert all("/p=0/" in f for f in got.inputFiles())
         # compaction recomputes stats for the rewritten layout
         compact_snapshot(spark, path)
         man2 = read_manifest(path)
-        assert man2["stats"]["p=1"]["name"] == ["pear", "zebra"]
+        assert man2["stats"]["p=1"]["name"] == ["pear", "zebra", 0]
 
 
 class TestZOrderCompact:
@@ -570,7 +570,7 @@ class TestZOrderCompact:
         # contents identical; manifest stats recomputed and still exact
         got = read_snapshot(spark, path)
         assert got.count() == 64 * 64
-        assert man["stats"]["p=0"]["x"] == [0, 63]
+        assert man["stats"]["p=0"]["x"] == [0, 63, 0]
         # older version still readable (time travel untouched)
         assert read_snapshot(spark, path, 1).count() == 64 * 64
 
@@ -934,7 +934,7 @@ def test_overwrite_inherits_table_stats_and_bloom_properties(spark, tmp_path):
     assert man["schema"]["stats_cols"] == ["k"]
     assert man["schema"]["bloom_cols"] == ["k"]
     assert man["schema"]["bloom_bits"] == 8192
-    assert man["stats"]["p=0"]["k"] == [0, 9]
+    assert man["stats"]["p=0"]["k"] == [0, 9, 0]
     # skipping still works against the inherited stats
     got = read_snapshot(spark, path, column_ranges={"k": (100, 109)})
     assert {r.k for r in got.collect()} == set(range(100, 110))

@@ -303,3 +303,127 @@ def test_full_sync_preserves_null_partition(spark, tmp_path):
     # k=1 deleted from the NULL partition; k=2 (same partition,
     # untouched) must SURVIVE; k=3 matched, partition p=1 cold
     assert _rows(read_snapshot(spark, path)) == {(2, 200, None), (3, 300, 1)}
+
+
+# --------------------------------------------------- UPDATE / DELETE
+
+from pandas_analysis_with_postgres_spark.sources.sql_merge import (  # noqa: E402
+    execute_delete,
+    execute_dml,
+    execute_update,
+    parse_delete,
+    parse_update,
+)
+
+
+def test_update_statement_partition_scoped(spark, tbl):
+    v1 = read_manifest(tbl, 1)
+    v = execute_update(
+        spark,
+        "UPDATE tbl SET cents = cents * 2, name = upper(name) WHERE p = 10",
+        tables={"tbl": tbl},
+    )
+    assert v == 2
+    got = _rows(read_snapshot(spark, tbl))
+    assert got == {
+        (1, "A", 200, 10), (2, "B", 400, 10), (3, "c", 300, 20),
+    }
+    # p=20 held no matches: carried by reference, not rewritten
+    man = read_manifest(tbl)
+    assert man["partitions"]["p=20"] == v1["partitions"]["p=20"]
+    assert man["partitions"]["p=10"] != v1["partitions"]["p=10"]
+
+
+def test_update_where_three_valued_and_alias(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, None, 0), (2, 5, 0)], "k long, v long, p long"
+    )
+    path = str(tmp_path / "tri")
+    write_snapshot(df, path, "p")
+    # WHERE v > 1 is NULL for the v=NULL row: untouched (not updated)
+    execute_update(
+        spark,
+        "UPDATE t AS x SET v = x.v + 1 WHERE x.v > 1",
+        tables={"t": path},
+    )
+    assert _rows(read_snapshot(spark, path)) == {(1, None, 0), (2, 6, 0)}
+
+
+def test_update_no_match_commits_nothing(spark, tbl):
+    v = execute_update(
+        spark, "UPDATE tbl SET cents = 0 WHERE k = 999", tables={"tbl": tbl}
+    )
+    assert v == 1 and read_manifest(tbl)["version"] == 1
+
+
+def test_update_txn_idempotent(spark, tbl):
+    v = execute_update(
+        spark, "UPDATE tbl SET cents = cents + 1 WHERE k = 1",
+        tables={"tbl": tbl}, txn=("job", 3),
+    )
+    assert v == 2
+    v2 = execute_update(
+        spark, "UPDATE tbl SET cents = cents + 1 WHERE k = 1",
+        tables={"tbl": tbl}, txn=("job", 3),
+    )
+    assert v2 == 2  # replayed watermark: no-op
+    assert {r.cents for r in read_snapshot(spark, tbl).filter("k=1").collect()} == {101}
+
+
+def test_update_rejections(spark, tbl):
+    with pytest.raises(ValueError, match="partition column"):
+        execute_update(spark, "UPDATE tbl SET p = 99", tables={"tbl": tbl})
+    with pytest.raises(ValueError, match="unknown columns"):
+        execute_update(spark, "UPDATE tbl SET ghost = 1", tables={"tbl": tbl})
+    with pytest.raises(ValueError, match="MERGE INTO"):
+        parse_update("UPDATE tbl SET cents = s.c FROM src s WHERE s.k = tbl.k")
+    with pytest.raises(ValueError, match="not a parseable UPDATE"):
+        parse_update("UPDATE tbl WHERE k = 1")
+    with pytest.raises(ValueError, match="assigned twice"):
+        parse_update("UPDATE tbl SET a = 1, a = 2")
+    with pytest.raises(ValueError, match="bare column"):
+        parse_update("UPDATE tbl SET f(x) = 1")
+    # extract(... FROM ...) inside a call is NOT the FROM misuse
+    p = parse_update("UPDATE tbl SET m = extract(MONTH FROM ts)")
+    assert p["sets"] == {"m": "extract(MONTH FROM ts)"}
+
+
+def test_delete_statement_cow_and_mor(spark, tbl):
+    out = execute_delete(
+        spark, "DELETE FROM tbl WHERE k = 2", tables={"tbl": tbl}
+    )
+    assert out["deleted_rows"] == 1 and out["version"] == 2
+    assert {r.k for r in read_snapshot(spark, tbl).collect()} == {1, 3}
+    # merge-on-read flavor
+    out2 = execute_delete(
+        spark, "DELETE FROM tbl WHERE cents >= 300", tables={"tbl": tbl},
+        mode="merge-on-read", key="k",
+    )
+    assert out2["mode"] == "merge-on-read" and out2["deleted_rows"] == 1
+    assert {r.k for r in read_snapshot(spark, tbl).collect()} == {1}
+
+
+def test_delete_no_where_empties_table(spark, tbl):
+    out = execute_delete(spark, "DELETE FROM tbl", tables={"tbl": tbl})
+    assert out["deleted_rows"] == 3 and out["dropped_partitions"] == 2
+    assert read_snapshot(spark, tbl).count() == 0
+
+
+def test_delete_rejections():
+    with pytest.raises(ValueError, match="NOT MATCHED BY SOURCE"):
+        parse_delete("DELETE FROM tbl WHERE k IN (1) USING src")
+    with pytest.raises(ValueError, match="not a parseable DELETE"):
+        parse_delete("DELETE tbl WHERE k = 1")
+
+
+def test_execute_dml_routes_by_head(spark, tbl):
+    v = execute_dml(
+        spark, "UPDATE tbl SET cents = 0 WHERE k = 1", tables={"tbl": tbl}
+    )
+    assert v == 2
+    out = execute_dml(
+        spark, "DELETE FROM tbl WHERE k = 1", tables={"tbl": tbl}
+    )
+    assert out["deleted_rows"] == 1
+    with pytest.raises(ValueError, match="not a DML"):
+        execute_dml(spark, "SELECT 1", tables={"tbl": tbl})
