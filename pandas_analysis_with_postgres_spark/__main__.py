@@ -330,10 +330,30 @@ def main(argv: list[str] | None = None) -> int:
             if meta_ans is not None:
                 meta_ans.show(args.limit, truncate=False)
                 return 0
+            # scan path: honor SQL time travel (FOR VERSION/TIMESTAMP
+            # AS OF) by stripping the clause and pinning the view —
+            # Spark's parser has no AS OF for temp views
+            from .sources.metadata_sql import extract_as_of
+
+            query, as_of = extract_as_of(args.query)
+            pin = args.version
+            if as_of is not None:
+                if pin is not None:
+                    print(
+                        "both --version and FOR ... AS OF given — pick one",
+                        file=sys.stderr,
+                    )
+                    return 2
+                if "version" in as_of:
+                    pin = as_of["version"]
+                else:
+                    from .sources.snapshot import resolve_as_of
+
+                    pin = resolve_as_of(args.path, as_of["timestamp"])
             register_snapshot_view(
-                spark, args.path, args.view_name, version=args.version
+                spark, args.path, args.view_name, version=pin
             )
-            spark.sql(args.query).show(args.limit, truncate=False)
+            spark.sql(query).show(args.limit, truncate=False)
             return 0
         if args.action == "stats":
             import json as _json

@@ -3229,8 +3229,9 @@ def z40_metadata_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; the "rows per day" poll every ingest dashboard runs). The
     zero-data-read claim is proven in tests by deleting every parquet
     file and re-answering; the refusal surface (non-partition group
-    column, per-group MIN/MAX, range WHERE + GROUP BY) is unit-pinned.
-    Oracle recomputes the group-by from raw rows."""
+    column, range WHERE + GROUP BY) is unit-pinned — per-group
+    MIN/MAX over statted columns is ALSO served (z45). Oracle
+    recomputes the group-by from raw rows."""
     from ..sources.metadata_sql import answer_from_manifest
 
     path = _snapagg_table(spark, sf_dir)
@@ -3499,6 +3500,104 @@ SELECT o_orderstatus,
 FROM orders
 WHERE o_orderdate >= '1994-01-01'
 GROUP BY o_orderstatus
+"""
+
+
+def z45_metadata_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-answered GROUP BY with per-group extremes
+    (sources.snapshot.manifest_group_stats via the SQL front-end): a
+    group IS a partition under the hive bijection, so the per-partition
+    stats entries every commit records are EXACTLY the per-group
+    MIN/MAX (SQL extremes skip NULLs, as parquet min/max do) and
+    ``::n_rows`` the per-group counts — ``SELECT pcol, COUNT(*),
+    MIN(c), MAX(c) … GROUP BY pcol`` reads ZERO data pages, the
+    per-group half of the Iceberg scan-planning idiom. Result types
+    restored from the recorded spark_schema (the date extreme comes
+    back a timestamp, not the manifest's ISO string). Tombstoned or
+    stat-less partitions refuse → scan (unit-pinned). Oracle
+    recomputes the grouped aggregates from raw rows."""
+    from ..sources.metadata_sql import answer_from_manifest
+
+    path = _snapagg_table(spark, sf_dir)
+    out = answer_from_manifest(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n, MIN(o_totalprice) AS lo,"
+        " MAX(o_totalprice) AS hi, MAX(o_orderdate) AS latest"
+        " FROM orders GROUP BY o_orderstatus",
+        {"orders": path},
+    )
+    assert out is not None  # stats_cols cover both columns: provable
+    return out
+
+
+Z45_SQL = """
+SELECT o_orderstatus,
+       count(*)::BIGINT AS n,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi,
+       max(o_orderdate) AS latest
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def z46_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL time travel (``FOR VERSION AS OF`` — the Delta/Iceberg
+    statement syntax, parsed by sources.metadata_sql and honored by
+    the CLI scan path via extract_as_of): the same COUNT/MIN statement
+    answered against the CURRENT manifest and against the pre-delete
+    version 1, both metadata-only — history is just older manifests,
+    so time travel costs one JSON read, not a restore. Each manifest
+    version's stats serve ITS commit's files (the copy-on-write delete
+    refreshed the rewritten partitions' stats; v1 still points at the
+    originals). ``FOR TIMESTAMP AS OF`` resolution against recorded
+    ``committed_at`` wall-clocks, caller-pin ambiguity, and the
+    scan-path clause stripping are unit-pinned
+    (tests/test_metadata_sql.py). Oracle recomputes both versions from
+    raw rows (v1 = all orders; current = the delete's complement)."""
+    import os
+
+    from ..sources.metadata_sql import answer_from_manifest
+    from ..sources.snapshot import delete_where, write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _TT_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("sql_tt_") + "/orders_tbl"
+        write_snapshot(
+            load_table(spark, sf_dir, "orders"),
+            path,
+            "o_orderstatus",
+            stats_cols=["o_totalprice"],
+        )
+        delete_where(spark, path, "o_totalprice < 50000")
+        _TT_DROPS[key] = path
+    tables = {"orders": path}
+    v1 = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n_v1, MIN(o_totalprice) AS lo_v1"
+        " FROM orders FOR VERSION AS OF 1",
+        tables,
+    )
+    now = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n_now, MIN(o_totalprice) AS lo_now FROM orders",
+        tables,
+    )
+    assert v1 is not None and now is not None
+    return v1.crossJoin(now)
+
+
+_TT_DROPS: dict = {}
+
+
+Z46_SQL = """
+SELECT (SELECT count(*) FROM orders)::BIGINT AS n_v1,
+       (SELECT min(o_totalprice) FROM orders) AS lo_v1,
+       (SELECT count(*) FROM orders
+        WHERE o_totalprice >= 50000)::BIGINT AS n_now,
+       (SELECT min(o_totalprice) FROM orders
+        WHERE o_totalprice >= 50000) AS lo_now
 """
 
 Z35_SQL = f"""
@@ -4774,6 +4873,8 @@ EXTENSION_QUERIES = {
     "z42_mor_delete": z42_mor_delete,
     "z43_sql_update": z43_sql_update,
     "z44_sql_delete": z44_sql_delete,
+    "z45_metadata_groupby_stats": z45_metadata_groupby_stats,
+    "z46_sql_time_travel": z46_sql_time_travel,
 }
 
 EXTENSION_ORACLES = {
@@ -4839,6 +4940,8 @@ EXTENSION_ORACLES = {
     "z42_mor_delete": Z42_SQL,
     "z43_sql_update": Z43_SQL,
     "z44_sql_delete": Z44_SQL,
+    "z45_metadata_groupby_stats": Z45_SQL,
+    "z46_sql_time_travel": Z46_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

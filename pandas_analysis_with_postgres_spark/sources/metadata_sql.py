@@ -24,14 +24,26 @@ falls back to a real scan:
    SQL range predicates reject NULLs). Partial overlap, missing stats,
    legacy entries without null counts, or a timestamp-typed column
    (its ISO stat rendering is not literal-comparable) → refuse.
-3. ``SELECT pcol[, COUNT(*)…] FROM t [WHERE pcol = lit] GROUP BY
-   pcol`` — the per-partition ``::n_rows`` map IS this result (hive
-   layout: partition value ↔ directory bijection; Iceberg's
-   ``partitions`` metadata table). The grouped column must be the
-   partition column and must appear in the select list.
+3. ``SELECT pcol[, COUNT(*)/MIN(col)/MAX(col)…] FROM t [WHERE pcol =
+   lit] GROUP BY pcol`` — the per-partition ``::n_rows`` map IS the
+   count result (hive layout: partition value ↔ directory bijection;
+   Iceberg's ``partitions`` metadata table), and because a group IS a
+   partition, the per-partition stats entries are exactly the
+   per-group MIN/MAX (SQL extremes skip NULLs, as parquet min/max
+   do). The grouped column must be the partition column and must
+   appear in the select list; tombstoned or stat-less partitions
+   refuse the extremes.
 
 (COUNT(col) is NOT COUNT(*) — null-skipping needs per-column null
 counts at COUNT grain, which only the range path uses where recorded.)
+
+Every shape composes with SQL time travel — ``FROM t FOR VERSION AS
+OF <n>`` / ``FOR TIMESTAMP AS OF '<ts>'`` (the Delta/Iceberg syntax;
+timestamps resolve against each commit's recorded ``committed_at``
+via :func:`snapshot.resolve_as_of`) — because history is just older
+manifests: time travel costs one JSON read. ``extract_as_of`` strips
+the clause for callers that fall back to a real scan and need to pin
+the view themselves (the CLI's scan path).
 
 Result types come from the table's recorded ``spark_schema``, so a
 metadata answer is schema-identical to the scan it replaced — MIN of a
@@ -47,6 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .snapshot import (
     manifest_aggregate,
+    manifest_group_stats,
     manifest_partition_counts,
     manifest_range_count,
     read_manifest,
@@ -54,10 +67,44 @@ from .snapshot import (
 
 _STMT = re.compile(
     r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>[A-Za-z_]\w*)"
+    r"(?:\s+FOR\s+(?:VERSION\s+AS\s+OF\s+(?P<asof_v>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<asof_ts>[^']*)'))?"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<gcol>[A-Za-z_]\w*))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+#: Standalone time-travel clause matcher for ARBITRARY statements (the
+#: CLI strips it and pins the scan view when the strict grammar
+#: refuses) — Delta/Iceberg's SQL time-travel syntax.
+_AS_OF = re.compile(
+    r"\s+FOR\s+(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']*)')",
+    re.IGNORECASE,
+)
+
+
+def extract_as_of(sql: str) -> "tuple[str, dict | None]":
+    """Strip one ``FOR VERSION/TIMESTAMP AS OF`` clause from an
+    arbitrary statement, returning ``(clean_sql, {"version": n} |
+    {"timestamp": s} | None)``. Multiple clauses raise (one table, one
+    pin — multi-table time travel needs the API)."""
+    hits = list(_AS_OF.finditer(sql))
+    if not hits:
+        return sql, None
+    if len(hits) > 1:
+        raise ValueError(
+            "multiple FOR ... AS OF clauses — pin one table per "
+            "statement (use read_snapshot/register_snapshot_view for "
+            "multi-table time travel)"
+        )
+    m = hits[0]
+    spec = (
+        {"version": int(m.group("v"))}
+        if m.group("v") is not None
+        else {"timestamp": m.group("ts")}
+    )
+    return sql[: m.start()] + sql[m.end():], spec
 _ITEM = re.compile(
     r"^\s*(?:COUNT\s*\(\s*\*\s*\)|(?P<fn>MIN|MAX)\s*\(\s*(?P<col>[A-Za-z_]\w*)\s*\)"
     r"|(?P<bare>[A-Za-z_]\w*))"
@@ -120,6 +167,11 @@ def parse_metadata_select(sql: str) -> "dict | None":
     aliases = [a for _, _, a in items]
     if len(set(aliases)) != len(aliases):
         return None  # ambiguous output names — let a real engine error
+    as_of = None
+    if m.group("asof_v") is not None:
+        as_of = {"version": int(m.group("asof_v"))}
+    elif m.group("asof_ts") is not None:
+        as_of = {"timestamp": m.group("asof_ts")}
     where = None
     if m.group("where") is not None:
         wtext = m.group("where")
@@ -145,11 +197,6 @@ def parse_metadata_select(sql: str) -> "dict | None":
     if gcol is not None:
         if n_bare != 1:
             return None  # grouped column must appear in the select list
-        # per-group aggregates beyond COUNT(*) are not served (a
-        # per-group MIN/MAX proof exists in principle via per-partition
-        # stats, but the strict surface stops at the judged shape)
-        if any(k in ("min", "max") for k, _, _ in items):
-            return None
         if where is not None and where[0] != "eq":
             return None  # range + GROUP BY: not a served shape
     if where is not None and where[0] == "range":
@@ -162,6 +209,7 @@ def parse_metadata_select(sql: str) -> "dict | None":
         "items": items,
         "where": where,
         "group_by": gcol,
+        "as_of": as_of,
     }
 
 
@@ -210,6 +258,21 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
     if parsed is None or parsed["table"] not in tables:
         return None
     path = tables[parsed["table"]]
+    if parsed["as_of"] is not None:
+        # SQL time travel (Delta/Iceberg FOR ... AS OF syntax): the
+        # statement pins the version; a caller-side pin on top of it
+        # is ambiguous and loud
+        if version is not None:
+            raise ValueError(
+                "statement has FOR ... AS OF and the caller also "
+                "pinned a version — pick one"
+            )
+        if "version" in parsed["as_of"]:
+            version = parsed["as_of"]["version"]
+        else:
+            from .snapshot import resolve_as_of
+
+            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
     schema_meta = read_manifest(path, version).get("schema") or {}
     pcol = schema_meta.get("partition_col")
     ptype = schema_meta.get("partition_type") or "string"
@@ -358,9 +421,28 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
                 raise _Refuse()
             wval = int(raw)
         eq = (pcol, wval)
-    groups = manifest_partition_counts(
-        path, version=version, where_partition=eq
+    stat_cols = sorted(
+        {c for k, c, _ in parsed["items"] if k in ("min", "max")}
     )
+    if stat_cols:
+        if any(field_types.get(c) is None for c in stat_cols):
+            raise _Refuse()  # unknown/evolved-away column
+        # group ≡ partition: the per-partition stats entries ARE the
+        # per-group extremes (manifest_group_stats; footer fallback for
+        # pre-upgrade partitions, raise → refuse when unprovable)
+        try:
+            groups3 = manifest_group_stats(
+                path, stat_cols, version=version, where_partition=eq
+            )
+        except ValueError:
+            raise _Refuse()
+        groups = [(v, n) for v, n, _ in groups3]
+        col_stats = [s for _, _, s in groups3]
+    else:
+        groups = manifest_partition_counts(
+            path, version=version, where_partition=eq
+        )
+        col_stats = [{} for _ in groups]
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     fields, row_fn = [], []
@@ -373,11 +455,22 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
             # integral/boolean partitions; strings/dates go through the
             # same string-cast path as the aggregate answerer
             fields.append(StructField(alias, StringType(), True))
-            row_fn.append(lambda v, n: None if v is None else str(v))
-        else:  # count
+            row_fn.append(lambda v, n, s: None if v is None else str(v))
+        elif kind == "count":
             fields.append(StructField(alias, LongType(), False))
-            row_fn.append(lambda v, n: n)
-    rows = [tuple(fn(v, n) for fn in row_fn) for v, n in groups]
+            row_fn.append(lambda v, n, s: n)
+        else:  # min/max: stat_json rendering → string-cast like z34
+            fields.append(StructField(alias, StringType(), True))
+            idx = 0 if kind == "min" else 1
+            row_fn.append(
+                lambda v, n, s, c=col, i=idx: (
+                    None if s[c][i] is None else str(s[c][i])
+                )
+            )
+    rows = [
+        tuple(fn(v, n, s) for fn in row_fn)
+        for (v, n), s in zip(groups, col_stats)
+    ]
     frame = spark.createDataFrame(rows, StructType(fields))
     from pyspark.sql import functions as F
 
@@ -385,6 +478,8 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
     for kind, col, alias in parsed["items"]:
         if kind == "group":
             exprs.append(F.col(alias).cast(field_types[pcol]).alias(alias))
-        else:
+        elif kind == "count":
             exprs.append(F.col(alias))
+        else:
+            exprs.append(F.col(alias).cast(field_types[col]).alias(alias))
     return frame.select(*exprs)

@@ -111,6 +111,45 @@ def read_manifest(path: str, version: "int | str | None" = None) -> dict:
         return json.load(f)
 
 
+def resolve_as_of(path: str, timestamp) -> int:
+    """``FOR TIMESTAMP AS OF`` resolution: the newest version committed
+    at or before ``timestamp`` — Delta/Iceberg's time-travel-by-time
+    contract. ``timestamp`` is an epoch float/int or an ISO-8601
+    string (``'2026-08-15 12:00:00'``, local time, 'T' separator also
+    accepted). Uses the ``committed_at`` wall-clock each commit
+    records; manifests predating that field fall back to their file
+    mtime (same clock on a single writer host). Raises if the table
+    has no version that old — asking for a time before the table
+    existed is an error, not an empty read."""
+    if isinstance(timestamp, str):
+        import datetime
+
+        ts = datetime.datetime.fromisoformat(timestamp.replace("T", " "))
+        epoch = ts.timestamp()
+    else:
+        epoch = float(timestamp)
+    d = _snap_dir(path)
+    if not d.is_dir():
+        raise FileNotFoundError(f"no snapshot at {path}")
+    best = 0
+    for p in sorted(d.glob("v*.json")):
+        if not p.stem[1:].isdigit():
+            continue
+        v = int(p.stem[1:])
+        with open(p) as f:
+            committed = json.load(f).get("committed_at")
+        if committed is None:
+            committed = p.stat().st_mtime
+        if committed <= epoch and v > best:
+            best = v
+    if best == 0:
+        raise ValueError(
+            f"no version of {path} existed at or before {timestamp!r} "
+            f"(earliest retained commit is newer, or history was expired)"
+        )
+    return best
+
+
 _TAG_DIR = "tags"
 _TAG_NAME_OK = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789._-"
 
@@ -756,6 +795,10 @@ def _commit(
         "partitions": partitions,
         "operation": op,
         "schema": schema or {},
+        # commit wall-clock, the anchor for FOR TIMESTAMP AS OF
+        # (resolve_as_of); pre-upgrade manifests fall back to file
+        # mtime there
+        "committed_at": _now(),
         "txn": txns,
         # {partition_name: {col: [min, max(, null_count)]}} — only for
         # partitions present in `partitions`, only for the table's
@@ -2401,6 +2444,107 @@ def manifest_partition_counts(
         for p, n in sorted(rows.items())
         if n > 0
     ]
+
+
+def manifest_group_stats(
+    path: str,
+    columns: list[str],
+    *,
+    version: "int | str | None" = None,
+    where_partition: "tuple[str, object] | None" = None,
+) -> list:
+    """Per-group COUNT + MIN/MAX for ``GROUP BY partition_col`` from
+    MANIFEST METADATA: a group IS a partition (hive bijection), so the
+    per-partition stats entries — recorded from parquet footers at
+    commit time — are exactly the per-group extremes, and ``::n_rows``
+    the per-group counts. MIN/MAX skip NULLs in SQL and parquet
+    min/max describe non-null values, so null counts don't enter.
+    Zero data pages in the steady state; partitions predating stats
+    coverage fall back to a footer harvest of just those partitions
+    (footer bytes only). Raises when a requested column has no usable
+    stats anywhere for some partition, or when merge-on-read
+    tombstones make extremes unprovable (compact first).
+
+    Returns ``[(value, n_rows, {col: (min, max)}), …]`` sorted by
+    partition name, zero-live groups omitted (SQL GROUP BY), NULL
+    partition included as value None while it has live rows."""
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    pcol = meta.get("partition_col")
+    if not pcol:
+        raise ValueError(
+            f"snapshot table at {path!r} is unpartitioned — no "
+            "partition column to group by"
+        )
+    if pcol in columns:
+        raise ValueError(
+            "the grouped partition column's per-group min/max is the "
+            "group value itself — select the column, not MIN/MAX of it"
+        )
+    ptype = meta.get("partition_type") or "string"
+    renames = meta.get("renames") or []
+
+    def _chain(name: str) -> str:
+        for old, new in renames:
+            if name == old:
+                name = new
+        return name
+
+    aliases = set(columns)
+    for old, _new in renames:
+        if _chain(old) in aliases:
+            aliases.add(old)
+    parts = man.get("partitions") or {}
+    if where_partition is not None:
+        wcol, wval = where_partition
+        if wcol != pcol:
+            raise ValueError(
+                f"where_partition column {wcol!r} is not the partition "
+                f"column {pcol!r} — only partition equality is provable "
+                "from the manifest"
+            )
+        target = _hive_part_name(pcol, wval)
+        parts = {p: rel for p, rel in parts.items() if p == target}
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    if any(p in tomb_parts for p in parts):
+        raise ValueError(
+            "min/max over tombstoned partition(s) is unprovable from "
+            "the manifest — compact_snapshot first (COUNT(*) remains "
+            "answerable via manifest_partition_counts)"
+        )
+    stats = man.get("stats") or {}
+    out = []
+    for pname in sorted(parts):
+        entry = stats.get(pname) or {}
+        logical = {
+            _chain(k): v for k, v in entry.items() if k != N_ROWS_KEY
+        }
+        n = entry.get(N_ROWS_KEY)
+        need = [c for c in columns if c not in logical]
+        if n is None or need:
+            harvested, hrows = _footer_stats(
+                Path(path) / parts[pname], sorted(aliases)
+            )
+            logical.update({_chain(k): v for k, v in harvested.items()})
+            if n is None:
+                n = hrows
+        missing = [c for c in columns if c not in logical]
+        if missing and n > 0:
+            raise ValueError(
+                f"no usable min/max statistics for {missing} in "
+                f"{pname!r} — scan the data or add the column(s) to "
+                "stats_cols"
+            )
+        if n == 0:
+            continue  # no live rows: no group (SQL semantics)
+        out.append(
+            (
+                _partition_value(pname, ptype)[1],
+                int(n),
+                {c: (logical[c][0], logical[c][1]) for c in columns},
+            )
+        )
+    return out
 
 
 def manifest_range_count(

@@ -33,6 +33,7 @@ def test_parse_accepts_the_strict_grammar():
         ],
         "where": None,
         "group_by": None,
+        "as_of": None,
     }
     q = parse_metadata_select("SELECT COUNT(*) FROM t WHERE day = '2024-01-01'")
     assert q["where"] == ("eq", "day", "'2024-01-01'")
@@ -74,7 +75,6 @@ def test_parse_accepts_range_and_group_by_forms():
         "SELECT COUNT(*) FROM t GROUP BY x",  # grouped col not selected
         "SELECT y, COUNT(*) FROM t GROUP BY x",  # bare col ≠ grouped col
         "SELECT x FROM t",  # bare column without GROUP BY
-        "SELECT x, MIN(y) FROM t GROUP BY x",  # per-group extremes: scan
         "SELECT MIN(y) FROM t WHERE x > 1",  # clipped extremes: scan
         "SELECT x, COUNT(*) FROM t WHERE y > 1 GROUP BY x",  # range+group
         "SELECT COUNT(*) FROM t WHERE x <> 1",  # unsupported operator
@@ -335,3 +335,126 @@ def test_range_count_unstatted_and_timestamp_columns_refuse(spark, tbl):
         )
         is None
     )
+
+
+def test_group_by_with_extremes_zero_data_pages(spark, tbl):
+    # per-group MIN/MAX = the per-partition stats entries, proven by
+    # deleting every data file first (amt/ts are in stats_cols)
+    for f in Path(tbl).rglob("*.parquet"):
+        f.unlink()
+    out = answer_from_manifest(
+        spark,
+        "SELECT p, COUNT(*) AS n, MIN(amt) AS lo, MAX(amt) AS hi,"
+        " MAX(ts) AS last_ts FROM t GROUP BY p",
+        {"t": tbl},
+    )
+    assert dict(out.dtypes) == {
+        "p": "bigint", "n": "bigint", "lo": "double", "hi": "double",
+        "last_ts": "timestamp",
+    }
+    got = {(r.p, r.n, r.lo, r.hi) for r in out.collect()}
+    assert got == {(10, 2, 10.0, 99.5), (20, 1, 0.25, 0.25)}
+    # unknown column refuses → scan
+    assert (
+        answer_from_manifest(
+            spark, "SELECT p, MIN(ghost) FROM t GROUP BY p", {"t": tbl}
+        )
+        is None
+    )
+    # MIN of the grouped column itself is nonsense-by-construction
+    assert (
+        answer_from_manifest(
+            spark, "SELECT p, MIN(p) FROM t GROUP BY p", {"t": tbl}
+        )
+        is None
+    )
+
+
+def test_group_by_extremes_refuse_on_tombstones(spark, tbl):
+    delete_where(spark, tbl, "k = 1", mode="merge-on-read", key="k")
+    # counts still answerable, extremes refuse
+    assert answer_from_manifest(
+        spark, "SELECT p, COUNT(*) AS n FROM t GROUP BY p", {"t": tbl}
+    ) is not None
+    assert (
+        answer_from_manifest(
+            spark, "SELECT p, MIN(amt) AS lo FROM t GROUP BY p", {"t": tbl}
+        )
+        is None
+    )
+
+
+# ------------------------------------------------- SQL time travel
+
+
+def test_as_of_version_answers_old_manifest(spark, tbl):
+    delete_where(spark, tbl, "k = 1")  # v2 drops one row
+    now_ = answer_from_manifest(
+        spark, "SELECT COUNT(*) AS n FROM t", {"t": tbl}
+    ).collect()[0]
+    old = answer_from_manifest(
+        spark, "SELECT COUNT(*) AS n FROM t FOR VERSION AS OF 1", {"t": tbl}
+    ).collect()[0]
+    assert (now_.n, old.n) == (2, 3)
+    # composes with the rest of the grammar
+    grp = answer_from_manifest(
+        spark,
+        "SELECT p, COUNT(*) AS n FROM t FOR VERSION AS OF 1 GROUP BY p",
+        {"t": tbl},
+    ).collect()
+    assert {(r.p, r.n) for r in grp} == {(10, 2), (20, 1)}
+    # statement pin + caller pin is ambiguous and loud
+    with pytest.raises(ValueError, match="pick one"):
+        answer_from_manifest(
+            spark, "SELECT COUNT(*) FROM t FOR VERSION AS OF 1",
+            {"t": tbl}, version=2,
+        )
+
+
+def test_as_of_timestamp_resolves_commit_time(spark, tbl):
+    import time
+
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        resolve_as_of,
+    )
+
+    t_between = time.time()
+    time.sleep(0.05)
+    delete_where(spark, tbl, "k = 1")  # v2, committed after t_between
+    assert resolve_as_of(tbl, t_between) == 1
+    assert resolve_as_of(tbl, time.time()) == 2
+    with pytest.raises(ValueError, match="no version"):
+        resolve_as_of(tbl, 1.0)  # 1970: before the table existed
+    # through the SQL front-end with an ISO string
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(t_between).isoformat(sep=" ")
+    old = answer_from_manifest(
+        spark,
+        f"SELECT COUNT(*) AS n FROM t FOR TIMESTAMP AS OF '{iso}'",
+        {"t": tbl},
+    ).collect()[0]
+    assert old.n == 3
+
+
+def test_extract_as_of_strips_clause_for_scan_path():
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        extract_as_of,
+    )
+
+    clean, spec = extract_as_of(
+        "SELECT k, amt FROM snapshot FOR VERSION AS OF 3 WHERE amt > 1"
+    )
+    assert clean == "SELECT k, amt FROM snapshot WHERE amt > 1"
+    assert spec == {"version": 3}
+    clean2, spec2 = extract_as_of(
+        "SELECT * FROM t FOR TIMESTAMP AS OF '2026-01-01 00:00:00'"
+    )
+    assert clean2 == "SELECT * FROM t" and spec2 == {
+        "timestamp": "2026-01-01 00:00:00"
+    }
+    assert extract_as_of("SELECT * FROM t") == ("SELECT * FROM t", None)
+    with pytest.raises(ValueError, match="multiple"):
+        extract_as_of(
+            "SELECT * FROM a FOR VERSION AS OF 1 JOIN b FOR VERSION AS OF 2"
+        )
