@@ -145,6 +145,16 @@ EXTRA = (
     "z37_live_warc_ingest",
     "z38_variant_analytics",
     "z39_arrow_spread",
+    # round-7 additions
+    "z40_metadata_groupby",
+    "z41_metadata_range_count",
+    "z42_mor_delete",
+    "z43_sql_update",
+    "z44_sql_delete",
+    "z45_metadata_groupby_stats",
+    "z46_sql_time_travel",
+    "z47_live_optout",
+    "z48_compact_partitions",
 )
 
 

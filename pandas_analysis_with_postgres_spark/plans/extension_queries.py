@@ -3273,8 +3273,16 @@ def _rangecount_table(spark: SparkSession, sf_dir: str) -> str:
         orders = load_table(spark, sf_dir, "orders").withColumn(
             "okey_bucket", F.floor(F.col("o_orderkey") / 20000)
         )
+        # one file per partition dir: without this, 32 tasks × many
+        # buckets writes O(buckets·tasks) tiny files and the commit's
+        # durability fsync pass + footer harvest pays per FILE (the
+        # small-files problem, measured: the sf1 leg of the scale
+        # smoke blew past 590 s; repartitioned it is seconds)
         write_snapshot(
-            orders, path, "okey_bucket", stats_cols=["o_orderkey"]
+            orders.repartition("okey_bucket"),
+            path,
+            "okey_bucket",
+            stats_cols=["o_orderkey"],
         )
         _RANGECOUNT_DROPS[key] = path
     return path
@@ -3589,6 +3597,131 @@ def z46_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TT_DROPS: dict = {}
+
+
+_OPTOUT_DROPS: dict = {}
+
+
+def z47_live_optout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming opt-out / right-to-be-forgotten sink
+    (streaming.stream_optout_sink): a STREAM of doc ids to forget —
+    replayed as multiple micro-batches via maxFilesPerTrigger=1 —
+    drains into merge-on-read deletes against a documents snapshot
+    table: each batch commits key TOMBSTONES tagged txn=(app,
+    batch_id) (exactly-once under crash replay; z42's machinery), NO
+    data rewrite — the steady-state GDPR shape for a 100 TB corpus,
+    where physical erasure is the next compaction + expiry, and
+    readers stop seeing the rows at the batch's commit. The result
+    profiles the LIVE table per language; the oracle keeps the
+    complement of the opt-out list."""
+    import os
+
+    from ..sources.snapshot import read_snapshot, write_snapshot
+    from ..streaming import stream_optout_sink
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _OPTOUT_DROPS.get(key)
+    if path is None:
+        base = _tracked_mkdtemp("optout_")
+        path = base + "/docs_tbl"
+        docs = load_table(spark, sf_dir, "documents")
+        write_snapshot(docs, path, "lang")
+        # the opt-out list lands as files over time: two parquet drops,
+        # one per micro-batch (maxFilesPerTrigger=1)
+        ids = docs.filter("doc_id % 13 = 0").select("doc_id")
+        ids_dir = base + "/optout_ids"
+        for part, cond in (("a", "doc_id % 2 = 0"), ("b", "doc_id % 2 = 1")):
+            ids.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                f"{ids_dir}/{part}"
+            )
+        stream = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{ids_dir}/*")
+        )
+        stream_optout_sink(
+            stream,
+            path,
+            "doc_id",
+            app_id="z47-optout",
+            checkpoint_dir=base + "/ckpt",
+        )
+        _OPTOUT_DROPS[key] = path
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+Z47_SQL = """
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents
+WHERE doc_id % 13 <> 0
+GROUP BY lang
+"""
+
+
+_COMPACTP_DROPS: dict = {}
+
+
+def z48_compact_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped OPTIMIZE (sources.snapshot.compact_partitions)
+    — the small-files maintenance op: a fragmented ingest (32-task
+    write scatters every language's rows across O(tasks) tiny files
+    per directory) is rewritten to ONE file per partition dir, but
+    ONLY for partitions over the fragmentation threshold — at 100 TB
+    you re-cluster the hot ingest partitions, never the table
+    (Delta/Iceberg OPTIMIZE ... WHERE). Auto-selection also folds
+    merge-on-read tombstones (z42) into physical removal;
+    maintain_snapshot prefers this scoped rewrite when tombstones are
+    the only debt (unit-pinned, tests/test_snapshot.py). Maintenance
+    must be behavior-preserving, so the oracle hashes the CONTENT
+    after compaction against the raw rows — the rewrite is invisible
+    to readers; the file-count collapse itself is asserted in-query
+    (not SQL-expressible)."""
+    import os
+
+    from ..sources.snapshot import (
+        compact_partitions,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _COMPACTP_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("compactp_") + "/docs_tbl"
+        docs = load_table(spark, sf_dir, "documents").repartition(32)
+        write_snapshot(docs, path, "lang")
+        out = compact_partitions(spark, path, max_files=4)
+        assert out["compacted"], "fixture must actually be fragmented"
+        assert out["files_after"] == len(out["compacted"])  # 1 file/dir
+        _COMPACTP_DROPS[key] = path
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+Z48_SQL = """
+SELECT lang, source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       max(doc_id)::BIGINT AS max_doc
+FROM documents
+GROUP BY lang, source
+"""
 
 
 Z46_SQL = """
@@ -4875,6 +5008,8 @@ EXTENSION_QUERIES = {
     "z44_sql_delete": z44_sql_delete,
     "z45_metadata_groupby_stats": z45_metadata_groupby_stats,
     "z46_sql_time_travel": z46_sql_time_travel,
+    "z47_live_optout": z47_live_optout,
+    "z48_compact_partitions": z48_compact_partitions,
 }
 
 EXTENSION_ORACLES = {
@@ -4942,6 +5077,8 @@ EXTENSION_ORACLES = {
     "z44_sql_delete": Z44_SQL,
     "z45_metadata_groupby_stats": Z45_SQL,
     "z46_sql_time_travel": Z46_SQL,
+    "z47_live_optout": Z47_SQL,
+    "z48_compact_partitions": Z48_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

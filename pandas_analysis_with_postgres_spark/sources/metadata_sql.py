@@ -350,7 +350,12 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
             exprs.append(F.col(alias))
         else:
             exprs.append(F.col(alias).cast(field_types[col]).alias(alias))
-    return row.select(*exprs)
+    # ONE partition: createDataFrame slices even a 1-row answer across
+    # defaultParallelism, and a caller crossJoining two answers then
+    # plans a 32x32 CartesianProduct task storm (measured: three
+    # crossJoined answers = thousands of tasks). A metadata answer is
+    # a handful of rows; one partition is its correct physical shape.
+    return row.select(*exprs).coalesce(1)
 
 
 def _spark_simple_type(dt) -> str:
@@ -394,7 +399,7 @@ def _answer_range_count(
     ]
     return spark.createDataFrame(
         [tuple(n for _ in parsed["items"])], StructType(fields)
-    )
+    ).coalesce(1)
 
 
 def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
@@ -482,4 +487,4 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
             exprs.append(F.col(alias))
         else:
             exprs.append(F.col(alias).cast(field_types[col]).alias(alias))
-    return frame.select(*exprs)
+    return frame.select(*exprs).coalesce(1)

@@ -1918,6 +1918,88 @@ def compact_snapshot(
     )
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partitions: "list[str] | None" = None,
+    *,
+    max_files: int = 8,
+) -> dict:
+    """Partition-scoped OPTIMIZE — the small-files maintenance op:
+    rewrite ONLY fragmented partitions (more than ``max_files`` parquet
+    files in the live directory) and partitions carrying merge-on-read
+    tombstones (the rewrite folds them into physical removal); every
+    other partition is carried by reference, untouched. At 100 TB this
+    is the difference between re-clustering a handful of hot ingest
+    partitions and :func:`compact_snapshot`'s full-table rewrite — the
+    same reason Delta/Iceberg OPTIMIZE takes a WHERE.
+
+    A rewritten partition lands as ONE file per directory (hash
+    repartition on the partition column: every value's rows converge
+    to one task), with stats/blooms recomputed by the normal commit
+    path and its tombstone entries dropped by the carry rule. Explicit
+    ``partitions`` (manifest names, ``"col=value"``) override the
+    auto-selection. Returns ``{"version", "compacted", "files_before",
+    "files_after"}``; nothing fragmented → no commit.
+    """
+    from pyspark.sql import functions as F
+
+    man = read_manifest(path)
+    meta = man.get("schema") or {}
+    pcol = meta.get("partition_col")
+    if not pcol:
+        raise ValueError(f"{path} has no committed schema metadata")
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    live = man.get("partitions") or {}
+
+    def _n_files(pname: str) -> int:
+        return len(list((Path(path) / live[pname]).glob("*.parquet")))
+
+    if partitions is None:
+        selected = [
+            p
+            for p in live
+            if p in tomb_parts or _n_files(p) > max_files
+        ]
+    else:
+        unknown = [p for p in partitions if p not in live]
+        if unknown:
+            raise ValueError(f"unknown partition(s): {unknown}")
+        selected = list(partitions)
+    if not selected:
+        return {
+            "version": man.get("version", 0),
+            "compacted": [],
+            "files_before": 0,
+            "files_after": 0,
+        }
+    files_before = sum(_n_files(p) for p in selected)
+    sel = set(selected)
+    content = read_snapshot(
+        spark, path, man["version"], partition_filter=lambda p: p in sel
+    ).repartition(F.col(pcol))
+    version = replace_partitions(
+        path,
+        content,
+        pcol,
+        expected_version=man["version"],
+        # a fully-tombstoned partition rewrites to zero rows: drop it
+        drop_partitions=sel,
+    )
+    man2 = read_manifest(path, version)
+    files_after = sum(
+        len(list((Path(path) / rel).glob("*.parquet")))
+        for p, rel in man2["partitions"].items()
+        if p in sel
+    )
+    return {
+        "version": version,
+        "compacted": sorted(sel),
+        "files_before": files_before,
+        "files_after": files_after,
+    }
+
+
 def table_info(path: str, version: int | None = None) -> dict:
     """Describe a snapshot table — the observability surface a
     maintenance scheduler reads: current version/operation, partition
@@ -1997,11 +2079,18 @@ def maintain_snapshot(
     # merge-on-read tombstones are deferred work: every tombstoned
     # partition pays an anti-join per read and blocks manifest
     # extremes — fold them away once they exist (same policy knob
-    # family as Delta's deletion-vector rewrite thresholds)
+    # family as Delta's deletion-vector rewrite thresholds). Scoped to
+    # the tombstoned partitions via compact_partitions unless the
+    # commit count independently warrants the full rewrite (which
+    # folds them too).
     has_tombstones = bool((man.get("tombstones") or {}).get("parts"))
     compacted = None
-    if n_commits > max_commits or has_tombstones:
+    if n_commits > max_commits:
         compacted = compact_snapshot(spark, path)
+    elif has_tombstones:
+        compacted = compact_partitions(
+            spark, path, sorted((man["tombstones"]["parts"]))
+        )["version"]
     expired = expire_snapshots(
         path, keep=keep_versions, min_age_sec=min_age_sec
     )

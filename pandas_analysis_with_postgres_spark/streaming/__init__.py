@@ -17,6 +17,7 @@ from .streams import (
     stream_ivfpq_ingest,
     stream_quality_gate,
     stream_merge_sink,
+    stream_optout_sink,
     run_available_now,
     session_window_agg,
     sliding_window_counts,
@@ -40,5 +41,6 @@ __all__ = [
     "stream_ivfpq_ingest",
     "stream_quality_gate",
     "stream_merge_sink",
+    "stream_optout_sink",
     "windowed_hll_registers",
 ]

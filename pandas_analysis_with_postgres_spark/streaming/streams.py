@@ -486,6 +486,74 @@ def stream_merge_sink(
     )
 
 
+def stream_optout_sink(
+    df: DataFrame,
+    table_path: str,
+    key: str,
+    *,
+    app_id: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+    mode: str = "merge-on-read",
+) -> None:
+    """Opt-out / right-to-be-forgotten STREAM → snapshot delete with
+    exactly-once semantics: ``df`` is a stream of key values (column
+    ``key``), each micro-batch's keys are deleted from the table via
+    :func:`sources.snapshot.delete_where` tagged ``txn=(app_id,
+    batch_id)`` — a replayed batch after a crash is absorbed by the
+    manifest's transaction watermark, so every opt-out lands exactly
+    once.
+
+    ``mode="merge-on-read"`` (default) is the shape a 100 TB table
+    wants for a steady trickle of deletions: each batch commits small
+    key-tombstone files, NO data rewrite — readers anti-join them out
+    immediately, and the next compaction folds them into physical
+    erasure (which still requires :func:`expire_snapshots`, as the
+    delete result records). ``mode="copy-on-write"`` rewrites matching
+    partitions per batch instead.
+
+    The batch's distinct keys are collected to the driver to form the
+    delete predicate — an opt-out batch is a compliance list
+    (thousands of ids), not a data stream; the collect is bounded by
+    that contract and NULL keys are dropped (no row carries a NULL
+    identity). Commit races with concurrent writers retry in-run,
+    same as :func:`stream_merge_sink`."""
+    from pyspark.sql import functions as F
+
+    from ..sources.snapshot import ConcurrentCommitError, delete_where
+
+    def _delete(batch_df: DataFrame, batch_id: int) -> None:
+        ids = [
+            r[0]
+            for r in batch_df.select(key)
+            .where(F.col(key).isNotNull())
+            .distinct()
+            .collect()
+        ]
+        if not ids:
+            return
+        spark = batch_df.sparkSession
+        attempts = 5
+        for i in range(attempts):
+            try:
+                delete_where(
+                    spark,
+                    table_path,
+                    F.col(key).isin(ids),
+                    txn=(app_id, batch_id),
+                    mode=mode,
+                    key=key if mode == "merge-on-read" else None,
+                )
+                return
+            except ConcurrentCommitError:
+                if i == attempts - 1:
+                    raise
+
+    foreach_batch_sink(
+        df, _delete, checkpoint_dir=checkpoint_dir, timeout_sec=timeout_sec
+    )
+
+
 def stream_dedup_ingest(
     df: DataFrame,
     store_path: str,

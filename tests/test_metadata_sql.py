@@ -458,3 +458,16 @@ def test_extract_as_of_strips_clause_for_scan_path():
         extract_as_of(
             "SELECT * FROM a FOR VERSION AS OF 1 JOIN b FOR VERSION AS OF 2"
         )
+
+
+def test_answers_are_single_partition(spark, tbl):
+    # a metadata answer is a handful of rows; createDataFrame slices
+    # it across defaultParallelism and a caller crossJoining two
+    # answers then plans a 32x32 CartesianProduct task storm
+    # (measured: three crossJoined answers = thousands of tasks).
+    for sql in (
+        "SELECT COUNT(*) AS n FROM t",
+        "SELECT p, COUNT(*) AS n FROM t GROUP BY p",
+    ):
+        out = answer_from_manifest(spark, sql, {"t": tbl})
+        assert out.rdd.getNumPartitions() == 1

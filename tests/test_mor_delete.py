@@ -225,3 +225,66 @@ class TestMorDelete:
         tomb = (read_manifest(tbl).get("tombstones") or {}).get("parts") or {}
         assert "p=0" not in tomb
         assert {r.k for r in read_snapshot(spark, tbl).collect()} == {3, 4, 5}
+
+
+class TestStreamOptout:
+    def test_multibatch_tombstones_and_checkpoint_replay(self, spark, tmp_path):
+        from pandas_analysis_with_postgres_spark.streaming import (
+            stream_optout_sink,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"d{i}", i % 2) for i in range(20)],
+            "doc_id long, body string, p long",
+        )
+        tbl = str(tmp_path / "docs")
+        write_snapshot(df, tbl, "p")
+        # opt-out ids land as two files → two micro-batches
+        ids_dir = tmp_path / "ids"
+        for name, vals in (("a", [0, 3, 6]), ("b", [9, 12])):
+            spark.createDataFrame(
+                [(v,) for v in vals], "doc_id long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                str(ids_dir / name)
+            )
+        stream = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(ids_dir / "*"))
+        )
+        ckpt = str(tmp_path / "ckpt")
+        stream_optout_sink(
+            stream, tbl, "doc_id", app_id="optout-test", checkpoint_dir=ckpt
+        )
+        live = {r.doc_id for r in read_snapshot(spark, tbl).collect()}
+        assert live == set(range(20)) - {0, 3, 6, 9, 12}
+        man = read_manifest(tbl)
+        # merge-on-read: no data rewrite, tombstones accumulated over
+        # the micro-batch commits; txn watermark recorded per batch
+        assert man["partitions"] == read_manifest(tbl, 1)["partitions"]
+        assert man["tombstones"]["key"] == "doc_id"
+        assert sum(
+            e["n_deleted"] for e in man["tombstones"]["parts"].values()
+        ) == 5
+        # restart from the same checkpoint: availableNow finds no new
+        # files, and the txn watermark would absorb a replayed batch
+        v_before = man["version"]
+        stream2 = (
+            spark.readStream.schema("doc_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(ids_dir / "*"))
+        )
+        stream_optout_sink(
+            stream2, tbl, "doc_id", app_id="optout-test", checkpoint_dir=ckpt
+        )
+        assert read_manifest(tbl)["version"] == v_before
+        assert {r.doc_id for r in read_snapshot(spark, tbl).collect()} == live
+
+
+def test_tombstone_antijoin_broadcasts_when_small(spark, tbl):
+    delete_where(spark, tbl, "k = 1", mode="merge-on-read", key="k")
+    plan = read_snapshot(spark, tbl)._jdf.queryExecution().executedPlan().toString()
+    # the tombstone side is tiny: the anti-join must be broadcast
+    # (the size gate in _apply_tombstones), never a sort-merge shuffle
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

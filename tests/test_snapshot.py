@@ -1068,3 +1068,89 @@ def test_expire_removes_crashed_writer_temp_files(spark, tmp_path):
     expire_snapshots(path, keep=2, min_age_sec=3600)
     assert not stale.exists()
     assert fresh.exists()
+
+
+class TestCompactPartitions:
+    def _fragmented(self, spark, tmp_path):
+        # 64 rows per partition written from 16 tasks → many files per
+        # dir; p=2 written compactly in a second commit (1 task)
+        df = spark.createDataFrame(
+            [(i, f"v{i}", i % 2) for i in range(128)],
+            "k long, v string, p long",
+        ).repartition(16)
+        path = str(tmp_path / "frag")
+        write_snapshot(df, path, "p", stats_cols=["k"])
+        src = spark.createDataFrame(
+            [(1000 + i, f"w{i}", 2) for i in range(4)],
+            "k long, v string, p long",
+        ).coalesce(1)
+        merge_snapshot(path, src, "k", "p")
+        return path
+
+    def test_auto_select_rewrites_only_fragmented(self, spark, tmp_path):
+        from pandas_analysis_with_postgres_spark.sources.snapshot import (
+            compact_partitions,
+        )
+
+        path = self._fragmented(spark, tmp_path)
+        man_before = read_manifest(path)
+        before = {r.k for r in read_snapshot(spark, path).collect()}
+        out = compact_partitions(spark, path, max_files=4)
+        assert sorted(out["compacted"]) == ["p=0", "p=1"]  # p=2 has 1 file
+        assert out["files_after"] == 2  # one file per rewritten dir
+        assert out["files_before"] > out["files_after"]
+        man = read_manifest(path)
+        # cold partition carried by reference, content identical
+        assert man["partitions"]["p=2"] == man_before["partitions"]["p=2"]
+        assert {r.k for r in read_snapshot(spark, path).collect()} == before
+        # stats recomputed and exact for the rewritten dirs
+        assert man["stats"]["p=0"]["k"][:2] == [0, 126]
+        # healthy table: second call is a no-op, no commit
+        again = compact_partitions(spark, path, max_files=4)
+        assert again["compacted"] == [] and again["version"] == man["version"]
+
+    def test_folds_tombstones_and_drops_emptied(self, spark, tmp_path):
+        from pandas_analysis_with_postgres_spark.sources.snapshot import (
+            compact_partitions,
+            delete_where,
+            maintain_snapshot,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 1)], "k long, p long"
+        )
+        path = str(tmp_path / "tomb")
+        write_snapshot(df, path, "p")
+        delete_where(spark, path, "k <= 1", mode="merge-on-read", key="k")
+        delete_where(spark, path, "k = 3", mode="merge-on-read", key="k")
+        # auto-selection picks the tombstoned partitions even when not
+        # fragmented; p=1 rewrites to zero rows and is dropped
+        out = compact_partitions(spark, path)
+        assert sorted(out["compacted"]) == ["p=0", "p=1"]
+        man = read_manifest(path)
+        assert "tombstones" not in man
+        assert set(man["partitions"]) == {"p=0"}
+        assert {r.k for r in read_snapshot(spark, path).collect()} == {2}
+
+    def test_maintain_prefers_partition_scoped_for_tombstones(
+        self, spark, tmp_path
+    ):
+        from pandas_analysis_with_postgres_spark.sources.snapshot import (
+            delete_where,
+            maintain_snapshot,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 1)], "k long, p long"
+        )
+        path = str(tmp_path / "mnt")
+        write_snapshot(df, path, "p")
+        v1_rel = read_manifest(path)["partitions"]["p=1"]
+        delete_where(spark, path, "k = 1", mode="merge-on-read", key="k")
+        out = maintain_snapshot(spark, path, min_age_sec=1e9)
+        assert out["compacted"] is not None
+        man = read_manifest(path)
+        assert "tombstones" not in man
+        # only the tombstoned partition was rewritten
+        assert man["partitions"]["p=1"] == v1_rel
+        assert {r.k for r in read_snapshot(spark, path).collect()} == {2, 3}
