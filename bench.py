@@ -155,6 +155,7 @@ EXTRA = (
     "z46_sql_time_travel",
     "z47_live_optout",
     "z48_compact_partitions",
+    "z49_wap_publish",
 )
 
 

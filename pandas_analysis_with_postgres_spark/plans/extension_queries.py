@@ -3724,6 +3724,72 @@ GROUP BY lang, source
 """
 
 
+_WAP_DROPS: dict = {}
+
+
+def z49_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (sources.snapshot.stage_commit /
+    publish_staged — Iceberg's WAP pattern): a curation ETL writes the
+    CLEANED corpus as a STAGED commit that production readers never
+    see, the audit queries it explicitly via ``version="staged:…"``
+    (every reader accepts the handle — here the manifest-metadata
+    COUNT gates the publish), and only then is it promoted to the next
+    version by one atomic hard-link. At 100 TB this is how an ETL run
+    lands: hours of writing against the staged manifest while reads
+    stay pinned to the published version; a failed audit is
+    drop_staged + GC, not a restore. Staleness (publish after the
+    table advanced), property inheritance, constraint enforcement at
+    stage time, and staged-data GC safety are unit-pinned
+    (tests/test_wap.py). The result profiles the PUBLISHED table; the
+    oracle recomputes the curation from raw rows."""
+    import os
+
+    from ..sources.snapshot import (
+        manifest_aggregate,
+        publish_staged,
+        read_snapshot,
+        stage_commit,
+        write_snapshot,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _WAP_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("wap_") + "/docs_tbl"
+        docs = load_table(spark, sf_dir, "documents")
+        write_snapshot(docs, path, "lang")
+        cleaned = docs.filter(
+            (F.col("n_chars") >= 50) & F.col("lang").isNotNull()
+        )
+        handle = stage_commit(cleaned, path, "lang", name="curation")
+        # the AUDIT: a metadata-only row-count sanity gate against the
+        # staged manifest — the curation must keep a nonzero corpus
+        # and must not grow it
+        staged_n = manifest_aggregate(path, version=handle)["n_rows"]
+        live_n = manifest_aggregate(path)["n_rows"]
+        assert 0 < staged_n <= live_n, "audit failed — would drop_staged"
+        publish_staged(path, "curation")
+        _WAP_DROPS[key] = path
+    return (
+        read_snapshot(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+Z49_SQL = """
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents
+WHERE n_chars >= 50 AND lang IS NOT NULL
+GROUP BY lang
+"""
+
+
 Z46_SQL = """
 SELECT (SELECT count(*) FROM orders)::BIGINT AS n_v1,
        (SELECT min(o_totalprice) FROM orders) AS lo_v1,
@@ -5010,6 +5076,7 @@ EXTENSION_QUERIES = {
     "z46_sql_time_travel": z46_sql_time_travel,
     "z47_live_optout": z47_live_optout,
     "z48_compact_partitions": z48_compact_partitions,
+    "z49_wap_publish": z49_wap_publish,
 }
 
 EXTENSION_ORACLES = {
@@ -5079,6 +5146,7 @@ EXTENSION_ORACLES = {
     "z46_sql_time_travel": Z46_SQL,
     "z47_live_optout": Z47_SQL,
     "z48_compact_partitions": Z48_SQL,
+    "z49_wap_publish": Z49_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

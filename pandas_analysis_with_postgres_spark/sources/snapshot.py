@@ -101,8 +101,20 @@ def current_version(path: str) -> int:
 
 def read_manifest(path: str, version: "int | str | None" = None) -> dict:
     """Load one manifest (default: the newest). A string ``version``
-    is resolved as a TAG name (:func:`tag_snapshot`)."""
+    is resolved as a TAG name (:func:`tag_snapshot`), or — with a
+    ``staged:`` prefix — as a STAGED commit (:func:`stage_commit`),
+    which lets every reader (``read_snapshot``, ``manifest_aggregate``,
+    the metadata SQL front-end) audit staged data through the ordinary
+    version parameter."""
     if isinstance(version, str):
+        if version.startswith("staged:"):
+            sp = _staged_path(path, version[len("staged:"):])
+            if not sp.exists():
+                raise KeyError(
+                    f"no staged commit {version[len('staged:'):]!r} on {path}"
+                )
+            with open(sp) as f:
+                return json.load(f)
         version = resolve_tag(path, version)
     v = current_version(path) if version is None else version
     if v == 0:
@@ -961,6 +973,181 @@ def _enforce_constraints(df: DataFrame, constraints: list[str]) -> None:
         )
 
 
+_STAGED_DIR = "staged"
+
+
+def _staged_path(path: str, name: str) -> Path:
+    if not name or any(c not in _TAG_NAME_OK for c in name):
+        raise ValueError(f"invalid staged-commit name {name!r}")
+    return _snap_dir(path) / _STAGED_DIR / f"{name}.json"
+
+
+def stage_commit(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    *,
+    name: str,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> str:
+    """WRITE-AUDIT-PUBLISH, the write half (Iceberg's WAP pattern): the
+    full new table content is written and manifested exactly like an
+    overwrite commit, but the manifest lands under
+    ``_snapshots/staged/<name>.json`` instead of becoming the next
+    version — READERS OF THE TABLE NEVER SEE IT. Audit queries read it
+    explicitly via ``version="staged:<name>"`` (every reader accepts
+    it: ``read_snapshot``, ``manifest_aggregate``, the metadata SQL
+    front-end), and :func:`publish_staged` promotes it atomically once
+    the audit passes — or :func:`drop_staged` discards it, with the
+    data reclaimed by the next :func:`expire_snapshots`.
+
+    At 100 TB this is how an ETL run lands: hours of writing happen
+    against the staged manifest while production reads stay pinned to
+    the published version; the publish itself is one hard-link — the
+    same atomicity as any commit. Table properties (stats/bloom/
+    constraints) inherit from the CURRENT version like an overwrite
+    would, and CHECK constraints are enforced at stage time (a staged
+    commit that could never publish legally is refused up front).
+
+    Returns the audit handle ``"staged:<name>"``. Staging the same
+    name twice raises (drop it first); the staged manifest records the
+    parent it was staged against, and publish re-validates that parent
+    is still current (optimistic concurrency, same as any commit).
+    """
+    sp = _staged_path(path, name)
+    if sp.exists():
+        raise ValueError(
+            f"staged commit {name!r} already exists on {path}; "
+            "publish_staged or drop_staged it first"
+        )
+    _check_partition_type(df, partition_col, "stage")
+    parent = current_version(path)
+    prior_man = read_manifest(path, parent) if parent else {}
+    prior_schema = prior_man.get("schema") or {}
+    if stats_cols is None:
+        stats_cols = prior_schema.get("stats_cols")
+    constraints = prior_schema.get("constraints")
+    if bloom_cols is None:
+        bloom_cols = prior_schema.get("bloom_cols")
+    bloom_bits = prior_schema.get("bloom_bits") or BLOOM_BITS
+    _check_retired(df.columns, prior_schema, "stage")
+    if bloom_cols or constraints:
+        df = df.localCheckpoint(eager=False)
+    if constraints:
+        _enforce_constraints(df, constraints)
+    blooms = (
+        _compute_blooms(df, partition_col, bloom_cols, bloom_bits)
+        if bloom_cols
+        else {}
+    )
+    entries, stats = _write_commit_data(df, path, partition_col, stats_cols)
+    meta = _schema_meta(df, partition_col, stats_cols, bloom_cols, bloom_bits)
+    if constraints:
+        meta["constraints"] = list(constraints)
+    for k in ("renames", "dropped"):
+        if prior_schema.get(k):
+            meta[k] = prior_schema[k]
+    manifest = {
+        # version is assigned at PUBLISH time; parent records what the
+        # stage was built against for the optimistic publish check
+        "version": None,
+        "parent": parent,
+        "staged_as": name,
+        "partitions": entries,
+        "operation": "overwrite",
+        "schema": meta,
+        "committed_at": _now(),
+        "txn": dict(prior_man.get("txn") or {}),
+        "stats": stats,
+        "blooms": blooms,
+    }
+    sp.parent.mkdir(parents=True, exist_ok=True)
+    tmp = sp.parent / f".tmp-{uuid.uuid4().hex[:12]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, sp)
+    except FileExistsError:
+        raise ValueError(
+            f"staged commit {name!r} was created concurrently on {path}"
+        )
+    finally:
+        os.unlink(tmp)
+    _fsync_dir(sp.parent)
+    return f"staged:{name}"
+
+
+def publish_staged(path: str, name: str) -> int:
+    """The publish half of WAP: promote a staged commit to the next
+    table version — one hard-link, the same atomic publish as any
+    commit. Raises :class:`ConcurrentCommitError` if the table
+    advanced past the version the stage was built against (the staged
+    data reflects a stale parent — re-stage against current), and
+    KeyError for an unknown name. The staged entry is consumed."""
+    sp = _staged_path(path, name)
+    if not sp.exists():
+        raise KeyError(f"no staged commit {name!r} on {path}")
+    with open(sp) as f:
+        manifest = json.load(f)
+    parent = manifest["parent"]
+    cur = current_version(path)
+    if cur != parent:
+        raise ConcurrentCommitError(
+            f"staged commit {name!r} was built against version {parent} "
+            f"but {path} is now at {cur}; drop_staged and re-stage"
+        )
+    version = parent + 1
+    manifest["version"] = version
+    manifest["committed_at"] = _now()
+    snap = _snap_dir(path)
+    tmp = snap / f".tmp-{uuid.uuid4().hex[:12]}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, snap / _manifest_name(version))
+    except FileExistsError as exc:
+        raise ConcurrentCommitError(
+            f"version {version} of {path} was committed by another writer "
+            "while publishing; drop_staged and re-stage"
+        ) from exc
+    finally:
+        os.unlink(tmp)
+    _fsync_dir(snap)
+    os.unlink(sp)
+    return version
+
+
+def drop_staged(path: str, name: str) -> None:
+    """Discard a staged commit. Its data directory becomes
+    unreferenced and is reclaimed by the next :func:`expire_snapshots`
+    (age-guarded, like any orphaned commit dir)."""
+    sp = _staged_path(path, name)
+    if not sp.exists():
+        raise KeyError(f"no staged commit {name!r} on {path}")
+    os.unlink(sp)
+
+
+def list_staged(path: str) -> dict[str, int]:
+    """All staged commits as {name: parent_version}."""
+    d = _snap_dir(path) / _STAGED_DIR
+    if not d.is_dir():
+        return {}
+    out = {}
+    for p in d.glob("*.json"):
+        try:
+            with open(p) as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            continue  # glob-then-open race with publish/drop
+        out[p.stem] = int(m.get("parent") or 0)
+    return out
+
+
 def _carry_evolution(meta: dict, prev_meta: dict) -> dict:
     """Carry evolve_snapshot_schema's rename/drop lists — and the
     table's CHECK constraints — into a new commit's schema meta: older
@@ -1812,8 +1999,19 @@ def expire_snapshots(
     ]
     retained = [v for v in versions if v not in set(dropped)]
     live_commits = set()
-    for v in retained:
-        man_v = read_manifest(path, v)
+    staged_dir = snap / _STAGED_DIR
+    staged_manifests = (
+        [
+            json.load(open(p))
+            for p in staged_dir.glob("*.json")
+            if p.is_file()
+        ]
+        if staged_dir.is_dir()
+        else []
+    )
+    for man_v in [read_manifest(path, v) for v in retained] + staged_manifests:
+        # staged (write-audit-publish) commits reference data that must
+        # survive GC until the stage is published or dropped
         for rel in man_v["partitions"].values():
             live_commits.add(rel.split(os.sep)[1])  # data/<commit>/<part>
         # merge-on-read tombstone files live under commit dirs of their
@@ -1839,7 +2037,7 @@ def expire_snapshots(
     # the write and the link leaks one forever — the docstring's
     # crash-cleanup story must actually cover them. Same age guard as
     # data dirs (an in-flight writer's temp is younger than cutoff).
-    for d in (snap, snap / _TAG_DIR):
+    for d in (snap, snap / _TAG_DIR, snap / _STAGED_DIR):
         if d.is_dir():
             for tmp in d.glob(".tmp-*"):
                 try:
