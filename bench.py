@@ -156,6 +156,7 @@ EXTRA = (
     "z47_live_optout",
     "z48_compact_partitions",
     "z49_wap_publish",
+    "z50_restore",
 )
 
 

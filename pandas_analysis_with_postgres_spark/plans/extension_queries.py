@@ -3790,6 +3790,68 @@ GROUP BY lang
 """
 
 
+_RESTORE_DROPS: dict = {}
+
+
+def z50_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RESTORE (sources.snapshot.restore_snapshot — Delta
+    RESTORE / Iceberg rollback): a bad UPDATE statement corrupts the
+    table at v2; the restore publishes v3 whose content is v1's with
+    every partition carried BY REFERENCE — rolling back a 100 TB table
+    moves ZERO data and costs one manifest write (zero-file-churn,
+    stats/tombstone restoration, tag targets, and the bad version
+    staying readable behind the restore are unit-pinned in
+    tests/test_wap.py). The result profiles the restored table AND
+    carries the manifest-answered COUNT, so the hash proves metadata
+    and data agree post-restore; the oracle is simply the ORIGINAL
+    table — restore must be byte-faithful to v1."""
+    import os
+
+    from ..sources.metadata_sql import answer_from_manifest
+    from ..sources.snapshot import read_snapshot, restore_snapshot, write_snapshot
+    from ..sources.sql_merge import execute_dml
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _RESTORE_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("restore_") + "/orders_tbl"
+        write_snapshot(
+            load_table(spark, sf_dir, "orders"), path, "o_orderstatus"
+        )
+        # the incident: a wrong UPDATE lands (and is committed)
+        execute_dml(
+            spark,
+            "UPDATE orders SET o_totalprice = 0.0"
+            " WHERE o_orderpriority = '1-URGENT'",
+            tables={"orders": path},
+        )
+        restore_snapshot(path, 1)
+        _RESTORE_DROPS[key] = path
+    meta_n = answer_from_manifest(
+        spark, "SELECT COUNT(*) AS n_total FROM orders", {"orders": path}
+    )
+    assert meta_n is not None
+    return (
+        read_snapshot(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .crossJoin(meta_n)
+    )
+
+
+Z50_SQL = """
+SELECT o_orderstatus,
+       count(*)::BIGINT AS n,
+       round(sum(o_totalprice), 2) AS sum_price,
+       (SELECT count(*) FROM orders)::BIGINT AS n_total
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 Z46_SQL = """
 SELECT (SELECT count(*) FROM orders)::BIGINT AS n_v1,
        (SELECT min(o_totalprice) FROM orders) AS lo_v1,
@@ -5077,6 +5139,7 @@ EXTENSION_QUERIES = {
     "z47_live_optout": z47_live_optout,
     "z48_compact_partitions": z48_compact_partitions,
     "z49_wap_publish": z49_wap_publish,
+    "z50_restore": z50_restore,
 }
 
 EXTENSION_ORACLES = {
@@ -5147,6 +5210,7 @@ EXTENSION_ORACLES = {
     "z47_live_optout": Z47_SQL,
     "z48_compact_partitions": Z48_SQL,
     "z49_wap_publish": Z49_SQL,
+    "z50_restore": Z50_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -741,6 +741,13 @@ def register_snapshot_view(
     return df
 
 
+#: _commit default for ``tombstones``: carry the parent's entries per
+#: the directory rule. An EXPLICIT None (restore_snapshot restoring a
+#: tombstone-free version) must instead mean "no tombstones", so the
+#: default is a sentinel, not None.
+_TOMB_CARRY = object()
+
+
 def _commit(
     path: str,
     parent: int,
@@ -752,7 +759,7 @@ def _commit(
     blooms: dict | None = None,
     parent_txns: dict | None = None,
     parent_manifest: dict | None = None,
-    tombstones: dict | None = None,
+    tombstones: "dict | None | object" = _TOMB_CARRY,
 ) -> int:
     """Atomically publish ``parent + 1``; raise on a lost race.
 
@@ -790,7 +797,7 @@ def _commit(
     )
     if txn is not None:
         txns[txn[0]] = txn[1]
-    if tombstones is None:
+    if tombstones is _TOMB_CARRY:
         ptomb = parent_manifest.get("tombstones") or {}
         carried = {
             p: e
@@ -2113,6 +2120,44 @@ def compact_snapshot(
     return _commit(
         path, parent, entries, op, meta, stats=stats, blooms=blooms,
         parent_manifest=man,
+    )
+
+
+def restore_snapshot(path: str, to_version: "int | str") -> int:
+    """Delta ``RESTORE`` / Iceberg rollback: publish a NEW version
+    whose content is an older version's — every partition carried BY
+    REFERENCE from the target manifest, so restoring a 100 TB table
+    moves ZERO data and costs one manifest write. History stays
+    intact: the bad versions remain readable (and expirable) behind
+    the restore commit, and the restore itself is an ordinary commit —
+    optimistic concurrency, CDF-diffable (the feed between the bad
+    version and the restore shows the un-done rows).
+
+    ``to_version`` is a version number, a tag name, or a
+    ``staged:<name>`` handle (restoring TO a staged commit is just
+    :func:`publish_staged` — use that; it is rejected here to keep the
+    two promotion paths distinct). The target must still be retained
+    (:func:`expire_snapshots` GC'd versions cannot be restored —
+    retain what you may need to roll back to)."""
+    if isinstance(to_version, str) and to_version.startswith("staged:"):
+        raise ValueError(
+            "restoring to a staged commit is publish_staged's job"
+        )
+    man = read_manifest(path, to_version)
+    if not man.get("partitions") and not (man.get("schema") or {}):
+        raise ValueError(f"version {to_version!r} of {path} has no content")
+    parent = current_version(path)
+    if man.get("version") == parent:
+        return parent  # restoring to the current version: no-op
+    return _commit(
+        path,
+        parent,
+        dict(man["partitions"]),
+        f"restore:v{man.get('version')}",
+        dict(man.get("schema") or {}),
+        stats=dict(man.get("stats") or {}),
+        blooms=dict(man.get("blooms") or {}),
+        tombstones=man.get("tombstones"),
     )
 
 

@@ -153,3 +153,80 @@ def test_metadata_sql_audits_staged_version(spark, tbl):
         spark, "SELECT COUNT(*) AS n FROM t", {"t": tbl}
     ).collect()[0]
     assert cur.n == 2
+
+
+# ----------------------------------------------------------- RESTORE
+
+
+def test_restore_carries_by_reference_zero_data_movement(spark, tbl):
+    # v2: a bad merge lands wrong rows
+    merge_snapshot(
+        tbl,
+        spark.createDataFrame(
+            [(666, 0.0, 0)], "k long, amt double, p long"
+        ),
+        "k",
+        "p",
+    )
+    assert {r.k for r in read_snapshot(spark, tbl).collect()} == {1, 2, 666}
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        restore_snapshot,
+    )
+
+    before_files = sorted(str(f) for f in Path(tbl).rglob("*.parquet"))
+    v = restore_snapshot(tbl, 1)
+    assert v == 3
+    # zero data movement: no parquet file written or removed
+    assert sorted(str(f) for f in Path(tbl).rglob("*.parquet")) == before_files
+    man = read_manifest(tbl)
+    assert man["operation"] == "restore:v1"
+    assert man["partitions"] == read_manifest(tbl, 1)["partitions"]
+    assert {r.k for r in read_snapshot(spark, tbl).collect()} == {1, 2}
+    # the bad version stays readable behind the restore
+    assert 666 in {r.k for r in read_snapshot(spark, tbl, 2).collect()}
+    # stats restored with the content: manifest extremes are v1's
+    assert manifest_aggregate(tbl, columns=["amt"])["columns"]["amt"] == {
+        "min": 10.0, "max": 20.0,
+    }
+    # restoring to current is a no-op
+    assert restore_snapshot(tbl, 3) == 3
+
+
+def test_restore_clears_later_tombstones(spark, tbl):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        delete_where,
+        restore_snapshot,
+    )
+
+    delete_where(spark, tbl, "k = 1", mode="merge-on-read", key="k")
+    assert {r.k for r in read_snapshot(spark, tbl).collect()} == {2}
+    v = restore_snapshot(tbl, 1)  # v1 had no tombstones
+    man = read_manifest(tbl, v)
+    assert "tombstones" not in man  # explicit-None, not parent-carry
+    assert {r.k for r in read_snapshot(spark, tbl).collect()} == {1, 2}
+
+
+def test_restore_to_tag_and_staged_guard(spark, tbl):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        restore_snapshot,
+        stage_commit,
+        tag_snapshot,
+    )
+
+    tag_snapshot(tbl, "golden", 1)
+    merge_snapshot(
+        tbl,
+        spark.createDataFrame([(9, 9.0, 0)], "k long, amt double, p long"),
+        "k",
+        "p",
+    )
+    v = restore_snapshot(tbl, "golden")
+    assert {r.k for r in read_snapshot(spark, tbl, v).collect()} == {1, 2}
+    stage_commit(
+        spark.createDataFrame([(5, 5.0, 0)], "k long, amt double, p long"),
+        tbl,
+        "p",
+        name="s",
+    )
+    with pytest.raises(ValueError, match="publish_staged"):
+        restore_snapshot(tbl, "staged:s")
