@@ -157,6 +157,7 @@ EXTRA = (
     "z48_compact_partitions",
     "z49_wap_publish",
     "z50_restore",
+    "z51_manifest_ndv",
 )
 
 

@@ -69,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "history", "read", "expire", "compact", "sql", "info",
             "changes", "maintain", "delete", "tag", "evolve", "merge",
-            "stats",
+            "stats", "restore", "staged",
         ],
     )
     p_sn.add_argument("path")
@@ -152,6 +152,21 @@ def main(argv: list[str] | None = None) -> int:
         "--columns",
         default=None,
         help="(stats) comma-separated columns for manifest min/max",
+    )
+    p_sn.add_argument(
+        "--to",
+        default=None,
+        help="(restore) tag name to roll back to (or use --version N)",
+    )
+    p_sn.add_argument(
+        "--publish",
+        default=None,
+        help="(staged) promote this staged commit to the next version",
+    )
+    p_sn.add_argument(
+        "--discard",
+        default=None,
+        help="(staged) discard this staged commit",
     )
 
     args = ap.parse_args(argv)
@@ -274,6 +289,38 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             r = delete_where(_gs("cli"), args.path, args.where)
             print(_json.dumps(r))
+            return 0
+        if args.action == "restore":
+            # rollback by reference: --version N or --to <tag>
+            from .sources.snapshot import restore_snapshot
+
+            target = args.version if args.version is not None else args.to
+            if target is None:
+                print(
+                    "snapshot restore requires --version or --to <tag>",
+                    file=sys.stderr,
+                )
+                return 2
+            v = restore_snapshot(args.path, target)
+            print(f"restored as version {v}")
+            return 0
+        if args.action == "staged":
+            # write-audit-publish control plane: list / publish / drop
+            import json as _json
+
+            from .sources.snapshot import (
+                drop_staged,
+                list_staged,
+                publish_staged,
+            )
+
+            if args.publish:
+                print(f"published version {publish_staged(args.path, args.publish)}")
+            elif args.discard:
+                drop_staged(args.path, args.discard)
+                print(f"dropped staged {args.discard!r}")
+            else:
+                print(_json.dumps(list_staged(args.path)))
             return 0
         if args.action == "changes":
             from .sources.snapshot import read_changes

@@ -3852,6 +3852,107 @@ GROUP BY o_orderstatus
 """
 
 
+_NDV_DROPS: dict = {}
+
+
+def z51_manifest_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-served approximate COUNT(DISTINCT) — the Iceberg
+    Puffin-file NDV idea (sources.snapshot.manifest_approx_distinct +
+    the ``stats_cols=["user_id::hll"]`` table property): every commit
+    records a per-partition HyperLogLog register sketch (m=256 ints,
+    ~512 bytes of manifest JSON per partition) computed with the SAME
+    deterministic recipe as the in-query HLL operator (a66), and
+    because the union's registers are the elementwise max of the
+    parts', ``APPROX_COUNT_DISTINCT(user_id)`` — global AND per
+    partition group — is answered with ZERO data pages at any scale:
+    the users-per-day poll every ingest dashboard runs, without a
+    shuffle. Cold partitions carry their sketch bytes; rewrites
+    recompute; tombstones and un-sketched columns refuse (unit-pinned,
+    tests/test_manifest_hll.py, incl. the zero-data-page proof). The
+    oracle replays hash → registers → estimate in SQL — per group AND
+    re-merged globally — so the manifest merge arithmetic itself is
+    hash-verified."""
+    import os
+
+    from ..sources.metadata_sql import answer_from_manifest
+    from ..sources.snapshot import write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _NDV_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("ndv_") + "/events_tbl"
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_snapshot(
+            ev, path, "event_type", stats_cols=["user_id::hll"]
+        )
+        _NDV_DROPS[key] = path
+    grp = answer_from_manifest(
+        spark,
+        "SELECT event_type, COUNT(*) AS n,"
+        " APPROX_COUNT_DISTINCT(user_id) AS u FROM t GROUP BY event_type",
+        {"t": path},
+    )
+    glob = answer_from_manifest(
+        spark,
+        "SELECT APPROX_COUNT_DISTINCT(user_id) AS u_global,"
+        " COUNT(*) AS n_total FROM t",
+        {"t": path},
+    )
+    assert grp is not None and glob is not None
+    # fixed 8-decimal contract absorbs Math.log-vs-libm ulps (the q66
+    # precedent)
+    return (
+        grp.select(
+            "event_type",
+            "n",
+            F.round(F.col("u"), 8).alias("u"),
+        )
+        .crossJoin(
+            glob.select(
+                F.round(F.col("u_global"), 8).alias("u_global"), "n_total"
+            )
+        )
+    )
+
+
+def _z51_oracle() -> str:
+    m, cap = SK.HLL_M, SK.HLL_W_BITS + 1
+    scale = 1 << cap
+    alpha_num = SK.HLL_ALPHA * SK.HLL_M * SK.HLL_M * scale
+    return f"""
+WITH u AS (
+  SELECT event_type AS grp, user_id AS v FROM events
+  WHERE user_id IS NOT NULL
+),
+{_hll_pipeline_sql("u", "grp")},
+regs_g AS (SELECT reg, MAX(rho_max) AS rho_max FROM regs GROUP BY reg),
+agg_g AS (SELECT SUM(1::BIGINT << ({cap} - rho_max))::BIGINT AS s_present,
+                 COUNT(*)::BIGINT AS n_present
+          FROM regs_g),
+est_g AS (
+  SELECT CASE WHEN raw <= {SK.HLL_LC_THRESHOLD!r} AND zeros > 0
+              THEN {float(m)!r} * ln({float(m)!r} / zeros::DOUBLE)
+              ELSE raw END AS u_global
+  FROM (SELECT ({m} - n_present) AS zeros,
+               {alpha_num!r} / (s_present + ({m} - n_present) * {scale})::DOUBLE AS raw
+        FROM agg_g)
+),
+counts AS (SELECT event_type, COUNT(*)::BIGINT AS n FROM events GROUP BY event_type),
+total AS (SELECT COUNT(*)::BIGINT AS n_total FROM events)
+SELECT c.event_type, c.n, round(e.hll_estimate, 8) AS u,
+       round(g.u_global, 8) AS u_global, t.n_total
+FROM counts c
+JOIN est e ON e.grp = c.event_type
+CROSS JOIN est_g g
+CROSS JOIN total t
+"""
+
+
+Z51_SQL = _z51_oracle()
+
+
 Z46_SQL = """
 SELECT (SELECT count(*) FROM orders)::BIGINT AS n_v1,
        (SELECT min(o_totalprice) FROM orders) AS lo_v1,
@@ -5140,6 +5241,7 @@ EXTENSION_QUERIES = {
     "z48_compact_partitions": z48_compact_partitions,
     "z49_wap_publish": z49_wap_publish,
     "z50_restore": z50_restore,
+    "z51_manifest_ndv": z51_manifest_ndv,
 }
 
 EXTENSION_ORACLES = {
@@ -5211,6 +5313,7 @@ EXTENSION_ORACLES = {
     "z48_compact_partitions": Z48_SQL,
     "z49_wap_publish": Z49_SQL,
     "z50_restore": Z50_SQL,
+    "z51_manifest_ndv": Z51_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

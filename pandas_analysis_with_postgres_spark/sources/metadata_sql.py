@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .snapshot import (
     manifest_aggregate,
+    manifest_approx_distinct,
     manifest_group_stats,
     manifest_partition_counts,
     manifest_range_count,
@@ -106,7 +107,9 @@ def extract_as_of(sql: str) -> "tuple[str, dict | None]":
     )
     return sql[: m.start()] + sql[m.end():], spec
 _ITEM = re.compile(
-    r"^\s*(?:COUNT\s*\(\s*\*\s*\)|(?P<fn>MIN|MAX)\s*\(\s*(?P<col>[A-Za-z_]\w*)\s*\)"
+    r"^\s*(?:COUNT\s*\(\s*\*\s*\)"
+    r"|(?P<adc>APPROX_COUNT_DISTINCT)\s*\(\s*(?P<adccol>[A-Za-z_]\w*)\s*\)"
+    r"|(?P<fn>MIN|MAX)\s*\(\s*(?P<col>[A-Za-z_]\w*)\s*\)"
     r"|(?P<bare>[A-Za-z_]\w*))"
     r"(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?\s*$",
     re.IGNORECASE,
@@ -160,6 +163,12 @@ def parse_metadata_select(sql: str) -> "dict | None":
             n_bare += 1
             items.append(("group", bare, im.group("alias") or bare))
             continue
+        if im.group("adc") is not None:
+            col = im.group("adccol")
+            items.append(
+                ("approx", col, im.group("alias") or f"approx_distinct_{col}")
+            )
+            continue
         fn = (im.group("fn") or "count").lower()
         col = im.group("col")
         default = "count_star" if fn == "count" else f"{fn}_{col}"
@@ -201,8 +210,9 @@ def parse_metadata_select(sql: str) -> "dict | None":
             return None  # range + GROUP BY: not a served shape
     if where is not None and where[0] == "range":
         # the range proof covers COUNT(*) only: MIN/MAX under a range
-        # needs clipped extremes the manifest cannot prove
-        if any(k in ("min", "max") for k, _, _ in items):
+        # needs clipped extremes, and NDV sketches cannot be
+        # range-restricted — neither is provable
+        if any(k in ("min", "max", "approx") for k, _, _ in items):
             return None
     return {
         "table": m.group("table"),
@@ -317,21 +327,36 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
                 raise _Refuse()  # fractional literal vs integral partition
             wval = int(raw)
         eq = (wcol, wval)
-    cols = sorted({c for _, c, _ in parsed["items"] if c})
+    cols = sorted(
+        {c for k, c, _ in parsed["items"] if c and k in ("min", "max")}
+    )
     try:
         agg = manifest_aggregate(
             path, columns=cols, version=version, where_partition=eq
         )
+        approx = {
+            c: manifest_approx_distinct(
+                path, c, version=version, where_partition=eq
+            )
+            for k, c, _ in parsed["items"]
+            if k == "approx"
+        }
     except ValueError:
-        # e.g. extremes over merge-on-read tombstoned partitions, or a
-        # column with no usable stats anywhere: not provable → scan
+        # e.g. extremes over merge-on-read tombstoned partitions, a
+        # column with no usable stats anywhere, or a missing NDV
+        # sketch: not provable → scan
         raise _Refuse()
+
+    from pyspark.sql.types import DoubleType
 
     values, fields = [], []
     for fn, col, alias in parsed["items"]:
         if fn == "count":
             values.append(agg["n_rows"])
             fields.append(StructField(alias, LongType(), False))
+        elif fn == "approx":
+            values.append(float(approx[col]))
+            fields.append(StructField(alias, DoubleType(), False))
         else:
             v = agg["columns"][col][fn]
             dt = field_types.get(col)
@@ -346,7 +371,7 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
 
     exprs = []
     for fn, col, alias in parsed["items"]:
-        if fn == "count":
+        if fn in ("count", "approx"):
             exprs.append(F.col(alias))
         else:
             exprs.append(F.col(alias).cast(field_types[col]).alias(alias))
@@ -429,6 +454,9 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
     stat_cols = sorted(
         {c for k, c, _ in parsed["items"] if k in ("min", "max")}
     )
+    approx_cols = sorted(
+        {c for k, c, _ in parsed["items"] if k == "approx"}
+    )
     if stat_cols:
         if any(field_types.get(c) is None for c in stat_cols):
             raise _Refuse()  # unknown/evolved-away column
@@ -448,7 +476,27 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
             path, version=version, where_partition=eq
         )
         col_stats = [{} for _ in groups]
-    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    approx_lists = {}
+    for c in approx_cols:
+        # by_partition lists sort by partition name and skip zero-live
+        # groups — the same order and membership as `groups`
+        try:
+            approx_lists[c] = [
+                e
+                for _, e in manifest_approx_distinct(
+                    path, c, version=version, where_partition=eq,
+                    by_partition=True,
+                )
+            ]
+        except ValueError:
+            raise _Refuse()  # missing sketch / tombstones: scan
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     fields, row_fn = [], []
     for kind, col, alias in parsed["items"]:
@@ -460,21 +508,26 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
             # integral/boolean partitions; strings/dates go through the
             # same string-cast path as the aggregate answerer
             fields.append(StructField(alias, StringType(), True))
-            row_fn.append(lambda v, n, s: None if v is None else str(v))
+            row_fn.append(lambda v, n, s, gi: None if v is None else str(v))
         elif kind == "count":
             fields.append(StructField(alias, LongType(), False))
-            row_fn.append(lambda v, n, s: n)
+            row_fn.append(lambda v, n, s, gi: n)
+        elif kind == "approx":
+            fields.append(StructField(alias, DoubleType(), False))
+            row_fn.append(
+                lambda v, n, s, gi, c=col: float(approx_lists[c][gi])
+            )
         else:  # min/max: stat_json rendering → string-cast like z34
             fields.append(StructField(alias, StringType(), True))
             idx = 0 if kind == "min" else 1
             row_fn.append(
-                lambda v, n, s, c=col, i=idx: (
+                lambda v, n, s, gi, c=col, i=idx: (
                     None if s[c][i] is None else str(s[c][i])
                 )
             )
     rows = [
-        tuple(fn(v, n, s) for fn in row_fn)
-        for (v, n), s in zip(groups, col_stats)
+        tuple(fn(v, n, s, gi) for fn in row_fn)
+        for gi, ((v, n), s) in enumerate(zip(groups, col_stats))
     ]
     frame = spark.createDataFrame(rows, StructType(fields))
     from pyspark.sql import functions as F
@@ -483,7 +536,7 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
     for kind, col, alias in parsed["items"]:
         if kind == "group":
             exprs.append(F.col(alias).cast(field_types[pcol]).alias(alias))
-        elif kind == "count":
+        elif kind in ("count", "approx"):
             exprs.append(F.col(alias))
         else:
             exprs.append(F.col(alias).cast(field_types[col]).alias(alias))

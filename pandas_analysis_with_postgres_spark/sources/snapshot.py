@@ -1203,12 +1203,24 @@ def _write_commit_data(
             finally:
                 os.close(fd)
         _fsync_dir(root)
+    # stats_cols entries suffixed ``::hll`` request a per-partition
+    # HyperLogLog register SKETCH of the base column instead of
+    # min/max — the Iceberg-Puffin NDV idea carried in the manifest.
+    # Riding in stats_cols means zero new plumbing: property
+    # inheritance, cold-partition carry, and _commit's filtering all
+    # treat the sketch exactly like any other stats entry.
+    mm_cols = [c for c in (stats_cols or []) if not c.endswith(HLL_SUFFIX)]
+    hll_cols = [
+        c[: -len(HLL_SUFFIX)]
+        for c in (stats_cols or [])
+        if c.endswith(HLL_SUFFIX)
+    ]
     entries = {}
     stats = {}
     for p in out.iterdir():
         if p.is_dir() and p.name.startswith(f"{partition_col}="):
             entries[p.name] = os.path.join(DATA_DIR, commit_id, p.name)
-            s, n_rows = _footer_stats(p, stats_cols or [])
+            s, n_rows = _footer_stats(p, mm_cols)
             # Row counts are recorded UNCONDITIONALLY (stats_cols only
             # gates column min/max): every footer states num_rows
             # exactly, so COUNT(*) — and the per-partition sizing any
@@ -1217,7 +1229,71 @@ def _write_commit_data(
             # numRecords idiom.
             s[N_ROWS_KEY] = n_rows
             stats[p.name] = s
+    if hll_cols and entries:
+        for pname, regs_by_col in _compute_hlls(
+            df.sparkSession, out, partition_col, hll_cols
+        ).items():
+            if pname in stats:
+                stats[pname].update(regs_by_col)
     return entries, stats
+
+
+#: Reserved stats_cols suffix requesting a per-partition HLL register
+#: sketch (see _write_commit_data). ``stats_cols=["amt",
+#: "user_id::hll"]`` records min/max for amt and an NDV sketch for
+#: user_id.
+HLL_SUFFIX = "::hll"
+
+
+def _compute_hlls(
+    spark: SparkSession, commit_dir: Path, partition_col: str, cols: list[str]
+) -> dict:
+    """Per-partition HLL register tables for ``cols``, computed from
+    the JUST-WRITTEN commit directory (one extra aggregate pass over
+    page-cached files — the bloom-bitmap cost model; reading back what
+    was written sidesteps double-evaluating a nondeterministic input
+    plan). Returns {pname: {"<col>::hll": [rho]*HLL_M}} — dense
+    256-int lists (~512 bytes JSON per column per partition),
+    mergeable across partitions by elementwise max, which is the whole
+    point: the union's registers ARE the max of the parts'."""
+    from pyspark.sql import functions as F
+
+    from ..operators import sketches as SK
+
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    with _INFER_LOCK:
+        infer_old = spark.conf.get(infer_key, "true")
+        spark.conf.set(infer_key, "false")
+        try:
+            back = spark.read.option("basePath", str(commit_dir)).parquet(
+                str(commit_dir)
+            )
+        finally:
+            spark.conf.set(infer_key, infer_old)
+    for c in cols:
+        t = back.schema[c].dataType.simpleString()
+        if t not in {"tinyint", "smallint", "int", "bigint"}:
+            raise ValueError(
+                f"'{c}{HLL_SUFFIX}' requests an NDV sketch but {c!r} is "
+                f"{t!r}; HLL sketch columns must be integral (the same "
+                "domain as bloom_cols)"
+            )
+    out: dict = {}
+    for c in cols:
+        rows = (
+            # NULLs drop: COUNT(DISTINCT col) ignores them in SQL, so
+            # the sketch must too
+            SK.hll_registers(
+                back.where(F.col(c).isNotNull()), [partition_col], c
+            ).collect()  # ≤ partitions × 256 rows: manifest-scale
+        )
+        for r in rows:
+            pname = _hive_part_name(partition_col, r[0])
+            dense = out.setdefault(pname, {}).setdefault(
+                f"{c}{HLL_SUFFIX}", [0] * SK.HLL_M
+            )
+            dense[r[1]] = max(dense[r[1]], r[2])
+    return out
 
 
 def write_snapshot(
@@ -2575,6 +2651,11 @@ def manifest_aggregate(
         return name
 
     want = list(columns or [])
+    if any(c.endswith(HLL_SUFFIX) for c in want):
+        raise ValueError(
+            f"'{HLL_SUFFIX}' entries are NDV sketches, not min/max "
+            "columns — use manifest_approx_distinct"
+        )
     # The PARTITION column's values live in directory names, not in
     # any data file (hive layout) — footer stats can never serve it,
     # but the manifest's partition list answers it exactly. This is
@@ -2778,6 +2859,121 @@ def manifest_partition_counts(
     ]
 
 
+def manifest_approx_distinct(
+    path: str,
+    column: str,
+    *,
+    version: "int | str | None" = None,
+    where_partition: "tuple[str, object] | None" = None,
+    by_partition: bool = False,
+) -> "float | list":
+    """Approximate ``COUNT(DISTINCT column)`` from MANIFEST METADATA:
+    the per-partition HLL register sketches recorded at commit time
+    (``stats_cols=["col::hll"]`` — the Iceberg-Puffin NDV idea) merge
+    across partitions by elementwise max, because the union's
+    registers ARE the max of the parts' — so a table-wide (or
+    partition-restricted) NDV poll reads zero data pages at any scale.
+    The estimate is the SAME deterministic HLL recipe as the in-query
+    operator (operators.sketches: strong_mix hash, m=256 integer
+    registers, linear-counting small-range branch), so it equals what
+    scanning the same rows would have produced, modulo nothing.
+
+    ``by_partition=True`` returns ``[(value, estimate), …]`` — the
+    per-GROUP NDVs for ``GROUP BY partition_col`` (zero-live groups
+    omitted). Raises when any selected partition lacks the sketch
+    (pre-upgrade commit, column not sketched) or carries merge-on-read
+    tombstones (deleted rows cannot leave an HLL — compact first):
+    refuse-what-you-cannot-prove, like every manifest answer."""
+    import math
+
+    from ..operators import sketches as SK
+
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    pcol = meta.get("partition_col")
+    ptype = meta.get("partition_type") or "string"
+    renames = meta.get("renames") or []
+
+    def _chain(name: str) -> str:
+        for old, new in renames:
+            if name == old:
+                name = new
+        return name
+
+    parts = man.get("partitions") or {}
+    if where_partition is not None:
+        wcol, wval = where_partition
+        if wcol != pcol:
+            raise ValueError(
+                f"where_partition column {wcol!r} is not the partition "
+                f"column {pcol!r} — only partition equality is provable "
+                "from the manifest"
+            )
+        target = _hive_part_name(pcol, wval)
+        parts = {p: rel for p, rel in parts.items() if p == target}
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    if any(p in tomb_parts for p in parts):
+        raise ValueError(
+            "NDV over tombstoned partition(s) is unprovable from the "
+            "manifest (deleted rows cannot leave an HLL sketch) — "
+            "compact_snapshot first"
+        )
+    stats = man.get("stats") or {}
+
+    def _regs_of(pname: str) -> "list | None":
+        entry = stats.get(pname) or {}
+        # the sketch key follows the rename chain of its BASE column
+        for k, v in entry.items():
+            if k.endswith(HLL_SUFFIX) and _chain(
+                k[: -len(HLL_SUFFIX)]
+            ) == column:
+                return v
+        return None
+
+    def _estimate(regs: list) -> float:
+        cap = SK.HLL_W_BITS + 1
+        scale = 1 << cap
+        n_present = sum(1 for r in regs if r > 0)
+        s_present = sum((1 << (cap - r)) for r in regs if r > 0)
+        zeros = SK.HLL_M - n_present
+        s_total = s_present + zeros * scale
+        raw = SK.HLL_ALPHA * SK.HLL_M * SK.HLL_M * scale / float(s_total)
+        if raw <= SK.HLL_LC_THRESHOLD and zeros > 0:
+            return float(SK.HLL_M) * math.log(float(SK.HLL_M) / zeros)
+        return raw
+
+    part_rows = _partition_rows(man, path)
+    if by_partition:
+        out = []
+        for pname in sorted(parts):
+            if part_rows.get(pname, 0) == 0:
+                continue  # no live rows: no group (SQL semantics)
+            regs = _regs_of(pname)
+            if regs is None:
+                raise ValueError(
+                    f"no '{column}{HLL_SUFFIX}' sketch recorded for "
+                    f"{pname!r} — add it to stats_cols and rewrite, or "
+                    "scan the data"
+                )
+            out.append((_partition_value(pname, ptype)[1], _estimate(regs)))
+        return out
+    merged = [0] * SK.HLL_M
+    for pname in parts:
+        if part_rows.get(pname, 0) == 0:
+            continue
+        regs = _regs_of(pname)
+        if regs is None:
+            raise ValueError(
+                f"no '{column}{HLL_SUFFIX}' sketch recorded for "
+                f"{pname!r} — add it to stats_cols and rewrite, or "
+                "scan the data"
+            )
+        for i, r in enumerate(regs):
+            if r > merged[i]:
+                merged[i] = r
+    return _estimate(merged)
+
+
 def manifest_group_stats(
     path: str,
     columns: list[str],
@@ -2812,6 +3008,11 @@ def manifest_group_stats(
         raise ValueError(
             "the grouped partition column's per-group min/max is the "
             "group value itself — select the column, not MIN/MAX of it"
+        )
+    if any(c.endswith(HLL_SUFFIX) for c in columns):
+        raise ValueError(
+            f"'{HLL_SUFFIX}' entries are NDV sketches, not min/max "
+            "columns — use manifest_approx_distinct(by_partition=True)"
         )
     ptype = meta.get("partition_type") or "string"
     renames = meta.get("renames") or []
@@ -2908,6 +3109,11 @@ def manifest_range_count(
     PARTITION column is always answerable: each directory holds ONE
     value (in-or-out, partial overlap impossible; the NULL partition
     contributes 0 like SQL)."""
+    if column.endswith(HLL_SUFFIX):
+        raise ValueError(
+            f"'{HLL_SUFFIX}' entries are NDV sketches, not range "
+            "columns — use manifest_approx_distinct"
+        )
     man = read_manifest(path, version)
     meta = man.get("schema") or {}
     pcol = meta.get("partition_col")

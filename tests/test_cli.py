@@ -376,3 +376,60 @@ def test_snapshot_stats_and_metadata_sql_routing(spark, tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert "2" in out and "9.5" in out
+
+
+def test_snapshot_restore_and_staged_actions(spark, tmp_path, capsys):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_snapshot,
+        stage_commit,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "wap_tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, 0), (2, 1)], "k long, p long"), path, "p"
+    )
+    stage_commit(
+        spark.createDataFrame([(9, 0)], "k long, p long"), path, "p", name="s1"
+    )
+    assert main(["snapshot", "staged", path]) == 0
+    assert '"s1": 1' in capsys.readouterr().out
+    assert main(["snapshot", "staged", path, "--publish", "s1"]) == 0
+    assert "published version 2" in capsys.readouterr().out
+    assert {r.k for r in read_snapshot(spark, path).collect()} == {9}
+    assert main(["snapshot", "restore", path, "--version", "1"]) == 0
+    assert "restored as version 3" in capsys.readouterr().out
+    assert {r.k for r in read_snapshot(spark, path).collect()} == {1, 2}
+    # discard path + usage error
+    stage_commit(
+        spark.createDataFrame([(5, 0)], "k long, p long"), path, "p", name="s2"
+    )
+    assert main(["snapshot", "staged", path, "--discard", "s2"]) == 0
+    assert main(["snapshot", "restore", path]) == 2
+
+
+def test_snapshot_sql_dml_statement_routing(spark, tmp_path, capsys):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "dml_tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, 5, 0), (2, 6, 1)], "k long, v long, p long"),
+        path,
+        "p",
+    )
+    assert main([
+        "snapshot", "merge", path, "--as", "t",
+        "--query", "UPDATE t SET v = v + 10 WHERE k = 1",
+    ]) == 0
+    assert "committed version 2" in capsys.readouterr().out
+    assert main([
+        "snapshot", "merge", path, "--as", "t",
+        "--query", "DELETE FROM t WHERE k = 2",
+    ]) == 0
+    assert "deleted_rows=1" in capsys.readouterr().out
+    assert {(r.k, r.v) for r in read_snapshot(spark, path).collect()} == {
+        (1, 15),
+    }

@@ -254,3 +254,52 @@ def test_range_count_legacy_two_element_stats_refuse(spark, tmp_path):
     assert manifest_range_count(path, "k", lo=0, hi=10) is None
     # fully-outside needs no null count → still answerable
     assert manifest_range_count(path, "k", lo=100) == 0
+
+
+# ------------------------- range-count semantic property (hypothesis)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@pytest.fixture(scope="module")
+def range_tbl(spark, tmp_path_factory):
+    # values 0..119 over UNALIGNED partitions (pbucket = k // 7 % 4):
+    # per-partition min/max ranges overlap heavily, so containment
+    # proofs only succeed for predicates the stats genuinely prove
+    rows = [(k, k // 7 % 4) for k in range(120)]
+    df = spark.createDataFrame(rows, "k long, b long")
+    path = str(tmp_path_factory.mktemp("rangeprop") / "tbl")
+    write_snapshot(df.repartition("b"), path, "b", stats_cols=["k"])
+    truth = [k for k in range(120)]
+    return path, truth
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    lo=st.one_of(st.none(), st.integers(-5, 130)),
+    hi=st.one_of(st.none(), st.integers(-5, 130)),
+    lo_strict=st.booleans(),
+    hi_strict=st.booleans(),
+)
+def test_range_count_never_lies(range_tbl, lo, hi, lo_strict, hi_strict):
+    # SEMANTIC fuzz (the parser fuzz's counterpart): for ANY bounds,
+    # the manifest either refuses (None) or returns the EXACT count —
+    # approximation is never on the menu
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        manifest_range_count,
+    )
+
+    path, truth = range_tbl
+    got = manifest_range_count(
+        path, "k", lo=lo, hi=hi, lo_strict=lo_strict, hi_strict=hi_strict
+    )
+    if got is None:
+        return
+    exact = sum(
+        1
+        for k in truth
+        if (lo is None or (k > lo if lo_strict else k >= lo))
+        and (hi is None or (k < hi if hi_strict else k <= hi))
+    )
+    assert got == exact
