@@ -158,6 +158,7 @@ EXTRA = (
     "z49_wap_publish",
     "z50_restore",
     "z51_manifest_ndv",
+    "z52_branch_merge",
 )
 
 

@@ -69,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "history", "read", "expire", "compact", "sql", "info",
             "changes", "maintain", "delete", "tag", "evolve", "merge",
-            "stats", "restore", "staged",
+            "stats", "restore", "staged", "branch",
         ],
     )
     p_sn.add_argument("path")
@@ -167,6 +167,16 @@ def main(argv: list[str] | None = None) -> int:
         "--discard",
         default=None,
         help="(staged) discard this staged commit",
+    )
+    p_sn.add_argument(
+        "--create",
+        default=None,
+        help="(branch) fork a branch at the current version",
+    )
+    p_sn.add_argument(
+        "--ff",
+        default=None,
+        help="(branch) fast-forward main to this branch's head",
     )
 
     args = ap.parse_args(argv)
@@ -321,6 +331,29 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"dropped staged {args.discard!r}")
             else:
                 print(_json.dumps(list_staged(args.path)))
+            return 0
+        if args.action == "branch":
+            # branch refs: list (default) / --create / --drop / --ff
+            import json as _json
+
+            from .sources.snapshot import (
+                create_branch,
+                drop_branch,
+                fast_forward_branch,
+                list_branches,
+            )
+
+            if args.create:
+                v = create_branch(args.path, args.create, args.version)
+                print(f"branched {args.create!r} at version {v}")
+            elif args.drop:
+                # --drop is evolve's repeatable flag; branch takes one
+                drop_branch(args.path, args.drop[0])
+                print(f"dropped branch {args.drop[0]!r}")
+            elif args.ff:
+                print(f"fast-forwarded to version {fast_forward_branch(args.path, args.ff)}")
+            else:
+                print(_json.dumps(list_branches(args.path)))
             return 0
         if args.action == "changes":
             from .sources.snapshot import read_changes

@@ -3953,6 +3953,108 @@ CROSS JOIN total t
 Z51_SQL = _z51_oracle()
 
 
+_BRANCH_DROPS: dict = {}
+
+
+def z52_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot BRANCHES (sources.snapshot.create_branch /
+    fast_forward_branch — Iceberg branch refs with git fast-forward
+    semantics): a backfill run lands as a SEQUENCE of ordinary commits
+    (here a price-correction MERGE, then a MERGE inserting a brand-new
+    partition) on a named branch — its own manifest sequence whose
+    data shares the table's ``_data/`` space and whose cold partitions
+    carry by reference across the fork — while main's readers stay
+    pinned to the published version (the audit here: the
+    manifest-answered main COUNT taken while the branch is two commits
+    ahead, hash-verified against the raw table). The fast-forward then
+    publishes the branch's manifests as main's next versions by
+    hard-link — full history intact, zero data movement, each link the
+    same atomicity as any commit. Where WAP (z49) stages ONE anonymous
+    overwrite, a branch audits a whole multi-commit run. Isolation,
+    stale-main refusal, per-branch txn idempotence, GC retention of
+    unpublished branch data, and post-publish branch reuse are
+    unit-pinned (tests/test_branches.py). The oracle replays both
+    branch commits arithmetically over the raw table."""
+    import os
+
+    from ..sources.snapshot import (
+        create_branch,
+        fast_forward_branch,
+        manifest_aggregate,
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    memo = _BRANCH_DROPS.get(key)
+    if memo is None:
+        path = _tracked_mkdtemp("branch_") + "/orders_tbl"
+        orders = load_table(spark, sf_dir, "orders")
+        write_snapshot(orders, path, "o_orderstatus")
+        create_branch(path, "backfill")
+        # branch commit 1: price correction for urgent orders (keys
+        # keep their partition — merge's stable-partition contract)
+        fix = orders.where(F.col("o_orderpriority") == "1-URGENT").withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+        )
+        merge_snapshot(path, fix, "o_orderkey", "o_orderstatus", branch="backfill")
+        # branch commit 2: synthetic backfill rows land in a NEW
+        # partition that exists only on the branch until publish
+        ins = (
+            orders.where(F.col("o_orderpriority") == "2-HIGH")
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+            .withColumn("o_orderstatus", F.lit("B"))
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+        )
+        merge_snapshot(path, ins, "o_orderkey", "o_orderstatus", branch="backfill")
+        # the AUDIT, while the branch is two commits ahead: main's
+        # metadata COUNT must still be the original table's
+        n_main_before = manifest_aggregate(path)["n_rows"]
+        n_branch = manifest_aggregate(path, version="branch:backfill")["n_rows"]
+        assert n_branch > n_main_before, "backfill lost rows — drop_branch"
+        ff_version = fast_forward_branch(path, "backfill")
+        memo = (path, n_main_before, ff_version)
+        _BRANCH_DROPS[key] = memo
+    path, n_main_before, ff_version = memo
+    return (
+        read_snapshot(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .crossJoin(
+            spark.range(1).select(
+                F.lit(n_main_before).alias("n_main_before"),
+                F.lit(ff_version).cast("long").alias("ff_version"),
+            )
+        )
+    )
+
+
+Z52_SQL = """
+WITH upd AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN o_totalprice + 100.0 ELSE o_totalprice END AS price
+  FROM orders
+),
+ins AS (
+  SELECT 'B' AS o_orderstatus, o_totalprice + 1.0 AS price
+  FROM orders WHERE o_orderpriority = '2-HIGH'
+),
+final AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT o_orderstatus,
+       count(*)::BIGINT AS n_orders,
+       round(sum(price), 2) AS total_price,
+       (SELECT count(*) FROM orders)::BIGINT AS n_main_before,
+       3::BIGINT AS ff_version
+FROM final
+GROUP BY o_orderstatus
+"""
+
+
 Z46_SQL = """
 SELECT (SELECT count(*) FROM orders)::BIGINT AS n_v1,
        (SELECT min(o_totalprice) FROM orders) AS lo_v1,
@@ -5242,6 +5344,7 @@ EXTENSION_QUERIES = {
     "z49_wap_publish": z49_wap_publish,
     "z50_restore": z50_restore,
     "z51_manifest_ndv": z51_manifest_ndv,
+    "z52_branch_merge": z52_branch_merge,
 }
 
 EXTENSION_ORACLES = {
@@ -5314,6 +5417,7 @@ EXTENSION_ORACLES = {
     "z49_wap_publish": Z49_SQL,
     "z50_restore": Z50_SQL,
     "z51_manifest_ndv": Z51_SQL,
+    "z52_branch_merge": Z52_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -101,11 +101,15 @@ def current_version(path: str) -> int:
 
 def read_manifest(path: str, version: "int | str | None" = None) -> dict:
     """Load one manifest (default: the newest). A string ``version``
-    is resolved as a TAG name (:func:`tag_snapshot`), or — with a
-    ``staged:`` prefix — as a STAGED commit (:func:`stage_commit`),
-    which lets every reader (``read_snapshot``, ``manifest_aggregate``,
-    the metadata SQL front-end) audit staged data through the ordinary
-    version parameter."""
+    is resolved as a TAG name (:func:`tag_snapshot`); a ``staged:``
+    prefix resolves a STAGED commit (:func:`stage_commit`) and a
+    ``branch:`` prefix a BRANCH head (:func:`create_branch`;
+    ``branch:<name>@<v>`` addresses one version of the branch's
+    history, falling through to main's manifests at or below the fork
+    base — branch history before the fork IS main history). Prefix
+    resolution is what lets every reader (``read_snapshot``,
+    ``manifest_aggregate``, the metadata SQL front-end) audit staged
+    or branched data through the ordinary version parameter."""
     if isinstance(version, str):
         if version.startswith("staged:"):
             sp = _staged_path(path, version[len("staged:"):])
@@ -115,7 +119,22 @@ def read_manifest(path: str, version: "int | str | None" = None) -> dict:
                 )
             with open(sp) as f:
                 return json.load(f)
-        version = resolve_tag(path, version)
+        if version.startswith("branch:"):
+            spec = version[len("branch:"):]
+            name, _, at = spec.partition("@")
+            ref = _branch_ref(path, name)  # KeyError on unknown branch
+            v = branch_head(path, name) if not at else int(at)
+            if v > ref["fork_base"]:
+                bp = _branch_dir(path, name) / _manifest_name(v)
+                if not bp.exists():
+                    raise KeyError(
+                        f"branch {name!r} of {path} has no version {v}"
+                    )
+                with open(bp) as f:
+                    return json.load(f)
+            version = v  # at/below the fork base: main's history
+        else:
+            version = resolve_tag(path, version)
     v = current_version(path) if version is None else version
     if v == 0:
         return {"version": 0, "parent": 0, "partitions": {}, "operation": "empty"}
@@ -235,6 +254,168 @@ def delete_tag(path: str, name: str) -> None:
     tp = _tag_path(path, name)
     if tp.exists():
         os.unlink(tp)
+
+
+_BRANCH_DIR = "branches"
+
+
+def _branch_dir(path: str, name: str) -> Path:
+    if not name or any(ch not in _TAG_NAME_OK for ch in name):
+        raise ValueError(f"invalid branch name {name!r} (use [A-Za-z0-9._-])")
+    return _snap_dir(path) / _BRANCH_DIR / name
+
+
+def _branch_ref(path: str, name: str) -> dict:
+    rp = _branch_dir(path, name) / "ref.json"
+    if not rp.exists():
+        raise KeyError(f"no branch {name!r} on {path}")
+    with open(rp) as f:
+        return json.load(f)
+
+
+def create_branch(path: str, name: str, version: int | None = None) -> int:
+    """Fork a named BRANCH at ``version`` (default: current) — the
+    Iceberg branch-ref idea with git fast-forward semantics: a branch
+    is its own manifest sequence (``_snapshots/branches/<name>/``)
+    whose version numbers CONTINUE main's from the fork base, whose
+    data lands in the shared ``_data/`` space (commit dirs are UUIDs —
+    no collisions, and cold partitions are carried by reference across
+    the fork exactly like any commit), and which main's readers NEVER
+    see: production stays pinned to published versions while a
+    multi-commit backfill/experiment accumulates on the branch. Every
+    reader audits it via ``version="branch:<name>"``;
+    :func:`merge_snapshot` / :func:`replace_partitions` target it via
+    ``branch=<name>``; :func:`fast_forward_branch` publishes it.
+
+    Where :func:`stage_commit` is ONE anonymous overwrite awaiting
+    audit, a branch is a SEQUENCE of ordinary commits (merge, replace,
+    each with optimistic concurrency and txn idempotence against the
+    branch head) — the write-audit-publish pattern for pipelines whose
+    unit of audit is a whole run of commits, not one.
+
+    Forking an EMPTY table (version 0) is allowed: the branch builds
+    the table's first content and the fast-forward publishes it.
+    Returns the fork base version."""
+    bd = _branch_dir(path, name)
+    if version is None:
+        version = current_version(path)
+    if version > 0 and not (_snap_dir(path) / _manifest_name(version)).exists():
+        raise ValueError(f"cannot branch {path} at nonexistent version {version}")
+    bd.mkdir(parents=True, exist_ok=True)
+    rp = bd / "ref.json"
+    tmp = bd / f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "fork_base": version, "created": _now()}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, rp)
+    except FileExistsError:
+        raise ValueError(f"branch {name!r} already exists on {path}")
+    finally:
+        os.unlink(tmp)
+    _fsync_dir(bd)
+    return version
+
+
+def branch_head(path: str, name: str) -> int:
+    """Newest version on the branch (= its fork base until the first
+    branch commit). Raises KeyError for an unknown branch."""
+    ref = _branch_ref(path, name)
+    bd = _branch_dir(path, name)
+    versions = [
+        int(p.stem[1:]) for p in bd.glob("v*.json") if p.stem[1:].isdigit()
+    ]
+    return max(versions, default=ref["fork_base"])
+
+
+def list_branches(path: str) -> dict:
+    """All branches as {name: {"fork_base": int, "head": int}}."""
+    d = _snap_dir(path) / _BRANCH_DIR
+    if not d.is_dir():
+        return {}
+    out = {}
+    for bd in d.iterdir():
+        if bd.is_dir() and (bd / "ref.json").exists():
+            try:
+                ref = _branch_ref(path, bd.name)
+            except KeyError:
+                continue  # iterdir-then-open race with drop_branch
+            out[bd.name] = {
+                "fork_base": ref["fork_base"],
+                "head": branch_head(path, bd.name),
+            }
+    return out
+
+
+def drop_branch(path: str, name: str) -> None:
+    """Delete a branch: its unpublished manifests vanish and any data
+    only they referenced is reclaimed by the next
+    :func:`expire_snapshots` (age-guarded, like any orphaned commit)."""
+    bd = _branch_dir(path, name)
+    if not (bd / "ref.json").exists():
+        raise KeyError(f"no branch {name!r} on {path}")
+    shutil.rmtree(bd)
+
+
+def fast_forward_branch(path: str, name: str) -> int:
+    """Publish a branch: hard-link its manifests into main IN ORDER —
+    Iceberg's ``fast_forward`` — so the branch's commits BECOME main's
+    next versions, full history intact (time travel and CDF across the
+    published range work exactly as if the commits had landed on main
+    directly; each is the same atomic link as any commit). Requires
+    main's head to still be the branch's fork base — if main advanced,
+    raises :class:`ConcurrentCommitError` (the branch no longer
+    fast-forwards; drop it and re-branch, or re-apply its commits).
+
+    The branch SURVIVES and stays usable (git semantics): its fork
+    base moves to the published head, its now-published manifests
+    leave the branch directory (they live on in main — the link means
+    they were the same file all along). Publishing a branch with no
+    commits is a no-op. Returns main's new head version.
+
+    Concurrency note: a writer racing the multi-manifest link sequence
+    can interleave only AFTER a prefix of the branch has published;
+    every published prefix is a state the branch itself passed
+    through, so readers never see anything the branch didn't contain —
+    the race surfaces as :class:`ConcurrentCommitError`, same as any
+    lost commit race."""
+    ref = _branch_ref(path, name)
+    fork, head = ref["fork_base"], branch_head(path, name)
+    cur = current_version(path)
+    if cur != fork:
+        raise ConcurrentCommitError(
+            f"branch {name!r} forked {path} at version {fork} but main is "
+            f"now at {cur}; the branch cannot fast-forward"
+        )
+    bd = _branch_dir(path, name)
+    snap = _snap_dir(path)
+    for v in range(fork + 1, head + 1):
+        try:
+            os.link(bd / _manifest_name(v), snap / _manifest_name(v))
+        except FileExistsError as exc:
+            raise ConcurrentCommitError(
+                f"version {v} of {path} was committed by another writer "
+                f"while fast-forwarding branch {name!r}; versions below {v} "
+                "published (each a state the branch contained)"
+            ) from exc
+    _fsync_dir(snap)
+    # re-point the ref, then retire the published manifests from the
+    # branch dir (they are main's now; the hard link shared the inode)
+    rp = bd / "ref.json"
+    tmp = bd / f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "fork_base": head, "created": ref.get("created")}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, rp)
+    for v in range(fork + 1, head + 1):
+        try:
+            os.unlink(bd / _manifest_name(v))
+        except FileNotFoundError:
+            pass
+    _fsync_dir(bd)
+    return head
 
 
 def _stat_json(v):
@@ -760,8 +941,12 @@ def _commit(
     parent_txns: dict | None = None,
     parent_manifest: dict | None = None,
     tombstones: "dict | None | object" = _TOMB_CARRY,
+    branch: str | None = None,
 ) -> int:
     """Atomically publish ``parent + 1``; raise on a lost race.
+    ``branch`` redirects the publish into that branch's manifest
+    sequence (:func:`create_branch`) — same link atomicity, same
+    optimistic concurrency, just a different head.
 
     ``txn=(app_id, version)`` records an idempotence watermark carried
     forward from the parent manifest — the mechanism behind
@@ -784,11 +969,13 @@ def _commit(
     from the rewrite). ``tombstones`` overrides the carried map for a
     commit that adds tombstones itself.
     """
-    snap = _snap_dir(path)
+    snap = _snap_dir(path) if branch is None else _branch_dir(path, branch)
     snap.mkdir(parents=True, exist_ok=True)
     version = parent + 1
     if parent_manifest is None and parent > 0:
-        parent_manifest = read_manifest(path, parent)
+        parent_manifest = read_manifest(
+            path, parent if branch is None else f"branch:{branch}@{parent}"
+        )
     parent_manifest = parent_manifest or {}
     txns = dict(
         (parent_manifest.get("txn") or {})
@@ -1402,9 +1589,14 @@ def merge_snapshot(
     strict: bool = False,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    branch: str | None = None,
 ) -> int:
     """MERGE (upsert-by-key) into a snapshot table, rewriting only the
-    partitions the source touches.
+    partitions the source touches. ``branch`` targets a named branch
+    (:func:`create_branch`) instead of main — parent resolution,
+    optimistic concurrency, and txn idempotence all run against the
+    BRANCH head; main's readers never see the commit until
+    :func:`fast_forward_branch`.
 
     Column statistics: an existing table's ``stats_cols`` /
     ``bloom_cols`` (pinned in its manifest by the first writer) are
@@ -1472,6 +1664,7 @@ def merge_snapshot(
         combine=combine,
         strict_key=key if strict else None,
         operation="merge",
+        branch=branch,
     )
 
 
@@ -1485,6 +1678,7 @@ def replace_partitions(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     drop_partitions: "set[str] | None" = None,
+    branch: str | None = None,
 ) -> int:
     """Dynamic partition overwrite as a snapshot commit: ``source`` is
     the COMPLETE new content of every partition value it contains;
@@ -1519,6 +1713,7 @@ def replace_partitions(
         strict_key=None,
         operation="replace",
         drop_partitions=drop_partitions,
+        branch=branch,
     )
 
 
@@ -1535,21 +1730,27 @@ def _partition_scoped_commit(
     strict_key: str | None,
     operation: str,
     drop_partitions: "set[str] | None" = None,
+    branch: str | None = None,
 ) -> int:
     """Shared partition-scoped commit: read parent manifest, derive the
     touched partition set from ``source``, build the new content of the
     touched partitions via ``combine(existing, source)``, write them,
     and publish a manifest carrying cold partitions by reference.
-    ``strict_key`` enables merge's moved-key contract check."""
+    ``strict_key`` enables merge's moved-key contract check.
+    ``branch`` retargets the WHOLE cycle (parent head, parent manifest,
+    existing-partition reads, publish) at that branch's sequence —
+    data still lands in the shared ``_data/`` space."""
     from pyspark.sql import functions as F
 
     spark = source.sparkSession
-    parent = (
-        current_version(target_path)
-        if expected_version is None
-        else expected_version
-    )
-    man = read_manifest(target_path, parent)
+    if expected_version is not None:
+        parent = expected_version
+    elif branch is None:
+        parent = current_version(target_path)
+    else:
+        parent = branch_head(target_path, branch)
+    parent_ref = parent if branch is None else f"branch:{branch}@{parent}"
+    man = read_manifest(target_path, parent_ref)
     if txn is not None and (man.get("txn") or {}).get(txn[0], -1) >= txn[1]:
         # This transaction (e.g. a replayed streaming micro-batch) is
         # already in the table — idempotent no-op.
@@ -1614,13 +1815,14 @@ def _partition_scoped_commit(
             blooms=blooms,
             parent_txns=man.get("txn") or {},
             parent_manifest=man,
+            branch=branch,
         )
 
     if strict_key is not None:
         cold = {p for p in man["partitions"] if p not in touched}
         if cold:
             cold_keys = read_snapshot(
-                spark, target_path, parent, partition_filter=lambda p: p in cold
+                spark, target_path, parent_ref, partition_filter=lambda p: p in cold
             ).select(strict_key)
             # null-safe: a NULL-key row moved between partitions must
             # trip the check like any other (a plain semi-join never
@@ -1647,7 +1849,7 @@ def _partition_scoped_commit(
 
     if any(part in touched for part in man["partitions"]):
         existing = read_snapshot(
-            spark, target_path, parent, partition_filter=lambda p: p in touched
+            spark, target_path, parent_ref, partition_filter=lambda p: p in touched
         )
         # Schema evolution: the source may ADD columns (existing rows
         # get NULL); the missing-column guard above already ensured no
@@ -1712,6 +1914,7 @@ def _partition_scoped_commit(
         blooms=blooms,
         parent_txns=man.get("txn") or {},
         parent_manifest=man,
+        branch=branch,
     )
 
 
@@ -2092,9 +2295,24 @@ def expire_snapshots(
         if staged_dir.is_dir()
         else []
     )
-    for man_v in [read_manifest(path, v) for v in retained] + staged_manifests:
-        # staged (write-audit-publish) commits reference data that must
-        # survive GC until the stage is published or dropped
+    branch_manifests = []
+    bdir = snap / _BRANCH_DIR
+    if bdir.is_dir():
+        for bd in bdir.iterdir():
+            for p in bd.glob("v*.json") if bd.is_dir() else []:
+                try:
+                    with open(p) as f:
+                        branch_manifests.append(json.load(f))
+                except FileNotFoundError:
+                    continue  # glob-then-open race with fast_forward/drop
+    for man_v in (
+        [read_manifest(path, v) for v in retained]
+        + staged_manifests
+        + branch_manifests
+    ):
+        # staged (write-audit-publish) commits and unpublished BRANCH
+        # commits reference data that must survive GC until published
+        # or dropped
         for rel in man_v["partitions"].values():
             live_commits.add(rel.split(os.sep)[1])  # data/<commit>/<part>
         # merge-on-read tombstone files live under commit dirs of their
@@ -2120,7 +2338,12 @@ def expire_snapshots(
     # the write and the link leaks one forever — the docstring's
     # crash-cleanup story must actually cover them. Same age guard as
     # data dirs (an in-flight writer's temp is younger than cutoff).
-    for d in (snap, snap / _TAG_DIR, snap / _STAGED_DIR):
+    branch_dirs = (
+        [d for d in (snap / _BRANCH_DIR).iterdir() if d.is_dir()]
+        if (snap / _BRANCH_DIR).is_dir()
+        else []
+    )
+    for d in [snap, snap / _TAG_DIR, snap / _STAGED_DIR] + branch_dirs:
         if d.is_dir():
             for tmp in d.glob(".tmp-*"):
                 try:

@@ -433,3 +433,32 @@ def test_snapshot_sql_dml_statement_routing(spark, tmp_path, capsys):
     assert {(r.k, r.v) for r in read_snapshot(spark, path).collect()} == {
         (1, 15),
     }
+
+
+def test_snapshot_branch_actions(spark, tmp_path, capsys):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "br_tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, 0), (2, 1)], "k long, p long"), path, "p"
+    )
+    assert main(["snapshot", "branch", path, "--create", "exp"]) == 0
+    assert "branched 'exp' at version 1" in capsys.readouterr().out
+    merge_snapshot(
+        path,
+        spark.createDataFrame([(9, 0)], "k long, p long"),
+        "k",
+        "p",
+        branch="exp",
+    )
+    assert main(["snapshot", "branch", path]) == 0
+    out = capsys.readouterr().out
+    assert '"fork_base": 1' in out and '"head": 2' in out
+    assert main(["snapshot", "branch", path, "--ff", "exp"]) == 0
+    assert "fast-forwarded to version 2" in capsys.readouterr().out
+    assert {r.k for r in read_snapshot(spark, path).collect()} == {1, 2, 9}
+    assert main(["snapshot", "branch", path, "--drop", "exp"]) == 0
