@@ -159,6 +159,7 @@ EXTRA = (
     "z50_restore",
     "z51_manifest_ndv",
     "z52_branch_merge",
+    "z53_partition_evolution",
 )
 
 

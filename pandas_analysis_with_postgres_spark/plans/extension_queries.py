@@ -4055,6 +4055,111 @@ GROUP BY o_orderstatus
 """
 
 
+_EVOSPEC_DROPS: dict = {}
+
+
+def z53_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION SPEC EVOLUTION (sources.snapshot.evolve_partition_spec
+    + append_snapshot — Iceberg's signature trick): the table starts
+    partitioned by the skewed low-cardinality o_orderstatus; ops
+    re-declares the spec to a balanced customer shard with a
+    METADATA-ONLY commit — zero bytes of old data rewritten, which at
+    100 TB is the only sane way to fix a bad partition choice. The next
+    ingest batch APPENDS under the new spec (append_snapshot: the one
+    row-adding writer that stays legal while layouts are mixed — it
+    claims nothing about existing content); reads union both layouts
+    transparently (each commit scans at its own hive depth, spec
+    columns cast per their recorded types); global metadata answers
+    (COUNT, stats MIN/MAX) keep working mixed — both are captured here
+    and hash-verified — while partition-VALUE semantics (GROUP BY
+    pcol, eq-pruning, merge/replace/delete) REFUSE rather than guess
+    (unit-pinned, tests/test_partition_evolution.py). One
+    compact_snapshot then MIGRATES everything to the new spec and
+    every refusal lifts: the final per-shard profile joins the real
+    scan against the manifest's per-partition counts, so the hash
+    proves data and metadata agree post-migration. The oracle replays
+    the shard derivation and the appended batch arithmetically."""
+    import os
+
+    from ..sources.snapshot import (
+        append_snapshot,
+        compact_snapshot,
+        evolve_partition_spec,
+        manifest_aggregate,
+        manifest_partition_counts,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    memo = _EVOSPEC_DROPS.get(key)
+    if memo is None:
+        path = _tracked_mkdtemp("evospec_") + "/orders_tbl"
+        base = load_table(spark, sf_dir, "orders").withColumn(
+            "shard", F.pmod(F.col("o_custkey"), F.lit(8))
+        )
+        write_snapshot(base, path, "o_orderstatus",
+                       stats_cols=["o_totalprice"])
+        evolve_partition_spec(path, "shard")
+        batch = (
+            base.where(F.col("o_orderpriority") == "1-URGENT")
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+            .withColumn("o_orderstatus", F.lit("N"))
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(0.5))
+        )
+        append_snapshot(path, batch, "shard")
+        # mixed-state global metadata: zero data pages, still provable
+        agg = manifest_aggregate(path, columns=["o_totalprice"])
+        n_mixed, price_max_mixed = agg["n_rows"], agg["columns"]["o_totalprice"]["max"]
+        compact_snapshot(spark, path)  # the migration
+        meta_counts = manifest_partition_counts(path)  # legal again
+        memo = (path, n_mixed, price_max_mixed, meta_counts)
+        _EVOSPEC_DROPS[key] = memo
+    path, n_mixed, price_max_mixed, meta_counts = memo
+    scan = (
+        read_snapshot(spark, path)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    meta_df = spark.createDataFrame(
+        [(int(s), int(n)) for s, n in meta_counts], "shard long, n_meta long"
+    ).coalesce(1)
+    return (
+        scan.join(F.broadcast(meta_df), "shard")
+        .crossJoin(
+            spark.range(1).select(
+                F.lit(n_mixed).alias("n_mixed"),
+                F.round(F.lit(price_max_mixed), 2).alias("price_max_mixed"),
+            )
+        )
+    )
+
+
+Z53_SQL = """
+WITH base AS (
+  SELECT o_totalprice, o_orderpriority, o_custkey % 8 AS shard
+  FROM orders
+),
+final AS (
+  SELECT shard, o_totalprice FROM base
+  UNION ALL
+  SELECT shard, o_totalprice + 0.5 AS o_totalprice
+  FROM base WHERE o_orderpriority = '1-URGENT'
+)
+SELECT shard,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(*)::BIGINT AS n_meta,
+       (SELECT count(*) FROM final)::BIGINT AS n_mixed,
+       round((SELECT max(o_totalprice) FROM final), 2) AS price_max_mixed
+FROM final
+GROUP BY shard
+"""
+
+
 Z46_SQL = """
 SELECT (SELECT count(*) FROM orders)::BIGINT AS n_v1,
        (SELECT min(o_totalprice) FROM orders) AS lo_v1,
@@ -5345,6 +5450,7 @@ EXTENSION_QUERIES = {
     "z50_restore": z50_restore,
     "z51_manifest_ndv": z51_manifest_ndv,
     "z52_branch_merge": z52_branch_merge,
+    "z53_partition_evolution": z53_partition_evolution,
 }
 
 EXTENSION_ORACLES = {
@@ -5418,6 +5524,7 @@ EXTENSION_ORACLES = {
     "z50_restore": Z50_SQL,
     "z51_manifest_ndv": Z51_SQL,
     "z52_branch_merge": Z52_SQL,
+    "z53_partition_evolution": Z53_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -772,6 +772,26 @@ def read_snapshot(
             return s
 
         scans = [_logical(s) for s in scans]
+    specs = [
+        (meta0["partition_col"], meta0["partition_type"])
+        for _ in [0]
+        if meta0.get("partition_col")
+    ] + [(s["col"], s["type"]) for s in meta0.get("prior_specs") or []]
+    if len(specs) > 1:
+        # Mixed partition specs (evolve_partition_spec): each spec
+        # column is a DIRECTORY value (string) in commits written
+        # under that spec and a parquet data column elsewhere — cast
+        # every spec column to its recorded type per scan BEFORE the
+        # union, or unionByName faces string-vs-typed conflicts.
+        from pyspark.sql import functions as F
+
+        def _spec_cast(s):
+            for col, typ in specs:
+                if col in s.columns:
+                    s = s.withColumn(col, F.col(col).cast(typ))
+            return s
+
+        scans = [_spec_cast(s) for s in scans]
     out = scans[0]
     for s in scans[1:]:
         # allowMissingColumns: commits written before a schema-evolving
@@ -1349,10 +1369,24 @@ def _carry_evolution(meta: dict, prev_meta: dict) -> dict:
     read-side mapping must survive every merge/replace/compact
     (applying a rename whose old name is absent is a no-op, so
     over-carrying after a full rewrite is harmless)."""
-    for k in ("renames", "dropped", "constraints"):
+    for k in ("renames", "dropped", "constraints", "prior_specs"):
         if prev_meta.get(k):
             meta[k] = prev_meta[k]
     return meta
+
+
+def _mixed_spec(man: dict) -> bool:
+    """True while the table holds partitions written under a RETIRED
+    partition spec (:func:`evolve_partition_spec`): any live directory
+    whose name is not ``<current_pcol>=...``. The refuse-what-you-
+    cannot-prove gates key off this — partition-NAME semantics (group
+    by pcol, eq-partition pruning, partition-scoped rewrites) are only
+    sound when every live directory speaks the current spec."""
+    meta = man.get("schema") or {}
+    if not meta.get("prior_specs"):
+        return False
+    pref = f"{meta.get('partition_col')}="
+    return any(not p.startswith(pref) for p in man.get("partitions") or {})
 
 
 def _write_commit_data(
@@ -1751,6 +1785,21 @@ def _partition_scoped_commit(
         parent = branch_head(target_path, branch)
     parent_ref = parent if branch is None else f"branch:{branch}@{parent}"
     man = read_manifest(target_path, parent_ref)
+    cur_pcol = (man.get("schema") or {}).get("partition_col")
+    if cur_pcol and partition_col != cur_pcol:
+        raise ValueError(
+            f"{target_path} is partitioned by {cur_pcol!r}, not "
+            f"{partition_col!r} — a mismatched writer would silently "
+            "fork the layout; use evolve_partition_spec to change the "
+            "spec, or write_snapshot to overwrite"
+        )
+    if operation != "append" and _mixed_spec(man):
+        raise ValueError(
+            f"{target_path} holds partitions under a retired partition "
+            f"spec ({operation!r} is only sound when every live "
+            "directory speaks the current spec) — compact_snapshot to "
+            "migrate, or append_snapshot for pure adds"
+        )
     if txn is not None and (man.get("txn") or {}).get(txn[0], -1) >= txn[1]:
         # This transaction (e.g. a replayed streaming micro-batch) is
         # already in the table — idempotent no-op.
@@ -1957,6 +2006,9 @@ def evolve_snapshot_schema(
     protected = {meta.get("partition_col")}
     protected.update(meta.get("stats_cols") or [])
     protected.update(meta.get("bloom_cols") or [])
+    # retired partition specs: old-spec DIRECTORY names still carry
+    # the old column name; renaming/dropping it would orphan them
+    protected.update(s["col"] for s in meta.get("prior_specs") or [])
     retired = {old for old, _ in (meta.get("renames") or [])} | set(
         meta.get("dropped") or []
     )
@@ -1991,6 +2043,150 @@ def evolve_snapshot_schema(
         blooms=dict(man.get("blooms") or {}),
         parent_txns=man.get("txn") or {},
         parent_manifest=man,
+    )
+
+
+def evolve_partition_spec(path: str, new_partition_col: str) -> int:
+    """PARTITION SPEC EVOLUTION (Iceberg's signature trick): re-declare
+    the table's partition column WITHOUT rewriting a byte of old data —
+    a metadata-only commit that carries every partition by reference
+    and records the new spec. Old directories keep their layout; new
+    commits (:func:`append_snapshot`, :func:`write_snapshot` overwrite)
+    land under the new spec; :func:`read_snapshot` unions both layouts
+    transparently (each commit scans with its own hive depth, every
+    spec column cast to its recorded type). At 100 TB this is the only
+    sane way to fix a bad partition choice — re-partitioning by
+    rewrite is a full-table job you schedule, not a prerequisite for
+    the next ingest.
+
+    While the table is LAYOUT-MIXED, operations whose correctness
+    hangs on partition-NAME semantics refuse rather than guess:
+    ``merge_snapshot``/``replace_partitions`` (a new-spec directory's
+    "complete content" may overlap rows living in old-spec
+    directories), ``delete_where``, partition-scoped compaction, and
+    every manifest answer that groups or prunes BY partition value
+    (GROUP BY pcol, eq-WHERE pruning, per-partition NDV). Global
+    manifest answers that never touch names — COUNT(*), stats min/max,
+    merged-HLL NDV — keep working. :func:`append_snapshot` keeps
+    working (it claims nothing about existing content).
+    :func:`compact_snapshot` is the MIGRATION: one full rewrite lands
+    everything under the current spec and every refusal lifts.
+
+    The new column must be an existing data column of a supported
+    partition type, not renamed/dropped, present in every commit's
+    files (i.e. in the table's recorded columns); tombstoned tables
+    must compact first (tombstone sidecars are keyed to directories of
+    the old spec). Returns the new version."""
+    parent = current_version(path)
+    man = read_manifest(path, parent)
+    meta = dict(man.get("schema") or {})
+    if not meta:
+        raise ValueError(f"{path} has no committed schema metadata")
+    old_col, old_type = meta["partition_col"], meta["partition_type"]
+    if new_partition_col == old_col:
+        raise ValueError(f"{path} is already partitioned by {old_col!r}")
+    if (man.get("tombstones") or {}).get("parts"):
+        raise ValueError(
+            "cannot evolve the partition spec while merge-on-read "
+            "tombstones are live (sidecars are keyed to old-spec "
+            "directories) — compact_snapshot first"
+        )
+    renamed = {old for old, _ in meta.get("renames") or []} | {
+        new for _, new in meta.get("renames") or []
+    }
+    if new_partition_col in renamed or new_partition_col in (
+        meta.get("dropped") or []
+    ):
+        raise ValueError(
+            f"cannot partition by {new_partition_col!r}: column is part "
+            "of the rename/drop evolution chain (physical and logical "
+            "names would disagree across commits)"
+        )
+    from pyspark.sql.types import StructType
+
+    sj = meta.get("spark_schema")
+    fields = (
+        {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(json.loads(sj)).fields
+        }
+        if sj
+        else {}
+    )
+    if new_partition_col not in fields:
+        raise ValueError(
+            f"cannot partition by {new_partition_col!r}: not a data "
+            f"column of {path} (columns: {sorted(fields)})"
+        )
+    new_type = fields[new_partition_col]
+    if new_type not in {
+        "tinyint", "smallint", "int", "bigint", "string", "date", "boolean"
+    }:
+        raise ValueError(
+            f"unsupported partition column type {new_type!r} for spec "
+            "evolution (use an integral, string, date, or boolean key)"
+        )
+    meta["partition_col"] = new_partition_col
+    meta["partition_type"] = new_type
+    meta["prior_specs"] = (meta.get("prior_specs") or []) + [
+        {"col": old_col, "type": old_type}
+    ]
+    return _commit(
+        path,
+        parent,
+        dict(man["partitions"]),
+        "evolve-spec",
+        meta,
+        stats=dict(man.get("stats") or {}),
+        blooms=dict(man.get("blooms") or {}),
+        parent_txns=man.get("txn") or {},
+        parent_manifest=man,
+    )
+
+
+def append_snapshot(
+    target_path: str,
+    source: DataFrame,
+    partition_col: str,
+    *,
+    expected_version: int | None = None,
+    txn: tuple[str, int] | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    branch: str | None = None,
+) -> int:
+    """APPEND as a snapshot commit — the ingest fast path (Iceberg's
+    fast-append analog at directory grain): ``source``'s rows are ADDED
+    to the partitions they belong to; nothing is keyed, nothing is
+    removed, untouched partitions carry by reference. A partition the
+    source only ADDS ROWS TO is rewritten as existing ∪ new (the
+    manifest maps each partition to ONE directory), so partition the
+    table by something appends never revisit — ingest date, batch id —
+    and every append is pure directory adds: zero rewrite at any
+    scale, the same discipline every append-optimized table layout
+    asks for.
+
+    Because an append claims NOTHING about existing content, it is the
+    one row-adding writer that stays legal while the table is
+    layout-mixed after :func:`evolve_partition_spec` — new data lands
+    under the current spec while old directories await migration.
+    Shares merge's optimistic concurrency, txn idempotence, schema
+    evolution (sources may add columns), stats/bloom maintenance, and
+    ``branch`` targeting."""
+    return _partition_scoped_commit(
+        target_path,
+        source,
+        partition_col,
+        expected_version=expected_version,
+        txn=txn,
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
+        combine=lambda existing, src: existing.unionByName(
+            src, allowMissingColumns=True
+        ),
+        strict_key=None,
+        operation="append",
+        branch=branch,
     )
 
 
@@ -2061,6 +2257,12 @@ def delete_where(
     pcol = (man.get("schema") or {}).get("partition_col")
     if pcol is None:
         raise ValueError(f"{path} has no committed snapshot to delete from")
+    if _mixed_spec(man):
+        raise ValueError(
+            f"{path} holds partitions under a retired partition spec — "
+            "row deletes are partition-scoped and would miss old-spec "
+            "directories; compact_snapshot to migrate first"
+        )
     cur = read_snapshot(spark, path, parent)
     hits = (
         cur.groupBy(pcol)
@@ -2146,6 +2348,12 @@ def _delete_where_mor(
     pcol = meta.get("partition_col")
     if pcol is None:
         raise ValueError(f"{path} has no committed snapshot to delete from")
+    if _mixed_spec(man):
+        raise ValueError(
+            f"{path} holds partitions under a retired partition spec — "
+            "tombstone sidecars key to current-spec directories; "
+            "compact_snapshot to migrate first"
+        )
     if txn is not None and (man.get("txn") or {}).get(txn[0], -1) >= txn[1]:
         return {
             "version": parent,
@@ -2491,6 +2699,13 @@ def compact_partitions(
     pcol = meta.get("partition_col")
     if not pcol:
         raise ValueError(f"{path} has no committed schema metadata")
+    if _mixed_spec(man):
+        raise ValueError(
+            f"{path} holds partitions under a retired partition spec — "
+            "partition-scoped compaction would rewrite old-spec "
+            "directories under the wrong layout; use the full "
+            "compact_snapshot to migrate"
+        )
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
     live = man.get("partitions") or {}
 
@@ -2890,6 +3105,12 @@ def manifest_aggregate(
     part_col_wanted = pcol in want if pcol else False
     if part_col_wanted:
         want = [c for c in want if c != pcol]
+    if (part_col_wanted or where_partition is not None) and _mixed_spec(man):
+        raise ValueError(
+            "partition-VALUE answers (pcol extremes, eq-partition "
+            f"restriction) are unprovable while {path} holds old-spec "
+            "directories — compact_snapshot to migrate, or scan"
+        )
     if where_partition is not None:
         wcol, wval = where_partition
         if wcol != pcol:
@@ -3055,6 +3276,12 @@ def manifest_partition_counts(
             f"snapshot table at {path!r} is unpartitioned — no "
             "partition column to group by"
         )
+    if _mixed_spec(man):
+        raise ValueError(
+            f"GROUP BY {pcol!r} is unprovable while {path} holds "
+            "old-spec directories (their names are not values of the "
+            "current partition column) — compact_snapshot to migrate"
+        )
     ptype = meta.get("partition_type") or "string"
     if where_partition is not None:
         wcol, wval = where_partition
@@ -3115,6 +3342,13 @@ def manifest_approx_distinct(
     meta = man.get("schema") or {}
     pcol = meta.get("partition_col")
     ptype = meta.get("partition_type") or "string"
+    if (by_partition or where_partition is not None) and _mixed_spec(man):
+        raise ValueError(
+            "per-partition NDV / eq-partition restriction is "
+            f"unprovable while {path} holds old-spec directories — "
+            "the GLOBAL merged estimate still answers; compact to "
+            "migrate"
+        )
     renames = meta.get("renames") or []
 
     def _chain(name: str) -> str:
@@ -3226,6 +3460,11 @@ def manifest_group_stats(
         raise ValueError(
             f"snapshot table at {path!r} is unpartitioned — no "
             "partition column to group by"
+        )
+    if _mixed_spec(man):
+        raise ValueError(
+            f"GROUP BY {pcol!r} is unprovable while {path} holds "
+            "old-spec directories — compact_snapshot to migrate"
         )
     if pcol in columns:
         raise ValueError(
@@ -3340,6 +3579,11 @@ def manifest_range_count(
     man = read_manifest(path, version)
     meta = man.get("schema") or {}
     pcol = meta.get("partition_col")
+    if column == pcol and _mixed_spec(man):
+        # old-spec directory names are not values of the current
+        # partition column; the stats branch below (column != pcol)
+        # stays valid — per-partition stats are spec-independent
+        return None
 
     def _in_lo(v) -> bool:
         return lo is None or (v > lo if lo_strict else v >= lo)
