@@ -160,6 +160,7 @@ EXTRA = (
     "z51_manifest_ndv",
     "z52_branch_merge",
     "z53_partition_evolution",
+    "z54_token_index_search",
 )
 
 

@@ -4160,6 +4160,78 @@ GROUP BY shard
 """
 
 
+_TOKIDX_DROPS: dict = {}
+
+
+def z54_token_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted INVERTED TOKEN INDEX (operators.text_index): postings
+    ``(token, doc_id, tf)`` live in a snapshot table partitioned by
+    ``crc32(token) % 64`` — the search-engine term-partitioned posting
+    file expressed in the repo's lakehouse layer (build = one explode
+    + one map-side-combinable aggregate). The search computes its
+    terms' buckets DRIVER-SIDE (zlib.crc32 == Spark crc32, parity
+    unit-pinned) and opens ONLY those partition directories via the
+    manifest — a 2-term query against a 100 TB corpus reads 2 of 64
+    posting buckets and never touches raw documents (inputFiles-pinned
+    like the IVF probe, tests/test_text_index.py). AND-match = having
+    every distinct term; incremental ingest appends postings via
+    append_snapshot with txn exactly-once. The result profiles the
+    AND-matched docs per lang plus the OR-match count; the oracle
+    replays tokenize → postings → match over the raw corpus with the
+    pinned whitespace convention."""
+    import os
+
+    from ..operators.text_index import build_token_index, search_token_index
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _TOKIDX_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("tokidx_") + "/idx"
+        build_token_index(load_table(spark, sf_dir, "documents"), path)
+        _TOKIDX_DROPS[key] = path
+    terms = ["hash", "filter"]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    hits_and = search_token_index(spark, path, terms, mode="all")
+    n_or = search_token_index(spark, path, terms, mode="any").count()
+    return (
+        hits_and.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tf_total").alias("tf_sum"),
+        )
+        .crossJoin(
+            spark.range(1).select(F.lit(n_or).cast("long").alias("n_or"))
+        )
+    )
+
+
+Z54_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+postings AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM toks WHERE token IN ('hash', 'filter')
+  GROUP BY doc_id, token
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_terms, sum(tf)::BIGINT AS tf_total
+  FROM postings GROUP BY doc_id
+),
+orn AS (SELECT count(*)::BIGINT AS n_or FROM hits)
+SELECT d.lang,
+       count(*)::BIGINT AS n_docs,
+       sum(a.tf_total)::BIGINT AS tf_sum,
+       o.n_or
+FROM hits a
+JOIN documents d USING (doc_id)
+CROSS JOIN orn o
+WHERE a.n_terms = 2
+GROUP BY d.lang, o.n_or
+"""
+
+
 Z46_SQL = """
 SELECT (SELECT count(*) FROM orders)::BIGINT AS n_v1,
        (SELECT min(o_totalprice) FROM orders) AS lo_v1,
@@ -5451,6 +5523,7 @@ EXTENSION_QUERIES = {
     "z51_manifest_ndv": z51_manifest_ndv,
     "z52_branch_merge": z52_branch_merge,
     "z53_partition_evolution": z53_partition_evolution,
+    "z54_token_index_search": z54_token_index_search,
 }
 
 EXTENSION_ORACLES = {
@@ -5525,6 +5598,7 @@ EXTENSION_ORACLES = {
     "z51_manifest_ndv": Z51_SQL,
     "z52_branch_merge": Z52_SQL,
     "z53_partition_evolution": Z53_SQL,
+    "z54_token_index_search": Z54_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,
