@@ -161,6 +161,7 @@ EXTRA = (
     "z52_branch_merge",
     "z53_partition_evolution",
     "z54_token_index_search",
+    "z55_manifest_quantiles",
 )
 
 

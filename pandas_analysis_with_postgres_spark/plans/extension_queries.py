@@ -4232,6 +4232,125 @@ GROUP BY d.lang, o.n_or
 """
 
 
+_QHIST_DROPS: dict = {}
+
+#: z55 histogram bucket width in cents — the q90 constant, so the two
+#: recipes stay one recipe.
+_Z55_WIDTH = 5_000_00
+
+
+def z55_manifest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-served approximate QUANTILES — equi-width histograms
+    in the manifest (sources.snapshot.manifest_quantile + the
+    ``stats_cols=["cents::hist:<width>"]`` table property): every
+    commit records each partition's exact bucket counts (one extra
+    aggregate over page-cached files, the bloom/HLL cost model;
+    manifest bytes = live buckets × partitions, the width is the
+    sizing lever and over-fine histograms REFUSE at write). Counts
+    merge across partitions by SUMMING — exact integers end-to-end —
+    so ``APPROX_QUANTILE(col, p)``, global AND per partition group, is
+    answered with ZERO data pages at any scale: the p50/p99 poll every
+    ops dashboard runs against a 100 TB table, without a scan. The
+    estimate is the q90 recipe verbatim (lower edge of the first
+    bucket whose cumulative count crosses the rank — deterministic,
+    hash-verifiable, error bounded by one bucket width). Cold
+    partitions carry their counts; rewrites recount; tombstones,
+    un-sketched columns, width disagreement, and mixed partition specs
+    refuse (unit-pinned, tests/test_manifest_hist.py, incl. the
+    zero-data-page proof). Served through metadata SQL in all three
+    shapes; this query exercises GROUP BY pcol and the global form;
+    the oracle replays bucket → cumulative-rank → lower-edge in SQL
+    per group AND re-merged globally, so the manifest merge arithmetic
+    itself is hash-verified."""
+    import os
+
+    from ..sources.metadata_sql import answer_from_manifest
+    from ..sources.snapshot import write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _QHIST_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("qhist_") + "/orders_tbl"
+        cents = (
+            F.col("o_totalprice").cast("decimal(18,2)") * 100
+        ).cast("long")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", cents.alias("cents")
+        )
+        write_snapshot(
+            orders, path, "o_orderstatus",
+            stats_cols=[f"cents::hist:{_Z55_WIDTH}"],
+        )
+        _QHIST_DROPS[key] = path
+    grp = answer_from_manifest(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n,"
+        " APPROX_QUANTILE(cents, 50) AS p50,"
+        " APPROX_QUANTILE(cents, 90) AS p90"
+        " FROM t GROUP BY o_orderstatus",
+        {"t": path},
+    )
+    glob = answer_from_manifest(
+        spark,
+        "SELECT APPROX_QUANTILE(cents, 50) AS p50_all,"
+        " APPROX_QUANTILE(cents, 99) AS p99_all, COUNT(*) AS n_all FROM t",
+        {"t": path},
+    )
+    assert grp is not None and glob is not None
+    return grp.crossJoin(glob)
+
+
+Z55_SQL = f"""
+WITH c AS (
+  SELECT o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+hist AS (
+  SELECT o_orderstatus,
+         CAST(FLOOR(CAST(cents AS DOUBLE) / {_Z55_WIDTH}) AS BIGINT) AS bucket,
+         COUNT(*)::BIGINT AS n
+  FROM c GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderstatus, bucket, n,
+         CAST(SUM(n) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS total
+  FROM hist
+),
+per AS (
+  SELECT o_orderstatus, MAX(total) AS n,
+         MIN(CASE WHEN cum * 100 >= total * 50
+                  THEN bucket * {_Z55_WIDTH} END) AS p50,
+         MIN(CASE WHEN cum * 100 >= total * 90
+                  THEN bucket * {_Z55_WIDTH} END) AS p90
+  FROM cum GROUP BY o_orderstatus
+),
+gcum AS (
+  SELECT bucket, SUM(n) AS n FROM hist GROUP BY bucket
+),
+grank AS (
+  SELECT bucket,
+         CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum,
+         CAST(SUM(n) OVER () AS BIGINT) AS total
+  FROM gcum
+),
+g AS (
+  SELECT MIN(CASE WHEN cum * 100 >= total * 50
+                  THEN bucket * {_Z55_WIDTH} END) AS p50_all,
+         MIN(CASE WHEN cum * 100 >= total * 99
+                  THEN bucket * {_Z55_WIDTH} END) AS p99_all,
+         MAX(total) AS n_all
+  FROM grank
+)
+SELECT per.o_orderstatus, per.n, per.p50, per.p90,
+       g.p50_all, g.p99_all, g.n_all
+FROM per CROSS JOIN g
+"""
+
+
 Z46_SQL = """
 SELECT (SELECT count(*) FROM orders)::BIGINT AS n_v1,
        (SELECT min(o_totalprice) FROM orders) AS lo_v1,
@@ -5524,6 +5643,7 @@ EXTENSION_QUERIES = {
     "z52_branch_merge": z52_branch_merge,
     "z53_partition_evolution": z53_partition_evolution,
     "z54_token_index_search": z54_token_index_search,
+    "z55_manifest_quantiles": z55_manifest_quantiles,
 }
 
 EXTENSION_ORACLES = {
@@ -5599,6 +5719,7 @@ EXTENSION_ORACLES = {
     "z52_branch_merge": Z52_SQL,
     "z53_partition_evolution": Z53_SQL,
     "z54_token_index_search": Z54_SQL,
+    "z55_manifest_quantiles": Z55_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

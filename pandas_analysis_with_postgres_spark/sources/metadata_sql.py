@@ -60,6 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .snapshot import (
     manifest_aggregate,
     manifest_approx_distinct,
+    manifest_quantile,
     manifest_group_stats,
     manifest_partition_counts,
     manifest_range_count,
@@ -109,6 +110,7 @@ def extract_as_of(sql: str) -> "tuple[str, dict | None]":
 _ITEM = re.compile(
     r"^\s*(?:COUNT\s*\(\s*\*\s*\)"
     r"|(?P<adc>APPROX_COUNT_DISTINCT)\s*\(\s*(?P<adccol>[A-Za-z_]\w*)\s*\)"
+    r"|(?P<aq>APPROX_QUANTILE)\s*\(\s*(?P<aqcol>[A-Za-z_]\w*)\s*,\s*(?P<aqp>\d+)\s*\)"
     r"|(?P<fn>MIN|MAX)\s*\(\s*(?P<col>[A-Za-z_]\w*)\s*\)"
     r"|(?P<bare>[A-Za-z_]\w*))"
     r"(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?\s*$",
@@ -147,7 +149,21 @@ def parse_metadata_select(sql: str) -> "dict | None":
     gcol = m.group("gcol")
     items = []
     n_bare = 0
-    for raw in m.group("items").split(","):
+    # split the select list on TOP-LEVEL commas only — the comma
+    # inside APPROX_QUANTILE(col, p) is part of one item
+    parts, depth, buf = [], 0, []
+    for ch in m.group("items"):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    for raw in parts:
         im = _ITEM.match(raw)
         if not im:
             return None
@@ -167,6 +183,13 @@ def parse_metadata_select(sql: str) -> "dict | None":
             col = im.group("adccol")
             items.append(
                 ("approx", col, im.group("alias") or f"approx_distinct_{col}")
+            )
+            continue
+        if im.group("aq") is not None:
+            col, qp = im.group("aqcol"), int(im.group("aqp"))
+            items.append(
+                ("quantile", (col, qp),
+                 im.group("alias") or f"approx_q{qp}_{col}")
             )
             continue
         fn = (im.group("fn") or "count").lower()
@@ -212,7 +235,9 @@ def parse_metadata_select(sql: str) -> "dict | None":
         # the range proof covers COUNT(*) only: MIN/MAX under a range
         # needs clipped extremes, and NDV sketches cannot be
         # range-restricted — neither is provable
-        if any(k in ("min", "max", "approx") for k, _, _ in items):
+        if any(
+            k in ("min", "max", "approx", "quantile") for k, _, _ in items
+        ):
             return None
     return {
         "table": m.group("table"),
@@ -341,6 +366,13 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
             for k, c, _ in parsed["items"]
             if k == "approx"
         }
+        quant = {
+            c: manifest_quantile(
+                path, c[0], c[1], version=version, where_partition=eq
+            )
+            for k, c, _ in parsed["items"]
+            if k == "quantile"
+        }
     except ValueError:
         # e.g. extremes over merge-on-read tombstoned partitions, a
         # column with no usable stats anywhere, or a missing NDV
@@ -357,6 +389,9 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
         elif fn == "approx":
             values.append(float(approx[col]))
             fields.append(StructField(alias, DoubleType(), False))
+        elif fn == "quantile":
+            values.append(int(quant[col]))
+            fields.append(StructField(alias, LongType(), False))
         else:
             v = agg["columns"][col][fn]
             dt = field_types.get(col)
@@ -371,7 +406,7 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
 
     exprs = []
     for fn, col, alias in parsed["items"]:
-        if fn in ("count", "approx"):
+        if fn in ("count", "approx", "quantile"):
             exprs.append(F.col(alias))
         else:
             exprs.append(F.col(alias).cast(field_types[col]).alias(alias))
@@ -490,6 +525,18 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
             ]
         except ValueError:
             raise _Refuse()  # missing sketch / tombstones: scan
+    quant_lists = {}
+    for spec in {c for k, c, _ in parsed["items"] if k == "quantile"}:
+        try:
+            quant_lists[spec] = [
+                e
+                for _, e in manifest_quantile(
+                    path, spec[0], spec[1], version=version,
+                    where_partition=eq, by_partition=True,
+                )
+            ]
+        except ValueError:
+            raise _Refuse()  # missing histogram / tombstones: scan
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -517,6 +564,11 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
             row_fn.append(
                 lambda v, n, s, gi, c=col: float(approx_lists[c][gi])
             )
+        elif kind == "quantile":
+            fields.append(StructField(alias, LongType(), False))
+            row_fn.append(
+                lambda v, n, s, gi, c=col: int(quant_lists[c][gi])
+            )
         else:  # min/max: stat_json rendering → string-cast like z34
             fields.append(StructField(alias, StringType(), True))
             idx = 0 if kind == "min" else 1
@@ -536,7 +588,7 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
     for kind, col, alias in parsed["items"]:
         if kind == "group":
             exprs.append(F.col(alias).cast(field_types[pcol]).alias(alias))
-        elif kind in ("count", "approx"):
+        elif kind in ("count", "approx", "quantile"):
             exprs.append(F.col(alias))
         else:
             exprs.append(F.col(alias).cast(field_types[col]).alias(alias))

@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import threading
 import uuid
@@ -1430,12 +1431,16 @@ def _write_commit_data(
     # Riding in stats_cols means zero new plumbing: property
     # inheritance, cold-partition carry, and _commit's filtering all
     # treat the sketch exactly like any other stats entry.
-    mm_cols = [c for c in (stats_cols or []) if not c.endswith(HLL_SUFFIX)]
-    hll_cols = [
-        c[: -len(HLL_SUFFIX)]
-        for c in (stats_cols or [])
-        if c.endswith(HLL_SUFFIX)
-    ]
+    hist_specs = []  # [(base_col, width, full_key)]
+    mm_cols, hll_cols = [], []
+    for c in stats_cols or []:
+        hm = _HIST_KEY_RE.match(c)
+        if hm is not None:
+            hist_specs.append((hm.group("col"), int(hm.group("width")), c))
+        elif c.endswith(HLL_SUFFIX):
+            hll_cols.append(c[: -len(HLL_SUFFIX)])
+        else:
+            mm_cols.append(c)
     entries = {}
     stats = {}
     for p in out.iterdir():
@@ -1456,6 +1461,12 @@ def _write_commit_data(
         ).items():
             if pname in stats:
                 stats[pname].update(regs_by_col)
+    if hist_specs and entries:
+        for pname, hists in _compute_hists(
+            df.sparkSession, out, partition_col, hist_specs
+        ).items():
+            if pname in stats:
+                stats[pname].update(hists)
     return entries, stats
 
 
@@ -1464,6 +1475,79 @@ def _write_commit_data(
 #: "user_id::hll"]`` records min/max for amt and an NDV sketch for
 #: user_id.
 HLL_SUFFIX = "::hll"
+
+#: Reserved stats_cols form requesting a per-partition EQUI-WIDTH
+#: HISTOGRAM: ``stats_cols=["price_cents::hist:500000"]`` records, for
+#: each partition, the exact count of rows per ``floor(price_cents /
+#: 500000)`` bucket — mergeable across partitions by summing, which is
+#: what lets :func:`manifest_quantile` serve APPROX_QUANTILE from
+#: metadata alone. Width is the caller's sizing lever: manifest bytes
+#: ≈ live buckets × partitions × ~15 B; aim for ≲ a few hundred live
+#: buckets (a partition exceeding MAX_HIST_BUCKETS refuses at write —
+#: widen the bucket, don't bloat every future manifest).
+_HIST_KEY_RE = re.compile(r"^(?P<col>[A-Za-z_]\w*)::hist:(?P<width>[1-9]\d*)$")
+MAX_HIST_BUCKETS = 4096
+
+
+def _compute_hists(
+    spark: SparkSession, commit_dir: Path, partition_col: str, specs: list
+) -> dict:
+    """Per-partition equi-width histograms for ``specs`` = [(col,
+    width, full_key)], computed from the just-written commit directory
+    (one extra aggregate over page-cached files — the same cost model
+    as blooms and HLL sketches; reading back what was written
+    sidesteps double-evaluating a nondeterministic input plan).
+    Returns {pname: {full_key: [[bucket, n], …] sorted}} — exact
+    integer counts (NULLs dropped, matching SQL percentile/aggregate
+    null semantics), so every quantile served from the merge is
+    hash-verifiable, not a confidence interval."""
+    from pyspark.sql import functions as F
+
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    with _INFER_LOCK:
+        infer_old = spark.conf.get(infer_key, "true")
+        spark.conf.set(infer_key, "false")
+        try:
+            back = spark.read.option("basePath", str(commit_dir)).parquet(
+                str(commit_dir)
+            )
+        finally:
+            spark.conf.set(infer_key, infer_old)
+    for col, _w, key in specs:
+        t = back.schema[col].dataType.simpleString()
+        if t not in {"tinyint", "smallint", "int", "bigint"}:
+            raise ValueError(
+                f"{key!r} requests a histogram but {col!r} is {t!r}; "
+                "histogram columns must be integral (pre-scale floats "
+                "to cents/micros like the q90 recipe)"
+            )
+    out: dict = {}
+    for col, width, key in specs:
+        rows = (
+            back.where(F.col(col).isNotNull())
+            .groupBy(
+                partition_col,
+                F.floor(F.col(col) / F.lit(width)).alias("__b"),
+            )
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()  # ≤ partitions × live buckets: manifest-scale
+        )
+        per_part: dict = {}
+        for r in rows:
+            per_part.setdefault(r[0], []).append((int(r[1]), int(r[2])))
+        for pval, buckets in per_part.items():
+            if len(buckets) > MAX_HIST_BUCKETS:
+                raise ValueError(
+                    f"{key!r}: partition {pval!r} has {len(buckets)} live "
+                    f"histogram buckets (> {MAX_HIST_BUCKETS}) — widen the "
+                    "bucket width; a megabyte manifest is the wrong home "
+                    "for a fine-grained histogram"
+                )
+            pname = _hive_part_name(partition_col, pval)
+            out.setdefault(pname, {})[key] = [
+                [b, n] for b, n in sorted(buckets)
+            ]
+    return out
 
 
 def _compute_hlls(
@@ -3089,10 +3173,10 @@ def manifest_aggregate(
         return name
 
     want = list(columns or [])
-    if any(c.endswith(HLL_SUFFIX) for c in want):
+    if any(c.endswith(HLL_SUFFIX) or _HIST_KEY_RE.match(c) for c in want):
         raise ValueError(
-            f"'{HLL_SUFFIX}' entries are NDV sketches, not min/max "
-            "columns — use manifest_approx_distinct"
+            "sketch entries (::hll / ::hist:) are not min/max columns "
+            "— use manifest_approx_distinct / manifest_quantile"
         )
     # The PARTITION column's values live in directory names, not in
     # any data file (hive layout) — footer stats can never serve it,
@@ -3431,6 +3515,137 @@ def manifest_approx_distinct(
     return _estimate(merged)
 
 
+def manifest_quantile(
+    path: str,
+    column: str,
+    p: int,
+    *,
+    version: "int | str | None" = None,
+    where_partition: "tuple[str, object] | None" = None,
+    by_partition: bool = False,
+) -> "int | list":
+    """Approximate ``PERCENTILE(column, p/100)`` from MANIFEST
+    METADATA: the per-partition equi-width histograms recorded at
+    commit time (``stats_cols=["col::hist:<width>"]``) merge across
+    partitions by SUMMING bucket counts — exact integers end-to-end —
+    so a table-wide (or partition-restricted) quantile poll reads zero
+    data pages at any scale. The estimate is the q90 recipe verbatim:
+    the LOWER EDGE (bucket × width) of the first bucket whose
+    cumulative count crosses ``ceil(total × p/100)`` — deterministic
+    integer arithmetic, which is what makes the answer hash-verifiable
+    rather than a confidence interval (the same contract as the HLL /
+    CMS sketches). Approximation error is bounded by one bucket width,
+    the caller's sizing lever at write time.
+
+    ``by_partition=True`` returns ``[(value, estimate), …]`` per live
+    partition. Raises when any selected partition lacks the histogram,
+    carries merge-on-read tombstones (deleted rows cannot leave a
+    count), or — for the partition-restricted shapes — when the table
+    is layout-mixed after spec evolution: refuse-what-you-cannot-
+    prove, like every manifest answer. NULLs never entered the counts,
+    matching SQL percentile semantics; an all-NULL selection raises
+    (no rank to cross)."""
+    if not (0 < p <= 100):
+        raise ValueError(f"quantile p must be in (0, 100], got {p}")
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    pcol = meta.get("partition_col")
+    ptype = meta.get("partition_type") or "string"
+    if (by_partition or where_partition is not None) and _mixed_spec(man):
+        raise ValueError(
+            "per-partition quantile / eq-partition restriction is "
+            f"unprovable while {path} holds old-spec directories — "
+            "the GLOBAL merged histogram still answers; compact to "
+            "migrate"
+        )
+    renames = meta.get("renames") or []
+
+    def _chain(name: str) -> str:
+        for old, new in renames:
+            if name == old:
+                name = new
+        return name
+
+    parts = man.get("partitions") or {}
+    if where_partition is not None:
+        wcol, wval = where_partition
+        if wcol != pcol:
+            raise ValueError(
+                f"where_partition column {wcol!r} is not the partition "
+                f"column {pcol!r} — only partition equality is provable "
+                "from the manifest"
+            )
+        target = _hive_part_name(pcol, wval)
+        parts = {q: rel for q, rel in parts.items() if q == target}
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    if any(q in tomb_parts for q in parts):
+        raise ValueError(
+            "quantile over tombstoned partition(s) is unprovable from "
+            "the manifest (deleted rows cannot leave a histogram "
+            "count) — compact_snapshot first"
+        )
+    stats = man.get("stats") or {}
+
+    def _hist_of(pname: str) -> "tuple[list, int] | None":
+        entry = stats.get(pname) or {}
+        for k, v in entry.items():
+            hm = _HIST_KEY_RE.match(k)
+            if hm is not None and _chain(hm.group("col")) == column:
+                return v, int(hm.group("width"))
+        return None
+
+    def _estimate(counts: dict, width: int) -> int:
+        total = sum(counts.values())
+        if total == 0:
+            raise ValueError(
+                f"no non-null {column!r} rows in the selected "
+                "partition(s) — no rank to cross"
+            )
+        cum = 0
+        for b in sorted(counts):
+            cum += counts[b]
+            if cum * 100 >= total * p:
+                return b * width
+        raise AssertionError("rank crossing unreachable")  # p <= 100
+
+    part_rows = _partition_rows(man, path)
+    live = [q for q in sorted(parts) if part_rows.get(q, 0) > 0]
+    per = {}
+    width = None
+    for pname in live:
+        got = _hist_of(pname)
+        if got is None:
+            raise ValueError(
+                f"no '::hist:' histogram recorded for {column!r} in "
+                f"{pname!r} — add col::hist:<width> to stats_cols and "
+                "rewrite, or scan the data"
+            )
+        buckets, w = got
+        if width is None:
+            width = w
+        elif w != width:
+            raise ValueError(
+                f"histogram widths disagree across partitions ({w} vs "
+                f"{width}) — rewrite to a uniform width before merging"
+            )
+        per[pname] = buckets
+    if by_partition:
+        return [
+            (
+                _partition_value(pname, ptype)[1],
+                _estimate({b: n for b, n in per[pname]}, width),
+            )
+            for pname in live
+        ]
+    merged: dict = {}
+    for buckets in per.values():
+        for b, n in buckets:
+            merged[b] = merged.get(b, 0) + n
+    if width is None:
+        raise ValueError(f"no live partitions selected in {path}")
+    return _estimate(merged, width)
+
+
 def manifest_group_stats(
     path: str,
     columns: list[str],
@@ -3471,10 +3686,11 @@ def manifest_group_stats(
             "the grouped partition column's per-group min/max is the "
             "group value itself — select the column, not MIN/MAX of it"
         )
-    if any(c.endswith(HLL_SUFFIX) for c in columns):
+    if any(c.endswith(HLL_SUFFIX) or _HIST_KEY_RE.match(c) for c in columns):
         raise ValueError(
-            f"'{HLL_SUFFIX}' entries are NDV sketches, not min/max "
-            "columns — use manifest_approx_distinct(by_partition=True)"
+            "sketch entries (::hll / ::hist:) are not min/max columns "
+            "— use manifest_approx_distinct / manifest_quantile "
+            "(by_partition=True)"
         )
     ptype = meta.get("partition_type") or "string"
     renames = meta.get("renames") or []
@@ -3571,10 +3787,10 @@ def manifest_range_count(
     PARTITION column is always answerable: each directory holds ONE
     value (in-or-out, partial overlap impossible; the NULL partition
     contributes 0 like SQL)."""
-    if column.endswith(HLL_SUFFIX):
+    if column.endswith(HLL_SUFFIX) or _HIST_KEY_RE.match(column):
         raise ValueError(
-            f"'{HLL_SUFFIX}' entries are NDV sketches, not range "
-            "columns — use manifest_approx_distinct"
+            "sketch entries (::hll / ::hist:) are not range columns "
+            "— use manifest_approx_distinct / manifest_quantile"
         )
     man = read_manifest(path, version)
     meta = man.get("schema") or {}

@@ -108,7 +108,7 @@ def test_refusals(spark, tbl, tmp_path):
             df, str(tmp_path / "bad"), "p", stats_cols=["s::hll"]
         )
     # sketch keys are not min/max columns
-    with pytest.raises(ValueError, match="NDV sketches"):
+    with pytest.raises(ValueError, match="not min/max columns"):
         manifest_aggregate(tbl, columns=["user_id::hll"])
 
 
