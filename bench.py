@@ -162,6 +162,7 @@ EXTRA = (
     "z53_partition_evolution",
     "z54_token_index_search",
     "z55_manifest_quantiles",
+    "z56_stream_branch_ingest",
 )
 
 

@@ -4351,6 +4351,87 @@ FROM per CROSS JOIN g
 """
 
 
+_SBRANCH_DROPS: dict = {}
+
+
+def z56_stream_branch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WRITE-AUDIT-PUBLISH (streaming.stream_append_sink
+    with ``branch=`` — Iceberg's ``spark.wap.branch`` for streams):
+    the multi-batch event stream APPENDS into a named branch — each
+    micro-batch one ordinary append commit (exactly-once via the
+    ``txn=(app_id, batch_id)`` watermark, crash replays are no-ops;
+    append = nothing keyed, nothing removed, the canonical high-volume
+    ingest), while main's readers never see a row of it. The AUDIT
+    reads both refs from manifests alone (main COUNT unchanged while
+    the branch ran ahead — captured here and hash-verified against the
+    raw table), then ONE fast_forward publishes the whole run with its
+    per-batch history intact. Branch isolation, per-branch txn replay,
+    and multi-commit ff are unit-pinned (tests/test_snapshot.py
+    stream-append tests, tests/test_branches.py). The oracle replays
+    the seed/stream split and the final profile over raw events."""
+    import os
+
+    from ..sources.snapshot import (
+        create_branch,
+        fast_forward_branch,
+        manifest_aggregate,
+        read_snapshot,
+        write_snapshot,
+    )
+    from ..streaming import events_stream_multibatch, stream_append_sink
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    memo = _SBRANCH_DROPS.get(key)
+    if memo is None:
+        root = _tracked_mkdtemp("sbranch_")
+        path = root + "/events_tbl"
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_snapshot(ev.where("event_id % 2 = 0"), path, "event_type")
+        create_branch(path, "ingest")
+        stream = events_stream_multibatch(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        ).where("event_id % 2 = 1")
+        stream_append_sink(
+            stream, path, "event_type", app_id="z56",
+            checkpoint_dir=root + "/ckpt", branch="ingest",
+        )
+        # the AUDIT, from manifests alone: main never advanced, the
+        # branch carries the full corpus
+        n_main_before = manifest_aggregate(path)["n_rows"]
+        n_branch = manifest_aggregate(path, version="branch:ingest")["n_rows"]
+        assert n_branch > n_main_before, "ingest lost rows — drop_branch"
+        fast_forward_branch(path, "ingest")
+        memo = (path, n_main_before)
+        _SBRANCH_DROPS[key] = memo
+    path, n_main_before = memo
+    return (
+        read_snapshot(spark, path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .crossJoin(
+            spark.range(1).select(
+                F.lit(n_main_before).alias("n_main_before")
+            )
+        )
+    )
+
+
+Z56_SQL = """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 2) AS sum_value,
+       (SELECT count(*) FROM events WHERE event_id % 2 = 0)::BIGINT
+         AS n_main_before
+FROM events
+GROUP BY event_type
+"""
+
+
 Z46_SQL = """
 SELECT (SELECT count(*) FROM orders)::BIGINT AS n_v1,
        (SELECT min(o_totalprice) FROM orders) AS lo_v1,
@@ -5644,6 +5725,7 @@ EXTENSION_QUERIES = {
     "z53_partition_evolution": z53_partition_evolution,
     "z54_token_index_search": z54_token_index_search,
     "z55_manifest_quantiles": z55_manifest_quantiles,
+    "z56_stream_branch_ingest": z56_stream_branch_ingest,
 }
 
 EXTENSION_ORACLES = {
@@ -5720,6 +5802,7 @@ EXTENSION_ORACLES = {
     "z53_partition_evolution": Z53_SQL,
     "z54_token_index_search": Z54_SQL,
     "z55_manifest_quantiles": Z55_SQL,
+    "z56_stream_branch_ingest": Z56_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -16,6 +16,7 @@ from .streams import (
     stream_semantic_dedup_ingest,
     stream_ivfpq_ingest,
     stream_quality_gate,
+    stream_append_sink,
     stream_merge_sink,
     stream_optout_sink,
     run_available_now,
@@ -40,6 +41,7 @@ __all__ = [
     "stream_semantic_dedup_ingest",
     "stream_ivfpq_ingest",
     "stream_quality_gate",
+    "stream_append_sink",
     "stream_merge_sink",
     "stream_optout_sink",
     "windowed_hll_registers",

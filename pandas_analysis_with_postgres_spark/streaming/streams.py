@@ -443,8 +443,14 @@ def stream_merge_sink(
     app_id: str,
     checkpoint_dir: str,
     timeout_sec: int = 300,
+    branch: str | None = None,
 ) -> None:
     """Stream → snapshot-table MERGE with exactly-once semantics.
+    ``branch`` retargets every micro-batch commit at a named branch
+    (sources.snapshot.create_branch) — the streaming half of
+    write-audit-publish: hours of ingest accumulate invisibly to
+    main's readers, the audit reads ``version="branch:<name>"``, and
+    one fast_forward_branch publishes the whole run.
 
     Each micro-batch is merged into the snapshot table
     (``sources.snapshot.merge_snapshot``) tagged with
@@ -475,6 +481,7 @@ def stream_merge_sink(
                     key,
                     partition_col,
                     txn=(app_id, batch_id),
+                    branch=branch,
                 )
                 return
             except ConcurrentCommitError:
@@ -483,6 +490,50 @@ def stream_merge_sink(
 
     foreach_batch_sink(
         df, _merge, checkpoint_dir=checkpoint_dir, timeout_sec=timeout_sec
+    )
+
+
+def stream_append_sink(
+    df: DataFrame,
+    table_path: str,
+    partition_col: str,
+    *,
+    app_id: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+    branch: str | None = None,
+) -> None:
+    """Stream → snapshot-table APPEND with exactly-once semantics —
+    the canonical high-volume ingest sink (Iceberg's streaming
+    fast-append): each micro-batch's rows ADD to their partitions via
+    :func:`sources.snapshot.append_snapshot` (nothing keyed, nothing
+    removed; partition by something micro-batches never revisit —
+    ingest date, batch bucket — and every commit is pure directory
+    adds). Exactly-once via the same ``txn=(app_id, batch_id)``
+    watermark as the merge sink; crash-replayed batches are no-ops.
+    ``branch`` makes it the streaming write-audit-publish path, and —
+    because append claims nothing about existing content — this sink
+    also stays legal mid-migration after evolve_partition_spec."""
+    from ..sources.snapshot import ConcurrentCommitError, append_snapshot
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        attempts = 5
+        for i in range(attempts):
+            try:
+                append_snapshot(
+                    table_path,
+                    batch_df,
+                    partition_col,
+                    txn=(app_id, batch_id),
+                    branch=branch,
+                )
+                return
+            except ConcurrentCommitError:
+                if i == attempts - 1:
+                    raise
+
+    foreach_batch_sink(
+        df, _append, checkpoint_dir=checkpoint_dir, timeout_sec=timeout_sec
     )
 
 

@@ -1154,3 +1154,76 @@ class TestCompactPartitions:
         # only the tombstoned partition was rewritten
         assert man["partitions"]["p=1"] == v1_rel
         assert {r.k for r in read_snapshot(spark, path).collect()} == {2, 3}
+
+
+def test_stream_append_sink_end_to_end_and_exactly_once(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.streaming import (
+        events_stream_multibatch,
+        stream_append_sink,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    table = str(tmp_path / "ev_app")
+    ckpt = str(tmp_path / "ckpt")
+    stream = events_stream_multibatch(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    stream_append_sink(
+        stream, table, "event_type", app_id="app", checkpoint_dir=ckpt
+    )
+    from pandas_analysis_with_postgres_spark.sources.parquet import load_table
+
+    expect = load_table(spark, sf_dir, "events").count()
+    assert read_snapshot(spark, table).count() == expect
+    man = read_manifest(table)
+    assert man["operation"] == "append"
+    assert man["txn"]["app"] == man["version"] - 1
+    assert man["version"] >= 3  # one append commit per micro-batch
+    # re-drain from the same checkpoint: nothing new, nothing appended
+    stream2 = events_stream_multibatch(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    stream_append_sink(
+        stream2, table, "event_type", app_id="app", checkpoint_dir=ckpt
+    )
+    assert read_manifest(table)["version"] == man["version"]
+    assert read_snapshot(spark, table).count() == expect
+
+
+def test_stream_append_sink_into_branch(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        branch_head,
+        create_branch,
+        fast_forward_branch,
+        write_snapshot,
+    )
+    from pandas_analysis_with_postgres_spark.streaming import (
+        events_stream_multibatch,
+        stream_append_sink,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    table = str(tmp_path / "ev_br")
+    ckpt = str(tmp_path / "ckpt")
+    from pandas_analysis_with_postgres_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    seed = ev.where("event_id % 2 = 0")
+    write_snapshot(seed, table, "event_type")
+    create_branch(table, "ingest")
+    stream = events_stream_multibatch(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    ).where("event_id % 2 = 1")
+    stream_append_sink(
+        stream, table, "event_type", app_id="bapp",
+        checkpoint_dir=ckpt, branch="ingest",
+    )
+    n_seed, n_all = seed.count(), ev.count()
+    # main never saw the stream; the branch has everything
+    assert read_snapshot(spark, table).count() == n_seed
+    assert read_snapshot(spark, table, "branch:ingest").count() == n_all
+    assert branch_head(table, "ingest") >= 4  # ≥3 micro-batch commits
+    fast_forward_branch(table, "ingest")
+    assert read_snapshot(spark, table).count() == n_all
