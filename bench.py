@@ -163,6 +163,7 @@ EXTRA = (
     "z54_token_index_search",
     "z55_manifest_quantiles",
     "z56_stream_branch_ingest",
+    "z57_string_bloom_lookup",
 )
 
 

@@ -4432,6 +4432,74 @@ GROUP BY event_type
 """
 
 
+_STRBLOOM_DROPS: dict = {}
+
+
+def z57_string_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING-KEY Bloom point lookup (sources.snapshot `bloom_cols`
+    now accepts string columns): the entity-resolution probe every
+    dimension store runs — ``WHERE c_name = 'Customer#…'`` against a
+    bucket-partitioned customer table where the name is equidistributed
+    across buckets, so neither partition values nor min/max stats can
+    prune. String keys enter the SAME integer bloom hash family
+    through crc32 of the UTF-8 bytes (Spark's ``crc32`` at write ==
+    ``zlib.crc32`` at probe — the engine-exact pair already pinned for
+    the token index), so the reader computes the probe DRIVER-SIDE and
+    opens only the directories whose bitmap cannot rule the name out:
+    one bucket of 16 (+ any false positives, removed by the mandatory
+    real filter — which is what lets the oracle hash-verify the
+    pruning as behavior-free). Present-key, absent-key (zero
+    directories), and FP-scan semantics are unit-pinned
+    (tests/test_string_bloom.py)."""
+    import os
+
+    from ..sources.snapshot import read_snapshot, write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _STRBLOOM_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("strbloom_") + "/customer_tbl"
+        cust = load_table(spark, sf_dir, "customer").withColumn(
+            "cbucket", F.pmod(F.col("c_custkey"), F.lit(16))
+        )
+        write_snapshot(
+            cust.repartition("cbucket"), path, "cbucket",
+            bloom_cols=["c_name"],
+        )
+        _STRBLOOM_DROPS[key] = path
+    name = "Customer#000000421"
+    scan = read_snapshot(spark, path, point_lookups={"c_name": name})
+    hit = scan.filter(F.col("c_name") == name).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("acctbal_cents"),
+        "c_mktsegment",
+    )
+    # absent key: the bloom proves no directory can hold it — the
+    # empty result is part of the hashed contract
+    ghost = read_snapshot(
+        spark, path, point_lookups={"c_name": "Customer#999999999"}
+    ).filter(F.col("c_name") == "Customer#999999999")
+    return hit.crossJoin(
+        ghost.agg(F.count(F.lit(1)).alias("n_ghost"))
+    )
+
+
+Z57_SQL = """
+SELECT c_custkey, c_name, c_nationkey,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS acctbal_cents,
+       c_mktsegment,
+       (SELECT COUNT(*) FROM customer
+        WHERE c_name = 'Customer#999999999')::BIGINT AS n_ghost
+FROM customer
+WHERE c_name = 'Customer#000000421'
+"""
+
+
 Z46_SQL = """
 SELECT (SELECT count(*) FROM orders)::BIGINT AS n_v1,
        (SELECT min(o_totalprice) FROM orders) AS lo_v1,
@@ -5726,6 +5794,7 @@ EXTENSION_QUERIES = {
     "z54_token_index_search": z54_token_index_search,
     "z55_manifest_quantiles": z55_manifest_quantiles,
     "z56_stream_branch_ingest": z56_stream_branch_ingest,
+    "z57_string_bloom_lookup": z57_string_bloom_lookup,
 }
 
 EXTENSION_ORACLES = {
@@ -5803,6 +5872,7 @@ EXTENSION_ORACLES = {
     "z54_token_index_search": Z54_SQL,
     "z55_manifest_quantiles": Z55_SQL,
     "z56_stream_branch_ingest": Z56_SQL,
+    "z57_string_bloom_lookup": Z57_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

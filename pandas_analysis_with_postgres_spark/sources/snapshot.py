@@ -53,6 +53,7 @@ import re
 import shutil
 import threading
 import uuid
+import zlib
 from collections.abc import Callable
 from pathlib import Path
 
@@ -492,15 +493,23 @@ def _compute_blooms(
     """
     from pyspark.sql import functions as F
 
+    types = {}
     for c in bloom_cols:
         t = df.schema[c].dataType.simpleString()
-        if t not in {"tinyint", "smallint", "int", "bigint"}:
+        if t not in {"tinyint", "smallint", "int", "bigint", "string"}:
             raise ValueError(
-                f"bloom_cols must be integral; {c!r} is {t!r}"
+                f"bloom_cols must be integral or string; {c!r} is {t!r}"
             )
+        types[c] = t
     structs = []
     for c in bloom_cols:
-        v = F.pmod(F.col(c).cast("long"), F.lit(_BLOOM_MOD))
+        # string keys enter the same integer hash family through
+        # crc32 (UTF-8 bytes) — Spark's crc32 == Python zlib.crc32,
+        # the engine-exact pair the probe side relies on
+        base = (
+            F.crc32(F.col(c)) if types[c] == "string" else F.col(c).cast("long")
+        )
+        v = F.pmod(base, F.lit(_BLOOM_MOD))
         pos = F.array(
             *[
                 F.pmod(F.pmod(v * F.lit(m), F.lit(_BLOOM_MOD)), F.lit(bits))
@@ -523,7 +532,10 @@ def _compute_blooms(
     return out
 
 
-def _bloom_may_contain(hex_bits: str, value: int) -> bool:
+def _bloom_may_contain(hex_bits: str, value) -> bool:
+    if isinstance(value, str):
+        # string keys probe through the same crc32 the writer used
+        value = zlib.crc32(value.encode("utf-8"))
     # The bitmap is self-describing: its length IS the table's
     # bloom_bits, so readers need no metadata plumbing.
     bm = bytes.fromhex(hex_bits)
@@ -660,7 +672,7 @@ def read_snapshot(
     with the table's schema — never an error — exactly like the
     unpruned read + filter it replaces.
 
-    ``point_lookups`` = ``{col: int_value}`` prunes with the
+    ``point_lookups`` = ``{col: int_or_str_value}`` prunes with the
     manifest's per-partition BLOOM filters (see ``bloom_cols`` on the
     writers): a partition whose bloom proves ``col = value`` absent is
     skipped. This is the probe shape min/max stats cannot help with —
@@ -703,7 +715,7 @@ def read_snapshot(
         for p, rel in parts.items():
             pb = all_blooms.get(p) or {}
             if all(
-                not isinstance(v, int)
+                not isinstance(v, (int, str))
                 or c not in pb
                 or _bloom_may_contain(pb[c], v)
                 for c, v in point_lookups.items()

@@ -633,10 +633,12 @@ class TestManifestBlooms:
         assert {r.k for r in got.filter("k = 90").collect()} == {90}
         assert all("/p=0/" in f for f in got.inputFiles())
 
-    def test_non_integral_bloom_col_rejected(self, spark, tmp_path):
-        df = spark.createDataFrame([("a", 0)], "s string, p long")
-        with pytest.raises(ValueError, match="integral"):
-            write_snapshot(df, str(tmp_path / "t"), "p", bloom_cols=["s"])
+    def test_unsupported_bloom_col_type_rejected(self, spark, tmp_path):
+        # strings are supported now (crc32 path, test_string_bloom);
+        # float/double still refuse — no engine-exact render to hash
+        df = spark.createDataFrame([(1.5, 0)], "x double, p long")
+        with pytest.raises(ValueError, match="integral or string"):
+            write_snapshot(df, str(tmp_path / "t"), "p", bloom_cols=["x"])
 
     def test_tables_without_blooms_ignore_point_lookups(self, spark, base):
         got = read_snapshot(spark, base, point_lookups={"k": 999})
