@@ -173,3 +173,27 @@ def test_branch_inherits_table_properties(spark, tbl):
     assert man["stats"]["p=0"]["v"][1] == 500.0  # fresh max on the hot part
     agg = manifest_aggregate(tbl, columns=["v"], version="branch:exp")
     assert agg["columns"]["v"]["max"] == 500.0
+
+
+def test_diff_snapshots_across_branch_refs(spark, tbl):
+    # "what would publishing change?" — the audit diff between main
+    # and a branch head is ordinary CDF: version strings pass through
+    # read_manifest, and only manifest-changed partitions scan
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        diff_snapshots,
+    )
+
+    create_branch(tbl, "exp")
+    merge_snapshot(
+        tbl, _df(spark, [(0, 0, 100.0), (99, 0, 5.0)]), "k", "p", branch="exp"
+    )
+    d = diff_snapshots(spark, tbl, 1, "branch:exp", "k")
+    got = {(r.change_type, r.k) for r in d.collect()}
+    assert got == {
+        ("update_pre", 0), ("update_post", 0), ("insert", 99),
+    }
+    # and the reverse direction reads as the rollback feed
+    back = diff_snapshots(spark, tbl, "branch:exp", 1, "k")
+    assert {(r.change_type, r.k) for r in back.collect()} == {
+        ("update_pre", 0), ("update_post", 0), ("delete", 99),
+    }
