@@ -164,6 +164,7 @@ EXTRA = (
     "z55_manifest_quantiles",
     "z56_stream_branch_ingest",
     "z57_string_bloom_lookup",
+    "z58_alter_upgrade",
 )
 
 

@@ -69,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "history", "read", "expire", "compact", "sql", "info",
             "changes", "maintain", "delete", "tag", "evolve", "merge",
-            "stats", "restore", "staged", "branch",
+            "stats", "restore", "staged", "branch", "alter",
         ],
     )
     p_sn.add_argument("path")
@@ -152,6 +152,18 @@ def main(argv: list[str] | None = None) -> int:
         "--columns",
         default=None,
         help="(stats) comma-separated columns for manifest min/max",
+    )
+    p_sn.add_argument(
+        "--check",
+        action="append",
+        default=None,
+        metavar="EXPR",
+        help="(alter) CHECK constraint to add; repeatable; 'none' clears",
+    )
+    p_sn.add_argument(
+        "--bloom",
+        default=None,
+        help="(alter) comma-separated bloom columns; 'none' clears",
     )
     p_sn.add_argument(
         "--to",
@@ -331,6 +343,27 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"dropped staged {args.discard!r}")
             else:
                 print(_json.dumps(list_staged(args.path)))
+            return 0
+        if args.action == "alter":
+            # metadata-only property re-declaration (ALTER TABLE)
+            from .sources.snapshot import _KEEP, alter_table_properties
+
+            def _cols(raw):
+                if raw is None:
+                    return _KEEP
+                return None if raw == "none" else raw.split(",")
+
+            checks = _KEEP
+            if args.check:
+                checks = None if args.check == ["none"] else args.check
+            v = alter_table_properties(
+                _gs("cli"),
+                args.path,
+                stats_cols=_cols(args.columns),
+                bloom_cols=_cols(args.bloom),
+                constraints=checks,
+            )
+            print(f"altered properties as version {v}")
             return 0
         if args.action == "branch":
             # branch refs: list (default) / --create / --drop / --ff

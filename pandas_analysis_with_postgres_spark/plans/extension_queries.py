@@ -4500,6 +4500,82 @@ WHERE c_name = 'Customer#000000421'
 """
 
 
+_ALTER_DROPS: dict = {}
+
+
+def z58_alter_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE properties + in-place upgrade
+    (sources.snapshot.alter_table_properties): a table created with NO
+    manifest statistics gets stats_cols (min/max + an ``::hll`` NDV
+    sketch) and a CHECK constraint re-declared by a METADATA-ONLY
+    commit — zero data rewritten, existing data VALIDATED against the
+    new constraint before it publishes (Delta's ADD CONSTRAINT
+    contract; a violated constraint refuses, unit-pinned). The new
+    properties bind future commits, so ONE ``compact_snapshot`` later
+    the whole table carries sketches and every metadata answer lights
+    up — the "upgrade a 100 TB table to NDV sketches with one
+    OPTIMIZE" path (sketches REFUSE between alter and rewrite:
+    refuse-what-you-cannot-prove, tests/test_alter_properties.py).
+    The result is the post-upgrade metadata SQL profile — COUNT,
+    MIN/MAX, APPROX_COUNT_DISTINCT from manifests alone — and the
+    oracle recomputes count/extremes exactly and replays the HLL
+    hash→registers→estimate pipeline for the NDV."""
+    import os
+
+    from ..sources.metadata_sql import answer_from_manifest
+    from ..sources.snapshot import (
+        alter_table_properties,
+        compact_snapshot,
+        write_snapshot,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _ALTER_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("alter_") + "/events_tbl"
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        write_snapshot(ev, path, "event_type")  # no properties at birth
+        alter_table_properties(
+            spark, path,
+            stats_cols=["value", "user_id::hll"],
+            constraints=["event_id >= 0"],
+        )
+        compact_snapshot(spark, path)  # the one-OPTIMIZE upgrade
+        _ALTER_DROPS[key] = path
+    out = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n, MIN(value) AS vmin, MAX(value) AS vmax,"
+        " APPROX_COUNT_DISTINCT(user_id) AS u FROM t",
+        {"t": path},
+    )
+    assert out is not None
+    return out.select(
+        "n",
+        F.round(F.col("vmin"), 2).alias("vmin"),
+        F.round(F.col("vmax"), 2).alias("vmax"),
+        F.round(F.col("u"), 8).alias("u"),
+    )
+
+
+def _z58_oracle() -> str:
+    return f"""
+WITH u AS (
+  SELECT 1 AS grp, user_id AS v FROM events WHERE user_id IS NOT NULL
+),
+{_hll_pipeline_sql("u", "grp")}
+SELECT (SELECT count(*) FROM events)::BIGINT AS n,
+       (SELECT round(min(value), 2) FROM events) AS vmin,
+       (SELECT round(max(value), 2) FROM events) AS vmax,
+       round(e.hll_estimate, 8) AS u
+FROM est e
+"""
+
+
+Z58_SQL = _z58_oracle()
+
+
 Z46_SQL = """
 SELECT (SELECT count(*) FROM orders)::BIGINT AS n_v1,
        (SELECT min(o_totalprice) FROM orders) AS lo_v1,
@@ -5795,6 +5871,7 @@ EXTENSION_QUERIES = {
     "z55_manifest_quantiles": z55_manifest_quantiles,
     "z56_stream_branch_ingest": z56_stream_branch_ingest,
     "z57_string_bloom_lookup": z57_string_bloom_lookup,
+    "z58_alter_upgrade": z58_alter_upgrade,
 }
 
 EXTENSION_ORACLES = {
@@ -5873,6 +5950,7 @@ EXTENSION_ORACLES = {
     "z55_manifest_quantiles": Z55_SQL,
     "z56_stream_branch_ingest": Z56_SQL,
     "z57_string_bloom_lookup": Z57_SQL,
+    "z58_alter_upgrade": Z58_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

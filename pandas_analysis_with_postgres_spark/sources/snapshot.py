@@ -2240,6 +2240,112 @@ def evolve_partition_spec(path: str, new_partition_col: str) -> int:
     )
 
 
+#: alter_table_properties sentinel: "leave this property as it is".
+#: None must remain a real value ("clear the property"), so the
+#: default is a sentinel, not None — the restore-tombstones precedent.
+_KEEP = object()
+
+
+def alter_table_properties(
+    spark: "SparkSession | None",
+    path: str,
+    *,
+    stats_cols: "list[str] | None | object" = _KEEP,
+    bloom_cols: "list[str] | None | object" = _KEEP,
+    bloom_bits: "int | object" = _KEEP,
+    constraints: "list[str] | None | object" = _KEEP,
+    validate: bool = True,
+) -> int:
+    """ALTER TABLE for the snapshot layer: re-declare the table's
+    stats/bloom/constraint properties with a METADATA-ONLY commit —
+    every partition carried by reference, zero data rewritten. The new
+    properties bind FUTURE commits: a rewritten partition collects the
+    new stats/sketches/bitmaps, cold partitions keep whatever they
+    recorded, and every manifest answer keeps its existing discipline
+    — min/max gains the footer fallback immediately (footers always
+    existed; the property makes future commits harvest them into the
+    manifest), while SKETCHES (``::hll`` / ``::hist:<width>``) refuse
+    until each selected partition has been rewritten under the new
+    property — so upgrading a 100 TB table to NDV sketches is
+    ``alter_table_properties(...)`` + one ``compact_snapshot`` (or
+    just waiting for churn to rewrite the hot set). Pass ``None`` to
+    CLEAR a property; omit to keep.
+
+    ``constraints`` follows Delta's ADD CONSTRAINT contract: by
+    default the EXISTING data is validated (one aggregate scan —
+    ``spark`` is required for it) so a constraint that is published
+    was never false; ``validate=False`` skips the scan for pipelines
+    that know better (documented risk: already-violating rows stay).
+    Dropping the partition column's stats entry is fine (it never had
+    one); bloom/stats column NAMES must be data columns, sketch forms
+    (``::hll`` / ``::hist:<width>``) are validated syntactically here
+    and by type at the next write."""
+    parent = current_version(path)
+    man = read_manifest(path, parent)
+    meta = dict(man.get("schema") or {})
+    if not meta:
+        raise ValueError(f"{path} has no committed schema metadata")
+    from pyspark.sql.types import StructType
+
+    sj = meta.get("spark_schema")
+    known = (
+        {f.name for f in StructType.fromJson(json.loads(sj)).fields}
+        if sj
+        else set(meta.get("columns") or [])
+    )
+
+    def _base(c: str) -> str:
+        hm = _HIST_KEY_RE.match(c)
+        if hm is not None:
+            return hm.group("col")
+        if c.endswith(HLL_SUFFIX):
+            return c[: -len(HLL_SUFFIX)]
+        return c
+
+    for prop, val in (("stats_cols", stats_cols), ("bloom_cols", bloom_cols)):
+        if val is _KEEP or val is None:
+            continue
+        bad = [c for c in val if _base(c) not in known]
+        if bad:
+            raise ValueError(
+                f"{prop} entries {bad} name no data column of {path} "
+                f"(columns: {sorted(known)})"
+            )
+    if constraints is not _KEEP and constraints and validate:
+        if spark is None:
+            raise ValueError(
+                "adding constraints with validate=True needs a "
+                "SparkSession to scan existing data (pass "
+                "validate=False to skip — at your own risk)"
+            )
+        _enforce_constraints(
+            read_snapshot(spark, path, parent), list(constraints)
+        )
+    for key_, val in (
+        ("stats_cols", stats_cols),
+        ("bloom_cols", bloom_cols),
+        ("bloom_bits", bloom_bits),
+        ("constraints", constraints),
+    ):
+        if val is _KEEP:
+            continue
+        if val is None:
+            meta.pop(key_, None)
+        else:
+            meta[key_] = list(val) if key_ != "bloom_bits" else int(val)
+    return _commit(
+        path,
+        parent,
+        dict(man["partitions"]),
+        "alter",
+        meta,
+        stats=dict(man.get("stats") or {}),
+        blooms=dict(man.get("blooms") or {}),
+        parent_txns=man.get("txn") or {},
+        parent_manifest=man,
+    )
+
+
 def append_snapshot(
     target_path: str,
     source: DataFrame,

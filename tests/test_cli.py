@@ -462,3 +462,26 @@ def test_snapshot_branch_actions(spark, tmp_path, capsys):
     assert "fast-forwarded to version 2" in capsys.readouterr().out
     assert {r.k for r in read_snapshot(spark, path).collect()} == {1, 2, 9}
     assert main(["snapshot", "branch", path, "--drop", "exp"]) == 0
+
+
+def test_snapshot_alter_action(spark, tmp_path, capsys):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_manifest,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "alter_tbl")
+    write_snapshot(
+        spark.createDataFrame([(1, 0, 5.0), (2, 1, 6.0)], "k long, p long, v double"),
+        path,
+        "p",
+    )
+    assert main([
+        "snapshot", "alter", path, "--columns", "v", "--check", "v > 0",
+    ]) == 0
+    assert "altered properties as version 2" in capsys.readouterr().out
+    meta = read_manifest(path)["schema"]
+    assert meta["stats_cols"] == ["v"] and meta["constraints"] == ["v > 0"]
+    # clear the constraint
+    assert main(["snapshot", "alter", path, "--check", "none"]) == 0
+    assert "constraints" not in read_manifest(path)["schema"]
