@@ -165,6 +165,7 @@ EXTRA = (
     "z56_stream_branch_ingest",
     "z57_string_bloom_lookup",
     "z58_alter_upgrade",
+    "z59_metadata_in_list",
 )
 
 

@@ -97,7 +97,15 @@ def global_rank(
         acc += r["count"]
     total = acc
     spark = df.sparkSession
-    off = spark.createDataFrame(offsets, "__bucket long, __offset long")
+    from pyspark.sql.types import StructType
+
+    from ..sources.metadata_sql import _local_rows_df
+
+    # JVM-side literal frame (lit->explode): createDataFrame would pay
+    # a Python-worker launch for O(buckets) driver-local rows
+    off = _local_rows_df(
+        spark, offsets, StructType.fromDDL("__bucket long, __offset long")
+    )
     order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
     w = Window.partitionBy("__bucket").orderBy(*order_cols)
     out = (

@@ -2955,7 +2955,14 @@ def z33_manifest_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _snapagg_table(spark, sf_dir)
     agg = manifest_aggregate(path, columns=["o_totalprice"])
     rng = agg["columns"]["o_totalprice"]
-    return spark.createDataFrame(
+    from pyspark.sql.types import StructType
+
+    from ..sources.metadata_sql import _local_rows_df
+
+    # JVM-side literal frame: a metadata answer must not launch a
+    # Python worker (measured seconds per createDataFrame on local[32])
+    return _local_rows_df(
+        spark,
         [
             (
                 agg["n_rows"],
@@ -2964,7 +2971,9 @@ def z33_manifest_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 float(rng["max"]),
             )
         ],
-        "n_rows long, n_partitions long, min_price double, max_price double",
+        StructType.fromDDL(
+            "n_rows long, n_partitions long, min_price double, max_price double"
+        ),
     )
 
 
@@ -3248,6 +3257,53 @@ def z40_metadata_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 Z40_SQL = """
 SELECT o_orderstatus, count(*)::BIGINT AS n_orders
 FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def z59_metadata_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-answered IN-list partition pruning
+    (sources.metadata_sql): ``WHERE pcol IN (…)`` extends the one
+    provable equality to a member SET — COUNT(*) is the sum of the
+    members' exact per-partition counts (an absent member contributes
+    0, the SQL semantics), and the GROUP BY shape serves every item
+    kind (counts, per-group MIN/MAX, NDV, quantiles) by filtering the
+    per-partition lists on the canonical hive directory name — exact
+    for every partition type by construction. Both shapes read ZERO
+    data pages; refusals (plain-shape extremes under IN, non-partition
+    column, literal/type mismatch) fall to the scan path
+    (tests/test_metadata_sql.py). Shares z40's fixture — the marginal
+    fixture cost of this query is nothing. Oracle recomputes both
+    shapes from raw rows."""
+    from ..sources.metadata_sql import answer_from_manifest
+
+    path = _snapagg_table(spark, sf_dir)
+    grp = answer_from_manifest(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n, MIN(o_totalprice) AS lo,"
+        " MAX(o_totalprice) AS hi FROM orders"
+        " WHERE o_orderstatus IN ('F', 'P', 'ZZ') GROUP BY o_orderstatus",
+        {"orders": path},
+    )
+    tot = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n_members FROM orders"
+        " WHERE o_orderstatus IN ('F', 'P', 'ZZ')",
+        {"orders": path},
+    )
+    assert grp is not None and tot is not None
+    return grp.crossJoin(tot)
+
+
+Z59_SQL = """
+SELECT o_orderstatus,
+       count(*)::BIGINT AS n,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi,
+       (SELECT count(*) FROM orders
+        WHERE o_orderstatus IN ('F', 'P', 'ZZ'))::BIGINT AS n_members
+FROM orders
+WHERE o_orderstatus IN ('F', 'P', 'ZZ')
 GROUP BY o_orderstatus
 """
 
@@ -4124,9 +4180,15 @@ def z53_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
-    meta_df = spark.createDataFrame(
-        [(int(s), int(n)) for s, n in meta_counts], "shard long, n_meta long"
-    ).coalesce(1)
+    from pyspark.sql.types import StructType
+
+    from ..sources.metadata_sql import _local_rows_df
+
+    meta_df = _local_rows_df(
+        spark,
+        [(int(s_), int(n)) for s_, n in meta_counts],
+        StructType.fromDDL("shard long, n_meta long"),
+    )
     return (
         scan.join(F.broadcast(meta_df), "shard")
         .crossJoin(
@@ -5872,6 +5934,7 @@ EXTENSION_QUERIES = {
     "z56_stream_branch_ingest": z56_stream_branch_ingest,
     "z57_string_bloom_lookup": z57_string_bloom_lookup,
     "z58_alter_upgrade": z58_alter_upgrade,
+    "z59_metadata_in_list": z59_metadata_in_list,
 }
 
 EXTENSION_ORACLES = {
@@ -5951,6 +6014,7 @@ EXTENSION_ORACLES = {
     "z56_stream_branch_ingest": Z56_SQL,
     "z57_string_bloom_lookup": Z57_SQL,
     "z58_alter_upgrade": Z58_SQL,
+    "z59_metadata_in_list": Z59_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

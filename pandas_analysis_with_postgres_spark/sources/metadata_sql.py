@@ -121,6 +121,11 @@ _W_EQ = re.compile(
     rf"^\s*(?P<col>[A-Za-z_]\w*)\s*=\s*(?P<val>{_LIT})\s*$",
     re.IGNORECASE,
 )
+_W_IN = re.compile(
+    rf"^\s*(?P<col>[A-Za-z_]\w*)\s+IN\s*\(\s*(?P<vals>{_LIT}(?:\s*,\s*{_LIT})*)\s*\)\s*$",
+    re.IGNORECASE,
+)
+_LIT_RE = re.compile(_LIT)
 _W_CMP = re.compile(
     rf"^\s*(?P<col>[A-Za-z_]\w*)\s*(?P<op><=|>=|<|>)\s*(?P<val>{_LIT})\s*$",
     re.IGNORECASE,
@@ -209,6 +214,9 @@ def parse_metadata_select(sql: str) -> "dict | None":
         wtext = m.group("where")
         if (em := _W_EQ.match(wtext)) is not None:
             where = ("eq", em.group("col"), em.group("val"))
+        elif (im_ := _W_IN.match(wtext)) is not None:
+            vals = [v.group(0) for v in _LIT_RE.finditer(im_.group("vals"))]
+            where = ("in", im_.group("col"), vals)
         elif (cm := _W_CMP.match(wtext)) is not None:
             op, val = cm.group("op"), cm.group("val")
             if op in ("<", "<="):
@@ -229,8 +237,11 @@ def parse_metadata_select(sql: str) -> "dict | None":
     if gcol is not None:
         if n_bare != 1:
             return None  # grouped column must appear in the select list
-        if where is not None and where[0] != "eq":
+        if where is not None and where[0] not in ("eq", "in"):
             return None  # range + GROUP BY: not a served shape
+    if gcol is None and where is not None and where[0] == "in":
+        if any(k != "count" for k, _, _ in items):
+            return None  # IN proves COUNT(*) only in the plain shape
     if where is not None and where[0] == "range":
         # the range proof covers COUNT(*) only: MIN/MAX under a range
         # needs clipped extremes, and NDV sketches cannot be
@@ -288,6 +299,68 @@ def answer_from_manifest(
         return None
 
 
+def _coerce_partition_literal(raw: str, ptype: str):
+    """One raw SQL literal → a typed partition value, with the same
+    type-compatibility refusals the eq path has always had (quoted vs
+    integral, bare number vs string, fractional vs integral)."""
+    if raw.startswith("'"):
+        if ptype in ("tinyint", "smallint", "int", "bigint", "boolean"):
+            raise _Refuse()
+        return raw[1:-1]
+    if raw.lower() in ("true", "false"):
+        if ptype != "boolean":
+            raise _Refuse()
+        return raw.lower() == "true"
+    if ptype not in ("tinyint", "smallint", "int", "bigint"):
+        raise _Refuse()
+    if "." in raw:
+        raise _Refuse()
+    return int(raw)
+
+
+def _local_rows_df(spark, rows, schema) -> DataFrame:
+    """LOCAL answer frame that never launches a Python worker:
+    plain-list ``spark.createDataFrame`` ships rows through pickled
+    RDD slices — a Python-worker launch per job, measured at SECONDS
+    per one-row answer under a large local JVM — and a metadata answer
+    must never need a Python executor. Small lists (≤64 rows) become a
+    pure-JVM literal plan (lit→struct→array→explode — exact types via
+    casts); larger ones go through the Arrow path (pandas → Arrow
+    batches the JVM consumes directly), because a literal array's plan
+    compiles O(rows) and was measured pathological in the thousands.
+    One partition by construction — the pinned physical shape for a
+    handful of rows (the CartesianProduct-task-storm lesson)."""
+    from pyspark.sql import functions as F
+
+    if not rows:
+        return spark.range(0, 0, 1, 1).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+    if len(rows) > 64:
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            [tuple(r) for r in rows], columns=[f.name for f in schema.fields]
+        )
+        return spark.createDataFrame(pdf, schema).coalesce(1)
+    structs = F.array(
+        *[
+            F.struct(
+                *[
+                    F.lit(v).cast(f.dataType).alias(f.name)
+                    for v, f in zip(r, schema.fields)
+                ]
+            )
+            for r in rows
+        ]
+    )
+    return (
+        spark.range(0, 1, 1, 1)
+        .select(F.explode(structs).alias("r"))
+        .select("r.*")
+    )
+
+
 def _answer(spark, sql, tables, version) -> "DataFrame | None":
     parsed = parse_metadata_select(sql)
     if parsed is None or parsed["table"] not in tables:
@@ -331,27 +404,37 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
             spark, parsed, path, pcol, ptype, field_types, schema_meta, version
         )
 
+    if where is not None and where[0] == "in":
+        # IN over the partition column = summed member counts, each an
+        # exact manifest answer (an absent member contributes 0, the
+        # SQL semantics); the parser already restricted items to
+        # COUNT(*) for this shape
+        if where[1] != pcol:
+            raise _Refuse()
+        vals = {_coerce_partition_literal(r, ptype) for r in where[2]}
+        try:
+            total = 0
+            for v in sorted(vals, key=repr):
+                total += manifest_aggregate(
+                    path, version=version, where_partition=(pcol, v)
+                )["n_rows"]
+        except ValueError:
+            raise _Refuse()  # e.g. mixed partition specs
+        fields = StructType(
+            [
+                StructField(alias, LongType(), False)
+                for _, _, alias in parsed["items"]
+            ]
+        )
+        return _local_rows_df(
+            spark, [tuple(total for _ in parsed["items"])], fields
+        )
     eq = None
     if where is not None:
         _, wcol, raw = where
         if wcol != pcol:
             raise _Refuse()  # only partition equality is manifest-provable
-        wtype = ptype
-        if raw.startswith("'"):
-            if wtype in ("tinyint", "smallint", "int", "bigint", "boolean"):
-                raise _Refuse()  # quoted literal vs non-string partition
-            wval: object = raw[1:-1]
-        elif raw.lower() in ("true", "false"):
-            if wtype != "boolean":
-                raise _Refuse()
-            wval = raw.lower() == "true"
-        else:
-            if wtype not in ("tinyint", "smallint", "int", "bigint"):
-                raise _Refuse()  # bare number vs string/date partition
-            if "." in raw:
-                raise _Refuse()  # fractional literal vs integral partition
-            wval = int(raw)
-        eq = (wcol, wval)
+        eq = (wcol, _coerce_partition_literal(raw, ptype))
     cols = sorted(
         {c for k, c, _ in parsed["items"] if c and k in ("min", "max")}
     )
@@ -401,7 +484,7 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
             # a string cast so dates/timestamps land as their real type
             values.append(None if v is None else str(v))
             fields.append(StructField(alias, StringType(), True))
-    row = spark.createDataFrame([tuple(values)], StructType(fields))
+    row = _local_rows_df(spark, [tuple(values)], StructType(fields))
     from pyspark.sql import functions as F  # noqa: F401
 
     exprs = []
@@ -457,9 +540,9 @@ def _answer_range_count(
         StructField(alias, LongType(), False)
         for _, _, alias in parsed["items"]
     ]
-    return spark.createDataFrame(
-        [tuple(n for _ in parsed["items"])], StructType(fields)
-    ).coalesce(1)
+    return _local_rows_df(
+        spark, [tuple(n for _ in parsed["items"])], StructType(fields)
+    )
 
 
 def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
@@ -467,25 +550,26 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
     if pcol is None or gcol != pcol:
         raise _Refuse()  # only the partition column groups at the manifest
     eq = None
+    in_names = None
     if parsed["where"] is not None:
-        _, wcol, raw = parsed["where"]
+        kind_, wcol = parsed["where"][0], parsed["where"][1]
         if wcol != pcol:
             raise _Refuse()
-        if raw.startswith("'"):
-            if ptype in ("tinyint", "smallint", "int", "bigint", "boolean"):
-                raise _Refuse()
-            wval: object = raw[1:-1]
-        elif raw.lower() in ("true", "false"):
-            if ptype != "boolean":
-                raise _Refuse()
-            wval = raw.lower() == "true"
+        if kind_ == "in":
+            # group filtering happens AFTER the per-partition lists
+            # are built, by canonical hive directory name — exact by
+            # construction for every partition type
+            from .snapshot import _hive_part_name
+
+            in_names = {
+                _hive_part_name(pcol, _coerce_partition_literal(r, ptype))
+                for r in parsed["where"][2]
+            }
         else:
-            if ptype not in ("tinyint", "smallint", "int", "bigint"):
-                raise _Refuse()
-            if "." in raw:
-                raise _Refuse()
-            wval = int(raw)
-        eq = (pcol, wval)
+            eq = (
+                pcol,
+                _coerce_partition_literal(parsed["where"][2], ptype),
+            )
     stat_cols = sorted(
         {c for k, c, _ in parsed["items"] if k in ("min", "max")}
     )
@@ -577,11 +661,27 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
                     None if s[c][i] is None else str(s[c][i])
                 )
             )
+    if in_names is not None:
+        from .snapshot import _hive_part_name
+
+        keep = [
+            gi
+            for gi, (v, _n) in enumerate(groups)
+            if _hive_part_name(pcol, v) in in_names
+        ]
+        groups = [groups[gi] for gi in keep]
+        col_stats = [col_stats[gi] for gi in keep]
+        approx_lists = {
+            c: [lst[gi] for gi in keep] for c, lst in approx_lists.items()
+        }
+        quant_lists = {
+            c: [lst[gi] for gi in keep] for c, lst in quant_lists.items()
+        }
     rows = [
         tuple(fn(v, n, s, gi) for fn in row_fn)
         for gi, ((v, n), s) in enumerate(zip(groups, col_stats))
     ]
-    frame = spark.createDataFrame(rows, StructType(fields))
+    frame = _local_rows_df(spark, rows, StructType(fields))
     from pyspark.sql import functions as F
 
     exprs = []

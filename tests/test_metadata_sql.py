@@ -471,3 +471,57 @@ def test_answers_are_single_partition(spark, tbl):
     ):
         out = answer_from_manifest(spark, sql, {"t": tbl})
         assert out.rdd.getNumPartitions() == 1
+
+
+def test_in_list_count_sums_member_partitions(spark, tbl):
+    out = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n FROM t WHERE p IN (10, 999)",
+        {"t": tbl},
+    )
+    assert out.collect() == [(2,)]  # absent member contributes 0
+    assert out.rdd.getNumPartitions() == 1
+    # delete every data page: the manifest alone answered
+    import shutil as _sh
+    import os as _os
+
+    _sh.rmtree(_os.path.join(tbl, "data"))
+    assert answer_from_manifest(
+        spark, "SELECT COUNT(*) AS n FROM t WHERE p IN (20)", {"t": tbl}
+    ).collect() == [(1,)]
+
+
+def test_in_list_group_by_filters_groups(spark, tbl):
+    out = answer_from_manifest(
+        spark,
+        "SELECT p, COUNT(*) AS n, MAX(amt) AS hi FROM t"
+        " WHERE p IN (10, 404) GROUP BY p",
+        {"t": tbl},
+    ).collect()
+    assert [(r.p, r.n, r.hi) for r in out] == [(10, 2, 99.5)]
+
+
+def test_in_list_refusals(spark, tbl):
+    # plain-shape IN proves COUNT(*) only
+    assert (
+        answer_from_manifest(
+            spark, "SELECT MIN(amt) AS lo FROM t WHERE p IN (10)", {"t": tbl}
+        )
+        is None
+    )
+    # non-partition column
+    assert (
+        answer_from_manifest(
+            spark, "SELECT COUNT(*) AS n FROM t WHERE k IN (1, 2)", {"t": tbl}
+        )
+        is None
+    )
+    # quoted literal against an integral partition → scan
+    assert (
+        answer_from_manifest(
+            spark,
+            "SELECT COUNT(*) AS n FROM t WHERE p IN ('10')",
+            {"t": tbl},
+        )
+        is None
+    )
