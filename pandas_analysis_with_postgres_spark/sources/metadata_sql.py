@@ -240,8 +240,12 @@ def parse_metadata_select(sql: str) -> "dict | None":
         if where is not None and where[0] not in ("eq", "in"):
             return None  # range + GROUP BY: not a served shape
     if gcol is None and where is not None and where[0] == "in":
-        if any(k != "count" for k, _, _ in items):
-            return None  # IN proves COUNT(*) only in the plain shape
+        # IN proves the MERGEABLE items: COUNT(*) (member-count sum),
+        # NDV (register max-merge), quantiles (histogram sum). MIN/MAX
+        # would need per-member extremes merged over rendered strings
+        # — refuse to the scan.
+        if any(k in ("min", "max") for k, _, _ in items):
+            return None
     if where is not None and where[0] == "range":
         # the range proof covers COUNT(*) only: MIN/MAX under a range
         # needs clipped extremes, and NDV sketches cannot be
@@ -405,30 +409,51 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
         )
 
     if where is not None and where[0] == "in":
-        # IN over the partition column = summed member counts, each an
-        # exact manifest answer (an absent member contributes 0, the
-        # SQL semantics); the parser already restricted items to
-        # COUNT(*) for this shape
+        # IN over the partition column: COUNT(*) = summed member
+        # counts (absent member contributes 0, the SQL semantics), NDV
+        # = member registers max-merged, quantile = member histograms
+        # summed — each an exact manifest merge over the member set
         if where[1] != pcol:
             raise _Refuse()
         vals = {_coerce_partition_literal(r, ptype) for r in where[2]}
+        in_spec = (pcol, sorted(vals, key=repr))
+        from pyspark.sql.types import DoubleType
+
         try:
             total = 0
-            for v in sorted(vals, key=repr):
-                total += manifest_aggregate(
-                    path, version=version, where_partition=(pcol, v)
-                )["n_rows"]
+            if any(k == "count" for k, _, _ in parsed["items"]):
+                for v in in_spec[1]:
+                    total += manifest_aggregate(
+                        path, version=version, where_partition=(pcol, v)
+                    )["n_rows"]
+            values, fields = [], []
+            for k, c, alias in parsed["items"]:
+                if k == "count":
+                    values.append(total)
+                    fields.append(StructField(alias, LongType(), False))
+                elif k == "approx":
+                    values.append(
+                        float(
+                            manifest_approx_distinct(
+                                path, c, version=version,
+                                where_partition_in=in_spec,
+                            )
+                        )
+                    )
+                    fields.append(StructField(alias, DoubleType(), False))
+                else:  # quantile
+                    values.append(
+                        int(
+                            manifest_quantile(
+                                path, c[0], c[1], version=version,
+                                where_partition_in=in_spec,
+                            )
+                        )
+                    )
+                    fields.append(StructField(alias, LongType(), False))
         except ValueError:
-            raise _Refuse()  # e.g. mixed partition specs
-        fields = StructType(
-            [
-                StructField(alias, LongType(), False)
-                for _, _, alias in parsed["items"]
-            ]
-        )
-        return _local_rows_df(
-            spark, [tuple(total for _ in parsed["items"])], fields
-        )
+            raise _Refuse()  # mixed specs / missing sketch / empty set
+        return _local_rows_df(spark, [tuple(values)], StructType(fields))
     eq = None
     if where is not None:
         _, wcol, raw = where

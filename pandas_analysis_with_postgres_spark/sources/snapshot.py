@@ -3517,6 +3517,7 @@ def manifest_approx_distinct(
     *,
     version: "int | str | None" = None,
     where_partition: "tuple[str, object] | None" = None,
+    where_partition_in: "tuple[str, list] | None" = None,
     by_partition: bool = False,
 ) -> "float | list":
     """Approximate ``COUNT(DISTINCT column)`` from MANIFEST METADATA:
@@ -3544,9 +3545,13 @@ def manifest_approx_distinct(
     meta = man.get("schema") or {}
     pcol = meta.get("partition_col")
     ptype = meta.get("partition_type") or "string"
-    if (by_partition or where_partition is not None) and _mixed_spec(man):
+    if (
+        by_partition
+        or where_partition is not None
+        or where_partition_in is not None
+    ) and _mixed_spec(man):
         raise ValueError(
-            "per-partition NDV / eq-partition restriction is "
+            "per-partition NDV / partition restriction is "
             f"unprovable while {path} holds old-spec directories — "
             "the GLOBAL merged estimate still answers; compact to "
             "migrate"
@@ -3570,6 +3575,18 @@ def manifest_approx_distinct(
             )
         target = _hive_part_name(pcol, wval)
         parts = {p: rel for p, rel in parts.items() if p == target}
+    if where_partition_in is not None:
+        # IN restriction = the members' registers merged by max — the
+        # same arithmetic as the global merge over a smaller set; an
+        # absent member simply contributes no registers
+        wcol, wvals = where_partition_in
+        if wcol != pcol:
+            raise ValueError(
+                f"where_partition_in column {wcol!r} is not the "
+                f"partition column {pcol!r}"
+            )
+        targets = {_hive_part_name(pcol, v) for v in wvals}
+        parts = {p: rel for p, rel in parts.items() if p in targets}
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
     if any(p in tomb_parts for p in parts):
         raise ValueError(
@@ -3640,6 +3657,7 @@ def manifest_quantile(
     *,
     version: "int | str | None" = None,
     where_partition: "tuple[str, object] | None" = None,
+    where_partition_in: "tuple[str, list] | None" = None,
     by_partition: bool = False,
 ) -> "int | list":
     """Approximate ``PERCENTILE(column, p/100)`` from MANIFEST
@@ -3669,7 +3687,11 @@ def manifest_quantile(
     meta = man.get("schema") or {}
     pcol = meta.get("partition_col")
     ptype = meta.get("partition_type") or "string"
-    if (by_partition or where_partition is not None) and _mixed_spec(man):
+    if (
+        by_partition
+        or where_partition is not None
+        or where_partition_in is not None
+    ) and _mixed_spec(man):
         raise ValueError(
             "per-partition quantile / eq-partition restriction is "
             f"unprovable while {path} holds old-spec directories — "
@@ -3695,6 +3717,17 @@ def manifest_quantile(
             )
         target = _hive_part_name(pcol, wval)
         parts = {q: rel for q, rel in parts.items() if q == target}
+    if where_partition_in is not None:
+        # IN restriction: the members' bucket counts summed — the same
+        # merge as global, over fewer partitions; absent members add 0
+        wcol, wvals = where_partition_in
+        if wcol != pcol:
+            raise ValueError(
+                f"where_partition_in column {wcol!r} is not the "
+                f"partition column {pcol!r}"
+            )
+        targets = {_hive_part_name(pcol, v) for v in wvals}
+        parts = {q: rel for q, rel in parts.items() if q in targets}
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
     if any(q in tomb_parts for q in parts):
         raise ValueError(

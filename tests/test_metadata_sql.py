@@ -525,3 +525,65 @@ def test_in_list_refusals(spark, tbl):
         )
         is None
     )
+
+
+def test_in_list_serves_ndv_and_quantile_sketches(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        manifest_approx_distinct,
+        manifest_quantile,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "insk")
+    df = spark.createDataFrame(
+        [(i, i % 5, i % 9, (i * 37) % 1000) for i in range(100)],
+        "k long, p long, uid long, cents long",
+    )
+    write_snapshot(
+        df, path, "p", stats_cols=["uid::hll", "cents::hist:100"]
+    )
+    out = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n, APPROX_COUNT_DISTINCT(uid) AS u,"
+        " APPROX_QUANTILE(cents, 50) AS med FROM t WHERE p IN (1, 3)",
+        {"t": path},
+    ).collect()[0]
+    # the member merge must equal the eq-restricted answers combined
+    assert out.n == 40
+    import collections
+
+    rows = [(i % 9, (i * 37) % 1000) for i in range(100) if i % 5 in (1, 3)]
+    c = collections.Counter(v // 100 for _, v in rows)
+    cum, med = 0, None
+    for b in sorted(c):
+        cum += c[b]
+        if cum * 100 >= len(rows) * 50:
+            med = b * 100
+            break
+    assert out.med == med
+    assert 7 <= out.u <= 12  # 9 true distinct, HLL tolerance
+    # API level: single-member IN == eq restriction, exactly
+    assert manifest_approx_distinct(
+        path, "uid", where_partition_in=("p", [1])
+    ) == manifest_approx_distinct(path, "uid", where_partition=("p", 1))
+    assert manifest_quantile(
+        path, "cents", 90, where_partition_in=("p", [1])
+    ) == manifest_quantile(path, "cents", 90, where_partition=("p", 1))
+    # absent members contribute nothing (NDV of nothing = 0.0;
+    # quantile of an empty selection refuses)
+    assert manifest_approx_distinct(
+        path, "uid", where_partition_in=("p", [404])
+    ) == 0.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no live partitions"):
+        manifest_quantile(path, "cents", 50, where_partition_in=("p", [404]))
+    # min/max under IN still refuses to the scan
+    assert (
+        answer_from_manifest(
+            spark,
+            "SELECT MIN(cents) AS lo FROM t WHERE p IN (1)",
+            {"t": path},
+        )
+        is None
+    )
