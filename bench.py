@@ -166,6 +166,7 @@ EXTRA = (
     "z57_string_bloom_lookup",
     "z58_alter_upgrade",
     "z59_metadata_in_list",
+    "z60_shallow_clone",
 )
 
 

@@ -69,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "history", "read", "expire", "compact", "sql", "info",
             "changes", "maintain", "delete", "tag", "evolve", "merge",
-            "stats", "restore", "staged", "branch", "alter",
+            "stats", "restore", "staged", "branch", "alter", "clone",
         ],
     )
     p_sn.add_argument("path")
@@ -364,6 +364,16 @@ def main(argv: list[str] | None = None) -> int:
                 constraints=checks,
             )
             print(f"altered properties as version {v}")
+            return 0
+        if args.action == "clone":
+            # shallow clone: path = source, --to = destination
+            from .sources.snapshot import clone_snapshot
+
+            if not args.to:
+                print("snapshot clone requires --to <dst>", file=sys.stderr)
+                return 2
+            clone_snapshot(args.path, args.to, version=args.version)
+            print(f"cloned {args.path} -> {args.to}")
             return 0
         if args.action == "branch":
             # branch refs: list (default) / --create / --drop / --ff

@@ -4638,6 +4638,83 @@ FROM est e
 Z58_SQL = _z58_oracle()
 
 
+_CLONE_DROPS: dict = {}
+
+
+def z60_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (sources.snapshot.clone_snapshot — Delta's
+    ``CREATE TABLE … SHALLOW CLONE``): a dev sandbox of the orders
+    table materializes as ONE manifest write whose partition entries
+    reference the source's directories ABSOLUTELY — zero bytes copied
+    at any table size, stats/properties/tombstones carried so every
+    reader and metadata answer works unchanged. The clone then
+    DIVERGES copy-on-write: a price-correction MERGE rewrites only its
+    touched partitions into the clone's own data space (cold
+    partitions stay absolute references), the source is untouched —
+    both facts hash-verified here via the two tables' metadata COUNTs
+    and the clone's post-merge profile. Clone GC never reclaims source
+    directories; txn watermarks start empty; tag/branch/staged handles
+    clone directly (unit-pinned, tests/test_clone.py; the
+    source-expiry shared-fate caveat is Delta's own, documented). The
+    oracle replays the clone's divergence arithmetically over raw
+    orders."""
+    import os
+
+    from ..sources.snapshot import (
+        clone_snapshot,
+        manifest_aggregate,
+        merge_snapshot,
+        read_snapshot,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    dst = _CLONE_DROPS.get(key)
+    if dst is None:
+        src = _snapagg_table(spark, sf_dir)
+        dst = _tracked_mkdtemp("clone_") + "/orders_dev"
+        clone_snapshot(src, dst)
+        fix = (
+            read_snapshot(spark, dst)
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(50.0))
+        )
+        merge_snapshot(dst, fix, "o_orderkey", "o_orderstatus")
+        _CLONE_DROPS[key] = dst
+    src = _snapagg_table(spark, sf_dir)
+    n_src = manifest_aggregate(src)["n_rows"]
+    n_dst = manifest_aggregate(dst)["n_rows"]
+    return (
+        read_snapshot(spark, dst)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .crossJoin(
+            spark.range(0, 1, 1, 1).select(
+                F.lit(n_src).alias("n_src"), F.lit(n_dst).alias("n_dst")
+            )
+        )
+    )
+
+
+Z60_SQL = """
+WITH fixed AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN o_totalprice + 50.0 ELSE o_totalprice END AS price
+  FROM orders
+)
+SELECT o_orderstatus,
+       count(*)::BIGINT AS n,
+       round(sum(price), 2) AS total_price,
+       (SELECT count(*) FROM orders)::BIGINT AS n_src,
+       (SELECT count(*) FROM orders)::BIGINT AS n_dst
+FROM fixed
+GROUP BY o_orderstatus
+"""
+
+
 Z46_SQL = """
 SELECT (SELECT count(*) FROM orders)::BIGINT AS n_v1,
        (SELECT min(o_totalprice) FROM orders) AS lo_v1,
@@ -5935,6 +6012,7 @@ EXTENSION_QUERIES = {
     "z57_string_bloom_lookup": z57_string_bloom_lookup,
     "z58_alter_upgrade": z58_alter_upgrade,
     "z59_metadata_in_list": z59_metadata_in_list,
+    "z60_shallow_clone": z60_shallow_clone,
 }
 
 EXTENSION_ORACLES = {
@@ -6015,6 +6093,7 @@ EXTENSION_ORACLES = {
     "z57_string_bloom_lookup": Z57_SQL,
     "z58_alter_upgrade": Z58_SQL,
     "z59_metadata_in_list": Z59_SQL,
+    "z60_shallow_clone": Z60_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -2240,6 +2240,72 @@ def evolve_partition_spec(path: str, new_partition_col: str) -> int:
     )
 
 
+def clone_snapshot(
+    src_path: str,
+    dst_path: str,
+    *,
+    version: "int | str | None" = None,
+) -> int:
+    """SHALLOW CLONE (Delta's ``CREATE TABLE … SHALLOW CLONE``): a new
+    table at ``dst_path`` whose v1 manifest references the SOURCE's
+    partition directories by ABSOLUTE path — zero bytes copied, one
+    manifest write, however large the source. ``version`` accepts
+    everything :func:`read_manifest` does (ints, tags, ``staged:`` /
+    ``branch:`` handles), so "clone the v2024-q3 release into a dev
+    sandbox" is one call. Every reader works unchanged (path joins
+    pass absolute references through); stats, blooms, sketches,
+    schema, table properties, and merge-on-read tombstones all carry,
+    so manifest answers on the clone are the source's.
+
+    The clone is INDEPENDENT going forward: its writers commit into
+    its own ``data/`` space (cold partitions stay absolute references
+    until a rewrite localizes them — exactly the copy-on-write story),
+    its txn watermarks start EMPTY (a sink replaying into the clone
+    must not be no-op'd by the source's history), and maintenance GC
+    never touches the referenced source directories (expiry only
+    reclaims under the table's own data root).
+
+    The one shared-fate caveat is Delta's own: ``expire_snapshots`` on
+    the SOURCE does not know about clones — expiring source history
+    that only a clone still references breaks the clone (same as
+    VACUUM breaking a shallow clone). Pin the cloned version with a
+    TAG on the source for the clone's intended lifetime."""
+    man = read_manifest(src_path, version)
+    if not man.get("partitions") and not (man.get("schema") or {}):
+        raise ValueError(f"{src_path} has no committed snapshot to clone")
+    if current_version(dst_path) > 0 or list_staged(dst_path):
+        raise ValueError(f"{dst_path} already holds a snapshot table")
+    src_abs = os.path.abspath(src_path)
+    parts = {
+        p: os.path.join(src_abs, rel)
+        for p, rel in (man.get("partitions") or {}).items()
+    }
+    tomb = man.get("tombstones")
+    if tomb:
+        tomb = {
+            "key": tomb["key"],
+            "parts": {
+                p: {
+                    "rels": [os.path.join(src_abs, r) for r in e["rels"]],
+                    "n_deleted": e["n_deleted"],
+                }
+                for p, e in (tomb.get("parts") or {}).items()
+            },
+        }
+    return _commit(
+        dst_path,
+        0,
+        parts,
+        "clone",
+        dict(man.get("schema") or {}),
+        stats=dict(man.get("stats") or {}),
+        blooms=dict(man.get("blooms") or {}),
+        parent_txns={},
+        parent_manifest={},
+        tombstones=tomb,
+    )
+
+
 #: alter_table_properties sentinel: "leave this property as it is".
 #: None must remain a real value ("clear the property"), so the
 #: default is a sentinel, not None — the restore-tombstones precedent.

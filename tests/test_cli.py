@@ -485,3 +485,20 @@ def test_snapshot_alter_action(spark, tmp_path, capsys):
     # clear the constraint
     assert main(["snapshot", "alter", path, "--check", "none"]) == 0
     assert "constraints" not in read_manifest(path)["schema"]
+
+
+def test_snapshot_clone_action(spark, tmp_path, capsys):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    src = str(tmp_path / "clone_src")
+    write_snapshot(
+        spark.createDataFrame([(1, 0), (2, 1)], "k long, p long"), src, "p"
+    )
+    dst = str(tmp_path / "clone_dst")
+    assert main(["snapshot", "clone", src, "--to", dst]) == 0
+    assert "cloned" in capsys.readouterr().out
+    assert {r.k for r in read_snapshot(spark, dst).collect()} == {1, 2}
+    assert main(["snapshot", "clone", src]) == 2  # missing --to
