@@ -88,72 +88,72 @@ RENAMES = {
 }
 
 
-#: Round-7 driver window: the 50 queries occupying the first 50
+#: Round-8 driver window: the 50 queries occupying the first 50
 #: insertion slots of ``queries()``. Per README §"Driver-window
-#: rotation schedule": the remaining q32–q54 reference/LLM block (19
-#: keys under current names — q36–q39/q47 renamed to a36–a39/a47 long
-#: ago, verified r06), the twenty round-6 additions z20–z39 (never
-#: driver-checked), and 11 fill slots from the keys with the OLDEST
-#: driver rows (the r05-only a58+ block). After this window every one
-#: of the 139 keys has a driver-green row under its current name.
+#: rotation schedule": the twenty-one round-7 additions z40–z60
+#: (never driver-checked — metadata SQL forms, MoR deletes, SQL DML,
+#: WAP, branches, spec evolution, token index, manifest NDV/quantile,
+#: shallow clone, streaming WAP/opt-out), plus 29 fill slots from the
+#: keys with the OLDEST driver rows (the r05-only block: a69–a72,
+#: a85–a92, a94–a99, z01–z07, a55/a56, a73/a74). After this window
+#: every key's newest driver row is r06 or later.
 #:
 #: The key space is FROZEN — no further renames or re-keys. Future
 #: rotations only reorder; `scripts/check_surface.py` (run by pytest)
 #: enforces 50 distinct real keys and insertion-order integrity.
 ROTATION = [
-    # q32–q54 block: re-verification under current keys (last rows r01–r05)
-    "q32_lang_id",
-    "q33_token_count_by_source",
-    "q34_media_metadata",
-    "a35_media_features",
-    "q35a_media_checksum",
-    "q40_returnflag_rollup",
-    "q41_status_priority_cube",
-    "q42_ivf_topk",
-    "q43_distinct_customers_per_status",
-    "q44_sql_frontend",
-    "q45_asof_latest_order",
-    "q46_top_tokens",
-    "q48_props_map_rollup",
-    "q49_dedup_keep",
-    "q50_promo_range_join",
-    "q51_order_value_percentiles",
-    "q52_train_split",
-    "q53_corpus_curation",
-    "q54_multires_rollup",
-    # round-6 additions, never driver-checked (z20–z39)
-    "z20_sql_merge",
-    "z21_sql_merge_sync",
-    "z22_pq_topk",
-    "z23_pq_refine",
-    "z24_ivfpq_topk",
-    "z25_ivfpq_index_search",
-    "z26_jsonl_roundtrip",
-    "z27_csv_roundtrip",
-    "z28_sq8_topk",
-    "z29_orc_pushdown_summary",
-    "z30_xml_roundtrip",
-    "z31_blob_ingest",
-    "z32_duplicate_span_scrub",
-    "z33_manifest_aggregate",
-    "z34_metadata_sql",
-    "z35_sorted_neighborhood",
-    "z36_warc_datasource",
-    "z37_live_warc_ingest",
-    "z38_variant_analytics",
-    "z39_arrow_spread",
-    # fill: oldest remaining driver rows (r05-only a58+ block)
-    "a58_dq_violations",
-    "a59_rare_token_score",
-    "a60_repetition_signals",
-    "a61_decontamination",
-    "a62_source_mixing",
-    "a63_sequence_packing",
-    "a64_pii_redaction",
-    "a65_ivf_kmeans_topk",
-    "a66_hll_distinct",
-    "a67_bloom_decontamination",
-    "a68_cms_heavy_hitters",
+    # round-7 additions, never driver-checked (z40–z60)
+    "z40_metadata_groupby",
+    "z41_metadata_range_count",
+    "z42_mor_delete",
+    "z43_sql_update",
+    "z44_sql_delete",
+    "z45_metadata_groupby_stats",
+    "z46_sql_time_travel",
+    "z47_live_optout",
+    "z48_compact_partitions",
+    "z49_wap_publish",
+    "z50_restore",
+    "z51_manifest_ndv",
+    "z52_branch_merge",
+    "z53_partition_evolution",
+    "z54_token_index_search",
+    "z55_manifest_quantiles",
+    "z56_stream_branch_ingest",
+    "z57_string_bloom_lookup",
+    "z58_alter_upgrade",
+    "z59_metadata_in_list",
+    "z60_shallow_clone",
+    # fill: oldest remaining driver rows (r05-only block)
+    "a69_bm25_topk",
+    "a70_bigram_lm_surprisal",
+    "a71_bpe_train",
+    "a72_live_hll_users",
+    "a85_bpe_encode",
+    "a86_supply_pagerank",
+    "a87_event_transitions",
+    "a88_orders_profile",
+    "a89_fuzzy_token_pairs",
+    "a90_price_histogram_quantiles",
+    "a91_weighted_doc_sample",
+    "a92_grouping_sets",
+    "a94_user_median_py",
+    "a95_bloom_join_revenue",
+    "a96_order_value_spread",
+    "a97_audio_features",
+    "a98_snapshot_time_travel",
+    "a99_zorder_key",
+    "z01_boilerplate_lines",
+    "z02_quality_classifier",
+    "z03_global_rank_shards",
+    "z04_stats_pruned_scan",
+    "z05_shuffled_shards",
+    "z06_bloom_point_lookup",
+    "z07_change_data_feed",
+    "a55_live_enriched_counts",
+    "a56_live_pair_join",
+    "a73_doc_chunks",
+    "a74_rolling_spend",
 ]
 
 
