@@ -52,6 +52,7 @@ date column is a DATE, not the manifest's ISO string.
 
 from __future__ import annotations
 
+import datetime
 import json
 import re
 
@@ -91,7 +92,16 @@ def extract_as_of(sql: str) -> "tuple[str, dict | None]":
     arbitrary statement, returning ``(clean_sql, {"version": n} |
     {"timestamp": s} | None)``. Multiple clauses raise (one table, one
     pin — multi-table time travel needs the API)."""
-    hits = list(_AS_OF.finditer(sql))
+    # Quote-state guard: a FOR ... AS OF sequence INSIDE a single-quoted
+    # string literal (WHERE note = 'FOR VERSION AS OF 3') is data, not a
+    # time-travel pin. SQL escapes quotes by doubling (''), which keeps
+    # the parity rule exact: a position is inside a literal iff an odd
+    # number of quotes precede it.
+    hits = [
+        m
+        for m in _AS_OF.finditer(sql)
+        if sql.count("'", 0, m.start()) % 2 == 0
+    ]
     if not hits:
         return sql, None
     if len(hits) > 1:
@@ -263,6 +273,20 @@ def parse_metadata_select(sql: str) -> "dict | None":
     }
 
 
+def _canonical_date(raw: str) -> str:
+    """Parse a SQL date literal LENIENTLY (strptime pads '1994-1-5' the
+    way CAST would) and re-render it canonically, because every
+    manifest comparison — stats entries and hive partition names — is
+    lexical over canonical ISO renderings. Unparseable → _Refuse (scan
+    fallback), never a silently wrong lexical compare."""
+    try:
+        return (
+            datetime.datetime.strptime(raw, "%Y-%m-%d").date().isoformat()
+        )
+    except ValueError:
+        raise _Refuse()
+
+
 def _typed_literal(raw: str, coltype: str):
     """Decode a raw SQL literal against a column type, returning the
     manifest-rendering value it compares against — or raise
@@ -273,6 +297,14 @@ def _typed_literal(raw: str, coltype: str):
     if raw.startswith("'"):
         if coltype not in ("string", "date"):
             raise _Refuse()  # quoted literal vs non-string/date column
+        if coltype == "date":
+            # Manifest stats render dates as canonical ISO strings and
+            # the proofs compare LEXICALLY, so a non-canonical literal
+            # ('1994-1-5') would silently prove the wrong count while a
+            # real scan CASTs and answers differently. Canonicalize
+            # (strptime tolerates unpadded components, as SQL CAST
+            # does) or refuse — never compare a raw date string.
+            return _canonical_date(raw[1:-1])
         return raw[1:-1]
     if raw.lower() in ("true", "false"):
         raise _Refuse()  # boolean stats are never recorded (prune-useless)
@@ -310,6 +342,11 @@ def _coerce_partition_literal(raw: str, ptype: str):
     if raw.startswith("'"):
         if ptype in ("tinyint", "smallint", "int", "bigint", "boolean"):
             raise _Refuse()
+        if ptype == "date":
+            # Partition directory names render dates canonically;
+            # match _typed_literal: canonicalize or refuse (a
+            # non-canonical '1994-1-5' must not silently miss).
+            return _canonical_date(raw[1:-1])
         return raw[1:-1]
     if raw.lower() in ("true", "false"):
         if ptype != "boolean":

@@ -385,17 +385,45 @@ def fast_forward_branch(path: str, name: str) -> int:
     ref = _branch_ref(path, name)
     fork, head = ref["fork_base"], branch_head(path, name)
     cur = current_version(path)
-    if cur != fork:
-        raise ConcurrentCommitError(
-            f"branch {name!r} forked {path} at version {fork} but main is "
-            f"now at {cur}; the branch cannot fast-forward"
-        )
     bd = _branch_dir(path, name)
     snap = _snap_dir(path)
-    for v in range(fork + 1, head + 1):
+
+    def _published_by_us(v: int) -> bool:
+        # identity first (the hard link shares the inode), byte
+        # equality as the fallback for link-breaking copies
+        src, dst = bd / _manifest_name(v), snap / _manifest_name(v)
         try:
-            os.link(bd / _manifest_name(v), snap / _manifest_name(v))
+            if os.path.samefile(src, dst):
+                return True
+            with open(src, "rb") as a, open(dst, "rb") as b:
+                return a.read() == b.read()
+        except OSError:
+            return False
+
+    if cur != fork:
+        # A crash between the link loop and the ref.json rewrite leaves
+        # main advanced over the branch's OWN manifests with a stale
+        # fork_base. If every version main gained is the branch's (same
+        # inode or identical bytes), the retry is legitimate and
+        # idempotent; anything else is a real lost-commit race.
+        resumable = fork < cur <= head and all(
+            _published_by_us(v) for v in range(fork + 1, cur + 1)
+        )
+        if not resumable:
+            raise ConcurrentCommitError(
+                f"branch {name!r} forked {path} at version {fork} but main "
+                f"is now at {cur}; the branch cannot fast-forward"
+            )
+    for v in range(fork + 1, head + 1):
+        src, dst = bd / _manifest_name(v), snap / _manifest_name(v)
+        try:
+            os.link(src, dst)
         except FileExistsError as exc:
+            # Collisions on the branch's OWN manifests (crash-retry, or
+            # the resumable-publish prefix above) are idempotent skips;
+            # only a genuine foreign manifest is a race.
+            if _published_by_us(v):
+                continue
             raise ConcurrentCommitError(
                 f"version {v} of {path} was committed by another writer "
                 f"while fast-forwarding branch {name!r}; versions below {v} "
@@ -2789,13 +2817,20 @@ def expire_snapshots(
         # staged (write-audit-publish) commits and unpublished BRANCH
         # commits reference data that must survive GC until published
         # or dropped
+        # Shallow clones carry ABSOLUTE references into their source
+        # table's data root; those are outside THIS table's data dir by
+        # construction and must not contribute (garbage) components to
+        # the keep-set — only relative 'data/<commit>/<part>' rels name
+        # commits this GC owns.
         for rel in man_v["partitions"].values():
-            live_commits.add(rel.split(os.sep)[1])  # data/<commit>/<part>
+            if not os.path.isabs(rel):
+                live_commits.add(rel.split(os.sep)[1])  # data/<commit>/<part>
         # merge-on-read tombstone files live under commit dirs of their
         # own — a referenced tombstone must survive like data
         for e in ((man_v.get("tombstones") or {}).get("parts") or {}).values():
             for rel in e["rels"]:
-                live_commits.add(rel.split(os.sep)[1])
+                if not os.path.isabs(rel):
+                    live_commits.add(rel.split(os.sep)[1])
     removed = []
     data_root = Path(path) / DATA_DIR
     if data_root.is_dir():

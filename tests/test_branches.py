@@ -197,3 +197,37 @@ def test_diff_snapshots_across_branch_refs(spark, tbl):
     assert {(r.change_type, r.k) for r in back.collect()} == {
         ("update_pre", 0), ("update_post", 0), ("delete", 99),
     }
+
+
+def test_fast_forward_retry_after_crash_window(spark, tbl):
+    # A crash BETWEEN the link loop and the ref.json rewrite leaves the
+    # branch's own manifests in main with a stale fork_base; the retry
+    # must recognize its own publication (same inode) and complete
+    # idempotently instead of raising ConcurrentCommitError.
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        _branch_dir,
+        _manifest_name,
+        _snap_dir,
+    )
+
+    create_branch(tbl, "exp")
+    merge_snapshot(tbl, _df(spark, [(99, 0, 5.0)]), "k", "p", branch="exp")
+    merge_snapshot(tbl, _df(spark, [(98, 1, 6.0)]), "k", "p", branch="exp")
+    fork, head = 1, branch_head(tbl, "exp")
+    assert head == 3
+    # simulate the crash: first manifest already linked into main,
+    # ref.json never rewritten
+    os.link(
+        _branch_dir(tbl, "exp") / _manifest_name(fork + 1),
+        _snap_dir(tbl) / _manifest_name(fork + 1),
+    )
+    assert current_version(tbl) == fork + 1  # main advanced past fork
+    assert fast_forward_branch(tbl, "exp") == head  # retry completes
+    assert current_version(tbl) == head
+    assert read_snapshot(spark, tbl).count() == 32
+    # a GENUINE foreign commit still raises
+    create_branch(tbl, "exp2")
+    merge_snapshot(tbl, _df(spark, [(97, 2, 7.0)]), "k", "p", branch="exp2")
+    merge_snapshot(tbl, _df(spark, [(96, 0, 8.0)]), "k", "p")  # main moves
+    with pytest.raises(ConcurrentCommitError):
+        fast_forward_branch(tbl, "exp2")

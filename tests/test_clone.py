@@ -127,3 +127,38 @@ def test_clone_guards(spark, tmp_path, src):
         clone_snapshot(src, dst)
     with pytest.raises(ValueError, match="no committed snapshot"):
         clone_snapshot(str(tmp_path / "nothing"), str(tmp_path / "d2"))
+
+
+def test_expire_keep_set_ignores_absolute_clone_refs(spark, tmp_path, src):
+    # A shallow clone's manifests carry ABSOLUTE refs into the source
+    # table; expire_snapshots' live-commit harvest must skip them —
+    # the old rel.split(sep)[1] on an absolute path contributed a
+    # garbage component (e.g. 'tmp') that silently polluted the GC
+    # keep-set and would shield an unrelated local dir of that name.
+    import os
+    import time
+
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        DATA_DIR,
+        read_manifest,
+    )
+
+    clone = str(tmp_path / "clone")
+    clone_snapshot(src, clone)
+    man = read_manifest(clone)
+    abs_refs = [
+        r for r in man["partitions"].values() if os.path.isabs(r)
+    ]
+    assert abs_refs, "shallow clone should reference source absolutely"
+    polluter = abs_refs[0].split(os.sep)[1]
+    # an orphan local dir named after the polluting component must NOT
+    # be kept alive by the absolute refs
+    orphan = Path(clone) / DATA_DIR / polluter
+    orphan.mkdir(parents=True)
+    (orphan / "junk.parquet").write_bytes(b"x")
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    removed = expire_snapshots(clone, keep=1, min_age_sec=3600)
+    assert str(orphan) in removed
+    # the clone still reads fine — its real (absolute) data untouched
+    assert read_snapshot(spark, clone).count() == 30

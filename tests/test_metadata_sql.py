@@ -587,3 +587,56 @@ def test_in_list_serves_ndv_and_quantile_sketches(spark, tmp_path):
         )
         is None
     )
+
+
+def test_extract_as_of_skips_clause_inside_string_literal():
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        extract_as_of,
+    )
+
+    # a FOR ... AS OF sequence inside a quoted literal is data — the
+    # old behavior carved it out of the literal and treated it as a
+    # time-travel pin, corrupting the statement the CLI then ran
+    sql = "SELECT * FROM t WHERE note = 'FOR VERSION AS OF 3'"
+    assert extract_as_of(sql) == (sql, None)
+    # a real clause coexisting with a literal one: only the real clause
+    # strips, the literal survives byte-identical
+    clean, spec = extract_as_of(
+        "SELECT * FROM t FOR VERSION AS OF 2 "
+        "WHERE note = 'FOR VERSION AS OF 3'"
+    )
+    assert spec == {"version": 2}
+    assert clean == "SELECT * FROM t WHERE note = 'FOR VERSION AS OF 3'"
+    # doubled-quote escapes keep the parity rule exact
+    sql3 = "SELECT * FROM t WHERE note = 'it''s FOR VERSION AS OF 9'"
+    assert extract_as_of(sql3) == (sql3, None)
+
+
+def test_date_literals_canonicalized_before_metadata_compare(spark, tmp_path):
+    # Manifest stats and hive partition dirs render dates as CANONICAL
+    # ISO strings and the proofs compare lexically; a non-canonical
+    # literal ('1994-1-2') must therefore be canonicalized — the old
+    # lexical compare silently proved the wrong answer ('1994-1-2' >
+    # '1994-01-03' lexically). Unparseable dates must refuse to the
+    # scan, never answer.
+    rows = [
+        (i, datetime.date(1994, 1, 1 + i % 3), float(i)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "k long, d date, v double")
+    path = str(tmp_path / "dtbl")
+    write_snapshot(df, path, "d", stats_cols=["d"])
+
+    def n(sql):
+        out = answer_from_manifest(spark, sql, {"t": path})
+        return None if out is None else out.collect()[0].n
+
+    # partition-eq path: canonical and non-canonical literals agree
+    assert n("SELECT COUNT(*) AS n FROM t WHERE d = '1994-01-02'") == 10
+    assert n("SELECT COUNT(*) AS n FROM t WHERE d = '1994-1-2'") == 10
+    # range path over date stats: every partition holds one exact date,
+    # so containment is provable; < excludes the boundary partition
+    assert n("SELECT COUNT(*) AS n FROM t WHERE d < '1994-01-02'") == 10
+    assert n("SELECT COUNT(*) AS n FROM t WHERE d < '1994-1-2'") == 10
+    # unparseable date literal: refusal (scan fallback), not an answer
+    assert n("SELECT COUNT(*) AS n FROM t WHERE d = 'not-a-date'") is None
+    assert n("SELECT COUNT(*) AS n FROM t WHERE d < 'not-a-date'") is None
