@@ -227,6 +227,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_shingle_df: "int | None" = 1000,
 ) -> DataFrame:
     """All document pairs with n-gram-shingle Jaccard ≥ threshold.
 
@@ -240,6 +241,18 @@ def ngram_jaccard_pairs(
     to promote the join at runtime when the corpus really is tiny; the
     plan must not force it.
 
+    ``max_shingle_df`` is the STOP-SHINGLE guard: the self-equi-join is
+    quadratic *per shingle value*, so one boilerplate shingle shared by
+    1M documents would materialize ~10¹² join rows. Shingles whose
+    document frequency exceeds the cap are dropped BEFORE the join
+    (the standard stop-shingle filter), bounding per-shingle pair work
+    at cap²/2 — and per-doc counts are taken over the retained shingle
+    set, so the reported value is Jaccard over non-boilerplate
+    shingles. A df-capped shingle is near-useless evidence of
+    *specific* duplication anyway (it co-occurs everywhere). Pass
+    ``None`` to opt out explicitly (exact classical Jaccard; only safe
+    on corpora known to be boilerplate-free).
+
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     # String shingles (collision-free — the exact operator must not
@@ -252,6 +265,18 @@ def ngram_jaccard_pairs(
     ).select(
         "doc_id", _shingles_from_toks(F.col("__toks"), n).alias("__sh")
     ).select("doc_id", guarded_explode("__sh").alias("sh"))
+    if max_shingle_df is not None:
+        # Drop boilerplate shingles before the quadratic join. The
+        # retained-shingle set is a plain shuffle semi-join: the hot
+        # set is bounded by |instances|/cap rows but need not be
+        # broadcast-small — AQE promotes it at runtime when it is.
+        retained = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(retained, "sh", "left_semi")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")

@@ -284,22 +284,29 @@ FROM documents GROUP BY sha256(text)
 
 
 def q23_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_shingle_df mirrors Q23_SQL's stop-shingle HAVING clause — the
+    # oracle replays the same cap, so results stay hash-identical.
     return DD.ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.3
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.3,
+        max_shingle_df=1000,
     )
 
 
-#: Same explode → equi-join → co-occurrence count shape as the Spark
-#: plan (NOT all-pairs list_intersect, which is O(n²) in documents and
-#: dominated the driver's per-query budget): co/(na+nb-co) on integer
-#: counts reproduces the identical doubles.
+#: Same explode → stop-shingle df cap → equi-join → co-occurrence
+#: count shape as the Spark plan (NOT all-pairs list_intersect, which
+#: is O(n²) in documents and dominated the driver's per-query budget):
+#: co/(na+nb-co) on integer counts reproduces the identical doubles.
+#: The ``HAVING COUNT(*) <= 1000`` replays ``max_shingle_df=1000``.
 Q23_SQL = """
-WITH s AS (
+WITH s0 AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
 ),
+retained AS (SELECT sh FROM s0 GROUP BY sh HAVING COUNT(*) <= 1000),
+s AS (SELECT s0.doc_id, s0.sh FROM s0 JOIN retained USING (sh)),
 counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
 co AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS co
