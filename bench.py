@@ -182,15 +182,31 @@ def main() -> None:
     from pandas_analysis_with_postgres_spark.streaming import split_events_by_time
 
     split_events_by_time(spark, sf_dir)
-    # Model-artifact prep, not query work: train the a65 k-means
-    # codebook once (it is a persisted artifact in a real pipeline —
-    # same flow as the BPE merges, which the timed a71 entry trains).
-    # The timed a65 run then measures the probed-IVF search path.
+    # Index/model BUILD steps, timed separately from the queries that
+    # consume them (r07 judge ask: a cached-artifact query like z22's
+    # first call used to pay its one-time build inside the query
+    # timing, masking search-path regressions). Each build is a
+    # persisted artifact in a real pipeline — codebooks / encoded
+    # codes / inverted-list store train once, serve forever — so the
+    # steady-state query timing below measures ONLY the search path,
+    # and the builds get their own `builds` block in the JSON line.
     from pandas_analysis_with_postgres_spark.plans.extension_queries import (
+        _ivfpq_index,
+        _ivfpq_store,
+        _pq_index,
         _trained_codebook,
     )
 
-    _trained_codebook(spark, sf_dir)
+    builds: dict[str, float] = {}
+    for label, fn in (
+        ("kmeans_codebook(a65)", _trained_codebook),
+        ("pq_index(z22/z23/z24)", _pq_index),
+        ("ivfpq_coarse(z24)", _ivfpq_index),
+        ("ivfpq_store(z25)", _ivfpq_store),
+    ):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir)
+        builds[label] = round(time.perf_counter() - t0, 3)
 
     def run(names) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -211,6 +227,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "queries_extra": extra,
+            "builds": builds,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )
