@@ -167,6 +167,8 @@ EXTRA = (
     "z58_alter_upgrade",
     "z59_metadata_in_list",
     "z60_shallow_clone",
+    # round-8 additions
+    "z61_metadata_groupby_in",
 )
 
 

@@ -640,3 +640,48 @@ def test_date_literals_canonicalized_before_metadata_compare(spark, tmp_path):
     # unparseable date literal: refusal (scan fallback), not an answer
     assert n("SELECT COUNT(*) AS n FROM t WHERE d = 'not-a-date'") is None
     assert n("SELECT COUNT(*) AS n FROM t WHERE d < 'not-a-date'") is None
+
+
+def test_group_by_composes_with_in_list(spark, tmp_path):
+    # the combined dashboard shape (r07 ask): GROUP BY pcol + IN-list
+    # with COUNT / APPROX_COUNT_DISTINCT / APPROX_QUANTILE together —
+    # exact per-group entries, IN filters groups, absent members
+    # contribute no group
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        write_snapshot as _ws,
+    )
+
+    rows = []
+    for i in range(300):
+        p = i % 5
+        rows.append((i, p, i % (3 + p * 4), (i + p * 1000) * 10))
+    df = spark.createDataFrame(rows, "k long, p long, uid long, cents long")
+    path = str(tmp_path / "gbin")
+    _ws(df, path, "p", stats_cols=["uid::hll", "cents::hist:500"])
+    out = answer_from_manifest(
+        spark,
+        "SELECT p, COUNT(*) AS n, APPROX_COUNT_DISTINCT(uid) AS u,"
+        " APPROX_QUANTILE(cents, 50) AS med FROM t"
+        " WHERE p IN (1, 3, 404) GROUP BY p",
+        {"t": path},
+    )
+    assert out is not None
+    got = {r.p: r for r in out.collect()}
+    assert set(got) == {1, 3}  # 404 absent: no group, not an error
+    # per-group NDV within HLL tolerance of the true 7 / 3 distinct
+    assert abs(got[1].u - 7) < 1.0 and abs(got[3].u - 3) < 0.5
+    assert got[1].n == 60 and got[3].n == 60
+    # hist recipe: lower edge of the bucket holding the true median
+    truth = {p: sorted((i + p * 1000) * 10 for i in range(300) if i % 5 == p)
+             for p in (1, 3)}
+    for p in (1, 3):
+        med = truth[p][len(truth[p]) // 2 - 1]
+        assert got[p].med <= med < got[p].med + 500
+    # grouped MIN/MAX + IN also serves (group ≡ partition: exact)
+    mm = answer_from_manifest(
+        spark,
+        "SELECT p, MIN(cents) AS lo, COUNT(*) AS n FROM t"
+        " WHERE p IN (1, 3) GROUP BY p",
+        {"t": path},
+    )
+    assert mm is not None and {r.p for r in mm.collect()} == {1, 3}
