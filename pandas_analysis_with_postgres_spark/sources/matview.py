@@ -116,6 +116,7 @@ def maintain_sum_view(
     separate cursor to diverge from the data.
     """
     from .snapshot import (
+        _collect_distinct_partitions,
         current_version,
         merge_snapshot,
         read_changes,
@@ -149,7 +150,10 @@ def maintain_sum_view(
     delta = delta.localCheckpoint(eager=False)
     view_parts = set(view_meta.get("partitions") or {})
     touched = {
-        f"bucket={r[0]}" for r in delta.select("bucket").distinct().collect()
+        f"bucket={v}"
+        for v in _collect_distinct_partitions(
+            delta, "bucket", what="matview refresh"
+        )
     }
     if touched & view_parts:
         existing = read_snapshot(

@@ -1095,6 +1095,39 @@ def _commit(
     return version
 
 
+#: Cap on driver-side partition-value collects. These collects are
+#: O(distinct partition values), not O(rows) — safe at 100 TB only
+#: while the partition column is genuinely low-cardinality (dates,
+#: statuses, buckets). A table mis-partitioned by a high-NDV column
+#: (user_id) would otherwise OOM the driver SILENTLY inside a merge;
+#: this bound turns it into a loud, actionable error at the first
+#: collect. 100k values × a short string ≈ a few MB of driver memory,
+#: far above any sane hive layout (Spark itself degrades long before).
+MAX_COLLECTED_PARTITIONS = 100_000
+
+
+def _collect_distinct_partitions(df: DataFrame, col: str, *, what: str) -> list:
+    """``df.select(col).distinct().collect()`` values, with the
+    MAX_COLLECTED_PARTITIONS cardinality bound enforced via a
+    ``limit(cap+1)`` probe (the limit keeps the failure itself cheap:
+    the driver never receives more than cap+1 rows)."""
+    rows = (
+        df.select(col)
+        .distinct()
+        .limit(MAX_COLLECTED_PARTITIONS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_COLLECTED_PARTITIONS:
+        raise ValueError(
+            f"{what}: partition column {col!r} has more than "
+            f"{MAX_COLLECTED_PARTITIONS:,} distinct values in this input; "
+            "a partition-value set that size cannot be planned driver-side "
+            "— repartition the table by a lower-cardinality column (or a "
+            "bucket of this one) before using the snapshot layer"
+        )
+    return [r[0] for r in rows]
+
+
 #: Characters Spark's catalog escapes in partition directory names
 #: (ExternalCatalogUtils.escapePathName): control chars plus this set.
 _HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^')
@@ -1933,8 +1966,10 @@ def _partition_scoped_commit(
     # collect, anti-join, write) — materialize it once.
     source = source.localCheckpoint(eager=False)
     touched = {
-        _hive_part_name(partition_col, r[0])
-        for r in source.select(partition_col).distinct().collect()
+        _hive_part_name(partition_col, v)
+        for v in _collect_distinct_partitions(
+            source, partition_col, what="merge"
+        )
     }
     prev_meta = man.get("schema") or {}
     prev_cols = prev_meta.get("columns")
@@ -2584,8 +2619,8 @@ def delete_where(
         .localCheckpoint(eager=False)
     )
     kept_parts = {
-        _hive_part_name(pcol, r[0])
-        for r in keep.select(pcol).distinct().collect()
+        _hive_part_name(pcol, v)
+        for v in _collect_distinct_partitions(keep, pcol, what="delete")
     }
     emptied = affected - kept_parts
     version = replace_partitions(

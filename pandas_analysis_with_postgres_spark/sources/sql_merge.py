@@ -411,7 +411,7 @@ def execute_merge(
         .distinct()
         .collect()
     )  # O(partitions) driver metadata, same budget as delete_where
-    from .snapshot import _hive_part_name
+    from .snapshot import _collect_distinct_partitions, _hive_part_name
 
     affected = {_hive_part_name(pcol, r[0]) for r in changed}
     if not affected:
@@ -427,8 +427,8 @@ def execute_merge(
         member = member | F.col(pcol).isNull()
     content = full_new.filter(member).localCheckpoint(eager=False)
     present = {
-        _hive_part_name(pcol, r[0])
-        for r in content.select(pcol).distinct().collect()
+        _hive_part_name(pcol, v)
+        for v in _collect_distinct_partitions(content, pcol, what="UPDATE")
     }
     return replace_partitions(
         path,

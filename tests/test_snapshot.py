@@ -1229,3 +1229,29 @@ def test_stream_append_sink_into_branch(spark, tmp_path):
     assert branch_head(table, "ingest") >= 4  # ≥3 micro-batch commits
     fast_forward_branch(table, "ingest")
     assert read_snapshot(spark, table).count() == n_all
+
+
+def test_partition_collect_cardinality_guard(spark, tmp_path, monkeypatch):
+    # A table mis-partitioned by a high-NDV column must fail LOUDLY at
+    # the driver-side partition-value collect, not OOM the driver
+    # silently (the collects are O(distinct pcol), not O(rows))
+    from pandas_analysis_with_postgres_spark.sources import snapshot as snap
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(50)], "k long, p long, v double"
+    )
+    snap.write_snapshot(base, path, "p")
+    monkeypatch.setattr(snap, "MAX_COLLECTED_PARTITIONS", 50)
+    wide = spark.createDataFrame(
+        [(i, i, float(i)) for i in range(100)], "k long, p long, v double"
+    )
+    with pytest.raises(ValueError, match="more than 50 distinct"):
+        snap.merge_snapshot(path, wide, "k", "p")
+    # under the cap: unchanged behavior
+    ok = spark.createDataFrame(
+        [(i, i % 5, float(i) + 1) for i in range(50)],
+        "k long, p long, v double",
+    )
+    snap.merge_snapshot(path, ok, "k", "p")
+    assert snap.read_snapshot(spark, path).count() == 50
