@@ -169,6 +169,8 @@ EXTRA = (
     "z60_shallow_clone",
     # round-8 additions
     "z61_metadata_groupby_in",
+    "z62_metadata_count_col",
+    "z63_metadata_topk",
 )
 
 

@@ -4423,6 +4423,31 @@ FROM per CROSS JOIN g
 _GBIN_DROPS: dict = {}
 
 
+def _gbin_table(spark: SparkSession, sf_dir: str) -> str:
+    """Shared z61/z63 fixture: orders snapshotted by o_orderstatus
+    with an NDV sketch on o_custkey and a price histogram."""
+    import os
+
+    from ..sources.snapshot import write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _GBIN_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("gbin_") + "/orders_tbl"
+        cents = (
+            F.col("o_totalprice").cast("decimal(18,2)") * 100
+        ).cast("long")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_custkey", cents.alias("cents")
+        )
+        write_snapshot(
+            orders, path, "o_orderstatus",
+            stats_cols=["o_custkey::hll", f"cents::hist:{_Z55_WIDTH}"],
+        )
+        _GBIN_DROPS[key] = path
+    return path
+
+
 def z61_metadata_groupby_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COMBINED metadata-SQL shape (r07 judge ask #4): GROUP BY pcol
     composed with an IN-list restriction, serving COUNT(*),
@@ -4445,21 +4470,7 @@ def z61_metadata_groupby_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.metadata_sql import answer_from_manifest
     from ..sources.snapshot import write_snapshot
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    path = _GBIN_DROPS.get(key)
-    if path is None:
-        path = _tracked_mkdtemp("gbin_") + "/orders_tbl"
-        cents = (
-            F.col("o_totalprice").cast("decimal(18,2)") * 100
-        ).cast("long")
-        orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderstatus", "o_custkey", cents.alias("cents")
-        )
-        write_snapshot(
-            orders, path, "o_orderstatus",
-            stats_cols=["o_custkey::hll", f"cents::hist:{_Z55_WIDTH}"],
-        )
-        _GBIN_DROPS[key] = path
+    path = _gbin_table(spark, sf_dir)
     grp = answer_from_manifest(
         spark,
         "SELECT o_orderstatus, COUNT(*) AS n,"
@@ -4554,6 +4565,140 @@ CROSS JOIN g
 
 
 Z61_SQL = _z61_oracle()
+
+
+_CCOUNT_DROPS: dict = {}
+
+
+def z62_metadata_count_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-skipping ``COUNT(col)`` from MANIFEST METADATA
+    (sources.snapshot.manifest_column_count + metadata_sql's
+    ``COUNT(col)`` grammar): every stats entry already records
+    ``[min, max, nulls]``, so each partition contributes its live row
+    count minus its null count — exact integers, summed, zero data
+    pages at any scale. This is the COUNT half the ``::n_rows`` idiom
+    cannot serve (SQL's COUNT(col) skips NULLs — the engine previously
+    refused it to a scan). Served in all three grammar shapes: global
+    (composed with COUNT(*)), per-group, and under an IN-list
+    (member counts sum); range WHERE and un-statted/legacy columns
+    refuse. The fixture manufactures NULLs deterministically
+    (event_id % 3) so the null arithmetic is real; the oracle replays
+    the same NULLIF and plain SQL COUNTs."""
+    import os
+
+    from ..sources.metadata_sql import answer_from_manifest
+    from ..sources.snapshot import write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _CCOUNT_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("ccount_") + "/events_tbl"
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.when(F.col("event_id") % 3 != 0, F.col("value"))
+            .alias("value2"),
+        )
+        write_snapshot(ev, path, "event_type", stats_cols=["value2"])
+        _CCOUNT_DROPS[key] = path
+    grp = answer_from_manifest(
+        spark,
+        "SELECT event_type, COUNT(value2) AS cv, COUNT(*) AS n"
+        " FROM t GROUP BY event_type",
+        {"t": path},
+    )
+    glob = answer_from_manifest(
+        spark,
+        "SELECT COUNT(value2) AS cv_all, COUNT(*) AS n_all,"
+        " COUNT(event_type) AS ct_all FROM t",
+        {"t": path},
+    )
+    assert grp is not None and glob is not None  # refusal = hard fail
+    return grp.crossJoin(glob)
+
+
+Z62_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN event_id % 3 <> 0 THEN value END AS value2
+  FROM events
+),
+g AS (SELECT event_type, COUNT(value2)::BIGINT AS cv,
+             COUNT(*)::BIGINT AS n
+      FROM e GROUP BY event_type),
+t AS (SELECT COUNT(value2)::BIGINT AS cv_all, COUNT(*)::BIGINT AS n_all,
+             COUNT(event_type)::BIGINT AS ct_all FROM e)
+SELECT g.event_type, g.cv, g.n, t.cv_all, t.n_all, t.ct_all
+FROM g CROSS JOIN t
+"""
+
+
+def z63_metadata_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K groups from MANIFEST METADATA (metadata_sql's ORDER BY /
+    LIMIT grammar on grouped answers): ``GROUP BY pcol ORDER BY <out>
+    [DESC] LIMIT k`` is provable because the FULL group set is already
+    assembled driver-side before ordering — the "busiest partitions"
+    poll every ops dashboard runs, still zero data pages. Ties break
+    by the group column ascending (deterministic; the oracle replays
+    the identical two-key sort). ORDER BY must name an output column
+    of a GROUPED answer and LIMIT requires ORDER BY — anything else
+    refuses to the scan. Composes with the rest of the grammar: the
+    second statement here orders by a histogram-served p90 under an
+    IN restriction."""
+    from ..sources.metadata_sql import answer_from_manifest
+
+    path = _gbin_table(spark, sf_dir)
+    top = answer_from_manifest(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n FROM t"
+        " GROUP BY o_orderstatus ORDER BY n DESC LIMIT 2",
+        {"t": path},
+    )
+    spread = answer_from_manifest(
+        spark,
+        "SELECT o_orderstatus AS st, APPROX_QUANTILE(cents, 90) AS p90"
+        " FROM t WHERE o_orderstatus IN ('O', 'F', 'P')"
+        " GROUP BY o_orderstatus ORDER BY p90 DESC LIMIT 1",
+        {"t": path},
+    )
+    assert top is not None and spread is not None  # refusal = hard fail
+    return top.crossJoin(spread)
+
+
+Z63_SQL = f"""
+WITH c AS (
+  SELECT o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+top AS (
+  SELECT o_orderstatus, COUNT(*)::BIGINT AS n
+  FROM c GROUP BY o_orderstatus
+  ORDER BY n DESC, o_orderstatus ASC LIMIT 2
+),
+hist AS (
+  SELECT o_orderstatus,
+         CAST(FLOOR(CAST(cents AS DOUBLE) / {_Z55_WIDTH}) AS BIGINT) AS bucket,
+         COUNT(*)::BIGINT AS hn
+  FROM c GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderstatus, bucket, hn,
+         CAST(SUM(hn) OVER (PARTITION BY o_orderstatus ORDER BY bucket
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cm,
+         CAST(SUM(hn) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS total
+  FROM hist
+),
+spread AS (
+  SELECT o_orderstatus AS st,
+         MIN(CASE WHEN cm * 100 >= total * 90
+                  THEN bucket * {_Z55_WIDTH} END) AS p90
+  FROM cum GROUP BY o_orderstatus
+  ORDER BY p90 DESC, st ASC LIMIT 1
+)
+SELECT top.o_orderstatus, top.n, spread.st, spread.p90
+FROM top CROSS JOIN spread
+"""
 
 
 _SBRANCH_DROPS: dict = {}
@@ -6157,6 +6302,8 @@ EXTENSION_QUERIES = {
     "z59_metadata_in_list": z59_metadata_in_list,
     "z60_shallow_clone": z60_shallow_clone,
     "z61_metadata_groupby_in": z61_metadata_groupby_in,
+    "z62_metadata_count_col": z62_metadata_count_col,
+    "z63_metadata_topk": z63_metadata_topk,
 }
 
 EXTENSION_ORACLES = {
@@ -6239,6 +6386,8 @@ EXTENSION_ORACLES = {
     "z59_metadata_in_list": Z59_SQL,
     "z60_shallow_clone": Z60_SQL,
     "z61_metadata_groupby_in": Z61_SQL,
+    "z62_metadata_count_col": Z62_SQL,
+    "z63_metadata_topk": Z63_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

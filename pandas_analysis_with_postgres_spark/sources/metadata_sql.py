@@ -60,6 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .snapshot import (
     manifest_aggregate,
+    manifest_column_count,
     manifest_approx_distinct,
     manifest_quantile,
     manifest_group_stats,
@@ -73,7 +74,10 @@ _STMT = re.compile(
     r"(?:\s+FOR\s+(?:VERSION\s+AS\s+OF\s+(?P<asof_v>\d+)"
     r"|TIMESTAMP\s+AS\s+OF\s+'(?P<asof_ts>[^']*)'))?"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<gcol>[A-Za-z_]\w*))?\s*;?\s*$",
+    r"(?:\s+GROUP\s+BY\s+(?P<gcol>[A-Za-z_]\w*))?"
+    r"(?:\s+ORDER\s+BY\s+(?P<ocol>[A-Za-z_]\w*)"
+    r"(?:\s+(?P<odir>ASC|DESC))?)?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -119,6 +123,7 @@ def extract_as_of(sql: str) -> "tuple[str, dict | None]":
     return sql[: m.start()] + sql[m.end():], spec
 _ITEM = re.compile(
     r"^\s*(?:COUNT\s*\(\s*\*\s*\)"
+    r"|(?P<cnt>COUNT)\s*\(\s*(?P<cntcol>[A-Za-z_]\w*)\s*\)"
     r"|(?P<adc>APPROX_COUNT_DISTINCT)\s*\(\s*(?P<adccol>[A-Za-z_]\w*)\s*\)"
     r"|(?P<aq>APPROX_QUANTILE)\s*\(\s*(?P<aqcol>[A-Za-z_]\w*)\s*,\s*(?P<aqp>\d+)\s*\)"
     r"|(?P<fn>MIN|MAX)\s*\(\s*(?P<col>[A-Za-z_]\w*)\s*\)"
@@ -194,6 +199,12 @@ def parse_metadata_select(sql: str) -> "dict | None":
             n_bare += 1
             items.append(("group", bare, im.group("alias") or bare))
             continue
+        if im.group("cnt") is not None:
+            col = im.group("cntcol")
+            items.append(
+                ("countcol", col, im.group("alias") or f"count_{col}")
+            )
+            continue
         if im.group("adc") is not None:
             col = im.group("adccol")
             items.append(
@@ -261,14 +272,30 @@ def parse_metadata_select(sql: str) -> "dict | None":
         # needs clipped extremes, and NDV sketches cannot be
         # range-restricted — neither is provable
         if any(
-            k in ("min", "max", "approx", "quantile") for k, _, _ in items
+            k in ("min", "max", "approx", "quantile", "countcol")
+            for k, _, _ in items
         ):
             return None
+    order_by = None
+    if m.group("ocol") is not None:
+        if gcol is None:
+            return None  # ORDER BY on a 1-row answer: meaningless, scan
+        order_by = (
+            m.group("ocol"),
+            (m.group("odir") or "ASC").upper() == "DESC",
+        )
+    limit = None
+    if m.group("limit") is not None:
+        if order_by is None:
+            return None  # LIMIT without ORDER BY is nondeterministic
+        limit = int(m.group("limit"))
     return {
         "table": m.group("table"),
         "items": items,
         "where": where,
         "group_by": gcol,
+        "order_by": order_by,
+        "limit": limit,
         "as_of": as_of,
     }
 
@@ -468,6 +495,16 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
                 if k == "count":
                     values.append(total)
                     fields.append(StructField(alias, LongType(), False))
+                elif k == "countcol":
+                    values.append(
+                        int(
+                            manifest_column_count(
+                                path, c, version=version,
+                                where_partition_in=in_spec,
+                            )
+                        )
+                    )
+                    fields.append(StructField(alias, LongType(), False))
                 elif k == "approx":
                     values.append(
                         float(
@@ -518,6 +555,13 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
             for k, c, _ in parsed["items"]
             if k == "quantile"
         }
+        ccount = {
+            c: manifest_column_count(
+                path, c, version=version, where_partition=eq
+            )
+            for k, c, _ in parsed["items"]
+            if k == "countcol"
+        }
     except ValueError:
         # e.g. extremes over merge-on-read tombstoned partitions, a
         # column with no usable stats anywhere, or a missing NDV
@@ -537,6 +581,9 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
         elif fn == "quantile":
             values.append(int(quant[col]))
             fields.append(StructField(alias, LongType(), False))
+        elif fn == "countcol":
+            values.append(int(ccount[col]))
+            fields.append(StructField(alias, LongType(), False))
         else:
             v = agg["columns"][col][fn]
             dt = field_types.get(col)
@@ -551,7 +598,7 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
 
     exprs = []
     for fn, col, alias in parsed["items"]:
-        if fn in ("count", "approx", "quantile"):
+        if fn in ("count", "approx", "quantile", "countcol"):
             exprs.append(F.col(alias))
         else:
             exprs.append(F.col(alias).cast(field_types[col]).alias(alias))
@@ -683,6 +730,18 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
             ]
         except ValueError:
             raise _Refuse()  # missing histogram / tombstones: scan
+    ccount_lists = {}
+    for c in {c for k, c, _ in parsed["items"] if k == "countcol"}:
+        try:
+            ccount_lists[c] = [
+                e
+                for _, e in manifest_column_count(
+                    path, c, version=version,
+                    where_partition=eq, by_partition=True,
+                )
+            ]
+        except ValueError:
+            raise _Refuse()  # no null-counted entry / tombstones: scan
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -715,6 +774,11 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
             row_fn.append(
                 lambda v, n, s, gi, c=col: int(quant_lists[c][gi])
             )
+        elif kind == "countcol":
+            fields.append(StructField(alias, LongType(), False))
+            row_fn.append(
+                lambda v, n, s, gi, c=col: int(ccount_lists[c][gi])
+            )
         else:  # min/max: stat_json rendering → string-cast like z34
             fields.append(StructField(alias, StringType(), True))
             idx = 0 if kind == "min" else 1
@@ -739,6 +803,9 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
         quant_lists = {
             c: [lst[gi] for gi in keep] for c, lst in quant_lists.items()
         }
+        ccount_lists = {
+            c: [lst[gi] for gi in keep] for c, lst in ccount_lists.items()
+        }
     rows = [
         tuple(fn(v, n, s, gi) for fn in row_fn)
         for gi, ((v, n), s) in enumerate(zip(groups, col_stats))
@@ -750,8 +817,26 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
     for kind, col, alias in parsed["items"]:
         if kind == "group":
             exprs.append(F.col(alias).cast(field_types[pcol]).alias(alias))
-        elif kind in ("count", "approx", "quantile"):
+        elif kind in ("count", "approx", "quantile", "countcol"):
             exprs.append(F.col(alias))
         else:
             exprs.append(F.col(alias).cast(field_types[col]).alias(alias))
-    return frame.select(*exprs).coalesce(1)
+    out = frame.select(*exprs).coalesce(1)
+    # ORDER BY <output alias> [DESC] LIMIT n — legal on a grouped
+    # metadata answer because the FULL group set is already assembled
+    # (ordering a complete local frame proves itself); ties break by
+    # the group column ascending so LIMIT is deterministic and the
+    # scan/oracle can replay it exactly.
+    if parsed.get("order_by") is not None:
+        ocol, desc = parsed["order_by"]
+        out_aliases = [a for _, _, a in parsed["items"]]
+        if ocol not in out_aliases:
+            raise _Refuse()  # ORDER BY names a non-output column
+        gcol_alias = next(
+            a for k, _, a in parsed["items"] if k == "group"
+        )
+        key = F.col(ocol).desc() if desc else F.col(ocol).asc()
+        out = out.orderBy(key, F.col(gcol_alias).asc())
+        if parsed.get("limit") is not None:
+            out = out.limit(parsed["limit"])
+    return out

@@ -4161,3 +4161,136 @@ def manifest_range_count(
         else:
             return None  # partial overlap: not provable from stats
     return total
+
+
+
+def manifest_column_count(
+    path: str,
+    column: str,
+    *,
+    version: "int | str | None" = None,
+    where_partition: "tuple[str, object] | None" = None,
+    where_partition_in: "tuple[str, list] | None" = None,
+    by_partition: bool = False,
+) -> "int | list":
+    """Exact null-skipping ``COUNT(column)`` from MANIFEST METADATA:
+    each partition contributes its live row count minus its recorded
+    per-column null count (the 3-element ``[min, max, nulls]`` stats
+    entry every ``stats_cols`` commit writes) — summed across
+    partitions, zero data pages at any scale. This is the half of
+    COUNT the plain ``::n_rows`` idiom cannot serve (``COUNT(col)``
+    is NOT ``COUNT(*)`` — SQL skips NULLs).
+
+    Raises (→ scan fallback) when any contributing partition lacks a
+    null-counted entry for the column (legacy 2-element entries,
+    un-statted columns), or carries merge-on-read tombstones (the
+    deleted rows' null-ness is unknown; compaction restores
+    provability). The PARTITION column needs no stats at all: its
+    value is constant per directory, so ``COUNT(pcol)`` is exactly
+    the live rows outside the NULL partition. ``where_partition`` /
+    ``where_partition_in`` restrict to member partitions (absent
+    members contribute 0, SQL semantics)."""
+    if column.endswith(HLL_SUFFIX) or _HIST_KEY_RE.match(column):
+        raise ValueError(
+            "sketch entries (::hll / ::hist:) are not countable columns"
+        )
+    if where_partition is not None and where_partition_in is not None:
+        raise ValueError(
+            "pass one of where_partition / where_partition_in, not both"
+        )
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    pcol = meta.get("partition_col")
+    targets = None
+    restricted = where_partition is not None or where_partition_in is not None
+    if by_partition and not pcol:
+        raise ValueError(
+            f"snapshot table at {path!r} is unpartitioned — no "
+            "partition column to group by"
+        )
+    if restricted or by_partition or column == pcol:
+        if _mixed_spec(man):
+            raise ValueError(
+                "partition-VALUE answers are unprovable while "
+                f"{path} holds old-spec directories — compact_snapshot "
+                "to migrate, or scan"
+            )
+    if restricted:
+        spec = where_partition or where_partition_in
+        if spec[0] != pcol:
+            raise ValueError(
+                f"restriction column {spec[0]!r} is not the partition "
+                f"column {pcol!r} — only partition membership is "
+                "provable from the manifest"
+            )
+        vals = [where_partition[1]] if where_partition else list(spec[1])
+        targets = {_hive_part_name(pcol, v) for v in vals}
+    part_rows = _partition_rows(man, path)
+    ptype = meta.get("partition_type") or "string"
+    if column == pcol:
+        # tombstones already subtracted by _partition_rows — the
+        # partition value is constant per directory, so the live
+        # count IS the non-null count (0 for the NULL partition)
+        if by_partition:
+            return [
+                (
+                    _partition_value(pname, ptype)[1],
+                    0 if _partition_value(pname, ptype)[0] else n,
+                )
+                for pname, n in sorted(part_rows.items())
+                if (targets is None or pname in targets) and n > 0
+            ]
+        total = 0
+        for pname, n in part_rows.items():
+            if targets is not None and pname not in targets:
+                continue
+            if not _partition_value(pname, ptype)[0]:
+                total += n
+        return total
+    renames = meta.get("renames") or []
+
+    def _chain(name: str) -> str:
+        for old, new in renames:
+            if name == old:
+                name = new
+        return name
+
+    stats = man.get("stats") or {}
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+
+    def _one(pname: str, n: int) -> int:
+        if pname in tomb_parts:
+            raise ValueError(
+                f"COUNT({column}) unprovable: partition {pname} carries "
+                "merge-on-read tombstones (deleted rows' null-ness "
+                "unknown) — compact first, or scan"
+            )
+        entry = stats.get(pname) or {}
+        logical = {
+            _chain(k): v for k, v in entry.items() if k != N_ROWS_KEY
+        }
+        rng = logical.get(column)
+        if rng is None or len(rng) < 3 or rng[2] is None:
+            raise ValueError(
+                f"COUNT({column}) unprovable: partition {pname} has no "
+                f"null-counted stats entry — add {column!r} to "
+                "stats_cols and rewrite, or scan"
+            )
+        return n - int(rng[2])
+
+    if by_partition:
+        # sorted by partition name, zero-live groups skipped — the
+        # same order and membership as manifest_partition_counts
+        return [
+            (_partition_value(pname, ptype)[1], _one(pname, n))
+            for pname, n in sorted(part_rows.items())
+            if (targets is None or pname in targets) and n > 0
+        ]
+    total = 0
+    for pname, n in part_rows.items():
+        if targets is not None and pname not in targets:
+            continue
+        if n == 0:
+            continue
+        total += _one(pname, n)
+    return total

@@ -33,6 +33,8 @@ def test_parse_accepts_the_strict_grammar():
         ],
         "where": None,
         "group_by": None,
+        "order_by": None,
+        "limit": None,
         "as_of": None,
     }
     q = parse_metadata_select("SELECT COUNT(*) FROM t WHERE day = '2024-01-01'")
@@ -80,7 +82,6 @@ def test_parse_accepts_range_and_group_by_forms():
         "SELECT COUNT(*) FROM t WHERE x <> 1",  # unsupported operator
         "SELECT COUNT(*) FROM t WHERE x > 1 AND x < 9",  # conjunctions
         "SELECT COUNT(*) FROM t WHERE x LIKE 'a%'",
-        "SELECT COUNT(x) FROM t",  # null-skipping: not num_rows
         "SELECT SUM(x) FROM t",  # needs data
         "SELECT MIN(x + 1) FROM t",  # expression
         "SELECT COUNT(*) FROM t JOIN u ON 1=1",
@@ -685,3 +686,93 @@ def test_group_by_composes_with_in_list(spark, tmp_path):
         {"t": path},
     )
     assert mm is not None and {r.p for r in mm.collect()} == {1, 3}
+
+
+def test_count_col_skips_nulls_and_refuses_unprovable(spark, tmp_path):
+    # COUNT(col) = live rows minus recorded null counts, per the
+    # 3-element [min, max, nulls] stats entries; refusal whenever any
+    # contributing partition cannot prove its null count
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        delete_where,
+        manifest_column_count,
+        write_snapshot as _ws,
+    )
+
+    rows = []
+    for i in range(300):
+        p = i % 5
+        email = None if (p < 2 and i % 3 == 0) else f"u{i}"
+        rows.append((i, p, email, i * 10))
+    df = spark.createDataFrame(rows, "k long, p long, email string, cents long")
+    path = str(tmp_path / "cc")
+    _ws(df, path, "p", stats_cols=["email", "cents"])
+    truth = {pp: sum(1 for (k, p, e, c) in rows if p == pp and e is not None)
+             for pp in range(5)}
+
+    def n(sql):
+        out = answer_from_manifest(spark, sql, {"t": path})
+        return None if out is None else [tuple(r) for r in out.collect()]
+
+    assert n("SELECT COUNT(email) AS ce FROM t") == [(sum(truth.values()),)]
+    assert n("SELECT COUNT(email) AS ce FROM t WHERE p = 1") == [(truth[1],)]
+    assert n("SELECT COUNT(email) AS ce FROM t WHERE p IN (0, 1, 9)") == [
+        (truth[0] + truth[1],)
+    ]
+    grouped = n("SELECT p, COUNT(email) AS ce FROM t GROUP BY p")
+    assert dict(grouped) == truth
+    # no-null column and the partition column itself
+    assert n("SELECT COUNT(cents) AS c FROM t") == [(300,)]
+    assert n("SELECT COUNT(p) AS c FROM t") == [(300,)]
+    # refusals: unknown column, un-statted column, range WHERE
+    assert n("SELECT COUNT(nope) AS x FROM t") is None
+    assert n("SELECT COUNT(k) AS x FROM t") is None  # k not in stats_cols
+    assert n("SELECT COUNT(email) AS x FROM t WHERE cents > 10") is None
+    # API parity + MoR tombstones make the count unprovable
+    assert manifest_column_count(path, "email") == sum(truth.values())
+    from pyspark.sql import functions as F
+
+    delete_where(
+        spark, path, F.col("k") < 3, mode="merge-on-read", key="k"
+    )
+    assert n("SELECT COUNT(email) AS x FROM t") is None
+    assert n("SELECT COUNT(p) AS c FROM t") == [(297,)]  # pcol: still exact
+
+
+def test_order_by_limit_on_grouped_answers(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        write_snapshot as _ws,
+    )
+
+    # group sizes 10/20/30/40 with a tie pair at 40
+    rows = (
+        [(i, 0) for i in range(10)]
+        + [(100 + i, 1) for i in range(20)]
+        + [(200 + i, 2) for i in range(40)]
+        + [(300 + i, 3) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "k long, p long")
+    path = str(tmp_path / "topk")
+    _ws(df, path, "p")
+
+    def n(sql):
+        out = answer_from_manifest(spark, sql, {"t": path})
+        return None if out is None else [tuple(r) for r in out.collect()]
+
+    # DESC with the documented tie-break (group col ascending)
+    assert n(
+        "SELECT p, COUNT(*) AS n FROM t GROUP BY p ORDER BY n DESC LIMIT 3"
+    ) == [(2, 40), (3, 40), (1, 20)]
+    assert n(
+        "SELECT p, COUNT(*) AS n FROM t GROUP BY p ORDER BY n ASC LIMIT 1"
+    ) == [(0, 10)]
+    # ORDER BY the group column itself
+    assert n(
+        "SELECT p, COUNT(*) AS n FROM t GROUP BY p ORDER BY p DESC LIMIT 2"
+    ) == [(3, 40), (2, 40)]
+    # refusals: no GROUP BY, LIMIT without ORDER BY, non-output column
+    assert n("SELECT COUNT(*) AS n FROM t ORDER BY n LIMIT 1") is None
+    assert n("SELECT p, COUNT(*) AS n FROM t GROUP BY p LIMIT 2") is None
+    assert (
+        n("SELECT p, COUNT(*) AS n FROM t GROUP BY p ORDER BY zz LIMIT 1")
+        is None
+    )
