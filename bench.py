@@ -171,6 +171,7 @@ EXTRA = (
     "z61_metadata_groupby_in",
     "z62_metadata_count_col",
     "z63_metadata_topk",
+    "z64_metadata_sum_avg",
 )
 
 

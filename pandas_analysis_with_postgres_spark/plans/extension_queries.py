@@ -4633,6 +4633,83 @@ FROM g CROSS JOIN t
 """
 
 
+_SUMAVG_DROPS: dict = {}
+
+
+def z64_metadata_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SUM / AVG from MANIFEST METADATA (sources.snapshot.
+    manifest_column_sum + the ``stats_cols=["col::sum"]`` table
+    property): every commit records per-partition ``[sum, n_nonnull]``
+    — the sum computed through DECIMAL(38,0), exact at any scale,
+    carried as an arbitrary-precision JSON int — and pairs MERGE BY
+    ADDITION, so ``SUM(col)`` and ``AVG(col)`` (= sum/n, the IEEE
+    double division a scan performs) cost one JSON read globally, per
+    group, or under an IN-list. Integral columns only: an exact
+    mergeable float sum does not exist (addition order changes the
+    rounding), so money-like doubles quantize to cents first — the
+    fixture does exactly that, and manufactures NULLs (o_orderkey % 7)
+    so the null-skipping arithmetic is real. Tombstones, un-summed
+    columns, and range WHERE refuse; int64 overflow refuses to the
+    scan (which errors honestly). The oracle replays the quantization,
+    the NULLIF, and sum/count division bit-for-bit."""
+    import os
+
+    from ..sources.metadata_sql import answer_from_manifest
+    from ..sources.snapshot import write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _SUMAVG_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("sumavg_") + "/orders_tbl"
+        cents = (
+            F.col("o_totalprice").cast("decimal(18,2)") * 100
+        ).cast("long")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 7 != 0, cents).alias("cents"),
+        )
+        write_snapshot(
+            orders, path, "o_orderstatus",
+            stats_cols=["cents", "cents::sum"],
+        )
+        _SUMAVG_DROPS[key] = path
+    grp = answer_from_manifest(
+        spark,
+        "SELECT o_orderstatus, SUM(cents) AS s, AVG(cents) AS a,"
+        " COUNT(cents) AS c FROM t GROUP BY o_orderstatus",
+        {"t": path},
+    )
+    glob = answer_from_manifest(
+        spark,
+        "SELECT SUM(cents) AS s_all, AVG(cents) AS a_all"
+        " FROM t WHERE o_orderstatus IN ('O', 'F')",
+        {"t": path},
+    )
+    assert grp is not None and glob is not None  # refusal = hard fail
+    return grp.crossJoin(glob)
+
+
+Z64_SQL = """
+WITH c AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 7 <> 0
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         END AS cents
+  FROM orders
+),
+g AS (SELECT o_orderstatus, SUM(cents)::BIGINT AS s,
+             CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(cents) AS DOUBLE) AS a,
+             COUNT(cents)::BIGINT AS c
+      FROM c GROUP BY o_orderstatus),
+t AS (SELECT SUM(cents)::BIGINT AS s_all,
+             CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(cents) AS DOUBLE) AS a_all
+      FROM c WHERE o_orderstatus IN ('O', 'F'))
+SELECT g.o_orderstatus, g.s, g.a, g.c, t.s_all, t.a_all
+FROM g CROSS JOIN t
+"""
+
+
 def z63_metadata_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOP-K groups from MANIFEST METADATA (metadata_sql's ORDER BY /
     LIMIT grammar on grouped answers): ``GROUP BY pcol ORDER BY <out>
@@ -6304,6 +6381,7 @@ EXTENSION_QUERIES = {
     "z61_metadata_groupby_in": z61_metadata_groupby_in,
     "z62_metadata_count_col": z62_metadata_count_col,
     "z63_metadata_topk": z63_metadata_topk,
+    "z64_metadata_sum_avg": z64_metadata_sum_avg,
 }
 
 EXTENSION_ORACLES = {
@@ -6388,6 +6466,7 @@ EXTENSION_ORACLES = {
     "z61_metadata_groupby_in": Z61_SQL,
     "z62_metadata_count_col": Z62_SQL,
     "z63_metadata_topk": Z63_SQL,
+    "z64_metadata_sum_avg": Z64_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -61,6 +61,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .snapshot import (
     manifest_aggregate,
     manifest_column_count,
+    manifest_column_sum,
     manifest_approx_distinct,
     manifest_quantile,
     manifest_group_stats,
@@ -126,6 +127,7 @@ _ITEM = re.compile(
     r"|(?P<cnt>COUNT)\s*\(\s*(?P<cntcol>[A-Za-z_]\w*)\s*\)"
     r"|(?P<adc>APPROX_COUNT_DISTINCT)\s*\(\s*(?P<adccol>[A-Za-z_]\w*)\s*\)"
     r"|(?P<aq>APPROX_QUANTILE)\s*\(\s*(?P<aqcol>[A-Za-z_]\w*)\s*,\s*(?P<aqp>\d+)\s*\)"
+    r"|(?P<sa>SUM|AVG)\s*\(\s*(?P<sacol>[A-Za-z_]\w*)\s*\)"
     r"|(?P<fn>MIN|MAX)\s*\(\s*(?P<col>[A-Za-z_]\w*)\s*\)"
     r"|(?P<bare>[A-Za-z_]\w*))"
     r"(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?\s*$",
@@ -198,6 +200,13 @@ def parse_metadata_select(sql: str) -> "dict | None":
                 return None
             n_bare += 1
             items.append(("group", bare, im.group("alias") or bare))
+            continue
+        if im.group("sa") is not None:
+            kind = im.group("sa").lower()
+            col = im.group("sacol")
+            items.append(
+                (kind, col, im.group("alias") or f"{kind}_{col}")
+            )
             continue
         if im.group("cnt") is not None:
             col = im.group("cntcol")
@@ -272,7 +281,8 @@ def parse_metadata_select(sql: str) -> "dict | None":
         # needs clipped extremes, and NDV sketches cannot be
         # range-restricted — neither is provable
         if any(
-            k in ("min", "max", "approx", "quantile", "countcol")
+            k in ("min", "max", "approx", "quantile", "countcol",
+                  "sum", "avg")
             for k, _, _ in items
         ):
             return None
@@ -338,6 +348,21 @@ def _typed_literal(raw: str, coltype: str):
     if coltype not in numeric:
         raise _Refuse()  # bare number vs string/date/timestamp column
     return float(raw) if ("." in raw or coltype in ("float", "double")) else int(raw)
+
+
+def _sum_avg_value(kind: str, pair: "tuple"):
+    """Decode one (sum, n_nonnull) manifest pair into the SQL answer:
+    SUM → the exact integer (None when every value was NULL; refuse
+    past int64 — a scan would overflow there too, loudly), AVG → the
+    IEEE double sum/n (None when n is 0), computed float(s)/float(n)
+    so the DuckDB oracle's CAST(..AS DOUBLE)/CAST(..AS DOUBLE)
+    replays it bit-for-bit."""
+    sv, nn = pair
+    if kind == "sum":
+        if sv is not None and abs(int(sv)) > 0x7FFFFFFFFFFFFFFF:
+            raise _Refuse()  # past int64: let the scan error honestly
+        return None if sv is None else int(sv)
+    return None if nn == 0 else float(sv) / float(nn)
 
 
 class _Refuse(Exception):
@@ -505,6 +530,19 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
                         )
                     )
                     fields.append(StructField(alias, LongType(), False))
+                elif k in ("sum", "avg"):
+                    pair = manifest_column_sum(
+                        path, c, version=version,
+                        where_partition_in=in_spec,
+                    )
+                    values.append(_sum_avg_value(k, pair))
+                    fields.append(
+                        StructField(
+                            alias,
+                            LongType() if k == "sum" else DoubleType(),
+                            True,
+                        )
+                    )
                 elif k == "approx":
                     values.append(
                         float(
@@ -562,6 +600,13 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
             for k, c, _ in parsed["items"]
             if k == "countcol"
         }
+        csum = {
+            c: manifest_column_sum(
+                path, c, version=version, where_partition=eq
+            )
+            for k, c, _ in parsed["items"]
+            if k in ("sum", "avg")
+        }
     except ValueError:
         # e.g. extremes over merge-on-read tombstoned partitions, a
         # column with no usable stats anywhere, or a missing NDV
@@ -584,6 +629,15 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
         elif fn == "countcol":
             values.append(int(ccount[col]))
             fields.append(StructField(alias, LongType(), False))
+        elif fn in ("sum", "avg"):
+            values.append(_sum_avg_value(fn, csum[col]))
+            fields.append(
+                StructField(
+                    alias,
+                    LongType() if fn == "sum" else DoubleType(),
+                    True,
+                )
+            )
         else:
             v = agg["columns"][col][fn]
             dt = field_types.get(col)
@@ -598,7 +652,7 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
 
     exprs = []
     for fn, col, alias in parsed["items"]:
-        if fn in ("count", "approx", "quantile", "countcol"):
+        if fn in ("count", "approx", "quantile", "countcol", "sum", "avg"):
             exprs.append(F.col(alias))
         else:
             exprs.append(F.col(alias).cast(field_types[col]).alias(alias))
@@ -742,6 +796,18 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
             ]
         except ValueError:
             raise _Refuse()  # no null-counted entry / tombstones: scan
+    csum_lists = {}
+    for c in {c for k, c, _ in parsed["items"] if k in ("sum", "avg")}:
+        try:
+            csum_lists[c] = [
+                (sv, nn)
+                for _, sv, nn in manifest_column_sum(
+                    path, c, version=version,
+                    where_partition=eq, by_partition=True,
+                )
+            ]
+        except ValueError:
+            raise _Refuse()  # no sum entry / tombstones: scan
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -779,6 +845,19 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
             row_fn.append(
                 lambda v, n, s, gi, c=col: int(ccount_lists[c][gi])
             )
+        elif kind in ("sum", "avg"):
+            fields.append(
+                StructField(
+                    alias,
+                    LongType() if kind == "sum" else DoubleType(),
+                    True,
+                )
+            )
+            row_fn.append(
+                lambda v, n, s, gi, c=col, k=kind: _sum_avg_value(
+                    k, csum_lists[c][gi]
+                )
+            )
         else:  # min/max: stat_json rendering → string-cast like z34
             fields.append(StructField(alias, StringType(), True))
             idx = 0 if kind == "min" else 1
@@ -806,6 +885,9 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
         ccount_lists = {
             c: [lst[gi] for gi in keep] for c, lst in ccount_lists.items()
         }
+        csum_lists = {
+            c: [lst[gi] for gi in keep] for c, lst in csum_lists.items()
+        }
     rows = [
         tuple(fn(v, n, s, gi) for fn in row_fn)
         for gi, ((v, n), s) in enumerate(zip(groups, col_stats))
@@ -817,7 +899,8 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
     for kind, col, alias in parsed["items"]:
         if kind == "group":
             exprs.append(F.col(alias).cast(field_types[pcol]).alias(alias))
-        elif kind in ("count", "approx", "quantile", "countcol"):
+        elif kind in ("count", "approx", "quantile", "countcol",
+                      "sum", "avg"):
             exprs.append(F.col(alias))
         else:
             exprs.append(F.col(alias).cast(field_types[col]).alias(alias))

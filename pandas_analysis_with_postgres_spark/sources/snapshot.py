@@ -1505,13 +1505,15 @@ def _write_commit_data(
     # inheritance, cold-partition carry, and _commit's filtering all
     # treat the sketch exactly like any other stats entry.
     hist_specs = []  # [(base_col, width, full_key)]
-    mm_cols, hll_cols = [], []
+    mm_cols, hll_cols, sum_cols = [], [], []
     for c in stats_cols or []:
         hm = _HIST_KEY_RE.match(c)
         if hm is not None:
             hist_specs.append((hm.group("col"), int(hm.group("width")), c))
         elif c.endswith(HLL_SUFFIX):
             hll_cols.append(c[: -len(HLL_SUFFIX)])
+        elif c.endswith(SUM_SUFFIX):
+            sum_cols.append(c[: -len(SUM_SUFFIX)])
         else:
             mm_cols.append(c)
     entries = {}
@@ -1534,6 +1536,12 @@ def _write_commit_data(
         ).items():
             if pname in stats:
                 stats[pname].update(regs_by_col)
+    if sum_cols and entries:
+        for pname, sums_by_col in _compute_sums(
+            df.sparkSession, out, partition_col, sum_cols
+        ).items():
+            if pname in stats:
+                stats[pname].update(sums_by_col)
     if hist_specs and entries:
         for pname, hists in _compute_hists(
             df.sparkSession, out, partition_col, hist_specs
@@ -1548,6 +1556,69 @@ def _write_commit_data(
 #: "user_id::hll"]`` records min/max for amt and an NDV sketch for
 #: user_id.
 HLL_SUFFIX = "::hll"
+
+#: Reserved stats_cols suffix requesting a per-partition EXACT SUM:
+#: ``stats_cols=["cents::sum"]`` records ``[sum, n_nonnull]`` per
+#: partition (integral columns only; the sum is computed through
+#: DECIMAL(38,0), so it is exact at any scale and JSON carries it as
+#: an arbitrary-precision int). Sums and counts MERGE BY ADDITION
+#: across partitions, which is what lets the manifest layer serve
+#: ``SUM(col)`` — and ``AVG(col)`` = sum/n_nonnull — with zero data
+#: pages, globally, per group, or under an IN-list. A partition whose
+#: values are all NULL records ``[None, 0]`` (SQL SUM of nothing).
+SUM_SUFFIX = "::sum"
+
+
+def _compute_sums(
+    spark: SparkSession, commit_dir: Path, partition_col: str, cols: list[str]
+) -> dict:
+    """Per-partition ``[exact_sum, n_nonnull]`` for ``cols`` from the
+    just-written commit directory (one extra aggregate over page-cached
+    files — the HLL/histogram cost model). Integral columns only: an
+    exact mergeable float sum does not exist (addition order changes
+    the rounding), and a stats answer must replay bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    with _INFER_LOCK:
+        infer_old = spark.conf.get(infer_key, "true")
+        spark.conf.set(infer_key, "false")
+        try:
+            back = spark.read.option("basePath", str(commit_dir)).parquet(
+                str(commit_dir)
+            )
+        finally:
+            spark.conf.set(infer_key, infer_old)
+    for c in cols:
+        t = back.schema[c].dataType.simpleString()
+        if t not in {"tinyint", "smallint", "int", "bigint"}:
+            raise ValueError(
+                f"'{c}{SUM_SUFFIX}' requests an exact sum but {c!r} is "
+                f"{t!r}; sum stats must be integral (float addition is "
+                "order-dependent — quantize to cents/micros first)"
+            )
+    rows = (
+        back.groupBy(partition_col)
+        .agg(
+            *[
+                F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s_{c}")
+                for c in cols
+            ],
+            *[F.count(F.col(c)).alias(f"n_{c}") for c in cols],
+        )
+        .collect()
+    )
+    out: dict = {}
+    for r in rows:
+        pname = _hive_part_name(partition_col, r[0])
+        entry = out.setdefault(pname, {})
+        for c in cols:
+            sv = r[f"s_{c}"]
+            entry[f"{c}{SUM_SUFFIX}"] = [
+                None if sv is None else int(sv),
+                int(r[f"n_{c}"]),
+            ]
+    return out
 
 #: Reserved stats_cols form requesting a per-partition EQUI-WIDTH
 #: HISTOGRAM: ``stats_cols=["price_cents::hist:500000"]`` records, for
@@ -2429,6 +2500,8 @@ def alter_table_properties(
             return hm.group("col")
         if c.endswith(HLL_SUFFIX):
             return c[: -len(HLL_SUFFIX)]
+        if c.endswith(SUM_SUFFIX):
+            return c[: -len(SUM_SUFFIX)]
         return c
 
     for prop, val in (("stats_cols", stats_cols), ("bloom_cols", bloom_cols)):
@@ -3427,7 +3500,8 @@ def manifest_aggregate(
         return name
 
     want = list(columns or [])
-    if any(c.endswith(HLL_SUFFIX) or _HIST_KEY_RE.match(c) for c in want):
+    if any(c.endswith(HLL_SUFFIX) or c.endswith(SUM_SUFFIX)
+           or _HIST_KEY_RE.match(c) for c in want):
         raise ValueError(
             "sketch entries (::hll / ::hist:) are not min/max columns "
             "— use manifest_approx_distinct / manifest_quantile"
@@ -3973,7 +4047,8 @@ def manifest_group_stats(
             "the grouped partition column's per-group min/max is the "
             "group value itself — select the column, not MIN/MAX of it"
         )
-    if any(c.endswith(HLL_SUFFIX) or _HIST_KEY_RE.match(c) for c in columns):
+    if any(c.endswith(HLL_SUFFIX) or c.endswith(SUM_SUFFIX)
+           or _HIST_KEY_RE.match(c) for c in columns):
         raise ValueError(
             "sketch entries (::hll / ::hist:) are not min/max columns "
             "— use manifest_approx_distinct / manifest_quantile "
@@ -4074,7 +4149,8 @@ def manifest_range_count(
     PARTITION column is always answerable: each directory holds ONE
     value (in-or-out, partial overlap impossible; the NULL partition
     contributes 0 like SQL)."""
-    if column.endswith(HLL_SUFFIX) or _HIST_KEY_RE.match(column):
+    if (column.endswith(HLL_SUFFIX) or column.endswith(SUM_SUFFIX)
+            or _HIST_KEY_RE.match(column)):
         raise ValueError(
             "sketch entries (::hll / ::hist:) are not range columns "
             "— use manifest_approx_distinct / manifest_quantile"
@@ -4190,7 +4266,8 @@ def manifest_column_count(
     the live rows outside the NULL partition. ``where_partition`` /
     ``where_partition_in`` restrict to member partitions (absent
     members contribute 0, SQL semantics)."""
-    if column.endswith(HLL_SUFFIX) or _HIST_KEY_RE.match(column):
+    if (column.endswith(HLL_SUFFIX) or column.endswith(SUM_SUFFIX)
+            or _HIST_KEY_RE.match(column)):
         raise ValueError(
             "sketch entries (::hll / ::hist:) are not countable columns"
         )
@@ -4294,3 +4371,115 @@ def manifest_column_count(
             continue
         total += _one(pname, n)
     return total
+
+
+
+def manifest_column_sum(
+    path: str,
+    column: str,
+    *,
+    version: "int | str | None" = None,
+    where_partition: "tuple[str, object] | None" = None,
+    where_partition_in: "tuple[str, list] | None" = None,
+    by_partition: bool = False,
+) -> "tuple | list":
+    """Exact ``SUM(column)`` — and the ``n_nonnull`` that makes
+    ``AVG(column)`` = sum/n — from MANIFEST METADATA: the per-partition
+    ``[sum, n_nonnull]`` entries recorded by ``stats_cols=
+    ["col::sum"]`` merge by ADDITION, so the answer costs one JSON
+    read at any scale. Returns ``(sum_or_None, n_nonnull)`` — sum is
+    None when every contributing value is NULL (SQL SUM semantics) —
+    or, with ``by_partition=True``, ``[(value, sum, n), …]`` sorted by
+    partition name with zero-live groups skipped (the
+    manifest_partition_counts convention).
+
+    Raises (→ scan fallback) when any contributing partition lacks a
+    sum entry for the column or carries merge-on-read tombstones (the
+    deleted rows' values are unknown; compaction restores
+    provability)."""
+    if not column.endswith(SUM_SUFFIX):
+        key = f"{column}{SUM_SUFFIX}"
+    else:
+        column, key = column[: -len(SUM_SUFFIX)], column
+    if where_partition is not None and where_partition_in is not None:
+        raise ValueError(
+            "pass one of where_partition / where_partition_in, not both"
+        )
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    pcol = meta.get("partition_col")
+    targets = None
+    restricted = where_partition is not None or where_partition_in is not None
+    if by_partition and not pcol:
+        raise ValueError(
+            f"snapshot table at {path!r} is unpartitioned — no "
+            "partition column to group by"
+        )
+    if restricted or by_partition:
+        if _mixed_spec(man):
+            raise ValueError(
+                "partition-VALUE answers are unprovable while "
+                f"{path} holds old-spec directories — compact_snapshot "
+                "to migrate, or scan"
+            )
+    if restricted:
+        spec = where_partition or where_partition_in
+        if spec[0] != pcol:
+            raise ValueError(
+                f"restriction column {spec[0]!r} is not the partition "
+                f"column {pcol!r} — only partition membership is "
+                "provable from the manifest"
+            )
+        vals = [where_partition[1]] if where_partition else list(spec[1])
+        targets = {_hive_part_name(pcol, v) for v in vals}
+    renames = meta.get("renames") or []
+
+    def _chain(name: str) -> str:
+        for old, new in renames:
+            if name == old:
+                name = new
+        return name
+
+    stats = man.get("stats") or {}
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    part_rows = _partition_rows(man, path)
+    ptype = meta.get("partition_type") or "string"
+
+    def _one(pname: str) -> "tuple":
+        if pname in tomb_parts:
+            raise ValueError(
+                f"SUM({column}) unprovable: partition {pname} carries "
+                "merge-on-read tombstones (deleted rows' values "
+                "unknown) — compact first, or scan"
+            )
+        entry = stats.get(pname) or {}
+        # the sum key follows the rename chain of its BASE column
+        for k, v in entry.items():
+            if k.endswith(SUM_SUFFIX) and _chain(
+                k[: -len(SUM_SUFFIX)]
+            ) == column:
+                return (v[0], int(v[1]))
+        raise ValueError(
+            f"no '{column}{SUM_SUFFIX}' entry recorded for {pname!r} — "
+            "add it to stats_cols and rewrite, or scan the data"
+        )
+
+    if by_partition:
+        return [
+            (_partition_value(pname, ptype)[1], *_one(pname))
+            for pname, n in sorted(part_rows.items())
+            if (targets is None or pname in targets) and n > 0
+        ]
+    total, n_total = 0, 0
+    seen_value = False
+    for pname, n in part_rows.items():
+        if targets is not None and pname not in targets:
+            continue
+        if n == 0:
+            continue
+        sv, nn = _one(pname)
+        if sv is not None:
+            total += int(sv)
+            seen_value = True
+        n_total += nn
+    return (total if seen_value else None, n_total)

@@ -82,7 +82,6 @@ def test_parse_accepts_range_and_group_by_forms():
         "SELECT COUNT(*) FROM t WHERE x <> 1",  # unsupported operator
         "SELECT COUNT(*) FROM t WHERE x > 1 AND x < 9",  # conjunctions
         "SELECT COUNT(*) FROM t WHERE x LIKE 'a%'",
-        "SELECT SUM(x) FROM t",  # needs data
         "SELECT MIN(x + 1) FROM t",  # expression
         "SELECT COUNT(*) FROM t JOIN u ON 1=1",
         "SELECT COUNT(*), COUNT(*) FROM t",  # duplicate output names
@@ -776,3 +775,73 @@ def test_order_by_limit_on_grouped_answers(spark, tmp_path):
         n("SELECT p, COUNT(*) AS n FROM t GROUP BY p ORDER BY zz LIMIT 1")
         is None
     )
+
+
+def test_sum_avg_from_manifest(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        delete_where,
+        manifest_column_sum,
+        write_snapshot as _ws,
+    )
+
+    rows = []
+    for i in range(300):
+        p = i % 5
+        cents = None if (p == 0 and i % 3 == 0) else (i * 7 + p)
+        rows.append((i, p, cents))
+    df = spark.createDataFrame(rows, "k long, p long, cents long")
+    path = str(tmp_path / "sa")
+    _ws(df, path, "p", stats_cols=["cents::sum"])
+    truth_s = sum(c for (_, _, c) in rows if c is not None)
+    truth_n = sum(1 for (_, _, c) in rows if c is not None)
+
+    def n(sql):
+        out = answer_from_manifest(spark, sql, {"t": path})
+        return None if out is None else [tuple(r) for r in out.collect()]
+
+    assert n("SELECT SUM(cents) AS s FROM t") == [(truth_s,)]
+    # AVG replays the scan's float division exactly
+    from pyspark.sql import functions as F
+
+    scan = df.agg(F.avg("cents")).collect()[0][0]
+    assert n("SELECT AVG(cents) AS a FROM t") == [(scan,)]
+    # per-group and IN restriction merge by addition
+    g = dict(
+        (r[0], (r[1], r[2]))
+        for r in (
+            answer_from_manifest(
+                spark,
+                "SELECT p, SUM(cents) AS s, AVG(cents) AS a"
+                " FROM t GROUP BY p",
+                {"t": path},
+            ).collect()
+        )
+    )
+    for pp in range(5):
+        vals = [c for (_, p, c) in rows if p == pp and c is not None]
+        assert g[pp] == (sum(vals), float(sum(vals)) / float(len(vals)))
+    s01 = [c for (_, p, c) in rows if p in (0, 1) and c is not None]
+    assert n(
+        "SELECT SUM(cents) AS s, AVG(cents) AS a FROM t WHERE p IN (0, 1)"
+    ) == [(sum(s01), float(sum(s01)) / float(len(s01)))]
+    # API pair + all-NULL selection = SQL NULL
+    assert manifest_column_sum(path, "cents") == (truth_s, truth_n)
+    assert n("SELECT SUM(cents) AS s FROM t WHERE p IN (404)") == [(None,)]
+    assert n("SELECT AVG(cents) AS a FROM t WHERE p IN (404)") == [(None,)]
+    # refusals: no ::sum entry, range WHERE, tombstones
+    assert n("SELECT SUM(k) AS s FROM t") is None
+    assert n("SELECT SUM(cents) AS s FROM t WHERE cents > 5") is None
+    delete_where(spark, path, F.col("k") < 3, mode="merge-on-read", key="k")
+    assert n("SELECT SUM(cents) AS s FROM t") is None
+
+
+def test_sum_stats_reject_float_columns(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        write_snapshot as _ws,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(20)], "k long, p long, v double"
+    )
+    with pytest.raises(ValueError, match="must be integral"):
+        _ws(df, str(tmp_path / "f"), "p", stats_cols=["v::sum"])
