@@ -168,7 +168,7 @@ def test_partition_column_extremes_answered(spark, tbl):
 
 # --------------------------------------------------------- parse fuzz
 
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 _ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True)
@@ -845,3 +845,91 @@ def test_sum_stats_reject_float_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="must be integral"):
         _ws(df, str(tmp_path / "f"), "p", stats_cols=["v::sum"])
+
+
+# ------------------------------------------- metadata ≡ scan fuzz
+@pytest.fixture(scope="module")
+def _eqv(spark, tmp_path_factory):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_snapshot,
+        write_snapshot as _ws,
+    )
+
+    rows = []
+    for i in range(240):
+        p = i % 4
+        email = None if (p < 2 and i % 3 == 0) else f"u{i:03d}"
+        cents = None if i % 7 == 0 else (i * 13 + p)
+        rows.append((i, p, email, cents))
+    df = spark.createDataFrame(
+        rows, "k long, p long, email string, cents long"
+    )
+    path = str(tmp_path_factory.mktemp("eqv") / "t")
+    _ws(df, path, "p", stats_cols=["email", "cents", "cents::sum"])
+    read_snapshot(spark, path).createOrReplaceTempView("eqv_scan")
+    return path
+
+
+_EQV_ITEMS = [
+    "COUNT(*) AS n",
+    "COUNT(email) AS ce",
+    "COUNT(cents) AS cc",
+    "SUM(cents) AS s",
+    "AVG(cents) AS a",
+    "MIN(cents) AS lo",
+    "MAX(cents) AS hi",
+    "MIN(email) AS elo",
+    "MAX(email) AS ehi",
+]
+_EQV_WHERE = [None, "p = 1", "p = 9", "p IN (0, 2)", "p IN (1, 3, 7)"]
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_metadata_answers_equal_scans(spark, _eqv, data):
+    items = data.draw(
+        st.lists(st.sampled_from(_EQV_ITEMS), min_size=1, max_size=3,
+                 unique=True)
+    )
+    where = data.draw(st.sampled_from(_EQV_WHERE))
+    grouped = data.draw(st.booleans())
+    sql = "SELECT "
+    if grouped:
+        sql += "p, "
+    sql += ", ".join(items) + " FROM t"
+    if where:
+        sql += f" WHERE {where}"
+    order = None
+    if grouped:
+        sql += " GROUP BY p"
+        if data.draw(st.booleans()):
+            alias = data.draw(
+                st.sampled_from([i.split(" AS ")[1] for i in items] + ["p"])
+            )
+            desc = data.draw(st.booleans())
+            limit = data.draw(st.integers(1, 4))
+            order = (alias, desc, limit)
+            sql += f" ORDER BY {alias} {'DESC' if desc else 'ASC'}"
+            sql += f" LIMIT {limit}"
+    out = answer_from_manifest(spark, sql, {"t": _eqv})
+    if out is None:
+        return  # refusal is always legal; coverage asserted elsewhere
+    scan_sql = sql.replace(" FROM t", " FROM eqv_scan")
+    if order is not None:
+        # replay the documented deterministic tie-break (group asc)
+        scan_sql = scan_sql.replace(
+            f" LIMIT {order[2]}", f", p ASC LIMIT {order[2]}"
+        )
+    got = [tuple(r) for r in out.collect()]
+    want = [tuple(r) for r in spark.sql(scan_sql).collect()]
+
+    def _norm(rows):
+        return sorted(
+            tuple(
+                round(v, 9) if isinstance(v, float) else v for v in r
+            )
+            for r in rows
+        )
+
+    assert _norm(got) == _norm(want), (sql, got, want)
