@@ -89,3 +89,43 @@ def test_alter_guards(spark, tbl):
     # ...and by type at the next write (v is double)
     with pytest.raises(ValueError, match="must be integral"):
         compact_snapshot(spark, tbl)
+
+
+def test_alter_adds_sum_stats_one_optimize_upgrade(spark, tmp_path):
+    # ALTER TABLE adding a col::sum property + one compact = a 100 TB
+    # table upgraded to metadata SUM/AVG, same flow as the HLL/hist
+    # sketch upgrades (the ::sum entry rides the generic stats
+    # recompute every rewrite performs)
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        answer_from_manifest,
+    )
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        alter_table_properties,
+        compact_snapshot,
+        manifest_column_sum,
+        write_snapshot,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(60)], "k long, p long, cents long"
+    )
+    path = str(tmp_path / "t")
+    write_snapshot(df, path, "p")  # no sum property yet
+
+    def sum_sql():
+        return answer_from_manifest(
+            spark, "SELECT SUM(cents) AS s FROM t", {"t": path}
+        )
+
+    assert sum_sql() is None  # unprovable before the upgrade
+    alter_table_properties(spark, path, stats_cols=["cents::sum"])
+    assert sum_sql() is None  # cold partitions still lack entries
+    compact_snapshot(spark, path)  # the one-OPTIMIZE upgrade
+    out = sum_sql()
+    assert out is not None and out.collect()[0].s == sum(
+        i * 10 for i in range(60)
+    )
+    assert manifest_column_sum(path, "cents") == (
+        sum(i * 10 for i in range(60)),
+        60,
+    )
