@@ -172,6 +172,7 @@ EXTRA = (
     "z62_metadata_count_col",
     "z63_metadata_topk",
     "z64_metadata_sum_avg",
+    "z65_range_count_hybrid",
 )
 
 

@@ -4633,6 +4633,70 @@ FROM g CROSS JOIN t
 """
 
 
+def z65_range_count_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID range COUNT (sources.snapshot.range_count_pruned):
+    Iceberg's scan planning run to COMPLETION instead of refused —
+    every partition the manifest proves fully inside the range
+    contributes its exact metadata count (rows minus recorded nulls),
+    proven-outside partitions contribute zero, and ONLY the boundary
+    remainder scans, predicate pushed down. Exact by construction and
+    never refuses: on a table clustered by the range column the
+    boundary is O(1) partitions regardless of table size — the 100 TB
+    shape for "rows in this key range" that manifest_range_count (z41)
+    must refuse on misaligned bounds. Shares z41's bucketed fixture;
+    the bounds here deliberately straddle bucket edges so the answer
+    mixes both sources, and the partition classification itself
+    (proven-in vs boundary) is replayed arithmetically by the oracle
+    from per-bucket extremes. Zero-data-page proofs for the proven set
+    are unit-pinned (tests/test_range_count_pruned.py: count survives
+    deleting every parquet file outside the boundary buckets)."""
+    from ..sources.metadata_sql import _local_rows_df
+    from ..sources.snapshot import range_count_pruned
+
+    path = _rangecount_table(spark, sf_dir)
+    out = range_count_pruned(
+        spark, path, "o_orderkey", lo=30001, hi=95000
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return _local_rows_df(
+        spark,
+        [
+            (
+                out["count"],
+                out["meta_partitions"],
+                out["scanned_partitions"],
+            )
+        ],
+        StructType(
+            [
+                StructField("n_range", LongType(), False),
+                StructField("meta_parts", LongType(), False),
+                StructField("scan_parts", LongType(), False),
+            ]
+        ),
+    )
+
+
+Z65_SQL = """
+WITH b AS (
+  SELECT o_orderkey AS k, o_orderkey // 20000 AS bkt FROM orders
+),
+cls AS (
+  SELECT bkt, MIN(k) AS lo, MAX(k) AS hi,
+         SUM(CASE WHEN k BETWEEN 30001 AND 95000 THEN 1 ELSE 0 END) AS n_in
+  FROM b GROUP BY bkt
+)
+SELECT SUM(n_in)::BIGINT AS n_range,
+       SUM(CASE WHEN lo >= 30001 AND hi <= 95000
+                THEN 1 ELSE 0 END)::BIGINT AS meta_parts,
+       SUM(CASE WHEN NOT (lo >= 30001 AND hi <= 95000)
+                 AND NOT (hi < 30001 OR lo > 95000)
+                THEN 1 ELSE 0 END)::BIGINT AS scan_parts
+FROM cls
+"""
+
+
 _SUMAVG_DROPS: dict = {}
 
 
@@ -6382,6 +6446,7 @@ EXTENSION_QUERIES = {
     "z62_metadata_count_col": z62_metadata_count_col,
     "z63_metadata_topk": z63_metadata_topk,
     "z64_metadata_sum_avg": z64_metadata_sum_avg,
+    "z65_range_count_hybrid": z65_range_count_hybrid,
 }
 
 EXTENSION_ORACLES = {
@@ -6467,6 +6532,7 @@ EXTENSION_ORACLES = {
     "z62_metadata_count_col": Z62_SQL,
     "z63_metadata_topk": Z63_SQL,
     "z64_metadata_sum_avg": Z64_SQL,
+    "z65_range_count_hybrid": Z65_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

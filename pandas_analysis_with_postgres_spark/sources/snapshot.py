@@ -4483,3 +4483,131 @@ def manifest_column_sum(
             seen_value = True
         n_total += nn
     return (total if seen_value else None, n_total)
+
+
+def range_count_pruned(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    *,
+    lo=None,
+    hi=None,
+    lo_strict: bool = False,
+    hi_strict: bool = False,
+    version: "int | str | None" = None,
+) -> dict:
+    """HYBRID range ``COUNT(*)``: Iceberg's scan planning run to
+    completion instead of refused. Every partition the manifest PROVES
+    fully inside the range contributes its exact metadata count (rows
+    minus recorded nulls — min/max describe non-null values and SQL
+    range predicates reject NULLs); every partition proved fully
+    outside contributes zero; ONLY the unproven remainder — boundary
+    partitions, legacy entries, tombstoned or stat-less ones — is
+    scanned, with the predicate pushed down. Exact by construction and
+    never refuses: where :func:`manifest_range_count` answers, this
+    reads zero data pages; where it refuses, this reads only the
+    boundary. On a table clustered/z-ordered by ``column`` the
+    boundary is O(1) partitions regardless of table size — THE 100 TB
+    shape for "how many rows in this key range".
+
+    Bounds are manifest-rendering values (`_stat_json` ordering).
+    Returns ``{"count", "meta_partitions", "scanned_partitions"}``.
+    """
+    from pyspark.sql import functions as F
+
+    if (column.endswith(HLL_SUFFIX) or column.endswith(SUM_SUFFIX)
+            or _HIST_KEY_RE.match(column)):
+        raise ValueError(
+            "sketch entries (::hll / ::sum / ::hist:) are not range "
+            "columns — pass the data column itself"
+        )
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    pcol = meta.get("partition_col")
+    renames = meta.get("renames") or []
+
+    def _chain(name: str) -> str:
+        for old, new in renames:
+            if name == old:
+                name = new
+        return name
+
+    def _in_lo(v) -> bool:
+        return lo is None or (v > lo if lo_strict else v >= lo)
+
+    def _in_hi(v) -> bool:
+        return hi is None or (v < hi if hi_strict else v <= hi)
+
+    stats = man.get("stats") or {}
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    part_rows = _partition_rows(man, path)
+    ptype = meta.get("partition_type") or "string"
+    meta_total = 0
+    meta_parts: set = set()
+    scan_parts: set = set()
+    for pname, n in part_rows.items():
+        if n == 0:
+            continue
+        if column == pcol and not _mixed_spec(man):
+            # one value per directory: in-or-out, never boundary
+            is_null, v = _partition_value(pname, ptype)
+            try:
+                if not is_null and _in_lo(v) and _in_hi(v):
+                    meta_total += n
+                    meta_parts.add(pname)
+                continue
+            except TypeError:
+                scan_parts.add(pname)  # incomparable literal: scan it
+                continue
+        entry = stats.get(pname) or {}
+        logical = {
+            _chain(k): v for k, v in entry.items() if k != N_ROWS_KEY
+        }
+        rng = logical.get(column)
+        if rng is None or pname in tomb_parts:
+            scan_parts.add(pname)  # unprovable: scan exactly this one
+            continue
+        cmin, cmax = rng[0], rng[1]
+        try:
+            inside = _in_lo(cmin) and _in_hi(cmax)
+            outside = (
+                lo is not None
+                and (cmax < lo or (lo_strict and cmax <= lo))
+            ) or (
+                hi is not None
+                and (cmin > hi or (hi_strict and cmin >= hi))
+            )
+        except TypeError:
+            scan_parts.add(pname)
+            continue
+        nulls = rng[2] if len(rng) > 2 else None
+        if outside:
+            continue  # proven zero (nulls excluded by SQL anyway)
+        if inside and nulls is not None:
+            meta_total += n - int(nulls)
+            meta_parts.add(pname)
+        elif nulls is not None and nulls == n:
+            continue  # all-NULL partition: proven zero
+        else:
+            scan_parts.add(pname)
+    scanned = 0
+    if scan_parts:
+        c = F.col(column)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c > lo if lo_strict else c >= lo)
+        if hi is not None:
+            cond = cond & (c < hi if hi_strict else c <= hi)
+        scanned = (
+            read_snapshot(
+                spark, path, version,
+                partition_filter=lambda p: p in scan_parts,
+            )
+            .filter(cond)
+            .count()
+        )
+    return {
+        "count": int(meta_total + scanned),
+        "meta_partitions": len(meta_parts),
+        "scanned_partitions": len(scan_parts),
+    }

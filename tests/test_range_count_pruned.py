@@ -1,0 +1,95 @@
+"""Hybrid range COUNT: manifest-proven partitions answer from
+metadata, ONLY boundary partitions scan — exact, never refuses."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from pandas_analysis_with_postgres_spark.sources.snapshot import (
+    delete_where,
+    manifest_range_count,
+    range_count_pruned,
+    write_snapshot,
+)
+
+
+@pytest.fixture()
+def tbl(spark, tmp_path):
+    # buckets of 100 consecutive keys: bucket b holds k in [100b, 100b+99]
+    df = spark.createDataFrame(
+        [(i, i // 100) for i in range(1000)], "k long, b long"
+    )
+    path = str(tmp_path / "t")
+    write_snapshot(df, path, "b", stats_cols=["k"])
+    return path
+
+
+def test_boundary_only_scan_is_exact(spark, tbl):
+    out = range_count_pruned(spark, tbl, "k", lo=250, hi=449)
+    # bucket 3 fully inside (metadata); buckets 2 and 4 are boundary
+    assert out == {
+        "count": 200,
+        "meta_partitions": 1,
+        "scanned_partitions": 2,
+    }
+    # where manifest_range_count refuses (partial overlap), hybrid answers
+    assert manifest_range_count(tbl, "k", lo=250, hi=449) is None
+
+
+def test_proven_partitions_read_zero_data_pages(spark, tbl):
+    # delete every parquet file OUTSIDE the two boundary buckets: the
+    # hybrid count must still answer (their contribution was metadata)
+    for f in Path(tbl).rglob("*.parquet"):
+        if "b=2" not in str(f) and "b=4" not in str(f):
+            f.unlink()
+    out = range_count_pruned(spark, tbl, "k", lo=250, hi=449)
+    assert out["count"] == 200
+
+
+def test_full_containment_reads_nothing(spark, tbl):
+    for f in Path(tbl).rglob("*.parquet"):
+        f.unlink()
+    # bounds on bucket edges: every partition proven in or out
+    out = range_count_pruned(spark, tbl, "k", lo=200, hi=499)
+    assert out == {
+        "count": 300,
+        "meta_partitions": 3,
+        "scanned_partitions": 0,
+    }
+
+
+def test_partition_column_never_boundary(spark, tbl):
+    for f in Path(tbl).rglob("*.parquet"):
+        f.unlink()
+    out = range_count_pruned(spark, tbl, "b", lo=2, hi=5, hi_strict=True)
+    assert out == {
+        "count": 300,
+        "meta_partitions": 3,
+        "scanned_partitions": 0,
+    }
+
+
+def test_tombstoned_partitions_scan_and_stay_exact(spark, tbl):
+    # MoR-delete 10 keys inside bucket 3 (previously fully-proven):
+    # the tombstoned partition must flip to the scan set and the
+    # count must reflect the deletes exactly
+    delete_where(
+        spark, tbl, F.col("k").between(300, 309), mode="merge-on-read",
+        key="k",
+    )
+    out = range_count_pruned(spark, tbl, "k", lo=250, hi=449)
+    assert out["count"] == 190
+    assert out["scanned_partitions"] == 3  # buckets 2, 3 (tombstoned), 4
+
+
+def test_nulls_are_excluded_like_sql(spark, tmp_path):
+    rows = [(i if i % 5 else None, i // 100) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, b long")
+    path = str(tmp_path / "n")
+    write_snapshot(df, path, "b", stats_cols=["k"])
+    truth = sum(1 for k, _ in rows if k is not None and 50 <= k <= 249)
+    out = range_count_pruned(spark, path, "k", lo=50, hi=249)
+    assert out["count"] == truth
