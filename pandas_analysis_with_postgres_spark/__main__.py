@@ -82,7 +82,9 @@ def main(argv: list[str] | None = None) -> int:
         "are 'SELECT <pcol>, COUNT(*) ... GROUP BY <pcol>' (the "
         "per-partition row-count map) and stats-proven range COUNTs "
         "('WHERE <statted_col> <op> <lit>' / BETWEEN) when every "
-        "partition is provably fully inside or outside the range",
+        "partition is provably fully inside or outside the range; a "
+        "range COUNT the manifest cannot fully prove scans ONLY the "
+        "boundary partitions (hybrid tier) before any full scan",
     )
     p_sn.add_argument(
         "--as",
@@ -452,6 +454,20 @@ def main(argv: list[str] | None = None) -> int:
             )
             if meta_ans is not None:
                 meta_ans.show(args.limit, truncate=False)
+                return 0
+            # middle tier: a range COUNT the manifest cannot fully
+            # prove still needs only the BOUNDARY partitions scanned
+            # (hybrid_range_count); anything else falls to the scan
+            from .sources.metadata_sql import hybrid_range_count
+
+            hybrid = hybrid_range_count(
+                spark,
+                args.query,
+                {args.view_name: args.path},
+                version=args.version,
+            )
+            if hybrid is not None:
+                hybrid.show(args.limit, truncate=False)
                 return 0
             # scan path: honor SQL time travel (FOR VERSION/TIMESTAMP
             # AS OF) by stripping the clause and pinning the view —

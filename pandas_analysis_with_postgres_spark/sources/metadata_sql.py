@@ -708,6 +708,85 @@ def _answer_range_count(
     )
 
 
+def hybrid_range_count(
+    spark: SparkSession,
+    sql: str,
+    tables: "dict[str, str]",
+    *,
+    version: "int | str | None" = None,
+) -> "DataFrame | None":
+    """The MIDDLE tier between a metadata answer and a full scan:
+    ``SELECT COUNT(*) FROM t WHERE col <range>`` answered by
+    :func:`snapshot.range_count_pruned` — proven partitions from the
+    manifest, ONLY the boundary scanned. Returns ``None`` when the
+    statement is not exactly that shape (multiple items, GROUP BY,
+    non-range WHERE, unknown table) or the literal's type is not
+    manifest-comparable — the caller then falls back to a real scan.
+    Unlike ``answer_from_manifest`` this DOES read data pages (the
+    boundary), so it is a separate, caller-opted tier: the CLI applies
+    it after a metadata refusal and before the full scan."""
+    parsed = parse_metadata_select(sql)
+    if (
+        parsed is None
+        or parsed["table"] not in tables
+        or parsed["group_by"] is not None
+        or parsed["where"] is None
+        or parsed["where"][0] != "range"
+        or [k for k, _, _ in parsed["items"]] != ["count"]
+    ):
+        return None
+    path = tables[parsed["table"]]
+    if parsed["as_of"] is not None:
+        if version is not None:
+            raise ValueError(
+                "statement has FOR ... AS OF and the caller also "
+                "pinned a version — pick one"
+            )
+        if "version" in parsed["as_of"]:
+            version = parsed["as_of"]["version"]
+        else:
+            from .snapshot import resolve_as_of
+
+            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
+    man = read_manifest(path, version)
+    schema_meta = man.get("schema") or {}
+    pcol = schema_meta.get("partition_col")
+    ptype = schema_meta.get("partition_type") or "string"
+    sj = schema_meta.get("spark_schema")
+    from pyspark.sql.types import StructType
+
+    field_types = (
+        {f.name: f.dataType for f in StructType.fromJson(json.loads(sj)).fields}
+        if sj
+        else {}
+    )
+    _, col, lo_raw, hi_raw, lo_strict, hi_strict = parsed["where"]
+    coltype = (
+        ptype if col == pcol else _spark_simple_type(field_types.get(col))
+    )
+    if not coltype:
+        return None  # unknown column: let the scan engine error
+    try:
+        lo = _typed_literal(lo_raw, coltype) if lo_raw is not None else None
+        hi = _typed_literal(hi_raw, coltype) if hi_raw is not None else None
+    except _Refuse:
+        return None  # type-incomparable literal: full scan decides
+    from .snapshot import range_count_pruned
+
+    out = range_count_pruned(
+        spark, path, col,
+        lo=lo, hi=hi, lo_strict=lo_strict, hi_strict=hi_strict,
+        version=version,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType as _ST
+
+    alias = parsed["items"][0][2]
+    return _local_rows_df(
+        spark, [(out["count"],)],
+        _ST([StructField(alias, LongType(), False)]),
+    )
+
+
 def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
     gcol = parsed["group_by"]
     if pcol is None or gcol != pcol:

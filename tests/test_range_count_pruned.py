@@ -93,3 +93,36 @@ def test_nulls_are_excluded_like_sql(spark, tmp_path):
     truth = sum(1 for k, _ in rows if k is not None and 50 <= k <= 249)
     out = range_count_pruned(spark, path, "k", lo=50, hi=249)
     assert out["count"] == truth
+
+
+def test_hybrid_sql_tier_and_cli(spark, tbl, capsys):
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        answer_from_manifest,
+        hybrid_range_count,
+    )
+
+    sql = "SELECT COUNT(*) AS n FROM t WHERE k BETWEEN 250 AND 449"
+    # metadata refuses (partial overlap) …
+    assert answer_from_manifest(spark, sql, {"t": tbl}) is None
+    # … the hybrid tier answers exactly, with the statement's alias
+    out = hybrid_range_count(spark, sql, {"t": tbl})
+    assert [tuple(r) for r in out.collect()] == [(200,)]
+    # shape gates: only a lone COUNT(*) + range qualifies
+    for bad in (
+        "SELECT COUNT(*) AS n, MIN(k) AS lo FROM t WHERE k > 5",
+        "SELECT COUNT(*) AS n FROM t WHERE b = 1",
+        "SELECT b, COUNT(*) AS n FROM t WHERE k > 5 GROUP BY b",
+        "SELECT COUNT(*) AS n FROM nope WHERE k > 5",
+    ):
+        assert hybrid_range_count(spark, bad, {"t": tbl}) is None
+    # CLI: the middle tier serves the misaligned range COUNT
+    from pandas_analysis_with_postgres_spark.__main__ import main as cli
+
+    rc = cli(
+        [
+            "snapshot", "sql", tbl,
+            "--query", sql, "--as", "t",
+        ]
+    )
+    assert rc == 0
+    assert "200" in capsys.readouterr().out
