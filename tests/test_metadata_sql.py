@@ -933,3 +933,71 @@ def test_metadata_answers_equal_scans(spark, _eqv, data):
         )
 
     assert _norm(got) == _norm(want), (sql, got, want)
+
+
+def test_sum_entries_cold_carry_and_hot_recompute(spark, tmp_path):
+    # merges must keep ::sum entries exact: cold partitions carry the
+    # recorded [sum, n] by reference, rewritten partitions recompute —
+    # a drift here would silently corrupt every later SUM/AVG answer
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        compact_snapshot,
+        manifest_column_sum,
+        merge_snapshot,
+        replace_partitions,
+        write_snapshot as _ws,
+    )
+
+    base = [(i, i % 3, i * 10) for i in range(90)]
+    df = spark.createDataFrame(base, "k long, p long, cents long")
+    path = str(tmp_path / "t")
+    _ws(df, path, "p", stats_cols=["cents::sum"])
+
+    def truth(rows):
+        by = {}
+        for k, p, c in rows:
+            s, n = by.get(p, (0, 0))
+            by[p] = (s + c, n + 1)
+        return by
+
+    # upsert into p=1 only: p=0/p=2 entries must carry untouched
+    merge_snapshot(
+        path,
+        spark.createDataFrame(
+            [(1, 1, 99999), (900, 1, 11)], "k long, p long, cents long"
+        ),
+        "k",
+        "p",
+    )
+    rows = [(k, p, c) for (k, p, c) in base if not (k == 1 and p == 1)]
+    rows += [(1, 1, 99999), (900, 1, 11)]
+    t = truth(rows)
+    got = dict(
+        (v, (sv, nn))
+        for v, sv, nn in manifest_column_sum(
+            path, "cents", by_partition=True
+        )
+    )
+    assert got == t
+    # replace one partition wholesale
+    replace_partitions(
+        path,
+        spark.createDataFrame([(7, 2, 70)], "k long, p long, cents long"),
+        "p",
+    )
+    rows = [(k, p, c) for (k, p, c) in rows if p != 2] + [(7, 2, 70)]
+    got2 = dict(
+        (v, (sv, nn))
+        for v, sv, nn in manifest_column_sum(
+            path, "cents", by_partition=True
+        )
+    )
+    assert got2 == truth(rows)
+    # compaction (full rewrite) recomputes identically
+    compact_snapshot(spark, path)
+    got3 = dict(
+        (v, (sv, nn))
+        for v, sv, nn in manifest_column_sum(
+            path, "cents", by_partition=True
+        )
+    )
+    assert got3 == truth(rows)
