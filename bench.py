@@ -173,6 +173,9 @@ EXTRA = (
     "z63_metadata_topk",
     "z64_metadata_sum_avg",
     "z65_range_count_hybrid",
+    "z66_shipping_priority",
+    "z67_local_supplier_volume",
+    "z68_large_order_customers",
 )
 
 

@@ -4697,6 +4697,217 @@ FROM cls
 """
 
 
+def z66_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the canonical 3-table
+    fact-to-fact join — customer (filtered to one market segment,
+    BROADCAST: a filtered dim is exactly what Spark should ship to
+    every executor) → orders (date-bounded) → lineitem — grouped per
+    order with revenue summed. Revenue is computed in EXACT integer
+    ten-thousandths (DECIMAL(18,2) price × (1 − 2-decimal discount) is
+    a scale-4 decimal, ×10000 an exact BIGINT), so the SUM is
+    associative, the DESC sort is deterministic, and the oracle
+    replays it bit-for-bit — float revenue would make the top-10 cut
+    nondeterministic between engines. Output is TakeOrderedAndProject
+    (sort+limit never materializes the full group set). At 100 TB the
+    shape holds: broadcast dim, shuffle on l_orderkey only."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev_e4 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)")
+           - F.col("l_discount").cast("decimal(18,2)"))
+        * 10000
+    ).cast("long")
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn("rev_e4", rev_e4)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+        .orderBy(
+            F.col("revenue_e4").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue_e4",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+Z66_SQL = """
+SELECT l_orderkey,
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))
+                * 10000 AS BIGINT))::BIGINT AS revenue_e4,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1995-03-15'
+  AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_e4 DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def z67_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-table snowflake —
+    region → nation → (customer, supplier) → orders → lineitem — with
+    the SAME-NATION condition (c_nationkey = s_nationkey) that makes
+    Q5 a join-ORDER test: the engine must not cross-join customers
+    with suppliers before the facts bind them. Spark-first shape: the
+    two dim chains (nation⋈region, both tiny) broadcast; the fact
+    join shuffles on orderkey/suppkey only; revenue in exact integer
+    ten-thousandths (see z66) keeps the GROUP BY deterministic.
+    Catalyst + AQE pick the physical order; the declared plan only
+    pins what must be true at 100 TB (broadcast dims, no cartesian)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    asian = F.broadcast(
+        nation.join(
+            region, nation.n_regionkey == region.r_regionkey
+        ).select("n_nationkey", "n_name")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1994-01-01")
+        & (F.col("o_orderdate") < "1995-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_e4 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)")
+           - F.col("l_discount").cast("decimal(18,2)"))
+        * 10000
+    ).cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(asian, F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("rev_e4", rev_e4)
+        .groupBy("n_name")
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("n_name").asc())
+    )
+
+
+Z67_SQL = """
+SELECT n_name,
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))
+                * 10000 AS BIGINT))::BIGINT AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1994-01-01'
+  AND o_orderdate < DATE '1995-01-01'
+GROUP BY n_name
+ORDER BY revenue_e4 DESC, n_name ASC
+"""
+
+
+def z68_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the HAVING-over-fact shape
+    — lineitem pre-aggregated per order, the qualifying order set
+    (SUM(l_quantity) above a threshold) SEMI-joined back before the
+    customer dim attaches. Spark-first: the pre-aggregate is one
+    map-side-combinable shuffle on l_orderkey; the qualifying set is
+    small, so Catalyst/AQE broadcast it into the orders probe instead
+    of re-shuffling the fact. Quantities are integral by generation —
+    summed as BIGINT, exact, so the threshold cut and the sort are
+    deterministic. The 300-quantity TPC-H threshold is scaled to the
+    fixture (>180) so the result is non-empty at sf0.01."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("price_cents"),
+            "total_qty",
+        )
+        .orderBy(
+            F.col("total_qty").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(20)
+    )
+
+
+Z68_SQL = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT))::BIGINT AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 180
+)
+SELECT c_name, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS price_cents,
+       total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
 _SUMAVG_DROPS: dict = {}
 
 
@@ -6447,6 +6658,9 @@ EXTENSION_QUERIES = {
     "z63_metadata_topk": z63_metadata_topk,
     "z64_metadata_sum_avg": z64_metadata_sum_avg,
     "z65_range_count_hybrid": z65_range_count_hybrid,
+    "z66_shipping_priority": z66_shipping_priority,
+    "z67_local_supplier_volume": z67_local_supplier_volume,
+    "z68_large_order_customers": z68_large_order_customers,
 }
 
 EXTENSION_ORACLES = {
@@ -6533,6 +6747,9 @@ EXTENSION_ORACLES = {
     "z63_metadata_topk": Z63_SQL,
     "z64_metadata_sum_avg": Z64_SQL,
     "z65_range_count_hybrid": Z65_SQL,
+    "z66_shipping_priority": Z66_SQL,
+    "z67_local_supplier_volume": Z67_SQL,
+    "z68_large_order_customers": Z68_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,
