@@ -176,6 +176,7 @@ EXTRA = (
     "z66_shipping_priority",
     "z67_local_supplier_volume",
     "z68_large_order_customers",
+    "z69_small_quantity_revenue",
 )
 
 

@@ -4908,6 +4908,65 @@ LIMIT 20
 """
 
 
+def z69_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity revenue): the CORRELATED SCALAR
+    AGGREGATE shape — "lineitems whose quantity is below 20% of their
+    part's average quantity" — decorrelated the way every engine
+    should plan it: pre-aggregate per part (one map-side-combinable
+    shuffle), join the per-part aggregate back, filter. The
+    correlation predicate ``qty < 0.2 · AVG(qty)`` is rewritten into
+    PURE INTEGER arithmetic — ``5·qty·cnt < sum`` (quantities are
+    integral; multiply both sides by 5·cnt) — so no float average is
+    ever compared and the oracle replays the cut exactly; revenue
+    sums in exact cents. One brand filter keeps the probe side
+    selective (pushed to the part scan, BROADCAST back). At 100 TB:
+    fact shuffles once on l_partkey for the pre-agg, once for the
+    join — AQE merges them when partitioning aligns."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#2"
+    ).select("p_partkey")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("qty_sum"), F.count(F.lit(1)).alias("qty_cnt")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, "l_partkey")
+        .filter(F.lit(5) * F.col("qty") * F.col("qty_cnt") < F.col("qty_sum"))
+        .agg(
+            F.sum("cents").alias("small_qty_revenue_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Z69_SQL = """
+WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM lineitem
+),
+per_part AS (
+  SELECT l_partkey, SUM(qty)::BIGINT AS qty_sum,
+         COUNT(*)::BIGINT AS qty_cnt
+  FROM li GROUP BY l_partkey
+)
+SELECT SUM(cents)::BIGINT AS small_qty_revenue_cents,
+       COUNT(*)::BIGINT AS n_lineitems
+FROM li
+JOIN part ON li.l_partkey = p_partkey AND p_brand = 'Brand#2'
+JOIN per_part ON li.l_partkey = per_part.l_partkey
+WHERE 5 * qty * qty_cnt < qty_sum
+"""
+
+
 _SUMAVG_DROPS: dict = {}
 
 
@@ -6661,6 +6720,7 @@ EXTENSION_QUERIES = {
     "z66_shipping_priority": z66_shipping_priority,
     "z67_local_supplier_volume": z67_local_supplier_volume,
     "z68_large_order_customers": z68_large_order_customers,
+    "z69_small_quantity_revenue": z69_small_quantity_revenue,
 }
 
 EXTENSION_ORACLES = {
@@ -6750,6 +6810,7 @@ EXTENSION_ORACLES = {
     "z66_shipping_priority": Z66_SQL,
     "z67_local_supplier_volume": Z67_SQL,
     "z68_large_order_customers": Z68_SQL,
+    "z69_small_quantity_revenue": Z69_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,
