@@ -177,6 +177,7 @@ EXTRA = (
     "z67_local_supplier_volume",
     "z68_large_order_customers",
     "z69_small_quantity_revenue",
+    "z70_metadata_tables",
 )
 
 

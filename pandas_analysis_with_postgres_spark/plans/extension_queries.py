@@ -4967,6 +4967,71 @@ WHERE 5 * qty * qty_cnt < qty_sum
 """
 
 
+_METATBL_DROPS: dict = {}
+
+
+def z70_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERYABLE METADATA TABLES (sources.snapshot.read_metadata_table
+    — Iceberg's ``db.t.partitions`` / ``db.t.history`` idiom): the
+    table ABOUT the table as an ordinary DataFrame, so "rows per
+    partition", "what did each commit do", and "small-file debt" are
+    SQL questions, not API spelunking — answered from manifests alone
+    (the ``files`` kind, which must list directories, is exercised in
+    the unit tests, not here). The fixture lands two commits (initial
+    write + a MERGE into one status) so history has real shape; the
+    result joins the partitions table (live counts per status at the
+    head) with history's (version, operation, n_partitions) — both
+    deterministic — and the oracle replays them arithmetically from
+    the raw table. Wall-clock ``committed_at`` is excluded (machine
+    state; resolve_as_of owns it, z46-pinned)."""
+    import os
+
+    from ..sources.snapshot import (
+        merge_snapshot,
+        read_metadata_table,
+        write_snapshot,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _METATBL_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("metatbl_") + "/orders_tbl"
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        write_snapshot(orders, path, "o_orderstatus")
+        fix = orders.filter(F.col("o_orderkey") % 1000 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+        )
+        merge_snapshot(path, fix, "o_orderkey", "o_orderstatus")
+        _METATBL_DROPS[key] = path
+    parts = read_metadata_table(spark, path, "partitions").select(
+        "value", "n_rows"
+    )
+    hist = (
+        read_metadata_table(spark, path, "history")
+        .select("version", "operation", "n_partitions")
+    )
+    return parts.crossJoin(hist)
+
+
+Z70_SQL = """
+WITH p AS (
+  SELECT o_orderstatus AS value, COUNT(*)::BIGINT AS n_rows
+  FROM orders GROUP BY o_orderstatus
+),
+np AS (SELECT COUNT(DISTINCT o_orderstatus)::BIGINT AS n FROM orders),
+h AS (
+  SELECT 1::BIGINT AS version, 'overwrite' AS operation, np.n AS n_partitions
+  FROM np
+  UNION ALL
+  SELECT 2::BIGINT, 'merge', np.n FROM np
+)
+SELECT p.value, p.n_rows, h.version, h.operation, h.n_partitions
+FROM p CROSS JOIN h
+"""
+
+
 _SUMAVG_DROPS: dict = {}
 
 
@@ -6721,6 +6786,7 @@ EXTENSION_QUERIES = {
     "z67_local_supplier_volume": z67_local_supplier_volume,
     "z68_large_order_customers": z68_large_order_customers,
     "z69_small_quantity_revenue": z69_small_quantity_revenue,
+    "z70_metadata_tables": z70_metadata_tables,
 }
 
 EXTENSION_ORACLES = {
@@ -6811,6 +6877,7 @@ EXTENSION_ORACLES = {
     "z67_local_supplier_volume": Z67_SQL,
     "z68_large_order_customers": Z68_SQL,
     "z69_small_quantity_revenue": Z69_SQL,
+    "z70_metadata_tables": Z70_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -4611,3 +4611,126 @@ def range_count_pruned(
         "meta_partitions": len(meta_parts),
         "scanned_partitions": len(scan_parts),
     }
+
+
+def read_metadata_table(
+    spark: SparkSession,
+    path: str,
+    kind: str,
+    *,
+    version: "int | str | None" = None,
+) -> DataFrame:
+    """Iceberg-style METADATA TABLES: the table ABOUT the table,
+    queryable as an ordinary DataFrame (Iceberg's ``db.t.partitions``
+    / ``db.t.history`` / ``db.t.files``) — the introspection surface
+    every maintenance planner, ingest monitor, and debugging session
+    needs, served without scanning data:
+
+    - ``"partitions"`` — one row per live partition of the pinned
+      version: (partition, value, n_rows, n_deleted, commit). Pure
+      manifest read: n_rows is the live count (tombstones already
+      subtracted), n_deleted the merge-on-read suppressed rows,
+      commit the writing commit id ('' for absolute/clone refs).
+    - ``"history"`` — one row per version from 1 to the pinned head:
+      (version, parent, operation, committed_at, n_partitions).
+      O(versions) manifest reads, zero data pages.
+    - ``"files"`` — one row per parquet file of the pinned version:
+      (partition, file, bytes). This one LISTS the live directories
+      (driver-side; O(files)) — the maintenance-planning surface
+      (compaction targets, small-file debt), not a hot-path query.
+
+    All three return single-partition local frames (the metadata
+    answer shape — see ``metadata_sql._local_rows_df``)."""
+    from .metadata_sql import _local_rows_df
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    if kind == "partitions":
+        man = read_manifest(path, version)
+        tomb = (man.get("tombstones") or {}).get("parts") or {}
+        live = _partition_rows(man, path)
+        rows = []
+        for pname, rel in sorted((man.get("partitions") or {}).items()):
+            n = live[pname]
+            commit = (
+                "" if os.path.isabs(rel) else rel.split(os.sep)[1]
+            )
+            rows.append(
+                (
+                    pname,
+                    pname.split("=", 1)[1],
+                    int(n),
+                    int((tomb.get(pname) or {}).get("n_deleted") or 0),
+                    commit,
+                )
+            )
+        return _local_rows_df(
+            spark,
+            rows,
+            StructType(
+                [
+                    StructField("partition", StringType(), False),
+                    StructField("value", StringType(), False),
+                    StructField("n_rows", LongType(), False),
+                    StructField("n_deleted", LongType(), False),
+                    StructField("commit", StringType(), False),
+                ]
+            ),
+        )
+    if kind == "history":
+        head = (
+            read_manifest(path, version).get("version")
+            if version is not None
+            else current_version(path)
+        )
+        rows = []
+        for v in range(1, int(head) + 1):
+            man = read_manifest(path, v)
+            rows.append(
+                (
+                    v,
+                    int(man.get("parent") or 0),
+                    str(man.get("operation") or ""),
+                    str(man.get("committed_at") or ""),
+                    len(man.get("partitions") or {}),
+                )
+            )
+        return _local_rows_df(
+            spark,
+            rows,
+            StructType(
+                [
+                    StructField("version", LongType(), False),
+                    StructField("parent", LongType(), False),
+                    StructField("operation", StringType(), False),
+                    StructField("committed_at", StringType(), False),
+                    StructField("n_partitions", LongType(), False),
+                ]
+            ),
+        )
+    if kind == "files":
+        man = read_manifest(path, version)
+        rows = []
+        for pname, rel in sorted((man.get("partitions") or {}).items()):
+            d = Path(rel) if os.path.isabs(rel) else Path(path) / rel
+            for f in sorted(d.glob("*.parquet")):
+                rows.append((pname, str(f), int(f.stat().st_size)))
+        return _local_rows_df(
+            spark,
+            rows,
+            StructType(
+                [
+                    StructField("partition", StringType(), False),
+                    StructField("file", StringType(), False),
+                    StructField("bytes", LongType(), False),
+                ]
+            ),
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r} — one of: partitions, "
+        "history, files"
+    )

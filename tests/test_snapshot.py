@@ -1255,3 +1255,55 @@ def test_partition_collect_cardinality_guard(spark, tmp_path, monkeypatch):
     )
     snap.merge_snapshot(path, ok, "k", "p")
     assert snap.read_snapshot(spark, path).count() == 50
+
+
+def test_metadata_tables(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        delete_where,
+        read_metadata_table,
+        replace_partitions,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "mt")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "k long, p long, v double"
+    )
+    write_snapshot(df, path, "p")
+    replace_partitions(
+        path,
+        spark.createDataFrame([(7, 1, 7.0)], "k long, p long, v double"),
+        "p",
+    )
+    from pyspark.sql import functions as F
+
+    delete_where(spark, path, F.col("k") == 0, mode="merge-on-read", key="k")
+
+    parts = {
+        r.partition: r
+        for r in read_metadata_table(spark, path, "partitions").collect()
+    }
+    assert parts["p=0"].n_rows == 9 and parts["p=0"].n_deleted == 1
+    assert parts["p=1"].n_rows == 1 and parts["p=1"].n_deleted == 0
+    assert parts["p=2"].n_rows == 10
+    assert all(r.commit for r in parts.values())
+
+    hist = read_metadata_table(spark, path, "history").collect()
+    assert [(r.version, r.operation) for r in hist] == [
+        (1, "overwrite"),
+        (2, "replace"),
+        (3, "delete-mor"),
+    ]
+    assert all(r.committed_at for r in hist)
+    # version pin: history stops at the pinned head
+    h2 = read_metadata_table(spark, path, "history", version=2).collect()
+    assert [r.version for r in h2] == [1, 2]
+
+    files = read_metadata_table(spark, path, "files").collect()
+    assert all(f.file.endswith(".parquet") and f.bytes > 0 for f in files)
+    assert {f.partition for f in files} == {"p=0", "p=1", "p=2"}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown metadata table"):
+        read_metadata_table(spark, path, "snapshots")
