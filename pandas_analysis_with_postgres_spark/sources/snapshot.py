@@ -1755,6 +1755,7 @@ def write_snapshot(
     bloom_cols: list[str] | None = None,
     bloom_bits: int | None = None,
     constraints: list[str] | None = None,
+    distribution: "str | None" = None,
 ) -> int:
     """Full overwrite as a new snapshot (old versions stay readable).
 
@@ -1780,7 +1781,23 @@ def write_snapshot(
     NULL passes). A table property like the others: inherited on
     omission, redefined explicitly, dropped with ``[]``. Cost: one
     extra aggregate pass over the rows being written (cold partitions
-    were validated when written)."""
+    were validated when written).
+
+    ``distribution="hash"`` — Iceberg's ``write.distribution-mode`` —
+    shuffles the input on the partition column before writing, so each
+    partition directory is produced by ONE task: without it, N tasks ×
+    P partitions writes O(N·P) small files, and every downstream cost
+    that scales per-file (commit fsync, footer harvest, scan listing)
+    pays the fragmentation. Leave ``None`` for inputs already
+    clustered by the partition column (re-shuffling those wastes a
+    stage)."""
+    if distribution not in (None, "none", "hash"):
+        raise ValueError(
+            f"unknown distribution {distribution!r} — None/'none' "
+            "(write as-is) or 'hash' (shuffle on the partition column)"
+        )
+    if distribution == "hash":
+        df = df.repartition(partition_col)
     _check_partition_type(df, partition_col, "overwrite")
     parent = current_version(path) if expected_version is None else expected_version
     prior_man = read_manifest(path, parent) if parent else {}
@@ -2558,6 +2575,7 @@ def append_snapshot(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     branch: str | None = None,
+    distribution: "str | None" = None,
 ) -> int:
     """APPEND as a snapshot commit — the ingest fast path (Iceberg's
     fast-append analog at directory grain): ``source``'s rows are ADDED
@@ -2576,7 +2594,16 @@ def append_snapshot(
     under the current spec while old directories await migration.
     Shares merge's optimistic concurrency, txn idempotence, schema
     evolution (sources may add columns), stats/bloom maintenance, and
-    ``branch`` targeting."""
+    ``branch`` targeting. ``distribution="hash"`` shuffles the source
+    on the partition column first (see :func:`write_snapshot`) — the
+    ingest path is where small-file debt usually accumulates."""
+    if distribution not in (None, "none", "hash"):
+        raise ValueError(
+            f"unknown distribution {distribution!r} — None/'none' "
+            "(write as-is) or 'hash' (shuffle on the partition column)"
+        )
+    if distribution == "hash":
+        source = source.repartition(partition_col)
     return _partition_scoped_commit(
         target_path,
         source,

@@ -1307,3 +1307,46 @@ def test_metadata_tables(spark, tmp_path):
 
     with _pt.raises(ValueError, match="unknown metadata table"):
         read_metadata_table(spark, path, "snapshots")
+
+
+def test_hash_distribution_writes_one_file_per_partition(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        append_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    # 32-task input × 3 partitions: as-is writes many files per dir,
+    # distribution="hash" collapses each dir to one task's output
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(3000)],
+        "k long, p long, v double",
+    ).repartition(32)
+    frag = str(tmp_path / "frag")
+    write_snapshot(df, frag, "p")
+    tight = str(tmp_path / "tight")
+    write_snapshot(df, tight, "p", distribution="hash")
+
+    def files_per_dir(root):
+        from pathlib import Path
+
+        out = {}
+        for f in Path(root).rglob("*.parquet"):
+            out.setdefault(f.parent.name, 0)
+            out[f.parent.name] += 1
+        return out
+
+    assert max(files_per_dir(frag).values()) > 1
+    assert set(files_per_dir(tight).values()) == {1}
+    assert read_snapshot(spark, tight).count() == 3000
+    # append path honors it too
+    more = spark.createDataFrame(
+        [(9000 + i, i % 3, 1.0) for i in range(300)],
+        "k long, p long, v double",
+    ).repartition(16)
+    append_snapshot(tight, more, "p", distribution="hash")
+    assert read_snapshot(spark, tight).count() == 3300
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown distribution"):
+        write_snapshot(df, str(tmp_path / "x"), "p", distribution="range")
