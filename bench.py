@@ -178,6 +178,7 @@ EXTRA = (
     "z68_large_order_customers",
     "z69_small_quantity_revenue",
     "z70_metadata_tables",
+    "z71_metadata_eq_range",
 )
 
 

@@ -5032,6 +5032,49 @@ FROM p CROSS JOIN h
 """
 
 
+def z71_metadata_eq_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONJUNCTIVE metadata WHERE (metadata_sql ``pcol = lit AND col
+    <range>``): partition equality restricts the universe, the range
+    proof runs inside the member partition — "today's partition,
+    orders above a threshold", the two-predicate poll every dashboard
+    composes. Served from the manifest when the member's [min, max,
+    nulls] prove containment; a partial overlap refuses to the hybrid
+    tier, which scans ONLY the member partition (the CLI applies it
+    automatically; unit-pinned in tests/test_range_count_pruned.py).
+    Shares z41's bucketed fixture: bucket key ranges are disjoint, so
+    a bucket-aligned conjunctive BETWEEN is pure metadata while the
+    misaligned one here exercises the single-partition hybrid scan.
+    The oracle replays both plainly."""
+    from ..sources.metadata_sql import answer_from_manifest, hybrid_range_count
+
+    path = _rangecount_table(spark, sf_dir)
+    tables = {"orders": path}
+    aligned = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n_aligned FROM orders"
+        " WHERE okey_bucket = 1 AND o_orderkey BETWEEN 20000 AND 39999",
+        tables,
+    )
+    crossing = hybrid_range_count(
+        spark,
+        "SELECT COUNT(*) AS n_crossing FROM orders"
+        " WHERE okey_bucket = 1 AND o_orderkey >= 30000",
+        tables,
+    )
+    assert aligned is not None and crossing is not None
+    return aligned.crossJoin(crossing)
+
+
+Z71_SQL = """
+SELECT (SELECT count(*) FROM orders
+        WHERE o_orderkey // 20000 = 1
+          AND o_orderkey BETWEEN 20000 AND 39999)::BIGINT AS n_aligned,
+       (SELECT count(*) FROM orders
+        WHERE o_orderkey // 20000 = 1
+          AND o_orderkey >= 30000)::BIGINT AS n_crossing
+"""
+
+
 _SUMAVG_DROPS: dict = {}
 
 
@@ -6787,6 +6830,7 @@ EXTENSION_QUERIES = {
     "z68_large_order_customers": z68_large_order_customers,
     "z69_small_quantity_revenue": z69_small_quantity_revenue,
     "z70_metadata_tables": z70_metadata_tables,
+    "z71_metadata_eq_range": z71_metadata_eq_range,
 }
 
 EXTENSION_ORACLES = {
@@ -6878,6 +6922,7 @@ EXTENSION_ORACLES = {
     "z68_large_order_customers": Z68_SQL,
     "z69_small_quantity_revenue": Z69_SQL,
     "z70_metadata_tables": Z70_SQL,
+    "z71_metadata_eq_range": Z71_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -151,6 +151,15 @@ _W_BETWEEN = re.compile(
     rf"^\s*(?P<col>[A-Za-z_]\w*)\s+BETWEEN\s+(?P<lo>{_LIT})\s+AND\s+(?P<hi>{_LIT})\s*$",
     re.IGNORECASE,
 )
+#: Conjunctive dashboard shape: partition equality AND one range —
+#: "COUNT(*) WHERE day = '2026-08-01' AND latency > 500". Strictly
+#: eq-first (the reverse order refuses to the scan).
+_W_EQ_RANGE = re.compile(
+    rf"^\s*(?P<ecol>[A-Za-z_]\w*)\s*=\s*(?P<eval>{_LIT})\s+AND\s+"
+    rf"(?:(?P<col>[A-Za-z_]\w*)\s*(?P<op><=|>=|<|>)\s*(?P<val>{_LIT})"
+    rf"|(?P<bcol>[A-Za-z_]\w*)\s+BETWEEN\s+(?P<blo>{_LIT})\s+AND\s+(?P<bhi>{_LIT}))\s*$",
+    re.IGNORECASE,
+)
 # keywords that must not be mistaken for a bare select column (the
 # items split sees only commas, so these cannot appear there anyway,
 # but guard the bare-column path against e.g. "SELECT all FROM t")
@@ -262,13 +271,28 @@ def parse_metadata_select(sql: str) -> "dict | None":
                 False,
                 False,
             )
+        elif (erm := _W_EQ_RANGE.match(wtext)) is not None:
+            if erm.group("col") is not None:
+                op, val = erm.group("op"), erm.group("val")
+                rng = (
+                    (None, val, False, op == "<")
+                    if op in ("<", "<=")
+                    else (val, None, op == ">", False)
+                )
+            else:
+                rng = (erm.group("blo"), erm.group("bhi"), False, False)
+            where = (
+                "eqrange",
+                erm.group("ecol"),
+                erm.group("eval"),
+            ) + rng + (erm.group("bcol") or erm.group("col"),)
         else:
             return None  # unsupported predicate: scan
     if gcol is not None:
         if n_bare != 1:
             return None  # grouped column must appear in the select list
         if where is not None and where[0] not in ("eq", "in"):
-            return None  # range + GROUP BY: not a served shape
+            return None  # range/eqrange + GROUP BY: not a served shape
     if gcol is None and where is not None and where[0] == "in":
         # IN proves the MERGEABLE items: COUNT(*) (member-count sum),
         # NDV (register max-merge), quantiles (histogram sum). MIN/MAX
@@ -276,7 +300,7 @@ def parse_metadata_select(sql: str) -> "dict | None":
         # — refuse to the scan.
         if any(k in ("min", "max") for k, _, _ in items):
             return None
-    if where is not None and where[0] == "range":
+    if where is not None and where[0] in ("range", "eqrange"):
         # the range proof covers COUNT(*) only: MIN/MAX under a range
         # needs clipped extremes, and NDV sketches cannot be
         # range-restricted — neither is provable
@@ -494,6 +518,10 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
         )
     if where is not None and where[0] == "range":
         return _answer_range_count(
+            spark, parsed, path, pcol, ptype, field_types, schema_meta, version
+        )
+    if where is not None and where[0] == "eqrange":
+        return _answer_eq_range_count(
             spark, parsed, path, pcol, ptype, field_types, schema_meta, version
         )
 
@@ -731,7 +759,7 @@ def hybrid_range_count(
         or parsed["table"] not in tables
         or parsed["group_by"] is not None
         or parsed["where"] is None
-        or parsed["where"][0] != "range"
+        or parsed["where"][0] not in ("range", "eqrange")
         or [k for k, _, _ in parsed["items"]] != ["count"]
     ):
         return None
@@ -760,7 +788,19 @@ def hybrid_range_count(
         if sj
         else {}
     )
-    _, col, lo_raw, hi_raw, lo_strict, hi_strict = parsed["where"]
+    eq = None
+    if parsed["where"][0] == "eqrange":
+        _, ecol, eraw, lo_raw, hi_raw, lo_strict, hi_strict, col = (
+            parsed["where"]
+        )
+        if ecol != pcol:
+            return None  # non-partition equality: full scan decides
+        try:
+            eq = (pcol, _coerce_partition_literal(eraw, ptype))
+        except _Refuse:
+            return None
+    else:
+        _, col, lo_raw, hi_raw, lo_strict, hi_strict = parsed["where"]
     coltype = (
         ptype if col == pcol else _spark_simple_type(field_types.get(col))
     )
@@ -773,17 +813,62 @@ def hybrid_range_count(
         return None  # type-incomparable literal: full scan decides
     from .snapshot import range_count_pruned
 
-    out = range_count_pruned(
-        spark, path, col,
-        lo=lo, hi=hi, lo_strict=lo_strict, hi_strict=hi_strict,
-        version=version,
-    )
+    try:
+        out = range_count_pruned(
+            spark, path, col,
+            lo=lo, hi=hi, lo_strict=lo_strict, hi_strict=hi_strict,
+            version=version, where_partition=eq,
+        )
+    except ValueError:
+        return None  # mixed-spec restriction: full scan decides
     from pyspark.sql.types import LongType, StructField, StructType as _ST
 
     alias = parsed["items"][0][2]
     return _local_rows_df(
         spark, [(out["count"],)],
         _ST([StructField(alias, LongType(), False)]),
+    )
+
+
+def _answer_eq_range_count(
+    spark, parsed, path, pcol, ptype, field_types, schema_meta, version
+):
+    """The conjunctive shape: partition equality restricts the
+    universe, the range proof runs over just the member partition —
+    both halves exact, so the COUNT is (manifest_range_count with
+    where_partition)."""
+    _, ecol, eraw, lo_raw, hi_raw, lo_strict, hi_strict, rcol = (
+        parsed["where"]
+    )
+    if ecol != pcol:
+        raise _Refuse()  # only partition equality is provable
+    eq = (pcol, _coerce_partition_literal(eraw, ptype))
+    if rcol == pcol:
+        coltype = ptype
+    else:
+        coltype = _spark_simple_type(field_types.get(rcol))
+        if not coltype:
+            raise _Refuse()
+        stats_cols = schema_meta.get("stats_cols") or []
+        if rcol not in stats_cols:
+            raise _Refuse()
+    lo = _typed_literal(lo_raw, coltype) if lo_raw is not None else None
+    hi = _typed_literal(hi_raw, coltype) if hi_raw is not None else None
+    n = manifest_range_count(
+        path, rcol,
+        lo=lo, hi=hi, lo_strict=lo_strict, hi_strict=hi_strict,
+        version=version, where_partition=eq,
+    )
+    if n is None:
+        return None  # partial overlap in the member partition: scan
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    fields = [
+        StructField(alias, LongType(), False)
+        for _, _, alias in parsed["items"]
+    ]
+    return _local_rows_df(
+        spark, [tuple(n for _ in parsed["items"])], StructType(fields)
     )
 
 

@@ -4156,6 +4156,7 @@ def manifest_range_count(
     lo_strict: bool = False,
     hi_strict: bool = False,
     version: "int | str | None" = None,
+    where_partition: "tuple[str, object] | None" = None,
 ) -> "int | None":
     """``COUNT(*) WHERE column <in range>`` answered from manifest
     statistics ONLY when every partition is PROVABLY fully inside or
@@ -4190,6 +4191,14 @@ def manifest_range_count(
         # partition column; the stats branch below (column != pcol)
         # stays valid — per-partition stats are spec-independent
         return None
+    targets = None
+    if where_partition is not None:
+        # partition-equality restriction composes with the range proof:
+        # only the member partition's containment matters (the
+        # conjunctive "WHERE pcol = v AND col <range>" dashboard shape)
+        if where_partition[0] != pcol or _mixed_spec(man):
+            return None
+        targets = {_hive_part_name(pcol, where_partition[1])}
 
     def _in_lo(v) -> bool:
         return lo is None or (v > lo if lo_strict else v >= lo)
@@ -4202,6 +4211,8 @@ def manifest_range_count(
         ptype = meta.get("partition_type") or "string"
         total = 0
         for pname, n in part_rows.items():
+            if targets is not None and pname not in targets:
+                continue
             is_null, v = _partition_value(pname, ptype)
             if is_null:
                 continue  # NULL satisfies no range predicate
@@ -4224,6 +4235,8 @@ def manifest_range_count(
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
     total = 0
     for pname, n in part_rows.items():
+        if targets is not None and pname not in targets:
+            continue
         if n == 0:
             continue
         entry = stats.get(pname) or {}
@@ -4522,6 +4535,7 @@ def range_count_pruned(
     lo_strict: bool = False,
     hi_strict: bool = False,
     version: "int | str | None" = None,
+    where_partition: "tuple[str, object] | None" = None,
 ) -> dict:
     """HYBRID range ``COUNT(*)``: Iceberg's scan planning run to
     completion instead of refused. Every partition the manifest PROVES
@@ -4569,10 +4583,29 @@ def range_count_pruned(
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
     part_rows = _partition_rows(man, path)
     ptype = meta.get("partition_type") or "string"
+    targets = None
+    if where_partition is not None:
+        # conjunctive shape: the pcol equality prunes the universe the
+        # range classification runs over — exact, it IS the partition
+        # index (mixed specs make directory names non-values: scan all)
+        if where_partition[0] != pcol:
+            raise ValueError(
+                f"where_partition column {where_partition[0]!r} is not "
+                f"the partition column {pcol!r}"
+            )
+        if _mixed_spec(man):
+            raise ValueError(
+                "partition-VALUE restriction is unprovable while "
+                f"{path} holds old-spec directories — compact_snapshot "
+                "to migrate, or scan"
+            )
+        targets = {_hive_part_name(pcol, where_partition[1])}
     meta_total = 0
     meta_parts: set = set()
     scan_parts: set = set()
     for pname, n in part_rows.items():
+        if targets is not None and pname not in targets:
+            continue
         if n == 0:
             continue
         if column == pcol and not _mixed_spec(man):

@@ -126,3 +126,58 @@ def test_hybrid_sql_tier_and_cli(spark, tbl, capsys):
     )
     assert rc == 0
     assert "200" in capsys.readouterr().out
+
+
+def test_conjunctive_eq_and_range(spark, tbl):
+    # "WHERE b = 2 AND k <range>" — partition equality restricts the
+    # universe, the range proof runs inside the member partition
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        answer_from_manifest,
+        hybrid_range_count,
+    )
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        manifest_range_count,
+    )
+
+    # fully-contained in bucket 2 (k 200–299): pure metadata answer
+    out = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n FROM t WHERE b = 2 AND k BETWEEN 200 AND 299",
+        {"t": tbl},
+    )
+    assert [tuple(r) for r in out.collect()] == [(100,)]
+    # fully-outside member: zero, still metadata
+    out0 = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n FROM t WHERE b = 7 AND k < 100",
+        {"t": tbl},
+    )
+    assert [tuple(r) for r in out0.collect()] == [(0,)]
+    # partial overlap inside the member: metadata refuses, hybrid
+    # scans ONLY that partition
+    sql = "SELECT COUNT(*) AS n FROM t WHERE b = 2 AND k >= 250"
+    assert answer_from_manifest(spark, sql, {"t": tbl}) is None
+    hy = hybrid_range_count(spark, sql, {"t": tbl})
+    assert [tuple(r) for r in hy.collect()] == [(50,)]
+    # API level: restriction composes with the pure prover
+    assert manifest_range_count(
+        tbl, "k", lo=200, hi=299, where_partition=("b", 2)
+    ) == 100
+    assert manifest_range_count(
+        tbl, "k", lo=250, where_partition=("b", 2)
+    ) is None
+    # non-partition equality refuses everywhere
+    assert (
+        answer_from_manifest(
+            spark,
+            "SELECT COUNT(*) AS n FROM t WHERE k = 5 AND k > 1",
+            {"t": tbl},
+        )
+        is None
+    )
+    # MIN/MAX and GROUP BY never ride the conjunctive shape
+    for bad in (
+        "SELECT MIN(k) AS lo FROM t WHERE b = 2 AND k > 5",
+        "SELECT b, COUNT(*) AS n FROM t WHERE b = 2 AND k > 5 GROUP BY b",
+    ):
+        assert answer_from_manifest(spark, bad, {"t": tbl}) is None
