@@ -70,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
             "history", "read", "expire", "compact", "sql", "info",
             "changes", "maintain", "delete", "tag", "evolve", "merge",
             "stats", "restore", "staged", "branch", "alter", "clone",
+            "inspect",
         ],
     )
     p_sn.add_argument("path")
@@ -91,6 +92,12 @@ def main(argv: list[str] | None = None) -> int:
         dest="view_name",
         default="snapshot",
         help="(sql) temp-view name for the snapshot table",
+    )
+    p_sn.add_argument(
+        "--kind",
+        choices=["partitions", "history", "files"],
+        default="partitions",
+        help="(inspect) which metadata table to show",
     )
     p_sn.add_argument("--version", type=int, default=None)
     p_sn.add_argument("--keep", type=int, default=2)
@@ -230,6 +237,16 @@ def main(argv: list[str] | None = None) -> int:
                     f"v{v}  op={m['operation']:9s} "
                     f"partitions={len(m['partitions'])} txn={m.get('txn') or {}}"
                 )
+            return 0
+        if args.action == "inspect":
+            # Iceberg-style metadata tables as DataFrames: partitions /
+            # history / files (see sources.snapshot.read_metadata_table)
+            from .session import get_spark as _gs
+            from .sources.snapshot import read_metadata_table
+
+            read_metadata_table(
+                _gs("cli"), args.path, args.kind, version=args.version
+            ).show(args.limit, truncate=False)
             return 0
         if args.action == "info":
             import json as _json

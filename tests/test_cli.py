@@ -502,3 +502,22 @@ def test_snapshot_clone_action(spark, tmp_path, capsys):
     assert "cloned" in capsys.readouterr().out
     assert {r.k for r in read_snapshot(spark, dst).collect()} == {1, 2}
     assert main(["snapshot", "clone", src]) == 2  # missing --to
+
+
+def test_snapshot_inspect_metadata_tables(spark, tmp_path, capsys):
+    from pandas_analysis_with_postgres_spark.__main__ import main as cli
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, 0), (2, 1)], "k long, p long"), path, "p"
+    )
+    assert cli(["snapshot", "inspect", path]) == 0
+    out = capsys.readouterr().out
+    assert "p=0" in out and "n_rows" in out
+    assert cli(["snapshot", "inspect", path, "--kind", "history"]) == 0
+    assert "overwrite" in capsys.readouterr().out
+    assert cli(["snapshot", "inspect", path, "--kind", "files"]) == 0
+    assert ".parquet" in capsys.readouterr().out
