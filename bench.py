@@ -179,6 +179,7 @@ EXTRA = (
     "z69_small_quantity_revenue",
     "z70_metadata_tables",
     "z71_metadata_eq_range",
+    "z72_range_sum_hybrid",
 )
 
 

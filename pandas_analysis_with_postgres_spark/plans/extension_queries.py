@@ -3335,6 +3335,10 @@ def _rangecount_table(spark: SparkSession, sf_dir: str) -> str:
         path = _tracked_mkdtemp("rangecount_") + "/orders_tbl"
         orders = load_table(spark, sf_dir, "orders").withColumn(
             "okey_bucket", F.floor(F.col("o_orderkey") / 20000)
+        ).withColumn(
+            "cents",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long"),
         )
         # one file per partition dir: without this, 32 tasks × many
         # buckets writes O(buckets·tasks) tiny files and the commit's
@@ -3345,7 +3349,7 @@ def _rangecount_table(spark: SparkSession, sf_dir: str) -> str:
             orders.repartition("okey_bucket"),
             path,
             "okey_bucket",
-            stats_cols=["o_orderkey"],
+            stats_cols=["o_orderkey", "cents::sum"],
         )
         _RANGECOUNT_DROPS[key] = path
     return path
@@ -5072,6 +5076,74 @@ SELECT (SELECT count(*) FROM orders
        (SELECT count(*) FROM orders
         WHERE o_orderkey // 20000 = 1
           AND o_orderkey >= 30000)::BIGINT AS n_crossing
+"""
+
+
+def z72_range_sum_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID range SUM (sources.snapshot.range_sum_pruned — z65's
+    scan planning generalized from counting to summing): partitions
+    proven fully inside the range contribute their recorded
+    ``[sum, n_nonnull]`` entries (``cents::sum``), proven-outside
+    contribute nothing, ONLY the boundary scans — "revenue in this
+    key range" on a clustered 100 TB table costs one JSON read plus
+    O(1) boundary partitions. Provability guard: a metadata
+    contribution requires the member's range-column null count to be
+    ZERO (NULL range values fail the predicate but live in the sum
+    entry) — null-bearing partitions auto-join the scan set
+    (unit-pinned with a zero-data-page proof,
+    tests/test_range_count_pruned.py). The result equals the plain
+    SQL SUM by construction; the oracle also replays the partition
+    classification arithmetically from per-bucket extremes."""
+    from ..sources.metadata_sql import _local_rows_df
+    from ..sources.snapshot import range_sum_pruned
+
+    path = _rangecount_table(spark, sf_dir)
+    out = range_sum_pruned(
+        spark, path, "o_orderkey", "cents", lo=30001, hi=95000
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return _local_rows_df(
+        spark,
+        [
+            (
+                out["sum"],
+                out["n_nonnull"],
+                out["meta_partitions"],
+                out["scanned_partitions"],
+            )
+        ],
+        StructType(
+            [
+                StructField("sum_cents", LongType(), True),
+                StructField("n_nonnull", LongType(), False),
+                StructField("meta_parts", LongType(), False),
+                StructField("scan_parts", LongType(), False),
+            ]
+        ),
+    )
+
+
+Z72_SQL = """
+WITH b AS (
+  SELECT o_orderkey AS k, o_orderkey // 20000 AS bkt,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+cls AS (
+  SELECT bkt, MIN(k) AS lo, MAX(k) AS hi,
+         SUM(CASE WHEN k BETWEEN 30001 AND 95000 THEN cents END) AS s_in,
+         SUM(CASE WHEN k BETWEEN 30001 AND 95000 THEN 1 ELSE 0 END) AS n_in
+  FROM b GROUP BY bkt
+)
+SELECT SUM(s_in)::BIGINT AS sum_cents,
+       SUM(n_in)::BIGINT AS n_nonnull,
+       SUM(CASE WHEN lo >= 30001 AND hi <= 95000
+                THEN 1 ELSE 0 END)::BIGINT AS meta_parts,
+       SUM(CASE WHEN NOT (lo >= 30001 AND hi <= 95000)
+                 AND NOT (hi < 30001 OR lo > 95000)
+                THEN 1 ELSE 0 END)::BIGINT AS scan_parts
+FROM cls
 """
 
 
@@ -6831,6 +6903,7 @@ EXTENSION_QUERIES = {
     "z69_small_quantity_revenue": z69_small_quantity_revenue,
     "z70_metadata_tables": z70_metadata_tables,
     "z71_metadata_eq_range": z71_metadata_eq_range,
+    "z72_range_sum_hybrid": z72_range_sum_hybrid,
 }
 
 EXTENSION_ORACLES = {
@@ -6923,6 +6996,7 @@ EXTENSION_ORACLES = {
     "z69_small_quantity_revenue": Z69_SQL,
     "z70_metadata_tables": Z70_SQL,
     "z71_metadata_eq_range": Z71_SQL,
+    "z72_range_sum_hybrid": Z72_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

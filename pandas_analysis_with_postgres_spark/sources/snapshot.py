@@ -4794,3 +4794,156 @@ def read_metadata_table(
         f"unknown metadata table {kind!r} — one of: partitions, "
         "history, files"
     )
+
+
+def range_sum_pruned(
+    spark: SparkSession,
+    path: str,
+    range_col: str,
+    sum_col: str,
+    *,
+    lo=None,
+    hi=None,
+    lo_strict: bool = False,
+    hi_strict: bool = False,
+    version: "int | str | None" = None,
+) -> dict:
+    """HYBRID ``SUM(sum_col) WHERE range_col <range>`` — the z65 idea
+    generalized from counting to summing: partitions the manifest
+    proves fully inside the range contribute their recorded
+    ``[sum, n_nonnull]`` entry (``stats_cols=["sum_col::sum"]``),
+    proven-outside contribute nothing, ONLY the remainder scans.
+
+    A metadata contribution additionally requires the partition's
+    range-column NULL COUNT to be zero (recorded in its stats entry):
+    rows with a NULL range column fail the SQL predicate but ARE
+    inside the partition's sum entry, so any nulls push the partition
+    to the scan set — provability, not approximation. Returns
+    ``{"sum" (None when nothing matched), "n_nonnull",
+    "meta_partitions", "scanned_partitions"}`` — n_nonnull is the
+    AVG denominator (predicate-passing rows with a non-null sum_col).
+    """
+    from pyspark.sql import functions as F
+
+    for c in (range_col, sum_col):
+        if (c.endswith(HLL_SUFFIX) or c.endswith(SUM_SUFFIX)
+                or _HIST_KEY_RE.match(c)):
+            raise ValueError(
+                "pass data columns, not sketch entries (::hll / ::sum "
+                "/ ::hist:)"
+            )
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    pcol = meta.get("partition_col")
+    renames = meta.get("renames") or []
+
+    def _chain(name: str) -> str:
+        for old, new in renames:
+            if name == old:
+                name = new
+        return name
+
+    def _in_lo(v) -> bool:
+        return lo is None or (v > lo if lo_strict else v >= lo)
+
+    def _in_hi(v) -> bool:
+        return hi is None or (v < hi if hi_strict else v <= hi)
+
+    stats = man.get("stats") or {}
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    part_rows = _partition_rows(man, path)
+    ptype = meta.get("partition_type") or "string"
+    meta_sum, meta_n = 0, 0
+    meta_seen = False
+    meta_parts: set = set()
+    scan_parts: set = set()
+    for pname, n in part_rows.items():
+        if n == 0:
+            continue
+        entry = stats.get(pname) or {}
+        logical = {
+            _chain(k): v for k, v in entry.items() if k != N_ROWS_KEY
+        }
+        sum_pair = None
+        for k, v in entry.items():
+            if k.endswith(SUM_SUFFIX) and _chain(
+                k[: -len(SUM_SUFFIX)]
+            ) == sum_col:
+                sum_pair = v
+        # classify FIRST: a proven-outside partition contributes
+        # nothing and needs neither a sum entry nor a scan (stats
+        # bound pre-delete rows, a superset of live — the outside
+        # proof survives tombstones)
+        if range_col == pcol and not _mixed_spec(man):
+            is_null, v = _partition_value(pname, ptype)
+            try:
+                inside = (not is_null) and _in_lo(v) and _in_hi(v)
+                outside = not inside  # one value per dir: in or out
+            except TypeError:
+                scan_parts.add(pname)
+                continue
+            rnulls = 0
+        else:
+            rng = logical.get(range_col)
+            if rng is None:
+                scan_parts.add(pname)
+                continue
+            cmin, cmax = rng[0], rng[1]
+            try:
+                inside = _in_lo(cmin) and _in_hi(cmax)
+                outside = (
+                    lo is not None
+                    and (cmax < lo or (lo_strict and cmax <= lo))
+                ) or (
+                    hi is not None
+                    and (cmin > hi or (hi_strict and cmin >= hi))
+                )
+            except TypeError:
+                scan_parts.add(pname)
+                continue
+            rnulls = rng[2] if len(rng) > 2 else None
+        if outside and not inside:
+            continue  # proven zero contribution
+        if pname in tomb_parts or sum_pair is None:
+            scan_parts.add(pname)
+            continue
+        if inside and rnulls == 0:
+            sv, nn = sum_pair[0], int(sum_pair[1])
+            if sv is not None:
+                meta_sum += int(sv)
+                meta_seen = True
+            meta_n += nn
+            meta_parts.add(pname)
+        else:
+            scan_parts.add(pname)  # boundary / unknown or >0 nulls
+    scan_sum, scan_n = None, 0
+    if scan_parts:
+        c = F.col(range_col)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c > lo if lo_strict else c >= lo)
+        if hi is not None:
+            cond = cond & (c < hi if hi_strict else c <= hi)
+        row = (
+            read_snapshot(
+                spark, path, version,
+                partition_filter=lambda p: p in scan_parts,
+            )
+            .filter(cond)
+            .agg(
+                F.sum(F.col(sum_col).cast("decimal(38,0)")).alias("s"),
+                F.count(F.col(sum_col)).alias("n"),
+            )
+            .collect()[0]
+        )
+        scan_sum = None if row["s"] is None else int(row["s"])
+        scan_n = int(row["n"])
+    total = None
+    if meta_seen or scan_sum is not None:
+        total = (meta_sum if meta_seen else 0) + (scan_sum or 0)
+    return {
+        "sum": total,
+        "n_nonnull": meta_n + scan_n,
+        "meta_partitions": len(meta_parts),
+        "scanned_partitions": len(scan_parts),
+    }

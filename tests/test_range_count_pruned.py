@@ -181,3 +181,60 @@ def test_conjunctive_eq_and_range(spark, tbl):
         "SELECT b, COUNT(*) AS n FROM t WHERE b = 2 AND k > 5 GROUP BY b",
     ):
         assert answer_from_manifest(spark, bad, {"t": tbl}) is None
+
+
+def test_range_sum_pruned_exact_and_minimal(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        delete_where,
+        range_sum_pruned,
+        write_snapshot,
+    )
+
+    # bucket b holds k in [100b, 100b+99]; cents = k * 10; a few NULL
+    # range values in bucket 0 force it to the scan set even when the
+    # range would otherwise prove it
+    rows = []
+    for i in range(500):
+        b = i // 100
+        k = None if (b == 0 and i % 10 == 0) else i
+        rows.append((k, b, i * 10))
+    df = spark.createDataFrame(rows, "k long, b long, cents long")
+    path = str(tmp_path / "t")
+    write_snapshot(df, path, "b", stats_cols=["k", "cents::sum"])
+
+    def truth(lo, hi):
+        sel = [c for (k, _, c) in rows if k is not None and lo <= k <= hi]
+        return (sum(sel) if sel else None, len(sel))
+
+    out = range_sum_pruned(spark, path, "k", "cents", lo=50, hi=349)
+    t = truth(50, 349)
+    assert (out["sum"], out["n_nonnull"]) == t
+    # bucket 0 scans (nulls), 1 and 2 metadata, 3 boundary, 4 outside
+    assert out["meta_partitions"] == 2
+    assert out["scanned_partitions"] == 2
+    # zero-data-page proof for the metadata buckets
+    from pathlib import Path
+
+    for f in Path(path).rglob("*.parquet"):
+        if "b=1" in str(f) or "b=2" in str(f):
+            f.unlink()
+    out2 = range_sum_pruned(spark, path, "k", "cents", lo=50, hi=349)
+    assert (out2["sum"], out2["n_nonnull"]) == t
+    # empty selection → SQL NULL sum
+    empty = range_sum_pruned(spark, path, "k", "cents", lo=10_000)
+    assert empty["sum"] is None and empty["n_nonnull"] == 0
+    # tombstones push a proven-inside partition to the scan set
+    path2 = str(tmp_path / "t2")
+    df2 = spark.createDataFrame(
+        [(i, i // 100, i * 10) for i in range(300)],
+        "k long, b long, cents long",
+    )
+    write_snapshot(df2, path2, "b", stats_cols=["k", "cents::sum"])
+    delete_where(
+        spark, path2, F.col("k").between(100, 104),
+        mode="merge-on-read", key="k",
+    )
+    out3 = range_sum_pruned(spark, path2, "k", "cents", lo=100, hi=199)
+    want = sum(i * 10 for i in range(105, 200))
+    assert (out3["sum"], out3["n_nonnull"]) == (want, 95)
+    assert out3["scanned_partitions"] == 1  # the tombstoned bucket
