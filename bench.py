@@ -180,6 +180,7 @@ EXTRA = (
     "z70_metadata_tables",
     "z71_metadata_eq_range",
     "z72_range_sum_hybrid",
+    "z73_interpolate_linear",
 )
 
 

@@ -17,7 +17,7 @@ from .joins import (
 from .packing import pack_sequences
 from .scd2 import scd2_apply, scd2_merge_snapshot
 from .similarity import cell_blocked_pairs, semantic_dedup, semantic_dedup_auto
-from .timeseries import resample_ffill
+from .timeseries import interpolate_linear, resample_ffill
 from .udtfs import sliding_chunks
 from .setops import changed_rows, except_all_on, union_by_name
 from .upsert import upsert, upsert_partitioned
@@ -27,6 +27,7 @@ __all__ = [
     "cell_blocked_pairs",
     "semantic_dedup",
     "semantic_dedup_auto",
+    "interpolate_linear",
     "resample_ffill",
     "sliding_chunks",
     "scd2_merge_snapshot",

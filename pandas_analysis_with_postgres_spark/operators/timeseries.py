@@ -114,3 +114,59 @@ def resample_ffill(
             F.last("__last_v", ignorenulls=True).over(w).alias("value_ffill"),
         )
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_num_col: str,
+    value_col: str,
+    out_col: str = "value_interp",
+) -> DataFrame:
+    """Linear interpolation of ``value_col``'s NULLs per key — pandas
+    ``Series.interpolate(method="linear")`` semantics on an irregular
+    series: interior NULLs take the time-weighted line between the
+    surrounding observations, LEADING NULLs stay NULL (nothing to
+    anchor the line), TRAILING NULLs carry the last observation
+    forward (the pandas default's forward limit direction).
+
+    ``ts_num_col`` must be a NUMERIC time axis (e.g. the epoch seconds
+    of ``plans.timeutil.epoch_seconds`` — numeric so the oracle's
+    arithmetic replays bit-for-bit and no timezone interpretation
+    leaks in) that is UNIQUE per key: it is both the sort key and the
+    interpolation abscissa.
+
+    Plan shape: two per-key ordered windows (last-non-null looking
+    back, first-non-null looking ahead) — ONE shuffle on the key, no
+    joins, no Python. Window state is bounded by the frame walk, so a
+    100 TB table interpolates in a single stage after its shuffle;
+    keys are independent, so skew follows key cardinality, not gap
+    length. The blend ``prev + (next − prev) · (t − t_prev) /
+    (t_next − t_prev)`` is evaluated in this exact association both
+    here and in the SQL oracle — IEEE-identical doubles."""
+    w_back = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_num_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_num_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    t = F.col(ts_num_col).cast("double")
+    obs_t = F.when(v.isNotNull(), t)
+    prev_v = F.last(v, ignorenulls=True).over(w_back)
+    prev_t = F.last(obs_t, ignorenulls=True).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd)
+    next_t = F.first(obs_t, ignorenulls=True).over(w_fwd)
+    blend = prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+    out = (
+        F.when(v.isNotNull(), v.cast("double"))
+        .when(prev_v.isNull(), F.lit(None).cast("double"))  # leading
+        .when(next_v.isNull(), prev_v.cast("double"))  # trailing carry
+        .otherwise(blend)
+    )
+    return df.withColumn(out_col, out)

@@ -5147,6 +5147,96 @@ FROM cls
 """
 
 
+def z73_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR INTERPOLATION (operators.timeseries.interpolate_linear —
+    pandas ``Series.interpolate(method="linear")`` for irregular
+    series at Spark scale): interior NULLs take the time-weighted line
+    between surrounding observations, leading NULLs stay NULL,
+    trailing NULLs carry forward — per user over the events stream,
+    ONE shuffle (two ordered windows share it), no Python. The time
+    axis is the tz-free epoch_seconds field arithmetic (timeutil), the
+    gaps are manufactured deterministically (event_id % 5), and the
+    blend ``prev + (next−prev)·(t−t_prev)/(t_next−t_prev)`` is
+    evaluated in the same association in the oracle — IEEE-identical
+    doubles, rounded to 6 decimals only to absorb nothing (belt and
+    braces with the driver's 6-sig-fig hash)."""
+    from ..operators.timeseries import interpolate_linear
+    from .timeutil import epoch_seconds
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"),
+        epoch_seconds(F.col("ts")).alias("t"),
+        F.when(F.col("event_id") % 5 != 0, F.col("value")).alias("v"),
+        "event_id",
+    )
+    from pyspark.sql import Window
+
+    # the abscissa must be unique per key: dedupe ties by keeping the
+    # smallest event_id at each (user, second) — replayed in SQL
+    w = Window.partitionBy("user_id", "t").orderBy("event_id")
+    ev = ev.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+    out = interpolate_linear(
+        ev, key_col="user_id", ts_num_col="t", value_col="v"
+    )
+    return out.select(
+        "user_id",
+        "t",
+        F.round(F.col("value_interp"), 6).alias("vi"),
+        F.col("v").isNull().alias("was_gap"),
+    )
+
+
+Z73_SQL = """
+WITH e0 AS (
+  SELECT user_id,
+         (CAST(ts AS DATE) - DATE '1970-01-01') * 86400
+           + EXTRACT(hour FROM ts) * 3600
+           + EXTRACT(minute FROM ts) * 60
+           + FLOOR(EXTRACT(second FROM ts))::BIGINT AS t,
+         CASE WHEN event_id % 5 <> 0 THEN value END AS v,
+         event_id
+  FROM events
+),
+e AS (
+  SELECT user_id, t, v FROM (
+    SELECT e0.*, ROW_NUMBER() OVER (PARTITION BY user_id, t
+                                    ORDER BY event_id) AS rn
+    FROM e0
+  ) WHERE rn = 1
+),
+f AS (
+  SELECT user_id, t, v,
+         LAST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN CAST(t AS DOUBLE) END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+         FIRST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN CAST(t AS DOUBLE) END
+                     IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+  FROM e
+)
+SELECT user_id, t,
+       ROUND(CASE
+         WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+         WHEN prev_v IS NULL THEN NULL
+         WHEN next_v IS NULL THEN CAST(prev_v AS DOUBLE)
+         ELSE prev_v + (next_v - prev_v) * (CAST(t AS DOUBLE) - prev_t)
+                / (next_t - prev_t)
+       END, 6) AS vi,
+       v IS NULL AS was_gap
+FROM f
+"""
+
+
 _SUMAVG_DROPS: dict = {}
 
 
@@ -6904,6 +6994,7 @@ EXTENSION_QUERIES = {
     "z70_metadata_tables": z70_metadata_tables,
     "z71_metadata_eq_range": z71_metadata_eq_range,
     "z72_range_sum_hybrid": z72_range_sum_hybrid,
+    "z73_interpolate_linear": z73_interpolate_linear,
 }
 
 EXTENSION_ORACLES = {
@@ -6997,6 +7088,7 @@ EXTENSION_ORACLES = {
     "z70_metadata_tables": Z70_SQL,
     "z71_metadata_eq_range": Z71_SQL,
     "z72_range_sum_hybrid": Z72_SQL,
+    "z73_interpolate_linear": Z73_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

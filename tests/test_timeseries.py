@@ -137,3 +137,45 @@ def test_custom_bucket_with_non_trunc_anchor_keeps_observations(spark):
     # grid endpoints are the observations' own (epoch-anchored) buckets
     assert len(filled) == 2
     assert sorted(v for _, v in filled.values()) == [10.0, 50.0]
+
+
+def test_interpolate_linear_pandas_semantics(spark):
+    from pandas_analysis_with_postgres_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    rows = [
+        # key a: leading gap, interior gaps (uneven spacing), trailing
+        ("a", 0, None),
+        ("a", 10, 1.0),
+        ("a", 20, None),
+        ("a", 40, 4.0),
+        ("a", 45, None),
+        ("a", 50, None),
+        # key b: all observed
+        ("b", 0, 7.0),
+        ("b", 1, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    out = {
+        (r.k, r.t): r.value_interp
+        for r in interpolate_linear(
+            df, key_col="k", ts_num_col="t", value_col="v"
+        ).collect()
+    }
+    assert out[("a", 0)] is None  # leading stays NULL
+    assert out[("a", 10)] == 1.0
+    # interior: time-weighted, not index-weighted — 10/30 of the way
+    assert abs(out[("a", 20)] - 2.0) < 1e-12
+    assert out[("a", 40)] == 4.0
+    assert out[("a", 45)] == 4.0 and out[("a", 50)] == 4.0  # trailing carry
+    assert out[("b", 0)] == 7.0 and out[("b", 1)] == 8.0
+    # pandas agreement on the same series
+    import pandas as pd
+
+    ser = pd.Series(
+        [None, 1.0, None, 4.0, None, None],
+        index=[0, 10, 20, 40, 45, 50],
+    ).interpolate(method="index")
+    got = [out[("a", t)] for t in (10, 20, 40, 45, 50)]
+    assert got == list(ser.iloc[1:]), (got, list(ser))
