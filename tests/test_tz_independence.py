@@ -22,6 +22,7 @@ EPOCH_QUERIES = (
     "a82_session_funnel",
     "a84_event_sequences",
     "a87_event_transitions",
+    "z73_interpolate_linear",
 )
 
 
@@ -46,4 +47,8 @@ def test_epoch_queries_survive_non_utc_session(spark, name):
         by=sorted(odf.columns), ignore_index=True
     )
     for col in s.columns:
-        assert list(s[col]) == list(o[col]), f"{name}.{col} diverged under UTC+5:45"
+        # Series.equals treats aligned NaN/None as equal (z73's leading
+        # gaps are legitimately NULL floats; `==` would fail on NaN)
+        assert s[col].equals(o[col]) or list(s[col]) == list(o[col]), (
+            f"{name}.{col} diverged under UTC+5:45"
+        )
