@@ -181,6 +181,7 @@ EXTRA = (
     "z71_metadata_eq_range",
     "z72_range_sum_hybrid",
     "z73_interpolate_linear",
+    "z74_range_minmax_hybrid",
 )
 
 

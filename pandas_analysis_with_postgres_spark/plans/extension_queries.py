@@ -5237,6 +5237,71 @@ FROM f
 """
 
 
+def z74_range_minmax_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID range MIN/MAX (sources.snapshot.range_minmax_pruned —
+    completing the z65/z72 scan-planning family): partitions proven
+    fully inside the range contribute their recorded [min, max] stats
+    for the aggregated column, only the boundary scans. Here the range
+    column IS the aggregated column (the "extremes within this key
+    range" poll), which also exercises the family's null refinement:
+    NULL range values fail the predicate and are absent from min/max
+    stats by construction, so the zero-null guard is waived by
+    identity. Shares z41's bucketed fixture; the oracle replays the
+    extremes and the partition classification from per-bucket
+    extremes."""
+    from ..sources.metadata_sql import _local_rows_df
+    from ..sources.snapshot import range_minmax_pruned
+
+    path = _rangecount_table(spark, sf_dir)
+    out = range_minmax_pruned(
+        spark, path, "o_orderkey", "o_orderkey", lo=30001, hi=95000
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return _local_rows_df(
+        spark,
+        [
+            (
+                None if out["min"] is None else int(out["min"]),
+                None if out["max"] is None else int(out["max"]),
+                out["meta_partitions"],
+                out["scanned_partitions"],
+            )
+        ],
+        StructType(
+            [
+                # nullable: at small fixtures every key fits bucket 0
+                # and the range legitimately matches nothing (SQL NULL)
+                StructField("k_min", LongType(), True),
+                StructField("k_max", LongType(), True),
+                StructField("meta_parts", LongType(), False),
+                StructField("scan_parts", LongType(), False),
+            ]
+        ),
+    )
+
+
+Z74_SQL = """
+WITH b AS (
+  SELECT o_orderkey AS k, o_orderkey // 20000 AS bkt FROM orders
+),
+cls AS (
+  SELECT bkt, MIN(k) AS lo, MAX(k) AS hi
+  FROM b GROUP BY bkt
+)
+SELECT (SELECT MIN(k) FROM b WHERE k BETWEEN 30001 AND 95000)::BIGINT
+         AS k_min,
+       (SELECT MAX(k) FROM b WHERE k BETWEEN 30001 AND 95000)::BIGINT
+         AS k_max,
+       SUM(CASE WHEN lo >= 30001 AND hi <= 95000
+                THEN 1 ELSE 0 END)::BIGINT AS meta_parts,
+       SUM(CASE WHEN NOT (lo >= 30001 AND hi <= 95000)
+                 AND NOT (hi < 30001 OR lo > 95000)
+                THEN 1 ELSE 0 END)::BIGINT AS scan_parts
+FROM cls
+"""
+
+
 _SUMAVG_DROPS: dict = {}
 
 
@@ -6995,6 +7060,7 @@ EXTENSION_QUERIES = {
     "z71_metadata_eq_range": z71_metadata_eq_range,
     "z72_range_sum_hybrid": z72_range_sum_hybrid,
     "z73_interpolate_linear": z73_interpolate_linear,
+    "z74_range_minmax_hybrid": z74_range_minmax_hybrid,
 }
 
 EXTENSION_ORACLES = {
@@ -7089,6 +7155,7 @@ EXTENSION_ORACLES = {
     "z71_metadata_eq_range": Z71_SQL,
     "z72_range_sum_hybrid": Z72_SQL,
     "z73_interpolate_linear": Z73_SQL,
+    "z74_range_minmax_hybrid": Z74_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

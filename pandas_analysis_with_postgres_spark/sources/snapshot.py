@@ -4947,3 +4947,168 @@ def range_sum_pruned(
         "meta_partitions": len(meta_parts),
         "scanned_partitions": len(scan_parts),
     }
+
+
+def range_minmax_pruned(
+    spark: SparkSession,
+    path: str,
+    range_col: str,
+    agg_col: str,
+    *,
+    lo=None,
+    hi=None,
+    lo_strict: bool = False,
+    hi_strict: bool = False,
+    version: "int | str | None" = None,
+) -> dict:
+    """HYBRID ``MIN(agg_col)/MAX(agg_col) WHERE range_col <range>`` —
+    the last member of the z65/z72 family: partitions proven fully
+    inside the range contribute their recorded ``[min, max]`` stats
+    for ``agg_col`` (SQL MIN/MAX skip NULLs exactly as parquet
+    statistics do), proven-outside contribute nothing, ONLY the
+    boundary scans. A metadata contribution requires the member's
+    range-column null count to be zero — UNLESS the range column IS
+    the aggregated column (its NULL rows fail the predicate and are
+    absent from the stats anyway). Values compare in manifest
+    rendering (`_stat_json`): numbers natively, dates as ISO strings.
+    Returns ``{"min", "max", "meta_partitions",
+    "scanned_partitions"}`` (None extremes when nothing matched)."""
+    from pyspark.sql import functions as F
+
+    for c in (range_col, agg_col):
+        if (c.endswith(HLL_SUFFIX) or c.endswith(SUM_SUFFIX)
+                or _HIST_KEY_RE.match(c)):
+            raise ValueError(
+                "pass data columns, not sketch entries (::hll / ::sum "
+                "/ ::hist:)"
+            )
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    pcol = meta.get("partition_col")
+    renames = meta.get("renames") or []
+
+    def _chain(name: str) -> str:
+        for old, new in renames:
+            if name == old:
+                name = new
+        return name
+
+    def _in_lo(v) -> bool:
+        return lo is None or (v > lo if lo_strict else v >= lo)
+
+    def _in_hi(v) -> bool:
+        return hi is None or (v < hi if hi_strict else v <= hi)
+
+    stats = man.get("stats") or {}
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    part_rows = _partition_rows(man, path)
+    ptype = meta.get("partition_type") or "string"
+    mins, maxs = [], []
+    meta_parts: set = set()
+    scan_parts: set = set()
+    for pname, n in part_rows.items():
+        if n == 0:
+            continue
+        entry = stats.get(pname) or {}
+        logical = {
+            _chain(k): v
+            for k, v in entry.items()
+            if k != N_ROWS_KEY and not k.endswith(HLL_SUFFIX)
+            and not k.endswith(SUM_SUFFIX) and not _HIST_KEY_RE.match(k)
+        }
+        if range_col == pcol and not _mixed_spec(man):
+            is_null, v = _partition_value(pname, ptype)
+            try:
+                inside = (not is_null) and _in_lo(v) and _in_hi(v)
+                outside = not inside
+            except TypeError:
+                scan_parts.add(pname)
+                continue
+            rnulls = 0
+        else:
+            rng = logical.get(range_col)
+            if rng is None:
+                scan_parts.add(pname)
+                continue
+            cmin, cmax = rng[0], rng[1]
+            try:
+                inside = _in_lo(cmin) and _in_hi(cmax)
+                outside = (
+                    lo is not None
+                    and (cmax < lo or (lo_strict and cmax <= lo))
+                ) or (
+                    hi is not None
+                    and (cmin > hi or (hi_strict and cmin >= hi))
+                )
+            except TypeError:
+                scan_parts.add(pname)
+                continue
+            rnulls = rng[2] if len(rng) > 2 else None
+        if outside and not inside:
+            continue
+        arng = (
+            logical.get(agg_col)
+            if agg_col != pcol or _mixed_spec(man)
+            else None
+        )
+        if agg_col == pcol and not _mixed_spec(man):
+            pv = _partition_value(pname, ptype)
+            arng = None if pv[0] else [pv[1], pv[1], 0]
+        null_ok = rnulls == 0 or range_col == agg_col
+        if (
+            inside
+            and null_ok
+            and arng is not None
+            and pname not in tomb_parts
+        ):
+            mins.append(arng[0])
+            maxs.append(arng[1])
+            meta_parts.add(pname)
+        else:
+            scan_parts.add(pname)
+    if scan_parts:
+        c = F.col(range_col)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c > lo if lo_strict else c >= lo)
+        if hi is not None:
+            cond = cond & (c < hi if hi_strict else c <= hi)
+        row = (
+            read_snapshot(
+                spark, path, version,
+                partition_filter=lambda p: p in scan_parts,
+            )
+            .filter(cond)
+            .agg(
+                F.min(agg_col).alias("lo"), F.max(agg_col).alias("hi")
+            )
+            .collect()[0]
+        )
+        def _exact(v):
+            # scanned extremes are EXACT values, not truncatable footer
+            # stats — only re-render temporals to the manifest's ISO
+            # ordering; refuse types whose rendering cannot order
+            import datetime as _dt
+
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                raise ValueError(
+                    "MIN/MAX over a boolean column is not served — "
+                    "prune-useless either way"
+                )
+            if isinstance(v, (_dt.date, _dt.datetime)):
+                return v.isoformat()
+            return v
+
+        slo, shi = _exact(row["lo"]), _exact(row["hi"])
+        if slo is not None:
+            mins.append(slo)
+        if shi is not None:
+            maxs.append(shi)
+    return {
+        "min": min(mins) if mins else None,
+        "max": max(maxs) if maxs else None,
+        "meta_partitions": len(meta_parts),
+        "scanned_partitions": len(scan_parts),
+    }

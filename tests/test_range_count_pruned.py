@@ -238,3 +238,45 @@ def test_range_sum_pruned_exact_and_minimal(spark, tmp_path):
     want = sum(i * 10 for i in range(105, 200))
     assert (out3["sum"], out3["n_nonnull"]) == (want, 95)
     assert out3["scanned_partitions"] == 1  # the tombstoned bucket
+
+
+def test_range_minmax_pruned(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        range_minmax_pruned,
+        write_snapshot,
+    )
+
+    # bucket b: k in [100b, 100b+99]; x = 1000 - k (so extremes flip)
+    rows = [(i, i // 100, 1000 - i) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, b long, x long")
+    path = str(tmp_path / "t")
+    write_snapshot(df, path, "b", stats_cols=["k", "x"])
+
+    def truth(lo, hi):
+        sel = [x for (k, _, x) in rows if lo <= k <= hi]
+        return (min(sel), max(sel)) if sel else (None, None)
+
+    out = range_minmax_pruned(spark, path, "k", "x", lo=150, hi=449)
+    assert (out["min"], out["max"]) == truth(150, 449)
+    # buckets 2,3 metadata; 1 and 4 boundary
+    assert out["meta_partitions"] == 2 and out["scanned_partitions"] == 2
+    # zero-data-page proof for the proven buckets
+    from pathlib import Path
+
+    for f in Path(path).rglob("*.parquet"):
+        if "b=2" in str(f) or "b=3" in str(f):
+            f.unlink()
+    out2 = range_minmax_pruned(spark, path, "k", "x", lo=150, hi=449)
+    assert (out2["min"], out2["max"]) == truth(150, 449)
+    # range col == agg col: the null guard is unnecessary by identity
+    rows3 = [(None if i % 7 == 0 else i, i // 100) for i in range(300)]
+    df3 = spark.createDataFrame(rows3, "k long, b long")
+    p3 = str(tmp_path / "t3")
+    write_snapshot(df3, p3, "b", stats_cols=["k"])
+    sel = [k for (k, _) in rows3 if k is not None and k >= 100]
+    o3 = range_minmax_pruned(spark, p3, "k", "k", lo=100)
+    assert (o3["min"], o3["max"]) == (min(sel), max(sel))
+    assert o3["scanned_partitions"] == 0  # all proven despite nulls
+    # empty selection
+    e = range_minmax_pruned(spark, path, "k", "x", lo=10_000)
+    assert e["min"] is None and e["max"] is None
