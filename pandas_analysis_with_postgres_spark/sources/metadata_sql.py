@@ -301,10 +301,17 @@ def parse_metadata_select(sql: str) -> "dict | None":
         if any(k in ("min", "max") for k, _, _ in items):
             return None
     if where is not None and where[0] in ("range", "eqrange"):
-        # the range proof covers COUNT(*) only: MIN/MAX under a range
-        # needs clipped extremes, and NDV sketches cannot be
-        # range-restricted — neither is provable
-        if any(
+        # The MANIFEST proof covers COUNT(*) only (clipped extremes /
+        # range-restricted sketches are unprovable), but a SINGLE
+        # sum/avg/min/max item still PARSES so the hybrid
+        # boundary-scan tier can serve it — the metadata answerer
+        # refuses those at answer time. Mixed or sketchy item lists
+        # refuse here as before.
+        kinds = [k for k, _, _ in items]
+        single_agg = len(items) == 1 and kinds[0] in (
+            "sum", "avg", "min", "max"
+        )
+        if not single_agg and any(
             k in ("min", "max", "approx", "quantile", "countcol",
                   "sum", "avg")
             for k, _, _ in items
@@ -699,6 +706,8 @@ def _spark_simple_type(dt) -> str:
 def _answer_range_count(
     spark, parsed, path, pcol, ptype, field_types, schema_meta, version
 ):
+    if any(k != "count" for k, _, _ in parsed["items"]):
+        raise _Refuse()  # aggregates under a range: hybrid tier / scan
     _, col, lo_raw, hi_raw, lo_strict, hi_strict = parsed["where"]
     if col == pcol:
         coltype = ptype
@@ -744,15 +753,19 @@ def hybrid_range_count(
     version: "int | str | None" = None,
 ) -> "DataFrame | None":
     """The MIDDLE tier between a metadata answer and a full scan:
-    ``SELECT COUNT(*) FROM t WHERE col <range>`` answered by
-    :func:`snapshot.range_count_pruned` — proven partitions from the
-    manifest, ONLY the boundary scanned. Returns ``None`` when the
-    statement is not exactly that shape (multiple items, GROUP BY,
-    non-range WHERE, unknown table) or the literal's type is not
-    manifest-comparable — the caller then falls back to a real scan.
-    Unlike ``answer_from_manifest`` this DOES read data pages (the
-    boundary), so it is a separate, caller-opted tier: the CLI applies
-    it after a metadata refusal and before the full scan."""
+    a SINGLE-aggregate range statement — ``SELECT COUNT(*)/SUM(c)/
+    AVG(c)/MIN(c)/MAX(c) FROM t WHERE col <range>`` — answered by the
+    :func:`snapshot.range_count_pruned` / ``range_sum_pruned`` /
+    ``range_minmax_pruned`` family: proven partitions from the
+    manifest, ONLY the boundary scanned. COUNT additionally accepts
+    the conjunctive ``pcol = lit AND col <range>`` shape. Returns
+    ``None`` when the statement is not exactly one of those shapes
+    (multiple items, GROUP BY, non-range WHERE, unknown table) or the
+    literal's type is not manifest-comparable — the caller then falls
+    back to a real scan. Unlike ``answer_from_manifest`` this DOES
+    read data pages (the boundary), so it is a separate, caller-opted
+    tier: the CLI applies it after a metadata refusal and before the
+    full scan."""
     parsed = parse_metadata_select(sql)
     if (
         parsed is None
@@ -760,9 +773,14 @@ def hybrid_range_count(
         or parsed["group_by"] is not None
         or parsed["where"] is None
         or parsed["where"][0] not in ("range", "eqrange")
-        or [k for k, _, _ in parsed["items"]] != ["count"]
+        or len(parsed["items"]) != 1
+        or parsed["items"][0][0]
+        not in ("count", "sum", "avg", "min", "max")
     ):
         return None
+    kind, agg_col, alias = parsed["items"][0]
+    if kind != "count" and parsed["where"][0] == "eqrange":
+        return None  # conjunctive shape serves COUNT only (today)
     path = tables[parsed["table"]]
     if parsed["as_of"] is not None:
         if version is not None:
@@ -811,23 +829,66 @@ def hybrid_range_count(
         hi = _typed_literal(hi_raw, coltype) if hi_raw is not None else None
     except _Refuse:
         return None  # type-incomparable literal: full scan decides
-    from .snapshot import range_count_pruned
-
-    try:
-        out = range_count_pruned(
-            spark, path, col,
-            lo=lo, hi=hi, lo_strict=lo_strict, hi_strict=hi_strict,
-            version=version, where_partition=eq,
-        )
-    except ValueError:
-        return None  # mixed-spec restriction: full scan decides
-    from pyspark.sql.types import LongType, StructField, StructType as _ST
-
-    alias = parsed["items"][0][2]
-    return _local_rows_df(
-        spark, [(out["count"],)],
-        _ST([StructField(alias, LongType(), False)]),
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType as _ST,
     )
+
+    from .snapshot import (
+        range_count_pruned,
+        range_minmax_pruned,
+        range_sum_pruned,
+    )
+
+    bounds = dict(
+        lo=lo, hi=hi, lo_strict=lo_strict, hi_strict=hi_strict,
+        version=version,
+    )
+    try:
+        if kind == "count":
+            out = range_count_pruned(
+                spark, path, col, where_partition=eq, **bounds
+            )
+            return _local_rows_df(
+                spark, [(out["count"],)],
+                _ST([StructField(alias, LongType(), False)]),
+            )
+        if kind in ("sum", "avg"):
+            out = range_sum_pruned(spark, path, col, agg_col, **bounds)
+            return _local_rows_df(
+                spark,
+                [(_sum_avg_value(kind, (out["sum"], out["n_nonnull"])),)],
+                _ST(
+                    [
+                        StructField(
+                            alias,
+                            LongType() if kind == "sum" else DoubleType(),
+                            True,
+                        )
+                    ]
+                ),
+            )
+        out = range_minmax_pruned(spark, path, col, agg_col, **bounds)
+        dt = field_types.get(agg_col)
+        if dt is None:
+            return None  # unknown aggregated column: scan decides
+        v = out[kind]
+        frame = _local_rows_df(
+            spark,
+            [(None if v is None else str(v),)],
+            _ST([StructField(alias, StringType(), True)]),
+        )
+        # manifest renderings → the scan-identical type via string cast
+        from pyspark.sql import functions as F
+
+        return frame.select(F.col(alias).cast(dt).alias(alias))
+    except ValueError:
+        return None  # mixed-spec / sketch-name guard: full scan decides
+    except _Refuse:
+        return None  # int64 overflow on SUM: a scan must decide/error
 
 
 def _answer_eq_range_count(
@@ -837,6 +898,8 @@ def _answer_eq_range_count(
     universe, the range proof runs over just the member partition —
     both halves exact, so the COUNT is (manifest_range_count with
     where_partition)."""
+    if any(k != "count" for k, _, _ in parsed["items"]):
+        raise _Refuse()  # aggregates under a range: hybrid tier / scan
     _, ecol, eraw, lo_raw, hi_raw, lo_strict, hi_strict, rcol = (
         parsed["where"]
     )

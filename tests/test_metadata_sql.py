@@ -77,7 +77,6 @@ def test_parse_accepts_range_and_group_by_forms():
         "SELECT COUNT(*) FROM t GROUP BY x",  # grouped col not selected
         "SELECT y, COUNT(*) FROM t GROUP BY x",  # bare col ≠ grouped col
         "SELECT x FROM t",  # bare column without GROUP BY
-        "SELECT MIN(y) FROM t WHERE x > 1",  # clipped extremes: scan
         "SELECT x, COUNT(*) FROM t WHERE y > 1 GROUP BY x",  # range+group
         "SELECT COUNT(*) FROM t WHERE x <> 1",  # unsupported operator
         "SELECT COUNT(*) FROM t WHERE x > 1 AND x < 9",  # conjunctions
@@ -1001,3 +1000,32 @@ def test_sum_entries_cold_carry_and_hot_recompute(spark, tmp_path):
         )
     )
     assert got3 == truth(rows)
+
+
+def test_single_agg_under_range_parses_but_metadata_refuses(spark, tmp_path):
+    # 'MIN(y) WHERE x > 1' PARSES (the hybrid boundary-scan tier
+    # serves it) but the pure-metadata answerer must still refuse —
+    # clipped extremes are unprovable from partition stats
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        write_snapshot as _ws,
+    )
+
+    d = spark.createDataFrame([(1, 0, 2)], "x long, p long, y long")
+    path = str(tmp_path / "t")
+    _ws(d, path, "p", stats_cols=["x", "y"])
+    parsed = parse_metadata_select("SELECT MIN(y) FROM t WHERE x > 1")
+    assert parsed is not None and parsed["items"] == [("min", "y", "min_y")]
+    assert (
+        answer_from_manifest(
+            spark, "SELECT MIN(y) FROM t WHERE x > 1", {"t": path}
+        )
+        is None
+    )
+    assert (
+        answer_from_manifest(
+            spark,
+            "SELECT SUM(y) AS s FROM t WHERE p = 0 AND x > 1",
+            {"t": path},
+        )
+        is None
+    )

@@ -280,3 +280,47 @@ def test_range_minmax_pruned(spark, tmp_path):
     # empty selection
     e = range_minmax_pruned(spark, path, "k", "x", lo=10_000)
     assert e["min"] is None and e["max"] is None
+
+
+def test_hybrid_tier_serves_all_single_aggregates(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        hybrid_range_count,
+    )
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        write_snapshot,
+    )
+
+    rows = [(i, i // 100, i * 3) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, b long, cents long")
+    path = str(tmp_path / "t")
+    write_snapshot(df, path, "b", stats_cols=["k", "cents", "cents::sum"])
+    tables = {"t": path}
+    sel = [(k, c) for (k, _, c) in rows if 150 <= k <= 449]
+
+    def one(sql):
+        out = hybrid_range_count(spark, sql, tables)
+        return None if out is None else out.collect()[0][0]
+
+    assert one(
+        "SELECT COUNT(*) AS n FROM t WHERE k BETWEEN 150 AND 449"
+    ) == len(sel)
+    assert one(
+        "SELECT SUM(cents) AS s FROM t WHERE k BETWEEN 150 AND 449"
+    ) == sum(c for _, c in sel)
+    assert one(
+        "SELECT AVG(cents) AS a FROM t WHERE k BETWEEN 150 AND 449"
+    ) == float(sum(c for _, c in sel)) / len(sel)
+    assert one(
+        "SELECT MIN(cents) AS lo FROM t WHERE k BETWEEN 150 AND 449"
+    ) == min(c for _, c in sel)
+    assert one(
+        "SELECT MAX(cents) AS hi FROM t WHERE k BETWEEN 150 AND 449"
+    ) == max(c for _, c in sel)
+    # non-shapes still fall through
+    assert one("SELECT SUM(cents) AS s, COUNT(*) AS n FROM t WHERE k > 1") is None
+    assert one("SELECT SUM(cents) AS s FROM t WHERE b = 1 AND k > 1") is None
+    # min/max agg typed like the scan (long, not string)
+    out = hybrid_range_count(
+        spark, "SELECT MIN(cents) AS lo FROM t WHERE k >= 0", tables
+    )
+    assert dict(out.dtypes)["lo"] == "bigint"
