@@ -1350,3 +1350,55 @@ def test_hash_distribution_writes_one_file_per_partition(spark, tmp_path):
 
     with _pt.raises(ValueError, match="unknown distribution"):
         write_snapshot(df, str(tmp_path / "x"), "p", distribution="range")
+
+
+def test_stream_append_maintains_sum_stats(spark, tmp_path):
+    # a ::sum table property must survive STREAMING ingest: every
+    # micro-batch append records [sum, n_nonnull] for its partitions
+    # (property inheritance through append_snapshot), so manifest
+    # SUM/AVG answers stay exact as the stream runs
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        answer_from_manifest,
+    )
+    from pandas_analysis_with_postgres_spark.sources.parquet import load_table
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        manifest_column_sum,
+        write_snapshot,
+    )
+    from pandas_analysis_with_postgres_spark.streaming import (
+        events_stream_multibatch,
+        stream_append_sink,
+    )
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    table = str(tmp_path / "ev")
+    cents = (F.col("value").cast("decimal(18,6)") * 1_000_000).cast("long")
+    # declare the property on a 1-row seed table; the stream fills it
+    write_snapshot(
+        spark.createDataFrame(
+            [(0, "seed", 0)], "event_id long, event_type string, vmicros long"
+        ),
+        table,
+        "event_type",
+        stats_cols=["vmicros::sum"],
+    )
+    stream = events_stream_multibatch(spark, sf_dir).select(
+        "event_id", "event_type", cents.alias("vmicros")
+    )
+    stream_append_sink(
+        stream, table, "event_type",
+        app_id="sumapp", checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    truth = (
+        load_table(spark, sf_dir, "events")
+        .select(cents.alias("v"))
+        .agg(F.sum("v"), F.count("v"))
+        .collect()[0]
+    )
+    got = manifest_column_sum(table, "vmicros")
+    assert got == (int(truth[0]) + 0, int(truth[1]) + 1)  # + the seed row
+    out = answer_from_manifest(
+        spark, "SELECT SUM(vmicros) AS s FROM t", {"t": table}
+    )
+    assert out is not None and out.collect()[0].s == int(truth[0])
