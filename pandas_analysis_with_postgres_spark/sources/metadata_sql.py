@@ -7,35 +7,38 @@ JSON read vs a cluster-wide scan for a poll a dashboard issues every
 minute.
 
 The grammar is deliberately STRICT — a metadata answerer must refuse
-what it cannot prove, never approximate it. Exactly three statement
-shapes are answerable; everything else returns ``None`` and the caller
-falls back to a real scan:
+what it cannot prove, never approximate it. The answerable statement
+shapes; everything else returns ``None`` and the caller falls back to
+a real scan:
 
-1. ``SELECT COUNT(*)/MIN(col)/MAX(col)[, …] FROM t [WHERE pcol =
-   lit]`` — counts from the reserved ``::n_rows`` stats, extremes from
+1. ``SELECT COUNT(*)/COUNT(col)/MIN(col)/MAX(col)/SUM(col)/AVG(col)/
+   APPROX_COUNT_DISTINCT(col)/APPROX_QUANTILE(col, p)[, …] FROM t
+   [WHERE pcol = lit | pcol IN (…)]`` — counts from the reserved
+   ``::n_rows`` stats; null-skipping COUNT(col), SUM, AVG from the
+   ``[min, max, nulls]`` and ``col::sum`` entries; extremes from
    ``stats_cols`` statistics (or partition names for the partition
-   column). WHERE is answered only on the partition column: partition
-   equality is the one equality the manifest proves exactly.
-2. ``SELECT COUNT(*) FROM t WHERE col <op> lit`` / ``col BETWEEN a AND
-   b`` (op ∈ <, <=, >, >=) — the stats-proven RANGE count: answered
-   ONLY when every partition's recorded [min, max] proves it fully
-   inside or fully outside the range (the Iceberg scan-planning trick)
-   AND its null count is recorded (min/max describe non-null values;
-   SQL range predicates reject NULLs). Partial overlap, missing stats,
-   legacy entries without null counts, or a timestamp-typed column
-   (its ISO stat rendering is not literal-comparable) → refuse.
-3. ``SELECT pcol[, COUNT(*)/MIN(col)/MAX(col)…] FROM t [WHERE pcol =
-   lit] GROUP BY pcol`` — the per-partition ``::n_rows`` map IS the
-   count result (hive layout: partition value ↔ directory bijection;
-   Iceberg's ``partitions`` metadata table), and because a group IS a
-   partition, the per-partition stats entries are exactly the
-   per-group MIN/MAX (SQL extremes skip NULLs, as parquet min/max
-   do). The grouped column must be the partition column and must
-   appear in the select list; tombstoned or stat-less partitions
-   refuse the extremes.
-
-(COUNT(col) is NOT COUNT(*) — null-skipping needs per-column null
-counts at COUNT grain, which only the range path uses where recorded.)
+   column); NDV from ``::hll`` register sketches; quantiles from
+   ``::hist:<width>`` bucket counts. WHERE is answered only on the
+   partition column — equality and IN membership are the predicates
+   the manifest proves exactly (IN serves the MERGEABLE aggregates:
+   counts and sums add, registers max-merge, histograms add; MIN/MAX
+   under IN refuse).
+2. ``SELECT COUNT(*) FROM t WHERE col <op> lit`` / ``col BETWEEN a
+   AND b`` (op ∈ <, <=, >, >=), optionally conjoined as ``pcol = lit
+   AND col <range>`` — the stats-proven RANGE count: answered ONLY
+   when every (member) partition's recorded [min, max] proves it
+   fully inside or fully outside the range (the Iceberg scan-planning
+   trick) AND its null count is recorded. Partial overlap refuses —
+   or is served by the separate caller-opted HYBRID tier
+   (:func:`hybrid_range_count`), which also serves single
+   SUM/AVG/MIN/MAX items under a range by scanning only the boundary.
+3. ``SELECT pcol[, aggregates…] FROM t [WHERE pcol = lit | pcol IN
+   (…)] GROUP BY pcol [ORDER BY <output alias> [ASC|DESC] [LIMIT
+   n]]`` — group ≡ partition, so the per-partition entries are
+   exactly the per-group answers; the IN-list filters assembled
+   groups (absent members contribute no group); ORDER BY/LIMIT is
+   provable because the full group set is assembled before ordering
+   (ties break by the group column ascending).
 
 Every shape composes with SQL time travel — ``FROM t FOR VERSION AS
 OF <n>`` / ``FOR TIMESTAMP AS OF '<ts>'`` (the Delta/Iceberg syntax;
