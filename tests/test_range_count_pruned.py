@@ -126,6 +126,16 @@ def test_hybrid_sql_tier_and_cli(spark, tbl, capsys):
     )
     assert rc == 0
     assert "200" in capsys.readouterr().out
+    # the generalized tier: a MIN under a misaligned range also serves
+    rc2 = cli(
+        [
+            "snapshot", "sql", tbl,
+            "--query", "SELECT MIN(k) AS lo FROM t WHERE k >= 250",
+            "--as", "t",
+        ]
+    )
+    assert rc2 == 0
+    assert "250" in capsys.readouterr().out
 
 
 def test_conjunctive_eq_and_range(spark, tbl):
