@@ -782,8 +782,6 @@ def hybrid_range_count(
     ):
         return None
     kind, agg_col, alias = parsed["items"][0]
-    if kind != "count" and parsed["where"][0] == "eqrange":
-        return None  # conjunctive shape serves COUNT only (today)
     path = tables[parsed["table"]]
     if parsed["as_of"] is not None:
         if version is not None:
@@ -860,7 +858,9 @@ def hybrid_range_count(
                 _ST([StructField(alias, LongType(), False)]),
             )
         if kind in ("sum", "avg"):
-            out = range_sum_pruned(spark, path, col, agg_col, **bounds)
+            out = range_sum_pruned(
+                spark, path, col, agg_col, where_partition=eq, **bounds
+            )
             return _local_rows_df(
                 spark,
                 [(_sum_avg_value(kind, (out["sum"], out["n_nonnull"])),)],
@@ -874,7 +874,9 @@ def hybrid_range_count(
                     ]
                 ),
             )
-        out = range_minmax_pruned(spark, path, col, agg_col, **bounds)
+        out = range_minmax_pruned(
+            spark, path, col, agg_col, where_partition=eq, **bounds
+        )
         dt = field_types.get(agg_col)
         if dt is None:
             return None  # unknown aggregated column: scan decides

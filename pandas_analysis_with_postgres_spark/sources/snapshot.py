@@ -4583,23 +4583,9 @@ def range_count_pruned(
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
     part_rows = _partition_rows(man, path)
     ptype = meta.get("partition_type") or "string"
-    targets = None
-    if where_partition is not None:
-        # conjunctive shape: the pcol equality prunes the universe the
-        # range classification runs over — exact, it IS the partition
-        # index (mixed specs make directory names non-values: scan all)
-        if where_partition[0] != pcol:
-            raise ValueError(
-                f"where_partition column {where_partition[0]!r} is not "
-                f"the partition column {pcol!r}"
-            )
-        if _mixed_spec(man):
-            raise ValueError(
-                "partition-VALUE restriction is unprovable while "
-                f"{path} holds old-spec directories — compact_snapshot "
-                "to migrate, or scan"
-            )
-        targets = {_hive_part_name(pcol, where_partition[1])}
+    # conjunctive shape: the pcol equality prunes the universe the
+    # range classification runs over — exact, it IS the partition index
+    targets = _eq_targets(man, path, pcol, where_partition)
     meta_total = 0
     meta_parts: set = set()
     scan_parts: set = set()
@@ -4796,6 +4782,27 @@ def read_metadata_table(
     )
 
 
+def _eq_targets(man, path, pcol, where_partition):
+    """Shared partition-equality restriction for the hybrid provers:
+    None (unrestricted) or the singleton member set. Raises on a
+    non-partition column or a mixed-spec table (directory names are
+    not values of the current column there)."""
+    if where_partition is None:
+        return None
+    if where_partition[0] != pcol:
+        raise ValueError(
+            f"restriction column {where_partition[0]!r} is not the "
+            f"partition column {pcol!r}"
+        )
+    if _mixed_spec(man):
+        raise ValueError(
+            "partition-VALUE restriction is unprovable while "
+            f"{path} holds old-spec directories — compact_snapshot to "
+            "migrate, or scan"
+        )
+    return {_hive_part_name(pcol, where_partition[1])}
+
+
 def range_sum_pruned(
     spark: SparkSession,
     path: str,
@@ -4807,6 +4814,7 @@ def range_sum_pruned(
     lo_strict: bool = False,
     hi_strict: bool = False,
     version: "int | str | None" = None,
+    where_partition: "tuple[str, object] | None" = None,
 ) -> dict:
     """HYBRID ``SUM(sum_col) WHERE range_col <range>`` — the z65 idea
     generalized from counting to summing: partitions the manifest
@@ -4853,11 +4861,14 @@ def range_sum_pruned(
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
     part_rows = _partition_rows(man, path)
     ptype = meta.get("partition_type") or "string"
+    targets = _eq_targets(man, path, pcol, where_partition)
     meta_sum, meta_n = 0, 0
     meta_seen = False
     meta_parts: set = set()
     scan_parts: set = set()
     for pname, n in part_rows.items():
+        if targets is not None and pname not in targets:
+            continue
         if n == 0:
             continue
         entry = stats.get(pname) or {}
@@ -4960,6 +4971,7 @@ def range_minmax_pruned(
     lo_strict: bool = False,
     hi_strict: bool = False,
     version: "int | str | None" = None,
+    where_partition: "tuple[str, object] | None" = None,
 ) -> dict:
     """HYBRID ``MIN(agg_col)/MAX(agg_col) WHERE range_col <range>`` —
     the last member of the z65/z72 family: partitions proven fully
@@ -5003,10 +5015,13 @@ def range_minmax_pruned(
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
     part_rows = _partition_rows(man, path)
     ptype = meta.get("partition_type") or "string"
+    targets = _eq_targets(man, path, pcol, where_partition)
     mins, maxs = [], []
     meta_parts: set = set()
     scan_parts: set = set()
     for pname, n in part_rows.items():
+        if targets is not None and pname not in targets:
+            continue
         if n == 0:
             continue
         entry = stats.get(pname) or {}

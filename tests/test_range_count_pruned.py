@@ -326,11 +326,69 @@ def test_hybrid_tier_serves_all_single_aggregates(spark, tmp_path):
     assert one(
         "SELECT MAX(cents) AS hi FROM t WHERE k BETWEEN 150 AND 449"
     ) == max(c for _, c in sel)
-    # non-shapes still fall through
+    # multi-item statements still fall through; the conjunctive
+    # single-aggregate shape now SERVES (see
+    # test_conjunctive_serves_sum_avg_minmax)
     assert one("SELECT SUM(cents) AS s, COUNT(*) AS n FROM t WHERE k > 1") is None
-    assert one("SELECT SUM(cents) AS s FROM t WHERE b = 1 AND k > 1") is None
+    assert one("SELECT SUM(cents) AS s FROM t WHERE b = 1 AND k > 1") == sum(
+        c for (k, b, c) in rows if b == 1 and k > 1
+    )
     # min/max agg typed like the scan (long, not string)
     out = hybrid_range_count(
         spark, "SELECT MIN(cents) AS lo FROM t WHERE k >= 0", tables
     )
     assert dict(out.dtypes)["lo"] == "bigint"
+
+
+def test_conjunctive_serves_sum_avg_minmax(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        hybrid_range_count,
+    )
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        range_minmax_pruned,
+        range_sum_pruned,
+        write_snapshot,
+    )
+
+    rows = [(i, i // 100, i * 3) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, b long, cents long")
+    path = str(tmp_path / "t")
+    write_snapshot(df, path, "b", stats_cols=["k", "cents", "cents::sum"])
+    sel = [(k, c) for (k, _, c) in rows if k // 100 == 2 and k >= 250]
+
+    def one(sql):
+        out = hybrid_range_count(spark, sql, {"t": path})
+        return None if out is None else out.collect()[0][0]
+
+    assert one(
+        "SELECT SUM(cents) AS s FROM t WHERE b = 2 AND k >= 250"
+    ) == sum(c for _, c in sel)
+    assert one(
+        "SELECT AVG(cents) AS a FROM t WHERE b = 2 AND k >= 250"
+    ) == float(sum(c for _, c in sel)) / len(sel)
+    assert one(
+        "SELECT MIN(cents) AS lo FROM t WHERE b = 2 AND k >= 250"
+    ) == min(c for _, c in sel)
+    assert one(
+        "SELECT MAX(cents) AS hi FROM t WHERE b = 2 AND k >= 250"
+    ) == max(c for _, c in sel)
+    # API level: restriction + aligned range = pure metadata (no scan)
+    out = range_sum_pruned(
+        spark, path, "k", "cents", lo=200, hi=299,
+        where_partition=("b", 2),
+    )
+    assert out["scanned_partitions"] == 0 and out["meta_partitions"] == 1
+    assert out["sum"] == sum(c for (k, _, c) in rows if 200 <= k <= 299)
+    mm = range_minmax_pruned(
+        spark, path, "k", "cents", lo=200, hi=299,
+        where_partition=("b", 2),
+    )
+    assert mm["scanned_partitions"] == 0 and (mm["min"], mm["max"]) == (
+        600,
+        897,
+    )
+    # absent member: empty (SQL semantics), nothing scanned
+    e = range_sum_pruned(
+        spark, path, "k", "cents", lo=0, where_partition=("b", 404)
+    )
+    assert e["sum"] is None and e["scanned_partitions"] == 0
