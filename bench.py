@@ -182,6 +182,7 @@ EXTRA = (
     "z72_range_sum_hybrid",
     "z73_interpolate_linear",
     "z74_range_minmax_hybrid",
+    "z75_range_group_counts",
 )
 
 

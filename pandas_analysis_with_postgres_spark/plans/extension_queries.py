@@ -5302,6 +5302,75 @@ FROM cls
 """
 
 
+def z75_range_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED hybrid range COUNT (sources.snapshot.range_group_counts
+    — the z65 discipline per group): ``SELECT pcol, COUNT(*) WHERE
+    range_col <range> GROUP BY pcol`` with proven-inside partitions
+    answered from their live metadata counts, proven-outside
+    contributing NO group (SQL: empty groups don't exist), and only
+    boundary partitions scanned in one grouped job over just those
+    directories — the per-ingest-day "rows in this key range" panel:
+    metadata for the interior days, data pages only for the edges.
+    Shares z41's bucketed fixture; bounds straddle bucket edges so the
+    answer genuinely mixes both sources; zero-data-page proofs are
+    unit-pinned (tests/test_range_count_pruned.py). The oracle replays
+    groups and classification from per-bucket extremes."""
+    from ..sources.metadata_sql import _local_rows_df
+    from ..sources.snapshot import range_group_counts
+
+    path = _rangecount_table(spark, sf_dir)
+    out = range_group_counts(
+        spark, path, "o_orderkey", lo=30001, hi=95000
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = [
+        (int(v), int(n), out["meta_partitions"], out["scanned_partitions"])
+        for v, n in out["groups"]
+    ] or [(None, None, out["meta_partitions"], out["scanned_partitions"])]
+    return _local_rows_df(
+        spark,
+        rows,
+        StructType(
+            [
+                # nullable: at small fixtures the range matches nothing
+                # and the group list is legitimately empty (one
+                # NULL-group sentinel row keeps the frame non-empty —
+                # replayed identically by the oracle)
+                StructField("okey_bucket", LongType(), True),
+                StructField("n_range", LongType(), True),
+                StructField("meta_parts", LongType(), False),
+                StructField("scan_parts", LongType(), False),
+            ]
+        ),
+    )
+
+
+Z75_SQL = """
+WITH b AS (
+  SELECT o_orderkey AS k, o_orderkey // 20000 AS bkt FROM orders
+),
+cls AS (
+  SELECT bkt, MIN(k) AS lo, MAX(k) AS hi,
+         SUM(CASE WHEN k BETWEEN 30001 AND 95000 THEN 1 ELSE 0 END) AS n_in
+  FROM b GROUP BY bkt
+),
+meta AS (
+  SELECT SUM(CASE WHEN lo >= 30001 AND hi <= 95000
+                  THEN 1 ELSE 0 END)::BIGINT AS meta_parts,
+         SUM(CASE WHEN NOT (lo >= 30001 AND hi <= 95000)
+                   AND NOT (hi < 30001 OR lo > 95000)
+                  THEN 1 ELSE 0 END)::BIGINT AS scan_parts
+  FROM cls
+),
+g AS (SELECT bkt, n_in FROM cls WHERE n_in > 0)
+SELECT COALESCE(g.bkt, NULL)::BIGINT AS okey_bucket,
+       g.n_in::BIGINT AS n_range,
+       meta.meta_parts, meta.scan_parts
+FROM meta LEFT JOIN g ON TRUE
+"""
+
+
 _SUMAVG_DROPS: dict = {}
 
 
@@ -7061,6 +7130,7 @@ EXTENSION_QUERIES = {
     "z72_range_sum_hybrid": z72_range_sum_hybrid,
     "z73_interpolate_linear": z73_interpolate_linear,
     "z74_range_minmax_hybrid": z74_range_minmax_hybrid,
+    "z75_range_group_counts": z75_range_group_counts,
 }
 
 EXTENSION_ORACLES = {
@@ -7156,6 +7226,7 @@ EXTENSION_ORACLES = {
     "z72_range_sum_hybrid": Z72_SQL,
     "z73_interpolate_linear": Z73_SQL,
     "z74_range_minmax_hybrid": Z74_SQL,
+    "z75_range_group_counts": Z75_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

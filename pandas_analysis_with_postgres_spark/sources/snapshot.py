@@ -5127,3 +5127,147 @@ def range_minmax_pruned(
         "meta_partitions": len(meta_parts),
         "scanned_partitions": len(scan_parts),
     }
+
+
+def range_group_counts(
+    spark: SparkSession,
+    path: str,
+    range_col: str,
+    *,
+    lo=None,
+    hi=None,
+    lo_strict: bool = False,
+    hi_strict: bool = False,
+    version: "int | str | None" = None,
+) -> dict:
+    """Grouped HYBRID range COUNT: ``SELECT pcol, COUNT(*) WHERE
+    range_col <range> GROUP BY pcol`` with the z65 discipline per
+    group — a partition proven fully inside contributes its exact
+    live count from metadata, proven-outside contributes NO group
+    (SQL: empty groups don't exist), and only boundary / stat-less /
+    tombstoned partitions scan, in ONE grouped job over just those
+    directories. The per-ingest-day "rows in this key range" panel at
+    100 TB: metadata for the interior days, data pages only for the
+    two edge days.
+
+    Returns ``{"groups": [(value, n), …] sorted by partition name
+    (zero-count groups omitted), "meta_partitions",
+    "scanned_partitions"}``."""
+    from pyspark.sql import functions as F
+
+    if (range_col.endswith(HLL_SUFFIX) or range_col.endswith(SUM_SUFFIX)
+            or _HIST_KEY_RE.match(range_col)):
+        raise ValueError(
+            "pass a data column, not a sketch entry (::hll / ::sum "
+            "/ ::hist:)"
+        )
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    pcol = meta.get("partition_col")
+    if not pcol:
+        raise ValueError(
+            f"snapshot table at {path!r} is unpartitioned — no "
+            "partition column to group by"
+        )
+    if _mixed_spec(man):
+        raise ValueError(
+            f"GROUP BY {pcol!r} is unprovable while {path} holds "
+            "old-spec directories — compact_snapshot to migrate"
+        )
+    renames = meta.get("renames") or []
+
+    def _chain(name: str) -> str:
+        for old, new in renames:
+            if name == old:
+                name = new
+        return name
+
+    def _in_lo(v) -> bool:
+        return lo is None or (v > lo if lo_strict else v >= lo)
+
+    def _in_hi(v) -> bool:
+        return hi is None or (v < hi if hi_strict else v <= hi)
+
+    stats = man.get("stats") or {}
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    part_rows = _partition_rows(man, path)
+    ptype = meta.get("partition_type") or "string"
+    counts: dict = {}  # pname -> n (metadata-proven)
+    meta_parts: set = set()
+    scan_parts: set = set()
+    for pname, n in part_rows.items():
+        if n == 0:
+            continue
+        entry = stats.get(pname) or {}
+        logical = {
+            _chain(k): v for k, v in entry.items() if k != N_ROWS_KEY
+        }
+        if range_col == pcol:
+            is_null, v = _partition_value(pname, ptype)
+            try:
+                if (not is_null) and _in_lo(v) and _in_hi(v):
+                    counts[pname] = n
+                    meta_parts.add(pname)
+                continue  # outside (or NULL): no group
+            except TypeError:
+                scan_parts.add(pname)
+                continue
+        rng = logical.get(range_col)
+        if rng is None:
+            scan_parts.add(pname)
+            continue
+        cmin, cmax = rng[0], rng[1]
+        try:
+            inside = _in_lo(cmin) and _in_hi(cmax)
+            outside = (
+                lo is not None
+                and (cmax < lo or (lo_strict and cmax <= lo))
+            ) or (
+                hi is not None
+                and (cmin > hi or (hi_strict and cmin >= hi))
+            )
+        except TypeError:
+            scan_parts.add(pname)
+            continue
+        nulls = rng[2] if len(rng) > 2 else None
+        if outside:
+            continue
+        if pname in tomb_parts:
+            scan_parts.add(pname)
+            continue
+        if inside and nulls is not None:
+            if n - int(nulls) > 0:
+                counts[pname] = n - int(nulls)
+                meta_parts.add(pname)
+        elif nulls is not None and nulls == n:
+            continue  # all-NULL: no group
+        else:
+            scan_parts.add(pname)
+    if scan_parts:
+        c = F.col(range_col)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c > lo if lo_strict else c >= lo)
+        if hi is not None:
+            cond = cond & (c < hi if hi_strict else c <= hi)
+        rows = (
+            read_snapshot(
+                spark, path, version,
+                partition_filter=lambda p: p in scan_parts,
+            )
+            .filter(cond)
+            .groupBy(pcol)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for r in rows:
+            counts[_hive_part_name(pcol, r[0])] = int(r["n"])
+    groups = [
+        (_partition_value(pname, ptype)[1], counts[pname])
+        for pname in sorted(counts)
+    ]
+    return {
+        "groups": groups,
+        "meta_partitions": len(meta_parts),
+        "scanned_partitions": len(scan_parts),
+    }

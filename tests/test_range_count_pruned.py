@@ -392,3 +392,36 @@ def test_conjunctive_serves_sum_avg_minmax(spark, tmp_path):
         spark, path, "k", "cents", lo=0, where_partition=("b", 404)
     )
     assert e["sum"] is None and e["scanned_partitions"] == 0
+
+
+def test_range_group_counts(spark, tmp_path):
+    from pathlib import Path
+
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        range_group_counts,
+        write_snapshot,
+    )
+
+    rows = [(i, i // 100) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, b long")
+    path = str(tmp_path / "t")
+    write_snapshot(df, path, "b", stats_cols=["k"])
+    out = range_group_counts(spark, path, "k", lo=150, hi=449)
+    # buckets: 1 boundary(50), 2,3 metadata(100), 4 boundary(50), 0 out
+    assert out["groups"] == [(1, 50), (2, 100), (3, 100), (4, 50)]
+    assert out["meta_partitions"] == 2 and out["scanned_partitions"] == 2
+    # zero-data-page proof for the proven groups
+    for f in Path(path).rglob("*.parquet"):
+        if "b=2" in str(f) or "b=3" in str(f):
+            f.unlink()
+    out2 = range_group_counts(spark, path, "k", lo=150, hi=449)
+    assert out2["groups"] == out["groups"]
+    # a bucket whose boundary slice is empty produces NO group
+    out3 = range_group_counts(spark, path, "k", lo=450, hi=460)
+    assert out3["groups"] == [(4, 11)]
+    # range on the partition column itself: never boundary
+    for f in Path(path).rglob("*.parquet"):
+        f.unlink()
+    out4 = range_group_counts(spark, path, "b", lo=1, hi=3)
+    assert out4["groups"] == [(1, 100), (2, 100), (3, 100)]
+    assert out4["scanned_partitions"] == 0
