@@ -425,3 +425,42 @@ def test_range_group_counts(spark, tmp_path):
     out4 = range_group_counts(spark, path, "b", lo=1, hi=3)
     assert out4["groups"] == [(1, 100), (2, 100), (3, 100)]
     assert out4["scanned_partitions"] == 0
+
+
+def test_hybrid_tier_composes_with_time_travel(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        hybrid_range_count,
+    )
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        merge_snapshot,
+        write_snapshot,
+    )
+
+    rows = [(i, i // 100) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, b long")
+    path = str(tmp_path / "t")
+    write_snapshot(df, path, "b", stats_cols=["k"])
+    # v2 adds 10 rows inside the probed range
+    merge_snapshot(
+        path,
+        spark.createDataFrame([(1000 + i, 1) for i in range(10)], "k long, b long"),
+        "k",
+        "b",
+    )
+    tables = {"t": path}
+
+    def n(sql, **kw):
+        out = hybrid_range_count(spark, sql, tables, **kw)
+        return None if out is None else out.collect()[0][0]
+
+    now = "SELECT COUNT(*) AS n FROM t WHERE k >= 150"
+    assert n(now) == 150 + 10
+    # SQL time travel pins v1; caller-side pin does the same
+    assert n("SELECT COUNT(*) AS n FROM t FOR VERSION AS OF 1 WHERE k >= 150") == 150
+    assert n(now, version=1) == 150
+    # both at once is ambiguous and loud
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="pick one"):
+        n("SELECT COUNT(*) AS n FROM t FOR VERSION AS OF 1 WHERE k >= 150",
+          version=2)
