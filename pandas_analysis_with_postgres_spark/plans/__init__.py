@@ -92,68 +92,71 @@ RENAMES = {
 #: insertion slots of ``queries()``. Per README §"Driver-window
 #: rotation schedule": the twenty-one round-7 additions z40–z60
 #: (never driver-checked — metadata SQL forms, MoR deletes, SQL DML,
-#: WAP, branches, spec evolution, token index, manifest NDV/quantile,
-#: shallow clone, streaming WAP/opt-out), plus 29 fill slots from the
-#: keys with the OLDEST driver rows (the r05-only block: a69–a72,
-#: a85–a92, a94–a99, z01–z07, a55/a56, a73/a74). After this window
-#: every key's newest driver row is r06 or later.
+#: Round-9 window: the 15 round-8 additions z61–z75 (metadata
+#: COUNT(col)/SUM/AVG, ORDER BY/LIMIT, conjunctive eq+range, the
+#: hybrid count/sum/minmax/grouped family, metadata tables, TPC-H
+#: Q3/Q5/Q17/Q18 analogs, interpolation) — never driver-checked —
+#: plus 35 fill slots from the keys with the OLDEST driver rows
+#: (the r06-only block: a75–a84, a93, z08–z19, a36–a39/a47/a57,
+#: q01–q06). After this window steady-state rotation continues over
+#: the frozen key space.
 #:
 #: The key space is FROZEN — no further renames or re-keys. Future
 #: rotations only reorder; `scripts/check_surface.py` (run by pytest)
 #: enforces 50 distinct real keys and insertion-order integrity.
 ROTATION = [
-    # round-7 additions, never driver-checked (z40–z60)
-    "z40_metadata_groupby",
-    "z41_metadata_range_count",
-    "z42_mor_delete",
-    "z43_sql_update",
-    "z44_sql_delete",
-    "z45_metadata_groupby_stats",
-    "z46_sql_time_travel",
-    "z47_live_optout",
-    "z48_compact_partitions",
-    "z49_wap_publish",
-    "z50_restore",
-    "z51_manifest_ndv",
-    "z52_branch_merge",
-    "z53_partition_evolution",
-    "z54_token_index_search",
-    "z55_manifest_quantiles",
-    "z56_stream_branch_ingest",
-    "z57_string_bloom_lookup",
-    "z58_alter_upgrade",
-    "z59_metadata_in_list",
-    "z60_shallow_clone",
-    # fill: oldest remaining driver rows (r05-only block)
-    "a69_bm25_topk",
-    "a70_bigram_lm_surprisal",
-    "a71_bpe_train",
-    "a72_live_hll_users",
-    "a85_bpe_encode",
-    "a86_supply_pagerank",
-    "a87_event_transitions",
-    "a88_orders_profile",
-    "a89_fuzzy_token_pairs",
-    "a90_price_histogram_quantiles",
-    "a91_weighted_doc_sample",
-    "a92_grouping_sets",
-    "a94_user_median_py",
-    "a95_bloom_join_revenue",
-    "a96_order_value_spread",
-    "a97_audio_features",
-    "a98_snapshot_time_travel",
-    "a99_zorder_key",
-    "z01_boilerplate_lines",
-    "z02_quality_classifier",
-    "z03_global_rank_shards",
-    "z04_stats_pruned_scan",
-    "z05_shuffled_shards",
-    "z06_bloom_point_lookup",
-    "z07_change_data_feed",
-    "a55_live_enriched_counts",
-    "a56_live_pair_join",
-    "a73_doc_chunks",
-    "a74_rolling_spend",
+    # round-8 additions, never driver-checked (z61–z75)
+    "z61_metadata_groupby_in",
+    "z62_metadata_count_col",
+    "z63_metadata_topk",
+    "z64_metadata_sum_avg",
+    "z65_range_count_hybrid",
+    "z66_shipping_priority",
+    "z67_local_supplier_volume",
+    "z68_large_order_customers",
+    "z69_small_quantity_revenue",
+    "z70_metadata_tables",
+    "z71_metadata_eq_range",
+    "z72_range_sum_hybrid",
+    "z73_interpolate_linear",
+    "z74_range_minmax_hybrid",
+    "z75_range_group_counts",
+    # fill: oldest remaining driver rows (r06-only block)
+    "a75_value_outliers",
+    "a76_event_pivot",
+    "a77_lineitem_melt_profile",
+    "a78_key_skew_profile",
+    "a79_source_sample",
+    "a80_price_quartiles",
+    "a81_spend_deciles",
+    "a82_session_funnel",
+    "a83_retention_cohorts",
+    "a84_event_sequences",
+    "a93_live_enrich",
+    "z08_semantic_dedup",
+    "z09_chunk_udtf",
+    "z10_scd2_lakehouse",
+    "z11_incremental_matview",
+    "z12_resample_ffill",
+    "z13_image_resize",
+    "z14_optout_delete",
+    "z15_schema_evolution",
+    "z16_audio_resample",
+    "z17_warc_extract",
+    "z18_compressed_blobs",
+    "z19_webdataset_roundtrip",
+    "a36_live_hourly_counts",
+    "a37_live_sessions",
+    "a38_live_dedup",
+    "a39_live_sliding_counts",
+    "a47_live_stateful_counts",
+    "a57_frame_sample",
+    "q01_pricing_summary",
+    "q02_customer_profile",
+    "q03_latest_order_per_customer",
+    "q04_order_counts",
+    "q05_customer_flags",
+    "q06_first_order_per_customer",
 ]
 
 
