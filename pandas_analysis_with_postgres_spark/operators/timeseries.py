@@ -125,9 +125,14 @@ def interpolate_linear(
     out_col: str = "value_interp",
 ) -> DataFrame:
     """Linear interpolation of ``value_col``'s NULLs per key — pandas
-    ``Series.interpolate(method="linear")`` semantics on an irregular
-    series: interior NULLs take the time-weighted line between the
-    surrounding observations, LEADING NULLs stay NULL (nothing to
+    ``Series.interpolate(method="index")`` semantics (a.k.a.
+    ``method="values"``): interior NULLs take the TIME-WEIGHTED line
+    over the ``ts_num_col`` axis between the surrounding
+    observations. (pandas ``method="linear"`` treats points as
+    EQUALLY spaced and only coincides with this on a uniform grid;
+    on an irregular series the two differ — this operator implements
+    the index-weighted semantics, which is the physically meaningful
+    one for a time series.) LEADING NULLs stay NULL (nothing to
     anchor the line), TRAILING NULLs carry the last observation
     forward (the pandas default's forward limit direction).
 

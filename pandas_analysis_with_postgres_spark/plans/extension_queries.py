@@ -5149,9 +5149,10 @@ FROM cls
 
 def z73_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LINEAR INTERPOLATION (operators.timeseries.interpolate_linear —
-    pandas ``Series.interpolate(method="linear")`` for irregular
-    series at Spark scale): interior NULLs take the time-weighted line
-    between surrounding observations, leading NULLs stay NULL,
+    pandas ``Series.interpolate(method="index")`` for irregular
+    series at Spark scale; coincides with ``method="linear"`` only on
+    uniformly spaced timestamps): interior NULLs take the
+    time-weighted line between surrounding observations, leading NULLs stay NULL,
     trailing NULLs carry forward — per user over the events stream,
     ONE shuffle (two ordered windows share it), no Python. The time
     axis is the tz-free epoch_seconds field arithmetic (timeutil), the

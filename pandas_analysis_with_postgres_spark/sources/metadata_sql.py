@@ -874,12 +874,15 @@ def hybrid_range_count(
                     ]
                 ),
             )
-        out = range_minmax_pruned(
-            spark, path, col, agg_col, where_partition=eq, **bounds
-        )
+        # validate the aggregated column BEFORE the prover runs — an
+        # unknown agg_col must not pay a boundary scan only to refuse
+        # (mirrors the early ``coltype`` check on the range column)
         dt = field_types.get(agg_col)
         if dt is None:
             return None  # unknown aggregated column: scan decides
+        out = range_minmax_pruned(
+            spark, path, col, agg_col, where_partition=eq, **bounds
+        )
         v = out[kind]
         frame = _local_rows_df(
             spark,

@@ -4610,25 +4610,32 @@ def range_count_pruned(
             _chain(k): v for k, v in entry.items() if k != N_ROWS_KEY
         }
         rng = logical.get(column)
+        # classify FIRST (mirrors range_sum_pruned): [min,max] is a
+        # pre-delete SUPERSET, so a proven-OUTSIDE partition counts
+        # zero even when tombstoned — no data pages needed for it.
+        if rng is not None:
+            try:
+                outside = (
+                    lo is not None
+                    and (rng[1] < lo or (lo_strict and rng[1] <= lo))
+                ) or (
+                    hi is not None
+                    and (rng[0] > hi or (hi_strict and rng[0] >= hi))
+                )
+            except TypeError:
+                outside = False  # incomparable literal: no proof
+            if outside:
+                continue  # proven zero (nulls excluded by SQL anyway)
         if rng is None or pname in tomb_parts:
             scan_parts.add(pname)  # unprovable: scan exactly this one
             continue
         cmin, cmax = rng[0], rng[1]
         try:
             inside = _in_lo(cmin) and _in_hi(cmax)
-            outside = (
-                lo is not None
-                and (cmax < lo or (lo_strict and cmax <= lo))
-            ) or (
-                hi is not None
-                and (cmin > hi or (hi_strict and cmin >= hi))
-            )
         except TypeError:
             scan_parts.add(pname)
             continue
         nulls = rng[2] if len(rng) > 2 else None
-        if outside:
-            continue  # proven zero (nulls excluded by SQL anyway)
         if inside and nulls is not None:
             meta_total += n - int(nulls)
             meta_parts.add(pname)
@@ -4735,7 +4742,13 @@ def read_metadata_table(
         )
         rows = []
         for v in range(1, int(head) + 1):
-            man = read_manifest(path, v)
+            # expire_snapshots unlinks manifests older than ``keep``;
+            # like Iceberg's history table, list only the retained
+            # snapshots instead of assuming an unbroken 1..head range.
+            try:
+                man = read_manifest(path, v)
+            except FileNotFoundError:
+                continue
             rows.append(
                 (
                     v,

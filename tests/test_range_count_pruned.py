@@ -85,6 +85,20 @@ def test_tombstoned_partitions_scan_and_stay_exact(spark, tbl):
     assert out["scanned_partitions"] == 3  # buckets 2, 3 (tombstoned), 4
 
 
+def test_tombstoned_but_proven_outside_is_not_scanned(spark, tbl):
+    # Tombstone keys in bucket 8 (k 800-899), then count over
+    # [250, 449]: bucket 8 is provably fully OUTSIDE the range —
+    # [min,max] is a pre-delete superset, so the outside proof holds
+    # despite the tombstone and the partition must NOT pay a scan.
+    delete_where(
+        spark, tbl, F.col("k").between(800, 809), mode="merge-on-read",
+        key="k",
+    )
+    out = range_count_pruned(spark, tbl, "k", lo=250, hi=449)
+    assert out["count"] == 200
+    assert out["scanned_partitions"] == 2  # buckets 2, 4 only
+
+
 def test_nulls_are_excluded_like_sql(spark, tmp_path):
     rows = [(i if i % 5 else None, i // 100) for i in range(300)]
     df = spark.createDataFrame(rows, "k long, b long")
@@ -338,6 +352,9 @@ def test_hybrid_tier_serves_all_single_aggregates(spark, tmp_path):
         spark, "SELECT MIN(cents) AS lo FROM t WHERE k >= 0", tables
     )
     assert dict(out.dtypes)["lo"] == "bigint"
+    # unknown aggregated column refuses BEFORE the prover runs — no
+    # boundary scan is paid for a statement the tier cannot serve
+    assert one("SELECT MIN(nope) AS lo FROM t WHERE k >= 0") is None
 
 
 def test_conjunctive_serves_sum_avg_minmax(spark, tmp_path):

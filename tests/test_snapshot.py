@@ -1308,6 +1308,17 @@ def test_metadata_tables(spark, tmp_path):
     with _pt.raises(ValueError, match="unknown metadata table"):
         read_metadata_table(spark, path, "snapshots")
 
+    # history after expiry: like Iceberg's history table, list only
+    # the RETAINED snapshots — expire_snapshots unlinks old manifests
+    # and the table must skip them, not raise FileNotFoundError
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        expire_snapshots,
+    )
+
+    expire_snapshots(path, keep=2, min_age_sec=0)
+    hist3 = read_metadata_table(spark, path, "history").collect()
+    assert [r.version for r in hist3] == [2, 3]
+
 
 def test_hash_distribution_writes_one_file_per_partition(spark, tmp_path):
     from pandas_analysis_with_postgres_spark.sources.snapshot import (
