@@ -183,6 +183,7 @@ EXTRA = (
     "z73_interpolate_linear",
     "z74_range_minmax_hybrid",
     "z75_range_group_counts",
+    "z76_file_skipping",
 )
 
 

@@ -121,6 +121,8 @@ ROTATION = [
     "z73_interpolate_linear",
     "z74_range_minmax_hybrid",
     "z75_range_group_counts",
+    # round-9 addition: per-file data skipping (new this round)
+    "z76_file_skipping",
     # fill: oldest remaining driver rows (r06-only block)
     "a75_value_outliers",
     "a76_event_pivot",
@@ -156,7 +158,6 @@ ROTATION = [
     "q03_latest_order_per_customer",
     "q04_order_counts",
     "q05_customer_flags",
-    "q06_first_order_per_customer",
 ]
 
 

@@ -5372,6 +5372,138 @@ FROM meta LEFT JOIN g ON TRUE
 """
 
 
+_FILESKIP_DROPS: dict = {}
+
+
+def _fileskip_table(spark: SparkSession, sf_dir: str) -> "tuple[str, int]":
+    """Materialize the z76 snapshot fixture once per (app, sf_dir): a
+    table whose FILE layout is exact by construction — ``spark.range``
+    with an explicit partition count slices ``[0, m)`` into 16 equal
+    JVM-side pieces (no sampling, no hash), so each of the 4 hive
+    partitions (``bu = k // (m/4)``) holds exactly 4 parquet files
+    with KNOWN disjoint k-ranges. Deterministic file bounds are the
+    point: the oracle replays the per-file footer [min, max]
+    arithmetic, which no repartition/coalesce layout can guarantee
+    (Catalyst collapses unions of coalesced children; range
+    partitioning samples). ``m`` is sized from the orders table so the
+    fixture scales with sf."""
+    import os
+
+    from ..sources.snapshot import write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _FILESKIP_DROPS.get(key)
+    if hit is not None:
+        return hit
+    n = load_table(spark, sf_dir, "orders").count()
+    m = max((n // 16) * 16, 16)
+    path = _tracked_mkdtemp("fileskip_") + "/tbl"
+    df = spark.range(0, m, 1, 16).select(
+        F.col("id").alias("k"),
+        F.floor(F.col("id") / (m // 4)).cast("long").alias("bu"),
+    )
+    write_snapshot(df, path, "bu", stats_cols=["k"])
+    _FILESKIP_DROPS[key] = (path, m)
+    return path, m
+
+
+def z76_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-FILE data skipping (snapshot.FILES_KEY — the file grain of
+    Iceberg/Delta scan planning): the manifest records per-file
+    [min, max, nulls] from the same footer pass that produces the
+    partition entry, and a range read inside a surviving partition
+    opens ONLY the files whose bounds can overlap the window. Here the
+    hybrid prover (range_count_pruned) answers a COUNT over
+    ``[s, 11s−1]`` on a 4-partition × 4-file table: one partition is
+    proven inside (metadata), one proven outside, and the TWO boundary
+    partitions scan 3 of their 4 files each — 6 of 8 boundary files
+    opened, the other 2 proven out by their own footers. On a 100 TB
+    table this is the difference between "scan the boundary
+    partitions" and "scan the boundary FILES": intra-partition
+    skipping holds the boundary I/O at O(files touching the edge)
+    regardless of partition width. Zero-data-page proofs (pruned files
+    deleted from disk, reads still correct) are unit-pinned in
+    tests/test_file_stats.py; the oracle replays bucket/slice
+    classification arithmetically from the same exact slicing."""
+    from ..sources.metadata_sql import _local_rows_df
+    from ..sources.snapshot import range_count_pruned
+
+    path, m = _fileskip_table(spark, sf_dir)
+    s = m // 16
+    out = range_count_pruned(spark, path, "k", lo=s, hi=11 * s - 1)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return _local_rows_df(
+        spark,
+        [
+            (
+                out["count"],
+                out["meta_partitions"],
+                out["scanned_partitions"],
+                out["scanned_files"],
+                out["total_files"],
+            )
+        ],
+        StructType(
+            [
+                StructField("n_range", LongType(), False),
+                StructField("meta_parts", LongType(), False),
+                StructField("scan_parts", LongType(), False),
+                StructField("files_scanned", LongType(), False),
+                StructField("files_total", LongType(), False),
+            ]
+        ),
+    )
+
+
+Z76_SQL = """
+WITH p AS (
+  SELECT GREATEST((COUNT(*) // 16) * 16, 16) AS m FROM orders
+),
+r AS (
+  -- k = 0..m-1 (DuckDB's range() rejects subquery parameters, so the
+  -- dense keyspace is derived by numbering orders rows instead)
+  SELECT rn AS k,
+         rn // ((SELECT m FROM p) // 4) AS bu,
+         rn // ((SELECT m FROM p) // 16) AS slice
+  FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn FROM orders
+  )
+  WHERE rn < (SELECT m FROM p)
+),
+q AS (
+  SELECT (SELECT m FROM p) // 16 AS lo,
+         11 * ((SELECT m FROM p) // 16) - 1 AS hi
+),
+cls AS (
+  SELECT bu, MIN(k) AS blo, MAX(k) AS bhi,
+         SUM(CASE WHEN k BETWEEN (SELECT lo FROM q) AND (SELECT hi FROM q)
+                  THEN 1 ELSE 0 END) AS n_in
+  FROM r GROUP BY bu
+),
+fls AS (
+  SELECT bu, slice, MIN(k) AS flo, MAX(k) AS fhi FROM r GROUP BY bu, slice
+),
+bnd AS (
+  SELECT bu FROM cls
+  WHERE NOT (blo >= (SELECT lo FROM q) AND bhi <= (SELECT hi FROM q))
+    AND NOT (bhi < (SELECT lo FROM q) OR blo > (SELECT hi FROM q))
+)
+SELECT
+  (SELECT SUM(n_in) FROM cls)::BIGINT AS n_range,
+  (SELECT COUNT(*) FROM cls
+    WHERE blo >= (SELECT lo FROM q)
+      AND bhi <= (SELECT hi FROM q))::BIGINT AS meta_parts,
+  (SELECT COUNT(*) FROM bnd)::BIGINT AS scan_parts,
+  (SELECT COUNT(*) FROM fls
+    WHERE bu IN (SELECT bu FROM bnd)
+      AND NOT (fhi < (SELECT lo FROM q)
+               OR flo > (SELECT hi FROM q)))::BIGINT AS files_scanned,
+  (SELECT COUNT(*) FROM fls
+    WHERE bu IN (SELECT bu FROM bnd))::BIGINT AS files_total
+"""
+
+
 _SUMAVG_DROPS: dict = {}
 
 
@@ -7132,6 +7264,7 @@ EXTENSION_QUERIES = {
     "z73_interpolate_linear": z73_interpolate_linear,
     "z74_range_minmax_hybrid": z74_range_minmax_hybrid,
     "z75_range_group_counts": z75_range_group_counts,
+    "z76_file_skipping": z76_file_skipping,
 }
 
 EXTENSION_ORACLES = {
@@ -7228,6 +7361,7 @@ EXTENSION_ORACLES = {
     "z73_interpolate_linear": Z73_SQL,
     "z74_range_minmax_hybrid": Z74_SQL,
     "z75_range_group_counts": Z75_SQL,
+    "z76_file_skipping": Z76_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

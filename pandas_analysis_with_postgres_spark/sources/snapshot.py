@@ -479,6 +479,20 @@ def _stat_json(v):
 #: data file: the Iceberg/Delta numRecords idiom.
 N_ROWS_KEY = "::n_rows"
 
+#: Reserved stats-entry key holding PER-FILE column statistics:
+#: ``stats[pname][FILES_KEY] = {filename: {col: [min, max(, nulls)],
+#: N_ROWS_KEY: n}}`` — harvested from the same footer pass that
+#: produces the partition-grain entry (zero extra I/O). This is the
+#: file grain of Iceberg/Delta data skipping: inside a multi-file
+#: partition, a range read keeps only the files whose recorded
+#: [min, max] can overlap the window (``read_snapshot``'s
+#: ``column_ranges`` and the hybrid provers' boundary scans both
+#: prune on it). Riding INSIDE the per-partition stats entry means
+#: every existing carry rule (cold-partition carry on merge/replace,
+#: drop-on-rewrite, branch/clone refs) applies unchanged — the entry
+#: follows its partition directory exactly like tombstones do.
+FILES_KEY = "::files"
+
 #: Default per-partition Bloom sizing: m bits / k=4 hashes. 4096 bits
 #: = 512 bytes (1 KiB hex in the manifest) per (partition, column);
 #: FPR ~2.4e-3 at 500 distinct keys/partition, ~0.1 at 5k, SATURATED
@@ -585,7 +599,13 @@ def _footer_stats(part_dir: Path, cols: list[str]) -> tuple[dict, int]:
     Entry shape: ``[min, max, null_count]`` when every chunk reports
     a null count (parquet-mr and parquet-cpp both write it), else the
     legacy ``[min, max]`` — readers treat a 2-element entry as "null
-    count unknown" and refuse null-sensitive proofs (range COUNT)."""
+    count unknown" and refuse null-sensitive proofs (range COUNT).
+
+    The same pass also records PER-FILE statistics under the reserved
+    ``FILES_KEY`` (file-grain data skipping — see the constant's
+    docstring): each file gets the identical conservative treatment
+    at its own grain, so a column unusable in one file can still
+    carry partition stats from the others and vice versa."""
     import pyarrow.parquet as pq
 
     mins: dict = {}
@@ -594,15 +614,21 @@ def _footer_stats(part_dir: Path, cols: list[str]) -> tuple[dict, int]:
     bad: set = set()
     no_nulls_info: set = set()
     n_rows = 0
+    file_stats: dict = {}
     for f in sorted(part_dir.glob("*.parquet")):
         md = pq.ParquetFile(str(f)).metadata
         n_rows += md.num_rows
+        fmins: dict = {}
+        fmaxs: dict = {}
+        fnulls: dict = {}
+        fbad: set = set()
+        fno_nulls: set = set()
         for rg in range(md.num_row_groups):
             row_group = md.row_group(rg)
             for i in range(row_group.num_columns):
                 chunk = row_group.column(i)
                 name = chunk.path_in_schema
-                if name not in cols or name in bad:
+                if name not in cols or (name in bad and name in fbad):
                     continue
                 st = chunk.statistics
                 lo = _stat_json(st.min) if st is not None and st.has_min_max else None
@@ -618,25 +644,54 @@ def _footer_stats(part_dir: Path, cols: list[str]) -> tuple[dict, int]:
                         and st.null_count == row_group.num_rows
                     ):
                         nulls[name] = nulls.get(name, 0) + st.null_count
+                        fnulls[name] = fnulls.get(name, 0) + st.null_count
                         continue
                     bad.add(name)
                     mins.pop(name, None)
                     maxs.pop(name, None)
+                    fbad.add(name)
+                    fmins.pop(name, None)
+                    fmaxs.pop(name, None)
                     continue
-                mins[name] = lo if name not in mins else min(mins[name], lo)
-                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-                if st.has_null_count:
-                    nulls[name] = nulls.get(name, 0) + st.null_count
-                else:
-                    no_nulls_info.add(name)
-    return {
+                if name not in bad:
+                    mins[name] = lo if name not in mins else min(mins[name], lo)
+                    maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+                    if st.has_null_count:
+                        nulls[name] = nulls.get(name, 0) + st.null_count
+                    else:
+                        no_nulls_info.add(name)
+                if name not in fbad:
+                    fmins[name] = (
+                        lo if name not in fmins else min(fmins[name], lo)
+                    )
+                    fmaxs[name] = (
+                        hi if name not in fmaxs else max(fmaxs[name], hi)
+                    )
+                    if st.has_null_count:
+                        fnulls[name] = fnulls.get(name, 0) + st.null_count
+                    else:
+                        fno_nulls.add(name)
+        fentry = {
+            c: (
+                [fmins[c], fmaxs[c], fnulls.get(c, 0)]
+                if c not in fno_nulls
+                else [fmins[c], fmaxs[c]]
+            )
+            for c in fmins
+        }
+        fentry[N_ROWS_KEY] = md.num_rows
+        file_stats[f.name] = fentry
+    out = {
         c: (
             [mins[c], maxs[c], nulls.get(c, 0)]
             if c not in no_nulls_info
             else [mins[c], maxs[c]]
         )
         for c in mins
-    }, n_rows
+    }
+    if file_stats and cols:
+        out[FILES_KEY] = file_stats
+    return out, n_rows
 
 
 def _ranges_overlap(stats: dict, column_ranges: dict) -> bool:
@@ -692,9 +747,14 @@ def read_snapshot(
     a partition whose stored ``[min, max]`` for ``col`` provably
     excludes ``[lo, hi]`` (either bound may be None = open) is
     skipped at the manifest — data skipping on NON-partition columns,
-    the manifest-stats half of what Iceberg/Delta do. It is an I/O
+    the manifest-stats half of what Iceberg/Delta do. Inside each
+    surviving partition the per-FILE statistics (``FILES_KEY``,
+    recorded by the same footer harvest) prune at file grain too: a
+    multi-file partition reads only the files whose [min, max] can
+    overlap the window. It is an I/O
     optimization with a conservative contract: partitions lacking
-    stats (or with bounds of an incomparable type) are kept, the
+    stats (or with bounds of an incomparable type) are kept, files
+    lacking per-file stats are kept, the
     caller must still apply the real filter to the returned frame,
     and a window that excludes EVERY partition returns an empty frame
     with the table's schema — never an error — exactly like the
@@ -754,6 +814,7 @@ def read_snapshot(
             kept = {first: parts[first]}
             empty_result = True
         parts = kept
+    file_sel: dict[str, list[str]] = {}
     if column_ranges and parts and not empty_result:
         all_stats = man.get("stats") or {}
         kept = {
@@ -761,6 +822,28 @@ def read_snapshot(
             for p, rel in parts.items()
             if _ranges_overlap(all_stats.get(p) or {}, column_ranges)
         }
+        # FILE grain: inside each surviving partition keep only the
+        # files whose recorded per-file [min, max] can overlap the
+        # window (FILES_KEY — same conservative contract: files
+        # lacking stats are kept, the caller still applies the real
+        # filter). This is the intra-partition half of Iceberg/Delta
+        # data skipping: a boundary partition with many files reads
+        # only the overlapping ones.
+        for p in list(kept):
+            fstats = (all_stats.get(p) or {}).get(FILES_KEY)
+            if not fstats:
+                continue
+            sel = [
+                f
+                for f, fs in sorted(fstats.items())
+                if _ranges_overlap(fs, column_ranges)
+            ]
+            if not sel:
+                # every file provably outside: the partition
+                # contributes no rows — drop it entirely
+                del kept[p]
+            elif len(sel) < len(fstats):
+                file_sel[p] = sel
         if not kept:
             # Stats prove the window holds no rows. An unpruned read +
             # filter would return an EMPTY frame, and skipping must be
@@ -768,14 +851,20 @@ def read_snapshot(
             # schema and emit zero rows (a footer-only read).
             first = sorted(parts)[0]
             kept = {first: parts[first]}
+            file_sel.pop(first, None)
             empty_result = True
         parts = kept
     if not parts:
         raise FileNotFoundError(f"no snapshot at {path}")
     by_commit: dict[str, list[str]] = {}
-    for rel in parts.values():
+    for pname, rel in parts.items():
         commit = os.path.dirname(rel)  # data/<commit-id>
-        by_commit.setdefault(commit, []).append(os.path.join(path, rel))
+        if pname in file_sel:
+            by_commit.setdefault(commit, []).extend(
+                os.path.join(path, rel, f) for f in file_sel[pname]
+            )
+        else:
+            by_commit.setdefault(commit, []).append(os.path.join(path, rel))
     # Partition values must come back as the RAW directory string and be
     # cast per the manifest-pinned type. Letting Spark's hive inference
     # guess first corrupts string-typed values that look numeric
@@ -3589,14 +3678,18 @@ def manifest_aggregate(
     for pname, rel in parts.items():
         entry = stats.get(pname) or {}
         # logical view of this partition's recorded stats
-        logical = {_chain(k): v for k, v in entry.items() if k != N_ROWS_KEY}
+        logical = {_chain(k): v for k, v in entry.items()
+            if k not in (N_ROWS_KEY, FILES_KEY)}
         need = [c for c in want if c not in logical]
         if entry.get(N_ROWS_KEY) is None or need:
             # pre-upgrade commit or un-tracked column: harvest the
             # footers of THIS partition only (physical names in the
             # files are pre-rename for old commits — map via _chain)
             harvested, hrows = _footer_stats(Path(path) / rel, sorted(aliases))
-            logical.update({_chain(k): v for k, v in harvested.items()})
+            logical.update({
+                _chain(k): v for k, v in harvested.items()
+                if k != FILES_KEY
+            })
             n_rows += (
                 entry[N_ROWS_KEY] if entry.get(N_ROWS_KEY) is not None else hrows
             )
@@ -4117,7 +4210,8 @@ def manifest_group_stats(
     for pname in sorted(parts):
         entry = stats.get(pname) or {}
         logical = {
-            _chain(k): v for k, v in entry.items() if k != N_ROWS_KEY
+            _chain(k): v for k, v in entry.items()
+            if k not in (N_ROWS_KEY, FILES_KEY)
         }
         n = entry.get(N_ROWS_KEY)
         need = [c for c in columns if c not in logical]
@@ -4125,7 +4219,10 @@ def manifest_group_stats(
             harvested, hrows = _footer_stats(
                 Path(path) / parts[pname], sorted(aliases)
             )
-            logical.update({_chain(k): v for k, v in harvested.items()})
+            logical.update({
+                _chain(k): v for k, v in harvested.items()
+                if k != FILES_KEY
+            })
             if n is None:
                 n = hrows
         missing = [c for c in columns if c not in logical]
@@ -4241,7 +4338,8 @@ def manifest_range_count(
             continue
         entry = stats.get(pname) or {}
         logical = {
-            _chain(k): v for k, v in entry.items() if k != N_ROWS_KEY
+            _chain(k): v for k, v in entry.items()
+            if k not in (N_ROWS_KEY, FILES_KEY)
         }
         rng = logical.get(column)
         if rng is None:
@@ -4384,7 +4482,8 @@ def manifest_column_count(
             )
         entry = stats.get(pname) or {}
         logical = {
-            _chain(k): v for k, v in entry.items() if k != N_ROWS_KEY
+            _chain(k): v for k, v in entry.items()
+            if k not in (N_ROWS_KEY, FILES_KEY)
         }
         rng = logical.get(column)
         if rng is None or len(rng) < 3 or rng[2] is None:
@@ -4607,7 +4706,8 @@ def range_count_pruned(
                 continue
         entry = stats.get(pname) or {}
         logical = {
-            _chain(k): v for k, v in entry.items() if k != N_ROWS_KEY
+            _chain(k): v for k, v in entry.items()
+            if k not in (N_ROWS_KEY, FILES_KEY)
         }
         rng = logical.get(column)
         # classify FIRST (mirrors range_sum_pruned): [min,max] is a
@@ -4655,14 +4755,33 @@ def range_count_pruned(
             read_snapshot(
                 spark, path, version,
                 partition_filter=lambda p: p in scan_parts,
+                column_ranges={column: (lo, hi)},
             )
             .filter(cond)
             .count()
+        )
+    # file-grain accounting, mirroring exactly what the boundary scan
+    # above read: over scan partitions WITH per-file stats, how many
+    # files could overlap the window (closed-bound, the same
+    # _ranges_overlap the read path prunes with) vs how many exist.
+    # Partitions without FILES_KEY (legacy commits) count in neither.
+    files_total = files_scanned = 0
+    for pname in scan_parts:
+        fstats = (stats.get(pname) or {}).get(FILES_KEY)
+        if not fstats:
+            continue
+        files_total += len(fstats)
+        files_scanned += sum(
+            1
+            for fs in fstats.values()
+            if _ranges_overlap(fs, {column: (lo, hi)})
         )
     return {
         "count": int(meta_total + scanned),
         "meta_partitions": len(meta_parts),
         "scanned_partitions": len(scan_parts),
+        "scanned_files": files_scanned,
+        "total_files": files_total,
     }
 
 
@@ -4886,7 +5005,8 @@ def range_sum_pruned(
             continue
         entry = stats.get(pname) or {}
         logical = {
-            _chain(k): v for k, v in entry.items() if k != N_ROWS_KEY
+            _chain(k): v for k, v in entry.items()
+            if k not in (N_ROWS_KEY, FILES_KEY)
         }
         sum_pair = None
         for k, v in entry.items():
@@ -4952,6 +5072,7 @@ def range_sum_pruned(
             read_snapshot(
                 spark, path, version,
                 partition_filter=lambda p: p in scan_parts,
+                column_ranges={range_col: (lo, hi)},
             )
             .filter(cond)
             .agg(
@@ -5105,6 +5226,7 @@ def range_minmax_pruned(
             read_snapshot(
                 spark, path, version,
                 partition_filter=lambda p: p in scan_parts,
+                column_ranges={range_col: (lo, hi)},
             )
             .filter(cond)
             .agg(
@@ -5213,7 +5335,8 @@ def range_group_counts(
             continue
         entry = stats.get(pname) or {}
         logical = {
-            _chain(k): v for k, v in entry.items() if k != N_ROWS_KEY
+            _chain(k): v for k, v in entry.items()
+            if k not in (N_ROWS_KEY, FILES_KEY)
         }
         if range_col == pcol:
             is_null, v = _partition_value(pname, ptype)
@@ -5267,6 +5390,7 @@ def range_group_counts(
             read_snapshot(
                 spark, path, version,
                 partition_filter=lambda p: p in scan_parts,
+                column_ranges={range_col: (lo, hi)},
             )
             .filter(cond)
             .groupBy(pcol)

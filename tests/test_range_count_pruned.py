@@ -30,11 +30,8 @@ def tbl(spark, tmp_path):
 def test_boundary_only_scan_is_exact(spark, tbl):
     out = range_count_pruned(spark, tbl, "k", lo=250, hi=449)
     # bucket 3 fully inside (metadata); buckets 2 and 4 are boundary
-    assert out == {
-        "count": 200,
-        "meta_partitions": 1,
-        "scanned_partitions": 2,
-    }
+    assert (out["count"], out["meta_partitions"], out["scanned_partitions"]) \
+        == (200, 1, 2)
     # where manifest_range_count refuses (partial overlap), hybrid answers
     assert manifest_range_count(tbl, "k", lo=250, hi=449) is None
 
@@ -54,22 +51,17 @@ def test_full_containment_reads_nothing(spark, tbl):
         f.unlink()
     # bounds on bucket edges: every partition proven in or out
     out = range_count_pruned(spark, tbl, "k", lo=200, hi=499)
-    assert out == {
-        "count": 300,
-        "meta_partitions": 3,
-        "scanned_partitions": 0,
-    }
+    assert (out["count"], out["meta_partitions"], out["scanned_partitions"]) \
+        == (300, 3, 0)
+    assert out["scanned_files"] == 0 and out["total_files"] == 0
 
 
 def test_partition_column_never_boundary(spark, tbl):
     for f in Path(tbl).rglob("*.parquet"):
         f.unlink()
     out = range_count_pruned(spark, tbl, "b", lo=2, hi=5, hi_strict=True)
-    assert out == {
-        "count": 300,
-        "meta_partitions": 3,
-        "scanned_partitions": 0,
-    }
+    assert (out["count"], out["meta_partitions"], out["scanned_partitions"]) \
+        == (300, 3, 0)
 
 
 def test_tombstoned_partitions_scan_and_stay_exact(spark, tbl):
