@@ -184,6 +184,7 @@ EXTRA = (
     "z74_range_minmax_hybrid",
     "z75_range_group_counts",
     "z76_file_skipping",
+    "z77_multi_agg_hybrid",
 )
 
 

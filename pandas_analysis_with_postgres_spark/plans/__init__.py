@@ -121,8 +121,9 @@ ROTATION = [
     "z73_interpolate_linear",
     "z74_range_minmax_hybrid",
     "z75_range_group_counts",
-    # round-9 addition: per-file data skipping (new this round)
+    # round-9 additions: per-file skipping, multi-aggregate hybrid
     "z76_file_skipping",
+    "z77_multi_agg_hybrid",
     # fill: oldest remaining driver rows (r06-only block)
     "a75_value_outliers",
     "a76_event_pivot",
@@ -157,7 +158,6 @@ ROTATION = [
     "q02_customer_profile",
     "q03_latest_order_per_customer",
     "q04_order_counts",
-    "q05_customer_flags",
 ]
 
 

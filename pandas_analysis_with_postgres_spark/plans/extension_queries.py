@@ -5504,6 +5504,125 @@ SELECT
 """
 
 
+def z77_multi_agg_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-AGGREGATE hybrid range statement (snapshot.
+    range_multi_pruned + metadata_sql._hybrid_multi): ``SELECT
+    COUNT(*), SUM(x), AVG(x), MIN(k), MAX(k) FROM t WHERE k BETWEEN …``
+    — the dashboard statement — answered with ONE partition
+    classification and ONE boundary scan shared by every aggregate,
+    instead of refusing to the full scan because the list has more
+    than one item (or paying N boundary scans by running the
+    single-item provers per aggregate). A partition contributes from
+    metadata only when EVERY item is provable there (count: recorded
+    range-col nulls; sum/avg: the ::sum entry + zero range nulls;
+    min/max: recorded extremes, null guard waived when range col ==
+    agg col); any unprovable item sends it to the one shared scan.
+    Two ranges ride the hash: the family's bucket-straddling
+    [30001, 95000] (empty at sf0.01 — NULL sum/avg/extremes, the SQL
+    aggregate-over-nothing shapes) via the prover API with its
+    classification counts, and a low [1000, 9500] via the FULL
+    metadata-SQL tier (parse → _hybrid_multi → typed columns), which
+    must serve, not refuse. Unit proofs (one-pass zero-data-page,
+    unprovable-item spill, typed casts) live in
+    tests/test_range_count_pruned.py."""
+    from ..sources.metadata_sql import _local_rows_df, hybrid_range_count
+    from ..sources.snapshot import range_multi_pruned
+
+    path = _rangecount_table(spark, sf_dir)
+    items = [
+        ("count", None), ("sum", "cents"), ("avg", "cents"),
+        ("min", "o_orderkey"), ("max", "o_orderkey"),
+    ]
+    hi = range_multi_pruned(
+        spark, path, "o_orderkey", items, lo=30001, hi=95000
+    )
+    (n_hi, s_pair, a_pair, mn_hi, mx_hi) = hi["values"]
+    s_hi = s_pair[0]
+    a_hi = (
+        None if a_pair[1] == 0 else float(a_pair[0]) / float(a_pair[1])
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    hi_df = _local_rows_df(
+        spark,
+        [
+            (
+                int(n_hi),
+                None if s_hi is None else int(s_hi),
+                a_hi,
+                None if mn_hi is None else int(mn_hi),
+                None if mx_hi is None else int(mx_hi),
+                hi["meta_partitions"],
+                hi["scanned_partitions"],
+            )
+        ],
+        StructType(
+            [
+                StructField("n_hi", LongType(), False),
+                StructField("s_hi", LongType(), True),
+                StructField("a_hi", DoubleType(), True),
+                StructField("mn_hi", LongType(), True),
+                StructField("mx_hi", LongType(), True),
+                StructField("meta_hi", LongType(), False),
+                StructField("scan_hi", LongType(), False),
+            ]
+        ),
+    )
+    lo_df = hybrid_range_count(
+        spark,
+        "SELECT COUNT(*) AS n_lo, SUM(cents) AS s_lo, AVG(cents) AS a_lo,"
+        " MIN(o_orderkey) AS mn_lo, MAX(o_orderkey) AS mx_lo"
+        " FROM t WHERE o_orderkey BETWEEN 1000 AND 9500",
+        {"t": path},
+    )
+    assert lo_df is not None  # the SQL tier must SERVE, not refuse
+    return hi_df.crossJoin(lo_df)
+
+
+Z77_SQL = """
+WITH b AS (
+  SELECT o_orderkey AS k, o_orderkey // 20000 AS bkt,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+cls AS (
+  SELECT bkt, MIN(k) AS lo, MAX(k) AS hi,
+         SUM(CASE WHEN k BETWEEN 30001 AND 95000 THEN cents END) AS s_in,
+         SUM(CASE WHEN k BETWEEN 30001 AND 95000 THEN 1 ELSE 0 END) AS n_in
+  FROM b GROUP BY bkt
+),
+hi AS (
+  SELECT SUM(n_in)::BIGINT AS n_hi,
+         SUM(s_in)::BIGINT AS s_hi,
+         SUM(s_in)::DOUBLE / NULLIF(SUM(n_in), 0)::DOUBLE AS a_hi,
+         (SELECT MIN(k) FROM b
+           WHERE k BETWEEN 30001 AND 95000)::BIGINT AS mn_hi,
+         (SELECT MAX(k) FROM b
+           WHERE k BETWEEN 30001 AND 95000)::BIGINT AS mx_hi,
+         SUM(CASE WHEN lo >= 30001 AND hi <= 95000
+                  THEN 1 ELSE 0 END)::BIGINT AS meta_hi,
+         SUM(CASE WHEN NOT (lo >= 30001 AND hi <= 95000)
+                   AND NOT (hi < 30001 OR lo > 95000)
+                  THEN 1 ELSE 0 END)::BIGINT AS scan_hi
+  FROM cls
+),
+lo AS (
+  SELECT COUNT(*)::BIGINT AS n_lo,
+         SUM(cents)::BIGINT AS s_lo,
+         SUM(cents)::DOUBLE / NULLIF(COUNT(cents), 0)::DOUBLE AS a_lo,
+         MIN(k)::BIGINT AS mn_lo,
+         MAX(k)::BIGINT AS mx_lo
+  FROM b WHERE k BETWEEN 1000 AND 9500
+)
+SELECT hi.*, lo.* FROM hi, lo
+"""
+
+
 _SUMAVG_DROPS: dict = {}
 
 
@@ -7265,6 +7384,7 @@ EXTENSION_QUERIES = {
     "z74_range_minmax_hybrid": z74_range_minmax_hybrid,
     "z75_range_group_counts": z75_range_group_counts,
     "z76_file_skipping": z76_file_skipping,
+    "z77_multi_agg_hybrid": z77_multi_agg_hybrid,
 }
 
 EXTENSION_ORACLES = {
@@ -7362,6 +7482,7 @@ EXTENSION_ORACLES = {
     "z74_range_minmax_hybrid": Z74_SQL,
     "z75_range_group_counts": Z75_SQL,
     "z76_file_skipping": Z76_SQL,
+    "z77_multi_agg_hybrid": Z77_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

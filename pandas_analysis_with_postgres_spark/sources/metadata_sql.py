@@ -305,18 +305,15 @@ def parse_metadata_select(sql: str) -> "dict | None":
             return None
     if where is not None and where[0] in ("range", "eqrange"):
         # The MANIFEST proof covers COUNT(*) only (clipped extremes /
-        # range-restricted sketches are unprovable), but a SINGLE
-        # sum/avg/min/max item still PARSES so the hybrid
-        # boundary-scan tier can serve it — the metadata answerer
-        # refuses those at answer time. Mixed or sketchy item lists
-        # refuse here as before.
-        kinds = [k for k, _, _ in items]
-        single_agg = len(items) == 1 and kinds[0] in (
-            "sum", "avg", "min", "max"
-        )
-        if not single_agg and any(
-            k in ("min", "max", "approx", "quantile", "countcol",
-                  "sum", "avg")
+        # range-restricted sketches are unprovable), but any list of
+        # COUNT(*)/SUM/AVG/MIN/MAX items still PARSES so the hybrid
+        # boundary-scan tier can serve it — single items via the
+        # per-kind provers, multi-item lists via one shared
+        # range_multi_pruned pass; the metadata answerer refuses them
+        # at answer time. Sketch items (NDV/quantile/COUNT(col))
+        # refuse here as before: no prover serves them under a range.
+        if any(
+            k in ("approx", "quantile", "countcol")
             for k, _, _ in items
         ):
             return None
@@ -776,11 +773,16 @@ def hybrid_range_count(
         or parsed["group_by"] is not None
         or parsed["where"] is None
         or parsed["where"][0] not in ("range", "eqrange")
-        or len(parsed["items"]) != 1
-        or parsed["items"][0][0]
-        not in ("count", "sum", "avg", "min", "max")
+        or any(
+            k not in ("count", "sum", "avg", "min", "max")
+            for k, _, _ in parsed["items"]
+        )
     ):
         return None
+    if len(parsed["items"]) > 1:
+        # the dashboard shape — every aggregate shares ONE
+        # classification and ONE boundary scan
+        return _hybrid_multi(spark, parsed, tables, version)
     kind, agg_col, alias = parsed["items"][0]
     path = tables[parsed["table"]]
     if parsed["as_of"] is not None:
@@ -893,6 +895,123 @@ def hybrid_range_count(
         from pyspark.sql import functions as F
 
         return frame.select(F.col(alias).cast(dt).alias(alias))
+    except ValueError:
+        return None  # mixed-spec / sketch-name guard: full scan decides
+    except _Refuse:
+        return None  # int64 overflow on SUM: a scan must decide/error
+
+
+def _hybrid_multi(spark, parsed, tables, version):
+    """MULTI-aggregate branch of :func:`hybrid_range_count`:
+    ``SELECT COUNT(*), SUM(x), AVG(x), MIN(y), MAX(y) … WHERE col
+    <range>`` (the dashboard statement) served by ONE
+    :func:`snapshot.range_multi_pruned` pass — one partition
+    classification, one boundary scan shared by every aggregate,
+    instead of falling to a full scan because the statement has more
+    than one item. The WHERE prelude mirrors the single-item path
+    (same refusal reasons: non-partition equality, unknown columns,
+    type-incomparable literals)."""
+    path = tables[parsed["table"]]
+    if parsed["as_of"] is not None:
+        if version is not None:
+            raise ValueError(
+                "statement has FOR ... AS OF and the caller also "
+                "pinned a version — pick one"
+            )
+        if "version" in parsed["as_of"]:
+            version = parsed["as_of"]["version"]
+        else:
+            from .snapshot import resolve_as_of
+
+            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
+    man = read_manifest(path, version)
+    schema_meta = man.get("schema") or {}
+    pcol = schema_meta.get("partition_col")
+    ptype = schema_meta.get("partition_type") or "string"
+    sj = schema_meta.get("spark_schema")
+    from pyspark.sql.types import StructType
+
+    field_types = (
+        {f.name: f.dataType for f in StructType.fromJson(json.loads(sj)).fields}
+        if sj
+        else {}
+    )
+    eq = None
+    if parsed["where"][0] == "eqrange":
+        _, ecol, eraw, lo_raw, hi_raw, lo_strict, hi_strict, col = (
+            parsed["where"]
+        )
+        if ecol != pcol:
+            return None  # non-partition equality: full scan decides
+        try:
+            eq = (pcol, _coerce_partition_literal(eraw, ptype))
+        except _Refuse:
+            return None
+    else:
+        _, col, lo_raw, hi_raw, lo_strict, hi_strict = parsed["where"]
+    coltype = (
+        ptype if col == pcol else _spark_simple_type(field_types.get(col))
+    )
+    if not coltype:
+        return None  # unknown column: let the scan engine error
+    try:
+        lo = _typed_literal(lo_raw, coltype) if lo_raw is not None else None
+        hi = _typed_literal(hi_raw, coltype) if hi_raw is not None else None
+    except _Refuse:
+        return None  # type-incomparable literal: full scan decides
+    # validate every aggregated column BEFORE the prover runs — an
+    # unknown column must refuse without paying a boundary scan
+    for kind, agg_col, _alias in parsed["items"]:
+        if kind != "count" and agg_col != pcol and agg_col not in field_types:
+            return None
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType as _ST,
+    )
+
+    from .snapshot import range_multi_pruned
+
+    try:
+        out = range_multi_pruned(
+            spark, path, col,
+            [(k, c) for k, c, _a in parsed["items"]],
+            lo=lo, hi=hi, lo_strict=lo_strict, hi_strict=hi_strict,
+            version=version, where_partition=eq,
+        )
+        fields, row, casts = [], [], {}
+        for (kind, agg_col, alias), v in zip(parsed["items"], out["values"]):
+            if kind == "count":
+                fields.append(StructField(alias, LongType(), False))
+                row.append(int(v))
+            elif kind in ("sum", "avg"):
+                fields.append(
+                    StructField(
+                        alias,
+                        LongType() if kind == "sum" else DoubleType(),
+                        True,
+                    )
+                )
+                row.append(_sum_avg_value(kind, v))
+            else:  # min/max: manifest rendering → scan type via cast
+                dt = ptype if agg_col == pcol else field_types[agg_col]
+                fields.append(StructField(alias, StringType(), True))
+                row.append(None if v is None else str(v))
+                casts[alias] = dt
+        frame = _local_rows_df(spark, [tuple(row)], _ST(fields))
+        if casts:
+            frame = frame.select(
+                *[
+                    F.col(f.name).cast(casts[f.name]).alias(f.name)
+                    if f.name in casts
+                    else F.col(f.name)
+                    for f in frame.schema.fields
+                ]
+            )
+        return frame
     except ValueError:
         return None  # mixed-spec / sketch-name guard: full scan decides
     except _Refuse:

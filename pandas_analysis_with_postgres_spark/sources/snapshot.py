@@ -5094,6 +5094,25 @@ def range_sum_pruned(
     }
 
 
+def _exact_extreme(v):
+    """Normalize a SCANNED extreme for comparison with manifest
+    renderings: scanned values are EXACT, not truncatable footer stats
+    — only re-render temporals to the manifest's ISO ordering; refuse
+    types whose rendering cannot order."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        raise ValueError(
+            "MIN/MAX over a boolean column is not served — "
+            "prune-useless either way"
+        )
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return v.isoformat()
+    return v
+
+
 def range_minmax_pruned(
     spark: SparkSession,
     path: str,
@@ -5234,24 +5253,7 @@ def range_minmax_pruned(
             )
             .collect()[0]
         )
-        def _exact(v):
-            # scanned extremes are EXACT values, not truncatable footer
-            # stats — only re-render temporals to the manifest's ISO
-            # ordering; refuse types whose rendering cannot order
-            import datetime as _dt
-
-            if v is None:
-                return None
-            if isinstance(v, bool):
-                raise ValueError(
-                    "MIN/MAX over a boolean column is not served — "
-                    "prune-useless either way"
-                )
-            if isinstance(v, (_dt.date, _dt.datetime)):
-                return v.isoformat()
-            return v
-
-        slo, shi = _exact(row["lo"]), _exact(row["hi"])
+        slo, shi = _exact_extreme(row["lo"]), _exact_extreme(row["hi"])
         if slo is not None:
             mins.append(slo)
         if shi is not None:
@@ -5259,6 +5261,239 @@ def range_minmax_pruned(
     return {
         "min": min(mins) if mins else None,
         "max": max(maxs) if maxs else None,
+        "meta_partitions": len(meta_parts),
+        "scanned_partitions": len(scan_parts),
+    }
+
+
+def range_multi_pruned(
+    spark: SparkSession,
+    path: str,
+    range_col: str,
+    items: "list[tuple[str, str | None]]",
+    *,
+    lo=None,
+    hi=None,
+    lo_strict: bool = False,
+    hi_strict: bool = False,
+    version: "int | str | None" = None,
+    where_partition: "tuple[str, object] | None" = None,
+) -> dict:
+    """MULTI-AGGREGATE hybrid range pass — ``SELECT COUNT(*), SUM(x),
+    AVG(x), MIN(y), MAX(y) … WHERE range_col <range>`` answered with
+    ONE partition classification and ONE boundary scan shared by every
+    aggregate (the dashboard statement shape; running the single-item
+    provers per aggregate would pay N boundary scans over the same
+    directories). ``items`` is ``[(kind, agg_col)]`` with kind one of
+    ``count/sum/avg/min/max`` (``agg_col`` ignored for count).
+
+    Classification is the strictest union of the single provers'
+    gates: a partition contributes from metadata only when EVERY item
+    is provable there — count needs the range column's recorded null
+    count, sum/avg need the ``agg_col::sum`` entry plus zero range
+    nulls (a NULL range value fails the predicate but lives in the sum
+    entry), min/max need the agg column's [min, max] plus zero range
+    nulls unless the range column IS the aggregated column. Any
+    unprovable item sends the partition to the scan set for ALL items
+    — the boundary scan computes every aggregate in a single job, so
+    provability differences cost no extra I/O. Exact by construction;
+    proven-outside partitions contribute nothing regardless of
+    tombstones ([min, max] bounds a pre-delete superset).
+
+    Returns ``{"values": [per-item], "meta_partitions",
+    "scanned_partitions"}`` where a count item yields an int, sum/avg
+    yield ``(total | None, n_nonnull)`` (the caller divides for AVG —
+    same float semantics as the scan), and min/max yield a manifest-
+    rendered value or None."""
+    from pyspark.sql import functions as F
+
+    kinds = {k for k, _ in items}
+    if not kinds <= {"count", "sum", "avg", "min", "max"}:
+        raise ValueError(
+            f"unknown aggregate kind(s) {sorted(kinds - {'count', 'sum', 'avg', 'min', 'max'})}"
+        )
+    agg_cols = [c for k, c in items if k != "count"]
+    for c in [range_col] + agg_cols:
+        if c is None or (c.endswith(HLL_SUFFIX) or c.endswith(SUM_SUFFIX)
+                         or _HIST_KEY_RE.match(c)):
+            raise ValueError(
+                "pass data columns, not sketch entries (::hll / ::sum "
+                "/ ::hist:)"
+            )
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    pcol = meta.get("partition_col")
+    renames = meta.get("renames") or []
+
+    def _chain(name: str) -> str:
+        for old, new in renames:
+            if name == old:
+                name = new
+        return name
+
+    def _in_lo(v) -> bool:
+        return lo is None or (v > lo if lo_strict else v >= lo)
+
+    def _in_hi(v) -> bool:
+        return hi is None or (v < hi if hi_strict else v <= hi)
+
+    stats = man.get("stats") or {}
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    part_rows = _partition_rows(man, path)
+    ptype = meta.get("partition_type") or "string"
+    targets = _eq_targets(man, path, pcol, where_partition)
+    sum_cols = sorted({c for k, c in items if k in ("sum", "avg")})
+    mm_cols = sorted({c for k, c in items if k in ("min", "max")})
+    meta_count = 0
+    meta_sums = {c: [0, 0, False] for c in sum_cols}  # [sum, n, seen]
+    meta_mins: dict = {c: [] for c in mm_cols}
+    meta_maxs: dict = {c: [] for c in mm_cols}
+    meta_parts: set = set()
+    scan_parts: set = set()
+    for pname, n in part_rows.items():
+        if targets is not None and pname not in targets:
+            continue
+        if n == 0:
+            continue
+        entry = stats.get(pname) or {}
+        logical = {
+            _chain(k): v for k, v in entry.items()
+            if k not in (N_ROWS_KEY, FILES_KEY)
+            and not k.endswith(HLL_SUFFIX) and not k.endswith(SUM_SUFFIX)
+            and not _HIST_KEY_RE.match(k)
+        }
+        sum_pairs = {}
+        for k, v in entry.items():
+            if k.endswith(SUM_SUFFIX):
+                base = _chain(k[: -len(SUM_SUFFIX)])
+                if base in sum_cols:
+                    sum_pairs[base] = v
+        # classify FIRST (shared with the single provers): outside
+        # proofs survive tombstones and need no per-item entries
+        if range_col == pcol and not _mixed_spec(man):
+            is_null, v = _partition_value(pname, ptype)
+            try:
+                inside = (not is_null) and _in_lo(v) and _in_hi(v)
+                outside = not inside
+            except TypeError:
+                scan_parts.add(pname)
+                continue
+            rnulls = 0
+        else:
+            rng = logical.get(range_col)
+            if rng is None:
+                scan_parts.add(pname)
+                continue
+            cmin, cmax = rng[0], rng[1]
+            try:
+                inside = _in_lo(cmin) and _in_hi(cmax)
+                outside = (
+                    lo is not None
+                    and (cmax < lo or (lo_strict and cmax <= lo))
+                ) or (
+                    hi is not None
+                    and (cmin > hi or (hi_strict and cmin >= hi))
+                )
+            except TypeError:
+                scan_parts.add(pname)
+                continue
+            rnulls = rng[2] if len(rng) > 2 else None
+        if outside and not inside:
+            continue  # proven zero contribution for every item
+        if not inside or pname in tomb_parts:
+            scan_parts.add(pname)
+            continue
+        # proven inside: every item must be provable here, or the
+        # whole partition scans (one scan serves all items anyway)
+        def _mm_rng(c):
+            if c == pcol and not _mixed_spec(man):
+                pv = _partition_value(pname, ptype)
+                return None if pv[0] else [pv[1], pv[1], 0]
+            return logical.get(c)
+
+        provable = ("count" not in kinds or rnulls is not None) and all(
+            c in sum_pairs and rnulls == 0 for c in sum_cols
+        ) and all(
+            _mm_rng(c) is not None and (rnulls == 0 or range_col == c)
+            for c in mm_cols
+        )
+        if not provable:
+            scan_parts.add(pname)
+            continue
+        meta_parts.add(pname)
+        meta_count += n - int(rnulls or 0)
+        for c in sum_cols:
+            sv, nn = sum_pairs[c][0], int(sum_pairs[c][1])
+            if sv is not None:
+                meta_sums[c][0] += int(sv)
+                meta_sums[c][2] = True
+            meta_sums[c][1] += nn
+        for c in mm_cols:
+            arng = _mm_rng(c)
+            meta_mins[c].append(arng[0])
+            meta_maxs[c].append(arng[1])
+    scan_count = 0
+    scan_sums = {c: (None, 0) for c in sum_cols}
+    scan_mins = {c: None for c in mm_cols}
+    scan_maxs = {c: None for c in mm_cols}
+    if scan_parts:
+        col = F.col(range_col)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (col > lo if lo_strict else col >= lo)
+        if hi is not None:
+            cond = cond & (col < hi if hi_strict else col <= hi)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in sum_cols:
+            aggs.append(
+                F.sum(F.col(c).cast("decimal(38,0)")).alias(f"__s_{c}")
+            )
+            aggs.append(F.count(F.col(c)).alias(f"__c_{c}"))
+        for c in mm_cols:
+            aggs.append(F.min(c).alias(f"__lo_{c}"))
+            aggs.append(F.max(c).alias(f"__hi_{c}"))
+        row = (
+            read_snapshot(
+                spark, path, version,
+                partition_filter=lambda p: p in scan_parts,
+                column_ranges={range_col: (lo, hi)},
+            )
+            .filter(cond)
+            .agg(*aggs)
+            .collect()[0]
+        )
+        scan_count = int(row["__n"])
+        for c in sum_cols:
+            s = row[f"__s_{c}"]
+            scan_sums[c] = (
+                None if s is None else int(s), int(row[f"__c_{c}"])
+            )
+        for c in mm_cols:
+            scan_mins[c] = _exact_extreme(row[f"__lo_{c}"])
+            scan_maxs[c] = _exact_extreme(row[f"__hi_{c}"])
+    values = []
+    for kind, c in items:
+        if kind == "count":
+            values.append(int(meta_count + scan_count))
+        elif kind in ("sum", "avg"):
+            msum, mn, mseen = meta_sums[c]
+            ssum, sn = scan_sums[c]
+            total = None
+            if mseen or ssum is not None:
+                total = (msum if mseen else 0) + (ssum or 0)
+            values.append((total, mn + sn))
+        elif kind == "min":
+            cand = list(meta_mins[c])
+            if scan_mins[c] is not None:
+                cand.append(scan_mins[c])
+            values.append(min(cand) if cand else None)
+        else:
+            cand = list(meta_maxs[c])
+            if scan_maxs[c] is not None:
+                cand.append(scan_maxs[c])
+            values.append(max(cand) if cand else None)
+    return {
+        "values": values,
         "meta_partitions": len(meta_parts),
         "scanned_partitions": len(scan_parts),
     }

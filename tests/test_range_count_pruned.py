@@ -113,9 +113,14 @@ def test_hybrid_sql_tier_and_cli(spark, tbl, capsys):
     # … the hybrid tier answers exactly, with the statement's alias
     out = hybrid_range_count(spark, sql, {"t": tbl})
     assert [tuple(r) for r in out.collect()] == [(200,)]
-    # shape gates: only a lone COUNT(*) + range qualifies
+    # multi-item COUNT+MIN now serves in one shared pass
+    multi = hybrid_range_count(
+        spark, "SELECT COUNT(*) AS n, MIN(k) AS lo FROM t WHERE k > 5",
+        {"t": tbl},
+    )
+    assert [tuple(r) for r in multi.collect()] == [(994, 6)]
+    # shape gates: non-range WHERE / GROUP BY / unknown table refuse
     for bad in (
-        "SELECT COUNT(*) AS n, MIN(k) AS lo FROM t WHERE k > 5",
         "SELECT COUNT(*) AS n FROM t WHERE b = 1",
         "SELECT b, COUNT(*) AS n FROM t WHERE k > 5 GROUP BY b",
         "SELECT COUNT(*) AS n FROM nope WHERE k > 5",
@@ -332,10 +337,15 @@ def test_hybrid_tier_serves_all_single_aggregates(spark, tmp_path):
     assert one(
         "SELECT MAX(cents) AS hi FROM t WHERE k BETWEEN 150 AND 449"
     ) == max(c for _, c in sel)
-    # multi-item statements still fall through; the conjunctive
-    # single-aggregate shape now SERVES (see
-    # test_conjunctive_serves_sum_avg_minmax)
-    assert one("SELECT SUM(cents) AS s, COUNT(*) AS n FROM t WHERE k > 1") is None
+    # multi-item statements now serve via ONE shared hybrid pass
+    sel1 = [(k, c) for (k, _, c) in rows if k > 1]
+    m = hybrid_range_count(
+        spark, "SELECT SUM(cents) AS s, COUNT(*) AS n FROM t WHERE k > 1",
+        tables,
+    )
+    assert [tuple(r) for r in m.collect()] == [
+        (sum(c for _, c in sel1), len(sel1))
+    ]
     assert one("SELECT SUM(cents) AS s FROM t WHERE b = 1 AND k > 1") == sum(
         c for (k, b, c) in rows if b == 1 and k > 1
     )
@@ -473,3 +483,64 @@ def test_hybrid_tier_composes_with_time_travel(spark, tmp_path):
     with _pt.raises(ValueError, match="pick one"):
         n("SELECT COUNT(*) AS n FROM t FOR VERSION AS OF 1 WHERE k >= 150",
           version=2)
+
+
+def test_range_multi_pruned_one_shared_pass(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        range_multi_pruned,
+    )
+
+    rows = [(i, i // 100, i * 3 if i % 7 else None) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, b long, cents long")
+    path = str(tmp_path / "m")
+    write_snapshot(df, path, "b", stats_cols=["k", "cents", "cents::sum"])
+    items = [
+        ("count", None), ("sum", "cents"), ("avg", "cents"),
+        ("min", "cents"), ("max", "cents"), ("min", "k"),
+    ]
+    out = range_multi_pruned(spark, path, "k", items, lo=250, hi=449)
+    sel = [(k, c) for (k, _, c) in rows if 250 <= k <= 449]
+    nn = [c for _, c in sel if c is not None]
+    assert out["values"] == [
+        len(sel), (sum(nn), len(nn)), (sum(nn), len(nn)),
+        min(nn), max(nn), 250,
+    ]
+    assert out["meta_partitions"] == 1  # bucket 3 serves EVERY item
+    assert out["scanned_partitions"] == 2
+    # zero-data-page proof: the proven bucket's parquet can vanish
+    for f in Path(path).rglob("*.parquet"):
+        if "b=3" in str(f):
+            f.unlink()
+    again = range_multi_pruned(spark, path, "k", items, lo=250, hi=449)
+    assert again["values"] == out["values"]
+    # empty selection: SQL aggregate-over-nothing shapes
+    e = range_multi_pruned(spark, path, "k", items, lo=5000, hi=6000)
+    assert e["values"] == [0, (None, 0), (None, 0), None, None, None]
+
+
+def test_range_multi_unprovable_item_scans_whole_partition(spark, tmp_path):
+    # no cents::sum entry: the SUM item is unprovable everywhere, so
+    # EVERY overlapping partition scans — for all items (one job) —
+    # and the answer stays exact
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        range_multi_pruned,
+    )
+
+    rows = [(i, i // 100, i * 3) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, b long, cents long")
+    path = str(tmp_path / "u")
+    write_snapshot(df, path, "b", stats_cols=["k"])
+    out = range_multi_pruned(
+        spark, path, "k",
+        [("count", None), ("sum", "cents")], lo=150, hi=349,
+    )
+    sel = [c for (k, _, c) in rows if 150 <= k <= 349]
+    assert out["values"] == [len(sel), (sum(sel), len(sel))]
+    assert out["meta_partitions"] == 0
+    assert out["scanned_partitions"] == 3  # buckets 1, 2, 3 all scan
+    # count alone: the same buckets are pure metadata
+    only = range_multi_pruned(
+        spark, path, "k", [("count", None)], lo=150, hi=349,
+    )
+    assert only["values"] == [len(sel)]
+    assert only["meta_partitions"] == 1 and only["scanned_partitions"] == 2
