@@ -766,7 +766,11 @@ def read_snapshot(
     skipped. This is the probe shape min/max stats cannot help with —
     a key scattered uniformly across partitions. Same conservative
     contract: no bloom → keep; false positives scan and are removed
-    by the caller's real filter; all-pruned → empty frame.
+    by the caller's real filter; all-pruned → empty frame. A point
+    lookup is ALSO the degenerate range ``[v, v]``, so recorded
+    min/max statistics prune it too — including at file grain, where
+    blooms (per-partition) cannot reach: on a table clustered by the
+    probed column, a key lookup opens one file.
     """
     man = read_manifest(path, version)
     parts = man["partitions"]
@@ -815,7 +819,20 @@ def read_snapshot(
             empty_result = True
         parts = kept
     file_sel: dict[str, list[str]] = {}
-    if column_ranges and parts and not empty_result:
+    # a point lookup is the degenerate range [v, v]: the same recorded
+    # [min, max] statistics that serve windows serve key probes too —
+    # at partition grain alongside the blooms, and at FILE grain where
+    # blooms (per-partition) cannot reach
+    prune_ranges = dict(column_ranges or {})
+    for c, v in (point_lookups or {}).items():
+        if (
+            isinstance(v, (int, str))
+            and not isinstance(v, bool)
+            and c not in prune_ranges
+        ):
+            prune_ranges[c] = (v, v)
+    if prune_ranges and parts and not empty_result:
+        column_ranges = prune_ranges
         all_stats = man.get("stats") or {}
         kept = {
             p: rel

@@ -138,3 +138,18 @@ def test_legacy_manifest_without_file_stats_reads_whole_dirs(
     res = range_count_pruned(spark, tbl, "k", lo=300, hi=1600)
     assert res["count"] == 1301
     assert res["total_files"] == 0  # unknown grain: counted in neither
+
+
+def test_point_lookup_prunes_at_file_grain(spark, tbl):
+    # a key probe is the degenerate range [v, v]: stats prune bu=1
+    # at partition grain and 3 of bu=0's 4 files at file grain —
+    # one file opened for a clustered key lookup, no blooms needed
+    out = read_snapshot(spark, tbl, point_lookups={"k": 400})
+    assert len(out.inputFiles()) == 1
+    assert [r.k for r in out.filter("k = 400").collect()] == [400]
+    # absent key inside the keyspace gap: nothing overlaps -> empty
+    missing = read_snapshot(spark, tbl, point_lookups={"k": 5000})
+    assert missing.count() == 0 and set(missing.columns) == {"k", "bu"}
+    # conservative: a float probe (not int/str) prunes nothing
+    loose = read_snapshot(spark, tbl, point_lookups={"k": 400.5})
+    assert len(loose.inputFiles()) == 8
