@@ -1851,6 +1851,45 @@ def _compute_hlls(
     return out
 
 
+def _apply_distribution(
+    df: DataFrame,
+    partition_col: str,
+    distribution: "str | None",
+    order_by: "list[str] | None",
+) -> DataFrame:
+    """Shared writer-side layout control (Iceberg's
+    ``write.distribution-mode``): ``None``/``"none"`` writes as-is,
+    ``"hash"`` shuffles on the partition column (one task → one
+    directory), ``"range"`` + ``order_by`` range-shuffles on
+    ``(partition_col, *order_by)`` and sorts within tasks so each
+    file covers a tight slice of the sort key — the layout per-FILE
+    statistics skip on."""
+    from pyspark.sql import functions as F
+
+    if distribution not in (None, "none", "hash", "range"):
+        raise ValueError(
+            f"unknown distribution {distribution!r} — None/'none' "
+            "(write as-is), 'hash' (shuffle on the partition column), "
+            "or 'range' (range-shuffle + sort on order_by)"
+        )
+    if order_by is not None and distribution != "range":
+        raise ValueError(
+            "order_by requires distribution='range' — it names the "
+            "range-shuffle sort key"
+        )
+    if distribution == "hash":
+        return df.repartition(partition_col)
+    if distribution == "range":
+        if not order_by:
+            raise ValueError(
+                "distribution='range' needs order_by=[col, …] — the "
+                "sort key each file should cover a tight slice of"
+            )
+        cols = [F.col(partition_col)] + [F.col(c) for c in order_by]
+        return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    return df
+
+
 def write_snapshot(
     df: DataFrame,
     path: str,
@@ -1862,6 +1901,7 @@ def write_snapshot(
     bloom_bits: int | None = None,
     constraints: list[str] | None = None,
     distribution: "str | None" = None,
+    order_by: "list[str] | None" = None,
 ) -> int:
     """Full overwrite as a new snapshot (old versions stay readable).
 
@@ -1896,14 +1936,19 @@ def write_snapshot(
     that scales per-file (commit fsync, footer harvest, scan listing)
     pays the fragmentation. Leave ``None`` for inputs already
     clustered by the partition column (re-shuffling those wastes a
-    stage)."""
-    if distribution not in (None, "none", "hash"):
-        raise ValueError(
-            f"unknown distribution {distribution!r} — None/'none' "
-            "(write as-is) or 'hash' (shuffle on the partition column)"
-        )
-    if distribution == "hash":
-        df = df.repartition(partition_col)
+    stage).
+
+    ``distribution="range"`` (with ``order_by=[col, …]``) — Iceberg's
+    ``write.distribution-mode=range`` plus its sort order: ONE range
+    shuffle on ``(partition_col, *order_by)`` followed by an in-task
+    sort, so within each hive partition every parquet file covers a
+    tight, near-disjoint slice of the sort key. This is the
+    writer-side half of per-FILE data skipping (``FILES_KEY``): range
+    reads and key probes on the sorted column then open O(1) files
+    per boundary partition instead of all of them — the same layout
+    ``OPTIMIZE ZORDER`` produces as maintenance, bought at write time
+    for the single-column case."""
+    df = _apply_distribution(df, partition_col, distribution, order_by)
     _check_partition_type(df, partition_col, "overwrite")
     parent = current_version(path) if expected_version is None else expected_version
     prior_man = read_manifest(path, parent) if parent else {}
@@ -2682,6 +2727,7 @@ def append_snapshot(
     bloom_cols: list[str] | None = None,
     branch: str | None = None,
     distribution: "str | None" = None,
+    order_by: "list[str] | None" = None,
 ) -> int:
     """APPEND as a snapshot commit — the ingest fast path (Iceberg's
     fast-append analog at directory grain): ``source``'s rows are ADDED
@@ -2702,14 +2748,12 @@ def append_snapshot(
     evolution (sources may add columns), stats/bloom maintenance, and
     ``branch`` targeting. ``distribution="hash"`` shuffles the source
     on the partition column first (see :func:`write_snapshot`) — the
-    ingest path is where small-file debt usually accumulates."""
-    if distribution not in (None, "none", "hash"):
-        raise ValueError(
-            f"unknown distribution {distribution!r} — None/'none' "
-            "(write as-is) or 'hash' (shuffle on the partition column)"
-        )
-    if distribution == "hash":
-        source = source.repartition(partition_col)
+    ingest path is where small-file debt usually accumulates;
+    ``distribution="range"`` + ``order_by`` additionally clusters each
+    file on the sort key (the per-FILE skipping layout)."""
+    source = _apply_distribution(
+        source, partition_col, distribution, order_by
+    )
     return _partition_scoped_commit(
         target_path,
         source,

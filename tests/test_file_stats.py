@@ -153,3 +153,62 @@ def test_point_lookup_prunes_at_file_grain(spark, tbl):
     # conservative: a float probe (not int/str) prunes nothing
     loose = read_snapshot(spark, tbl, point_lookups={"k": 400.5})
     assert len(loose.inputFiles()) == 8
+
+
+def test_range_distribution_clusters_files(spark, tmp_path):
+    # Iceberg write.distribution-mode=range + sort order: shuffled
+    # input still produces files covering tight, near-disjoint slices
+    # of the sort key — the layout per-file skipping pays off on
+    import pytest as _pt
+
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        append_snapshot,
+    )
+
+    df = (
+        spark.range(0, 4000, 1, 32)
+        .select(
+            (F.col("id") * 2654435761 % 4000).alias("k"),  # scrambled
+            F.lit(0).cast("long").alias("bu"),
+        )
+    )
+    path = str(tmp_path / "r")
+    # AQE rightly coalesces a 4000-row range shuffle to one partition;
+    # hold it off so the tiny fixture still exercises the multi-file
+    # layout a real table gets (AQE sizes to ~64 MB advisory bytes)
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        write_snapshot(
+            df, path, "bu", stats_cols=["k"],
+            distribution="range", order_by=["k"],
+        )
+    finally:
+        spark.conf.set(coalesce_key, old)
+    man = read_manifest(path, None)
+    fstats = man["stats"]["bu=0"][FILES_KEY]
+    assert len(fstats) > 1  # genuinely multi-file
+    spans = sorted((fs["k"][0], fs["k"][1]) for fs in fstats.values())
+    # clustered: consecutive files do not interleave (ranges ordered)
+    for (alo, ahi), (blo, bhi) in zip(spans, spans[1:]):
+        assert ahi <= blo
+    # skipping pays: a narrow window opens a strict subset of files
+    narrow = read_snapshot(
+        spark, path, column_ranges={"k": (spans[0][0], spans[0][1])}
+    )
+    assert len(narrow.inputFiles()) < len(fstats)
+    # guards: order_by without range / range without order_by refuse
+    with _pt.raises(ValueError, match="order_by requires"):
+        write_snapshot(df, path, "bu", order_by=["k"])
+    with _pt.raises(ValueError, match="needs order_by"):
+        write_snapshot(df, path, "bu", distribution="range")
+    # append path honors the mode too
+    more = spark.range(4000, 4100).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("bu")
+    )
+    append_snapshot(
+        path, more, "bu", distribution="range", order_by=["k"]
+    )
+    man2 = read_manifest(path, None)
+    assert "bu=1" in man2["partitions"]

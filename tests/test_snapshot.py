@@ -1360,7 +1360,7 @@ def test_hash_distribution_writes_one_file_per_partition(spark, tmp_path):
     import pytest as _pt
 
     with _pt.raises(ValueError, match="unknown distribution"):
-        write_snapshot(df, str(tmp_path / "x"), "p", distribution="range")
+        write_snapshot(df, str(tmp_path / "x"), "p", distribution="sorted")
 
 
 def test_stream_append_maintains_sum_stats(spark, tmp_path):
