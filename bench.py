@@ -185,6 +185,7 @@ EXTRA = (
     "z75_range_group_counts",
     "z76_file_skipping",
     "z77_multi_agg_hybrid",
+    "z78_group_multi_hybrid",
 )
 
 

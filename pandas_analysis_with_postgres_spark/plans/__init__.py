@@ -121,9 +121,10 @@ ROTATION = [
     "z73_interpolate_linear",
     "z74_range_minmax_hybrid",
     "z75_range_group_counts",
-    # round-9 additions: per-file skipping, multi-aggregate hybrid
+    # round-9 additions: per-file skipping, multi-agg + grouped hybrid
     "z76_file_skipping",
     "z77_multi_agg_hybrid",
+    "z78_group_multi_hybrid",
     # fill: oldest remaining driver rows (r06-only block)
     "a75_value_outliers",
     "a76_event_pivot",
@@ -157,7 +158,6 @@ ROTATION = [
     "q01_pricing_summary",
     "q02_customer_profile",
     "q03_latest_order_per_customer",
-    "q04_order_counts",
 ]
 
 

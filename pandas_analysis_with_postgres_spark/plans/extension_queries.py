@@ -5372,6 +5372,107 @@ FROM meta LEFT JOIN g ON TRUE
 """
 
 
+def z78_group_multi_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED MULTI-AGGREGATE hybrid (snapshot.range_group_multi +
+    metadata_sql._hybrid_group_multi): ``SELECT pcol, COUNT(*),
+    SUM(x), MIN(k), MAX(k) … WHERE k <range> GROUP BY pcol`` — the
+    per-ingest-day dashboard panel — answered with per-group METADATA
+    for interior partitions and ONE grouped boundary scan for the
+    edges, every aggregate computed together (z75's grouped COUNT
+    generalized to z77's item lists; group ≡ partition so each group
+    classifies independently and empty groups don't exist). The
+    metadata-SQL grammar now parses GROUP BY + range WHERE and routes
+    it to this tier (the pure-metadata answerer refuses — clipped
+    per-group aggregates are unprovable from stats alone); that tier
+    must SERVE here, asserted live. Bounds straddle bucket edges so
+    the groups mix both sources at sf0.1; at sf0.01 the range matches
+    nothing and a NULL-group sentinel row keeps the frame non-empty,
+    replayed identically by the oracle (the z75 convention)."""
+    from ..sources.metadata_sql import _local_rows_df, hybrid_range_count
+    from ..sources.snapshot import range_group_multi
+
+    path = _rangecount_table(spark, sf_dir)
+    items = [
+        ("count", None), ("sum", "cents"),
+        ("min", "o_orderkey"), ("max", "o_orderkey"),
+    ]
+    out = range_group_multi(
+        spark, path, "o_orderkey", items, lo=30001, hi=95000
+    )
+    served = hybrid_range_count(
+        spark,
+        "SELECT okey_bucket, COUNT(*) AS n FROM t"
+        " WHERE o_orderkey BETWEEN 30001 AND 95000 GROUP BY okey_bucket",
+        {"t": path},
+    )
+    assert served is not None  # the SQL tier must SERVE, not refuse
+    mp, sp = out["meta_partitions"], out["scanned_partitions"]
+    rows = [
+        (
+            int(v),
+            int(n),
+            None if s[0] is None else int(s[0]),
+            None if mn is None else int(mn),
+            None if mx is None else int(mx),
+            mp,
+            sp,
+        )
+        for v, (n, s, mn, mx) in out["groups"]
+    ] or [(None, None, None, None, None, mp, sp)]
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return _local_rows_df(
+        spark,
+        rows,
+        StructType(
+            [
+                # nullable group columns: the sentinel row at small
+                # fixtures (range matches nothing) — z75's convention
+                StructField("okey_bucket", LongType(), True),
+                StructField("n_range", LongType(), True),
+                StructField("s_cents", LongType(), True),
+                StructField("mn_k", LongType(), True),
+                StructField("mx_k", LongType(), True),
+                StructField("meta_parts", LongType(), False),
+                StructField("scan_parts", LongType(), False),
+            ]
+        ),
+    )
+
+
+Z78_SQL = """
+WITH b AS (
+  SELECT o_orderkey AS k, o_orderkey // 20000 AS bkt,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+cls AS (
+  SELECT bkt, MIN(k) AS lo, MAX(k) AS hi,
+         SUM(CASE WHEN k BETWEEN 30001 AND 95000 THEN 1 ELSE 0 END) AS n_in,
+         SUM(CASE WHEN k BETWEEN 30001 AND 95000 THEN cents END) AS s_in,
+         MIN(CASE WHEN k BETWEEN 30001 AND 95000 THEN k END) AS mn_in,
+         MAX(CASE WHEN k BETWEEN 30001 AND 95000 THEN k END) AS mx_in
+  FROM b GROUP BY bkt
+),
+meta AS (
+  SELECT SUM(CASE WHEN lo >= 30001 AND hi <= 95000
+                  THEN 1 ELSE 0 END)::BIGINT AS meta_parts,
+         SUM(CASE WHEN NOT (lo >= 30001 AND hi <= 95000)
+                   AND NOT (hi < 30001 OR lo > 95000)
+                  THEN 1 ELSE 0 END)::BIGINT AS scan_parts
+  FROM cls
+),
+g AS (SELECT bkt, n_in, s_in, mn_in, mx_in FROM cls WHERE n_in > 0)
+SELECT g.bkt::BIGINT AS okey_bucket,
+       g.n_in::BIGINT AS n_range,
+       g.s_in::BIGINT AS s_cents,
+       g.mn_in::BIGINT AS mn_k,
+       g.mx_in::BIGINT AS mx_k,
+       meta.meta_parts, meta.scan_parts
+FROM meta LEFT JOIN g ON TRUE
+"""
+
+
 _FILESKIP_DROPS: dict = {}
 
 
@@ -7385,6 +7486,7 @@ EXTENSION_QUERIES = {
     "z75_range_group_counts": z75_range_group_counts,
     "z76_file_skipping": z76_file_skipping,
     "z77_multi_agg_hybrid": z77_multi_agg_hybrid,
+    "z78_group_multi_hybrid": z78_group_multi_hybrid,
 }
 
 EXTENSION_ORACLES = {
@@ -7483,6 +7585,7 @@ EXTENSION_ORACLES = {
     "z75_range_group_counts": Z75_SQL,
     "z76_file_skipping": Z76_SQL,
     "z77_multi_agg_hybrid": Z77_SQL,
+    "z78_group_multi_hybrid": Z78_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

@@ -294,8 +294,17 @@ def parse_metadata_select(sql: str) -> "dict | None":
     if gcol is not None:
         if n_bare != 1:
             return None  # grouped column must appear in the select list
-        if where is not None and where[0] not in ("eq", "in"):
-            return None  # range/eqrange + GROUP BY: not a served shape
+        if where is not None and where[0] not in ("eq", "in", "range"):
+            return None  # eqrange + GROUP BY: the member IS the group
+        if where is not None and where[0] == "range":
+            # range + GROUP BY parses ONLY when the grouped hybrid
+            # tier can serve every item (count/sum/avg/min/max); the
+            # pure-metadata answerer refuses it at answer time
+            if any(
+                k not in ("group", "count", "sum", "avg", "min", "max")
+                for k, _, _ in items
+            ):
+                return None
     if gcol is None and where is not None and where[0] == "in":
         # IN proves the MERGEABLE items: COUNT(*) (member-count sum),
         # NDV (register max-merge), quantiles (histogram sum). MIN/MAX
@@ -770,15 +779,21 @@ def hybrid_range_count(
     if (
         parsed is None
         or parsed["table"] not in tables
-        or parsed["group_by"] is not None
         or parsed["where"] is None
         or parsed["where"][0] not in ("range", "eqrange")
         or any(
-            k not in ("count", "sum", "avg", "min", "max")
+            k not in ("group", "count", "sum", "avg", "min", "max")
             for k, _, _ in parsed["items"]
         )
     ):
         return None
+    if parsed["group_by"] is not None:
+        # GROUP BY pcol + range WHERE: the grouped hybrid tier
+        if parsed["where"][0] != "range":
+            return None  # eqrange + GROUP BY: the member IS the group
+        return _hybrid_group_multi(spark, parsed, tables, version)
+    if any(k == "group" for k, _, _ in parsed["items"]):
+        return None  # bare column without GROUP BY never parses, but guard
     if len(parsed["items"]) > 1:
         # the dashboard shape — every aggregate shares ONE
         # classification and ONE boundary scan
@@ -1018,6 +1033,131 @@ def _hybrid_multi(spark, parsed, tables, version):
         return None  # int64 overflow on SUM: a scan must decide/error
 
 
+def _hybrid_group_multi(spark, parsed, tables, version):
+    """GROUPED branch of :func:`hybrid_range_count`: ``SELECT pcol,
+    COUNT(*), SUM(x), AVG(x), MIN(y), MAX(y) … WHERE col <range>
+    GROUP BY pcol`` served by ONE :func:`snapshot.range_group_multi`
+    pass — per-group metadata for interior partitions, one grouped
+    boundary scan for the edges. Group values render as strings (the
+    grouped metadata-answer convention — `_answer_group_by`); ORDER
+    BY/LIMIT refuse to the scan for now (ordering typed mixed-kind
+    outputs driver-side is not worth a wrong sort)."""
+    path = tables[parsed["table"]]
+    if parsed["order_by"] is not None or parsed["limit"] is not None:
+        return None
+    if parsed["as_of"] is not None:
+        if version is not None:
+            raise ValueError(
+                "statement has FOR ... AS OF and the caller also "
+                "pinned a version — pick one"
+            )
+        if "version" in parsed["as_of"]:
+            version = parsed["as_of"]["version"]
+        else:
+            from .snapshot import resolve_as_of
+
+            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
+    man = read_manifest(path, version)
+    schema_meta = man.get("schema") or {}
+    pcol = schema_meta.get("partition_col")
+    ptype = schema_meta.get("partition_type") or "string"
+    if pcol is None or parsed["group_by"] != pcol:
+        return None  # only the partition column groups at the manifest
+    sj = schema_meta.get("spark_schema")
+    from pyspark.sql.types import StructType
+
+    field_types = (
+        {f.name: f.dataType for f in StructType.fromJson(json.loads(sj)).fields}
+        if sj
+        else {}
+    )
+    _, col, lo_raw, hi_raw, lo_strict, hi_strict = parsed["where"]
+    coltype = (
+        ptype if col == pcol else _spark_simple_type(field_types.get(col))
+    )
+    if not coltype:
+        return None  # unknown range column: let the scan engine error
+    try:
+        lo = _typed_literal(lo_raw, coltype) if lo_raw is not None else None
+        hi = _typed_literal(hi_raw, coltype) if hi_raw is not None else None
+    except _Refuse:
+        return None
+    for kind, agg_col, _alias in parsed["items"]:
+        if (
+            kind in ("sum", "avg", "min", "max")
+            and agg_col != pcol
+            and agg_col not in field_types
+        ):
+            return None  # unknown aggregated column: refuse pre-scan
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType as _ST,
+    )
+
+    from .snapshot import range_group_multi
+
+    items = [(k, c) for k, c, _a in parsed["items"] if k != "group"]
+    try:
+        out = range_group_multi(
+            spark, path, col, items,
+            lo=lo, hi=hi, lo_strict=lo_strict, hi_strict=hi_strict,
+            version=version,
+        )
+        fields, casts = [], {}
+        for kind, agg_col, alias in parsed["items"]:
+            if kind == "group":
+                fields.append(StructField(alias, StringType(), True))
+            elif kind == "count":
+                fields.append(StructField(alias, LongType(), False))
+            elif kind in ("sum", "avg"):
+                fields.append(
+                    StructField(
+                        alias,
+                        LongType() if kind == "sum" else DoubleType(),
+                        True,
+                    )
+                )
+            else:
+                dt = ptype if agg_col == pcol else field_types[agg_col]
+                fields.append(StructField(alias, StringType(), True))
+                casts[alias] = dt
+        rows = []
+        for gval, vals in out["groups"]:
+            it = iter(vals)
+            row = []
+            for kind, agg_col, alias in parsed["items"]:
+                if kind == "group":
+                    row.append(None if gval is None else str(gval))
+                    continue
+                v = next(it)
+                if kind == "count":
+                    row.append(int(v))
+                elif kind in ("sum", "avg"):
+                    row.append(_sum_avg_value(kind, v))
+                else:
+                    row.append(None if v is None else str(v))
+            rows.append(tuple(row))
+        frame = _local_rows_df(spark, rows, _ST(fields))
+        if casts:
+            frame = frame.select(
+                *[
+                    F.col(f.name).cast(casts[f.name]).alias(f.name)
+                    if f.name in casts
+                    else F.col(f.name)
+                    for f in frame.schema.fields
+                ]
+            )
+        return frame
+    except ValueError:
+        return None  # mixed-spec / unpartitioned / sketch guard: scan
+    except _Refuse:
+        return None  # int64 overflow on SUM: a scan must decide/error
+
+
 def _answer_eq_range_count(
     spark, parsed, path, pcol, ptype, field_types, schema_meta, version
 ):
@@ -1070,6 +1210,11 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
     in_names = None
     if parsed["where"] is not None:
         kind_, wcol = parsed["where"][0], parsed["where"][1]
+        if kind_ not in ("eq", "in"):
+            # range WHERE + GROUP BY parses (the grouped hybrid tier
+            # serves it), but the pure-metadata proof stops here:
+            # clipped per-group aggregates are unprovable
+            raise _Refuse()
         if wcol != pcol:
             raise _Refuse()
         if kind_ == "in":

@@ -5704,3 +5704,222 @@ def range_group_counts(
         "meta_partitions": len(meta_parts),
         "scanned_partitions": len(scan_parts),
     }
+
+
+def range_group_multi(
+    spark: SparkSession,
+    path: str,
+    range_col: str,
+    items: "list[tuple[str, str | None]]",
+    *,
+    lo=None,
+    hi=None,
+    lo_strict: bool = False,
+    hi_strict: bool = False,
+    version: "int | str | None" = None,
+) -> dict:
+    """Grouped MULTI-AGGREGATE hybrid range pass: ``SELECT pcol,
+    COUNT(*), SUM(x), AVG(x), MIN(y), MAX(y) … WHERE range_col
+    <range> GROUP BY pcol`` — :func:`range_group_counts` generalized
+    to :func:`range_multi_pruned`'s item lists. Group ≡ partition, so
+    each group classifies independently: a partition proven fully
+    inside serves EVERY item from its metadata (same per-item gates
+    as range_multi_pruned — count: recorded range nulls; sum/avg:
+    the ``::sum`` entry + zero range nulls; min/max: recorded
+    extremes, null guard waived when range col == agg col), a
+    proven-outside or empty-after-nulls partition produces NO group
+    (SQL: empty groups don't exist), and every partition with ANY
+    unprovable item scans — all of them in ONE grouped job over just
+    those directories, every aggregate computed together. The
+    per-ingest-day dashboard panel at 100 TB: metadata rows for the
+    interior days, one grouped scan for the two edge days.
+
+    Returns ``{"groups": [(value, [per-item values]), …] sorted by
+    partition name, "meta_partitions", "scanned_partitions"}`` with
+    the same per-item value shapes as range_multi_pruned (count →
+    int; sum/avg → ``(total | None, n_nonnull)``; min/max → rendered
+    value or None)."""
+    from pyspark.sql import functions as F
+
+    kinds = {k for k, _ in items}
+    if not kinds <= {"count", "sum", "avg", "min", "max"}:
+        raise ValueError(
+            f"unknown aggregate kind(s) "
+            f"{sorted(kinds - {'count', 'sum', 'avg', 'min', 'max'})}"
+        )
+    agg_cols = [c for k, c in items if k != "count"]
+    for c in [range_col] + agg_cols:
+        if c is None or (c.endswith(HLL_SUFFIX) or c.endswith(SUM_SUFFIX)
+                         or _HIST_KEY_RE.match(c)):
+            raise ValueError(
+                "pass data columns, not sketch entries (::hll / ::sum "
+                "/ ::hist:)"
+            )
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    pcol = meta.get("partition_col")
+    if not pcol:
+        raise ValueError(
+            f"snapshot table at {path!r} is unpartitioned — no "
+            "partition column to group by"
+        )
+    if _mixed_spec(man):
+        raise ValueError(
+            f"GROUP BY {pcol!r} is unprovable while {path} holds "
+            "old-spec directories — compact_snapshot to migrate"
+        )
+    renames = meta.get("renames") or []
+
+    def _chain(name: str) -> str:
+        for old, new in renames:
+            if name == old:
+                name = new
+        return name
+
+    def _in_lo(v) -> bool:
+        return lo is None or (v > lo if lo_strict else v >= lo)
+
+    def _in_hi(v) -> bool:
+        return hi is None or (v < hi if hi_strict else v <= hi)
+
+    stats = man.get("stats") or {}
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    part_rows = _partition_rows(man, path)
+    ptype = meta.get("partition_type") or "string"
+    sum_cols = sorted({c for k, c in items if k in ("sum", "avg")})
+    mm_cols = sorted({c for k, c in items if k in ("min", "max")})
+    per_group: dict = {}  # pname -> [per-item values]
+    meta_parts: set = set()
+    scan_parts: set = set()
+    for pname, n in part_rows.items():
+        if n == 0:
+            continue
+        entry = stats.get(pname) or {}
+        logical = {
+            _chain(k): v for k, v in entry.items()
+            if k not in (N_ROWS_KEY, FILES_KEY)
+            and not k.endswith(HLL_SUFFIX) and not k.endswith(SUM_SUFFIX)
+            and not _HIST_KEY_RE.match(k)
+        }
+        sum_pairs = {}
+        for k, v in entry.items():
+            if k.endswith(SUM_SUFFIX):
+                base = _chain(k[: -len(SUM_SUFFIX)])
+                if base in sum_cols:
+                    sum_pairs[base] = v
+        if range_col == pcol:
+            is_null, v = _partition_value(pname, ptype)
+            try:
+                inside = (not is_null) and _in_lo(v) and _in_hi(v)
+                outside = not inside
+            except TypeError:
+                scan_parts.add(pname)
+                continue
+            rnulls = 0
+        else:
+            rng = logical.get(range_col)
+            if rng is None:
+                scan_parts.add(pname)
+                continue
+            cmin, cmax = rng[0], rng[1]
+            try:
+                inside = _in_lo(cmin) and _in_hi(cmax)
+                outside = (
+                    lo is not None
+                    and (cmax < lo or (lo_strict and cmax <= lo))
+                ) or (
+                    hi is not None
+                    and (cmin > hi or (hi_strict and cmin >= hi))
+                )
+            except TypeError:
+                scan_parts.add(pname)
+                continue
+            rnulls = rng[2] if len(rng) > 2 else None
+        if outside and not inside:
+            continue  # no group
+        if not inside or pname in tomb_parts:
+            scan_parts.add(pname)
+            continue
+
+        def _mm_rng(c):
+            if c == pcol:
+                pv = _partition_value(pname, ptype)
+                return None if pv[0] else [pv[1], pv[1], 0]
+            return logical.get(c)
+
+        provable = rnulls is not None and all(
+            c in sum_pairs and rnulls == 0 for c in sum_cols
+        ) and all(
+            _mm_rng(c) is not None and (rnulls == 0 or range_col == c)
+            for c in mm_cols
+        )
+        if not provable:
+            scan_parts.add(pname)
+            continue
+        live = n - int(rnulls)
+        if live <= 0:
+            continue  # all rows fail the predicate: no group
+        meta_parts.add(pname)
+        vals = []
+        for kind, c in items:
+            if kind == "count":
+                vals.append(live)
+            elif kind in ("sum", "avg"):
+                sv, nn = sum_pairs[c][0], int(sum_pairs[c][1])
+                vals.append((None if sv is None else int(sv), nn))
+            elif kind == "min":
+                vals.append(_mm_rng(c)[0])
+            else:
+                vals.append(_mm_rng(c)[1])
+        per_group[pname] = vals
+    if scan_parts:
+        col = F.col(range_col)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (col > lo if lo_strict else col >= lo)
+        if hi is not None:
+            cond = cond & (col < hi if hi_strict else col <= hi)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in sum_cols:
+            aggs.append(
+                F.sum(F.col(c).cast("decimal(38,0)")).alias(f"__s_{c}")
+            )
+            aggs.append(F.count(F.col(c)).alias(f"__c_{c}"))
+        for c in mm_cols:
+            aggs.append(F.min(c).alias(f"__lo_{c}"))
+            aggs.append(F.max(c).alias(f"__hi_{c}"))
+        rows = (
+            read_snapshot(
+                spark, path, version,
+                partition_filter=lambda p: p in scan_parts,
+                column_ranges={range_col: (lo, hi)},
+            )
+            .filter(cond)
+            .groupBy(pcol)
+            .agg(*aggs)
+            .collect()
+        )
+        for r in rows:
+            vals = []
+            for kind, c in items:
+                if kind == "count":
+                    vals.append(int(r["__n"]))
+                elif kind in ("sum", "avg"):
+                    s = r[f"__s_{c}"]
+                    vals.append(
+                        (None if s is None else int(s), int(r[f"__c_{c}"]))
+                    )
+                elif kind == "min":
+                    vals.append(_exact_extreme(r[f"__lo_{c}"]))
+                else:
+                    vals.append(_exact_extreme(r[f"__hi_{c}"]))
+            per_group[_hive_part_name(pcol, r[0])] = vals
+    groups = [
+        (_partition_value(pname, ptype)[1], per_group[pname])
+        for pname in sorted(per_group)
+    ]
+    return {
+        "groups": groups,
+        "meta_partitions": len(meta_parts),
+        "scanned_partitions": len(scan_parts),
+    }

@@ -77,7 +77,9 @@ def test_parse_accepts_range_and_group_by_forms():
         "SELECT COUNT(*) FROM t GROUP BY x",  # grouped col not selected
         "SELECT y, COUNT(*) FROM t GROUP BY x",  # bare col ≠ grouped col
         "SELECT x FROM t",  # bare column without GROUP BY
-        "SELECT x, COUNT(*) FROM t WHERE y > 1 GROUP BY x",  # range+group
+        # range+group now PARSES (grouped hybrid tier); sketch items
+        # under range+group still refuse:
+        "SELECT x, APPROX_COUNT_DISTINCT(y) FROM t WHERE y > 1 GROUP BY x",
         "SELECT COUNT(*) FROM t WHERE x <> 1",  # unsupported operator
         "SELECT COUNT(*) FROM t WHERE x > 1 AND x < 9",  # conjunctions
         "SELECT COUNT(*) FROM t WHERE x LIKE 'a%'",

@@ -119,10 +119,15 @@ def test_hybrid_sql_tier_and_cli(spark, tbl, capsys):
         {"t": tbl},
     )
     assert [tuple(r) for r in multi.collect()] == [(994, 6)]
-    # shape gates: non-range WHERE / GROUP BY / unknown table refuse
+    # GROUP BY + range now serves too (the grouped hybrid tier)
+    grp = hybrid_range_count(
+        spark, "SELECT b, COUNT(*) AS n FROM t WHERE k > 5 GROUP BY b",
+        {"t": tbl},
+    )
+    assert sum(r.n for r in grp.collect()) == 994
+    # shape gates: non-range WHERE / unknown table refuse
     for bad in (
         "SELECT COUNT(*) AS n FROM t WHERE b = 1",
-        "SELECT b, COUNT(*) AS n FROM t WHERE k > 5 GROUP BY b",
         "SELECT COUNT(*) AS n FROM nope WHERE k > 5",
     ):
         assert hybrid_range_count(spark, bad, {"t": tbl}) is None
@@ -544,3 +549,57 @@ def test_range_multi_unprovable_item_scans_whole_partition(spark, tmp_path):
     )
     assert only["values"] == [len(sel)]
     assert only["meta_partitions"] == 1 and only["scanned_partitions"] == 2
+
+
+def test_range_group_multi_and_sql_tier(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        answer_from_manifest,
+        hybrid_range_count,
+    )
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        range_group_multi,
+    )
+
+    rows = [(i, i // 100, i * 3 if i % 7 else None) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, b long, cents long")
+    path = str(tmp_path / "g")
+    write_snapshot(df, path, "b", stats_cols=["k", "cents", "cents::sum"])
+    items = [("count", None), ("sum", "cents"), ("min", "k")]
+    out = range_group_multi(spark, path, "k", items, lo=250, hi=449)
+    assert out["meta_partitions"] == 1 and out["scanned_partitions"] == 2
+    got = {v: vals for v, vals in out["groups"]}
+    for bkt in (2, 3, 4):
+        sel = [(k, c) for (k, bb, c) in rows if bb == bkt and 250 <= k <= 449]
+        nn = [c for _, c in sel if c is not None]
+        assert got[bkt] == [len(sel), (sum(nn), len(nn)), min(k for k, _ in sel)]
+    assert set(got) == {2, 3, 4}  # outside buckets produce NO group
+    # zero-data-page proof for the interior group (bucket 3)
+    for f in Path(path).rglob("*.parquet"):
+        if "b=3" in str(f):
+            f.unlink()
+    again = range_group_multi(spark, path, "k", items, lo=250, hi=449)
+    assert {v: vals for v, vals in again["groups"]} == got
+    # SQL tier: GROUP BY + range WHERE parses, metadata refuses,
+    # the grouped hybrid serves with typed aggregate columns
+    sql = (
+        "SELECT b, COUNT(*) AS n, SUM(cents) AS s, MIN(k) AS mn"
+        " FROM t WHERE k BETWEEN 250 AND 449 GROUP BY b"
+    )
+    assert answer_from_manifest(spark, sql, {"t": path}) is None
+    served = hybrid_range_count(spark, sql, {"t": path})
+    assert {
+        int(r.b): (r.n, r.s, r.mn) for r in served.collect()
+    } == {v: (n, s[0], mn) for v, (n, s, mn) in again["groups"]}
+    # ORDER BY/LIMIT on the grouped hybrid refuses (scan decides)
+    assert hybrid_range_count(
+        spark, sql + " ORDER BY n DESC LIMIT 2", {"t": path}
+    ) is None
+    # sketch items under range + GROUP BY never parse
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        parse_metadata_select,
+    )
+
+    assert parse_metadata_select(
+        "SELECT b, APPROX_COUNT_DISTINCT(k) AS d FROM t"
+        " WHERE k > 5 GROUP BY b"
+    ) is None
