@@ -493,6 +493,10 @@ N_ROWS_KEY = "::n_rows"
 #: follows its partition directory exactly like tombstones do.
 FILES_KEY = "::files"
 
+#: Per-directory cap on recorded per-file stats entries (manifest-size
+#: hygiene - see the harvest in _footer_stats).
+MAX_FILE_STATS = 4096
+
 #: Default per-partition Bloom sizing: m bits / k=4 hashes. 4096 bits
 #: = 512 bytes (1 KiB hex in the manifest) per (partition, column);
 #: FPR ~2.4e-3 at 500 distinct keys/partition, ~0.1 at 5k, SATURATED
@@ -689,7 +693,13 @@ def _footer_stats(part_dir: Path, cols: list[str]) -> tuple[dict, int]:
         )
         for c in mins
     }
-    if file_stats and cols:
+    # manifest-size hygiene: a pathologically fragmented directory
+    # (thousands of files — compaction debt) would bloat the JSON
+    # manifest with per-file entries nobody should rely on; partition
+    # stats still record, readers fall back to whole-dir scans, and
+    # compaction restores the file grain. 4096 ≈ a few hundred KB of
+    # manifest per partition at worst — far past any healthy layout.
+    if file_stats and cols and len(file_stats) <= MAX_FILE_STATS:
         out[FILES_KEY] = file_stats
     return out, n_rows
 

@@ -936,6 +936,76 @@ def test_metadata_answers_equal_scans(spark, _eqv, data):
     assert _norm(got) == _norm(want), (sql, got, want)
 
 
+_HYB_ITEMS = [
+    "COUNT(*) AS n",
+    "SUM(cents) AS s",
+    "AVG(cents) AS a",
+    "MIN(cents) AS lo",
+    "MAX(cents) AS hi",
+    "MIN(k) AS klo",
+    "MAX(k) AS khi",
+]
+#: cents has stats + NULLs (null gates); k has NO stats (everything
+#: scans — the fallback path); p is the partition column; the AND
+#: form is the conjunctive eqrange; the last window selects nothing.
+_HYB_RANGES = [
+    "cents BETWEEN 100 AND 2000",
+    "cents > 1500",
+    "cents <= 90",
+    "k BETWEEN 50 AND 199",
+    "p >= 2",
+    "p = 1 AND cents BETWEEN 100 AND 2000",
+    "cents BETWEEN 9000 AND 9999",
+]
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_hybrid_tier_answers_equal_scans(spark, _eqv, data):
+    """Fuzz the HYBRID tier the way the metadata tier is fuzzed: any
+    served range statement — single, multi-aggregate, grouped,
+    conjunctive — must equal the real Spark scan exactly."""
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        hybrid_range_count,
+    )
+
+    items = data.draw(
+        st.lists(st.sampled_from(_HYB_ITEMS), min_size=1, max_size=3,
+                 unique=True)
+    )
+    where = data.draw(st.sampled_from(_HYB_RANGES))
+    grouped = data.draw(st.booleans())
+    sql = "SELECT "
+    if grouped:
+        sql += "p, "
+    sql += ", ".join(items) + f" FROM t WHERE {where}"
+    if grouped:
+        sql += " GROUP BY p"
+    out = hybrid_range_count(spark, sql, {"t": _eqv})
+    if out is None:
+        return  # refusal is always legal (eqrange+group, etc.)
+    got = [tuple(r) for r in out.collect()]
+    scan_sql = sql.replace(" FROM t", " FROM eqv_scan")
+    if grouped:
+        # the tier renders group values as strings (the grouped
+        # metadata-answer convention) — replay in the scan
+        scan_sql = scan_sql.replace(
+            "SELECT p, ", "SELECT CAST(p AS STRING) AS p, ", 1
+        )
+    want = [tuple(r) for r in spark.sql(scan_sql).collect()]
+
+    def _norm(rows):
+        return sorted(
+            tuple(
+                round(v, 9) if isinstance(v, float) else v for v in r
+            )
+            for r in rows
+        )
+
+    assert _norm(got) == _norm(want), (sql, got, want)
+
+
 def test_sum_entries_cold_carry_and_hot_recompute(spark, tmp_path):
     # merges must keep ::sum entries exact: cold partitions carry the
     # recorded [sum, n] by reference, rewritten partitions recompute —
