@@ -1039,12 +1039,12 @@ def _hybrid_group_multi(spark, parsed, tables, version):
     GROUP BY pcol`` served by ONE :func:`snapshot.range_group_multi`
     pass — per-group metadata for interior partitions, one grouped
     boundary scan for the edges. Group values render as strings (the
-    grouped metadata-answer convention — `_answer_group_by`); ORDER
-    BY/LIMIT refuse to the scan for now (ordering typed mixed-kind
-    outputs driver-side is not worth a wrong sort)."""
+    grouped metadata-answer convention — `_answer_group_by`). ORDER
+    BY <output alias> [DESC] LIMIT k applies on the assembled frame —
+    the full group set exists before ordering, ties break by the
+    group column ascending (the z63 discipline), so "top-k days by
+    revenue in this key range" serves end-to-end."""
     path = tables[parsed["table"]]
-    if parsed["order_by"] is not None or parsed["limit"] is not None:
-        return None
     if parsed["as_of"] is not None:
         if version is not None:
             raise ValueError(
@@ -1151,6 +1151,20 @@ def _hybrid_group_multi(spark, parsed, tables, version):
                     for f in frame.schema.fields
                 ]
             )
+        if parsed.get("order_by") is not None:
+            # the full group set is assembled — ordering the local
+            # frame proves itself; group-asc tie-break (z63)
+            ocol, desc = parsed["order_by"]
+            out_aliases = [a for _, _, a in parsed["items"]]
+            if ocol not in out_aliases:
+                return None  # ORDER BY names a non-output column
+            gcol_alias = next(
+                a for k, _, a in parsed["items"] if k == "group"
+            )
+            key = F.col(ocol).desc() if desc else F.col(ocol).asc()
+            frame = frame.orderBy(key, F.col(gcol_alias).asc())
+            if parsed.get("limit") is not None:
+                frame = frame.limit(parsed["limit"])
         return frame
     except ValueError:
         return None  # mixed-spec / unpartitioned / sketch guard: scan

@@ -590,9 +590,19 @@ def test_range_group_multi_and_sql_tier(spark, tmp_path):
     assert {
         int(r.b): (r.n, r.s, r.mn) for r in served.collect()
     } == {v: (n, s[0], mn) for v, (n, s, mn) in again["groups"]}
-    # ORDER BY/LIMIT on the grouped hybrid refuses (scan decides)
-    assert hybrid_range_count(
+    # ORDER BY <alias> LIMIT on the grouped hybrid: full group set is
+    # assembled, so top-k orders locally (group-asc tie-break)
+    topk = hybrid_range_count(
         spark, sql + " ORDER BY n DESC LIMIT 2", {"t": path}
+    )
+    ranked = sorted(
+        ((n, v) for v, (n, _s, _mn) in again["groups"]),
+        key=lambda t: (-t[0], t[1]),
+    )[:2]
+    assert [(r.n, int(r.b)) for r in topk.collect()] == ranked
+    # ORDER BY a non-output column refuses
+    assert hybrid_range_count(
+        spark, sql + " ORDER BY zz DESC LIMIT 2", {"t": path}
     ) is None
     # sketch items under range + GROUP BY never parse
     from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
