@@ -20,9 +20,9 @@ a real scan:
    column); NDV from ``::hll`` register sketches; quantiles from
    ``::hist:<width>`` bucket counts. WHERE is answered only on the
    partition column — equality and IN membership are the predicates
-   the manifest proves exactly (IN serves the MERGEABLE aggregates:
-   counts and sums add, registers max-merge, histograms add; MIN/MAX
-   under IN refuse).
+   the manifest proves exactly (IN serves EVERY aggregate:
+   counts and sums add, registers max-merge, histograms add, and
+   MIN/MAX merge per-member recorded extremes exactly).
 2. ``SELECT COUNT(*) FROM t WHERE col <op> lit`` / ``col BETWEEN a
    AND b`` (op ∈ <, <=, >, >=), optionally conjoined as ``pcol = lit
    AND col <range>`` — the stats-proven RANGE count: answered ONLY
@@ -305,13 +305,6 @@ def parse_metadata_select(sql: str) -> "dict | None":
                 for k, _, _ in items
             ):
                 return None
-    if gcol is None and where is not None and where[0] == "in":
-        # IN proves the MERGEABLE items: COUNT(*) (member-count sum),
-        # NDV (register max-merge), quantiles (histogram sum). MIN/MAX
-        # would need per-member extremes merged over rendered strings
-        # — refuse to the scan.
-        if any(k in ("min", "max") for k, _, _ in items):
-            return None
     if where is not None and where[0] in ("range", "eqrange"):
         # The MANIFEST proof covers COUNT(*) only (clipped extremes /
         # range-restricted sketches are unprovable), but any list of
@@ -560,6 +553,7 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
                         path, version=version, where_partition=(pcol, v)
                     )["n_rows"]
             values, fields = [], []
+            in_casts: dict = {}
             for k, c, alias in parsed["items"]:
                 if k == "count":
                     values.append(total)
@@ -597,6 +591,32 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
                         )
                     )
                     fields.append(StructField(alias, DoubleType(), False))
+                elif k in ("min", "max"):
+                    # per-member extremes merge EXACTLY: IN restricts
+                    # to whole partitions and each member's recorded
+                    # [min, max] IS its clipped extreme (renderings
+                    # order; absent/empty members contribute nothing)
+                    if c != pcol and field_types.get(c) is None:
+                        raise _Refuse()  # unknown column: scan decides
+                    ext = []
+                    for v in in_spec[1]:
+                        a = manifest_aggregate(
+                            path, columns=[c], version=version,
+                            where_partition=(pcol, v),
+                        )
+                        mv = a["columns"][c][k]
+                        if mv is not None:
+                            ext.append(mv)
+                    merged = (
+                        (min(ext) if k == "min" else max(ext))
+                        if ext
+                        else None
+                    )
+                    values.append(None if merged is None else str(merged))
+                    fields.append(StructField(alias, StringType(), True))
+                    in_casts[alias] = (
+                        ptype if c == pcol else field_types[c]
+                    )
                 else:  # quantile
                     values.append(
                         int(
@@ -609,7 +629,19 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
                     fields.append(StructField(alias, LongType(), False))
         except ValueError:
             raise _Refuse()  # mixed specs / missing sketch / empty set
-        return _local_rows_df(spark, [tuple(values)], StructType(fields))
+        frame = _local_rows_df(spark, [tuple(values)], StructType(fields))
+        if in_casts:
+            from pyspark.sql import functions as F
+
+            frame = frame.select(
+                *[
+                    F.col(f.name).cast(in_casts[f.name]).alias(f.name)
+                    if f.name in in_casts
+                    else F.col(f.name)
+                    for f in frame.schema.fields
+                ]
+            )
+        return frame
     eq = None
     if where is not None:
         _, wcol, raw = where

@@ -503,13 +503,12 @@ def test_in_list_group_by_filters_groups(spark, tbl):
 
 
 def test_in_list_refusals(spark, tbl):
-    # plain-shape IN proves COUNT(*) only
-    assert (
-        answer_from_manifest(
-            spark, "SELECT MIN(amt) AS lo FROM t WHERE p IN (10)", {"t": tbl}
-        )
-        is None
+    # MIN/MAX under IN now SERVES: per-member recorded extremes merge
+    # exactly (p=10 holds amt 10.0 and 99.5)
+    out = answer_from_manifest(
+        spark, "SELECT MIN(amt) AS lo FROM t WHERE p IN (10)", {"t": tbl}
     )
+    assert [tuple(r) for r in out.collect()] == [(10.0,)]
     # non-partition column
     assert (
         answer_from_manifest(
@@ -579,15 +578,14 @@ def test_in_list_serves_ndv_and_quantile_sketches(spark, tmp_path):
 
     with _pt.raises(ValueError, match="no live partitions"):
         manifest_quantile(path, "cents", 50, where_partition_in=("p", [404]))
-    # min/max under IN still refuses to the scan
-    assert (
-        answer_from_manifest(
-            spark,
-            "SELECT MIN(cents) AS lo FROM t WHERE p IN (1)",
-            {"t": path},
-        )
-        is None
+    # min/max under IN serves from the members' recorded extremes
+    got = answer_from_manifest(
+        spark,
+        "SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM t WHERE p IN (1, 3)",
+        {"t": path},
     )
+    sel = [(i * 37) % 1000 for i in range(100) if i % 5 in (1, 3)]
+    assert [tuple(r) for r in got.collect()] == [(min(sel), max(sel))]
 
 
 def test_extract_as_of_skips_clause_inside_string_literal():
