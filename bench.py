@@ -196,6 +196,23 @@ def main() -> None:
     QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Host-state probe (r08 judge ask): time the already-warm q01 now
+    # (pre) and again after the full suite (post), and report both.
+    # q01's clean warm band at sf0.1 is ~0.7-0.8 s; a driver run that
+    # lands on a hot host (post-pytest page-cache/CPU pressure — the
+    # documented SCALE_SMOKE.md signature) elevates the probe by the
+    # same factor as the real queries, so load is
+    # machine-distinguishable from a plan regression: elevated probe +
+    # uniform query inflation = hot host; flat probe + one slow query
+    # = regression.
+    def _probe() -> float:
+        t0 = time.perf_counter()
+        QUERIES["q01_pricing_summary"](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    probe_pre = _probe()
     # Fixture prep, not query work: materialize the multi-file landing
     # directory q36's multi-batch stream consumes (cached across runs).
     from pandas_analysis_with_postgres_spark.streaming import split_events_by_time
@@ -247,6 +264,7 @@ def main() -> None:
 
     timings = run(HEADLINE)
     extra = run(EXTRA)
+    probe_post = _probe()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     line = json.dumps(
@@ -257,6 +275,7 @@ def main() -> None:
             "queries": timings,
             "queries_extra": extra,
             "builds": builds,
+            "probe": {"pre_sec": probe_pre, "post_sec": probe_post},
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )

@@ -567,7 +567,11 @@ def _compute_blooms(
         df.select(F.col(partition_col).alias("__pv"), F.explode(F.array(*structs)).alias("s"))
         .select("__pv", F.col("s.c").alias("c"), F.explode("s.ps").alias("pos"))
     )
-    rows = ex.groupBy("__pv", "c").agg(F.collect_set("pos").alias("bits")).collect()
+    rows = _collect_partition_groups(
+        ex.groupBy("__pv", "c").agg(F.collect_set("pos").alias("bits")),
+        partition_col,
+        what="bloom stats",
+    )
     out: dict = {}
     for r in rows:
         part = _hive_part_name(partition_col, r["__pv"])
@@ -1222,17 +1226,16 @@ def _commit(
 MAX_COLLECTED_PARTITIONS = 100_000
 
 
-def _collect_distinct_partitions(df: DataFrame, col: str, *, what: str) -> list:
-    """``df.select(col).distinct().collect()`` values, with the
-    MAX_COLLECTED_PARTITIONS cardinality bound enforced via a
+def _collect_partition_groups(df: DataFrame, col: str, *, what: str) -> list:
+    """Collect a DataFrame with ≤1 row per distinct partition value
+    (a ``groupBy(pcol)`` aggregate, or a distinct projection of it),
+    with the MAX_COLLECTED_PARTITIONS cardinality bound enforced via a
     ``limit(cap+1)`` probe (the limit keeps the failure itself cheap:
-    the driver never receives more than cap+1 rows)."""
-    rows = (
-        df.select(col)
-        .distinct()
-        .limit(MAX_COLLECTED_PARTITIONS + 1)
-        .collect()
-    )
+    the driver never receives more than cap+1 rows). EVERY driver-side
+    collect whose row count is O(distinct partition values) must route
+    through here — a high-NDV partition column then fails loudly
+    instead of OOMing the driver."""
+    rows = df.limit(MAX_COLLECTED_PARTITIONS + 1).collect()
     if len(rows) > MAX_COLLECTED_PARTITIONS:
         raise ValueError(
             f"{what}: partition column {col!r} has more than "
@@ -1241,6 +1244,15 @@ def _collect_distinct_partitions(df: DataFrame, col: str, *, what: str) -> list:
             "— repartition the table by a lower-cardinality column (or a "
             "bucket of this one) before using the snapshot layer"
         )
+    return rows
+
+
+def _collect_distinct_partitions(df: DataFrame, col: str, *, what: str) -> list:
+    """``df.select(col).distinct().collect()`` values, bounded by
+    :func:`_collect_partition_groups`."""
+    rows = _collect_partition_groups(
+        df.select(col).distinct(), col, what=what
+    )
     return [r[0] for r in rows]
 
 
@@ -1713,16 +1725,16 @@ def _compute_sums(
                 f"{t!r}; sum stats must be integral (float addition is "
                 "order-dependent — quantize to cents/micros first)"
             )
-    rows = (
-        back.groupBy(partition_col)
-        .agg(
+    rows = _collect_partition_groups(
+        back.groupBy(partition_col).agg(
             *[
                 F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s_{c}")
                 for c in cols
             ],
             *[F.count(F.col(c)).alias(f"n_{c}") for c in cols],
-        )
-        .collect()
+        ),
+        partition_col,
+        what="sum stats",
     )
     out: dict = {}
     for r in rows:
@@ -2855,11 +2867,12 @@ def delete_where(
             "directories; compact_snapshot to migrate first"
         )
     cur = read_snapshot(spark, path, parent)
-    hits = (
+    hits = _collect_partition_groups(
         cur.groupBy(pcol)
         .agg(F.sum(F.when(cond, 1).otherwise(0)).alias("n"))
-        .filter(F.col("n") > 0)
-        .collect()
+        .filter(F.col("n") > 0),
+        pcol,
+        what="delete",
     )
     if not hits:
         return {
@@ -2987,13 +3000,16 @@ def _delete_where_mor(
     # tombstoned (== the anti-join the readers will run, counted once)
     suppressed = {
         _hive_part_name(pcol, r[0]): int(r[1])
-        for r in cur.join(keys_df.select(
-            F.col(key).alias("__dk"), F.col(pcol).alias("__dp")
-        ), (F.col(key) == F.col("__dk"))
-            & F.col(pcol).eqNullSafe(F.col("__dp")), "semi")
-        .groupBy(pcol)
-        .agg(F.count(F.lit(1)))
-        .collect()
+        for r in _collect_partition_groups(
+            cur.join(keys_df.select(
+                F.col(key).alias("__dk"), F.col(pcol).alias("__dp")
+            ), (F.col(key) == F.col("__dk"))
+                & F.col(pcol).eqNullSafe(F.col("__dp")), "semi")
+            .groupBy(pcol)
+            .agg(F.count(F.lit(1))),
+            pcol,
+            what="merge-on-read delete",
+        )
     }
     if not suppressed:
         return {
@@ -5692,7 +5708,7 @@ def range_group_counts(
             cond = cond & (c > lo if lo_strict else c >= lo)
         if hi is not None:
             cond = cond & (c < hi if hi_strict else c <= hi)
-        rows = (
+        rows = _collect_partition_groups(
             read_snapshot(
                 spark, path, version,
                 partition_filter=lambda p: p in scan_parts,
@@ -5700,8 +5716,9 @@ def range_group_counts(
             )
             .filter(cond)
             .groupBy(pcol)
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            .agg(F.count(F.lit(1)).alias("n")),
+            pcol,
+            what="range_group_counts",
         )
         for r in rows:
             counts[_hive_part_name(pcol, r[0])] = int(r["n"])
@@ -5898,7 +5915,7 @@ def range_group_multi(
         for c in mm_cols:
             aggs.append(F.min(c).alias(f"__lo_{c}"))
             aggs.append(F.max(c).alias(f"__hi_{c}"))
-        rows = (
+        rows = _collect_partition_groups(
             read_snapshot(
                 spark, path, version,
                 partition_filter=lambda p: p in scan_parts,
@@ -5906,8 +5923,9 @@ def range_group_multi(
             )
             .filter(cond)
             .groupBy(pcol)
-            .agg(*aggs)
-            .collect()
+            .agg(*aggs),
+            pcol,
+            what="range_group_multi",
         )
         for r in rows:
             vals = []

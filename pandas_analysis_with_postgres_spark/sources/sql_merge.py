@@ -405,13 +405,19 @@ def execute_merge(
         changed_ins = full_new.select(pcol).limit(0)
 
     full_new = full_new.localCheckpoint(eager=False)
-    changed = (
+    from .snapshot import (
+        _collect_distinct_partitions,
+        _collect_partition_groups,
+        _hive_part_name,
+    )
+
+    changed = _collect_partition_groups(
         changed_matched.unionByName(changed_bs)
         .unionByName(changed_ins)
-        .distinct()
-        .collect()
+        .distinct(),
+        pcol,
+        what="MERGE",
     )  # O(partitions) driver metadata, same budget as delete_where
-    from .snapshot import _collect_distinct_partitions, _hive_part_name
 
     affected = {_hive_part_name(pcol, r[0]) for r in changed}
     if not affected:
@@ -564,6 +570,7 @@ def execute_update(
     update commits nothing and returns the parent version.
     """
     from .snapshot import (
+        _collect_partition_groups,
         _hive_part_name,
         read_manifest,
         read_snapshot,
@@ -599,11 +606,12 @@ def execute_update(
         cur = cur.alias(p["alias"])
     cond = F.expr(p["where"]) if p["where"] else F.lit(True)
     hit = F.coalesce(cond, F.lit(False))
-    hits = (
+    hits = _collect_partition_groups(
         cur.groupBy(pcol)
         .agg(F.sum(F.when(hit, 1).otherwise(0)).alias("n"))
-        .filter(F.col("n") > 0)
-        .collect()
+        .filter(F.col("n") > 0),
+        pcol,
+        what="UPDATE",
     )
     if not hits:
         return man["version"]

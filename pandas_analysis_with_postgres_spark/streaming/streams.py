@@ -52,6 +52,14 @@ EVENTS_RAW_SCHEMA_TPL = (
 
 _memory_sink_ids = itertools.count()
 
+#: Hard cap on distinct opt-out keys collected to the driver per
+#: micro-batch in :func:`stream_optout_sink`. Opt-out streams are
+#: compliance lists (thousands of ids/day); 100k short ids ≈ a few MB
+#: of driver memory. A bulk GDPR backfill (millions of keys) must go
+#: through batch ``delete_where`` instead — the limit(cap+1) probe
+#: makes the failure itself cheap.
+MAX_OPTOUT_BATCH_KEYS = 100_000
+
 
 def _events_ts_kind(sample_file: str) -> str:
     """Classify the fixture's physical ``ts`` encoding from the parquet
@@ -565,22 +573,38 @@ def stream_optout_sink(
 
     The batch's distinct keys are collected to the driver to form the
     delete predicate — an opt-out batch is a compliance list
-    (thousands of ids), not a data stream; the collect is bounded by
-    that contract and NULL keys are dropped (no row carries a NULL
-    identity). Commit races with concurrent writers retry in-run,
-    same as :func:`stream_merge_sink`."""
+    (thousands of ids), not a data stream. That contract is ENFORCED:
+    a batch with more than ``MAX_OPTOUT_BATCH_KEYS`` distinct keys
+    fails loudly (via a ``limit(cap+1)`` probe, so the oversized
+    collect itself never happens) instead of OOMing the driver — a
+    bulk-erasure backlog that size belongs in a batch
+    :func:`sources.snapshot.delete_where` call, or split across
+    micro-batches with ``maxOffsetsPerTrigger``-style source rate
+    limits. NULL keys are dropped (no row carries a NULL identity).
+    Commit races with concurrent writers retry in-run, same as
+    :func:`stream_merge_sink`."""
     from pyspark.sql import functions as F
 
     from ..sources.snapshot import ConcurrentCommitError, delete_where
 
     def _delete(batch_df: DataFrame, batch_id: int) -> None:
-        ids = [
-            r[0]
-            for r in batch_df.select(key)
+        cap = MAX_OPTOUT_BATCH_KEYS
+        rows = (
+            batch_df.select(key)
             .where(F.col(key).isNotNull())
             .distinct()
+            .limit(cap + 1)
             .collect()
-        ]
+        )
+        if len(rows) > cap:
+            raise ValueError(
+                f"stream_optout_sink: micro-batch {batch_id} carries more "
+                f"than {cap:,} distinct {key!r} values; opt-out streams are "
+                "compliance lists, not bulk erasure — run a batch "
+                "delete_where for backfills, or rate-limit the source so "
+                "each trigger stays under the cap"
+            )
+        ids = [r[0] for r in rows]
         if not ids:
             return
         spark = batch_df.sparkSession

@@ -280,6 +280,38 @@ class TestStreamOptout:
         assert read_manifest(tbl)["version"] == v_before
         assert {r.doc_id for r in read_snapshot(spark, tbl).collect()} == live
 
+    def test_oversized_batch_fails_loudly(self, spark, tmp_path, monkeypatch):
+        # a bulk-erasure batch above MAX_OPTOUT_BATCH_KEYS must fail
+        # with the documented contract error, not collect unbounded
+        # keys onto the driver
+        import pandas_analysis_with_postgres_spark.streaming.streams as st
+
+        df = spark.createDataFrame(
+            [(i, f"d{i}", i % 2) for i in range(40)],
+            "doc_id long, body string, p long",
+        )
+        tbl = str(tmp_path / "docs")
+        write_snapshot(df, tbl, "p")
+        ids_dir = tmp_path / "ids"
+        spark.createDataFrame(
+            [(v,) for v in range(30)], "doc_id long"
+        ).coalesce(1).write.parquet(str(ids_dir / "bulk"))
+        monkeypatch.setattr(st, "MAX_OPTOUT_BATCH_KEYS", 10)
+        stream = spark.readStream.schema("doc_id long").parquet(
+            str(ids_dir / "*")
+        )
+        with pytest.raises(Exception, match="more than 10"):
+            st.stream_optout_sink(
+                stream,
+                tbl,
+                "doc_id",
+                app_id="optout-big",
+                checkpoint_dir=str(tmp_path / "ckpt2"),
+            )
+        # nothing committed: the table is untouched
+        assert read_manifest(tbl)["version"] == 1
+        assert read_snapshot(spark, tbl).count() == 40
+
 
 def test_tombstone_antijoin_broadcasts_when_small(spark, tbl):
     delete_where(spark, tbl, "k = 1", mode="merge-on-read", key="k")

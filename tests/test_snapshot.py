@@ -1256,6 +1256,34 @@ def test_partition_collect_cardinality_guard(spark, tmp_path, monkeypatch):
     snap.merge_snapshot(path, ok, "k", "p")
     assert snap.read_snapshot(spark, path).count() == 50
 
+    # the groupBy(pcol)-aggregate collects (delete_where hit-partition
+    # planning, SQL UPDATE hit-partition planning) hit the SAME cap —
+    # these bypassed the r07 guard, which only covered distinct(pcol)
+    from pyspark.sql import functions as F
+
+    from pandas_analysis_with_postgres_spark.sources.sql_merge import (
+        execute_update,
+    )
+
+    wide_path = str(tmp_path / "wide")
+    monkeypatch.setattr(snap, "MAX_COLLECTED_PARTITIONS", 200_000)
+    snap.write_snapshot(
+        spark.createDataFrame(
+            [(i, i, float(i)) for i in range(100)], "k long, p long, v double"
+        ),
+        wide_path,
+        "p",
+    )
+    monkeypatch.setattr(snap, "MAX_COLLECTED_PARTITIONS", 50)
+    with pytest.raises(ValueError, match="more than 50 distinct"):
+        snap.delete_where(spark, wide_path, F.col("v") >= 0.0)
+    with pytest.raises(ValueError, match="more than 50 distinct"):
+        execute_update(
+            spark,
+            "UPDATE wide SET v = v + 1.0",
+            tables={"wide": wide_path},
+        )
+
 
 def test_metadata_tables(spark, tmp_path):
     from pandas_analysis_with_postgres_spark.sources.snapshot import (
