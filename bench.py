@@ -186,6 +186,14 @@ EXTRA = (
     "z76_file_skipping",
     "z77_multi_agg_hybrid",
     "z78_group_multi_hybrid",
+    "z79_order_count_distribution",
+    "z80_part_supplier_counts",
+    "z81_idle_rich_customers",
+    "z82_top_supplier",
+    "z83_disjunctive_revenue",
+    "z84_metadata_distinct",
+    "z85_metadata_having",
+    "z86_metadata_in_range",
 )
 
 

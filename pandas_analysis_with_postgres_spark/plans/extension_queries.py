@@ -4446,7 +4446,15 @@ def _gbin_table(spark: SparkSession, sf_dir: str) -> str:
         )
         write_snapshot(
             orders, path, "o_orderstatus",
-            stats_cols=["o_custkey::hll", f"cents::hist:{_Z55_WIDTH}"],
+            # cents range stats + exact sum added in round 9 for z86's
+            # IN+range conjunction — additive entries; z61/z63's
+            # statements and oracles are unaffected
+            stats_cols=[
+                "o_custkey::hll",
+                f"cents::hist:{_Z55_WIDTH}",
+                "cents",
+                "cents::sum",
+            ],
         )
         _GBIN_DROPS[key] = path
     return path
@@ -5740,25 +5748,12 @@ SELECT hi.*, lo.* FROM hi, lo
 _SUMAVG_DROPS: dict = {}
 
 
-def z64_metadata_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact SUM / AVG from MANIFEST METADATA (sources.snapshot.
-    manifest_column_sum + the ``stats_cols=["col::sum"]`` table
-    property): every commit records per-partition ``[sum, n_nonnull]``
-    — the sum computed through DECIMAL(38,0), exact at any scale,
-    carried as an arbitrary-precision JSON int — and pairs MERGE BY
-    ADDITION, so ``SUM(col)`` and ``AVG(col)`` (= sum/n, the IEEE
-    double division a scan performs) cost one JSON read globally, per
-    group, or under an IN-list. Integral columns only: an exact
-    mergeable float sum does not exist (addition order changes the
-    rounding), so money-like doubles quantize to cents first — the
-    fixture does exactly that, and manufactures NULLs (o_orderkey % 7)
-    so the null-skipping arithmetic is real. Tombstones, un-summed
-    columns, and range WHERE refuse; int64 overflow refuses to the
-    scan (which errors honestly). The oracle replays the quantization,
-    the NULLIF, and sum/count division bit-for-bit."""
+def _sumavg_table(spark: SparkSession, sf_dir: str) -> str:
+    """Shared z64/z85 fixture: orders snapshotted by o_orderstatus with
+    exact ``cents::sum`` entries and manufactured NULLs
+    (o_orderkey % 7) so null-skipping arithmetic is real."""
     import os
 
-    from ..sources.metadata_sql import answer_from_manifest
     from ..sources.snapshot import write_snapshot
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
@@ -5778,6 +5773,28 @@ def z64_metadata_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             stats_cols=["cents", "cents::sum"],
         )
         _SUMAVG_DROPS[key] = path
+    return path
+
+
+def z64_metadata_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SUM / AVG from MANIFEST METADATA (sources.snapshot.
+    manifest_column_sum + the ``stats_cols=["col::sum"]`` table
+    property): every commit records per-partition ``[sum, n_nonnull]``
+    — the sum computed through DECIMAL(38,0), exact at any scale,
+    carried as an arbitrary-precision JSON int — and pairs MERGE BY
+    ADDITION, so ``SUM(col)`` and ``AVG(col)`` (= sum/n, the IEEE
+    double division a scan performs) cost one JSON read globally, per
+    group, or under an IN-list. Integral columns only: an exact
+    mergeable float sum does not exist (addition order changes the
+    rounding), so money-like doubles quantize to cents first — the
+    fixture does exactly that, and manufactures NULLs (o_orderkey % 7)
+    so the null-skipping arithmetic is real. Tombstones, un-summed
+    columns, and range WHERE refuse; int64 overflow refuses to the
+    scan (which errors honestly). The oracle replays the quantization,
+    the NULLIF, and sum/count division bit-for-bit."""
+    from ..sources.metadata_sql import answer_from_manifest
+
+    path = _sumavg_table(spark, sf_dir)
     grp = answer_from_manifest(
         spark,
         "SELECT o_orderstatus, SUM(cents) AS s, AVG(cents) AS a,"
@@ -7382,6 +7399,503 @@ def z23_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_refine_topk(emb, codes, qs, books, 5, shortlist=50)
 
 
+def z84_metadata_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT DISTINCT pcol`` and ``COUNT(DISTINCT pcol)`` from
+    MANIFEST METADATA (metadata_sql grammar form 4): the live
+    partition list IS the distinct value set — Iceberg's
+    ``partitions`` metadata table answering SHOW PARTITIONS — so the
+    "what days do we have?" poll costs one JSON read at any scale,
+    zero data pages (unit-pinned by physically deleting every parquet
+    in tests/test_metadata_sql.py). COUNT(DISTINCT pcol) rides the
+    same fact, skipping the NULL partition exactly as SQL does; under
+    an IN-list only members present with live rows count (absent 'X'
+    contributes nothing). DISTINCT composes with WHERE pcol IN (…) by
+    filtering assembled values. Non-pcol DISTINCT refuses to the scan
+    — another column's exact value set is not a manifest fact."""
+    from ..sources.metadata_sql import answer_from_manifest
+
+    path = _gbin_table(spark, sf_dir)
+    vals = answer_from_manifest(
+        spark, "SELECT DISTINCT o_orderstatus FROM t", {"t": path}
+    )
+    counts = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n_all,"
+        " COUNT(DISTINCT o_orderstatus) AS nd FROM t",
+        {"t": path},
+    )
+    in_counts = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n_in,"
+        " COUNT(DISTINCT o_orderstatus) AS nd_in"
+        " FROM t WHERE o_orderstatus IN ('O', 'F', 'X')",
+        {"t": path},
+    )
+    assert vals is not None and counts is not None  # refusal = hard fail
+    assert in_counts is not None
+    return vals.crossJoin(counts).crossJoin(in_counts)
+
+
+Z84_SQL = """
+SELECT v.o_orderstatus, c.n_all, c.nd, i.n_in, i.nd_in
+FROM (SELECT DISTINCT o_orderstatus FROM orders) v
+CROSS JOIN (SELECT COUNT(*)::BIGINT AS n_all,
+                   COUNT(DISTINCT o_orderstatus)::BIGINT AS nd
+            FROM orders) c
+CROSS JOIN (SELECT COUNT(*)::BIGINT AS n_in,
+                   COUNT(DISTINCT o_orderstatus)::BIGINT AS nd_in
+            FROM orders
+            WHERE o_orderstatus IN ('O', 'F', 'X')) i
+"""
+
+
+def z85_metadata_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY pcol HAVING <agg alias> <op> <num>`` from MANIFEST
+    METADATA (metadata_sql form 3 + _apply_having): HAVING is provable
+    for the same reason ORDER BY/LIMIT is (z63) — the FULL group set
+    is assembled driver-side before the filter, so filtering the local
+    frame is exactly the engine's post-aggregate HAVING, still zero
+    data pages. Composes with the whole grouped grammar: the first
+    statement stacks HAVING on COUNT + exact SUM then ORDER BY/LIMIT
+    (SQL evaluation order: HAVING before ORDER BY); the second filters
+    on an AVG with a float literal (sum/count division — IEEE-replayed
+    by the oracle). NULL aggregates drop (three-valued logic);
+    non-numeric aliases (the group column, MIN/MAX renderings) refuse
+    to the scan — unit-pinned in tests/test_metadata_sql.py."""
+    from ..sources.metadata_sql import answer_from_manifest
+
+    path = _sumavg_table(spark, sf_dir)
+    top = answer_from_manifest(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n, SUM(cents) AS sc"
+        " FROM t GROUP BY o_orderstatus HAVING n >= 5000"
+        " ORDER BY sc DESC LIMIT 2",
+        {"t": path},
+    )
+    rich = answer_from_manifest(
+        spark,
+        "SELECT o_orderstatus AS st, AVG(cents) AS ac"
+        " FROM t GROUP BY o_orderstatus HAVING ac > 25000000.0",
+        {"t": path},
+    )
+    assert top is not None and rich is not None  # refusal = hard fail
+    return top.crossJoin(rich)
+
+
+Z85_SQL = """
+WITH c AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderkey % 7 <> 0
+              THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         END AS cents
+  FROM orders
+),
+top AS (
+  SELECT o_orderstatus, COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS sc
+  FROM c GROUP BY o_orderstatus HAVING n >= 5000
+  ORDER BY sc DESC, o_orderstatus ASC LIMIT 2
+),
+rich AS (
+  SELECT o_orderstatus AS st,
+         CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(cents) AS DOUBLE) AS ac
+  FROM c GROUP BY o_orderstatus
+  HAVING CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(cents) AS DOUBLE)
+         > 25000000.0
+)
+SELECT top.o_orderstatus, top.n, top.sc, rich.st, rich.ac
+FROM top CROSS JOIN rich
+"""
+
+
+def z86_metadata_in_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONJUNCTIVE IN + RANGE in the hybrid tier (metadata_sql
+    ``pcol IN (…) AND col <range>`` → snapshot._eq_targets member
+    sets): the multi-day dashboard statement — "count/sum/avg over
+    THESE days where latency in this band" — answered with ONE
+    member-restricted partition classification and ONE boundary scan.
+    Non-member partitions never enter the pass (the IN restricts the
+    directory set before classification — at 100 TB that alone is the
+    difference between touching 2 days and 2,000); an absent member
+    ('X') contributes nothing; within members the z77 per-item gates
+    apply unchanged. First statement: a range proven for every member
+    → COUNT+SUM+AVG entirely from metadata. Second: an interior band
+    over members including an absent one → the boundary scan is
+    restricted to the 2 real members. Membership on a non-partition
+    column refuses pre-scan (unit-pinned). The oracle replays the
+    cents quantization and both predicates over raw orders."""
+    from ..sources.metadata_sql import hybrid_range_count
+
+    path = _gbin_table(spark, sf_dir)
+    full = hybrid_range_count(
+        spark,
+        "SELECT COUNT(*) AS n_of, SUM(cents) AS sc_of, AVG(cents) AS ac_of"
+        " FROM t WHERE o_orderstatus IN ('O', 'F') AND cents >= 0",
+        {"t": path},
+    )
+    band = hybrid_range_count(
+        spark,
+        "SELECT COUNT(*) AS n_band, MIN(cents) AS lo_band,"
+        " MAX(cents) AS hi_band FROM t"
+        " WHERE o_orderstatus IN ('O', 'P', 'X')"
+        " AND cents BETWEEN 10000000 AND 30000000",
+        {"t": path},
+    )
+    assert full is not None and band is not None  # refusal = hard fail
+    return full.crossJoin(band)
+
+
+Z86_SQL = """
+WITH c AS (
+  SELECT o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+f AS (
+  SELECT COUNT(*)::BIGINT AS n_of, SUM(cents)::BIGINT AS sc_of,
+         CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(cents) AS DOUBLE) AS ac_of
+  FROM c WHERE o_orderstatus IN ('O', 'F') AND cents >= 0
+),
+b AS (
+  SELECT COUNT(*)::BIGINT AS n_band, MIN(cents)::BIGINT AS lo_band,
+         MAX(cents)::BIGINT AS hi_band
+  FROM c WHERE o_orderstatus IN ('O', 'P', 'X')
+    AND cents BETWEEN 10000000 AND 30000000
+)
+SELECT f.n_of, f.sc_of, f.ac_of, b.n_band, b.lo_band, b.hi_band
+FROM f CROSS JOIN b
+"""
+
+
+def z79_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): the LEFT-OUTER-WITH-JOIN-
+    PREDICATE shape — customers with ZERO qualifying orders must
+    appear with c_count = 0, so the priority exclusion lives in the
+    JOIN condition, not a WHERE (a WHERE would silently turn the
+    outer join inner — the classic Q13 trap). Spark-first: ONE
+    shuffle on the customer key serves BOTH the left join and the
+    per-customer COUNT(o_orderkey) — Catalyst reuses the join's hash
+    partitioning for the aggregate, no second exchange of the fact.
+    The second aggregate groups ~tens of distinct counts, collapsed
+    map-side before a trivially small exchange. COUNT(o_orderkey)
+    (not COUNT(*)) makes the unmatched row count 0, matching SQL
+    NULL-skipping exactly. Output ordering is deterministic:
+    (custdist, c_count) pairs are unique by construction. At 100 TB:
+    fact shuffles once on o_custkey; no broadcast needed — both
+    sides are key-partitioned by the same column."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Z79_SQL = """
+SELECT c_count, COUNT(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) counts
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def z80_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): COUNT(DISTINCT) under
+    a NOT-IN exclusion. The complaint-supplier set (negative balance)
+    is tiny and its key is non-null by construction, so the NOT IN is
+    exactly a broadcast LEFT ANTI join — no shuffle, no NULL
+    three-valued-logic hazard (with a nullable subquery column NOT IN
+    would need the null-aware anti plan instead). The part dim is
+    filtered (brand exclusion + size IN-list) then broadcast; the
+    only fact shuffle is the COUNT(DISTINCT l_suppkey) aggregate,
+    which partially dedups (p_brand, p_type, p_size, l_suppkey)
+    map-side before the exchange. At 100 TB: lineitem is scanned once
+    with both predicates applied executor-side against broadcast hash
+    tables; the grouped-distinct exchange carries deduped quadruples,
+    a fraction of the fact."""
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "anti"
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+Z80_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def z81_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): GLOBAL SCALAR SUBQUERY
+    as threshold + ANTI JOIN against the fact. The above-average
+    balance cut is replayed in EXACT integer cross-multiplication —
+    ``bal_cents · pos_n > pos_sum`` (both sides BIGINT; cents are
+    exact via DECIMAL(18,2)·100) — because a float AVG threshold
+    would make boundary customers engine-dependent (Spark and the
+    oracle may sum doubles in different orders). The global aggregate
+    is ONE row, broadcast-cross-joined into the customer scan (the A3
+    discipline: never a window over the whole table for a global
+    scalar); the "never placed an urgent order" probe is an anti join
+    shuffling customer and the filtered orders on the customer key.
+    At 100 TB: one fact shuffle (anti probe), dims broadcast, global
+    agg O(1)."""
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", cents.alias("bal_cents")
+    )
+    pos = cust.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("pos_sum"),
+        F.count(F.lit(1)).alias("pos_n"),
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("pos_n") > F.col("pos_sum"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "anti")
+    )
+    return (
+        rich.join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Z81_SQL = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS bal_cents
+  FROM customer
+),
+pos AS (
+  SELECT SUM(bal_cents)::BIGINT AS pos_sum, COUNT(*)::BIGINT AS pos_n
+  FROM cust WHERE bal_cents > 0
+)
+SELECT n_name, COUNT(*)::BIGINT AS numcust,
+       SUM(bal_cents)::BIGINT AS total_bal_cents
+FROM cust
+CROSS JOIN pos
+JOIN nation ON c_nationkey = n_nationkey
+WHERE bal_cents * pos_n > pos_sum
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = cust.c_custkey
+      AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def z82_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the MAX-OVER-AGGREGATE scalar
+    subquery — per-supplier revenue over a 3-month ship window, keep
+    the supplier(s) tying the maximum. Revenue sums in exact integer
+    ten-thousandths (z66 discipline) so the MAX and the equality cut
+    are deterministic across engines. Spark-first: ONE fact shuffle
+    on l_suppkey builds the per-supplier aggregate, which is PINNED
+    with localCheckpoint — without the pin both consumers (the probe
+    and the MAX) re-derive the lineage and the fact is scanned and
+    aggregated twice (verified: the unpinned plan shows two scans and
+    zero ReusedExchange). The pinned frame is per-supplier, i.e. tiny
+    relative to the fact, so materializing it is the 100 TB-correct
+    trade. The MAX is then a 1-row aggregate broadcast back (NOT a
+    window over the grouped frame — a global window funnels every
+    supplier through one partition); the supplier dim broadcasts for
+    the name attach. Ties all surface — the TPC-H spec's "in case of
+    a tie" clause — ordered by key."""
+    rev_e4 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)")
+           - F.col("l_discount").cast("decimal(18,2)"))
+        * 10000
+    ).cast("long")
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .select("l_suppkey", rev_e4.alias("rev_e4"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_e4").alias("total_rev_e4"))
+        .localCheckpoint()
+    )
+    best = rev.agg(F.max("total_rev_e4").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_rev_e4") == F.col("max_rev"))
+        .join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .select("s_suppkey", "s_name", "total_rev_e4")
+        .orderBy("s_suppkey")
+    )
+
+
+Z82_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(18,2)))
+                  * 10000 AS BIGINT))::BIGINT AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01'
+    AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_e4
+FROM rev
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def z83_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the OR-OF-CONJUNCTIONS join
+    predicate — three (brand, size-range, quantity-range) clauses
+    ORed across BOTH join sides, the shape that defeats naive
+    pushdown because no single conjunct holds globally. The classic
+    Q19 optimization is applied explicitly: each side's DISJUNCTIVE
+    HULL — ``p_brand IN (…) AND p_size ≤ 15`` on part, ``l_quantity
+    BETWEEN 1 AND 30`` on lineitem — is a consequence of the OR, so
+    it filters BEFORE the join (part shrinks to 3 brands and
+    broadcasts; the fact scan prunes on the quantity hull at the
+    parquet reader), and the exact disjunction evaluates residually
+    on the joined row. Revenue in exact e4 ints (z66). At 100 TB:
+    one broadcast join, zero shuffles beyond the final 1-row
+    aggregate."""
+    rev_e4 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)")
+           - F.col("l_discount").cast("decimal(18,2)"))
+        * 10000
+    ).cast("long")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+        .select("l_partkey", "l_quantity", rev_e4.alias("rev_e4"))
+    )
+    qty = F.col("l_quantity")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 5)
+            & (qty >= 1) & (qty <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 10)
+            & (qty >= 10) & (qty <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 15)
+            & (qty >= 20) & (qty <= 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(clause)
+        .agg(
+            F.sum("rev_e4").alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+Z83_SQL = """
+SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))
+                * 10000 AS BIGINT))::BIGINT AS revenue_e4,
+       COUNT(*)::BIGINT AS n_lineitems
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 EXTENSION_QUERIES = {
     "q22_dedup_exact": q22_dedup_exact,
     "q23_ngram_jaccard_pairs": q23_ngram_jaccard_pairs,
@@ -7500,6 +8014,14 @@ EXTENSION_QUERIES = {
     "z76_file_skipping": z76_file_skipping,
     "z77_multi_agg_hybrid": z77_multi_agg_hybrid,
     "z78_group_multi_hybrid": z78_group_multi_hybrid,
+    "z79_order_count_distribution": z79_order_count_distribution,
+    "z84_metadata_distinct": z84_metadata_distinct,
+    "z85_metadata_having": z85_metadata_having,
+    "z86_metadata_in_range": z86_metadata_in_range,
+    "z80_part_supplier_counts": z80_part_supplier_counts,
+    "z81_idle_rich_customers": z81_idle_rich_customers,
+    "z82_top_supplier": z82_top_supplier,
+    "z83_disjunctive_revenue": z83_disjunctive_revenue,
 }
 
 EXTENSION_ORACLES = {
@@ -7599,6 +8121,14 @@ EXTENSION_ORACLES = {
     "z76_file_skipping": Z76_SQL,
     "z77_multi_agg_hybrid": Z77_SQL,
     "z78_group_multi_hybrid": Z78_SQL,
+    "z79_order_count_distribution": Z79_SQL,
+    "z84_metadata_distinct": Z84_SQL,
+    "z85_metadata_having": Z85_SQL,
+    "z86_metadata_in_range": Z86_SQL,
+    "z80_part_supplier_counts": Z80_SQL,
+    "z81_idle_rich_customers": Z81_SQL,
+    "z82_top_supplier": Z82_SQL,
+    "z83_disjunctive_revenue": Z83_SQL,
     "q42_ivf_topk": IVF_TOPK_ORACLE,
     "q46_top_tokens": Q46_SQL,
     "q49_dedup_keep": Q49_SQL,

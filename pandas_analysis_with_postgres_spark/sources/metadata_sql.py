@@ -11,8 +11,9 @@ what it cannot prove, never approximate it. The answerable statement
 shapes; everything else returns ``None`` and the caller falls back to
 a real scan:
 
-1. ``SELECT COUNT(*)/COUNT(col)/MIN(col)/MAX(col)/SUM(col)/AVG(col)/
-   APPROX_COUNT_DISTINCT(col)/APPROX_QUANTILE(col, p)[, …] FROM t
+1. ``SELECT COUNT(*)/COUNT(col)/COUNT(DISTINCT pcol)/MIN(col)/
+   MAX(col)/SUM(col)/AVG(col)/APPROX_COUNT_DISTINCT(col)/
+   APPROX_QUANTILE(col, p)[, …] FROM t
    [WHERE pcol = lit | pcol IN (…)]`` — counts from the reserved
    ``::n_rows`` stats; null-skipping COUNT(col), SUM, AVG from the
    ``[min, max, nulls]`` and ``col::sum`` entries; extremes from
@@ -32,13 +33,22 @@ a real scan:
    or is served by the separate caller-opted HYBRID tier
    (:func:`hybrid_range_count`), which also serves single
    SUM/AVG/MIN/MAX items under a range by scanning only the boundary.
+   The IN-conjunction ``pcol IN (…) AND col <range>`` parses too and
+   is hybrid-only: the member set restricts the classification
+   (non-members never enter the pass); the pure answerer refuses it.
 3. ``SELECT pcol[, aggregates…] FROM t [WHERE pcol = lit | pcol IN
-   (…)] GROUP BY pcol [ORDER BY <output alias> [ASC|DESC] [LIMIT
-   n]]`` — group ≡ partition, so the per-partition entries are
-   exactly the per-group answers; the IN-list filters assembled
-   groups (absent members contribute no group); ORDER BY/LIMIT is
-   provable because the full group set is assembled before ordering
-   (ties break by the group column ascending).
+   (…)] GROUP BY pcol [HAVING <alias> <op> <num>] [ORDER BY <output
+   alias> [ASC|DESC] [LIMIT n]]`` — group ≡ partition, so the
+   per-partition entries are exactly the per-group answers; the
+   IN-list filters assembled groups (absent members contribute no
+   group); HAVING and ORDER BY/LIMIT are provable because the full
+   group set is assembled before filtering/ordering (HAVING
+   references a numeric aggregate output alias; ties break by the
+   group column ascending).
+4. ``SELECT DISTINCT pcol FROM t [WHERE pcol = lit | pcol IN (…)]``
+   — rewritten to form 3 at parse: the live partition list IS the
+   distinct value set (COUNT(DISTINCT pcol) rides form 1 the same
+   way, skipping the NULL partition as SQL does).
 
 Every shape composes with SQL time travel — ``FROM t FOR VERSION AS
 OF <n>`` / ``FOR TIMESTAMP AS OF '<ts>'`` (the Delta/Iceberg syntax;
@@ -74,11 +84,14 @@ from .snapshot import (
 )
 
 _STMT = re.compile(
-    r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>[A-Za-z_]\w*)"
+    r"^\s*SELECT\s+(?:(?P<distinct>DISTINCT)\s+)?"
+    r"(?P<items>.+?)\s+FROM\s+(?P<table>[A-Za-z_]\w*)"
     r"(?:\s+FOR\s+(?:VERSION\s+AS\s+OF\s+(?P<asof_v>\d+)"
     r"|TIMESTAMP\s+AS\s+OF\s+'(?P<asof_ts>[^']*)'))?"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<gcol>[A-Za-z_]\w*))?"
+    r"(?:\s+HAVING\s+(?P<hcol>[A-Za-z_]\w*)\s*"
+    r"(?P<hop><=|>=|<>|=|<|>)\s*(?P<hval>-?\d+(?:\.\d+)?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<ocol>[A-Za-z_]\w*)"
     r"(?:\s+(?P<odir>ASC|DESC))?)?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
@@ -127,6 +140,7 @@ def extract_as_of(sql: str) -> "tuple[str, dict | None]":
     return sql[: m.start()] + sql[m.end():], spec
 _ITEM = re.compile(
     r"^\s*(?:COUNT\s*\(\s*\*\s*\)"
+    r"|(?P<cdn>COUNT)\s*\(\s*DISTINCT\s+(?P<cdncol>[A-Za-z_]\w*)\s*\)"
     r"|(?P<cnt>COUNT)\s*\(\s*(?P<cntcol>[A-Za-z_]\w*)\s*\)"
     r"|(?P<adc>APPROX_COUNT_DISTINCT)\s*\(\s*(?P<adccol>[A-Za-z_]\w*)\s*\)"
     r"|(?P<aq>APPROX_QUANTILE)\s*\(\s*(?P<aqcol>[A-Za-z_]\w*)\s*,\s*(?P<aqp>\d+)\s*\)"
@@ -163,10 +177,22 @@ _W_EQ_RANGE = re.compile(
     rf"|(?P<bcol>[A-Za-z_]\w*)\s+BETWEEN\s+(?P<blo>{_LIT})\s+AND\s+(?P<bhi>{_LIT}))\s*$",
     re.IGNORECASE,
 )
+#: Conjunctive IN-membership AND one range — "COUNT(*) WHERE day IN
+#: ('2026-08-01', '2026-08-02') AND latency > 500". Strictly IN-first.
+_W_IN_RANGE = re.compile(
+    rf"^\s*(?P<icol>[A-Za-z_]\w*)\s+IN\s*\(\s*"
+    rf"(?P<ivals>{_LIT}(?:\s*,\s*{_LIT})*)\s*\)\s+AND\s+"
+    rf"(?:(?P<col>[A-Za-z_]\w*)\s*(?P<op><=|>=|<|>)\s*(?P<val>{_LIT})"
+    rf"|(?P<bcol>[A-Za-z_]\w*)\s+BETWEEN\s+(?P<blo>{_LIT})\s+AND\s+(?P<bhi>{_LIT}))\s*$",
+    re.IGNORECASE,
+)
 # keywords that must not be mistaken for a bare select column (the
 # items split sees only commas, so these cannot appear there anyway,
 # but guard the bare-column path against e.g. "SELECT all FROM t")
-_KEYWORDS = {"select", "from", "where", "group", "by", "and", "between"}
+_KEYWORDS = {
+    "select", "from", "where", "group", "by", "and", "between",
+    "distinct", "having",
+}
 
 
 def parse_metadata_select(sql: str) -> "dict | None":
@@ -181,6 +207,23 @@ def parse_metadata_select(sql: str) -> "dict | None":
     if not m:
         return None
     gcol = m.group("gcol")
+    if m.group("distinct") is not None:
+        # SELECT DISTINCT pcol ≡ SELECT pcol GROUP BY pcol — rewrite
+        # to the grouped form so form 3 serves it unchanged (zero data
+        # pages: the live partition list IS the distinct value set).
+        # Strictly ONE bare column; DISTINCT over aggregates or
+        # combined with an explicit GROUP BY refuses to the scan.
+        if gcol is not None:
+            return None
+        dm = re.match(
+            r"^\s*(?P<col>[A-Za-z_]\w*)"
+            r"(?:\s+AS\s+(?P<alias>[A-Za-z_]\w*))?\s*$",
+            m.group("items"),
+            re.IGNORECASE,
+        )
+        if dm is None or dm.group("col").lower() in _KEYWORDS:
+            return None
+        gcol = dm.group("col")
     items = []
     n_bare = 0
     # split the select list on TOP-LEVEL commas only — the comma
@@ -218,6 +261,16 @@ def parse_metadata_select(sql: str) -> "dict | None":
             col = im.group("sacol")
             items.append(
                 (kind, col, im.group("alias") or f"{kind}_{col}")
+            )
+            continue
+        if im.group("cdn") is not None:
+            col = im.group("cdncol")
+            items.append(
+                (
+                    "cdistinct",
+                    col,
+                    im.group("alias") or f"count_distinct_{col}",
+                )
             )
             continue
         if im.group("cnt") is not None:
@@ -289,11 +342,34 @@ def parse_metadata_select(sql: str) -> "dict | None":
                 erm.group("ecol"),
                 erm.group("eval"),
             ) + rng + (erm.group("bcol") or erm.group("col"),)
+        elif (irm := _W_IN_RANGE.match(wtext)) is not None:
+            if irm.group("col") is not None:
+                op, val = irm.group("op"), irm.group("val")
+                rng = (
+                    (None, val, False, op == "<")
+                    if op in ("<", "<=")
+                    else (val, None, op == ">", False)
+                )
+            else:
+                rng = (irm.group("blo"), irm.group("bhi"), False, False)
+            vals = [
+                v.group(0) for v in _LIT_RE.finditer(irm.group("ivals"))
+            ]
+            where = (
+                "inrange",
+                irm.group("icol"),
+                vals,
+            ) + rng + (irm.group("bcol") or irm.group("col"),)
         else:
             return None  # unsupported predicate: scan
     if gcol is not None:
         if n_bare != 1:
             return None  # grouped column must appear in the select list
+        if any(k == "cdistinct" for k, _, _ in items):
+            # COUNT(DISTINCT) per group: only the degenerate
+            # COUNT(DISTINCT pcol) GROUP BY pcol (= 1 per group) would
+            # be provable — not worth a special case; scan decides
+            return None
         if where is not None and where[0] not in ("eq", "in", "range"):
             return None  # eqrange + GROUP BY: the member IS the group
         if where is not None and where[0] == "range":
@@ -305,7 +381,7 @@ def parse_metadata_select(sql: str) -> "dict | None":
                 for k, _, _ in items
             ):
                 return None
-    if where is not None and where[0] in ("range", "eqrange"):
+    if where is not None and where[0] in ("range", "eqrange", "inrange"):
         # The MANIFEST proof covers COUNT(*) only (clipped extremes /
         # range-restricted sketches are unprovable), but any list of
         # COUNT(*)/SUM/AVG/MIN/MAX items still PARSES so the hybrid
@@ -315,10 +391,20 @@ def parse_metadata_select(sql: str) -> "dict | None":
         # at answer time. Sketch items (NDV/quantile/COUNT(col))
         # refuse here as before: no prover serves them under a range.
         if any(
-            k in ("approx", "quantile", "countcol")
+            k in ("approx", "quantile", "countcol", "cdistinct")
             for k, _, _ in items
         ):
             return None
+    having = None
+    if m.group("hcol") is not None:
+        if gcol is None:
+            return None  # HAVING without GROUP BY: scan decides/errors
+        hraw = m.group("hval")
+        having = (
+            m.group("hcol"),
+            m.group("hop"),
+            float(hraw) if "." in hraw else int(hraw),
+        )
     order_by = None
     if m.group("ocol") is not None:
         if gcol is None:
@@ -337,6 +423,7 @@ def parse_metadata_select(sql: str) -> "dict | None":
         "items": items,
         "where": where,
         "group_by": gcol,
+        "having": having,
         "order_by": order_by,
         "limit": limit,
         "as_of": as_of,
@@ -400,6 +487,39 @@ def _sum_avg_value(kind: str, pair: "tuple"):
 
 class _Refuse(Exception):
     """Internal: this statement is not provably metadata-answerable."""
+
+
+def _apply_having(out: DataFrame, parsed: dict) -> DataFrame:
+    """``HAVING <output alias> <op> <numeric lit>`` on a grouped
+    metadata answer. Provable for the same reason ORDER BY/LIMIT is
+    (z63): the FULL group set is assembled before the filter, so
+    filtering the local frame is exactly the engine's post-aggregate
+    HAVING. Strictly numeric aggregate aliases — a HAVING on the group
+    column or a MIN/MAX rendering (typed date/string comparisons)
+    refuses to the scan; NULL aggregates drop, SQL semantics."""
+    having = parsed.get("having")
+    if having is None:
+        return out
+    from pyspark.sql import functions as F
+
+    hcol, hop, hval = having
+    numeric = {
+        a
+        for k, _, a in parsed["items"]
+        if k in ("count", "countcol", "sum", "avg", "approx", "quantile")
+    }
+    if hcol not in numeric:
+        raise _Refuse()
+    c = F.col(hcol)
+    cond = {
+        "=": c == hval,
+        "<>": c != hval,
+        "<": c < hval,
+        "<=": c <= hval,
+        ">": c > hval,
+        ">=": c >= hval,
+    }[hop]
+    return out.filter(cond)
 
 
 def answer_from_manifest(
@@ -533,6 +653,10 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
         return _answer_eq_range_count(
             spark, parsed, path, pcol, ptype, field_types, schema_meta, version
         )
+    if where is not None and where[0] == "inrange":
+        # conjunctive IN + range: the caller-opted HYBRID tier serves
+        # it (one member-restricted classification, one boundary scan)
+        raise _Refuse()
 
     if where is not None and where[0] == "in":
         # IN over the partition column: COUNT(*) = summed member
@@ -567,6 +691,26 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
                             )
                         )
                     )
+                    fields.append(StructField(alias, LongType(), False))
+                elif k == "cdistinct":
+                    if c != pcol:
+                        raise _Refuse()  # non-pcol exact NDV: scan
+                    # distinct values under IN = members present with
+                    # live rows (absent member contributes nothing;
+                    # NULL can't appear in an IN literal list)
+                    n_dist = 0
+                    for v in in_spec[1]:
+                        if v is None:
+                            continue
+                        if (
+                            manifest_aggregate(
+                                path, version=version,
+                                where_partition=(pcol, v),
+                            )["n_rows"]
+                            > 0
+                        ):
+                            n_dist += 1
+                    values.append(n_dist)
                     fields.append(StructField(alias, LongType(), False))
                 elif k in ("sum", "avg"):
                     pair = manifest_column_sum(
@@ -683,6 +827,26 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
             for k, c, _ in parsed["items"]
             if k in ("sum", "avg")
         }
+        cdn_vals = {}
+        for k, c, _ in parsed["items"]:
+            if k != "cdistinct":
+                continue
+            if c != pcol:
+                # only the partition column's value set is a manifest
+                # fact (the live partition list); any other column's
+                # exact NDV needs a scan (APPROX_COUNT_DISTINCT serves
+                # the sketch-tolerant caller)
+                raise _Refuse()
+            # COUNT(DISTINCT pcol) = live partitions with a non-NULL
+            # value (SQL COUNT(DISTINCT) skips NULLs; the NULL
+            # partition still forms a DISTINCT/GROUP BY group)
+            cdn_vals[c] = sum(
+                1
+                for v, _n in manifest_partition_counts(
+                    path, version=version, where_partition=eq
+                )
+                if v is not None
+            )
     except ValueError:
         # e.g. extremes over merge-on-read tombstoned partitions, a
         # column with no usable stats anywhere, or a missing NDV
@@ -704,6 +868,9 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
             fields.append(StructField(alias, LongType(), False))
         elif fn == "countcol":
             values.append(int(ccount[col]))
+            fields.append(StructField(alias, LongType(), False))
+        elif fn == "cdistinct":
+            values.append(cdn_vals[col])
             fields.append(StructField(alias, LongType(), False))
         elif fn in ("sum", "avg"):
             values.append(_sum_avg_value(fn, csum[col]))
@@ -728,7 +895,10 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
 
     exprs = []
     for fn, col, alias in parsed["items"]:
-        if fn in ("count", "approx", "quantile", "countcol", "sum", "avg"):
+        if fn in (
+            "count", "approx", "quantile", "countcol", "cdistinct",
+            "sum", "avg",
+        ):
             exprs.append(F.col(alias))
         else:
             exprs.append(F.col(alias).cast(field_types[col]).alias(alias))
@@ -786,6 +956,36 @@ def _answer_range_count(
     )
 
 
+def _conj_where(where: tuple, pcol, ptype):
+    """Unpack a hybrid-tier WHERE — plain ``range``, conjunctive
+    ``eqrange`` (pcol = lit AND range) or ``inrange`` (pcol IN (…)
+    AND range) — into ``(where_partition, range_col, lo_raw, hi_raw,
+    lo_strict, hi_strict)``. The membership side must be the
+    partition column with coercible literals; anything else refuses
+    (the full scan decides). An IN-list passes the coerced member
+    LIST through ``where_partition`` — `snapshot._eq_targets` expands
+    it to the member directory set, so all four provers restrict
+    their classification to members with no per-member passes."""
+    if where[0] == "eqrange":
+        _, ecol, eraw, lo_raw, hi_raw, lo_strict, hi_strict, col = where
+        if ecol != pcol:
+            raise _Refuse()
+        return (
+            (pcol, _coerce_partition_literal(eraw, ptype)),
+            col, lo_raw, hi_raw, lo_strict, hi_strict,
+        )
+    if where[0] == "inrange":
+        _, icol, raws, lo_raw, hi_raw, lo_strict, hi_strict, col = where
+        if icol != pcol:
+            raise _Refuse()
+        vals = sorted(
+            {_coerce_partition_literal(r, ptype) for r in raws}, key=repr
+        )
+        return (pcol, vals), col, lo_raw, hi_raw, lo_strict, hi_strict
+    _, col, lo_raw, hi_raw, lo_strict, hi_strict = where
+    return None, col, lo_raw, hi_raw, lo_strict, hi_strict
+
+
 def hybrid_range_count(
     spark: SparkSession,
     sql: str,
@@ -812,7 +1012,7 @@ def hybrid_range_count(
         parsed is None
         or parsed["table"] not in tables
         or parsed["where"] is None
-        or parsed["where"][0] not in ("range", "eqrange")
+        or parsed["where"][0] not in ("range", "eqrange", "inrange")
         or any(
             k not in ("group", "count", "sum", "avg", "min", "max")
             for k, _, _ in parsed["items"]
@@ -856,19 +1056,12 @@ def hybrid_range_count(
         if sj
         else {}
     )
-    eq = None
-    if parsed["where"][0] == "eqrange":
-        _, ecol, eraw, lo_raw, hi_raw, lo_strict, hi_strict, col = (
-            parsed["where"]
+    try:
+        eq, col, lo_raw, hi_raw, lo_strict, hi_strict = _conj_where(
+            parsed["where"], pcol, ptype
         )
-        if ecol != pcol:
-            return None  # non-partition equality: full scan decides
-        try:
-            eq = (pcol, _coerce_partition_literal(eraw, ptype))
-        except _Refuse:
-            return None
-    else:
-        _, col, lo_raw, hi_raw, lo_strict, hi_strict = parsed["where"]
+    except _Refuse:
+        return None  # non-pcol membership / uncoercible member: scan
     coltype = (
         ptype if col == pcol else _spark_simple_type(field_types.get(col))
     )
@@ -983,19 +1176,12 @@ def _hybrid_multi(spark, parsed, tables, version):
         if sj
         else {}
     )
-    eq = None
-    if parsed["where"][0] == "eqrange":
-        _, ecol, eraw, lo_raw, hi_raw, lo_strict, hi_strict, col = (
-            parsed["where"]
+    try:
+        eq, col, lo_raw, hi_raw, lo_strict, hi_strict = _conj_where(
+            parsed["where"], pcol, ptype
         )
-        if ecol != pcol:
-            return None  # non-partition equality: full scan decides
-        try:
-            eq = (pcol, _coerce_partition_literal(eraw, ptype))
-        except _Refuse:
-            return None
-    else:
-        _, col, lo_raw, hi_raw, lo_strict, hi_strict = parsed["where"]
+    except _Refuse:
+        return None  # non-pcol membership / uncoercible member: scan
     coltype = (
         ptype if col == pcol else _spark_simple_type(field_types.get(col))
     )
@@ -1070,8 +1256,9 @@ def _hybrid_group_multi(spark, parsed, tables, version):
     COUNT(*), SUM(x), AVG(x), MIN(y), MAX(y) … WHERE col <range>
     GROUP BY pcol`` served by ONE :func:`snapshot.range_group_multi`
     pass — per-group metadata for interior partitions, one grouped
-    boundary scan for the edges. Group values render as strings (the
-    grouped metadata-answer convention — `_answer_group_by`). ORDER
+    boundary scan for the edges. Group values come back in the
+    column's recorded type (string-render → cast, the same route as
+    `_answer_group_by` — scan-identical schema). ORDER
     BY <output alias> [DESC] LIMIT k applies on the assembled frame —
     the full group set exists before ordering, ties break by the
     group column ascending (the z63 discipline), so "top-k days by
@@ -1142,7 +1329,12 @@ def _hybrid_group_multi(spark, parsed, tables, version):
         fields, casts = [], {}
         for kind, agg_col, alias in parsed["items"]:
             if kind == "group":
+                # scan-identical group type (the form-3 contract): the
+                # string rendering routes through the same cast as
+                # _answer_group_by, so a LONG partition column comes
+                # back LONG, not the manifest's directory-name string
                 fields.append(StructField(alias, StringType(), True))
+                casts[alias] = field_types.get(pcol) or ptype
             elif kind == "count":
                 fields.append(StructField(alias, LongType(), False))
             elif kind in ("sum", "avg"):
@@ -1183,6 +1375,7 @@ def _hybrid_group_multi(spark, parsed, tables, version):
                     for f in frame.schema.fields
                 ]
             )
+        frame = _apply_having(frame, parsed)
         if parsed.get("order_by") is not None:
             # the full group set is assembled — ordering the local
             # frame proves itself; group-asc tie-break (z63)
@@ -1450,6 +1643,8 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
         else:
             exprs.append(F.col(alias).cast(field_types[col]).alias(alias))
     out = frame.select(*exprs).coalesce(1)
+    # HAVING before ORDER BY/LIMIT — SQL's evaluation order.
+    out = _apply_having(out, parsed)
     # ORDER BY <output alias> [DESC] LIMIT n — legal on a grouped
     # metadata answer because the FULL group set is already assembled
     # (ordering a complete local frame proves itself); ties break by

@@ -5002,10 +5002,14 @@ def read_metadata_table(
 
 
 def _eq_targets(man, path, pcol, where_partition):
-    """Shared partition-equality restriction for the hybrid provers:
-    None (unrestricted) or the singleton member set. Raises on a
-    non-partition column or a mixed-spec table (directory names are
-    not values of the current column there)."""
+    """Shared partition-VALUE restriction for the hybrid provers:
+    None (unrestricted), the singleton member set for an equality
+    ``(pcol, value)``, or the member set for an IN-list ``(pcol,
+    [v1, v2, …])`` — partitions outside the set contribute nothing,
+    exactly ``pcol IN (…) AND <range>`` semantics (an absent member
+    restricts to an empty directory set). Raises on a non-partition
+    column or a mixed-spec table (directory names are not values of
+    the current partition column there)."""
     if where_partition is None:
         return None
     if where_partition[0] != pcol:
@@ -5019,7 +5023,10 @@ def _eq_targets(man, path, pcol, where_partition):
             f"{path} holds old-spec directories — compact_snapshot to "
             "migrate, or scan"
         )
-    return {_hive_part_name(pcol, where_partition[1])}
+    val = where_partition[1]
+    if isinstance(val, (list, tuple, set, frozenset)):
+        return {_hive_part_name(pcol, v) for v in val}
+    return {_hive_part_name(pcol, val)}
 
 
 def range_sum_pruned(

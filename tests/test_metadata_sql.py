@@ -33,6 +33,7 @@ def test_parse_accepts_the_strict_grammar():
         ],
         "where": None,
         "group_by": None,
+        "having": None,
         "order_by": None,
         "limit": None,
         "as_of": None,
@@ -879,14 +880,38 @@ _EQV_ITEMS = [
     "MAX(cents) AS hi",
     "MIN(email) AS elo",
     "MAX(email) AS ehi",
+    "COUNT(DISTINCT p) AS nd",
 ]
 _EQV_WHERE = [None, "p = 1", "p = 9", "p IN (0, 2)", "p IN (1, 3, 7)"]
+#: numeric output aliases HAVING may reference (min/max renderings and
+#: the group column itself must refuse — covered by drawing them too)
+_EQV_HAVING_ALIASES = ["n", "ce", "cc", "s", "a", "lo", "p"]
+_EQV_HAVING_OPS = ["<", "<=", ">", ">=", "=", "<>"]
 
 
 @settings(max_examples=40, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(data=st.data())
 def test_metadata_answers_equal_scans(spark, _eqv, data):
+    if data.draw(st.booleans(), label="distinct_form") and data.draw(
+        st.booleans()
+    ):
+        # SELECT DISTINCT pcol — the live partition list IS the answer
+        sql = "SELECT DISTINCT p FROM t"
+        where = data.draw(st.sampled_from(_EQV_WHERE))
+        if where:
+            sql += f" WHERE {where}"
+        out = answer_from_manifest(spark, sql, {"t": _eqv})
+        assert out is not None, sql  # always provable on this fixture
+        got = sorted(r[0] for r in out.collect())
+        want = sorted(
+            r[0]
+            for r in spark.sql(
+                sql.replace(" FROM t", " FROM eqv_scan")
+            ).collect()
+        )
+        assert got == want, (sql, got, want)
+        return
     items = data.draw(
         st.lists(st.sampled_from(_EQV_ITEMS), min_size=1, max_size=3,
                  unique=True)
@@ -902,6 +927,11 @@ def test_metadata_answers_equal_scans(spark, _eqv, data):
     order = None
     if grouped:
         sql += " GROUP BY p"
+        if data.draw(st.booleans(), label="having"):
+            halias = data.draw(st.sampled_from(_EQV_HAVING_ALIASES))
+            hop = data.draw(st.sampled_from(_EQV_HAVING_OPS))
+            hval = data.draw(st.integers(0, 4000))
+            sql += f" HAVING {halias} {hop} {hval}"
         if data.draw(st.booleans()):
             alias = data.draw(
                 st.sampled_from([i.split(" AS ")[1] for i in items] + ["p"])
@@ -953,6 +983,8 @@ _HYB_RANGES = [
     "k BETWEEN 50 AND 199",
     "p >= 2",
     "p = 1 AND cents BETWEEN 100 AND 2000",
+    "p IN (0, 2) AND cents BETWEEN 100 AND 2000",
+    "p IN (1, 9) AND cents > 1500",
     "cents BETWEEN 9000 AND 9999",
 ]
 
@@ -985,12 +1017,8 @@ def test_hybrid_tier_answers_equal_scans(spark, _eqv, data):
         return  # refusal is always legal (eqrange+group, etc.)
     got = [tuple(r) for r in out.collect()]
     scan_sql = sql.replace(" FROM t", " FROM eqv_scan")
-    if grouped:
-        # the tier renders group values as strings (the grouped
-        # metadata-answer convention) — replay in the scan
-        scan_sql = scan_sql.replace(
-            "SELECT p, ", "SELECT CAST(p AS STRING) AS p, ", 1
-        )
+    # group values come back in the column's recorded type (the form-3
+    # scan-identical-schema contract) — no cast compensation needed
     want = [tuple(r) for r in spark.sql(scan_sql).collect()]
 
     def _norm(rows):
@@ -1099,3 +1127,205 @@ def test_single_agg_under_range_parses_but_metadata_refuses(spark, tmp_path):
         )
         is None
     )
+
+
+# ------------------------------- DISTINCT / COUNT(DISTINCT) / HAVING
+@pytest.fixture()
+def dtbl(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        write_snapshot,
+    )
+
+    rows = [(i, f"s{i % 3}", i * 7) for i in range(100)] + [(100, None, None)]
+    df = spark.createDataFrame(rows, "k long, st string, v long")
+    path = str(tmp_path / "dtbl")
+    write_snapshot(df, path, "st", stats_cols=["v::sum"])
+    return path
+
+
+def test_distinct_pcol_is_the_live_partition_list(spark, dtbl):
+    # zero-data-page proof: physically remove every data file first
+    for f in Path(dtbl).rglob("*.parquet"):
+        f.unlink()
+    out = answer_from_manifest(spark, "SELECT DISTINCT st FROM t", {"t": dtbl})
+    assert [r.st for r in out.collect()] == [None, "s0", "s1", "s2"]
+    assert dict(out.dtypes) == {"st": "string"}
+    # IN restriction filters the value set; absent member contributes
+    # nothing; alias respected
+    out = answer_from_manifest(
+        spark,
+        "SELECT DISTINCT st AS s FROM t WHERE st IN ('s1', 'zz')",
+        {"t": dtbl},
+    )
+    assert [r.s for r in out.collect()] == ["s1"]
+    # DISTINCT over aggregates / with GROUP BY / on a non-pcol: scan
+    assert answer_from_manifest(
+        spark, "SELECT DISTINCT COUNT(*) AS n FROM t", {"t": dtbl}
+    ) is None
+    assert answer_from_manifest(
+        spark, "SELECT DISTINCT st FROM t GROUP BY st", {"t": dtbl}
+    ) is None
+    assert answer_from_manifest(
+        spark, "SELECT DISTINCT v FROM t", {"t": dtbl}
+    ) is None
+
+
+def test_count_distinct_pcol_skips_nulls(spark, dtbl):
+    for f in Path(dtbl).rglob("*.parquet"):
+        f.unlink()
+    # the NULL partition forms a DISTINCT group but COUNT(DISTINCT)
+    # skips it — SQL semantics, replayed from the manifest alone
+    out = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT st) AS nd FROM t",
+        {"t": dtbl},
+    ).collect()[0]
+    assert (out.n, out.nd) == (101, 3)
+    out = answer_from_manifest(
+        spark,
+        "SELECT COUNT(DISTINCT st) AS nd FROM t WHERE st IN ('s0', 'zz')",
+        {"t": dtbl},
+    ).collect()[0]
+    assert out.nd == 1
+    out = answer_from_manifest(
+        spark,
+        "SELECT COUNT(DISTINCT st) AS nd FROM t WHERE st = 's2'",
+        {"t": dtbl},
+    ).collect()[0]
+    assert out.nd == 1
+    # non-pcol exact NDV is not a manifest fact: scan
+    assert answer_from_manifest(
+        spark, "SELECT COUNT(DISTINCT v) AS nd FROM t", {"t": dtbl}
+    ) is None
+    # grouped COUNT(DISTINCT): scan decides
+    assert answer_from_manifest(
+        spark,
+        "SELECT st, COUNT(DISTINCT v) AS nd FROM t GROUP BY st",
+        {"t": dtbl},
+    ) is None
+
+
+def test_having_filters_assembled_groups(spark, dtbl):
+    for f in Path(dtbl).rglob("*.parquet"):
+        f.unlink()
+    # 34/33/33 rows in s0/s1/s2 (+1 NULL-partition row); v sums are
+    # 11781 (s0), 11319 (s1), 11550 (s2), NULL (null partition)
+    out = answer_from_manifest(
+        spark,
+        "SELECT st, COUNT(*) AS n FROM t GROUP BY st HAVING n > 33",
+        {"t": dtbl},
+    )
+    assert [(r.st, r.n) for r in out.collect()] == [("s0", 34)]
+    # NULL aggregates drop (the NULL partition's SUM is NULL): SQL
+    # three-valued HAVING
+    out = answer_from_manifest(
+        spark,
+        "SELECT st, SUM(v) AS sv FROM t GROUP BY st HAVING sv <= 11550",
+        {"t": dtbl},
+    )
+    assert [(r.st, r.sv) for r in out.collect()] == [
+        ("s1", 11319), ("s2", 11550),
+    ]
+    # HAVING composes before ORDER BY/LIMIT (SQL evaluation order)
+    out = answer_from_manifest(
+        spark,
+        "SELECT st, COUNT(*) AS n, AVG(v) AS av FROM t GROUP BY st"
+        " HAVING n = 33 ORDER BY av DESC LIMIT 1",
+        {"t": dtbl},
+    )
+    assert [(r.st, r.n) for r in out.collect()] == [("s2", 33)]
+    # refusals: non-numeric alias (group col, MIN/MAX rendering),
+    # HAVING without GROUP BY, unknown alias
+    for bad in (
+        "SELECT st, COUNT(*) AS n FROM t GROUP BY st HAVING st > 3",
+        "SELECT COUNT(*) AS n FROM t HAVING n > 3",
+        "SELECT st, COUNT(*) AS n FROM t GROUP BY st HAVING zz > 3",
+    ):
+        assert answer_from_manifest(spark, bad, {"t": dtbl}) is None, bad
+
+
+def test_having_and_group_typing_on_grouped_hybrid(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        hybrid_range_count,
+    )
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    rows = [(i, i % 4, i * 3) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, p long, v long")
+    path = str(tmp_path / "ghav")
+    write_snapshot(df, path, "p", stats_cols=["k", "v", "v::sum"])
+    sql = (
+        "SELECT p, COUNT(*) AS n, SUM(v) AS sv FROM t"
+        " WHERE k BETWEEN 20 AND 180 GROUP BY p"
+        " HAVING sv >= 12000 ORDER BY sv DESC LIMIT 2"
+    )
+    out = hybrid_range_count(spark, sql, {"t": path})
+    read_snapshot(spark, path).createOrReplaceTempView("ghav_scan")
+    want = spark.sql(
+        sql.replace("FROM t", "FROM ghav_scan")
+        .replace("LIMIT 2", ", p ASC LIMIT 2")
+    )
+    # scan-identical schema: the LONG group column must come back
+    # LONG (the form-3 contract), not the directory-name string
+    assert out.dtypes == want.dtypes
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    # HAVING referencing a non-numeric alias refuses pre-scan
+    assert hybrid_range_count(
+        spark,
+        "SELECT p, COUNT(*) AS n FROM t WHERE k > 20 GROUP BY p"
+        " HAVING p > 1",
+        {"t": path},
+    ) is None
+
+
+def test_in_range_conjunction_served_by_hybrid(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        hybrid_range_count,
+    )
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    rows = [(i, i % 5, i * 3) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, p long, v long")
+    path = str(tmp_path / "inr")
+    write_snapshot(df, path, "p", stats_cols=["k", "v", "v::sum"])
+    read_snapshot(spark, path).createOrReplaceTempView("inr_scan")
+    # scan-equality across count / multi-aggregate / absent member
+    for sql in (
+        "SELECT COUNT(*) AS n FROM t"
+        " WHERE p IN (0, 2, 9) AND k BETWEEN 100 AND 400",
+        "SELECT COUNT(*) AS n, SUM(v) AS sv, AVG(v) AS av,"
+        " MIN(k) AS lo, MAX(k) AS hi FROM t"
+        " WHERE p IN (1, 3) AND k > 250",
+    ):
+        out = hybrid_range_count(spark, sql, {"t": path})
+        want = spark.sql(sql.replace("FROM t", "FROM inr_scan"))
+        assert out is not None and out.dtypes == want.dtypes, sql
+        assert [tuple(r) for r in out.collect()] == [
+            tuple(r) for r in want.collect()
+        ], sql
+    # membership on a non-partition column refuses pre-scan
+    assert hybrid_range_count(
+        spark,
+        "SELECT COUNT(*) AS n FROM t WHERE v IN (0, 3) AND k > 10",
+        {"t": path},
+    ) is None
+    # zero-data-page proof: a window covering every member partition
+    # classifies all members fully inside — delete every parquet and
+    # the member-restricted answer must not notice
+    for f in Path(path).rglob("*.parquet"):
+        f.unlink()
+    out = hybrid_range_count(
+        spark,
+        "SELECT COUNT(*) AS n, SUM(v) AS sv FROM t"
+        " WHERE p IN (0, 2) AND k BETWEEN 0 AND 499",
+        {"t": path},
+    ).collect()[0]
+    assert (out.n, out.sv) == (200, 149100)

@@ -338,3 +338,64 @@ def test_z35_snm_joins_are_hash_equi_joins(spark):
     p = _plan(spark, "z35_sorted_neighborhood")
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_z79_q13_outer_join_feeds_count_without_extra_exchange(spark):
+    """Q13's trap is turning the left-outer into an inner (a WHERE on
+    the orders side) — pinned by the oracle. The plan pin here is the
+    scale property: the priority exclusion is PUSHED to the orders
+    scan (it lives in the join condition, yet refers only to one
+    side, so Catalyst extracts it), and nothing in the plan is a
+    cartesian/nested-loop."""
+    p = _plan(spark, "z79_order_count_distribution")
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("o_orderpriority" in l and "Not(EqualTo" in l for l in pushed), p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_z80_q16_not_in_is_broadcast_anti(spark):
+    """The NOT IN complaint-supplier subquery must plan as a broadcast
+    LEFT ANTI hash join (the subquery key is non-null, so no
+    null-aware nested-loop fallback), and both dim predicates must
+    reach their scans."""
+    p = _plan(spark, "z80_part_supplier_counts")
+    assert "LeftAnti" in p and "SortMergeJoin" not in p, p
+    pushed = "\n".join(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "LessThan(s_acctbal,0.0)" in pushed, p
+    assert "In(p_size" in pushed, p
+
+
+def test_z81_q22_global_threshold_is_one_row_broadcast(spark):
+    """The global balance threshold joins as a 1-row
+    BroadcastNestedLoopJoin (the A3 global-aggregate discipline — a
+    window over the whole customer table would funnel it through one
+    partition); the no-urgent-order probe is a real anti join."""
+    p = _plan(spark, "z81_idle_rich_customers")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_z82_q15_fact_aggregated_once(spark):
+    """Without the localCheckpoint pin the MAX subquery re-derives the
+    per-supplier aggregate lineage and lineitem is scanned twice.
+    Pinned: the returned plan contains NO parquet scan of lineitem at
+    all (both consumers read the materialized checkpoint) — only the
+    supplier dim scan remains."""
+    p = _plan(spark, "z82_top_supplier")
+    scans = [l for l in p.splitlines() if "Scan parquet" in l]
+    assert all("lineitem" not in l for l in scans), p
+    assert "Scan ExistingRDD" in p, p
+
+
+def test_z83_q19_disjunctive_hulls_reach_both_scans(spark):
+    """Q19's OR-of-conjunctions: the per-side hulls must be pushed —
+    the quantity envelope [1, 30] to the lineitem scan and the brand
+    IN-list + size envelope to the part scan — with the exact
+    disjunction evaluated residually after the broadcast join."""
+    p = _plan(spark, "z83_disjunctive_revenue")
+    pushed = "\n".join(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in pushed, p
+    assert "LessThanOrEqual(l_quantity,30.0)" in pushed, p
+    assert "In(p_brand" in pushed, p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
