@@ -194,6 +194,8 @@ EXTRA = (
     "z84_metadata_distinct",
     "z85_metadata_having",
     "z86_metadata_in_range",
+    "z87_sole_late_supplier",
+    "z88_top_value_parts",
 )
 
 

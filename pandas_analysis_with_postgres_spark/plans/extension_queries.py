@@ -7566,6 +7566,176 @@ FROM f CROSS JOIN b
 """
 
 
+def z87_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): the DOUBLE
+    CORRELATED EXISTS/NOT-EXISTS — "late lineitems on multi-supplier
+    orders where this supplier was the ONLY late one" — decorrelated
+    one step further than the textbook rewrite: the literal
+    translation self-joins the fact against itself TWICE; the common
+    rewrite aggregates per order and joins BACK to the fact (which
+    still evaluates the fact lineage twice — the z82 lesson); here a
+    TWO-LEVEL aggregate removes the join-back entirely. Level 1
+    groups (order, supplier) counting each supplier's late lines;
+    level 2 groups the order, deriving both existence facts — row
+    count ≥ 2 is the EXISTS (another supplier ships this order),
+    exactly one supplier with late lines is the NOT EXISTS — plus the
+    sole late supplier's identity (``MAX(CASE WHEN late…)``: unique
+    under the =1 filter) and its late-line count (``SUM``: only its
+    lines are late). Both aggregates' groupings CONTAIN l_orderkey,
+    so the orders-join partitioning satisfies them (HashPartitioning
+    on a subset of the grouping keys is a valid clustering) — the
+    fact shuffles ONCE for the whole chain and nothing fact-sized is
+    re-derived or materialized. Lateness (shipdate > orderdate + 60
+    days) is row-local arithmetic; counts are integers, so the top-20
+    cut is deterministic. The oracle replays the identical two-level
+    rewrite."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    per_os = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                    True,
+                )
+            ).alias("late_lines")
+        )
+    )
+    per_order = (
+        per_os.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.count(
+                F.when(F.col("late_lines") > 0, True)
+            ).alias("n_late_supp"),
+            F.max(
+                F.when(F.col("late_lines") > 0, F.col("l_suppkey"))
+            ).alias("late_supp"),
+            F.sum("late_lines").alias("order_late_lines"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.sum("order_late_lines").alias("numwait"))
+        .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+Z87_SQL = """
+WITH per_os AS (
+  SELECT l_orderkey, l_suppkey,
+         COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 END) AS late_lines
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey, l_suppkey
+),
+po AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp,
+         COUNT(CASE WHEN late_lines > 0 THEN 1 END) AS n_late_supp,
+         MAX(CASE WHEN late_lines > 0 THEN l_suppkey END) AS late_supp,
+         SUM(late_lines) AS order_late_lines
+  FROM per_os GROUP BY l_orderkey
+)
+SELECT s_name, SUM(order_late_lines)::BIGINT AS numwait
+FROM po
+JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp >= 2 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+def z88_top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): the GLOBAL-SHARE HAVING — per-part
+    value from one nation's suppliers, keeping parts whose value
+    exceeds a fixed FRACTION of the nation's total. The fraction cut
+    is replayed in exact integer cross-multiplication (``val·1000 >
+    total·2`` — value in cents is integral, so no float share is ever
+    compared and the oracle replays the cut bit-for-bit). Spark-first:
+    the nation's suppliers are a broadcast SEMI filter on the fact
+    (the fact never carries supplier attributes), the per-part value
+    is one map-side-combinable shuffle, the total is a 1-row aggregate
+    over the PER-PART frame (not a second fact pass) broadcast back —
+    the A3 global-aggregate discipline at both levels. Top-10 by value
+    is TakeOrderedAndProject over the filtered frame."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    per_part = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", cents.alias("cents"))
+        .join(
+            F.broadcast(supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "semi",
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("val_cents"))
+        # pinned: both consumers (the share probe and the total) read
+        # the materialized per-part frame — without this the fact is
+        # scanned and aggregated twice (the z82 lesson)
+        .localCheckpoint()
+    )
+    total = per_part.agg(F.sum("val_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("val_cents") * F.lit(1000)
+            > F.col("total_cents") * F.lit(2)
+        )
+        .select("l_partkey", "val_cents")
+        .orderBy(F.col("val_cents").desc(), F.col("l_partkey").asc())
+        .limit(10)
+    )
+
+
+Z88_SQL = """
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT))::BIGINT AS val_cents
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+  )
+  GROUP BY l_partkey
+),
+tot AS (SELECT SUM(val_cents)::BIGINT AS total_cents FROM v)
+SELECT l_partkey, val_cents
+FROM v CROSS JOIN tot
+WHERE val_cents * 1000 > total_cents * 2
+ORDER BY val_cents DESC, l_partkey ASC
+LIMIT 10
+"""
+
+
 def z79_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 (customer distribution): the LEFT-OUTER-WITH-JOIN-
     PREDICATE shape — customers with ZERO qualifying orders must
@@ -8018,6 +8188,8 @@ EXTENSION_QUERIES = {
     "z84_metadata_distinct": z84_metadata_distinct,
     "z85_metadata_having": z85_metadata_having,
     "z86_metadata_in_range": z86_metadata_in_range,
+    "z87_sole_late_supplier": z87_sole_late_supplier,
+    "z88_top_value_parts": z88_top_value_parts,
     "z80_part_supplier_counts": z80_part_supplier_counts,
     "z81_idle_rich_customers": z81_idle_rich_customers,
     "z82_top_supplier": z82_top_supplier,
@@ -8125,6 +8297,8 @@ EXTENSION_ORACLES = {
     "z84_metadata_distinct": Z84_SQL,
     "z85_metadata_having": Z85_SQL,
     "z86_metadata_in_range": Z86_SQL,
+    "z87_sole_late_supplier": Z87_SQL,
+    "z88_top_value_parts": Z88_SQL,
     "z80_part_supplier_counts": Z80_SQL,
     "z81_idle_rich_customers": Z81_SQL,
     "z82_top_supplier": Z82_SQL,

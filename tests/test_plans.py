@@ -399,3 +399,32 @@ def test_z83_q19_disjunctive_hulls_reach_both_scans(spark):
     assert "LessThanOrEqual(l_quantity,30.0)" in pushed, p
     assert "In(p_brand" in pushed, p
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+
+
+def test_z87_q21_fact_scanned_once_no_join_back(spark):
+    """The two-level-aggregate rewrite must evaluate the fact lineage
+    exactly once: ONE lineitem scan in the plan (the textbook
+    aggregate-then-join-back shape scans it twice), and the top-20 is
+    TakeOrderedAndProject, never a global sort."""
+    p = _plan(spark, "z87_sole_late_supplier")
+    # the details section prints one Location line per scan node
+    scans = [
+        l for l in p.splitlines()
+        if "Location" in l and "lineitem" in l
+    ]
+    assert len(scans) == 1, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_z88_q11_per_part_pinned_and_total_broadcast(spark):
+    """Q11's global-share threshold: the per-part frame is pinned
+    (localCheckpoint) so the share probe and the total read ONE
+    materialization — no parquet scan survives in the returned plan —
+    and the 1-row total attaches as a broadcast nested loop, not a
+    window over the whole frame."""
+    p = _plan(spark, "z88_top_value_parts")
+    scans = [l for l in p.splitlines() if "Scan parquet" in l]
+    assert not scans, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
