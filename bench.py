@@ -196,6 +196,9 @@ EXTRA = (
     "z86_metadata_in_range",
     "z87_sole_late_supplier",
     "z88_top_value_parts",
+    "z89_hybrid_retrieval",
+    "z90_promo_revenue_share",
+    "z91_profit_by_nation_year",
 )
 
 

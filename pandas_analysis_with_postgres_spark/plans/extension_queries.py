@@ -1600,14 +1600,15 @@ def q69_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_oracle() -> str:
+def _bm25_ctes() -> str:
+    """The BM25 scoring pipeline as a reusable CTE prefix ending in
+    ``p`` (per-doc pivoted contributions) — shared by the standalone
+    a69 oracle and z89's fusion oracle so both replay the identical
+    arithmetic."""
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     pivots = ", ".join(
         f"MAX(CASE WHEN term = '{t}' THEN cv END) AS c{i}"
         for i, t in enumerate(BM25_TERMS)
-    )
-    score = " + ".join(
-        f"COALESCE(c{i}, 0.0::DOUBLE)" for i in range(len(BM25_TERMS))
     )
     k1, b = BM25_K1, BM25_B
     return f"""
@@ -1628,8 +1629,19 @@ c AS (SELECT doc_id, term,
                    + {b!r}::DOUBLE * dl::DOUBLE
                      / (sum_dl::DOUBLE / n_docs::DOUBLE))) AS cv
       FROM tf JOIN dft USING (term) CROSS JOIN g),
-p AS (SELECT doc_id, {pivots} FROM c GROUP BY doc_id)
-SELECT doc_id, {score} AS score
+p AS (SELECT doc_id, {pivots} FROM c GROUP BY doc_id)"""
+
+
+def _bm25_score_expr() -> str:
+    return " + ".join(
+        f"COALESCE(c{i}, 0.0::DOUBLE)" for i in range(len(BM25_TERMS))
+    )
+
+
+def _bm25_oracle() -> str:
+    return f"""
+{_bm25_ctes()}
+SELECT doc_id, {_bm25_score_expr()} AS score
 FROM p ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK}
 """
 
@@ -7736,6 +7748,226 @@ LIMIT 10
 """
 
 
+def z89_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID RETRIEVAL with reciprocal-rank fusion (RRF, Cormack et
+    al. 2009 — the fusion every RAG stack runs): the lexical list
+    (a69's BM25 top-20, reused verbatim) and the dense list (exact
+    cosine top-20 for query vector 0 — vec_id shares the doc_id
+    space) FULL-OUTER-join on the document and fuse as
+    ``1/(60+lex_rank) + 1/(60+vec_rank)``, a doc missing from one
+    list contributing 0 from it. Determinism: ranks are integers from
+    already-hash-verified pipelines, and the RRF sum is exactly TWO
+    doubles added in a fixed order — float addition is commutative
+    pairwise, so both engines produce the identical bit pattern (the
+    multi-term sum-order hazard never arises). The rank windows run
+    over 20-row frames (post-top-k), so the global windows here cost
+    nothing at any corpus scale — the heavy lifting stays in the two
+    retrieval pipelines, which are the scale-audited q69/q27 shapes.
+    The oracle replays BM25 (shared CTE), the cosine scan, both rank
+    assignments, and the two-term fusion bit-for-bit."""
+    from pyspark.sql import Window
+
+    lex = q69_bm25_topk(spark, sf_dir)
+    wlex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(wlex).cast("long").alias("lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+    vec_r = vec.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    rrf = (
+        F.when(
+            F.col("lex_rank").isNotNull(),
+            F.lit(1.0) / (F.lit(60.0) + F.col("lex_rank").cast("double")),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("vec_rank").isNotNull(),
+            F.lit(1.0) / (F.lit(60.0) + F.col("vec_rank").cast("double")),
+        ).otherwise(F.lit(0.0))
+    )
+    return (
+        lex_r.join(vec_r, "doc_id", "outer")
+        .select("doc_id", "lex_rank", "vec_rank", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _z89_oracle() -> str:
+    return f"""
+{_bm25_ctes()},
+lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+  FROM (SELECT doc_id, {_bm25_score_expr()} AS score
+        FROM p ORDER BY score DESC, doc_id ASC LIMIT {BM25_TOPK})
+),
+qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+vscored AS (
+  SELECT vec_id AS doc_id, {_cos_sql('q', 'embedding')} AS cos
+  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0
+),
+vec AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS vec_rank
+  FROM vscored QUALIFY vec_rank <= 20
+)
+SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
+       COALESCE(1.0::DOUBLE / (60.0::DOUBLE + lex_rank::DOUBLE),
+                0.0::DOUBLE)
+       + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + vec_rank::DOUBLE),
+                  0.0::DOUBLE) AS rrf
+FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+
+Z89_SQL = _z89_oracle()
+
+
+def z90_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): CONDITIONAL AGGREGATION over a
+    dim join — the fraction of one month's revenue that came from
+    promo-type parts. Both the promo and total revenues sum in exact
+    integer ten-thousandths (z66 discipline) inside ONE aggregate
+    (``SUM(CASE WHEN …)`` — a second pass or a self-join would be the
+    naive plan); the percentage is then a SINGLE division of two
+    exact integers — one float op, bit-identical in both engines, no
+    sum-order hazard. The part dim carries only (partkey, type) and
+    broadcasts; the date window is pushed to the fact scan; the
+    result is one row. At 100 TB: one fact scan, zero shuffles beyond
+    the 1-row aggregate."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type"
+    )
+    rev_e4 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)")
+           - F.col("l_discount").cast("decimal(18,2)"))
+        * 10000
+    ).cast("long")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-03-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .select("l_partkey", rev_e4.alias("rev_e4"))
+    )
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", F.col("rev_e4"))
+                .otherwise(F.lit(0))
+            ).alias("promo_e4"),
+            F.sum("rev_e4").alias("total_e4"),
+        )
+    )
+    return agg.select(
+        "promo_e4",
+        "total_e4",
+        (
+            F.lit(100.0)
+            * F.col("promo_e4").cast("double")
+            / F.col("total_e4").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+Z90_SQL = """
+SELECT SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)::BIGINT
+         AS promo_e4,
+       SUM(rev_e4)::BIGINT AS total_e4,
+       100.0::DOUBLE
+         * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+                AS DOUBLE)
+         / CAST(SUM(rev_e4) AS DOUBLE) AS promo_pct
+FROM (
+  SELECT l_partkey,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2))
+                 - CAST(l_discount AS DECIMAL(18,2)))
+              * 10000 AS BIGINT) AS rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-03-01'
+    AND l_shipdate < DATE '1996-04-01'
+) li
+JOIN part ON p_partkey = l_partkey
+"""
+
+
+def z91_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): the 5-table SNOWFLAKE grouped
+    by a DERIVED dimension — supplier-nation revenue per ORDER YEAR
+    for parts matching a name substring. The substring filter
+    (``p_name LIKE '%gear%'``) shrinks part to a fraction that
+    BROADCASTS into the fact; the year is ``EXTRACT(YEAR)`` computed
+    row-local after the orders join (a derived grouping column never
+    shuffles extra — it rides the aggregate's exchange); supplier and
+    nation broadcast as dims. Revenue in exact integer
+    ten-thousandths (z66) keeps every group deterministic. The fact
+    shuffles once: orders join on l_orderkey (big-big at scale), then
+    the (nation, year) aggregate — a few hundred groups — collapses
+    map-side. The oracle replays the LIKE, the year extraction, and
+    the e4 arithmetic."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("gear"))
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    rev_e4 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)")
+           - F.col("l_discount").cast("decimal(18,2)"))
+        * 10000
+    ).cast("long")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", rev_e4.alias("rev_e4")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+        .orderBy(F.col("n_name").asc(), F.col("o_year").desc())
+    )
+
+
+Z91_SQL = """
+SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))
+                * 10000 AS BIGINT))::BIGINT AS revenue_e4
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, o_year
+ORDER BY n_name ASC, o_year DESC
+"""
+
+
 def z79_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 (customer distribution): the LEFT-OUTER-WITH-JOIN-
     PREDICATE shape — customers with ZERO qualifying orders must
@@ -8190,6 +8422,9 @@ EXTENSION_QUERIES = {
     "z86_metadata_in_range": z86_metadata_in_range,
     "z87_sole_late_supplier": z87_sole_late_supplier,
     "z88_top_value_parts": z88_top_value_parts,
+    "z89_hybrid_retrieval": z89_hybrid_retrieval,
+    "z90_promo_revenue_share": z90_promo_revenue_share,
+    "z91_profit_by_nation_year": z91_profit_by_nation_year,
     "z80_part_supplier_counts": z80_part_supplier_counts,
     "z81_idle_rich_customers": z81_idle_rich_customers,
     "z82_top_supplier": z82_top_supplier,
@@ -8299,6 +8534,9 @@ EXTENSION_ORACLES = {
     "z86_metadata_in_range": Z86_SQL,
     "z87_sole_late_supplier": Z87_SQL,
     "z88_top_value_parts": Z88_SQL,
+    "z89_hybrid_retrieval": Z89_SQL,
+    "z90_promo_revenue_share": Z90_SQL,
+    "z91_profit_by_nation_year": Z91_SQL,
     "z80_part_supplier_counts": Z80_SQL,
     "z81_idle_rich_customers": Z81_SQL,
     "z82_top_supplier": Z82_SQL,

@@ -36,6 +36,9 @@ a real scan:
    The IN-conjunction ``pcol IN (…) AND col <range>`` parses too and
    is hybrid-only: the member set restricts the classification
    (non-members never enter the pass); the pure answerer refuses it.
+   Both conjunctions compose with GROUP BY pcol (the grouped hybrid
+   classifies only member partitions; eqrange + GROUP BY still
+   refuses — the member IS the group).
 3. ``SELECT pcol[, aggregates…] FROM t [WHERE pcol = lit | pcol IN
    (…)] GROUP BY pcol [HAVING <alias> <op> <num>] [ORDER BY <output
    alias> [ASC|DESC] [LIMIT n]]`` — group ≡ partition, so the
@@ -370,9 +373,11 @@ def parse_metadata_select(sql: str) -> "dict | None":
             # COUNT(DISTINCT pcol) GROUP BY pcol (= 1 per group) would
             # be provable — not worth a special case; scan decides
             return None
-        if where is not None and where[0] not in ("eq", "in", "range"):
+        if where is not None and where[0] not in (
+            "eq", "in", "range", "inrange"
+        ):
             return None  # eqrange + GROUP BY: the member IS the group
-        if where is not None and where[0] == "range":
+        if where is not None and where[0] in ("range", "inrange"):
             # range + GROUP BY parses ONLY when the grouped hybrid
             # tier can serve every item (count/sum/avg/min/max); the
             # pure-metadata answerer refuses it at answer time
@@ -1020,8 +1025,8 @@ def hybrid_range_count(
     ):
         return None
     if parsed["group_by"] is not None:
-        # GROUP BY pcol + range WHERE: the grouped hybrid tier
-        if parsed["where"][0] != "range":
+        # GROUP BY pcol + range (or IN+range) WHERE: the grouped tier
+        if parsed["where"][0] not in ("range", "inrange"):
             return None  # eqrange + GROUP BY: the member IS the group
         return _hybrid_group_multi(spark, parsed, tables, version)
     if any(k == "group" for k, _, _ in parsed["items"]):
@@ -1290,7 +1295,12 @@ def _hybrid_group_multi(spark, parsed, tables, version):
         if sj
         else {}
     )
-    _, col, lo_raw, hi_raw, lo_strict, hi_strict = parsed["where"]
+    try:
+        eq, col, lo_raw, hi_raw, lo_strict, hi_strict = _conj_where(
+            parsed["where"], pcol, ptype
+        )
+    except _Refuse:
+        return None  # non-pcol membership / uncoercible member: scan
     coltype = (
         ptype if col == pcol else _spark_simple_type(field_types.get(col))
     )
@@ -1324,7 +1334,7 @@ def _hybrid_group_multi(spark, parsed, tables, version):
         out = range_group_multi(
             spark, path, col, items,
             lo=lo, hi=hi, lo_strict=lo_strict, hi_strict=hi_strict,
-            version=version,
+            version=version, where_partition=eq,
         )
         fields, casts = [], {}
         for kind, agg_col, alias in parsed["items"]:

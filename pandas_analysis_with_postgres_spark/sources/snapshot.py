@@ -5751,6 +5751,7 @@ def range_group_multi(
     lo_strict: bool = False,
     hi_strict: bool = False,
     version: "int | str | None" = None,
+    where_partition: "tuple[str, object] | None" = None,
 ) -> dict:
     """Grouped MULTI-AGGREGATE hybrid range pass: ``SELECT pcol,
     COUNT(*), SUM(x), AVG(x), MIN(y), MAX(y) … WHERE range_col
@@ -5820,12 +5821,15 @@ def range_group_multi(
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
     part_rows = _partition_rows(man, path)
     ptype = meta.get("partition_type") or "string"
+    targets = _eq_targets(man, path, pcol, where_partition)
     sum_cols = sorted({c for k, c in items if k in ("sum", "avg")})
     mm_cols = sorted({c for k, c in items if k in ("min", "max")})
     per_group: dict = {}  # pname -> [per-item values]
     meta_parts: set = set()
     scan_parts: set = set()
     for pname, n in part_rows.items():
+        if targets is not None and pname not in targets:
+            continue  # non-member: no group (IN restricts directories)
         if n == 0:
             continue
         entry = stats.get(pname) or {}

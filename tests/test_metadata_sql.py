@@ -1329,3 +1329,89 @@ def test_in_range_conjunction_served_by_hybrid(spark, tmp_path):
         {"t": path},
     ).collect()[0]
     assert (out.n, out.sv) == (200, 149100)
+
+
+def test_distinct_and_having_compose_with_time_travel(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        append_snapshot,
+        write_snapshot,
+    )
+
+    df1 = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(40)], "k long, st string"
+    )
+    path = str(tmp_path / "tt")
+    write_snapshot(df1, path, "st")
+    df2 = spark.createDataFrame(
+        [(100 + i, "s9") for i in range(5)], "k long, st string"
+    )
+    append_snapshot(path, df2, "st")
+    # v1 has two partitions; head has three — DISTINCT time-travels
+    v1 = answer_from_manifest(
+        spark, "SELECT DISTINCT st FROM t FOR VERSION AS OF 1", {"t": path}
+    )
+    assert [r.st for r in v1.collect()] == ["s0", "s1"]
+    head = answer_from_manifest(
+        spark, "SELECT DISTINCT st FROM t", {"t": path}
+    )
+    assert [r.st for r in head.collect()] == ["s0", "s1", "s9"]
+    # HAVING at the pinned version: s9 (5 rows) did not exist at v1
+    v1h = answer_from_manifest(
+        spark,
+        "SELECT st, COUNT(*) AS n FROM t FOR VERSION AS OF 1"
+        " GROUP BY st HAVING n <= 20",
+        {"t": path},
+    )
+    assert [(r.st, r.n) for r in v1h.collect()] == [("s0", 20), ("s1", 20)]
+    hh = answer_from_manifest(
+        spark,
+        "SELECT st, COUNT(*) AS n FROM t GROUP BY st HAVING n <= 20",
+        {"t": path},
+    )
+    assert [(r.st, r.n) for r in hh.collect()] == [
+        ("s0", 20), ("s1", 20), ("s9", 5),
+    ]
+    # COUNT(DISTINCT pcol) time-travels too
+    cd = answer_from_manifest(
+        spark,
+        "SELECT COUNT(DISTINCT st) AS nd FROM t FOR VERSION AS OF 1",
+        {"t": path},
+    ).collect()[0]
+    assert cd.nd == 2
+
+
+def test_grouped_in_range_restricts_members(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        hybrid_range_count,
+    )
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    rows = [(i, i % 5, i * 3) for i in range(500)]
+    df = spark.createDataFrame(rows, "k long, p long, v long")
+    path = str(tmp_path / "ging")
+    write_snapshot(df, path, "p", stats_cols=["k", "v", "v::sum"])
+    read_snapshot(spark, path).createOrReplaceTempView("ging_scan")
+    sql = (
+        "SELECT p, COUNT(*) AS n, SUM(v) AS sv FROM t"
+        " WHERE p IN (0, 2, 9) AND k BETWEEN 100 AND 400 GROUP BY p"
+    )
+    out = hybrid_range_count(spark, sql, {"t": path})
+    want = spark.sql(sql.replace("FROM t", "FROM ging_scan"))
+    assert out is not None and out.dtypes == want.dtypes
+    assert sorted(tuple(r) for r in out.collect()) == sorted(
+        tuple(r) for r in want.collect()
+    )
+    # zero-data-page proof: a window proven for every member — delete
+    # all parquet; non-members and the absent member never enter
+    for f in Path(path).rglob("*.parquet"):
+        f.unlink()
+    out = hybrid_range_count(
+        spark,
+        "SELECT p, COUNT(*) AS n FROM t"
+        " WHERE p IN (1, 4) AND k BETWEEN 0 AND 499 GROUP BY p",
+        {"t": path},
+    )
+    assert sorted((r.p, r.n) for r in out.collect()) == [(1, 100), (4, 100)]
