@@ -199,6 +199,10 @@ EXTRA = (
     "z89_hybrid_retrieval",
     "z90_promo_revenue_share",
     "z91_profit_by_nation_year",
+    "z92_volume_shipping",
+    "z93_nation_market_share",
+    "z94_returned_item_customers",
+    "z95_forecast_revenue_delta",
 )
 
 

@@ -7968,6 +7968,357 @@ ORDER BY n_name ASC, o_year DESC
 """
 
 
+def z92_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): the TWO-SIDED NATION-PAIR
+    disjunction — trade volume between exactly two nations in either
+    direction, per (supplier nation, customer nation, ship year).
+    The pair predicate ``(s='A' AND c='B') OR (s='B' AND c='A')``
+    cannot be split per side beyond its hull (each side IN ('A',
+    'B')), so BOTH hulls push into the two broadcast nation lookups
+    and the exact disjunction evaluates residually on the joined row
+    — the same derived-hull discipline as z83/Q19. The supplier and
+    customer nation attach through two ALIASED broadcast joins of the
+    same dim (no self-join of the fact); the fact shuffles once
+    (orders) and the (sn, cn, year) aggregate is tiny. Revenue exact
+    e4; the oracle replays hulls, disjunction, and year
+    extraction."""
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    rev_e4 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)")
+           - F.col("l_discount").cast("decimal(18,2)"))
+        * 10000
+    ).cast("long")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.year("l_shipdate").cast("long").alias("ship_year"),
+        rev_e4.alias("rev_e4"),
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1")
+        & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2")
+        & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        # the two-nation customer set is NOT hinted broadcast: at 100 TB
+        # it is ~2/25 of all customers — AQE picks broadcast at small
+        # SFs and a shuffle join when it outgrows the threshold
+        .join(cust.join(
+            F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key")
+        ), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+Z92_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+       SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l_discount AS DECIMAL(18,2)))
+                * 10000 AS BIGINT))::BIGINT AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, ship_year
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
+def z93_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the SHARE-OF-GROUP division —
+    one nation's fraction of a region's STANDARD-part purchase volume
+    per order year. Numerator and denominator come from ONE
+    conditional aggregate over one fact pass (``SUM(CASE WHEN
+    supp_nation = X)`` beside the total — never two passes or a
+    self-join), both in exact integer e4, and the share is a SINGLE
+    float division per group — bit-identical across engines (the z90
+    discipline, per-group). Region/nation/part are broadcast chains;
+    the customer-region restriction semi-filters orders before the
+    fact join-back. The oracle replays the conditional sums and the
+    one division."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    cust_in_region = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    region, nation.n_regionkey == region.r_regionkey
+                ).select(F.col("n_nationkey").alias("rn_key"))
+            ),
+            F.col("c_nationkey") == F.col("rn_key"),
+            "semi",
+        )
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey", "o_custkey",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        # region customers are ~1/5 of the table — no broadcast hint;
+        # AQE broadcasts while small and shuffles when it outgrows it
+        .join(
+            cust_in_region,
+            F.col("o_custkey") == F.col("c_custkey"),
+            "semi",
+        )
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    supp_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    rev_e4 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)")
+           - F.col("l_discount").cast("decimal(18,2)"))
+        * 10000
+    ).cast("long")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", rev_e4.alias("rev_e4")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        # supplier is unfiltered here — leave the join strategy to AQE
+        .join(
+            supp_nat,
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == "NATION_5", F.col("rev_e4")
+                ).otherwise(F.lit(0))
+            ).alias("nation_e4"),
+            F.sum("rev_e4").alias("total_e4"),
+        )
+        .select(
+            "o_year",
+            "nation_e4",
+            "total_e4",
+            (
+                F.col("nation_e4").cast("double")
+                / F.col("total_e4").cast("double")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Z93_SQL = """
+WITH vol AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         n_name AS supp_nation,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(18,2))
+                 - CAST(l_discount AS DECIMAL(18,2)))
+              * 10000 AS BIGINT) AS rev_e4
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = 'STANDARD'
+    AND o_custkey IN (
+      SELECT c_custkey FROM customer
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    )
+)
+SELECT o_year,
+       SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev_e4
+                ELSE 0 END)::BIGINT AS nation_e4,
+       SUM(rev_e4)::BIGINT AS total_e4,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev_e4
+                     ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(rev_e4) AS DOUBLE) AS mkt_share
+FROM vol
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def z94_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top customers by revenue
+    LOST to returns in one quarter — the customer-grain rollup with a
+    multi-attribute group key. The return flag and the quarter window
+    push to the fact scan; orders date-bounds before the fact join;
+    the aggregate groups on the customer KEY with the display
+    attributes (name, nation, balance) attached AFTER the rollup via
+    a broadcast dim join — grouping a fact aggregate by its display
+    columns drags them through the shuffle for nothing (the classic
+    Q10 mistake); attaching them to the ~thousands-of-rows rollup is
+    free. Revenue exact e4; top-20 is TakeOrderedAndProject. Balance
+    is quantized to cents so the output is integer-exact."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bal_cents"),
+        "c_nationkey",
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    ).select("o_orderkey", "o_custkey")
+    rev_e4 = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)")
+           - F.col("l_discount").cast("decimal(18,2)"))
+        * 10000
+    ).cast("long")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", rev_e4.alias("rev_e4"))
+    )
+    per_cust = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_name", "n_name", "bal_cents", "revenue_e4")
+        .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Z94_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2))
+                     - CAST(l_discount AS DECIMAL(18,2)))
+                  * 10000 AS BIGINT))::BIGINT AS revenue_e4
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= DATE '1996-01-01'
+    AND o_orderdate < DATE '1996-04-01'
+  GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, n_name,
+       CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+         AS bal_cents,
+       revenue_e4
+FROM per_cust
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue_e4 DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def z95_forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the PURE-SCAN aggregate
+    — revenue that would have been gained by eliminating discounts in
+    a band, over one ship year and a quantity cap. Nothing but a scan
+    with every predicate pushed (date window, discount band, quantity
+    cap — all visible in PushedFilters) and a 1-row map-side-complete
+    aggregate: the query exists to prove the scan path is clean, and
+    at 100 TB it IS the scan benchmark. Discounts are 2-decimal by
+    generation, so ``extendedprice · discount`` is exact in integer
+    ten-thousandths and the SUM is associative — the oracle replays
+    it bit-for-bit. The discount band uses the
+    integer 2-decimal form (``disc_2dp BETWEEN 5 AND 7``) so no float
+    literal ever meets a float column at the boundary, and the gain
+    is the DIVISION-FREE identity price·disc·10⁴ = (price·100)·
+    (disc·100) — no rounding-mode difference can exist."""
+    # exact, division-free: price·disc·10^4 = (price·100)·(disc·100),
+    # both integral by generation — no float op, no rounding-mode
+    # hazard between engines
+    disc_2dp = (
+        F.col("l_discount").cast("decimal(18,2)") * 100
+    ).cast("long")
+    cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumn("disc_2dp", disc_2dp)
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("disc_2dp") >= 5)
+            & (F.col("disc_2dp") <= 7)
+            & (F.col("l_quantity") < 24)
+        )
+    )
+    return li.agg(
+        F.sum(cents * F.col("disc_2dp")).alias("revenue_gain_e4"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+Z95_SQL = """
+SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                  AS BIGINT))::BIGINT AS revenue_gain_e4,
+       COUNT(*)::BIGINT AS n_lineitems
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+  AND CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+      BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
 def z79_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 (customer distribution): the LEFT-OUTER-WITH-JOIN-
     PREDICATE shape — customers with ZERO qualifying orders must
@@ -8425,6 +8776,10 @@ EXTENSION_QUERIES = {
     "z89_hybrid_retrieval": z89_hybrid_retrieval,
     "z90_promo_revenue_share": z90_promo_revenue_share,
     "z91_profit_by_nation_year": z91_profit_by_nation_year,
+    "z92_volume_shipping": z92_volume_shipping,
+    "z93_nation_market_share": z93_nation_market_share,
+    "z94_returned_item_customers": z94_returned_item_customers,
+    "z95_forecast_revenue_delta": z95_forecast_revenue_delta,
     "z80_part_supplier_counts": z80_part_supplier_counts,
     "z81_idle_rich_customers": z81_idle_rich_customers,
     "z82_top_supplier": z82_top_supplier,
@@ -8537,6 +8892,10 @@ EXTENSION_ORACLES = {
     "z89_hybrid_retrieval": Z89_SQL,
     "z90_promo_revenue_share": Z90_SQL,
     "z91_profit_by_nation_year": Z91_SQL,
+    "z92_volume_shipping": Z92_SQL,
+    "z93_nation_market_share": Z93_SQL,
+    "z94_returned_item_customers": Z94_SQL,
+    "z95_forecast_revenue_delta": Z95_SQL,
     "z80_part_supplier_counts": Z80_SQL,
     "z81_idle_rich_customers": Z81_SQL,
     "z82_top_supplier": Z82_SQL,
