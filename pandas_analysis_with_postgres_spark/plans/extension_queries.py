@@ -4721,6 +4721,21 @@ FROM cls
 """
 
 
+def _rev_e4():
+    """The exact-revenue expression every TPC-H analog shares:
+    ``extendedprice · (1 − discount)`` in integer TEN-THOUSANDTHS —
+    DECIMAL(18,2) price × (1 − 2-decimal discount) is a scale-4
+    decimal, ×10000 an exact BIGINT, so SUMs are associative and
+    sorts/cuts deterministic across engines (the z66 discipline).
+    One definition so a future precision change lands everywhere."""
+    return (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)")
+           - F.col("l_discount").cast("decimal(18,2)"))
+        * 10000
+    ).cast("long")
+
+
 def z66_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): the canonical 3-table
     fact-to-fact join — customer (filtered to one market segment,
@@ -4743,12 +4758,7 @@ def z66_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > "1995-03-15"
     ).select("l_orderkey", "l_extendedprice", "l_discount")
-    rev_e4 = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1).cast("decimal(18,2)")
-           - F.col("l_discount").cast("decimal(18,2)"))
-        * 10000
-    ).cast("long")
+    rev_e4 = _rev_e4()
     return (
         li.join(
             orders.join(
@@ -4828,12 +4838,7 @@ def z67_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    rev_e4 = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1).cast("decimal(18,2)")
-           - F.col("l_discount").cast("decimal(18,2)"))
-        * 10000
-    ).cast("long")
+    rev_e4 = _rev_e4()
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
@@ -7843,12 +7848,7 @@ def z90_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_type"
     )
-    rev_e4 = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1).cast("decimal(18,2)")
-           - F.col("l_discount").cast("decimal(18,2)"))
-        * 10000
-    ).cast("long")
+    rev_e4 = _rev_e4()
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(
@@ -7928,12 +7928,7 @@ def z91_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
     )
-    rev_e4 = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1).cast("decimal(18,2)")
-           - F.col("l_discount").cast("decimal(18,2)"))
-        * 10000
-    ).cast("long")
+    rev_e4 = _rev_e4()
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", rev_e4.alias("rev_e4")
     )
@@ -8000,12 +7995,7 @@ def z92_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
     )
-    rev_e4 = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1).cast("decimal(18,2)")
-           - F.col("l_discount").cast("decimal(18,2)"))
-        * 10000
-    ).cast("long")
+    rev_e4 = _rev_e4()
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey",
         F.year("l_shipdate").cast("long").alias("ship_year"),
@@ -8109,12 +8099,7 @@ def z93_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
-    rev_e4 = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1).cast("decimal(18,2)")
-           - F.col("l_discount").cast("decimal(18,2)"))
-        * 10000
-    ).cast("long")
+    rev_e4 = _rev_e4()
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", rev_e4.alias("rev_e4")
     )
@@ -8208,12 +8193,7 @@ def z94_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= "1996-01-01")
         & (F.col("o_orderdate") < "1996-04-01")
     ).select("o_orderkey", "o_custkey")
-    rev_e4 = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1).cast("decimal(18,2)")
-           - F.col("l_discount").cast("decimal(18,2)"))
-        * 10000
-    ).cast("long")
+    rev_e4 = _rev_e4()
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag") == "R")
@@ -8518,12 +8498,7 @@ def z82_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier through one partition); the supplier dim broadcasts for
     the name attach. Ties all surface — the TPC-H spec's "in case of
     a tie" clause — ordered by key."""
-    rev_e4 = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1).cast("decimal(18,2)")
-           - F.col("l_discount").cast("decimal(18,2)"))
-        * 10000
-    ).cast("long")
+    rev_e4 = _rev_e4()
     rev = (
         load_table(spark, sf_dir, "lineitem")
         .filter(
@@ -8584,12 +8559,7 @@ def z83_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the joined row. Revenue in exact e4 ints (z66). At 100 TB:
     one broadcast join, zero shuffles beyond the final 1-row
     aggregate."""
-    rev_e4 = (
-        F.col("l_extendedprice").cast("decimal(18,2)")
-        * (F.lit(1).cast("decimal(18,2)")
-           - F.col("l_discount").cast("decimal(18,2)"))
-        * 10000
-    ).cast("long")
+    rev_e4 = _rev_e4()
     part = (
         load_table(spark, sf_dir, "part")
         .filter(

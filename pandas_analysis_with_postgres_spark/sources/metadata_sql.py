@@ -677,10 +677,24 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
         try:
             total = 0
             if any(k == "count" for k, _, _ in parsed["items"]):
-                for v in in_spec[1]:
-                    total += manifest_aggregate(
-                        path, version=version, where_partition=(pcol, v)
-                    )["n_rows"]
+                # ONE manifest read (the live partition list) summed
+                # over members by canonical hive name — not a
+                # per-member manifest re-parse; an absent member
+                # contributes 0, the SQL semantics
+                from .snapshot import _hive_part_name
+
+                names = {
+                    _hive_part_name(pcol, v)
+                    for v in in_spec[1]
+                    if v is not None
+                }
+                total = sum(
+                    n
+                    for v, n in manifest_partition_counts(
+                        path, version=version
+                    )
+                    if _hive_part_name(pcol, v) in names
+                )
             values, fields = [], []
             in_casts: dict = {}
             for k, c, alias in parsed["items"]:
@@ -702,20 +716,27 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
                         raise _Refuse()  # non-pcol exact NDV: scan
                     # distinct values under IN = members present with
                     # live rows (absent member contributes nothing;
-                    # NULL can't appear in an IN literal list)
-                    n_dist = 0
-                    for v in in_spec[1]:
-                        if v is None:
-                            continue
-                        if (
-                            manifest_aggregate(
-                                path, version=version,
-                                where_partition=(pcol, v),
-                            )["n_rows"]
-                            > 0
-                        ):
-                            n_dist += 1
-                    values.append(n_dist)
+                    # NULL can't appear in an IN literal list). ONE
+                    # manifest read — the live partition list —
+                    # intersected with the member set by canonical
+                    # hive name, not a per-member manifest re-parse.
+                    from .snapshot import _hive_part_name
+
+                    member_names = {
+                        _hive_part_name(pcol, v)
+                        for v in in_spec[1]
+                        if v is not None
+                    }
+                    values.append(
+                        sum(
+                            1
+                            for v, _n in manifest_partition_counts(
+                                path, version=version
+                            )
+                            if v is not None
+                            and _hive_part_name(pcol, v) in member_names
+                        )
+                    )
                     fields.append(StructField(alias, LongType(), False))
                 elif k in ("sum", "avg"):
                     pair = manifest_column_sum(

@@ -521,3 +521,55 @@ def test_snapshot_inspect_metadata_tables(spark, tmp_path, capsys):
     assert "overwrite" in capsys.readouterr().out
     assert cli(["snapshot", "inspect", path, "--kind", "files"]) == 0
     assert ".parquet" in capsys.readouterr().out
+
+
+def test_cli_sql_serves_round9_grammar_from_metadata(spark, tmp_path, capsys):
+    """The round-9 grammar — SELECT DISTINCT pcol, COUNT(DISTINCT
+    pcol), GROUP BY + HAVING, and the IN+range hybrid — all serve
+    through the CLI's `snapshot sql` front-end with every data file
+    deleted (pure-metadata forms) or present (hybrid boundary)."""
+    from pathlib import Path
+
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "t9")
+    rows = [(i, f"s{i % 3}", i * 2) for i in range(90)]
+    write_snapshot(
+        spark.createDataFrame(rows, "k long, st string, v long"),
+        path,
+        "st",
+        stats_cols=["k", "v", "v::sum"],
+    )
+    # hybrid IN+range needs the boundary files — run it first
+    assert main([
+        "snapshot", "sql", path,
+        "--query",
+        "SELECT COUNT(*) AS n, SUM(v) AS sv FROM snapshot"
+        " WHERE st IN ('s0', 's2') AND k BETWEEN 10 AND 80",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "47" in out and "4254" in out  # 23+24 member rows in [10, 80]
+    # pure-metadata forms answer with zero data pages
+    for f in Path(path).rglob("*.parquet"):
+        f.unlink()
+    assert main([
+        "snapshot", "sql", path,
+        "--query", "SELECT DISTINCT st FROM snapshot",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "s0" in out and "s1" in out and "s2" in out
+    assert main([
+        "snapshot", "sql", path,
+        "--query", "SELECT COUNT(DISTINCT st) AS nd FROM snapshot",
+    ]) == 0
+    assert "3" in capsys.readouterr().out
+    assert main([
+        "snapshot", "sql", path,
+        "--query",
+        "SELECT st, COUNT(*) AS n FROM snapshot GROUP BY st"
+        " HAVING n >= 30 ORDER BY n DESC LIMIT 2",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "s0" in out and "30" in out

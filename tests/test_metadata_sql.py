@@ -1012,6 +1012,11 @@ def test_hybrid_tier_answers_equal_scans(spark, _eqv, data):
     sql += ", ".join(items) + f" FROM t WHERE {where}"
     if grouped:
         sql += " GROUP BY p"
+        if data.draw(st.booleans(), label="having"):
+            halias = data.draw(st.sampled_from(["n", "s", "a", "lo", "p"]))
+            hop = data.draw(st.sampled_from(_EQV_HAVING_OPS))
+            hval = data.draw(st.integers(0, 4000))
+            sql += f" HAVING {halias} {hop} {hval}"
     out = hybrid_range_count(spark, sql, {"t": _eqv})
     if out is None:
         return  # refusal is always legal (eqrange+group, etc.)
