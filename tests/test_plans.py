@@ -428,3 +428,51 @@ def test_z88_q11_per_part_pinned_and_total_broadcast(spark):
     assert not scans, p
     assert "BroadcastNestedLoopJoin" in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_z92_q7_pair_hull_pushed_no_cartesian(spark):
+    """Q7's two-sided nation-pair OR: the per-side hull (n_name IN the
+    two nations) must reach the nation scans, and the plan must stay
+    all-hash-equi — no cartesian or nested loop from the
+    disjunction."""
+    p = _plan(spark, "z92_volume_shipping")
+    pushed = "\n".join(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "In(n_name, [NATION_1,NATION_2])" in pushed, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_z93_q8_region_restriction_is_semi(spark):
+    """Q8's customer-region restriction must plan as a SEMI join (an
+    inner join would duplicate fact rows per match) and the part-type
+    filter must reach the scan."""
+    p = _plan(spark, "z93_nation_market_share")
+    assert "LeftSemi" in p, p
+    pushed = "\n".join(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "EqualTo(p_type,STANDARD)" in pushed, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_z94_q10_filters_pushed_topk_take_ordered(spark):
+    """Q10: the return flag reaches the lineitem scan, the quarter
+    window reaches the orders scan, and the top-20 is
+    TakeOrderedAndProject — never a global sort of the rollup."""
+    p = _plan(spark, "z94_returned_item_customers")
+    pushed = "\n".join(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "EqualTo(l_returnflag,R)" in pushed, p
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in pushed, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_z95_q6_is_pure_scan(spark):
+    """Q6 is the scan benchmark: the date window and quantity cap are
+    pushed (the derived discount band is a cast expression, evaluated
+    row-local after the scan), and the plan holds a single lineitem
+    scan with no join at all."""
+    p = _plan(spark, "z95_forecast_revenue_delta")
+    pushed = "\n".join(l for l in p.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in pushed, p
+    assert "LessThan(l_quantity,24.0)" in pushed, p
+    assert "Join" not in p, p
+    scans = [l for l in p.splitlines() if "Location" in l and "lineitem" in l]
+    assert len(scans) == 1, p
