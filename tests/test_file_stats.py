@@ -212,3 +212,35 @@ def test_range_distribution_clusters_files(spark, tmp_path):
     )
     man2 = read_manifest(path, None)
     assert "bu=1" in man2["partitions"]
+
+
+def test_append_commits_carry_file_stats_and_prune_across_batches(
+    spark, tbl
+):
+    """Appends (the streaming-ingest commit shape — stream_append_sink
+    calls append_snapshot, stats properties inheriting on None) must
+    record per-FILE bounds for the NEW files alongside the old ones,
+    and a window targeting only the appended slice must open only
+    appended files."""
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        append_snapshot,
+    )
+
+    extra = spark.range(10_000, 10_500, 1, 2).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("bu")
+    )
+    append_snapshot(tbl, extra, "bu")  # stats_cols inherit from table
+    man = read_manifest(tbl, None)
+    fs = man["stats"]["bu=1"][FILES_KEY]
+    # 4 original files + 2 appended, every one with recorded k bounds
+    assert len(fs) == 6 and all("k" in v for v in fs.values())
+    out = range_count_pruned(spark, tbl, "k", lo=10_000, hi=10_499)
+    assert out["count"] == 500
+    # the appended slice lives in its own files: of bu=1's 6 files at
+    # most the 2 appended ones are opened (0 when proven by metadata)
+    assert out["scanned_files"] <= 2, out
+    df = read_snapshot(
+        spark, tbl, column_ranges={"k": (10_000, 10_499)}
+    )
+    opened = {os.path.basename(p) for p in df.inputFiles()}
+    assert len(opened) <= 2 and df.count() == 500

@@ -1420,3 +1420,40 @@ def test_grouped_in_range_restricts_members(spark, tmp_path):
         {"t": path},
     )
     assert sorted((r.p, r.n) for r in out.collect()) == [(1, 100), (4, 100)]
+
+
+def test_in_range_stays_exact_under_mor_tombstones(spark, tmp_path):
+    """Merge-on-read DELETE interaction: a tombstoned member partition
+    must fall out of the metadata proof and SCAN (tombstones applied),
+    never serve a stale pre-delete count; proven-outside members stay
+    metadata (bounds are a pre-delete superset — outside survives)."""
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        hybrid_range_count,
+    )
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        delete_where,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    rows = [(i, i % 3, i * 3) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, p long, v long")
+    path = str(tmp_path / "morin")
+    write_snapshot(df, path, "p", stats_cols=["k", "v", "v::sum"])
+    # MoR-delete a slice of member partition 0 only
+    delete_where(spark, path, "p = 0 AND k < 30", mode="merge-on-read", key="k")
+    read_snapshot(spark, path).createOrReplaceTempView("morin_scan")
+    for sql in (
+        "SELECT COUNT(*) AS n FROM t"
+        " WHERE p IN (0, 2) AND k BETWEEN 0 AND 299",
+        "SELECT COUNT(*) AS n, SUM(v) AS sv FROM t"
+        " WHERE p IN (0, 1) AND k >= 150",
+        "SELECT p, COUNT(*) AS n FROM t"
+        " WHERE p IN (0, 2) AND k BETWEEN 0 AND 299 GROUP BY p",
+    ):
+        out = hybrid_range_count(spark, sql, {"t": path})
+        want = spark.sql(sql.replace("FROM t", "FROM morin_scan"))
+        assert out is not None, sql
+        assert sorted(tuple(r) for r in out.collect()) == sorted(
+            tuple(r) for r in want.collect()
+        ), sql
