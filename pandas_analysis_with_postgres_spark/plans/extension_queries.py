@@ -8299,6 +8299,154 @@ WHERE l_shipdate >= DATE '1996-01-01'
 """
 
 
+_FILEBLOOM_TABLES: dict = {}
+
+#: The fixture's key permutation: Knuth's golden-ratio prime. Odd and
+#: prime, so it is a unit mod any m < 2^31 — ``(id·MULT) mod m`` is a
+#: BIJECTION of [0, m): every key exists exactly once, scattered
+#: uniformly, which is precisely the layout per-file [min, max] stats
+#: cannot prune (every file's bounds span ~the whole domain).
+_FB_MULT = 2654435761
+
+
+def _filebloom_table(spark: SparkSession, sf_dir: str) -> "tuple[str, int]":
+    """Materialize the z96 snapshot fixture once per (app, sf_dir):
+    the z76 exact-slicing layout (16 ``spark.range`` slices → 4 hive
+    partitions × 4 files with KNOWN contents) but with the key column
+    SCRAMBLED by a fixed multiplicative permutation, so min/max stats
+    are useless inside a partition and only the per-file Bloom filters
+    (``_add_file_blooms``) can prune a point probe. ``bloom_bits`` is
+    sized to the fixture (~10 bits/key, 64-aligned) so the bitmaps
+    stay discriminating at every sf — the sizing rule the constant's
+    docstring prescribes, exercised end-to-end."""
+    import os
+
+    from ..sources.snapshot import write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _FILEBLOOM_TABLES.get(key)
+    if hit is not None:
+        return hit
+    n = load_table(spark, sf_dir, "orders").count()
+    m = max((n // 16) * 16, 16)
+    bits = ((m * 10 // 16 + 63) // 64) * 64
+    path = _tracked_mkdtemp("filebloom_") + "/tbl"
+    df = spark.range(0, m, 1, 16).select(
+        ((F.col("id") * _FB_MULT) % m).cast("long").alias("k"),
+        F.floor(F.col("id") / (m // 4)).cast("long").alias("bu"),
+    )
+    write_snapshot(
+        df, path, "bu", stats_cols=["k"], bloom_cols=["k"], bloom_bits=bits
+    )
+    _FILEBLOOM_TABLES[key] = (path, m)
+    return path, m
+
+
+def z96_file_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-FILE Bloom filters (snapshot._add_file_blooms — the file
+    grain of point-lookup skipping): on a table whose keys are
+    SCATTERED (a permutation of [0, m) across every file), per-file
+    [min, max] statistics prune nothing, but the manifest's per-file
+    bloom opens O(1) of the 16 files for a key probe. This is the
+    dedup-store / entity-lookup shape at 100 TB: "which file holds
+    key v" answered from the manifest, not by scanning the partition
+    the partition-grain bloom kept. The bloom hash family is pure
+    integer arithmetic (crc32-free for integral keys: ``((v mod P)·
+    mult mod P) mod bits`` with P = 2^31−1), so the ORACLE REPLAYS THE
+    BITMAPS THEMSELVES — which partitions the partition blooms keep,
+    which files the file blooms keep inside them — and the pruning
+    counts are hash-checked, not just the looked-up row."""
+    from ..sources.metadata_sql import _local_rows_df
+    from ..sources.snapshot import read_snapshot
+
+    path, m = _filebloom_table(spark, sf_dir)
+    probe = (17 * _FB_MULT) % m
+    got = read_snapshot(spark, path, point_lookups={"k": probe})
+    opened = got.inputFiles()
+    parts_opened = len({f.rsplit("/", 2)[-2] for f in opened})
+    n_match = got.where(F.col("k") == probe).count()
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return _local_rows_df(
+        spark,
+        [(int(n_match), int(probe), int(parts_opened), len(opened), 16)],
+        StructType(
+            [
+                StructField("n_match", LongType(), False),
+                StructField("probe_key", LongType(), False),
+                StructField("parts_opened", LongType(), False),
+                StructField("files_opened", LongType(), False),
+                StructField("files_total", LongType(), False),
+            ]
+        ),
+    )
+
+
+Z96_SQL = """
+WITH p AS (
+  SELECT GREATEST((COUNT(*) // 16) * 16, 16) AS m,
+         ((GREATEST((COUNT(*) // 16) * 16, 16) * 10 // 16 + 63) // 64) * 64
+           AS bits
+  FROM orders
+),
+keys AS (
+  SELECT (rn * 2654435761) % (SELECT m FROM p) AS k,
+         rn // ((SELECT m FROM p) // 4) AS bu,
+         rn // ((SELECT m FROM p) // 16) AS slice
+  FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn FROM orders
+  )
+  WHERE rn < (SELECT m FROM p)
+),
+v AS (SELECT (17 * 2654435761) % (SELECT m FROM p) AS val),
+mults(mu) AS (VALUES (2654435761), (2246822519), (3266489917), (668265263)),
+-- the probe key's bit positions (k = 4 hashes, P = 2^31 - 1)
+vq AS (
+  SELECT DISTINCT
+    ((((SELECT val FROM v) % 2147483647) * mu) % 2147483647)
+      % (SELECT bits FROM p) AS q
+  FROM mults
+),
+-- every recorded bit position, at partition and file grain
+pos AS (
+  SELECT bu, slice,
+         (((k % 2147483647) * mu) % 2147483647) % (SELECT bits FROM p) AS pp
+  FROM keys CROSS JOIN mults
+),
+pstat AS (SELECT bu, MIN(k) AS lo, MAX(k) AS hi FROM keys GROUP BY bu),
+fstat AS (
+  SELECT bu, slice, MIN(k) AS lo, MAX(k) AS hi FROM keys GROUP BY bu, slice
+),
+-- a grain keeps the probe iff EVERY one of its positions is set there
+pcov AS (
+  SELECT bu FROM (SELECT DISTINCT bu, pp FROM pos) a JOIN vq ON a.pp = vq.q
+  GROUP BY bu HAVING COUNT(DISTINCT pp) = (SELECT COUNT(*) FROM vq)
+),
+pkeep AS (
+  SELECT pcov.bu FROM pcov JOIN pstat ON pcov.bu = pstat.bu
+  WHERE (SELECT val FROM v) BETWEEN lo AND hi
+),
+fcov AS (
+  SELECT bu, slice
+  FROM (SELECT DISTINCT bu, slice, pp FROM pos) a JOIN vq ON a.pp = vq.q
+  GROUP BY bu, slice HAVING COUNT(DISTINCT pp) = (SELECT COUNT(*) FROM vq)
+),
+fkeep AS (
+  SELECT f.bu, f.slice FROM fcov f
+  JOIN fstat s ON f.bu = s.bu AND f.slice = s.slice
+  WHERE f.bu IN (SELECT bu FROM pkeep)
+    AND (SELECT val FROM v) BETWEEN s.lo AND s.hi
+)
+SELECT
+  (SELECT COUNT(*) FROM keys WHERE k = (SELECT val FROM v))::BIGINT
+    AS n_match,
+  (SELECT val FROM v)::BIGINT AS probe_key,
+  (SELECT COUNT(DISTINCT bu) FROM fkeep)::BIGINT AS parts_opened,
+  (SELECT COUNT(*) FROM fkeep)::BIGINT AS files_opened,
+  16::BIGINT AS files_total
+"""
+
+
 def z79_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 (customer distribution): the LEFT-OUTER-WITH-JOIN-
     PREDICATE shape — customers with ZERO qualifying orders must
@@ -8754,6 +8902,7 @@ EXTENSION_QUERIES = {
     "z81_idle_rich_customers": z81_idle_rich_customers,
     "z82_top_supplier": z82_top_supplier,
     "z83_disjunctive_revenue": z83_disjunctive_revenue,
+    "z96_file_bloom_lookup": z96_file_bloom_lookup,
 }
 
 EXTENSION_ORACLES = {
@@ -8891,5 +9040,6 @@ EXTENSION_ORACLES = {
     "q70_bigram_lm_surprisal": Q70_SQL,
     "q71_bpe_train": Q71_SQL,
     "q85_bpe_encode": Q85_SQL,
+    "z96_file_bloom_lookup": Z96_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

@@ -497,6 +497,13 @@ FILES_KEY = "::files"
 #: hygiene - see the harvest in _footer_stats).
 MAX_FILE_STATS = 4096
 
+#: Per-partition cap on recorded PER-FILE Bloom filters (see
+#: ``_add_file_blooms``). File blooms are ~bits/8 bytes of hex per
+#: (file, column) — 64 files × 1 KiB is a fair manifest tax for
+#: O(1)-file point lookups; a directory more fragmented than this is
+#: compaction debt, and partition-grain blooms still prune it.
+MAX_FILE_BLOOMS = 64
+
 #: Default per-partition Bloom sizing: m bits / k=4 hashes. 4096 bits
 #: = 512 bytes (1 KiB hex in the manifest) per (partition, column);
 #: FPR ~2.4e-3 at 500 distinct keys/partition, ~0.1 at 5k, SATURATED
@@ -593,6 +600,143 @@ def _bloom_may_contain(hex_bits: str, value) -> bool:
         bm[p // 8] & (1 << (p % 8))
         for p in _bloom_positions(value, len(bm) * 8)
     )
+
+
+def _add_file_blooms(
+    spark: SparkSession,
+    path: str,
+    entries: dict[str, str],
+    blooms: dict,
+    bloom_cols: list[str],
+    bits: int = BLOOM_BITS,
+) -> None:
+    """Record PER-FILE Bloom filters for the JUST-WRITTEN partition
+    directories, nested under the partition's bloom entry as
+    ``blooms[pname][FILES_KEY] = {filename: {col: hex}}`` — the file
+    grain of point-lookup skipping that per-partition blooms cannot
+    reach. Per-file [min, max] statistics (``stats[p][FILES_KEY]``)
+    only prune key probes when the layout is CLUSTERED by the probed
+    column; a file bloom prunes them on any layout — the dedup-store /
+    entity-lookup shape where keys scatter uniformly across files. On
+    a 100 TB table this turns "scan the partition the bloom kept" into
+    "open the one file that may hold the key".
+
+    Mechanics: read back the new commit's files (column-pruned to
+    ``bloom_cols``, page-cached — the ``_compute_hlls`` cost model),
+    fold each value's k bit positions into 64-bit bitmap WORDS
+    executor-side (``bit_or(shiftleft(...))`` per (file, col, word) —
+    map-side combinable, and the collect is O(files × cols × bits/64)
+    small integers, never O(rows)), and assemble the self-describing
+    hex bitmaps driver-side. The hash family is byte-identical to the
+    partition blooms (``_bloom_positions``), so one probe function
+    serves both grains.
+
+    Strictly an optimization with a conservative contract: partitions
+    with more than ``MAX_FILE_BLOOMS`` files record nothing (manifest
+    hygiene — compaction restores the grain), an over-cap collect
+    abandons file grain silently, and readers keep any file the map
+    does not list. Nesting inside the partition's bloom entry means
+    every carry rule (cold-partition carry, drop-on-rewrite, branches,
+    clones) applies unchanged — stale filenames are impossible because
+    a rewritten partition gets a whole new bloom entry."""
+    if not entries or not bloom_cols or bits % 64:
+        return
+    from pyspark.sql import functions as F
+
+    words = bits // 64
+    by_commit: dict[str, list[str]] = {}
+    dir_part: dict[str, str] = {}
+    for pname, rel in entries.items():
+        d = rel if os.path.isabs(rel) else os.path.join(path, rel)
+        by_commit.setdefault(os.path.dirname(d), []).append(d)
+        dir_part[os.path.realpath(d)] = pname
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    rows: list = []
+    for commit, ds in sorted(by_commit.items()):
+        with _INFER_LOCK:
+            infer_old = spark.conf.get(infer_key, "true")
+            spark.conf.set(infer_key, "false")
+            try:
+                back = spark.read.option("basePath", commit).parquet(
+                    *sorted(ds)
+                )
+            finally:
+                spark.conf.set(infer_key, infer_old)
+        structs = []
+        for c in bloom_cols:
+            # types were validated by _compute_blooms on the same
+            # commit's content; mirror its hash expression exactly
+            t = back.schema[c].dataType.simpleString()
+            base = (
+                F.crc32(F.col(c))
+                if t == "string"
+                else F.col(c).cast("long")
+            )
+            v = F.pmod(base, F.lit(_BLOOM_MOD))
+            pos = F.array(
+                *[
+                    F.pmod(
+                        F.pmod(v * F.lit(m), F.lit(_BLOOM_MOD)), F.lit(bits)
+                    )
+                    for m in _BLOOM_MULTS
+                ]
+            )
+            structs.append(F.struct(F.lit(c).alias("c"), pos.alias("ps")))
+        agg = (
+            back.select(
+                F.input_file_name().alias("__f"),
+                F.explode(F.array(*structs)).alias("s"),
+            )
+            .select("__f", F.col("s.c").alias("c"), F.explode("s.ps").alias("pos"))
+            .where(F.col("pos").isNotNull())  # NULL keys carry no bits
+            .groupBy(
+                "__f",
+                "c",
+                (F.col("pos") / F.lit(64)).cast("long").alias("w"),
+            )
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))"
+                ).alias("bm")
+            )
+        )
+        got = agg.limit(MAX_COLLECTED_PARTITIONS + 1).collect()
+        if len(got) > MAX_COLLECTED_PARTITIONS:
+            return  # optimization only: keep partition blooms, skip file grain
+        rows.extend(got)
+    per: dict[str, dict[str, dict[str, list[int]]]] = {}
+    for r in rows:
+        fpath = r["__f"]
+        if fpath.startswith("file:"):
+            fpath = fpath[5:]
+        d = os.path.realpath(os.path.dirname(fpath))
+        pname = dir_part.get(d)
+        fname = os.path.basename(fpath)
+        if pname is None:
+            # input_file_name URI-encodes some characters; retry decoded
+            from urllib.parse import unquote
+
+            dec = unquote(fpath)
+            pname = dir_part.get(os.path.realpath(os.path.dirname(dec)))
+            fname = os.path.basename(dec)
+            if pname is None:
+                continue  # unknown directory: record nothing (conservative)
+        ws = (
+            per.setdefault(pname, {})
+            .setdefault(fname, {})
+            .setdefault(r["c"], [0] * words)
+        )
+        ws[int(r["w"])] = int(r["bm"]) & 0xFFFFFFFFFFFFFFFF
+    for pname, files in per.items():
+        if len(files) > MAX_FILE_BLOOMS:
+            continue  # fragmented directory: compaction debt, not a bloom
+        blooms.setdefault(pname, {})[FILES_KEY] = {
+            fname: {
+                c: b"".join(w.to_bytes(8, "little") for w in ws).hex()
+                for c, ws in cols.items()
+            }
+            for fname, cols in files.items()
+        }
 
 
 def _footer_stats(part_dir: Path, cols: list[str]) -> tuple[dict, int]:
@@ -880,6 +1024,45 @@ def read_snapshot(
             # filter would return an EMPTY frame, and skipping must be
             # behavior-preserving — so scan one directory for its
             # schema and emit zero rows (a footer-only read).
+            first = sorted(parts)[0]
+            kept = {first: parts[first]}
+            file_sel.pop(first, None)
+            empty_result = True
+        parts = kept
+    if point_lookups and parts and not empty_result:
+        # FILE-grain blooms (blooms[p][FILES_KEY], _add_file_blooms):
+        # min/max per-file stats only prune key probes on a CLUSTERED
+        # layout; the per-file bloom prunes them on any layout. Same
+        # conservative contract: files the map does not list are kept
+        # (a zero-row file missing from the read-back contributes no
+        # rows either way), no map → no file pruning. Intersects with
+        # the stats-based selection above when both apply.
+        all_blooms = man.get("blooms") or {}
+        kept = dict(parts)
+        for p in list(kept):
+            fb = (all_blooms.get(p) or {}).get(FILES_KEY)
+            if not fb:
+                continue
+            cand = file_sel.get(p)
+            names = cand if cand is not None else sorted(fb)
+            sel = []
+            for f in names:
+                fbl = fb.get(f)
+                if fbl is None or all(
+                    not isinstance(v, (int, str))
+                    or c not in fbl
+                    or _bloom_may_contain(fbl[c], v)
+                    for c, v in point_lookups.items()
+                ):
+                    sel.append(f)
+            if not sel:
+                # every file provably lacks the key: the partition
+                # contributes no rows — drop it entirely
+                del kept[p]
+                file_sel.pop(p, None)
+            elif len(sel) < len(names if cand is not None else fb):
+                file_sel[p] = sel
+        if not kept:
             first = sorted(parts)[0]
             kept = {first: parts[first]}
             file_sel.pop(first, None)
@@ -1458,6 +1641,10 @@ def stage_commit(
         else {}
     )
     entries, stats = _write_commit_data(df, path, partition_col, stats_cols)
+    if bloom_cols:
+        _add_file_blooms(
+            df.sparkSession, path, entries, blooms, bloom_cols, bloom_bits
+        )
     meta = _schema_meta(df, partition_col, stats_cols, bloom_cols, bloom_bits)
     if constraints:
         meta["constraints"] = list(constraints)
@@ -2006,6 +2193,10 @@ def write_snapshot(
         else {}
     )
     entries, stats = _write_commit_data(df, path, partition_col, stats_cols)
+    if bloom_cols:
+        _add_file_blooms(
+            df.sparkSession, path, entries, blooms, bloom_cols, bloom_bits
+        )
     meta = _schema_meta(df, partition_col, stats_cols, bloom_cols, bloom_bits)
     if constraints:
         meta["constraints"] = list(constraints)
@@ -2264,6 +2455,15 @@ def _partition_scoped_commit(
         entries, stats = _write_commit_data(
             source, target_path, partition_col, table_stats_cols
         )
+        if table_bloom_cols:
+            _add_file_blooms(
+                source.sparkSession,
+                target_path,
+                entries,
+                blooms,
+                table_bloom_cols,
+                table_bloom_bits,
+            )
         return _commit(
             target_path,
             parent,
@@ -2342,6 +2542,15 @@ def _partition_scoped_commit(
     new_entries, new_stats = _write_commit_data(
         merged, target_path, partition_col, table_stats_cols
     )
+    if table_bloom_cols:
+        _add_file_blooms(
+            merged.sparkSession,
+            target_path,
+            new_entries,
+            new_blooms,
+            table_bloom_cols,
+            table_bloom_bits,
+        )
     drops = drop_partitions or set()
     partitions = {
         part: rel
@@ -3237,6 +3446,15 @@ def compact_snapshot(
     entries, stats = _write_commit_data(
         df, path, partition_col, meta.get("stats_cols")
     )
+    if bloom_cols:
+        _add_file_blooms(
+            df.sparkSession,
+            path,
+            entries,
+            blooms,
+            bloom_cols,
+            meta.get("bloom_bits") or BLOOM_BITS,
+        )
     op = "compact+zorder" if zorder_by else "compact"
     return _commit(
         path, parent, entries, op, meta, stats=stats, blooms=blooms,
