@@ -203,6 +203,8 @@ EXTRA = (
     "z93_nation_market_share",
     "z94_returned_item_customers",
     "z95_forecast_revenue_delta",
+    "z96_file_bloom_lookup",
+    "z97_join_pruned_revenue",
 )
 
 
@@ -254,6 +256,7 @@ def main() -> None:
     # steady-state query timing below measures ONLY the search path,
     # and the builds get their own `builds` block in the JSON line.
     from pandas_analysis_with_postgres_spark.plans.extension_queries import (
+        _filebloom_table,
         _ivfpq_index,
         _ivfpq_store,
         _pq_index,
@@ -266,6 +269,7 @@ def main() -> None:
         ("pq_index(z22/z23/z24)", _pq_index),
         ("ivfpq_coarse(z24)", _ivfpq_index),
         ("ivfpq_store(z25)", _ivfpq_store),
+        ("filebloom_table(z96/z97)", _filebloom_table),
     ):
         t0 = time.perf_counter()
         fn(spark, sf_dir)

@@ -8447,6 +8447,148 @@ SELECT
 """
 
 
+#: z97's dimension: fixed ids whose SCRAMBLED keys ((id·MULT) mod m)
+#: are the join keys — derivable in SQL, so the oracle rebuilds the
+#: dimension and replays the pruning. All < 16 ≤ m at every sf.
+_Z97_IDS = (3, 5, 7, 11, 13, 14, 2, 9)
+
+
+def z97_join_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-SIDE DYNAMIC PARTITION PRUNING (snapshot.
+    prune_for_join): a filtered 8-row dimension's join keys prune the
+    fact scan — partition grain AND file grain, stats AND blooms —
+    before any executor starts. This is Spark's DPP / Iceberg's
+    runtime filtering re-expressed over the snapshot layer, and the
+    complement of a95's executor-side bloom prefilter (which drops
+    ROWS after the scan; this drops the I/O). On the scattered-key
+    fixture only per-file Bloom filters can prune, and an 8-key dim
+    opens ~8 of 16 files. The ORACLE REPLAYS THE PRUNING ITSELF: the
+    probe keeps a grain iff (some key within its [min, max]) AND
+    (some key's k bit positions all set in its bloom) — two
+    independent EXISTS, exactly ``_set_probe_keeps``'s contract — so
+    parts_opened/files_opened are hash-checked alongside the join
+    result."""
+    from ..sources.metadata_sql import _local_rows_df
+    from ..sources.snapshot import prune_for_join
+
+    path, m = _filebloom_table(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [(int(i), (i * _FB_MULT) % m) for i in _Z97_IDS],
+        "w bigint, dk bigint",
+    )
+    fact = prune_for_join(spark, path, "k", dim, dim_key="dk")
+    opened = fact.inputFiles()
+    parts_opened = len({f.rsplit("/", 2)[-2] for f in opened})
+    row = (
+        fact.join(F.broadcast(dim), fact.k == dim.dk)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sk"),
+            F.sum("w").alias("sw"),
+        )
+        .collect()[0]
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return _local_rows_df(
+        spark,
+        [
+            (
+                int(row["n"]),
+                int(row["sk"]),
+                int(row["sw"]),
+                int(parts_opened),
+                len(opened),
+                16,
+            )
+        ],
+        StructType(
+            [
+                StructField("n_match", LongType(), False),
+                StructField("key_sum", LongType(), False),
+                StructField("weight_sum", LongType(), False),
+                StructField("parts_opened", LongType(), False),
+                StructField("files_opened", LongType(), False),
+                StructField("files_total", LongType(), False),
+            ]
+        ),
+    )
+
+
+Z97_SQL = """
+WITH p AS (
+  SELECT GREATEST((COUNT(*) // 16) * 16, 16) AS m,
+         ((GREATEST((COUNT(*) // 16) * 16, 16) * 10 // 16 + 63) // 64) * 64
+           AS bits
+  FROM orders
+),
+keys AS (
+  SELECT (rn * 2654435761) % (SELECT m FROM p) AS k,
+         rn // ((SELECT m FROM p) // 4) AS bu,
+         rn // ((SELECT m FROM p) // 16) AS slice
+  FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn FROM orders
+  )
+  WHERE rn < (SELECT m FROM p)
+),
+dim AS (
+  SELECT id AS w, (id * 2654435761) % (SELECT m FROM p) AS dk
+  FROM (VALUES (3), (5), (7), (11), (13), (14), (2), (9)) t(id)
+),
+mults(mu) AS (VALUES (2654435761), (2246822519), (3266489917), (668265263)),
+-- each dim key's distinct bit positions, and how many it has
+dq AS (
+  SELECT DISTINCT dk,
+         (((dk % 2147483647) * mu) % 2147483647) % (SELECT bits FROM p) AS q
+  FROM dim CROSS JOIN mults
+),
+nq AS (SELECT dk, COUNT(*) AS n FROM dq GROUP BY dk),
+pos AS (
+  SELECT bu, slice,
+         (((k % 2147483647) * mu) % 2147483647) % (SELECT bits FROM p) AS pp
+  FROM keys CROSS JOIN mults
+),
+pstat AS (SELECT bu, MIN(k) AS lo, MAX(k) AS hi FROM keys GROUP BY bu),
+fstat AS (
+  SELECT bu, slice, MIN(k) AS lo, MAX(k) AS hi FROM keys GROUP BY bu, slice
+),
+-- bloom coverage per (key, grain): all of the key's positions set
+pcov AS (
+  SELECT d.dk, a.bu
+  FROM dq d JOIN (SELECT DISTINCT bu, pp FROM pos) a ON d.q = a.pp
+  JOIN nq ON nq.dk = d.dk
+  GROUP BY d.dk, a.bu, nq.n HAVING COUNT(DISTINCT d.q) = nq.n
+),
+fcov AS (
+  SELECT d.dk, a.bu, a.slice
+  FROM dq d JOIN (SELECT DISTINCT bu, slice, pp FROM pos) a ON d.q = a.pp
+  JOIN nq ON nq.dk = d.dk
+  GROUP BY d.dk, a.bu, a.slice, nq.n HAVING COUNT(DISTINCT d.q) = nq.n
+),
+-- the reader's contract: independent EXISTS per proof family
+pkeep AS (
+  SELECT s.bu FROM pstat s
+  WHERE EXISTS (SELECT 1 FROM dim WHERE dk BETWEEN s.lo AND s.hi)
+    AND EXISTS (SELECT 1 FROM pcov c WHERE c.bu = s.bu)
+),
+fkeep AS (
+  SELECT f.bu, f.slice FROM fstat f
+  WHERE f.bu IN (SELECT bu FROM pkeep)
+    AND EXISTS (SELECT 1 FROM dim WHERE dk BETWEEN f.lo AND f.hi)
+    AND EXISTS (
+      SELECT 1 FROM fcov c WHERE c.bu = f.bu AND c.slice = f.slice
+    )
+)
+SELECT
+  (SELECT COUNT(*) FROM keys JOIN dim ON k = dk)::BIGINT AS n_match,
+  (SELECT SUM(k) FROM keys JOIN dim ON k = dk)::BIGINT AS key_sum,
+  (SELECT SUM(w) FROM keys JOIN dim ON k = dk)::BIGINT AS weight_sum,
+  (SELECT COUNT(DISTINCT bu) FROM fkeep)::BIGINT AS parts_opened,
+  (SELECT COUNT(*) FROM fkeep)::BIGINT AS files_opened,
+  16::BIGINT AS files_total
+"""
+
+
 def z79_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 (customer distribution): the LEFT-OUTER-WITH-JOIN-
     PREDICATE shape — customers with ZERO qualifying orders must
@@ -8903,6 +9045,7 @@ EXTENSION_QUERIES = {
     "z82_top_supplier": z82_top_supplier,
     "z83_disjunctive_revenue": z83_disjunctive_revenue,
     "z96_file_bloom_lookup": z96_file_bloom_lookup,
+    "z97_join_pruned_revenue": z97_join_pruned_revenue,
 }
 
 EXTENSION_ORACLES = {
@@ -9041,5 +9184,6 @@ EXTENSION_ORACLES = {
     "q71_bpe_train": Q71_SQL,
     "q85_bpe_encode": Q85_SQL,
     "z96_file_bloom_lookup": Z96_SQL,
+    "z97_join_pruned_revenue": Z97_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

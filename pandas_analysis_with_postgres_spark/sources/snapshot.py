@@ -602,6 +602,136 @@ def _bloom_may_contain(hex_bits: str, value) -> bool:
     )
 
 
+class _SetProbe:
+    """A MULTI-KEY point probe (``point_lookups={col: [v1, v2, …]}``):
+    union semantics — a partition/file is kept iff it may hold ANY of
+    the values. This is the manifest half of dynamic partition
+    pruning: the values are a filtered dimension's join keys, and the
+    fact scan keeps only the partitions AND files whose stats/blooms
+    can hold at least one of them (see :func:`prune_for_join`).
+
+    Probes are vectorized (numpy): each value's k bit positions are
+    computed ONCE per bitmap width and tested as array lookups, so a
+    10k-key probe against a bitmap costs microseconds — the driver
+    cost is O(partitions + files), not O(partitions × keys)."""
+
+    def __init__(self, values) -> None:
+        import numpy as np
+
+        vals = [v for v in values if isinstance(v, (int, str)) and not isinstance(v, bool)]
+        self.ints = sorted({v for v in vals if isinstance(v, int)})
+        self.strs = sorted({v for v in vals if isinstance(v, str)})
+        self.empty = not self.ints and not self.strs
+        hashes = {v % _BLOOM_MOD for v in self.ints} | {
+            zlib.crc32(s.encode("utf-8")) % _BLOOM_MOD for s in self.strs
+        }
+        self._h = np.array(sorted(hashes), dtype=np.int64)
+        self._mults = np.array(_BLOOM_MULTS, dtype=np.int64)
+        self._pos: dict[int, "np.ndarray"] = {}
+
+    def any_in_bloom(self, hex_bits: str) -> bool:
+        """True iff some value's k positions are all set in the bitmap
+        (bit-identical to :func:`_bloom_may_contain`, vectorized)."""
+        import numpy as np
+
+        if self.empty:
+            return False
+        bits = len(hex_bits) * 4
+        pos = self._pos.get(bits)
+        if pos is None:
+            # h < 2^31 and mult < 2^32, so h·mult < 2^63: no overflow
+            pos = ((self._h[:, None] * self._mults) % _BLOOM_MOD) % bits
+            self._pos[bits] = pos
+        bitset = np.unpackbits(
+            np.frombuffer(bytes.fromhex(hex_bits), dtype=np.uint8),
+            bitorder="little",
+        )
+        return bool(np.all(bitset[pos], axis=1).any())
+
+    def any_in_range(self, rng) -> bool:
+        """True iff some value falls inside a recorded [min, max(,
+        nulls)] stats entry — same conservative contract as
+        :func:`_ranges_overlap`: an entry of an incomparable type
+        keeps the grain."""
+        import bisect
+
+        lo, hi = rng[0], rng[1]
+        for vals in (self.ints, self.strs):
+            if not vals:
+                continue
+            try:
+                i = bisect.bisect_left(vals, lo)
+                if i < len(vals) and vals[i] <= hi:
+                    return True
+            except TypeError:
+                return True  # incomparable stats type: keep
+        return False
+
+
+def _set_probe_keeps(probes: dict, stats: dict, pb: dict) -> bool:
+    """Partition-grain check for every multi-key probe column: drop
+    only when the stats range OR the bloom PROVES no value can be
+    present (missing stats/bloom keep — skipping is an optimization,
+    never a filter)."""
+    for c, sp in probes.items():
+        rng = stats.get(c)
+        if rng and not sp.any_in_range(rng):
+            return False
+        bm = pb.get(c)
+        if isinstance(bm, str) and not sp.any_in_bloom(bm):
+            return False
+    return True
+
+
+def prune_for_join(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    dim_df: DataFrame,
+    *,
+    dim_key: "str | None" = None,
+    max_keys: int = 10_000,
+    version: "int | str | None" = None,
+) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING, manifest-side (Spark's DPP /
+    Iceberg's runtime filtering re-expressed over the snapshot
+    layer): collect the distinct join keys of an already-FILTERED
+    dimension (bounded — the dim side of a star join is small by
+    contract, exactly Spark's broadcast-threshold assumption) and
+    scan only the fact partitions AND FILES whose recorded stats or
+    Bloom filters may hold at least one key. At 100 TB this is the
+    difference between scanning the whole fact and opening the
+    handful of files a 3-key dimension filter can actually touch —
+    before any executor starts, from the manifest alone.
+
+    The caller still performs the real join (false positives scan and
+    are discarded by it): ``prune_for_join(...)`` returns the pruned
+    fact frame, nothing else changes. Over ``max_keys`` distinct keys
+    the dim side is not "small" and the function falls back to the
+    unpruned read — same graceful degradation as Spark's own DPP when
+    the build side exceeds the broadcast threshold. A dimension with
+    ZERO keys returns the empty frame with the table's schema (the
+    inner join is provably empty).
+
+    Complements ``operators.joins.bloom_prefiltered_join``, which
+    drops non-matching ROWS executor-side after the scan; this drops
+    the I/O itself."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        dim_df.select(dim_key or key_col)
+        .where(F.col(dim_key or key_col).isNotNull())
+        .distinct()
+        .limit(max_keys + 1)
+        .collect()
+    )
+    if len(rows) > max_keys:
+        return read_snapshot(spark, path, version)
+    return read_snapshot(
+        spark, path, version, point_lookups={key_col: [r[0] for r in rows]}
+    )
+
+
 def _add_file_blooms(
     spark: SparkSession,
     path: str,
@@ -959,7 +1089,28 @@ def read_snapshot(
     if partition_filter is not None:
         parts = {p: rel for p, rel in parts.items() if partition_filter(p)}
     empty_result = False
-    if point_lookups and parts:
+    if point_lookups:
+        # a collection value is a MULTI-KEY probe (union semantics —
+        # the manifest half of dynamic partition pruning, see
+        # prune_for_join); normalize it once into the vectorized form
+        point_lookups = {
+            c: (
+                _SetProbe(v)
+                if isinstance(v, (list, tuple, set, frozenset))
+                else v
+            )
+            for c, v in point_lookups.items()
+        }
+        if parts and any(
+            isinstance(v, _SetProbe) and v.empty
+            for v in point_lookups.values()
+        ):
+            # an empty key set proves the result empty (the join's
+            # build side matched nothing): schema-only read
+            first = sorted(parts)[0]
+            parts = {first: parts[first]}
+            empty_result = True
+    if point_lookups and parts and not empty_result:
         all_blooms = man.get("blooms") or {}
         kept = {}
         for p, rel in parts.items():
@@ -1061,6 +1212,57 @@ def read_snapshot(
                 del kept[p]
                 file_sel.pop(p, None)
             elif len(sel) < len(names if cand is not None else fb):
+                file_sel[p] = sel
+        if not kept:
+            first = sorted(parts)[0]
+            kept = {first: parts[first]}
+            file_sel.pop(first, None)
+            empty_result = True
+        parts = kept
+    set_probes = {
+        c: v
+        for c, v in (point_lookups or {}).items()
+        if isinstance(v, _SetProbe)
+    }
+    if set_probes and parts and not empty_result:
+        # MULTI-KEY probes (prune_for_join / point_lookups with a
+        # collection value): union semantics at both grains — keep a
+        # partition/file iff it may hold ANY of the keys. Stats and
+        # blooms both prove absence; either proof suffices to drop.
+        all_stats = man.get("stats") or {}
+        all_blooms = man.get("blooms") or {}
+        kept = dict(parts)
+        for p in list(kept):
+            st = all_stats.get(p) or {}
+            pb = all_blooms.get(p) or {}
+            if not _set_probe_keeps(set_probes, st, pb):
+                del kept[p]
+                file_sel.pop(p, None)
+                continue
+            fstats = st.get(FILES_KEY) or {}
+            fblooms = pb.get(FILES_KEY) or {}
+            cand = file_sel.get(p)
+            # the footer harvest enumerates every on-disk file, so the
+            # union is the complete list; bloom read-back alone may
+            # miss zero-row files (which hold no key anyway)
+            names = (
+                cand
+                if cand is not None
+                else (sorted(set(fstats) | set(fblooms)) or None)
+            )
+            if names is None:
+                continue  # no file grain recorded: whole directory
+            sel = [
+                f
+                for f in names
+                if _set_probe_keeps(
+                    set_probes, fstats.get(f) or {}, fblooms.get(f) or {}
+                )
+            ]
+            if not sel:
+                del kept[p]
+                file_sel.pop(p, None)
+            elif len(sel) < len(names):
                 file_sel[p] = sel
         if not kept:
             first = sorted(parts)[0]
