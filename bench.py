@@ -205,6 +205,7 @@ EXTRA = (
     "z95_forecast_revenue_delta",
     "z96_file_bloom_lookup",
     "z97_join_pruned_revenue",
+    "z98_metadata_explain",
 )
 
 

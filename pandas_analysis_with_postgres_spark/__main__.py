@@ -121,6 +121,12 @@ def main(argv: list[str] | None = None) -> int:
         help="(changes) last version already consumed",
     )
     p_sn.add_argument(
+        "--explain",
+        action="store_true",
+        help="(sql) print the tier decision and its partition/file "
+        "I/O instead of the answer — zero data pages read",
+    )
+    p_sn.add_argument(
         "--max-commits",
         type=int,
         default=4,
@@ -458,6 +464,18 @@ def main(argv: list[str] | None = None) -> int:
                 print("snapshot sql requires --query", file=sys.stderr)
                 return 2
             spark = _gs("cli")
+            if args.explain:
+                # EXPLAIN: the tier decision (metadata / hybrid /
+                # scan) and its committed I/O, zero data pages read
+                from .sources.metadata_sql import explain_metadata_sql
+
+                explain_metadata_sql(
+                    spark,
+                    args.query,
+                    {args.view_name: args.path},
+                    version=args.version,
+                ).show(truncate=False)
+                return 0
             # metadata-answerable statements (strict COUNT/MIN/MAX
             # grammar) never touch data files — the warehouse
             # optimizer rule, applied transparently before the scan

@@ -8447,6 +8447,98 @@ SELECT
 """
 
 
+def z98_metadata_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLAIN for the metadata-SQL tiers (metadata_sql.
+    explain_metadata_sql, CLI ``snapshot sql --explain``): the
+    scan-planning DECISION as a queryable frame — which tier serves a
+    statement (pure metadata / hybrid / full scan) and exactly how
+    much I/O the plan commits to (partitions from metadata vs
+    scanned; boundary files opened vs present) — computed WITHOUT
+    reading a single data page (the provers' ``explain_only`` skips
+    the boundary scan; classification is manifest arithmetic). The
+    routing IS the answering code path, so EXPLAIN cannot drift from
+    execution (unit-pinned in tests/test_metadata_explain.py, with a
+    deleted-every-parquet proof). Three statements over the z76
+    fixture: a manifest COUNT (metadata tier, 4 partitions, zero
+    I/O), the z76 range COUNT (hybrid: 1 proven partition, 2 boundary
+    partitions, 6 of their 8 files), and a shape the grammar refuses
+    (scan: all 4 partitions, all 16 files). The oracle replays the
+    classification arithmetically from the fixture's exact slicing."""
+    from ..sources.metadata_sql import explain_metadata_sql
+
+    path, m = _fileskip_table(spark, sf_dir)
+    s = m // 16
+    tables = {"t": path}
+    stmts = [
+        ("count_all", "SELECT COUNT(*) AS n FROM t"),
+        (
+            "range_count",
+            f"SELECT COUNT(*) AS n FROM t "
+            f"WHERE k BETWEEN {s} AND {11 * s - 1}",
+        ),
+        ("neq_filter", "SELECT COUNT(*) AS n FROM t WHERE k <> 5"),
+    ]
+    out = None
+    for label, sql in stmts:
+        e = explain_metadata_sql(spark, sql, tables).select(
+            F.lit(label).alias("stmt"), "*"
+        )
+        out = e if out is None else out.unionByName(e)
+    return out
+
+
+Z98_SQL = """
+WITH p AS (
+  SELECT GREATEST((COUNT(*) // 16) * 16, 16) AS m FROM orders
+),
+r AS (
+  SELECT rn AS k,
+         rn // ((SELECT m FROM p) // 4) AS bu,
+         rn // ((SELECT m FROM p) // 16) AS slice
+  FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn FROM orders
+  )
+  WHERE rn < (SELECT m FROM p)
+),
+q AS (
+  SELECT (SELECT m FROM p) // 16 AS lo,
+         11 * ((SELECT m FROM p) // 16) - 1 AS hi
+),
+cls AS (
+  SELECT bu, MIN(k) AS blo, MAX(k) AS bhi FROM r GROUP BY bu
+),
+fls AS (
+  SELECT bu, slice, MIN(k) AS flo, MAX(k) AS fhi FROM r GROUP BY bu, slice
+),
+bnd AS (
+  SELECT bu FROM cls
+  WHERE NOT (blo >= (SELECT lo FROM q) AND bhi <= (SELECT hi FROM q))
+    AND NOT (bhi < (SELECT lo FROM q) OR blo > (SELECT hi FROM q))
+)
+SELECT 'count_all' AS stmt, 'metadata' AS tier,
+       (SELECT COUNT(*) FROM cls)::BIGINT AS partitions_metadata,
+       0::BIGINT AS partitions_scanned,
+       0::BIGINT AS files_scanned, 0::BIGINT AS files_total
+UNION ALL
+SELECT 'range_count', 'hybrid',
+       (SELECT COUNT(*) FROM cls
+         WHERE blo >= (SELECT lo FROM q)
+           AND bhi <= (SELECT hi FROM q))::BIGINT,
+       (SELECT COUNT(*) FROM bnd)::BIGINT,
+       (SELECT COUNT(*) FROM fls
+         WHERE bu IN (SELECT bu FROM bnd)
+           AND NOT (fhi < (SELECT lo FROM q)
+                    OR flo > (SELECT hi FROM q)))::BIGINT,
+       (SELECT COUNT(*) FROM fls WHERE bu IN (SELECT bu FROM bnd))::BIGINT
+UNION ALL
+SELECT 'neq_filter', 'scan',
+       0::BIGINT,
+       (SELECT COUNT(*) FROM cls)::BIGINT,
+       (SELECT COUNT(*) FROM fls)::BIGINT,
+       (SELECT COUNT(*) FROM fls)::BIGINT
+"""
+
+
 #: z97's dimension: fixed ids whose SCRAMBLED keys ((id·MULT) mod m)
 #: are the join keys — derivable in SQL, so the oracle rebuilds the
 #: dimension and replays the pruning. All < 16 ≤ m at every sf.
@@ -9046,6 +9138,7 @@ EXTENSION_QUERIES = {
     "z83_disjunctive_revenue": z83_disjunctive_revenue,
     "z96_file_bloom_lookup": z96_file_bloom_lookup,
     "z97_join_pruned_revenue": z97_join_pruned_revenue,
+    "z98_metadata_explain": z98_metadata_explain,
 }
 
 EXTENSION_ORACLES = {
@@ -9185,5 +9278,6 @@ EXTENSION_ORACLES = {
     "q85_bpe_encode": Q85_SQL,
     "z96_file_bloom_lookup": Z96_SQL,
     "z97_join_pruned_revenue": Z97_SQL,
+    "z98_metadata_explain": Z98_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

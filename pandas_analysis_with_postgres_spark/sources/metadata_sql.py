@@ -1018,6 +1018,7 @@ def hybrid_range_count(
     tables: "dict[str, str]",
     *,
     version: "int | str | None" = None,
+    explain: bool = False,
 ) -> "DataFrame | None":
     """The MIDDLE tier between a metadata answer and a full scan:
     a SINGLE-aggregate range statement — ``SELECT COUNT(*)/SUM(c)/
@@ -1049,13 +1050,13 @@ def hybrid_range_count(
         # GROUP BY pcol + range (or IN+range) WHERE: the grouped tier
         if parsed["where"][0] not in ("range", "inrange"):
             return None  # eqrange + GROUP BY: the member IS the group
-        return _hybrid_group_multi(spark, parsed, tables, version)
+        return _hybrid_group_multi(spark, parsed, tables, version, explain)
     if any(k == "group" for k, _, _ in parsed["items"]):
         return None  # bare column without GROUP BY never parses, but guard
     if len(parsed["items"]) > 1:
         # the dashboard shape — every aggregate shares ONE
         # classification and ONE boundary scan
-        return _hybrid_multi(spark, parsed, tables, version)
+        return _hybrid_multi(spark, parsed, tables, version, explain)
     kind, agg_col, alias = parsed["items"][0]
     path = tables[parsed["table"]]
     if parsed["as_of"] is not None:
@@ -1119,16 +1120,30 @@ def hybrid_range_count(
     try:
         if kind == "count":
             out = range_count_pruned(
-                spark, path, col, where_partition=eq, **bounds
+                spark, path, col, where_partition=eq,
+                explain_only=explain, **bounds
             )
+            if explain:
+                return _explain_frame(
+                    spark, "hybrid",
+                    out["meta_partitions"], out["scanned_partitions"],
+                    out["scanned_files"], out["total_files"],
+                )
             return _local_rows_df(
                 spark, [(out["count"],)],
                 _ST([StructField(alias, LongType(), False)]),
             )
         if kind in ("sum", "avg"):
             out = range_sum_pruned(
-                spark, path, col, agg_col, where_partition=eq, **bounds
+                spark, path, col, agg_col, where_partition=eq,
+                explain_only=explain, **bounds
             )
+            if explain:
+                return _explain_frame(
+                    spark, "hybrid",
+                    out["meta_partitions"], out["scanned_partitions"],
+                    out["scanned_files"], out["total_files"],
+                )
             return _local_rows_df(
                 spark,
                 [(_sum_avg_value(kind, (out["sum"], out["n_nonnull"])),)],
@@ -1149,8 +1164,15 @@ def hybrid_range_count(
         if dt is None:
             return None  # unknown aggregated column: scan decides
         out = range_minmax_pruned(
-            spark, path, col, agg_col, where_partition=eq, **bounds
+            spark, path, col, agg_col, where_partition=eq,
+            explain_only=explain, **bounds
         )
+        if explain:
+            return _explain_frame(
+                spark, "hybrid",
+                out["meta_partitions"], out["scanned_partitions"],
+                out["scanned_files"], out["total_files"],
+            )
         v = out[kind]
         frame = _local_rows_df(
             spark,
@@ -1167,7 +1189,140 @@ def hybrid_range_count(
         return None  # int64 overflow on SUM: a scan must decide/error
 
 
-def _hybrid_multi(spark, parsed, tables, version):
+def _explain_frame(
+    spark, tier, meta_parts, scan_parts, files_scanned, files_total
+) -> DataFrame:
+    """The EXPLAIN answer shape (see :func:`explain_metadata_sql`):
+    one local row — which tier serves the statement and how much I/O
+    the plan commits to (partitions answered from metadata vs
+    scanned; boundary files opened vs present, where per-file stats
+    exist)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return _local_rows_df(
+        spark,
+        [
+            (
+                tier,
+                int(meta_parts),
+                int(scan_parts),
+                int(files_scanned),
+                int(files_total),
+            )
+        ],
+        StructType(
+            [
+                StructField("tier", StringType(), False),
+                StructField("partitions_metadata", LongType(), False),
+                StructField("partitions_scanned", LongType(), False),
+                StructField("files_scanned", LongType(), False),
+                StructField("files_total", LongType(), False),
+            ]
+        ),
+    )
+
+
+def explain_metadata_sql(
+    spark: SparkSession,
+    sql: str,
+    tables: "dict[str, str]",
+    *,
+    version: "int | str | None" = None,
+) -> DataFrame:
+    """EXPLAIN for the metadata-SQL tiers — the scan-planning decision
+    as a queryable one-row frame, WITHOUT reading a single data page
+    (the boundary scan is skipped via the provers' ``explain_only``;
+    the classification that decides it is pure manifest arithmetic):
+
+    - ``tier='metadata'`` — the statement is served entirely from the
+      manifest (zero data pages). ``partitions_metadata`` is the
+      restricted universe (1 for ``pcol = lit``, the present members
+      for ``IN``, all live partitions otherwise).
+    - ``tier='hybrid'`` — proven partitions answer from metadata and
+      ONLY the boundary scans; the row carries the exact
+      classification the real execution will use (same code path,
+      scan skipped).
+    - ``tier='scan'`` — the shape refuses both tiers; every live
+      partition (and every file with recorded per-file stats) would
+      be read.
+
+    The routing is THE SAME code the answering path runs
+    (:func:`answer_from_manifest` → :func:`hybrid_range_count` →
+    scan), so EXPLAIN can never drift from execution — pinned by
+    tests that compare these counts against the real provers'."""
+    meta = answer_from_manifest(spark, sql, tables, version=version)
+    parsed = parse_metadata_select(sql)
+    if parsed is not None:
+        path = tables.get(parsed["table"])
+    else:
+        # unparseable shape: still attribute the scan to its table so
+        # the partition/file counts are honest
+        body, _asof = extract_as_of(sql)
+        m = re.search(r"\bFROM\s+([A-Za-z_]\w*)", body, re.IGNORECASE)
+        path = tables.get(m.group(1)) if m else None
+
+    def _pin() -> "int | str | None":
+        v = version
+        if parsed is not None and parsed.get("as_of") is not None and v is None:
+            if "version" in parsed["as_of"]:
+                v = parsed["as_of"]["version"]
+            else:
+                from .snapshot import resolve_as_of
+
+                v = resolve_as_of(path, parsed["as_of"]["timestamp"])
+        return v
+
+    def _universe() -> int:
+        # the live-partition count the statement's WHERE restricts to
+        if path is None:
+            return 0
+        man = read_manifest(path, _pin())
+        pcol = (man.get("schema") or {}).get("partition_col")
+        ptype = (man.get("schema") or {}).get("partition_type") or "string"
+        live = set(man.get("partitions") or {})
+        where = parsed.get("where") if parsed is not None else None
+        if where is not None and where[0] in ("eq", "in") and where[1] == pcol:
+            from .snapshot import _hive_part_name
+
+            raws = [where[2]] if where[0] == "eq" else list(where[2])
+            names = set()
+            for r in raws:
+                try:
+                    names.add(
+                        _hive_part_name(pcol, _coerce_partition_literal(r, ptype))
+                    )
+                except _Refuse:
+                    return len(live)
+            return len(live & names)
+        return len(live)
+
+    if meta is not None:
+        return _explain_frame(spark, "metadata", _universe(), 0, 0, 0)
+    hyb = hybrid_range_count(
+        spark, sql, tables, version=version, explain=True
+    )
+    if hyb is not None:
+        return hyb
+    # full scan: every live partition; files where per-file stats are
+    # recorded (unrecorded directories read whole either way)
+    n_files = 0
+    if path is not None:
+        man = read_manifest(path, _pin())
+        from .snapshot import FILES_KEY
+
+        n_files = sum(
+            len((s or {}).get(FILES_KEY) or {})
+            for s in (man.get("stats") or {}).values()
+        )
+    return _explain_frame(spark, "scan", 0, _universe(), n_files, n_files)
+
+
+def _hybrid_multi(spark, parsed, tables, version, explain=False):
     """MULTI-aggregate branch of :func:`hybrid_range_count`:
     ``SELECT COUNT(*), SUM(x), AVG(x), MIN(y), MAX(y) … WHERE col
     <range>`` (the dashboard statement) served by ONE
@@ -1239,8 +1394,14 @@ def _hybrid_multi(spark, parsed, tables, version):
             spark, path, col,
             [(k, c) for k, c, _a in parsed["items"]],
             lo=lo, hi=hi, lo_strict=lo_strict, hi_strict=hi_strict,
-            version=version, where_partition=eq,
+            version=version, where_partition=eq, explain_only=explain,
         )
+        if explain:
+            return _explain_frame(
+                spark, "hybrid",
+                out["meta_partitions"], out["scanned_partitions"],
+                out["scanned_files"], out["total_files"],
+            )
         fields, row, casts = [], [], {}
         for (kind, agg_col, alias), v in zip(parsed["items"], out["values"]):
             if kind == "count":
@@ -1277,7 +1438,7 @@ def _hybrid_multi(spark, parsed, tables, version):
         return None  # int64 overflow on SUM: a scan must decide/error
 
 
-def _hybrid_group_multi(spark, parsed, tables, version):
+def _hybrid_group_multi(spark, parsed, tables, version, explain=False):
     """GROUPED branch of :func:`hybrid_range_count`: ``SELECT pcol,
     COUNT(*), SUM(x), AVG(x), MIN(y), MAX(y) … WHERE col <range>
     GROUP BY pcol`` served by ONE :func:`snapshot.range_group_multi`
@@ -1355,8 +1516,14 @@ def _hybrid_group_multi(spark, parsed, tables, version):
         out = range_group_multi(
             spark, path, col, items,
             lo=lo, hi=hi, lo_strict=lo_strict, hi_strict=hi_strict,
-            version=version, where_partition=eq,
+            version=version, where_partition=eq, explain_only=explain,
         )
+        if explain:
+            return _explain_frame(
+                spark, "hybrid",
+                out["meta_partitions"], out["scanned_partitions"],
+                out["scanned_files"], out["total_files"],
+            )
         fields, casts = [], {}
         for kind, agg_col, alias in parsed["items"]:
             if kind == "group":

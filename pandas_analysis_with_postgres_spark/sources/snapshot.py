@@ -5131,6 +5131,26 @@ def manifest_column_sum(
     return (total if seen_value else None, n_total)
 
 
+def _window_file_counts(stats, scan_parts, column, lo, hi):
+    """File-grain accounting for a boundary scan set: over scan
+    partitions WITH per-file stats, how many files could overlap the
+    window (closed-bound, the same _ranges_overlap the read path
+    prunes with) vs how many exist. Driver-side, zero data pages —
+    partitions without FILES_KEY (legacy commits) count in neither."""
+    files_total = files_scanned = 0
+    for pname in scan_parts:
+        fstats = (stats.get(pname) or {}).get(FILES_KEY)
+        if not fstats:
+            continue
+        files_total += len(fstats)
+        files_scanned += sum(
+            1
+            for fs in fstats.values()
+            if _ranges_overlap(fs, {column: (lo, hi)})
+        )
+    return files_scanned, files_total
+
+
 def range_count_pruned(
     spark: SparkSession,
     path: str,
@@ -5142,6 +5162,7 @@ def range_count_pruned(
     hi_strict: bool = False,
     version: "int | str | None" = None,
     where_partition: "tuple[str, object] | None" = None,
+    explain_only: bool = False,
 ) -> dict:
     """HYBRID range ``COUNT(*)``: Iceberg's scan planning run to
     completion instead of refused. Every partition the manifest PROVES
@@ -5251,7 +5272,7 @@ def range_count_pruned(
         else:
             scan_parts.add(pname)
     scanned = 0
-    if scan_parts:
+    if scan_parts and not explain_only:
         c = F.col(column)
         cond = F.lit(True)
         if lo is not None:
@@ -5268,21 +5289,18 @@ def range_count_pruned(
             .count()
         )
     # file-grain accounting, mirroring exactly what the boundary scan
-    # above read: over scan partitions WITH per-file stats, how many
-    # files could overlap the window (closed-bound, the same
-    # _ranges_overlap the read path prunes with) vs how many exist.
-    # Partitions without FILES_KEY (legacy commits) count in neither.
-    files_total = files_scanned = 0
-    for pname in scan_parts:
-        fstats = (stats.get(pname) or {}).get(FILES_KEY)
-        if not fstats:
-            continue
-        files_total += len(fstats)
-        files_scanned += sum(
-            1
-            for fs in fstats.values()
-            if _ranges_overlap(fs, {column: (lo, hi)})
-        )
+    # above read (zero data pages itself)
+    files_scanned, files_total = _window_file_counts(
+        stats, scan_parts, column, lo, hi
+    )
+    if explain_only:
+        return {
+            "count": None,  # the boundary was not scanned: no value
+            "meta_partitions": len(meta_parts),
+            "scanned_partitions": len(scan_parts),
+            "scanned_files": files_scanned,
+            "total_files": files_total,
+        }
     return {
         "count": int(meta_total + scanned),
         "meta_partitions": len(meta_parts),
@@ -5461,6 +5479,7 @@ def range_sum_pruned(
     hi_strict: bool = False,
     version: "int | str | None" = None,
     where_partition: "tuple[str, object] | None" = None,
+    explain_only: bool = False,
 ) -> dict:
     """HYBRID ``SUM(sum_col) WHERE range_col <range>`` — the z65 idea
     generalized from counting to summing: partitions the manifest
@@ -5575,6 +5594,16 @@ def range_sum_pruned(
         else:
             scan_parts.add(pname)  # boundary / unknown or >0 nulls
     scan_sum, scan_n = None, 0
+    if explain_only:
+        fs, ft = _window_file_counts(stats, scan_parts, range_col, lo, hi)
+        return {
+            "sum": None,
+            "n_nonnull": None,
+            "meta_partitions": len(meta_parts),
+            "scanned_partitions": len(scan_parts),
+            "scanned_files": fs,
+            "total_files": ft,
+        }
     if scan_parts:
         c = F.col(range_col)
         cond = F.lit(True)
@@ -5639,6 +5668,7 @@ def range_minmax_pruned(
     hi_strict: bool = False,
     version: "int | str | None" = None,
     where_partition: "tuple[str, object] | None" = None,
+    explain_only: bool = False,
 ) -> dict:
     """HYBRID ``MIN(agg_col)/MAX(agg_col) WHERE range_col <range>`` —
     the last member of the z65/z72 family: partitions proven fully
@@ -5748,6 +5778,16 @@ def range_minmax_pruned(
             meta_parts.add(pname)
         else:
             scan_parts.add(pname)
+    if explain_only:
+        fs, ft = _window_file_counts(stats, scan_parts, range_col, lo, hi)
+        return {
+            "min": None,
+            "max": None,
+            "meta_partitions": len(meta_parts),
+            "scanned_partitions": len(scan_parts),
+            "scanned_files": fs,
+            "total_files": ft,
+        }
     if scan_parts:
         c = F.col(range_col)
         cond = F.lit(True)
@@ -5792,6 +5832,7 @@ def range_multi_pruned(
     hi_strict: bool = False,
     version: "int | str | None" = None,
     where_partition: "tuple[str, object] | None" = None,
+    explain_only: bool = False,
 ) -> dict:
     """MULTI-AGGREGATE hybrid range pass — ``SELECT COUNT(*), SUM(x),
     AVG(x), MIN(y), MAX(y) … WHERE range_col <range>`` answered with
@@ -5950,6 +5991,15 @@ def range_multi_pruned(
     scan_sums = {c: (None, 0) for c in sum_cols}
     scan_mins = {c: None for c in mm_cols}
     scan_maxs = {c: None for c in mm_cols}
+    if explain_only:
+        fs, ft = _window_file_counts(stats, scan_parts, range_col, lo, hi)
+        return {
+            "values": None,
+            "meta_partitions": len(meta_parts),
+            "scanned_partitions": len(scan_parts),
+            "scanned_files": fs,
+            "total_files": ft,
+        }
     if scan_parts:
         col = F.col(range_col)
         cond = F.lit(True)
@@ -6172,6 +6222,7 @@ def range_group_multi(
     hi_strict: bool = False,
     version: "int | str | None" = None,
     where_partition: "tuple[str, object] | None" = None,
+    explain_only: bool = False,
 ) -> dict:
     """Grouped MULTI-AGGREGATE hybrid range pass: ``SELECT pcol,
     COUNT(*), SUM(x), AVG(x), MIN(y), MAX(y) … WHERE range_col
@@ -6330,6 +6381,15 @@ def range_group_multi(
             else:
                 vals.append(_mm_rng(c)[1])
         per_group[pname] = vals
+    if explain_only:
+        fs, ft = _window_file_counts(stats, scan_parts, range_col, lo, hi)
+        return {
+            "groups": None,
+            "meta_partitions": len(meta_parts),
+            "scanned_partitions": len(scan_parts),
+            "scanned_files": fs,
+            "total_files": ft,
+        }
     if scan_parts:
         col = F.col(range_col)
         cond = F.lit(True)
