@@ -206,6 +206,7 @@ EXTRA = (
     "z96_file_bloom_lookup",
     "z97_join_pruned_revenue",
     "z98_metadata_explain",
+    "z99_live_snapshot_tail",
 )
 
 
@@ -261,6 +262,7 @@ def main() -> None:
         _ivfpq_index,
         _ivfpq_store,
         _pq_index,
+        _snapstream_table,
         _trained_codebook,
     )
 
@@ -271,6 +273,7 @@ def main() -> None:
         ("ivfpq_coarse(z24)", _ivfpq_index),
         ("ivfpq_store(z25)", _ivfpq_store),
         ("filebloom_table(z96/z97)", _filebloom_table),
+        ("snapstream_table(z99)", _snapstream_table),
     ):
         t0 = time.perf_counter()
         fn(spark, sf_dir)

@@ -8539,6 +8539,84 @@ SELECT 'neq_filter', 'scan',
 """
 
 
+_SNAPSTREAM_TABLES: dict = {}
+
+
+def _snapstream_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the z99 fixture once per (app, sf_dir): a snapshot
+    table built by FOUR commits under the append-only partition
+    discipline the streaming source streams exactly — v1 writes batch
+    0 (orders with o_orderkey % 4 = 0), v2..v4 append batches 1..3,
+    each a brand-new partition directory."""
+    import os
+
+    from ..sources.snapshot import append_snapshot, write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    hit = _SNAPSTREAM_TABLES.get(key)
+    if hit is not None:
+        return hit
+    path = _tracked_mkdtemp("snapstream_") + "/tbl"
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        cents.alias("cents"),
+        (F.col("o_orderkey") % 4).alias("batch"),
+    )
+    write_snapshot(base.where(F.col("batch") == 0), path, "batch")
+    for b in (1, 2, 3):
+        append_snapshot(path, base.where(F.col("batch") == b), "batch")
+    _SNAPSTREAM_TABLES[key] = path
+    return path
+
+
+def z99_live_snapshot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot TABLE as a STREAMING SOURCE (pyds.
+    SnapshotStreamDataSource — Delta's "streaming from a table" over
+    the manifest layer): ``readStream.format("snapshotstream")
+    .option("starting_version", 1).load(tbl)`` tails the table's
+    APPEND commits — offsets are manifest versions, each micro-batch
+    emits exactly the rows appended in its (start, end] window,
+    planned by diffing immutable manifests (replay-deterministic) and
+    read by EXECUTOR tasks as Arrow record batches with the hive
+    partition value injected from the directory name; rows never
+    visit the driver. Non-append commits raise (or skip whole under
+    skip_change_commits — Delta parity, unit-pinned in
+    tests/test_snapshot_stream.py). Here the tail (batches 1-3,
+    committed after the pinned starting version) drains under
+    availableNow and is profiled per batch; the oracle recomputes the
+    profile from orders — the initial-content batch 0 must NOT
+    appear."""
+    from ..sources.pyds import SnapshotStreamDataSource
+    from ..streaming.streams import run_available_now
+
+    path = _snapstream_table(spark, sf_dir)
+    spark.dataSource.register(SnapshotStreamDataSource)
+    tail = run_available_now(
+        spark.readStream.format("snapshotstream")
+        .option("starting_version", 1)
+        .load(path)
+    )
+    return tail.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("k").alias("key_sum"),
+        F.sum("cents").alias("cents_sum"),
+    )
+
+
+Z99_SQL = """
+SELECT (o_orderkey % 4) AS batch,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(o_orderkey)::BIGINT AS key_sum,
+       SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT))::BIGINT AS cents_sum
+FROM orders
+WHERE (o_orderkey % 4) <> 0
+GROUP BY 1
+"""
+
+
 #: z97's dimension: fixed ids whose SCRAMBLED keys ((id·MULT) mod m)
 #: are the join keys — derivable in SQL, so the oracle rebuilds the
 #: dimension and replays the pruning. All < 16 ≤ m at every sf.
@@ -9139,6 +9217,7 @@ EXTENSION_QUERIES = {
     "z96_file_bloom_lookup": z96_file_bloom_lookup,
     "z97_join_pruned_revenue": z97_join_pruned_revenue,
     "z98_metadata_explain": z98_metadata_explain,
+    "z99_live_snapshot_tail": z99_live_snapshot_tail,
 }
 
 EXTENSION_ORACLES = {
@@ -9279,5 +9358,6 @@ EXTENSION_ORACLES = {
     "z96_file_bloom_lookup": Z96_SQL,
     "z97_join_pruned_revenue": Z97_SQL,
     "z98_metadata_explain": Z98_SQL,
+    "z99_live_snapshot_tail": Z99_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

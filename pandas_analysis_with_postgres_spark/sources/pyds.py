@@ -222,3 +222,248 @@ class _WarcStreamReader(DataSourceStreamReader):
         # offsets are recomputable from the filesystem listing; no
         # source-side state to release
         pass
+
+
+class SnapshotStreamDataSource(DataSource):
+    """``readStream.format("snapshotstream").load(table_path)``: the
+    snapshot TABLE as a streaming SOURCE — Delta's "streaming from a
+    table" re-expressed over the manifest layer. Each micro-batch
+    emits exactly the rows APPENDED between two committed versions;
+    a downstream pipeline tails the table instead of re-scanning it.
+
+    Offset contract: ``{"version": N}`` — the manifest version high-
+    water mark, the checkpointable unit Delta uses (reservoir
+    version). ``partitions(start, end)`` diffs each manifest in
+    ``(start, end]`` against its parent, turning the NEW partition
+    directories of append commits into per-directory input
+    partitions; manifests are immutable, so recovery re-plans a
+    committed window to exactly the same directories. Streaming below
+    the retention horizon (``expire_snapshots``) fails loudly —
+    Delta's own contract (don't VACUUM under a streaming reader).
+
+    Non-append commits: an overwrite/merge/compact/delete in the
+    window RAISES by default — appended-rows semantics cannot be
+    recovered from a rewrite — unless
+    ``option("skip_change_commits", "true")`` (Delta's
+    skipChangeCommits): the commit is skipped whole and the stream
+    continues from the next append. Pure-metadata commits (alter,
+    tag) stream nothing and never error. Schema evolution composes:
+    each batch applies the manifest's rename chain and drop list, so
+    commits written before a rename stream under the LOGICAL schema.
+
+    Execution contract: the driver touches only manifests (O(versions)
+    JSON reads per batch plan); EXECUTOR tasks read the appended
+    parquet via Arrow record batches (``pyarrow`` → Arrow → JVM, no
+    per-row Python), injecting the hive partition value from the
+    directory name. Rows never visit the driver."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "snapshotstream"
+
+    def schema(self):
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        from .snapshot import read_manifest
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshotstream requires a path: .load(table)")
+        meta = read_manifest(path, None).get("schema") or {}
+        sj = meta.get("spark_schema")
+        if not sj:
+            raise ValueError(
+                f"{path} has no recorded spark_schema; snapshotstream "
+                "needs a schema-recording commit (any current writer)"
+            )
+        st = StructType.fromJson(_json.loads(sj))
+        for old, new in meta.get("renames") or []:
+            for f in st.fields:
+                if f.name == old:
+                    f.name = new
+        dropped = set(meta.get("dropped") or [])
+        if dropped:
+            st = StructType([f for f in st.fields if f.name not in dropped])
+        return st
+
+    def streamReader(self, schema) -> "_SnapshotStreamReader":
+        return _SnapshotStreamReader(self.options, schema)
+
+
+def _arrow_type_for(simple: str):
+    """The hive partition value's Arrow type for the recorded Spark
+    partition type (the injectable subset; anything else refuses at
+    plan time, not silently as strings)."""
+    import pyarrow as pa
+
+    m = {
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "string": pa.string(),
+        "date": pa.date32(),
+        "boolean": pa.bool_(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+    }
+    t = m.get(simple)
+    if t is None:
+        raise ValueError(
+            f"snapshotstream cannot inject partition type {simple!r}"
+        )
+    return t
+
+
+class _SnapshotStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, schema):
+        self._path = options.get("path")
+        self._start = int(options.get("starting_version", 0))
+        self._skip_changes = str(
+            options.get("skip_change_commits", "false")
+        ).lower() in ("true", "1", "yes")
+        self._schema = schema
+        if not self._path:
+            raise ValueError("snapshotstream requires a path: .load(table)")
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        from .snapshot import current_version
+
+        return {"version": int(current_version(self._path))}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        from .snapshot import read_manifest
+
+        out: list[InputPartition] = []
+        # the rename/drop registry is CUMULATIVE (old names are never
+        # reused), so the window-end chain maps every older commit's
+        # physical names to the logical schema — the same rule the
+        # batch reader applies per commit scan
+        end_meta = (
+            read_manifest(self._path, int(end["version"])).get("schema") or {}
+            if int(end["version"]) >= 1
+            else {}
+        )
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            man = read_manifest(self._path, v)
+            parent = man.get("parent") or 0
+            prev = (
+                read_manifest(self._path, parent).get("partitions") or {}
+                if parent
+                else {}
+            )
+            cur = man.get("partitions") or {}
+            new_dirs = {
+                p: rel for p, rel in cur.items() if prev.get(p) != rel
+            }
+            op = str(man.get("operation") or "")
+            if not parent:
+                # the table's FIRST commit is its initial content —
+                # streamable whole, whatever operation wrote it
+                # (Delta's initial-snapshot semantics)
+                op = "append"
+            # an append that REVISITS an existing partition rewrites
+            # that directory as existing ∪ new (the manifest maps one
+            # dir per partition) — the appended rows are not separable
+            # from it. Streamable appends are the pure-directory-add
+            # discipline the appender's own contract prescribes
+            # (ingest-date / batch-id partitioning); anything else is
+            # a change commit.
+            revisited = op == "append" and any(
+                p in prev for p in new_dirs
+            )
+            if op != "append" or revisited:
+                dropped_dirs = any(p not in cur for p in prev)
+                prev_tomb = None  # tombstone additions count as changes
+                if v > 1:
+                    prev_tomb = (
+                        read_manifest(self._path, parent).get("tombstones")
+                    )
+                tomb_changed = (man.get("tombstones") or None) != prev_tomb
+                if new_dirs or dropped_dirs or tomb_changed:
+                    if self._skip_changes:
+                        continue
+                    raise ValueError(
+                        f"snapshotstream: version {v} is a "
+                        + (
+                            "partition-revisiting append"
+                            if revisited
+                            else f"{op or 'non-append'} commit"
+                        )
+                        + "; appended-rows semantics cannot be derived "
+                        "from a rewrite — set option("
+                        "'skip_change_commits', 'true') to skip such "
+                        "commits (Delta skipChangeCommits)"
+                    )
+                continue  # pure-metadata commit: nothing to stream
+            meta = man.get("schema") or {}
+            for pname, rel in sorted(new_dirs.items()):
+                out.append(
+                    InputPartition(
+                        {
+                            "dir": (
+                                rel
+                                if os.path.isabs(rel)
+                                else os.path.join(self._path, rel)
+                            ),
+                            "pname": pname,
+                            "ptype": meta.get("partition_type") or "string",
+                            "pcol": meta.get("partition_col"),
+                            "renames": end_meta.get("renames") or [],
+                            "dropped": end_meta.get("dropped") or [],
+                        }
+                    )
+                )
+        return out
+
+    def read(self, partition: InputPartition):
+        # EXECUTOR-side: Arrow record batches straight from the
+        # appended parquet; the hive partition value is injected as a
+        # constant column, renames/drops map physical → logical names.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .snapshot import _partition_value
+
+        spec = partition.value
+        is_null, pval = _partition_value(spec["pname"], spec["ptype"])
+        patype = _arrow_type_for(spec["ptype"])
+        renames = {old: new for old, new in spec["renames"]}
+        dropped = set(spec["dropped"])
+        want = [f.name for f in self._schema.fields]
+        for f in sorted(glob.glob(os.path.join(spec["dir"], "*.parquet"))):
+            pf = pq.ParquetFile(f)
+            for rb in pf.iter_batches():
+                cols = {}
+                for name, col in zip(rb.schema.names, rb.columns):
+                    logical = name
+                    while logical in renames:
+                        logical = renames[logical]
+                    if logical in dropped:
+                        continue
+                    cols[logical] = col
+                n = rb.num_rows
+                cols[spec["pcol"]] = pa.nulls(n, patype) if is_null else (
+                    pa.array([pval] * n, type=patype)
+                )
+                for f2 in self._schema.fields:
+                    if f2.name not in cols:
+                        # a commit written before a schema-evolving
+                        # merge lacks the newer column: NULL-fill, the
+                        # same semantics as the batch reader's
+                        # unionByName(allowMissingColumns=True)
+                        cols[f2.name] = pa.nulls(
+                            n, _arrow_type_for(f2.dataType.simpleString())
+                        )
+                yield pa.RecordBatch.from_arrays(
+                    [cols[c] for c in want], names=want
+                )
+
+    def commit(self, end: dict) -> None:
+        # offsets are recomputable from the immutable manifests
+        pass
