@@ -207,6 +207,7 @@ EXTRA = (
     "z97_join_pruned_revenue",
     "z98_metadata_explain",
     "z99_live_snapshot_tail",
+    "z100_window_disjunction",
 )
 
 

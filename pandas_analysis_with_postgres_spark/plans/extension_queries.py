@@ -5541,7 +5541,9 @@ def _fileskip_table(spark: SparkSession, sf_dir: str) -> "tuple[str, int]":
         F.col("id").alias("k"),
         F.floor(F.col("id") / (m // 4)).cast("long").alias("bu"),
     )
-    write_snapshot(df, path, "bu", stats_cols=["k"])
+    # k::sum rides for z100's disjunctive SUM; min/max entries and the
+    # per-file grain (z76/z98) are unchanged by the extra sum entry
+    write_snapshot(df, path, "bu", stats_cols=["k", "k::sum"])
     _FILESKIP_DROPS[key] = (path, m)
     return path, m
 
@@ -8539,6 +8541,99 @@ SELECT 'neq_filter', 'scan',
 """
 
 
+def z100_window_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISJUNCTIVE range windows in the hybrid tier (metadata_sql.
+    _hybrid_or_range): ``SELECT COUNT(*), SUM(k), MIN(k), MAX(k) FROM
+    t WHERE k BETWEEN a AND b OR k BETWEEN c AND d`` — "this week OR
+    the same week last year", the comparison statement every
+    dashboard runs. The typed windows merge into disjoint closed
+    intervals, each runs its own range_multi_pruned classification +
+    boundary scan, and the per-interval aggregates combine exactly
+    (disjointness ⇒ no double counting). On the z76 clustered fixture
+    the first window covers partition 0 whole and the second covers
+    partition 2 whole with a one-file boundary in partition 3 — 2
+    metadata partitions, 1 boundary partition, 1 of its 4 files
+    opened. Values AND classification counts ride one row (EXPLAIN's
+    explain_only path), both replayed arithmetically by the oracle."""
+    from ..sources.metadata_sql import (
+        explain_metadata_sql,
+        hybrid_range_count,
+    )
+
+    path, m = _fileskip_table(spark, sf_dir)
+    s = m // 16
+    sql = (
+        f"SELECT COUNT(*) AS n, SUM(k) AS sk, MIN(k) AS mn, "
+        f"MAX(k) AS mx FROM t WHERE k BETWEEN 0 AND {4 * s - 1} "
+        f"OR k BETWEEN {8 * s} AND {13 * s - 1}"
+    )
+    tables = {"t": path}
+    vals = hybrid_range_count(spark, sql, tables)
+    exp = explain_metadata_sql(spark, sql, tables).select(
+        "partitions_metadata",
+        "partitions_scanned",
+        "files_scanned",
+        "files_total",
+    )
+    return vals.crossJoin(exp)
+
+
+Z100_SQL = """
+WITH p AS (
+  SELECT GREATEST((COUNT(*) // 16) * 16, 16) AS m FROM orders
+),
+r AS (
+  SELECT rn AS k,
+         rn // ((SELECT m FROM p) // 4) AS bu,
+         rn // ((SELECT m FROM p) // 16) AS slice
+  FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rn FROM orders
+  )
+  WHERE rn < (SELECT m FROM p)
+),
+-- the two disjoint windows: [0, 4s-1] and [8s, 13s-1]
+w AS (
+  SELECT 0 AS lo, 4 * ((SELECT m FROM p) // 16) - 1 AS hi
+  UNION ALL
+  SELECT 8 * ((SELECT m FROM p) // 16),
+         13 * ((SELECT m FROM p) // 16) - 1
+),
+cls AS (
+  SELECT bu, MIN(k) AS blo, MAX(k) AS bhi FROM r GROUP BY bu
+),
+fls AS (
+  SELECT bu, slice, MIN(k) AS flo, MAX(k) AS fhi FROM r GROUP BY bu, slice
+),
+-- per (window, partition) classification, summed over windows: the
+-- hybrid disjunction runs one pass per merged interval
+pc AS (
+  SELECT w.lo, w.hi, cls.bu,
+         CASE WHEN blo >= w.lo AND bhi <= w.hi THEN 'meta'
+              WHEN bhi < w.lo OR blo > w.hi THEN 'out'
+              ELSE 'scan' END AS kind
+  FROM w CROSS JOIN cls
+),
+fc AS (
+  SELECT pc.lo, pc.hi, f.bu, f.slice,
+         CASE WHEN NOT (f.fhi < pc.lo OR f.flo > pc.hi)
+              THEN 1 ELSE 0 END AS opened
+  FROM pc JOIN fls f ON f.bu = pc.bu
+  WHERE pc.kind = 'scan'
+)
+SELECT
+  (SELECT COUNT(*) FROM r JOIN w ON k BETWEEN w.lo AND w.hi)::BIGINT AS n,
+  (SELECT SUM(k) FROM r JOIN w ON k BETWEEN w.lo AND w.hi)::BIGINT AS sk,
+  (SELECT MIN(k) FROM r JOIN w ON k BETWEEN w.lo AND w.hi)::BIGINT AS mn,
+  (SELECT MAX(k) FROM r JOIN w ON k BETWEEN w.lo AND w.hi)::BIGINT AS mx,
+  (SELECT COUNT(*) FROM pc WHERE kind = 'meta')::BIGINT
+    AS partitions_metadata,
+  (SELECT COUNT(*) FROM pc WHERE kind = 'scan')::BIGINT
+    AS partitions_scanned,
+  (SELECT COALESCE(SUM(opened), 0) FROM fc)::BIGINT AS files_scanned,
+  (SELECT COUNT(*) FROM fc)::BIGINT AS files_total
+"""
+
+
 _SNAPSTREAM_TABLES: dict = {}
 
 
@@ -9218,6 +9313,7 @@ EXTENSION_QUERIES = {
     "z97_join_pruned_revenue": z97_join_pruned_revenue,
     "z98_metadata_explain": z98_metadata_explain,
     "z99_live_snapshot_tail": z99_live_snapshot_tail,
+    "z100_window_disjunction": z100_window_disjunction,
 }
 
 EXTENSION_ORACLES = {
@@ -9359,5 +9455,6 @@ EXTENSION_ORACLES = {
     "z97_join_pruned_revenue": Z97_SQL,
     "z98_metadata_explain": Z98_SQL,
     "z99_live_snapshot_tail": Z99_SQL,
+    "z100_window_disjunction": Z100_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

@@ -171,6 +171,18 @@ _W_BETWEEN = re.compile(
     rf"^\s*(?P<col>[A-Za-z_]\w*)\s+BETWEEN\s+(?P<lo>{_LIT})\s+AND\s+(?P<hi>{_LIT})\s*$",
     re.IGNORECASE,
 )
+#: Disjunctive window shape: two or more closed BETWEENs on the SAME
+#: column OR-ed together — "this week OR the same week last year".
+#: Served by the hybrid tier as a union of disjoint intervals (each
+#: classified and boundary-scanned independently after merging
+#: overlaps); open-ended comparisons in a disjunct refuse to the scan.
+_W_OR_RANGE = re.compile(
+    rf"^\s*[A-Za-z_]\w*\s+BETWEEN\s+{_LIT}\s+AND\s+{_LIT}"
+    rf"(?:\s+OR\s+[A-Za-z_]\w*\s+BETWEEN\s+{_LIT}\s+AND\s+{_LIT})+\s*$",
+    re.IGNORECASE,
+)
+_OR_SPLIT = re.compile(r"\s+OR\s+", re.IGNORECASE)
+
 #: Conjunctive dashboard shape: partition equality AND one range —
 #: "COUNT(*) WHERE day = '2026-08-01' AND latency > 500". Strictly
 #: eq-first (the reverse order refuses to the scan).
@@ -330,6 +342,18 @@ def parse_metadata_select(sql: str) -> "dict | None":
                 False,
                 False,
             )
+        elif _W_OR_RANGE.match(wtext) is not None:
+            col0, ivs = None, []
+            for part in _OR_SPLIT.split(wtext):
+                pm = _W_BETWEEN.match(part)
+                if pm is None:
+                    return None
+                if col0 is None:
+                    col0 = pm.group("col")
+                elif pm.group("col") != col0:
+                    return None  # disjuncts on different columns: scan
+                ivs.append((pm.group("lo"), pm.group("hi")))
+            where = ("orrange", col0, ivs)
         elif (erm := _W_EQ_RANGE.match(wtext)) is not None:
             if erm.group("col") is not None:
                 op, val = erm.group("op"), erm.group("val")
@@ -386,7 +410,9 @@ def parse_metadata_select(sql: str) -> "dict | None":
                 for k, _, _ in items
             ):
                 return None
-    if where is not None and where[0] in ("range", "eqrange", "inrange"):
+    if where is not None and where[0] in (
+        "range", "eqrange", "inrange", "orrange"
+    ):
         # The MANIFEST proof covers COUNT(*) only (clipped extremes /
         # range-restricted sketches are unprovable), but any list of
         # COUNT(*)/SUM/AVG/MIN/MAX items still PARSES so the hybrid
@@ -661,6 +687,9 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
     if where is not None and where[0] == "inrange":
         # conjunctive IN + range: the caller-opted HYBRID tier serves
         # it (one member-restricted classification, one boundary scan)
+        raise _Refuse()
+    if where is not None and where[0] == "orrange":
+        # disjunctive windows: hybrid-only (per-interval passes)
         raise _Refuse()
 
     if where is not None and where[0] == "in":
@@ -1039,7 +1068,7 @@ def hybrid_range_count(
         parsed is None
         or parsed["table"] not in tables
         or parsed["where"] is None
-        or parsed["where"][0] not in ("range", "eqrange", "inrange")
+        or parsed["where"][0] not in ("range", "eqrange", "inrange", "orrange")
         or any(
             k not in ("group", "count", "sum", "avg", "min", "max")
             for k, _, _ in parsed["items"]
@@ -1053,6 +1082,10 @@ def hybrid_range_count(
         return _hybrid_group_multi(spark, parsed, tables, version, explain)
     if any(k == "group" for k, _, _ in parsed["items"]):
         return None  # bare column without GROUP BY never parses, but guard
+    if parsed["where"][0] == "orrange":
+        # disjunctive windows: one classification + boundary scan PER
+        # merged disjoint interval, combined exactly (any item list)
+        return _hybrid_or_range(spark, parsed, tables, version, explain)
     if len(parsed["items"]) > 1:
         # the dashboard shape — every aggregate shares ONE
         # classification and ONE boundary scan
@@ -1402,40 +1435,171 @@ def _hybrid_multi(spark, parsed, tables, version, explain=False):
                 out["meta_partitions"], out["scanned_partitions"],
                 out["scanned_files"], out["total_files"],
             )
-        fields, row, casts = [], [], {}
-        for (kind, agg_col, alias), v in zip(parsed["items"], out["values"]):
-            if kind == "count":
-                fields.append(StructField(alias, LongType(), False))
-                row.append(int(v))
-            elif kind in ("sum", "avg"):
-                fields.append(
-                    StructField(
-                        alias,
-                        LongType() if kind == "sum" else DoubleType(),
-                        True,
-                    )
-                )
-                row.append(_sum_avg_value(kind, v))
-            else:  # min/max: manifest rendering → scan type via cast
-                dt = ptype if agg_col == pcol else field_types[agg_col]
-                fields.append(StructField(alias, StringType(), True))
-                row.append(None if v is None else str(v))
-                casts[alias] = dt
-        frame = _local_rows_df(spark, [tuple(row)], _ST(fields))
-        if casts:
-            frame = frame.select(
-                *[
-                    F.col(f.name).cast(casts[f.name]).alias(f.name)
-                    if f.name in casts
-                    else F.col(f.name)
-                    for f in frame.schema.fields
-                ]
-            )
-        return frame
+        return _assemble_multi(
+            spark, parsed, out["values"], ptype, pcol, field_types
+        )
     except ValueError:
         return None  # mixed-spec / sketch-name guard: full scan decides
     except _Refuse:
         return None  # int64 overflow on SUM: a scan must decide/error
+
+
+def _assemble_multi(spark, parsed, values, ptype, pcol, field_types):
+    """One multi-aggregate value list → the typed one-row answer frame
+    (shared by the single-window and disjunctive-window paths)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType as _ST,
+    )
+
+    fields, row, casts = [], [], {}
+    for (kind, agg_col, alias), v in zip(parsed["items"], values):
+        if kind == "count":
+            fields.append(StructField(alias, LongType(), False))
+            row.append(int(v))
+        elif kind in ("sum", "avg"):
+            fields.append(
+                StructField(
+                    alias,
+                    LongType() if kind == "sum" else DoubleType(),
+                    True,
+                )
+            )
+            row.append(_sum_avg_value(kind, v))
+        else:  # min/max: manifest rendering → scan type via cast
+            dt = ptype if agg_col == pcol else field_types[agg_col]
+            fields.append(StructField(alias, StringType(), True))
+            row.append(None if v is None else str(v))
+            casts[alias] = dt
+    frame = _local_rows_df(spark, [tuple(row)], _ST(fields))
+    if casts:
+        frame = frame.select(
+            *[
+                F.col(f.name).cast(casts[f.name]).alias(f.name)
+                if f.name in casts
+                else F.col(f.name)
+                for f in frame.schema.fields
+            ]
+        )
+    return frame
+
+
+def _hybrid_or_range(spark, parsed, tables, version, explain=False):
+    """DISJUNCTIVE-window branch of :func:`hybrid_range_count`:
+    ``… WHERE col BETWEEN a AND b OR col BETWEEN c AND d`` — "this
+    week OR the same week last year". The typed windows MERGE into
+    disjoint closed intervals (overlaps/containment collapse; an
+    empty ``lo > hi`` window contributes nothing, SQL BETWEEN
+    semantics), then each interval runs its own
+    :func:`snapshot.range_multi_pruned` pass and the per-interval
+    aggregates combine EXACTLY — disjointness makes COUNT/SUM add and
+    MIN/MAX merge with no double counting. At 100 TB each window's
+    boundary is O(1) partitions on a clustered table, so k windows
+    cost k tiny boundary scans, not one full scan of everything in
+    between — precisely what a date-window disjunction over a time-
+    partitioned fact wants. A partition straddling the GAP between
+    two merged windows is boundary for both (scanned once per
+    interval — explain counts scan TASKS, not distinct partitions)."""
+    path = tables[parsed["table"]]
+    if parsed["as_of"] is not None:
+        if version is not None:
+            raise ValueError(
+                "statement has FOR ... AS OF and the caller also "
+                "pinned a version — pick one"
+            )
+        if "version" in parsed["as_of"]:
+            version = parsed["as_of"]["version"]
+        else:
+            from .snapshot import resolve_as_of
+
+            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
+    man = read_manifest(path, version)
+    schema_meta = man.get("schema") or {}
+    pcol = schema_meta.get("partition_col")
+    ptype = schema_meta.get("partition_type") or "string"
+    sj = schema_meta.get("spark_schema")
+    from pyspark.sql.types import StructType
+
+    field_types = (
+        {f.name: f.dataType for f in StructType.fromJson(json.loads(sj)).fields}
+        if sj
+        else {}
+    )
+    col = parsed["where"][1]
+    coltype = (
+        ptype if col == pcol else _spark_simple_type(field_types.get(col))
+    )
+    if not coltype:
+        return None  # unknown column: let the scan engine error
+    try:
+        typed = [
+            (_typed_literal(lo, coltype), _typed_literal(hi, coltype))
+            for lo, hi in parsed["where"][2]
+        ]
+    except _Refuse:
+        return None  # type-incomparable literal: full scan decides
+    for kind, agg_col, _alias in parsed["items"]:
+        if kind != "count" and agg_col != pcol and agg_col not in field_types:
+            return None  # unknown aggregated column: scan decides
+    # merge into disjoint closed intervals (BETWEEN lo > hi = empty)
+    ivs = sorted((lo, hi) for lo, hi in typed if not lo > hi)
+    merged: list = []
+    for lo, hi in ivs:
+        if merged and lo <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    from .snapshot import range_multi_pruned
+
+    items = [(k, c) for k, c, _a in parsed["items"]]
+    try:
+        outs = [
+            range_multi_pruned(
+                spark, path, col, items, lo=lo, hi=hi,
+                version=version, explain_only=explain,
+            )
+            for lo, hi in merged
+        ]
+    except ValueError:
+        return None  # mixed-spec / sketch-name guard: full scan decides
+    except _Refuse:
+        return None  # int64 overflow on SUM: a scan must decide/error
+    if explain:
+        return _explain_frame(
+            spark, "hybrid",
+            sum(o["meta_partitions"] for o in outs),
+            sum(o["scanned_partitions"] for o in outs),
+            sum(o["scanned_files"] for o in outs),
+            sum(o["total_files"] for o in outs),
+        )
+    # combine per-interval aggregates — exact because intervals are
+    # disjoint: counts/sums add, MIN/MAX merge, AVG re-derives from
+    # the combined (sum, n) pair
+    values = []
+    for i, (kind, _c) in enumerate(items):
+        per = [o["values"][i] for o in outs]
+        if kind == "count":
+            values.append(sum(int(v) for v in per))
+        elif kind in ("sum", "avg"):
+            tot, n, seen = 0, 0, False
+            for v in per:
+                s, vn = v
+                if s is not None:
+                    tot += int(s)
+                    seen = True
+                n += int(vn)
+            values.append((tot if seen else None, n))
+        elif kind == "min":
+            cand = [v for v in per if v is not None]
+            values.append(min(cand) if cand else None)
+        else:
+            cand = [v for v in per if v is not None]
+            values.append(max(cand) if cand else None)
+    return _assemble_multi(spark, parsed, values, ptype, pcol, field_types)
 
 
 def _hybrid_group_multi(spark, parsed, tables, version, explain=False):

@@ -986,6 +986,14 @@ _HYB_RANGES = [
     "p IN (0, 2) AND cents BETWEEN 100 AND 2000",
     "p IN (1, 9) AND cents > 1500",
     "cents BETWEEN 9000 AND 9999",
+    # disjunctive windows (orrange): disjoint, overlapping (must
+    # merge), empty disjunct, no-stats column, and three windows
+    "cents BETWEEN 100 AND 500 OR cents BETWEEN 1500 AND 2000",
+    "cents BETWEEN 100 AND 900 OR cents BETWEEN 600 AND 1200",
+    "cents BETWEEN 500 AND 100 OR cents BETWEEN 0 AND 40",
+    "k BETWEEN 10 AND 30 OR k BETWEEN 150 AND 170",
+    "cents BETWEEN 0 AND 10 OR cents BETWEEN 50 AND 60 "
+    "OR cents BETWEEN 1900 AND 2100",
 ]
 
 
@@ -1457,3 +1465,64 @@ def test_in_range_stays_exact_under_mor_tombstones(spark, tmp_path):
         assert sorted(tuple(r) for r in out.collect()) == sorted(
             tuple(r) for r in want.collect()
         ), sql
+
+
+def test_or_range_served_by_hybrid(spark, tmp_path):
+    # disjunctive windows (orrange): per-interval passes combined
+    # exactly; pure-metadata answerer refuses the shape; GROUP BY and
+    # mixed-column disjunctions refuse to the scan
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        answer_from_manifest,
+        hybrid_range_count,
+    )
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    rows = [(i, i // 500, i * 3 if i % 7 else None) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, p long, v long")
+    path = str(tmp_path / "orr")
+    write_snapshot(df, path, "p", stats_cols=["k", "v", "v::sum"])
+    read_snapshot(spark, path).createOrReplaceTempView("orr_scan")
+    for sql in (
+        "SELECT COUNT(*) AS n FROM t"
+        " WHERE k BETWEEN 100 AND 400 OR k BETWEEN 1600 AND 1900",
+        "SELECT COUNT(*) AS n, SUM(v) AS sv, AVG(v) AS av,"
+        " MIN(k) AS lo, MAX(k) AS hi FROM t"
+        " WHERE k BETWEEN 0 AND 499 OR k BETWEEN 1500 AND 1999",
+        # overlap merges; empty window contributes nothing
+        "SELECT COUNT(*) AS n FROM t"
+        " WHERE k BETWEEN 100 AND 900 OR k BETWEEN 600 AND 1200",
+        "SELECT COUNT(*) AS n FROM t"
+        " WHERE k BETWEEN 400 AND 100 OR k BETWEEN 5 AND 9",
+    ):
+        assert answer_from_manifest(spark, sql, {"t": path}) is None, sql
+        out = hybrid_range_count(spark, sql, {"t": path})
+        want = spark.sql(sql.replace("FROM t", "FROM orr_scan"))
+        assert out is not None and out.dtypes == want.dtypes, sql
+        assert [tuple(r) for r in out.collect()] == [
+            tuple(r) for r in want.collect()
+        ], sql
+    # refusals: mixed columns, GROUP BY, open-ended disjunct
+    for sql in (
+        "SELECT COUNT(*) AS n FROM t"
+        " WHERE k BETWEEN 1 AND 2 OR v BETWEEN 3 AND 4",
+        "SELECT p, COUNT(*) AS n FROM t"
+        " WHERE k BETWEEN 1 AND 2 OR k BETWEEN 5 AND 9 GROUP BY p",
+        "SELECT COUNT(*) AS n FROM t WHERE k < 5 OR k BETWEEN 9 AND 12",
+    ):
+        assert hybrid_range_count(spark, sql, {"t": path}) is None, sql
+    # zero-data-page proof: windows covering whole partitions classify
+    # fully inside — delete every parquet, the answer must not notice
+    for f in Path(path).rglob("*.parquet"):
+        f.unlink()
+    out = hybrid_range_count(
+        spark,
+        "SELECT COUNT(*) AS n, SUM(v) AS sv FROM t"
+        " WHERE k BETWEEN 0 AND 499 OR k BETWEEN 1500 AND 1999",
+        {"t": path},
+    ).collect()[0]
+    want_sv = sum(i * 3 for i in range(2000)
+                  if i % 7 and (i < 500 or i >= 1500))
+    assert (out.n, out.sv) == (1000, want_sv)
