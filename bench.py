@@ -208,6 +208,7 @@ EXTRA = (
     "z98_metadata_explain",
     "z99_live_snapshot_tail",
     "z100_window_disjunction",
+    "z101_live_table_mirror",
 )
 
 

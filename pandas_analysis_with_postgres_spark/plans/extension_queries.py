@@ -8712,6 +8712,65 @@ GROUP BY 1
 """
 
 
+_MIRROR_TABLES: dict = {}
+
+
+def z101_live_table_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-TO-TABLE incremental replication — the composition the
+    round-9 streaming source exists for: ``readStream.format(
+    "snapshotstream")`` tails the source table's append commits and
+    ``stream_append_sink`` lands them in a SECOND snapshot table with
+    exactly-once semantics (``txn=(app_id, batch_id)`` watermark — a
+    crash-replayed or re-run drain is absorbed whole, proven here by
+    draining with a FRESH checkpoint on every call: the mirror never
+    double-counts). This is CDC-free mirror maintenance at 100 TB:
+    no diffing, no full rescans — the driver plans appended
+    directories from immutable manifests, executors move only the
+    appended bytes, and the mirror is itself a snapshot table
+    (time-travelable, stats-carrying, streamable onward). The oracle
+    profiles the mirror against the source-of-truth orders table."""
+    import os
+
+    from ..sources.pyds import SnapshotStreamDataSource
+    from ..sources.snapshot import read_snapshot
+    from ..streaming.streams import stream_append_sink
+
+    src = _snapstream_table(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    dst = _MIRROR_TABLES.get(key)
+    if dst is None:
+        dst = _tracked_mkdtemp("mirror_") + "/tbl"
+        _MIRROR_TABLES[key] = dst
+    spark.dataSource.register(SnapshotStreamDataSource)
+    stream_append_sink(
+        spark.readStream.format("snapshotstream").load(src),
+        dst,
+        "batch",
+        app_id="z101_mirror",
+        checkpoint_dir=_tracked_mkdtemp("mirror_ckpt_"),
+    )
+    return (
+        read_snapshot(spark, dst)
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("k").alias("key_sum"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+
+
+Z101_SQL = """
+SELECT (o_orderkey % 4) AS batch,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(o_orderkey)::BIGINT AS key_sum,
+       SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT))::BIGINT AS cents_sum
+FROM orders
+GROUP BY 1
+"""
+
+
 #: z97's dimension: fixed ids whose SCRAMBLED keys ((id·MULT) mod m)
 #: are the join keys — derivable in SQL, so the oracle rebuilds the
 #: dimension and replays the pruning. All < 16 ≤ m at every sf.
@@ -9314,6 +9373,7 @@ EXTENSION_QUERIES = {
     "z98_metadata_explain": z98_metadata_explain,
     "z99_live_snapshot_tail": z99_live_snapshot_tail,
     "z100_window_disjunction": z100_window_disjunction,
+    "z101_live_table_mirror": z101_live_table_mirror,
 }
 
 EXTENSION_ORACLES = {
@@ -9456,5 +9516,6 @@ EXTENSION_ORACLES = {
     "z98_metadata_explain": Z98_SQL,
     "z99_live_snapshot_tail": Z99_SQL,
     "z100_window_disjunction": Z100_SQL,
+    "z101_live_table_mirror": Z101_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

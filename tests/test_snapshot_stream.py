@@ -141,3 +141,32 @@ def test_rename_streams_logical_names(spark, tmp_path):
     assert "label" in out.columns and "s" not in out.columns
     got = {r["k"]: r["label"] for r in out.collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_mirror_drain_is_idempotent(spark, tbl, tmp_path):
+    # snapshotstream -> stream_append_sink: re-draining with a FRESH
+    # checkpoint replays the same (app_id, batch_id) txns and the
+    # mirror absorbs them whole — exactly-once across restarts
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        current_version,
+        read_snapshot,
+    )
+    from pandas_analysis_with_postgres_spark.streaming.streams import (
+        stream_append_sink,
+    )
+
+    dst = str(tmp_path / "mirror")
+    for i in (1, 2):
+        stream_append_sink(
+            spark.readStream.format("snapshotstream").load(tbl),
+            dst,
+            "batch",
+            app_id="mirror_test",
+            checkpoint_dir=str(tmp_path / f"ckpt{i}"),
+        )
+    got = sorted(map(tuple, read_snapshot(spark, dst).collect()))
+    assert got == [
+        (1, "a", 0), (2, "b", 0), (3, "c", 1), (4, "d", 2), (5, "e", 3)
+    ]
+    # the second drain committed nothing (txn watermark absorption)
+    assert current_version(dst) == 1
