@@ -209,6 +209,7 @@ EXTRA = (
     "z99_live_snapshot_tail",
     "z100_window_disjunction",
     "z101_live_table_mirror",
+    "z102_parquet_agg_pushdown",
 )
 
 

@@ -8712,6 +8712,91 @@ GROUP BY 1
 """
 
 
+def z102_parquet_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATE PUSHDOWN into parquet footers via Spark's OWN DSv2
+    reader (spark.sql.parquet.aggregatePushdown): ``MIN/MAX/COUNT``
+    over raw parquet answered from footer statistics — zero data
+    pages — the engine-native complement of the manifest tier (which
+    serves snapshot TABLES; this serves any parquet directory Spark
+    can read). The V2 reader is opted in for exactly this plan
+    (``useV1SourceList`` minus parquet) and both confs restore in a
+    ``finally``; the statement materializes inside the window so the
+    executed plan is the pushed one. The PUSHDOWN ITSELF IS ORACLED:
+    the result carries ``pushed`` = whether the executed plan's scan
+    lists ``PushedAggregation`` — a silent fallback to a full scan
+    hash-mismatches against the oracle's constant TRUE, so the driver
+    gate alerts on any regression of the pushdown, not just on wrong
+    values."""
+    from ..sources.metadata_sql import _local_rows_df
+
+    v1_key = "spark.sql.sources.useV1SourceList"
+    agg_key = "spark.sql.parquet.aggregatePushdown"
+    old_v1 = spark.conf.get(v1_key)
+    old_agg = spark.conf.get(agg_key, "false")
+    spark.conf.set(agg_key, "true")
+    spark.conf.set(
+        v1_key, ",".join(
+            s for s in old_v1.split(",") if s and s != "parquet"
+        )
+    )
+    try:
+        # read directly (NOT load_table): the memoized relation was
+        # planned under the V1 reader and would silently skip the
+        # pushdown — the scan must resolve inside this conf window
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        agg = li.agg(
+            F.min("l_quantity").alias("q_lo"),
+            F.max("l_quantity").alias("q_hi"),
+            F.min("l_extendedprice").alias("p_lo"),
+            F.max("l_extendedprice").alias("p_hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        row = agg.collect()[0]
+    finally:
+        spark.conf.set(v1_key, old_v1)
+        spark.conf.set(agg_key, old_agg)
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    return _local_rows_df(
+        spark,
+        [
+            (
+                float(row["q_lo"]),
+                float(row["q_hi"]),
+                float(row["p_lo"]),
+                float(row["p_hi"]),
+                int(row["n"]),
+                "PushedAggregation: [MIN(l_quantity)" in plan,
+            )
+        ],
+        StructType(
+            [
+                StructField("q_lo", DoubleType(), False),
+                StructField("q_hi", DoubleType(), False),
+                StructField("p_lo", DoubleType(), False),
+                StructField("p_hi", DoubleType(), False),
+                StructField("n", LongType(), False),
+                StructField("pushed", BooleanType(), False),
+            ]
+        ),
+    )
+
+
+Z102_SQL = """
+SELECT MIN(l_quantity) AS q_lo, MAX(l_quantity) AS q_hi,
+       MIN(l_extendedprice) AS p_lo, MAX(l_extendedprice) AS p_hi,
+       COUNT(*)::BIGINT AS n, TRUE AS pushed
+FROM lineitem
+"""
+
+
 _MIRROR_TABLES: dict = {}
 
 
@@ -9374,6 +9459,7 @@ EXTENSION_QUERIES = {
     "z99_live_snapshot_tail": z99_live_snapshot_tail,
     "z100_window_disjunction": z100_window_disjunction,
     "z101_live_table_mirror": z101_live_table_mirror,
+    "z102_parquet_agg_pushdown": z102_parquet_agg_pushdown,
 }
 
 EXTENSION_ORACLES = {
@@ -9517,5 +9603,6 @@ EXTENSION_ORACLES = {
     "z99_live_snapshot_tail": Z99_SQL,
     "z100_window_disjunction": Z100_SQL,
     "z101_live_table_mirror": Z101_SQL,
+    "z102_parquet_agg_pushdown": Z102_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }
