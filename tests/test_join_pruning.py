@@ -150,3 +150,86 @@ def test_set_probe_survives_merge_carry(spark, tbl):
     assert sorted(r["k"] for r in got) == sorted(keys)
     full = read_snapshot(spark, tbl)
     assert len(fact.inputFiles()) < len(full.inputFiles())
+
+
+def test_set_probe_matches_scalar_bloom_probe():
+    # the vectorized multi-key probe must agree with the scalar prober
+    # bit-for-bit: any_in_bloom(B) == any(_bloom_may_contain(B, v))
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        _bloom_may_contain,
+        _bloom_positions,
+    )
+
+    def _bitmap(values, bits):
+        bm = bytearray(bits // 8)
+        import zlib as _z
+
+        for v in values:
+            iv = _z.crc32(v.encode()) if isinstance(v, str) else v
+            for p in _bloom_positions(iv, bits):
+                bm[p // 8] |= 1 << (p % 8)
+        return bytes(bm).hex()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        stored=st.lists(
+            st.one_of(
+                st.integers(-(2**62), 2**62),
+                st.text(min_size=0, max_size=8),
+            ),
+            max_size=12,
+        ),
+        probed=st.lists(
+            st.one_of(
+                st.integers(-(2**62), 2**62),
+                st.text(min_size=0, max_size=8),
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        bits=st.sampled_from([64, 512, 4096]),
+    )
+    def check(stored, probed, bits):
+        hex_bits = _bitmap(stored, bits)
+        sp = _SetProbe(probed)
+        want = any(_bloom_may_contain(hex_bits, v) for v in probed)
+        assert sp.any_in_bloom(hex_bits) == want
+        # no false negatives ever: a probed value that WAS stored hits
+        if set(probed) & set(stored):
+            assert sp.any_in_bloom(hex_bits)
+
+    check()
+
+
+def test_multi_key_probe_conservative_fuzz(spark, tmp_path):
+    # randomized end-to-end: any probe set over any layout returns
+    # EXACTLY the matching rows after the caller's real filter
+    import random
+
+    rnd = random.Random(7)
+    path = str(tmp_path / "t")
+    n = 600
+    rows = [(rnd.randrange(0, 500), i % 3) for i in range(n)]
+    df = spark.createDataFrame(rows, "k bigint, p bigint")
+    write_snapshot(
+        df.repartition(6), path, "p", stats_cols=["k"], bloom_cols=["k"]
+    )
+    truth = {}
+    for k, _p in rows:
+        truth[k] = truth.get(k, 0) + 1
+    for trial in range(6):
+        keys = [rnd.randrange(0, 700) for _ in range(rnd.randrange(1, 9))]
+        got = (
+            read_snapshot(spark, path, point_lookups={"k": keys})
+            .where(F.col("k").isin([int(x) for x in keys]))
+            .groupBy("k")
+            .count()
+            .collect()
+        )
+        want = {k: truth.get(k, 0) for k in set(keys)}
+        assert {r["k"]: r["count"] for r in got} == {
+            k: c for k, c in want.items() if c
+        }, (trial, sorted(set(keys)))
