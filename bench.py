@@ -210,6 +210,7 @@ EXTRA = (
     "z100_window_disjunction",
     "z101_live_table_mirror",
     "z102_parquet_agg_pushdown",
+    "z103_deep_clone",
 )
 
 

@@ -8797,6 +8797,75 @@ FROM lineitem
 """
 
 
+_DEEPCLONE_TABLES: dict = {}
+
+
+def z103_deep_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEEP CLONE as backup/DR (snapshot.deep_clone_snapshot — Delta's
+    non-shallow CLONE): every referenced directory copies BYTE-FOR-
+    BYTE into the clone's own data root, so the clone shares NO fate
+    with the source — proven here in the hardest way: the fixture
+    MoR-deletes rows, deep clones, then DELETES THE SOURCE TABLE
+    ENTIRELY, and the profile below runs against the clone alone.
+    Byte-identity keeps every carried per-file statistic, Bloom
+    filter, and tombstone sidecar valid verbatim (a Spark rewrite
+    would re-encode files and orphan the file-grain metadata); the
+    oracle recomputes the post-delete profile from the source-of-
+    truth orders table."""
+    import os
+    import shutil
+
+    from ..sources.snapshot import (
+        deep_clone_snapshot,
+        delete_where,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    dst = _DEEPCLONE_TABLES.get(key)
+    if dst is None:
+        src = _tracked_mkdtemp("deepclone_src_") + "/tbl"
+        dst = _tracked_mkdtemp("deepclone_") + "/tbl"
+        orders = load_table(spark, sf_dir, "orders")
+        cents = (
+            F.col("o_totalprice").cast("decimal(18,2)") * 100
+        ).cast("long")
+        df = orders.select(
+            F.col("o_orderkey").alias("k"),
+            cents.alias("cents"),
+            (F.col("o_orderkey") % 3).alias("bu"),
+        )
+        write_snapshot(df, src, "bu", stats_cols=["k", "cents::sum"])
+        delete_where(
+            spark, src, F.col("k") % 10 == 0, mode="merge-on-read", key="k"
+        )
+        deep_clone_snapshot(src, dst)
+        shutil.rmtree(src)  # the clone must not notice
+        _DEEPCLONE_TABLES[key] = dst
+    return (
+        read_snapshot(spark, dst)
+        .groupBy("bu")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("k").alias("key_sum"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+
+
+Z103_SQL = """
+SELECT (o_orderkey % 3) AS bu,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(o_orderkey)::BIGINT AS key_sum,
+       SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT))::BIGINT AS cents_sum
+FROM orders
+WHERE o_orderkey % 10 <> 0
+GROUP BY 1
+"""
+
+
 _MIRROR_TABLES: dict = {}
 
 
@@ -9460,6 +9529,7 @@ EXTENSION_QUERIES = {
     "z100_window_disjunction": z100_window_disjunction,
     "z101_live_table_mirror": z101_live_table_mirror,
     "z102_parquet_agg_pushdown": z102_parquet_agg_pushdown,
+    "z103_deep_clone": z103_deep_clone,
 }
 
 EXTENSION_ORACLES = {
@@ -9604,5 +9674,6 @@ EXTENSION_ORACLES = {
     "z100_window_disjunction": Z100_SQL,
     "z101_live_table_mirror": Z101_SQL,
     "z102_parquet_agg_pushdown": Z102_SQL,
+    "z103_deep_clone": Z103_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

@@ -3041,6 +3041,102 @@ def clone_snapshot(
     )
 
 
+def deep_clone_snapshot(
+    src_path: str,
+    dst_path: str,
+    *,
+    version: "int | str | None" = None,
+) -> int:
+    """DEEP CLONE (Delta's ``CREATE TABLE … CLONE`` without SHALLOW):
+    the backup/DR form of :func:`clone_snapshot` — every referenced
+    partition directory is copied BYTE-FOR-BYTE into the clone's own
+    data root, so the clone shares NO fate with the source: expiring
+    (or deleting) the source can never break it, which is exactly the
+    shallow clone's documented caveat closed. Byte-identity is the
+    point, not an implementation detail — parquet footers, file NAMES,
+    and therefore every carried per-file statistic and Bloom filter
+    (``FILES_KEY``) stay valid verbatim; a Spark rewrite would
+    re-encode the files and orphan the file-grain metadata. Manifest
+    entries are RELATIVE (the clone's own ``data/``), tombstone
+    sidecars copy the same way, and the txn watermarks start empty
+    (a sink replaying into the clone must not be no-op'd by source
+    history).
+
+    File copies run on a thread pool (I/O-bound; data pages are never
+    parsed). At warehouse scale this copy is the storage system's job
+    — DistCp / cloud-side server copy — with this function as the
+    manifest-level recipe: copy the referenced directories, publish
+    one v1 manifest with relative entries."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    man = read_manifest(src_path, version)
+    if not man.get("partitions") and not (man.get("schema") or {}):
+        raise ValueError(f"{src_path} has no committed snapshot to clone")
+    if current_version(dst_path) > 0 or list_staged(dst_path):
+        raise ValueError(f"{dst_path} already holds a snapshot table")
+    src_abs = os.path.abspath(src_path)
+    commit_id = f"deepclone-{uuid.uuid4().hex[:12]}"
+
+    copies: list[tuple[str, str]] = []  # (src_file, dst_file)
+
+    def _plan_dir(rel_or_abs: str, dst_rel: str) -> str:
+        sdir = (
+            rel_or_abs
+            if os.path.isabs(rel_or_abs)
+            else os.path.join(src_abs, rel_or_abs)
+        )
+        ddir = os.path.join(dst_path, dst_rel)
+        os.makedirs(ddir, exist_ok=True)
+        for name in sorted(os.listdir(sdir)):
+            sp_ = os.path.join(sdir, name)
+            if os.path.isfile(sp_):
+                copies.append((sp_, os.path.join(ddir, name)))
+        return dst_rel
+
+    parts = {
+        p: _plan_dir(rel, os.path.join(DATA_DIR, commit_id, p))
+        for p, rel in sorted((man.get("partitions") or {}).items())
+    }
+    tomb = man.get("tombstones")
+    if tomb:
+        new_parts = {}
+        for p, e in (tomb.get("parts") or {}).items():
+            rels = [
+                _plan_dir(
+                    r,
+                    os.path.join(DATA_DIR, commit_id, f"__tomb{i}", p),
+                )
+                for i, r in enumerate(e["rels"])
+            ]
+            new_parts[p] = {"rels": rels, "n_deleted": e["n_deleted"]}
+        tomb = {"key": tomb["key"], "parts": new_parts}
+
+    def _copy(pair: tuple[str, str]) -> None:
+        shutil.copyfile(pair[0], pair[1])
+        fd = os.open(pair[1], os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        list(ex.map(_copy, copies))
+    for d in {os.path.dirname(dst) for _s, dst in copies}:
+        _fsync_dir(d)
+    return _commit(
+        dst_path,
+        0,
+        parts,
+        "deep-clone",
+        dict(man.get("schema") or {}),
+        stats=dict(man.get("stats") or {}),
+        blooms=dict(man.get("blooms") or {}),
+        parent_txns={},
+        parent_manifest={},
+        tombstones=tomb,
+    )
+
+
 #: alter_table_properties sentinel: "leave this property as it is".
 #: None must remain a real value ("clear the property"), so the
 #: default is a sentinel, not None — the restore-tombstones precedent.

@@ -162,3 +162,75 @@ def test_expire_keep_set_ignores_absolute_clone_refs(spark, tmp_path, src):
     assert str(orphan) in removed
     # the clone still reads fine — its real (absolute) data untouched
     assert read_snapshot(spark, clone).count() == 30
+
+
+def test_deep_clone_survives_source_deletion(spark, tmp_path):
+    # the shallow clone's documented caveat, closed: a deep clone
+    # shares no fate with the source — delete the source entirely and
+    # every answer (scans, point lookups, manifest stats, file-grain
+    # pruning) still works on byte-identical copies
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        FILES_KEY,
+        deep_clone_snapshot,
+        manifest_partition_counts,
+        read_manifest,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    df = spark.range(0, 2048, 1, 8).select(
+        ((F.col("id") * 2654435761) % 2048).cast("long").alias("k"),
+        (F.col("id") % 2).alias("bu"),
+    )
+    write_snapshot(df, src, "bu", stats_cols=["k"], bloom_cols=["k"])
+    expected = sorted(
+        map(tuple, read_snapshot(spark, src).collect())
+    )
+    dst = str(tmp_path / "bak")
+    v = deep_clone_snapshot(src, dst)
+    assert v == 1
+    man = read_manifest(dst)
+    assert all(
+        not r.startswith("/") for r in man["partitions"].values()
+    ), "deep clone entries must be RELATIVE (own data root)"
+    # byte-identity keeps the file-grain metadata valid verbatim
+    assert set(man["blooms"]["bu=0"][FILES_KEY]) == set(
+        man["stats"]["bu=0"][FILES_KEY]
+    )
+    shutil.rmtree(src)
+    assert sorted(map(tuple, read_snapshot(spark, dst).collect())) == expected
+    assert sum(n for _v, n in manifest_partition_counts(dst)) == 2048
+    probe = read_snapshot(spark, dst, point_lookups={"k": 5})
+    assert probe.where(F.col("k") == 5).count() == 1
+    assert len(probe.inputFiles()) <= 2  # file blooms prune on the clone
+
+
+def test_deep_clone_carries_tombstones_independently(spark, tmp_path):
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        deep_clone_snapshot,
+        delete_where,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(40)], "k bigint, bu bigint"
+    )
+    write_snapshot(df, src, "bu")
+    delete_where(spark, src, F.col("k") < 10, mode="merge-on-read", key="k")
+    dst = str(tmp_path / "bak")
+    deep_clone_snapshot(src, dst)
+    shutil.rmtree(src)
+    got = read_snapshot(spark, dst)
+    assert got.count() == 30
+    assert got.where(F.col("k") < 10).count() == 0
