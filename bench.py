@@ -211,6 +211,7 @@ EXTRA = (
     "z101_live_table_mirror",
     "z102_parquet_agg_pushdown",
     "z103_deep_clone",
+    "z104_metadata_null_audit",
 )
 
 

@@ -8797,6 +8797,73 @@ FROM lineitem
 """
 
 
+_NULLAUDIT_TABLES: dict = {}
+
+
+def z104_metadata_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-membership predicates in the PURE-METADATA tier
+    (metadata_sql._answer_isnull / the grouped isnull branch): the
+    data-quality audit every ingest pipeline runs — per-partition NULL
+    row counts (``WHERE v IS NULL GROUP BY p``, served from the
+    recorded per-partition null counts: live rows minus the
+    null-skipping COUNT(v), two existing exact answerers composed)
+    beside the global non-null count and SUM (same-column aggregates
+    under IS NOT NULL are the plain manifest answers — SQL aggregates
+    skip NULLs anyway). Zero data pages for all three statements; the
+    fixture carries a NULL PARTITION (pcol NULL rows) and NULLs in
+    every partition, and cross-column aggregates refuse to the scan
+    (unit-pinned). The oracle recomputes everything from orders."""
+    import os
+
+    from ..sources.metadata_sql import answer_from_manifest
+    from ..sources.snapshot import write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _NULLAUDIT_TABLES.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("nullaudit_") + "/tbl"
+        orders = load_table(spark, sf_dir, "orders")
+        cents = (
+            F.col("o_totalprice").cast("decimal(18,2)") * 100
+        ).cast("long")
+        df = orders.select(
+            F.when(
+                F.col("o_orderkey") % 11 != 0, F.col("o_orderkey") % 4
+            ).alias("p"),
+            F.when(F.col("o_orderkey") % 7 != 0, cents).alias("v"),
+        )
+        write_snapshot(df, path, "p", stats_cols=["v", "v::sum"])
+        _NULLAUDIT_TABLES[key] = path
+    T = {"t": path}
+    grouped = answer_from_manifest(
+        spark,
+        "SELECT p, COUNT(*) AS n_null FROM t WHERE v IS NULL GROUP BY p",
+        T,
+    )
+    n_vals = answer_from_manifest(
+        spark, "SELECT COUNT(*) AS n_vals FROM t WHERE v IS NOT NULL", T
+    )
+    v_sum = answer_from_manifest(
+        spark, "SELECT SUM(v) AS v_sum FROM t WHERE v IS NOT NULL", T
+    )
+    return grouped.crossJoin(n_vals).crossJoin(v_sum)
+
+
+Z104_SQL = """
+WITH b AS (
+  SELECT CASE WHEN o_orderkey % 11 <> 0 THEN o_orderkey % 4 END AS p,
+         CASE WHEN o_orderkey % 7 <> 0 THEN
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         END AS v
+  FROM orders
+)
+SELECT p::BIGINT AS p, COUNT(*)::BIGINT AS n_null,
+       (SELECT COUNT(v) FROM b)::BIGINT AS n_vals,
+       (SELECT SUM(v) FROM b)::BIGINT AS v_sum
+FROM b WHERE v IS NULL GROUP BY p
+"""
+
+
 _DEEPCLONE_TABLES: dict = {}
 
 
@@ -9530,6 +9597,7 @@ EXTENSION_QUERIES = {
     "z101_live_table_mirror": z101_live_table_mirror,
     "z102_parquet_agg_pushdown": z102_parquet_agg_pushdown,
     "z103_deep_clone": z103_deep_clone,
+    "z104_metadata_null_audit": z104_metadata_null_audit,
 }
 
 EXTENSION_ORACLES = {
@@ -9675,5 +9743,6 @@ EXTENSION_ORACLES = {
     "z101_live_table_mirror": Z101_SQL,
     "z102_parquet_agg_pushdown": Z102_SQL,
     "z103_deep_clone": Z103_SQL,
+    "z104_metadata_null_audit": Z104_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

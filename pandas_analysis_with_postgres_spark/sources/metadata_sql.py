@@ -171,6 +171,16 @@ _W_BETWEEN = re.compile(
     rf"^\s*(?P<col>[A-Za-z_]\w*)\s+BETWEEN\s+(?P<lo>{_LIT})\s+AND\s+(?P<hi>{_LIT})\s*$",
     re.IGNORECASE,
 )
+#: NULL-membership shape: the null-rate dashboard predicate. COUNT(*)
+#: under IS NULL is the recorded per-partition null count summed;
+#: under IS NOT NULL it is COUNT(col); same-column aggregates under
+#: IS NOT NULL are the plain aggregates (SQL aggregates skip NULLs)
+#: and under IS NULL are provable constants (0 / NULL).
+_W_NULL = re.compile(
+    r"^\s*(?P<col>[A-Za-z_]\w*)\s+IS\s+(?P<not>NOT\s+)?NULL\s*$",
+    re.IGNORECASE,
+)
+
 #: Disjunctive window shape: two or more closed BETWEENs on the SAME
 #: column OR-ed together — "this week OR the same week last year".
 #: Served by the hybrid tier as a union of disjoint intervals (each
@@ -342,6 +352,8 @@ def parse_metadata_select(sql: str) -> "dict | None":
                 False,
                 False,
             )
+        elif (nm := _W_NULL.match(wtext)) is not None:
+            where = ("isnull", nm.group("col"), nm.group("not") is not None)
         elif _W_OR_RANGE.match(wtext) is not None:
             col0, ivs = None, []
             for part in _OR_SPLIT.split(wtext):
@@ -398,9 +410,15 @@ def parse_metadata_select(sql: str) -> "dict | None":
             # be provable — not worth a special case; scan decides
             return None
         if where is not None and where[0] not in (
-            "eq", "in", "range", "inrange"
+            "eq", "in", "range", "inrange", "isnull"
         ):
             return None  # eqrange + GROUP BY: the member IS the group
+        if where is not None and where[0] == "isnull":
+            # grouped NULL predicate: per-group null/non-null COUNTs
+            # only — other aggregates over the null-filtered rows are
+            # cross-column unprovable; scan decides
+            if any(k not in ("group", "count") for k, _, _ in items):
+                return None
         if where is not None and where[0] in ("range", "inrange"):
             # range + GROUP BY parses ONLY when the grouped hybrid
             # tier can serve every item (count/sum/avg/min/max); the
@@ -674,6 +692,10 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
     where = parsed["where"]
     if parsed["group_by"] is not None:
         return _answer_group_by(
+            spark, parsed, path, pcol, ptype, field_types, version
+        )
+    if where is not None and where[0] == "isnull":
+        return _answer_isnull(
             spark, parsed, path, pcol, ptype, field_types, version
         )
     if where is not None and where[0] == "range":
@@ -1803,20 +1825,160 @@ def _answer_eq_range_count(
     )
 
 
+def _answer_isnull(spark, parsed, path, pcol, ptype, field_types, version):
+    """NULL-membership WHERE, pure-metadata: ``COUNT(*) WHERE col IS
+    NULL`` is the recorded per-partition null counts summed (live
+    rows minus the null-skipping COUNT(col) — two existing exact
+    answerers composed, inheriting every refusal: missing 3-element
+    entries, tombstones); IS NOT NULL is COUNT(col) itself. SAME-
+    column aggregates are provable too: under IS NOT NULL every SQL
+    aggregate already skips NULLs, so SUM/AVG/MIN/MAX/NDV/quantile of
+    the predicate column ARE the plain manifest answers; under IS
+    NULL they are constants (COUNT(col) = 0, SUM/AVG/MIN/MAX = NULL,
+    NDV = 0). CROSS-column aggregates refuse — which rows of the
+    other column survive the filter is unprovable from per-column
+    stats."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .snapshot import (
+        manifest_aggregate,
+        manifest_approx_distinct,
+        manifest_column_count,
+        manifest_column_sum,
+        manifest_partition_counts,
+        manifest_quantile,
+    )
+
+    _, ncol, is_not = parsed["where"]
+    if ncol != pcol and field_types and ncol not in field_types:
+        raise _Refuse()  # unknown predicate column: let the scan error
+    try:
+        nn = int(manifest_column_count(path, ncol, version=version))
+        total = sum(
+            n for _v, n in manifest_partition_counts(path, version=version)
+        )
+    except ValueError:
+        raise _Refuse()  # unprovable nulls (legacy entry / tombstones)
+    values, fields, casts = [], [], {}
+    try:
+        for k, c, alias in parsed["items"]:
+            if k == "count":
+                values.append(nn if is_not else total - nn)
+                fields.append(StructField(alias, LongType(), False))
+                continue
+            same = (c[0] if k == "quantile" else c) == ncol
+            if not same:
+                raise _Refuse()  # cross-column: unprovable
+            if k == "countcol":
+                values.append(nn if is_not else 0)
+                fields.append(StructField(alias, LongType(), False))
+            elif k in ("sum", "avg"):
+                pair = (
+                    manifest_column_sum(path, c, version=version)
+                    if is_not
+                    else (None, 0)
+                )
+                values.append(_sum_avg_value(k, pair))
+                fields.append(
+                    StructField(
+                        alias,
+                        LongType() if k == "sum" else DoubleType(),
+                        True,
+                    )
+                )
+            elif k in ("min", "max"):
+                if is_not:
+                    a = manifest_aggregate(path, columns=[c], version=version)
+                    mv = a["columns"][c][k]
+                else:
+                    mv = None
+                values.append(None if mv is None else str(mv))
+                fields.append(StructField(alias, StringType(), True))
+                casts[alias] = ptype if c == pcol else field_types[c]
+            elif k == "approx":
+                values.append(
+                    float(
+                        manifest_approx_distinct(path, c, version=version)
+                    )
+                    if is_not
+                    else 0.0
+                )
+                fields.append(StructField(alias, DoubleType(), False))
+            elif k == "quantile":
+                if not is_not:
+                    raise _Refuse()  # quantile of zero rows: scan decides
+                values.append(
+                    int(
+                        manifest_quantile(
+                            path, c[0], c[1], version=version
+                        )
+                    )
+                )
+                fields.append(StructField(alias, LongType(), False))
+            else:
+                raise _Refuse()  # cdistinct etc.: scan decides
+    except ValueError:
+        raise _Refuse()  # missing sketch / tombstones: scan
+    frame = _local_rows_df(spark, [tuple(values)], StructType(fields))
+    if casts:
+        from pyspark.sql import functions as F
+
+        frame = frame.select(
+            *[
+                F.col(f.name).cast(casts[f.name]).alias(f.name)
+                if f.name in casts
+                else F.col(f.name)
+                for f in frame.schema.fields
+            ]
+        )
+    return frame
+
+
 def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
     gcol = parsed["group_by"]
     if pcol is None or gcol != pcol:
         raise _Refuse()  # only the partition column groups at the manifest
     eq = None
     in_names = None
+    isnull_groups = None
     if parsed["where"] is not None:
         kind_, wcol = parsed["where"][0], parsed["where"][1]
-        if kind_ not in ("eq", "in"):
+        if kind_ == "isnull":
+            # per-group null / non-null row counts — the null-rate
+            # dashboard GROUP BY. COUNT(*) only (other aggregates over
+            # the null-filtered rows are cross-column unprovable); a
+            # group whose filtered count is zero emits NO row (SQL:
+            # no surviving rows, no group).
+            ncol, is_not = parsed["where"][1], parsed["where"][2]
+            if any(k not in ("group", "count") for k, _, _ in parsed["items"]):
+                raise _Refuse()
+            from .snapshot import manifest_column_count as _mcc
+            from .snapshot import manifest_partition_counts as _mpc
+
+            try:
+                nn_pairs = _mcc(path, ncol, version=version, by_partition=True)
+                live = _mpc(path, version=version)
+            except ValueError:
+                raise _Refuse()
+            if [v for v, _ in live] != [v for v, _ in nn_pairs]:
+                raise _Refuse()  # membership drift: never answer wrong
+            isnull_groups = [
+                (v, c if is_not else n - c)
+                for (v, n), (_v2, c) in zip(live, nn_pairs)
+                if (c if is_not else n - c) > 0
+            ]
+        elif kind_ not in ("eq", "in"):
             # range WHERE + GROUP BY parses (the grouped hybrid tier
             # serves it), but the pure-metadata proof stops here:
             # clipped per-group aggregates are unprovable
             raise _Refuse()
-        if wcol != pcol:
+        elif wcol != pcol:
             raise _Refuse()
         if kind_ == "in":
             # group filtering happens AFTER the per-partition lists
@@ -1828,7 +1990,7 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
                 _hive_part_name(pcol, _coerce_partition_literal(r, ptype))
                 for r in parsed["where"][2]
             }
-        else:
+        elif kind_ == "eq":
             eq = (
                 pcol,
                 _coerce_partition_literal(parsed["where"][2], ptype),
@@ -1853,6 +2015,9 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
             raise _Refuse()
         groups = [(v, n) for v, n, _ in groups3]
         col_stats = [s for _, _, s in groups3]
+    elif isnull_groups is not None:
+        groups = isnull_groups
+        col_stats = [{} for _ in groups]
     else:
         groups = manifest_partition_counts(
             path, version=version, where_partition=eq

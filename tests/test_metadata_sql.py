@@ -882,7 +882,13 @@ _EQV_ITEMS = [
     "MAX(email) AS ehi",
     "COUNT(DISTINCT p) AS nd",
 ]
-_EQV_WHERE = [None, "p = 1", "p = 9", "p IN (0, 2)", "p IN (1, 3, 7)"]
+_EQV_WHERE = [
+    None, "p = 1", "p = 9", "p IN (0, 2)", "p IN (1, 3, 7)",
+    # NULL-membership predicates (isnull answerers): same-column
+    # aggregates serve, cross-column refuse, grouped COUNT(*) serves
+    "cents IS NULL", "cents IS NOT NULL",
+    "email IS NULL", "email IS NOT NULL", "p IS NOT NULL",
+]
 #: numeric output aliases HAVING may reference (min/max renderings and
 #: the group column itself must refuse — covered by drawing them too)
 _EQV_HAVING_ALIASES = ["n", "ce", "cc", "s", "a", "lo", "p"]
@@ -1526,3 +1532,89 @@ def test_or_range_served_by_hybrid(spark, tmp_path):
     want_sv = sum(i * 3 for i in range(2000)
                   if i % 7 and (i < 500 or i >= 1500))
     assert (out.n, out.sv) == (1000, want_sv)
+
+
+def test_isnull_predicates_pure_metadata(spark, tmp_path):
+    # NULL-membership WHERE: counts and same-column aggregates from
+    # the manifest alone — proven by deleting every parquet file
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        answer_from_manifest,
+    )
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        append_snapshot,
+        write_snapshot,
+    )
+
+    rows = [
+        (i, i % 3 if i % 5 else None, (i * 3) if i % 7 else None)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k long, p long, v long")
+    path = str(tmp_path / "t")
+    write_snapshot(df, path, "p", stats_cols=["k", "v", "v::sum"])
+    df.createOrReplaceTempView("isnull_scan")
+    T = {"t": path}
+    served = [
+        "SELECT COUNT(*) AS n FROM t WHERE v IS NULL",
+        "SELECT COUNT(*) AS n FROM t WHERE v IS NOT NULL",
+        "SELECT COUNT(*) AS n, SUM(v) AS s, AVG(v) AS a, MIN(v) AS lo,"
+        " MAX(v) AS hi FROM t WHERE v IS NOT NULL",
+        "SELECT COUNT(v) AS cv, SUM(v) AS s, MIN(v) AS lo FROM t"
+        " WHERE v IS NULL",
+        "SELECT COUNT(*) AS n FROM t WHERE p IS NULL",
+        "SELECT COUNT(*) AS n FROM t WHERE p IS NOT NULL",
+        "SELECT p, COUNT(*) AS n FROM t WHERE v IS NULL GROUP BY p",
+    ]
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    for sql in served:
+        out = answer_from_manifest(spark, sql, T)
+        assert out is not None, sql
+        got = sorted(map(tuple, out.collect()), key=key)
+        want = sorted(
+            map(
+                tuple,
+                spark.sql(sql.replace("FROM t", "FROM isnull_scan")).collect(),
+            ),
+            key=key,
+        )
+        assert got == want, (sql, got, want)
+    # cross-column aggregates and grouped non-count items refuse
+    for sql in (
+        "SELECT SUM(k) AS s FROM t WHERE v IS NULL",
+        "SELECT MIN(k) AS lo FROM t WHERE v IS NOT NULL",
+        "SELECT p, SUM(v) AS s FROM t WHERE v IS NULL GROUP BY p",
+    ):
+        assert answer_from_manifest(spark, sql, T) is None, sql
+    # zero data pages: delete every parquet, the answers must hold
+    for f in Path(path).rglob("*.parquet"):
+        f.unlink()
+    out = answer_from_manifest(
+        spark, "SELECT COUNT(*) AS n FROM t WHERE v IS NULL", T
+    )
+    n_null = sum(1 for _k, _p, v in rows if v is None)
+    assert out.collect()[0]["n"] == n_null
+    # time travel composes (appends after v1 invisible at v1)
+    path2 = str(tmp_path / "t2")
+    write_snapshot(df, path2, "p", stats_cols=["v"])
+    # mixed appended partition: an ALL-null partition has no [min,
+    # max] footer entry for v, so COUNT under the predicate rightly
+    # refuses (conservative) — not the shape under test here
+    append_snapshot(
+        path2,
+        spark.createDataFrame(
+            [(900, 9, None), (901, 9, 5)], "k long, p long, v long"
+        ),
+        "p",
+    )
+    v1 = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n FROM t FOR VERSION AS OF 1 WHERE v IS NULL",
+        {"t": path2},
+    )
+    now = answer_from_manifest(
+        spark, "SELECT COUNT(*) AS n FROM t WHERE v IS NULL", {"t": path2}
+    )
+    assert (v1.collect()[0]["n"], now.collect()[0]["n"]) == (
+        n_null,
+        n_null + 1,
+    )
