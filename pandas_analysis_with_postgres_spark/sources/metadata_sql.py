@@ -181,6 +181,20 @@ _W_NULL = re.compile(
     re.IGNORECASE,
 )
 
+#: Conjunctive NULL-membership: partition equality / IN-membership
+#: AND a NULL predicate — "today's null rate". Strictly eq/IN-first.
+_W_EQ_NULL = re.compile(
+    rf"^\s*(?P<ecol>[A-Za-z_]\w*)\s*=\s*(?P<eval>{_LIT})\s+AND\s+"
+    r"(?P<col>[A-Za-z_]\w*)\s+IS\s+(?P<not>NOT\s+)?NULL\s*$",
+    re.IGNORECASE,
+)
+_W_IN_NULL = re.compile(
+    rf"^\s*(?P<icol>[A-Za-z_]\w*)\s+IN\s*\(\s*"
+    rf"(?P<ivals>{_LIT}(?:\s*,\s*{_LIT})*)\s*\)\s+AND\s+"
+    r"(?P<col>[A-Za-z_]\w*)\s+IS\s+(?P<not>NOT\s+)?NULL\s*$",
+    re.IGNORECASE,
+)
+
 #: Disjunctive window shape: two or more closed BETWEENs on the SAME
 #: column OR-ed together — "this week OR the same week last year".
 #: Served by the hybrid tier as a union of disjoint intervals (each
@@ -354,6 +368,22 @@ def parse_metadata_select(sql: str) -> "dict | None":
             )
         elif (nm := _W_NULL.match(wtext)) is not None:
             where = ("isnull", nm.group("col"), nm.group("not") is not None)
+        elif (enm := _W_EQ_NULL.match(wtext)) is not None:
+            where = (
+                "eqnull",
+                enm.group("ecol"),
+                [enm.group("eval")],
+                enm.group("col"),
+                enm.group("not") is not None,
+            )
+        elif (inm := _W_IN_NULL.match(wtext)) is not None:
+            where = (
+                "eqnull",
+                inm.group("icol"),
+                [v.group(0) for v in _LIT_RE.finditer(inm.group("ivals"))],
+                inm.group("col"),
+                inm.group("not") is not None,
+            )
         elif _W_OR_RANGE.match(wtext) is not None:
             col0, ivs = None, []
             for part in _OR_SPLIT.split(wtext):
@@ -410,10 +440,10 @@ def parse_metadata_select(sql: str) -> "dict | None":
             # be provable — not worth a special case; scan decides
             return None
         if where is not None and where[0] not in (
-            "eq", "in", "range", "inrange", "isnull"
+            "eq", "in", "range", "inrange", "isnull", "eqnull"
         ):
             return None  # eqrange + GROUP BY: the member IS the group
-        if where is not None and where[0] == "isnull":
+        if where is not None and where[0] in ("isnull", "eqnull"):
             # grouped NULL predicate: per-group null/non-null COUNTs
             # only — other aggregates over the null-filtered rows are
             # cross-column unprovable; scan decides
@@ -694,7 +724,7 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
         return _answer_group_by(
             spark, parsed, path, pcol, ptype, field_types, version
         )
-    if where is not None and where[0] == "isnull":
+    if where is not None and where[0] in ("isnull", "eqnull"):
         return _answer_isnull(
             spark, parsed, path, pcol, ptype, field_types, version
         )
@@ -1855,14 +1885,43 @@ def _answer_isnull(spark, parsed, path, pcol, ptype, field_types, version):
         manifest_quantile,
     )
 
-    _, ncol, is_not = parsed["where"]
+    w = parsed["where"]
+    if w[0] == "isnull":
+        _, ncol, is_not = w
+        members = None
+        wp_in = None
+    else:  # eqnull: pcol equality / IN-membership AND the predicate
+        _, ecol, raws, ncol, is_not = w
+        if ecol != pcol:
+            raise _Refuse()  # only partition membership is provable
+        members = sorted(
+            {_coerce_partition_literal(r, ptype) for r in raws}, key=repr
+        )
+        wp_in = (pcol, members)
     if ncol != pcol and field_types and ncol not in field_types:
         raise _Refuse()  # unknown predicate column: let the scan error
     try:
-        nn = int(manifest_column_count(path, ncol, version=version))
-        total = sum(
-            n for _v, n in manifest_partition_counts(path, version=version)
+        nn = int(
+            manifest_column_count(
+                path, ncol, version=version, where_partition_in=wp_in
+            )
         )
+        if members is None:
+            total = sum(
+                n
+                for _v, n in manifest_partition_counts(path, version=version)
+            )
+        else:
+            from .snapshot import _hive_part_name
+
+            names = {
+                _hive_part_name(pcol, v) for v in members if v is not None
+            } | ({_hive_part_name(pcol, None)} if None in members else set())
+            total = sum(
+                n
+                for v, n in manifest_partition_counts(path, version=version)
+                if _hive_part_name(pcol, v) in names
+            )
     except ValueError:
         raise _Refuse()  # unprovable nulls (legacy entry / tombstones)
     values, fields, casts = [], [], {}
@@ -1880,7 +1939,9 @@ def _answer_isnull(spark, parsed, path, pcol, ptype, field_types, version):
                 fields.append(StructField(alias, LongType(), False))
             elif k in ("sum", "avg"):
                 pair = (
-                    manifest_column_sum(path, c, version=version)
+                    manifest_column_sum(
+                        path, c, version=version, where_partition_in=wp_in
+                    )
                     if is_not
                     else (None, 0)
                 )
@@ -1893,18 +1954,33 @@ def _answer_isnull(spark, parsed, path, pcol, ptype, field_types, version):
                     )
                 )
             elif k in ("min", "max"):
-                if is_not:
+                if not is_not:
+                    mv = None
+                elif members is None:
                     a = manifest_aggregate(path, columns=[c], version=version)
                     mv = a["columns"][c][k]
                 else:
-                    mv = None
+                    # per-member extremes merge exactly (the IN rule)
+                    ext = []
+                    for v in members:
+                        a = manifest_aggregate(
+                            path, columns=[c], version=version,
+                            where_partition=(pcol, v),
+                        )
+                        av = a["columns"][c][k]
+                        if av is not None:
+                            ext.append(av)
+                    mv = (min(ext) if k == "min" else max(ext)) if ext else None
                 values.append(None if mv is None else str(mv))
                 fields.append(StructField(alias, StringType(), True))
                 casts[alias] = ptype if c == pcol else field_types[c]
             elif k == "approx":
                 values.append(
                     float(
-                        manifest_approx_distinct(path, c, version=version)
+                        manifest_approx_distinct(
+                            path, c, version=version,
+                            where_partition_in=wp_in,
+                        )
                     )
                     if is_not
                     else 0.0
@@ -1916,7 +1992,8 @@ def _answer_isnull(spark, parsed, path, pcol, ptype, field_types, version):
                 values.append(
                     int(
                         manifest_quantile(
-                            path, c[0], c[1], version=version
+                            path, c[0], c[1], version=version,
+                            where_partition_in=wp_in,
                         )
                     )
                 )
@@ -1949,15 +2026,31 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
     isnull_groups = None
     if parsed["where"] is not None:
         kind_, wcol = parsed["where"][0], parsed["where"][1]
-        if kind_ == "isnull":
+        if kind_ in ("isnull", "eqnull"):
             # per-group null / non-null row counts — the null-rate
-            # dashboard GROUP BY. COUNT(*) only (other aggregates over
-            # the null-filtered rows are cross-column unprovable); a
-            # group whose filtered count is zero emits NO row (SQL:
-            # no surviving rows, no group).
-            ncol, is_not = parsed["where"][1], parsed["where"][2]
+            # dashboard GROUP BY, optionally member-restricted
+            # ("per-day null rates for THESE days"). COUNT(*) only
+            # (other aggregates over the null-filtered rows are
+            # cross-column unprovable); a group whose filtered count
+            # is zero emits NO row (SQL: no surviving rows, no group).
+            if kind_ == "isnull":
+                ncol, is_not = parsed["where"][1], parsed["where"][2]
+                names = None
+            else:
+                _, ecol, raws, ncol, is_not = parsed["where"]
+                if ecol != pcol:
+                    raise _Refuse()
+                from .snapshot import _hive_part_name
+
+                names = {
+                    _hive_part_name(
+                        pcol, _coerce_partition_literal(r, ptype)
+                    )
+                    for r in raws
+                }
             if any(k not in ("group", "count") for k, _, _ in parsed["items"]):
                 raise _Refuse()
+            from .snapshot import _hive_part_name as _hpn
             from .snapshot import manifest_column_count as _mcc
             from .snapshot import manifest_partition_counts as _mpc
 
@@ -1972,6 +2065,7 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
                 (v, c if is_not else n - c)
                 for (v, n), (_v2, c) in zip(live, nn_pairs)
                 if (c if is_not else n - c) > 0
+                and (names is None or _hpn(pcol, v) in names)
             ]
         elif kind_ not in ("eq", "in"):
             # range WHERE + GROUP BY parses (the grouped hybrid tier

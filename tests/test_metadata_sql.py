@@ -888,6 +888,9 @@ _EQV_WHERE = [
     # aggregates serve, cross-column refuse, grouped COUNT(*) serves
     "cents IS NULL", "cents IS NOT NULL",
     "email IS NULL", "email IS NOT NULL", "p IS NOT NULL",
+    # conjunctive NULL membership (eqnull): restricted null audits
+    "p = 1 AND cents IS NULL", "p = 0 AND email IS NOT NULL",
+    "p IN (0, 2) AND cents IS NOT NULL", "p IN (1, 9) AND cents IS NULL",
 ]
 #: numeric output aliases HAVING may reference (min/max renderings and
 #: the group column itself must refuse — covered by drawing them too)
