@@ -212,6 +212,7 @@ EXTRA = (
     "z102_parquet_agg_pushdown",
     "z103_deep_clone",
     "z104_metadata_null_audit",
+    "z105_hybrid_null_audit",
 )
 
 

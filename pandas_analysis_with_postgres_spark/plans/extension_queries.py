@@ -8864,6 +8864,82 @@ FROM b WHERE v IS NULL GROUP BY p
 """
 
 
+_HYBNULL_TABLES: dict = {}
+
+
+def z105_hybrid_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID NULL audit (snapshot.null_count_pruned + metadata_sql.
+    _hybrid_isnull): ``COUNT(*) WHERE v IS [NOT] NULL`` on a table
+    where ONE partition carries merge-on-read tombstones — the shape
+    the pure-metadata tier must refuse WHOLE (deleted rows' null-ness
+    is unknown), run to completion instead: the three provable
+    partitions answer from their recorded null counts, ONLY the
+    tombstoned one is scanned, with the IsNull/IsNotNull predicate
+    pushed so the parquet reader's own null-count statistics skip
+    zero-contribution row groups. Classification counts ride the row
+    (EXPLAIN's explain_only path — no scan paid for them); the oracle
+    replays both audits and the 3-vs-1 classification from orders."""
+    import os
+
+    from ..sources.metadata_sql import (
+        explain_metadata_sql,
+        hybrid_range_count,
+    )
+    from ..sources.snapshot import delete_where, write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _HYBNULL_TABLES.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("hybnull_") + "/tbl"
+        orders = load_table(spark, sf_dir, "orders")
+        cents = (
+            F.col("o_totalprice").cast("decimal(18,2)") * 100
+        ).cast("long")
+        df = orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("o_orderkey") % 7 != 0, cents).alias("v"),
+            (F.col("o_orderkey") % 4).alias("p"),
+        )
+        write_snapshot(df, path, "p", stats_cols=["v"])
+        delete_where(
+            spark, path,
+            (F.col("p") == 1) & (F.col("k") % 5 == 0),
+            mode="merge-on-read", key="k",
+        )
+        _HYBNULL_TABLES[key] = path
+    T = {"t": path}
+    nulls = hybrid_range_count(
+        spark, "SELECT COUNT(*) AS n_null FROM t WHERE v IS NULL", T
+    )
+    vals = hybrid_range_count(
+        spark, "SELECT COUNT(*) AS n_vals FROM t WHERE v IS NOT NULL", T
+    )
+    exp = explain_metadata_sql(
+        spark, "SELECT COUNT(*) AS n FROM t WHERE v IS NULL", T
+    ).select("partitions_metadata", "partitions_scanned")
+    return nulls.crossJoin(vals).crossJoin(exp)
+
+
+Z105_SQL = """
+WITH b AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 7 <> 0 THEN
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         END AS v,
+         o_orderkey % 4 AS p
+  FROM orders
+),
+live AS (
+  SELECT * FROM b WHERE NOT (p = 1 AND k % 5 = 0)
+)
+SELECT
+  (SELECT COUNT(*) FROM live WHERE v IS NULL)::BIGINT AS n_null,
+  (SELECT COUNT(*) FROM live WHERE v IS NOT NULL)::BIGINT AS n_vals,
+  3::BIGINT AS partitions_metadata,
+  1::BIGINT AS partitions_scanned
+"""
+
+
 _DEEPCLONE_TABLES: dict = {}
 
 
@@ -9598,6 +9674,7 @@ EXTENSION_QUERIES = {
     "z102_parquet_agg_pushdown": z102_parquet_agg_pushdown,
     "z103_deep_clone": z103_deep_clone,
     "z104_metadata_null_audit": z104_metadata_null_audit,
+    "z105_hybrid_null_audit": z105_hybrid_null_audit,
 }
 
 EXTENSION_ORACLES = {
@@ -9744,5 +9821,6 @@ EXTENSION_ORACLES = {
     "z102_parquet_agg_pushdown": Z102_SQL,
     "z103_deep_clone": Z103_SQL,
     "z104_metadata_null_audit": Z104_SQL,
+    "z105_hybrid_null_audit": Z105_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

@@ -1120,13 +1120,20 @@ def hybrid_range_count(
         parsed is None
         or parsed["table"] not in tables
         or parsed["where"] is None
-        or parsed["where"][0] not in ("range", "eqrange", "inrange", "orrange")
+        or parsed["where"][0]
+        not in ("range", "eqrange", "inrange", "orrange", "isnull", "eqnull")
         or any(
             k not in ("group", "count", "sum", "avg", "min", "max")
             for k, _, _ in parsed["items"]
         )
     ):
         return None
+    if parsed["where"][0] in ("isnull", "eqnull"):
+        # NULL-audit COUNT run to completion: provable partitions from
+        # metadata, ONLY the unprovable remainder (tombstones, legacy
+        # entries) scanned — the statement the pure tier must refuse
+        # whole on any such partition
+        return _hybrid_isnull(spark, parsed, tables, version, explain)
     if parsed["group_by"] is not None:
         # GROUP BY pcol + range (or IN+range) WHERE: the grouped tier
         if parsed["where"][0] not in ("range", "inrange"):
@@ -1494,6 +1501,87 @@ def _hybrid_multi(spark, parsed, tables, version, explain=False):
         return None  # mixed-spec / sketch-name guard: full scan decides
     except _Refuse:
         return None  # int64 overflow on SUM: a scan must decide/error
+
+
+def _hybrid_isnull(spark, parsed, tables, version, explain=False):
+    """NULL-membership branch of :func:`hybrid_range_count`:
+    ``COUNT(*) WHERE col IS [NOT] NULL`` (plain or member-restricted)
+    via :func:`snapshot.null_count_pruned` — the pure-metadata
+    answerer refuses the WHOLE statement when any partition is
+    unprovable (tombstones, legacy 2-element entries, all-NULL
+    partitions); this tier answers the provable partitions from
+    metadata and scans only the remainder, with the predicate pushed
+    (the parquet reader's own null-count statistics then skip
+    zero-contribution row groups)."""
+    if parsed["group_by"] is not None:
+        return None  # grouped null audits stay pure-metadata-or-scan
+    if len(parsed["items"]) != 1 or parsed["items"][0][0] != "count":
+        return None  # COUNT(*) is the provable shape
+    path = tables[parsed["table"]]
+    if parsed["as_of"] is not None:
+        if version is not None:
+            raise ValueError(
+                "statement has FOR ... AS OF and the caller also "
+                "pinned a version — pick one"
+            )
+        if "version" in parsed["as_of"]:
+            version = parsed["as_of"]["version"]
+        else:
+            from .snapshot import resolve_as_of
+
+            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
+    man = read_manifest(path, version)
+    schema_meta = man.get("schema") or {}
+    pcol = schema_meta.get("partition_col")
+    ptype = schema_meta.get("partition_type") or "string"
+    sj = schema_meta.get("spark_schema")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    field_types = (
+        {f.name: f.dataType for f in StructType.fromJson(json.loads(sj)).fields}
+        if sj
+        else {}
+    )
+    w = parsed["where"]
+    if w[0] == "isnull":
+        ncol, is_not, eq = w[1], w[2], None
+    else:
+        _, ecol, raws, ncol, is_not = w
+        if ecol != pcol:
+            return None  # non-partition membership: scan
+        try:
+            eq = (
+                pcol,
+                sorted(
+                    {_coerce_partition_literal(r, ptype) for r in raws},
+                    key=repr,
+                ),
+            )
+        except _Refuse:
+            return None
+    if ncol != pcol and field_types and ncol not in field_types:
+        return None  # unknown column: let the scan engine error
+    from .snapshot import null_count_pruned
+
+    try:
+        out = null_count_pruned(
+            spark, path, ncol, is_not=is_not, version=version,
+            where_partition=eq, explain_only=explain,
+        )
+    except ValueError:
+        return None  # mixed-spec / sketch-name guard: full scan decides
+    if explain:
+        return _explain_frame(
+            spark, "hybrid",
+            out["meta_partitions"], out["scanned_partitions"],
+            out["scanned_files"], out["total_files"],
+        )
+    alias = parsed["items"][0][2]
+    return _local_rows_df(
+        spark,
+        [(out["count"],)],
+        StructType([StructField(alias, LongType(), False)]),
+    )
 
 
 def _assemble_multi(spark, parsed, values, ptype, pcol, field_types):

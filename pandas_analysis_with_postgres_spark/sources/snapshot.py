@@ -5535,6 +5535,139 @@ def read_metadata_table(
     )
 
 
+def null_count_pruned(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    *,
+    is_not: bool = False,
+    version: "int | str | None" = None,
+    where_partition: "tuple[str, object] | None" = None,
+    explain_only: bool = False,
+) -> dict:
+    """HYBRID ``COUNT(*) WHERE column IS [NOT] NULL`` — the null-audit
+    statement run to completion instead of refused: every partition
+    with a provable null count (a 3-element stats entry, no
+    merge-on-read tombstones) contributes from METADATA (the recorded
+    nulls for IS NULL, live minus nulls for IS NOT NULL; the
+    partition column itself is provable from the directory name
+    alone); ONLY the unprovable remainder — tombstoned partitions,
+    legacy 2-element entries, all-NULL partitions whose footer never
+    recorded the column — is scanned, with the ``IsNull``/
+    ``IsNotNull`` predicate pushed to the parquet reader (row groups
+    whose own null-count statistics prove zero contribution are then
+    skipped by the reader itself — file-grain skipping for free).
+    ``where_partition`` restricts to members, the conjunctive
+    ``pcol = lit AND col IS NULL`` shape. Returns ``{"count",
+    "meta_partitions", "scanned_partitions"}``; ``explain_only``
+    skips the scan (count None) for the EXPLAIN surface."""
+    from pyspark.sql import functions as F
+
+    if (column.endswith(HLL_SUFFIX) or column.endswith(SUM_SUFFIX)
+            or _HIST_KEY_RE.match(column)):
+        raise ValueError(
+            "sketch entries (::hll / ::sum / ::hist:) are not data "
+            "columns — pass the column itself"
+        )
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    pcol = meta.get("partition_col")
+    ptype = meta.get("partition_type") or "string"
+    renames = meta.get("renames") or []
+
+    def _chain(name: str) -> str:
+        for old, new in renames:
+            if name == old:
+                name = new
+        return name
+
+    stats = man.get("stats") or {}
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    part_rows = _partition_rows(man, path)
+    targets = _eq_targets(man, path, pcol, where_partition)
+    meta_total = 0
+    meta_parts: set = set()
+    scan_parts: set = set()
+    for pname, n in part_rows.items():
+        if targets is not None and pname not in targets:
+            continue
+        if n == 0:
+            continue
+        if column == pcol and not _mixed_spec(man):
+            # the partition value is constant per directory: the NULL
+            # partition's rows are the nulls, every other row non-null
+            is_null_part = _partition_value(pname, ptype)[0]
+            if is_null_part != is_not:
+                meta_total += n
+            meta_parts.add(pname)
+            continue
+        entry = stats.get(pname) or {}
+        logical = {
+            _chain(k): v for k, v in entry.items()
+            if k not in (N_ROWS_KEY, FILES_KEY)
+        }
+        rng = logical.get(column)
+        if (
+            pname in tomb_parts
+            or rng is None
+            or len(rng) < 3
+            or rng[2] is None
+        ):
+            scan_parts.add(pname)
+            continue
+        nulls = int(rng[2])
+        meta_total += (n - nulls) if is_not else nulls
+        meta_parts.add(pname)
+    scanned = 0
+    if scan_parts and not explain_only:
+        c = F.col(column)
+        cond = c.isNotNull() if is_not else c.isNull()
+        scanned = (
+            read_snapshot(
+                spark, path, version,
+                partition_filter=lambda p: p in scan_parts,
+            )
+            .filter(cond)
+            .count()
+        )
+    if explain_only:
+        # file accounting for EXPLAIN: a per-file 3-element entry can
+        # PROVE a file contributes zero (no nulls for IS NULL; all
+        # nulls for IS NOT NULL) — the pushed IsNull/IsNotNull filter
+        # makes the parquet reader skip those row groups itself, so
+        # "scanned" counts the files that may actually contribute.
+        files_total = files_scanned = 0
+        for pname in scan_parts:
+            fstats = (stats.get(pname) or {}).get(FILES_KEY)
+            if not fstats:
+                continue
+            files_total += len(fstats)
+            for fs in fstats.values():
+                rng = {_chain(k): v for k, v in fs.items()}.get(column)
+                fn = fs.get(N_ROWS_KEY)
+                if rng is not None and len(rng) > 2 and rng[2] is not None:
+                    zero = (
+                        (int(rng[2]) == 0)
+                        if not is_not
+                        else (fn is not None and int(rng[2]) == int(fn))
+                    )
+                    if zero:
+                        continue
+                files_scanned += 1
+        return {
+            "count": None,
+            "meta_partitions": len(meta_parts),
+            "scanned_partitions": len(scan_parts),
+            "scanned_files": files_scanned,
+            "total_files": files_total,
+        }
+    return {
+        "count": int(meta_total + scanned),
+        "meta_partitions": len(meta_parts),
+        "scanned_partitions": len(scan_parts),
+    }
+
+
 def _eq_targets(man, path, pcol, where_partition):
     """Shared partition-VALUE restriction for the hybrid provers:
     None (unrestricted), the singleton member set for an equality

@@ -1003,6 +1003,11 @@ _HYB_RANGES = [
     "k BETWEEN 10 AND 30 OR k BETWEEN 150 AND 170",
     "cents BETWEEN 0 AND 10 OR cents BETWEEN 50 AND 60 "
     "OR cents BETWEEN 1900 AND 2100",
+    # NULL-audit COUNTs (hybrid isnull; COUNT(*)-only, others skip)
+    "cents IS NULL",
+    "p = 1 AND cents IS NULL",
+    "email IS NOT NULL",
+    "p IN (0, 2) AND email IS NULL",
 ]
 
 
@@ -1620,4 +1625,50 @@ def test_isnull_predicates_pure_metadata(spark, tmp_path):
     assert (v1.collect()[0]["n"], now.collect()[0]["n"]) == (
         n_null,
         n_null + 1,
+    )
+
+
+def test_hybrid_isnull_scans_only_unprovable(spark, tmp_path):
+    # MoR tombstones make ONE partition unprovable: the pure tier
+    # refuses the whole statement, the hybrid tier answers the
+    # provable partitions from metadata and scans only that one
+    from pyspark.sql import functions as F
+
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        answer_from_manifest,
+        explain_metadata_sql,
+        hybrid_range_count,
+    )
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        delete_where,
+        write_snapshot,
+    )
+
+    rows = [(i, i % 3, (i * 3) if i % 7 else None) for i in range(300)]
+    df = spark.createDataFrame(rows, "k long, p long, v long")
+    path = str(tmp_path / "t")
+    write_snapshot(df, path, "p", stats_cols=["v"])
+    delete_where(
+        spark, path, (F.col("p") == 1) & (F.col("k") < 10),
+        mode="merge-on-read", key="k",
+    )
+    T = {"t": path}
+    sql = "SELECT COUNT(*) AS n FROM t WHERE v IS NULL"
+    assert answer_from_manifest(spark, sql, T) is None  # pure: refuse
+    want = sum(1 for k, p, v in rows if v is None and not (p == 1 and k < 10))
+    assert hybrid_range_count(spark, sql, T).collect()[0]["n"] == want
+    e = explain_metadata_sql(spark, sql, T).collect()[0]
+    assert (e["tier"], e["partitions_metadata"], e["partitions_scanned"]) == (
+        "hybrid", 2, 1
+    )
+    # member-restricted: only the tombstoned member scans
+    sql2 = "SELECT COUNT(*) AS n FROM t WHERE p = 1 AND v IS NULL"
+    want2 = sum(1 for k, p, v in rows if p == 1 and v is None and k >= 10)
+    assert hybrid_range_count(spark, sql2, T).collect()[0]["n"] == want2
+    # non-COUNT shapes refuse the hybrid (scan decides)
+    assert (
+        hybrid_range_count(
+            spark, "SELECT SUM(v) AS s FROM t WHERE v IS NULL", T
+        )
+        is None
     )
