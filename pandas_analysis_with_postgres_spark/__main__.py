@@ -70,7 +70,7 @@ def main(argv: list[str] | None = None) -> int:
             "history", "read", "expire", "compact", "sql", "info",
             "changes", "maintain", "delete", "tag", "evolve", "merge",
             "stats", "restore", "staged", "branch", "alter", "clone",
-            "inspect",
+            "deep-clone", "inspect",
         ],
     )
     p_sn.add_argument("path")
@@ -399,6 +399,20 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
             clone_snapshot(args.path, args.to, version=args.version)
             print(f"cloned {args.path} -> {args.to}")
+            return 0
+        if args.action == "deep-clone":
+            # backup/DR: byte-for-byte copy, no fate shared with the
+            # source (see deep_clone_snapshot)
+            from .sources.snapshot import deep_clone_snapshot
+
+            if not args.to:
+                print(
+                    "snapshot deep-clone requires --to <dst>",
+                    file=sys.stderr,
+                )
+                return 2
+            deep_clone_snapshot(args.path, args.to, version=args.version)
+            print(f"deep-cloned {args.path} -> {args.to}")
             return 0
         if args.action == "branch":
             # branch refs: list (default) / --create / --drop / --ff

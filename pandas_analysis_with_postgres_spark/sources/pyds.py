@@ -321,12 +321,24 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, schema):
         self._path = options.get("path")
         self._start = int(options.get("starting_version", 0))
+        # ending_version bounds a BACKFILL: the stream never advances
+        # past it (a static cap — restart-safe, unlike rate limiting,
+        # which the offset API cannot express without one). Commits
+        # landing after it are simply outside this stream's window.
+        ev = options.get("ending_version")
+        self._end = int(ev) if ev is not None else None
         self._skip_changes = str(
             options.get("skip_change_commits", "false")
         ).lower() in ("true", "1", "yes")
         self._schema = schema
         if not self._path:
             raise ValueError("snapshotstream requires a path: .load(table)")
+        if self._end is not None and self._end < self._start:
+            raise ValueError(
+                f"ending_version {self._end} < starting_version "
+                f"{self._start}: an empty window is a mistake, not a "
+                "stream"
+            )
 
     def initialOffset(self) -> dict:
         return {"version": self._start}
@@ -334,7 +346,8 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         from .snapshot import current_version
 
-        return {"version": int(current_version(self._path))}
+        cur = int(current_version(self._path))
+        return {"version": cur if self._end is None else min(cur, self._end)}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         from .snapshot import read_manifest

@@ -573,3 +573,23 @@ def test_cli_sql_serves_round9_grammar_from_metadata(spark, tmp_path, capsys):
     ]) == 0
     out = capsys.readouterr().out
     assert "s0" in out and "30" in out
+
+
+def test_snapshot_deep_clone_action(spark, tmp_path, capsys):
+    import shutil
+
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    src = str(tmp_path / "dc_src")
+    write_snapshot(
+        spark.createDataFrame([(1, 0), (2, 1)], "k long, p long"), src, "p"
+    )
+    dst = str(tmp_path / "dc_dst")
+    assert main(["snapshot", "deep-clone", src, "--to", dst]) == 0
+    assert "deep-cloned" in capsys.readouterr().out
+    shutil.rmtree(src)  # no shared fate: the clone must not notice
+    assert {r.k for r in read_snapshot(spark, dst).collect()} == {1, 2}
+    assert main(["snapshot", "deep-clone", dst]) == 2  # missing --to

@@ -170,3 +170,19 @@ def test_mirror_drain_is_idempotent(spark, tbl, tmp_path):
     ]
     # the second drain committed nothing (txn watermark absorption)
     assert current_version(dst) == 1
+
+
+def test_ending_version_bounds_the_backfill(spark, tbl):
+    # a static window (start, end]: commits past ending_version never
+    # stream — the restart-safe bounded-backfill knob
+    got = sorted(
+        map(
+            tuple,
+            _drain(
+                spark, tbl, starting_version="0", ending_version="2"
+            ).collect(),
+        )
+    )
+    assert got == [(1, "a", 0), (2, "b", 0), (3, "c", 1)]
+    with pytest.raises(Exception, match="empty window"):
+        _drain(spark, tbl, starting_version="3", ending_version="1")
