@@ -846,22 +846,13 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
                     # per-member extremes merge EXACTLY: IN restricts
                     # to whole partitions and each member's recorded
                     # [min, max] IS its clipped extreme (renderings
-                    # order; absent/empty members contribute nothing)
+                    # order; absent/empty members contribute nothing).
+                    # ONE manifest read over the member set — never a
+                    # per-member manifest re-parse.
                     if c != pcol and field_types.get(c) is None:
                         raise _Refuse()  # unknown column: scan decides
-                    ext = []
-                    for v in in_spec[1]:
-                        a = manifest_aggregate(
-                            path, columns=[c], version=version,
-                            where_partition=(pcol, v),
-                        )
-                        mv = a["columns"][c][k]
-                        if mv is not None:
-                            ext.append(mv)
-                    merged = (
-                        (min(ext) if k == "min" else max(ext))
-                        if ext
-                        else None
+                    merged = _member_minmax(
+                        path, pcol, ptype, c, k, in_spec[1], version
                     )
                     values.append(None if merged is None else str(merged))
                     fields.append(StructField(alias, StringType(), True))
@@ -1804,6 +1795,13 @@ def _hybrid_group_multi(spark, parsed, tables, version, explain=False):
             and agg_col not in field_types
         ):
             return None  # unknown aggregated column: refuse pre-scan
+    if parsed.get("order_by") is not None:
+        # validate the ORDER BY alias BEFORE the prover pays the
+        # grouped boundary scan — a post-scan refusal would throw the
+        # boundary I/O away and hand the statement to a second, full
+        # scan (every other refusal here is pre-scan for this reason)
+        if parsed["order_by"][0] not in [a for _, _, a in parsed["items"]]:
+            return None  # ORDER BY names a non-output column
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
         DoubleType,
@@ -1943,6 +1941,41 @@ def _answer_eq_range_count(
     )
 
 
+def _member_minmax(path, pcol, ptype, c, kind, members, version):
+    """MIN/MAX of column ``c`` restricted to member partitions in ONE
+    manifest read (manifest_group_stats over the member set — never a
+    per-member manifest re-parse): each member's recorded [min, max]
+    IS its clipped extreme, so the merge is exact. The partition
+    column itself needs no stats: its extremes are the member VALUES
+    present with live rows. Returns the manifest rendering (string
+    form; the caller casts) or None. Raises ValueError when
+    unprovable (tombstones, missing stats) — caller refuses."""
+    from .snapshot import (
+        _hive_part_name,
+        manifest_group_stats,
+        manifest_partition_counts,
+    )
+
+    if c == pcol:
+        names = {_hive_part_name(pcol, v) for v in members}
+        present = [
+            v
+            for v, n in manifest_partition_counts(path, version=version)
+            if v is not None and n > 0 and _hive_part_name(pcol, v) in names
+        ]
+        if not present:
+            return None
+        return min(present) if kind == "min" else max(present)
+    groups3 = manifest_group_stats(
+        path, [c], version=version, where_partition=(pcol, list(members))
+    )
+    idx = 0 if kind == "min" else 1
+    ext = [s[c][idx] for _v, _n, s in groups3 if s[c][idx] is not None]
+    if not ext:
+        return None
+    return min(ext) if kind == "min" else max(ext)
+
+
 def _answer_isnull(spark, parsed, path, pcol, ptype, field_types, version):
     """NULL-membership WHERE, pure-metadata: ``COUNT(*) WHERE col IS
     NULL`` is the recorded per-partition null counts summed (live
@@ -2048,17 +2081,11 @@ def _answer_isnull(spark, parsed, path, pcol, ptype, field_types, version):
                     a = manifest_aggregate(path, columns=[c], version=version)
                     mv = a["columns"][c][k]
                 else:
-                    # per-member extremes merge exactly (the IN rule)
-                    ext = []
-                    for v in members:
-                        a = manifest_aggregate(
-                            path, columns=[c], version=version,
-                            where_partition=(pcol, v),
-                        )
-                        av = a["columns"][c][k]
-                        if av is not None:
-                            ext.append(av)
-                    mv = (min(ext) if k == "min" else max(ext)) if ext else None
+                    # per-member extremes merge exactly (the IN rule),
+                    # in one manifest read over the member set
+                    mv = _member_minmax(
+                        path, pcol, ptype, c, k, members, version
+                    )
                 values.append(None if mv is None else str(mv))
                 fields.append(StructField(alias, StringType(), True))
                 casts[alias] = ptype if c == pcol else field_types[c]

@@ -365,11 +365,8 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             man = read_manifest(self._path, v)
             parent = man.get("parent") or 0
-            prev = (
-                read_manifest(self._path, parent).get("partitions") or {}
-                if parent
-                else {}
-            )
+            parent_man = read_manifest(self._path, parent) if parent else {}
+            prev = parent_man.get("partitions") or {}
             cur = man.get("partitions") or {}
             new_dirs = {
                 p: rel for p, rel in cur.items() if prev.get(p) != rel
@@ -392,11 +389,8 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             )
             if op != "append" or revisited:
                 dropped_dirs = any(p not in cur for p in prev)
-                prev_tomb = None  # tombstone additions count as changes
-                if v > 1:
-                    prev_tomb = (
-                        read_manifest(self._path, parent).get("tombstones")
-                    )
+                # tombstone additions count as changes
+                prev_tomb = parent_man.get("tombstones") if v > 1 else None
                 tomb_changed = (man.get("tombstones") or None) != prev_tomb
                 if new_dirs or dropped_dirs or tomb_changed:
                     if self._skip_changes:
@@ -446,6 +440,16 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         spec = partition.value
         is_null, pval = _partition_value(spec["pname"], spec["ptype"])
         patype = _arrow_type_for(spec["ptype"])
+        if not is_null and isinstance(pval, str):
+            # _partition_value types integral/boolean values but hands
+            # date/float/double back as the directory STRING — coerce
+            # to the Python value Arrow accepts for the declared type
+            if spec["ptype"] == "date":
+                import datetime as _dt
+
+                pval = _dt.date.fromisoformat(pval)
+            elif spec["ptype"] in ("float", "double"):
+                pval = float(pval)
         renames = {old: new for old, new in spec["renames"]}
         dropped = set(spec["dropped"])
         want = [f.name for f in self._schema.fields]
@@ -469,10 +473,20 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                         # a commit written before a schema-evolving
                         # merge lacks the newer column: NULL-fill, the
                         # same semantics as the batch reader's
-                        # unionByName(allowMissingColumns=True)
-                        cols[f2.name] = pa.nulls(
-                            n, _arrow_type_for(f2.dataType.simpleString())
-                        )
+                        # unionByName(allowMissingColumns=True). Any
+                        # Spark type NULL-fills — the injectable map
+                        # only constrains partition VALUES.
+                        try:
+                            at = _arrow_type_for(
+                                f2.dataType.simpleString()
+                            )
+                        except ValueError:
+                            from pyspark.sql.pandas.types import (
+                                to_arrow_type,
+                            )
+
+                            at = to_arrow_type(f2.dataType)
+                        cols[f2.name] = pa.nulls(n, at)
                 yield pa.RecordBatch.from_arrays(
                     [cols[c] for c in want], names=want
                 )

@@ -574,11 +574,25 @@ def _compute_blooms(
         df.select(F.col(partition_col).alias("__pv"), F.explode(F.array(*structs)).alias("s"))
         .select("__pv", F.col("s.c").alias("c"), F.explode("s.ps").alias("pos"))
     )
-    rows = _collect_partition_groups(
-        ex.groupBy("__pv", "c").agg(F.collect_set("pos").alias("bits")),
-        partition_col,
-        what="bloom stats",
+    # one row per (partition, bloom column): the partition-cardinality
+    # cap scales by the column count, or a 60k-partition table with
+    # two bloom columns would falsely trip the 100k-partition bound
+    cap = MAX_COLLECTED_PARTITIONS * len(bloom_cols)
+    rows = (
+        ex.groupBy("__pv", "c")
+        .agg(F.collect_set("pos").alias("bits"))
+        .limit(cap + 1)
+        .collect()
     )
+    if len(rows) > cap:
+        raise ValueError(
+            f"bloom stats: partition column {partition_col!r} has more "
+            f"than {MAX_COLLECTED_PARTITIONS:,} distinct values in this "
+            "input; a partition-value set that size cannot be planned "
+            "driver-side — repartition the table by a lower-cardinality "
+            "column (or a bucket of this one) before using the snapshot "
+            "layer"
+        )
     out: dict = {}
     for r in rows:
         part = _hive_part_name(partition_col, r["__pv"])
@@ -618,10 +632,20 @@ class _SetProbe:
     def __init__(self, values) -> None:
         import numpy as np
 
+        values = list(values)  # materialize once: generators consume
         vals = [v for v in values if isinstance(v, (int, str)) and not isinstance(v, bool)]
         self.ints = sorted({v for v in vals if isinstance(v, int)})
         self.strs = sorted({v for v in vals if isinstance(v, str)})
-        self.empty = not self.ints and not self.strs
+        # any value OUTSIDE the probeable domain (date/float/decimal/
+        # bool keys) poisons the whole probe: pruning on the supported
+        # subset alone could drop a grain that only the unsupported
+        # value matches. unsupported → every check keeps everything
+        # (the probe is a NO-OP, never a filter), and "empty" can only
+        # prove an empty result when nothing was dropped.
+        self.unsupported = len(vals) != len(values)
+        self.empty = (
+            not self.ints and not self.strs and not self.unsupported
+        )
         hashes = {v % _BLOOM_MOD for v in self.ints} | {
             zlib.crc32(s.encode("utf-8")) % _BLOOM_MOD for s in self.strs
         }
@@ -672,8 +696,11 @@ def _set_probe_keeps(probes: dict, stats: dict, pb: dict) -> bool:
     """Partition-grain check for every multi-key probe column: drop
     only when the stats range OR the bloom PROVES no value can be
     present (missing stats/bloom keep — skipping is an optimization,
-    never a filter)."""
+    never a filter; a probe carrying unsupported value types proves
+    nothing and keeps everything)."""
     for c, sp in probes.items():
+        if sp.unsupported:
+            continue
         rng = stats.get(c)
         if rng and not sp.any_in_range(rng):
             return False
@@ -4799,8 +4826,13 @@ def manifest_group_stats(
                 f"column {pcol!r} — only partition equality is provable "
                 "from the manifest"
             )
-        target = _hive_part_name(pcol, wval)
-        parts = {p: rel for p, rel in parts.items() if p == target}
+        # a collection restricts to the member SET (the IN shape) in
+        # the same one-manifest-read pass as a scalar equality
+        if isinstance(wval, (list, tuple, set, frozenset)):
+            targets = {_hive_part_name(pcol, v) for v in wval}
+        else:
+            targets = {_hive_part_name(pcol, wval)}
+        parts = {p: rel for p, rel in parts.items() if p in targets}
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
     if any(p in tomb_parts for p in parts):
         raise ValueError(

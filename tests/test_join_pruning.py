@@ -233,3 +233,28 @@ def test_multi_key_probe_conservative_fuzz(spark, tmp_path):
         assert {r["k"]: r["count"] for r in got} == {
             k: c for k, c in want.items() if c
         }, (trial, sorted(set(keys)))
+
+
+def test_unsupported_key_types_disable_pruning_not_results(spark, tmp_path):
+    # review regression: a probe carrying date/bool/float keys must be
+    # a NO-OP (keep everything), never "empty proves the join empty"
+    import datetime
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1 + i), i % 2) for i in range(8)],
+        "d date, bu bigint",
+    )
+    write_snapshot(df, path, "bu", stats_cols=["d"])
+    dim = spark.createDataFrame(
+        [(datetime.date(2024, 1, 3),)], "dk date"
+    )
+    fact = prune_for_join(spark, path, "d", dim, dim_key="dk")
+    got = fact.join(dim, fact.d == dim.dk).count()
+    assert got == 1  # silent-empty would return 0
+    assert len(fact.inputFiles()) > 0
+    # mixed supported + unsupported values: still a no-op, still right
+    r = read_snapshot(
+        spark, path, point_lookups={"d": [datetime.date(2024, 1, 3), 5]}
+    )
+    assert r.where(F.col("d") == "2024-01-03").count() == 1

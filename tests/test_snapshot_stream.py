@@ -186,3 +186,31 @@ def test_ending_version_bounds_the_backfill(spark, tbl):
     assert got == [(1, "a", 0), (2, "b", 0), (3, "c", 1)]
     with pytest.raises(Exception, match="empty window"):
         _drain(spark, tbl, starting_version="3", ending_version="1")
+
+
+def test_streams_date_partitioned_table(spark, tmp_path):
+    # review regression: date partition values inject as date32, not
+    # as the raw directory string (which Arrow rejects)
+    import datetime
+
+    path = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, datetime.date(2024, 1, 1))], "k bigint, d date"
+        ),
+        path,
+        "d",
+    )
+    append_snapshot(
+        path,
+        spark.createDataFrame(
+            [(2, datetime.date(2024, 1, 2))], "k bigint, d date"
+        ),
+        "d",
+    )
+    spark.dataSource.register(SnapshotStreamDataSource)
+    got = sorted(map(tuple, _drain(spark, path).collect()))
+    assert got == [
+        (1, datetime.date(2024, 1, 1)),
+        (2, datetime.date(2024, 1, 2)),
+    ]
