@@ -1212,10 +1212,20 @@ def _spread(df: DataFrame) -> DataFrame:
     (measured 9.3 s → 1.4 s codebook training at sf0.1). The shuffle
     moves only the pre-join long form (N·n_sub slim rows), never the
     ×ksub join output; at 100 TB the scan already has thousands of
-    splits and this is a no-op."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    splits and this is a no-op.
+
+    Split-count probe: ``inputFiles()`` (driver-side file listing, no
+    plan execution) — NOT ``df.rdd.getNumPartitions()``, which forces
+    a plan-to-RDD conversion per call (mirrors
+    ``dedup._rebalance``). One file can hold several row groups, so
+    this undercounts splits slightly; the only cost is a redundant
+    round-robin on inputs near the core count."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file-backed plan: leave partitioning alone
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
