@@ -529,7 +529,7 @@ def _bloom_positions(value: int, bits: int = BLOOM_BITS) -> list[int]:
 
 def _compute_blooms(
     df: "DataFrame",
-    partition_col: str,
+    partition_col: "str | list[str]",
     bloom_cols: list[str],
     bits: int = BLOOM_BITS,
 ) -> dict:
@@ -570,23 +570,26 @@ def _compute_blooms(
             ]
         )
         structs.append(F.struct(F.lit(c).alias("c"), pos.alias("ps")))
+    spec = _spec_of(partition_col)
+    pv_cols = [F.col(c).alias(f"__pv{i}") for i, c in enumerate(spec)]
+    pv_names = [f"__pv{i}" for i in range(len(spec))]
     ex = (
-        df.select(F.col(partition_col).alias("__pv"), F.explode(F.array(*structs)).alias("s"))
-        .select("__pv", F.col("s.c").alias("c"), F.explode("s.ps").alias("pos"))
+        df.select(*pv_cols, F.explode(F.array(*structs)).alias("s"))
+        .select(*pv_names, F.col("s.c").alias("c"), F.explode("s.ps").alias("pos"))
     )
     # one row per (partition, bloom column): the partition-cardinality
     # cap scales by the column count, or a 60k-partition table with
     # two bloom columns would falsely trip the 100k-partition bound
     cap = MAX_COLLECTED_PARTITIONS * len(bloom_cols)
     rows = (
-        ex.groupBy("__pv", "c")
+        ex.groupBy(*pv_names, "c")
         .agg(F.collect_set("pos").alias("bits"))
         .limit(cap + 1)
         .collect()
     )
     if len(rows) > cap:
         raise ValueError(
-            f"bloom stats: partition column {partition_col!r} has more "
+            f"bloom stats: partition spec {spec!r} has more "
             f"than {MAX_COLLECTED_PARTITIONS:,} distinct values in this "
             "input; a partition-value set that size cannot be planned "
             "driver-side — repartition the table by a lower-cardinality "
@@ -595,7 +598,7 @@ def _compute_blooms(
         )
     out: dict = {}
     for r in rows:
-        part = _hive_part_name(partition_col, r["__pv"])
+        part = _hive_path_name(spec, [r[n] for n in pv_names])
         bm = bytearray(bits // 8)
         for b in r["bits"]:
             bm[b // 8] |= 1 << (b % 8)
@@ -1301,7 +1304,7 @@ def read_snapshot(
         raise FileNotFoundError(f"no snapshot at {path}")
     by_commit: dict[str, list[str]] = {}
     for pname, rel in parts.items():
-        commit = os.path.dirname(rel)  # data/<commit-id>
+        commit = _commit_root(rel, pname)  # data/<commit-id>
         if pname in file_sel:
             by_commit.setdefault(commit, []).extend(
                 os.path.join(path, rel, f) for f in file_sel[pname]
@@ -1345,11 +1348,9 @@ def read_snapshot(
             return s
 
         scans = [_logical(s) for s in scans]
-    specs = [
-        (meta0["partition_col"], meta0["partition_type"])
-        for _ in [0]
-        if meta0.get("partition_col")
-    ] + [(s["col"], s["type"]) for s in meta0.get("prior_specs") or []]
+    specs = _spec_meta(meta0) + [
+        (s["col"], s["type"]) for s in meta0.get("prior_specs") or []
+    ]
     if len(specs) > 1:
         # Mixed partition specs (evolve_partition_spec): each spec
         # column is a DIRECTORY value (string) in commits written
@@ -1376,10 +1377,8 @@ def read_snapshot(
     if meta:
         from pyspark.sql import functions as F
 
-        out = out.withColumn(
-            meta["partition_col"],
-            F.col(meta["partition_col"]).cast(meta["partition_type"]),
-        )
+        for pc, pt in _spec_meta(meta):
+            out = out.withColumn(pc, F.col(pc).cast(pt))
         # Conform to the table's LOGICAL schema: pruning (partition_filter
         # / stats / bloom) may have kept only commits written BEFORE a
         # schema-evolving merge, so evolution-added columns would be
@@ -1472,10 +1471,12 @@ def _apply_tombstones(
     for old, new in renames or []:
         if logical_key == old:
             logical_key = new
-    pcol = meta["partition_col"]
+    # tombstones only exist on single-column-spec tables (the
+    # merge-on-read delete path gates multi-column specs)
+    pcol, ptype = _spec_meta(meta)[0]
     t = t.select(
         F.col(logical_key).alias("__tomb_k"),
-        F.col(pcol).cast(meta["partition_type"]).alias("__tomb_p"),
+        F.col(pcol).cast(ptype).alias("__tomb_p"),
     )
     total = sum(int(e.get("n_deleted") or 0) for e in t_parts.values())
     if total <= 2_000_000:
@@ -1695,6 +1696,172 @@ def _hive_part_name(partition_col: str, value) -> str:
     return f"{partition_col}={esc}"
 
 
+def _spec_of(partition_col) -> list[str]:
+    """Normalize a partition-spec argument: a single column name or an
+    ORDERED list of column names (multi-column hive layout,
+    ``day=.../source=...`` — Iceberg specs are lists, and real 100 TB
+    tables partition by more than one dimension). Order is the
+    directory nesting order and is part of the table's identity."""
+    if isinstance(partition_col, str):
+        return [partition_col]
+    spec = [str(c) for c in partition_col]
+    if not spec:
+        raise ValueError("partition spec must name at least one column")
+    if len(set(spec)) != len(spec):
+        raise ValueError(f"partition spec repeats a column: {spec}")
+    return spec
+
+
+def _spec_meta(meta: dict) -> "list[tuple[str, str]]":
+    """The table's CURRENT partition spec as ``[(col, type), …]`` from
+    schema metadata — reads the multi-column fields
+    (``partition_spec``/``partition_types``) when present, else the
+    legacy scalar pair. Empty list when no spec is recorded."""
+    cols = meta.get("partition_spec")
+    if cols:
+        return list(zip(cols, meta.get("partition_types") or []))
+    if meta.get("partition_col"):
+        return [(meta["partition_col"], meta.get("partition_type") or "string")]
+    return []
+
+
+def _hive_path_name(spec_cols: list[str], values) -> str:
+    """The (possibly nested) partition directory path Spark writes for
+    one spec-value tuple: ``"a=1"`` for a single-column spec,
+    ``"a=1/b=x"`` for a multi-column one. Safe to split on ``"/"``
+    later because ``/`` is hive-escaped inside values
+    (``_HIVE_ESCAPE``)."""
+    return "/".join(
+        _hive_part_name(c, v) for c, v in zip(spec_cols, values)
+    )
+
+
+def _pname_levels(pname: str, spec: "list[tuple[str, str]]") -> "list":
+    """Decode a manifest partition name against a spec: one
+    ``(is_null, typed_value)`` per spec column (see
+    :func:`_partition_value`). Raises if the name's depth or column
+    labels disagree with the spec — the caller is then looking at a
+    retired-spec directory and must refuse, not guess."""
+    levels = pname.split("/")
+    if len(levels) != len(spec):
+        raise ValueError(
+            f"partition name {pname!r} has {len(levels)} level(s); the "
+            f"current spec has {len(spec)} — retired-spec directory"
+        )
+    out = []
+    for level, (col, typ) in zip(levels, spec):
+        if not level.startswith(f"{col}="):
+            raise ValueError(
+                f"partition name level {level!r} does not belong to "
+                f"spec column {col!r} — retired-spec directory"
+            )
+        out.append(_partition_value(level, typ))
+    return out
+
+
+def _pname_conforms(pname: str, spec: "list[tuple[str, str]]") -> bool:
+    """True iff a manifest partition name speaks the CURRENT spec —
+    right depth, right column label at every level."""
+    levels = pname.split("/")
+    return len(levels) == len(spec) and all(
+        level.startswith(f"{col}=")
+        for level, (col, _t) in zip(levels, spec)
+    )
+
+
+def _partition_selector(meta: dict, wcol: str) -> "tuple[int, str, str]":
+    """Resolve a partition-restriction / grouping column against the
+    table's spec: ``(level index, col, type)``. Raises when ``wcol``
+    is not a spec column — only partition equality on spec columns is
+    provable from the manifest."""
+    spec = _spec_meta(meta)
+    for i, (c, t) in enumerate(spec):
+        if c == wcol:
+            return i, c, t
+    raise ValueError(
+        f"where_partition column {wcol!r} is not the partition "
+        f"column — the spec is {[c for c, _t in spec]!r}; only "
+        "partition equality on spec columns is provable from the "
+        "manifest"
+    )
+
+
+def _restrict_parts(
+    parts: dict,
+    meta: dict,
+    where_partition: "tuple | None" = None,
+    where_partition_in: "tuple | None" = None,
+) -> dict:
+    """Apply eq / IN partition restrictions at the manifest, matching
+    on the restricted column's OWN directory level — so ``source =
+    'web'`` selects every ``day=*/source=web`` partition of a
+    multi-column spec (and degenerates to full-name equality on a
+    single-column one). A scalar ``where_partition`` value that is a
+    collection restricts to the member set (the IN shape)."""
+    if where_partition is not None:
+        wcol, wval = where_partition
+        idx, c, _t = _partition_selector(meta, wcol)
+        if isinstance(wval, (list, tuple, set, frozenset)):
+            tgts = {_hive_part_name(c, v) for v in wval}
+        else:
+            tgts = {_hive_part_name(c, wval)}
+        parts = {
+            p: r for p, r in parts.items() if p.split("/")[idx] in tgts
+        }
+    if where_partition_in is not None:
+        wcol, wvals = where_partition_in
+        idx, c, _t = _partition_selector(meta, wcol)
+        tgts = {_hive_part_name(c, v) for v in wvals}
+        parts = {
+            p: r for p, r in parts.items() if p.split("/")[idx] in tgts
+        }
+    return parts
+
+
+def _group_parts(
+    parts, meta: dict, group_col: str
+) -> "dict[str, list[str]]":
+    """Group manifest partition names by ONE spec component's level
+    (``{level_name: [pnames]}``, level names sort deterministically).
+    The hive bijection holds per level, so merging the members' stats
+    answers ``GROUP BY <component>`` exactly — counts/sums add, HLL
+    registers max, histogram buckets add, min/max nest."""
+    idx, _c, _t = _partition_selector(meta, group_col)
+    out: dict[str, list[str]] = {}
+    for p in parts:
+        out.setdefault(p.split("/")[idx], []).append(p)
+    return out
+
+
+def _default_group_col(meta: dict, group_col: "str | None", what: str) -> str:
+    """The grouping column for per-partition answers: explicit wins; a
+    single-column spec defaults to its one column; a multi-column spec
+    requires the caller to name which component to group by."""
+    if group_col is not None:
+        _partition_selector(meta, group_col)  # validate
+        return group_col
+    spec = _spec_meta(meta)
+    if len(spec) == 1:
+        return spec[0][0]
+    raise ValueError(
+        f"{what}: the table has a multi-column partition spec "
+        f"{[c for c, _t in spec]!r} — name the component to group by "
+        "(group_col=...)"
+    )
+
+
+def _commit_root(rel: str, pname: str) -> str:
+    """The commit root a scan should use as ``basePath``: ``rel`` with
+    ``pname``'s directory level(s) stripped. NOT ``os.path.dirname`` —
+    that lands INSIDE the partition tree for multi-level specs
+    (``data/c/day=1/source=x`` → ``data/c/day=1``), silently dropping
+    the outer partition column from hive discovery. Works for absolute
+    rels too (shallow clones), since every manifest rel ends with its
+    partition name."""
+    n = pname.count("/") + 1
+    return "/".join(rel.split("/")[:-n])
+
+
 def _fsync_dir(path) -> None:
     """fsync a directory entry — os.link publishes atomically, but the
     new name is only crash-durable once the directory itself is synced
@@ -1737,19 +1904,21 @@ def _check_partition_type(df: DataFrame, partition_col: str, op: str) -> None:
     not only in the merge path: a write_snapshot-created float table
     would bootstrap fine and fail later, with its recorded bloom
     bitmaps silently discarded at commit time."""
-    ptype = df.schema[partition_col].dataType.simpleString()
-    if ptype not in {
-        "tinyint", "smallint", "int", "bigint", "string", "date", "boolean"
-    }:
-        raise ValueError(
-            f"unsupported partition column type {ptype!r} for {op} "
-            "(use an integral, string, date, or boolean partition key)"
-        )
+    for col in _spec_of(partition_col):
+        ptype = df.schema[col].dataType.simpleString()
+        if ptype not in {
+            "tinyint", "smallint", "int", "bigint", "string", "date", "boolean"
+        }:
+            raise ValueError(
+                f"unsupported partition column type {ptype!r} for {op} "
+                f"(column {col!r}; use an integral, string, date, or "
+                "boolean partition key)"
+            )
 
 
 def _schema_meta(
     df: DataFrame,
-    partition_col: str,
+    partition_col: "str | list[str]",
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     bloom_bits: int = BLOOM_BITS,
@@ -1759,15 +1928,24 @@ def _schema_meta(
     values happen to fit), and two commits must never disagree.
     ``stats_cols``/``bloom_cols`` are TABLE properties: every later
     merge/compact keeps collecting footer stats / bloom bitmaps for
-    the same columns without each writer restating them."""
+    the same columns without each writer restating them.
+
+    Multi-column specs record ``partition_spec``/``partition_types``
+    lists; single-column specs additionally keep the legacy scalar
+    pair so every historical reader keeps working unchanged."""
+    spec = _spec_of(partition_col)
+    types = [df.schema[c].dataType.simpleString() for c in spec]
     meta = {
-        "partition_col": partition_col,
-        "partition_type": df.schema[partition_col].dataType.simpleString(),
+        "partition_spec": spec,
+        "partition_types": types,
         "columns": df.columns,
         # full typed schema: lets an EMPTY table (all partitions
         # deleted) read back as a zero-row frame instead of an error
         "spark_schema": df.schema.json(),
     }
+    if len(spec) == 1:
+        meta["partition_col"] = spec[0]
+        meta["partition_type"] = types[0]
     if stats_cols:
         meta["stats_cols"] = list(stats_cols)
     if bloom_cols:
@@ -1813,7 +1991,7 @@ def _staged_path(path: str, name: str) -> Path:
 def stage_commit(
     df: DataFrame,
     path: str,
-    partition_col: str,
+    partition_col: "str | list[str]",
     *,
     name: str,
     stats_cols: list[str] | None = None,
@@ -2003,14 +2181,16 @@ def _mixed_spec(man: dict) -> bool:
     meta = man.get("schema") or {}
     if not meta.get("prior_specs"):
         return False
-    pref = f"{meta.get('partition_col')}="
-    return any(not p.startswith(pref) for p in man.get("partitions") or {})
+    spec = _spec_meta(meta)
+    return any(
+        not _pname_conforms(p, spec) for p in man.get("partitions") or {}
+    )
 
 
 def _write_commit_data(
     df: DataFrame,
     path: str,
-    partition_col: str,
+    partition_col: "str | list[str]",
     stats_cols: list[str] | None = None,
 ) -> tuple[dict[str, str], dict]:
     """Write df's partitions under a fresh commit dir; return the
@@ -2027,9 +2207,10 @@ def _write_commit_data(
         raise ValueError(
             f"column name {N_ROWS_KEY!r} is reserved for manifest row counts"
         )
+    spec = _spec_of(partition_col)
     commit_id = uuid.uuid4().hex[:12]
     out = Path(path) / DATA_DIR / commit_id
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(str(out))
+    df.write.mode("overwrite").partitionBy(*spec).parquet(str(out))
     # Make the data as durable as the manifest that will reference it:
     # a durable manifest pointing at page-cache-only parquet would be
     # worse than no commit. (On HDFS/S3 close() already guarantees
@@ -2062,18 +2243,29 @@ def _write_commit_data(
             mm_cols.append(c)
     entries = {}
     stats = {}
-    for p in out.iterdir():
-        if p.is_dir() and p.name.startswith(f"{partition_col}="):
-            entries[p.name] = os.path.join(DATA_DIR, commit_id, p.name)
-            s, n_rows = _footer_stats(p, mm_cols)
-            # Row counts are recorded UNCONDITIONALLY (stats_cols only
-            # gates column min/max): every footer states num_rows
-            # exactly, so COUNT(*) — and the per-partition sizing any
-            # maintenance planner wants — is answerable from the
-            # manifest alone (manifest_aggregate), the Iceberg/Delta
-            # numRecords idiom.
-            s[N_ROWS_KEY] = n_rows
-            stats[p.name] = s
+
+    def _leaf_dirs(root: Path, level: int):
+        """Yield (pname, dir) for the spec's leaf directories — one
+        nesting level per spec column (``a=1/b=x``)."""
+        for p in root.iterdir():
+            if not (p.is_dir() and p.name.startswith(f"{spec[level]}=")):
+                continue
+            if level + 1 == len(spec):
+                yield p.relative_to(out).as_posix(), p
+            else:
+                yield from _leaf_dirs(p, level + 1)
+
+    for pname, p in _leaf_dirs(out, 0):
+        entries[pname] = os.path.join(DATA_DIR, commit_id, pname)
+        s, n_rows = _footer_stats(p, mm_cols)
+        # Row counts are recorded UNCONDITIONALLY (stats_cols only
+        # gates column min/max): every footer states num_rows
+        # exactly, so COUNT(*) — and the per-partition sizing any
+        # maintenance planner wants — is answerable from the
+        # manifest alone (manifest_aggregate), the Iceberg/Delta
+        # numRecords idiom.
+        s[N_ROWS_KEY] = n_rows
+        stats[pname] = s
     if hll_cols and entries:
         for pname, regs_by_col in _compute_hlls(
             df.sparkSession, out, partition_col, hll_cols
@@ -2141,20 +2333,21 @@ def _compute_sums(
                 f"{t!r}; sum stats must be integral (float addition is "
                 "order-dependent — quantize to cents/micros first)"
             )
+    spec = _spec_of(partition_col)
     rows = _collect_partition_groups(
-        back.groupBy(partition_col).agg(
+        back.groupBy(*spec).agg(
             *[
                 F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s_{c}")
                 for c in cols
             ],
             *[F.count(F.col(c)).alias(f"n_{c}") for c in cols],
         ),
-        partition_col,
+        spec[0],
         what="sum stats",
     )
     out: dict = {}
     for r in rows:
-        pname = _hive_part_name(partition_col, r[0])
+        pname = _hive_path_name(spec, [r[i] for i in range(len(spec))])
         entry = out.setdefault(pname, {})
         for c in cols:
             sv = r[f"s_{c}"]
@@ -2210,11 +2403,13 @@ def _compute_hists(
                 "to cents/micros like the q90 recipe)"
             )
     out: dict = {}
+    pspec = _spec_of(partition_col)
+    k = len(pspec)
     for col, width, key in specs:
         rows = (
             back.where(F.col(col).isNotNull())
             .groupBy(
-                partition_col,
+                *pspec,
                 F.floor(F.col(col) / F.lit(width)).alias("__b"),
             )
             .agg(F.count(F.lit(1)).alias("__n"))
@@ -2222,7 +2417,9 @@ def _compute_hists(
         )
         per_part: dict = {}
         for r in rows:
-            per_part.setdefault(r[0], []).append((int(r[1]), int(r[2])))
+            per_part.setdefault(
+                tuple(r[i] for i in range(k)), []
+            ).append((int(r[k]), int(r[k + 1])))
         for pval, buckets in per_part.items():
             if len(buckets) > MAX_HIST_BUCKETS:
                 raise ValueError(
@@ -2231,7 +2428,7 @@ def _compute_hists(
                     "bucket width; a megabyte manifest is the wrong home "
                     "for a fine-grained histogram"
                 )
-            pname = _hive_part_name(partition_col, pval)
+            pname = _hive_path_name(pspec, list(pval))
             out.setdefault(pname, {})[key] = [
                 [b, n] for b, n in sorted(buckets)
             ]
@@ -2272,26 +2469,28 @@ def _compute_hlls(
                 "domain as bloom_cols)"
             )
     out: dict = {}
+    spec = _spec_of(partition_col)
+    k = len(spec)
     for c in cols:
         rows = (
             # NULLs drop: COUNT(DISTINCT col) ignores them in SQL, so
             # the sketch must too
             SK.hll_registers(
-                back.where(F.col(c).isNotNull()), [partition_col], c
+                back.where(F.col(c).isNotNull()), spec, c
             ).collect()  # ≤ partitions × 256 rows: manifest-scale
         )
         for r in rows:
-            pname = _hive_part_name(partition_col, r[0])
+            pname = _hive_path_name(spec, [r[i] for i in range(k)])
             dense = out.setdefault(pname, {}).setdefault(
                 f"{c}{HLL_SUFFIX}", [0] * SK.HLL_M
             )
-            dense[r[1]] = max(dense[r[1]], r[2])
+            dense[r[k]] = max(dense[r[k]], r[k + 1])
     return out
 
 
 def _apply_distribution(
     df: DataFrame,
-    partition_col: str,
+    partition_col: "str | list[str]",
     distribution: "str | None",
     order_by: "list[str] | None",
 ) -> DataFrame:
@@ -2315,15 +2514,16 @@ def _apply_distribution(
             "order_by requires distribution='range' — it names the "
             "range-shuffle sort key"
         )
+    spec = _spec_of(partition_col)
     if distribution == "hash":
-        return df.repartition(partition_col)
+        return df.repartition(*spec)
     if distribution == "range":
         if not order_by:
             raise ValueError(
                 "distribution='range' needs order_by=[col, …] — the "
                 "sort key each file should cover a tight slice of"
             )
-        cols = [F.col(partition_col)] + [F.col(c) for c in order_by]
+        cols = [F.col(c) for c in spec] + [F.col(c) for c in order_by]
         return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
     return df
 
@@ -2331,7 +2531,7 @@ def _apply_distribution(
 def write_snapshot(
     df: DataFrame,
     path: str,
-    partition_col: str,
+    partition_col: "str | list[str]",
     *,
     expected_version: int | None = None,
     stats_cols: list[str] | None = None,
@@ -2454,7 +2654,7 @@ def merge_snapshot(
     target_path: str,
     source: DataFrame,
     key: str,
-    partition_col: str,
+    partition_col: "str | list[str]",
     *,
     expected_version: int | None = None,
     txn: tuple[str, int] | None = None,
@@ -2543,7 +2743,7 @@ def merge_snapshot(
 def replace_partitions(
     target_path: str,
     source: DataFrame,
-    partition_col: str,
+    partition_col: "str | list[str]",
     *,
     expected_version: int | None = None,
     txn: tuple[str, int] | None = None,
@@ -2592,7 +2792,7 @@ def replace_partitions(
 def _partition_scoped_commit(
     target_path: str,
     source: DataFrame,
-    partition_col: str,
+    partition_col: "str | list[str]",
     *,
     expected_version: int | None,
     txn: tuple[str, int] | None,
@@ -2623,11 +2823,16 @@ def _partition_scoped_commit(
         parent = branch_head(target_path, branch)
     parent_ref = parent if branch is None else f"branch:{branch}@{parent}"
     man = read_manifest(target_path, parent_ref)
-    cur_pcol = (man.get("schema") or {}).get("partition_col")
-    if cur_pcol and partition_col != cur_pcol:
+    spec = _spec_of(partition_col)
+    cur_spec = [c for c, _t in _spec_meta(man.get("schema") or {})]
+    if cur_spec and spec != cur_spec:
+
+        def _r(s):  # single-col specs render as the bare column name
+            return repr(s[0]) if len(s) == 1 else repr(s)
+
         raise ValueError(
-            f"{target_path} is partitioned by {cur_pcol!r}, not "
-            f"{partition_col!r} — a mismatched writer would silently "
+            f"{target_path} is partitioned by {_r(cur_spec)}, not "
+            f"{_r(spec)} — a mismatched writer would silently "
             "fork the layout; use evolve_partition_spec to change the "
             "spec, or write_snapshot to overwrite"
         )
@@ -2647,9 +2852,9 @@ def _partition_scoped_commit(
     # collect, anti-join, write) — materialize it once.
     source = source.localCheckpoint(eager=False)
     touched = {
-        _hive_part_name(partition_col, v)
-        for v in _collect_distinct_partitions(
-            source, partition_col, what="merge"
+        _hive_path_name(spec, [r[i] for i in range(len(spec))])
+        for r in _collect_partition_groups(
+            source.select(*spec).distinct(), spec[0], what="merge"
         )
     }
     prev_meta = man.get("schema") or {}
@@ -2904,9 +3109,11 @@ def evolve_snapshot_schema(
     )
 
 
-def evolve_partition_spec(path: str, new_partition_col: str) -> int:
+def evolve_partition_spec(path: str, new_partition_col) -> int:
     """PARTITION SPEC EVOLUTION (Iceberg's signature trick): re-declare
-    the table's partition column WITHOUT rewriting a byte of old data —
+    the table's partition column — or ordered MULTI-COLUMN spec
+    (``["day", "source"]`` → nested ``day=…/source=…`` directories) —
+    WITHOUT rewriting a byte of old data —
     a metadata-only commit that carries every partition by reference
     and records the new spec. Old directories keep their layout; new
     commits (:func:`append_snapshot`, :func:`write_snapshot` overwrite)
@@ -2940,9 +3147,10 @@ def evolve_partition_spec(path: str, new_partition_col: str) -> int:
     meta = dict(man.get("schema") or {})
     if not meta:
         raise ValueError(f"{path} has no committed schema metadata")
-    old_col, old_type = meta["partition_col"], meta["partition_type"]
-    if new_partition_col == old_col:
-        raise ValueError(f"{path} is already partitioned by {old_col!r}")
+    old_spec = _spec_meta(meta)
+    new_spec = _spec_of(new_partition_col)
+    if new_spec == [c for c, _t in old_spec]:
+        raise ValueError(f"{path} is already partitioned by {new_spec!r}")
     if (man.get("tombstones") or {}).get("parts"):
         raise ValueError(
             "cannot evolve the partition spec while merge-on-read "
@@ -2952,14 +3160,6 @@ def evolve_partition_spec(path: str, new_partition_col: str) -> int:
     renamed = {old for old, _ in meta.get("renames") or []} | {
         new for _, new in meta.get("renames") or []
     }
-    if new_partition_col in renamed or new_partition_col in (
-        meta.get("dropped") or []
-    ):
-        raise ValueError(
-            f"cannot partition by {new_partition_col!r}: column is part "
-            "of the rename/drop evolution chain (physical and logical "
-            "names would disagree across commits)"
-        )
     from pyspark.sql.types import StructType
 
     sj = meta.get("spark_schema")
@@ -2971,24 +3171,45 @@ def evolve_partition_spec(path: str, new_partition_col: str) -> int:
         if sj
         else {}
     )
-    if new_partition_col not in fields:
-        raise ValueError(
-            f"cannot partition by {new_partition_col!r}: not a data "
-            f"column of {path} (columns: {sorted(fields)})"
-        )
-    new_type = fields[new_partition_col]
-    if new_type not in {
-        "tinyint", "smallint", "int", "bigint", "string", "date", "boolean"
-    }:
-        raise ValueError(
-            f"unsupported partition column type {new_type!r} for spec "
-            "evolution (use an integral, string, date, or boolean key)"
-        )
-    meta["partition_col"] = new_partition_col
-    meta["partition_type"] = new_type
-    meta["prior_specs"] = (meta.get("prior_specs") or []) + [
-        {"col": old_col, "type": old_type}
-    ]
+    new_types = []
+    for col in new_spec:
+        if col in renamed or col in (meta.get("dropped") or []):
+            raise ValueError(
+                f"cannot partition by {col!r}: column is part "
+                "of the rename/drop evolution chain (physical and logical "
+                "names would disagree across commits)"
+            )
+        if col not in fields:
+            raise ValueError(
+                f"cannot partition by {col!r}: not a data "
+                f"column of {path} (columns: {sorted(fields)})"
+            )
+        new_type = fields[col]
+        if new_type not in {
+            "tinyint", "smallint", "int", "bigint", "string", "date", "boolean"
+        }:
+            raise ValueError(
+                f"unsupported partition column type {new_type!r} for spec "
+                "evolution (use an integral, string, date, or boolean key)"
+            )
+        new_types.append(new_type)
+    meta["partition_spec"] = new_spec
+    meta["partition_types"] = new_types
+    if len(new_spec) == 1:
+        meta["partition_col"] = new_spec[0]
+        meta["partition_type"] = new_types[0]
+    else:
+        # no scalar pair on a multi-column spec: single-col-only
+        # consumers must see "no partition column" and refuse, never
+        # operate on the first component alone
+        meta.pop("partition_col", None)
+        meta.pop("partition_type", None)
+    prior = list(meta.get("prior_specs") or [])
+    for col, typ in old_spec:
+        entry = {"col": col, "type": typ}
+        if entry not in prior:
+            prior.append(entry)
+    meta["prior_specs"] = prior
     return _commit(
         path,
         parent,
@@ -3275,7 +3496,7 @@ def alter_table_properties(
 def append_snapshot(
     target_path: str,
     source: DataFrame,
-    partition_col: str,
+    partition_col: "str | list[str]",
     *,
     expected_version: int | None = None,
     txn: tuple[str, int] | None = None,
@@ -3391,21 +3612,23 @@ def delete_where(
         raise ValueError(f"unknown delete mode {mode!r}")
     parent = current_version(path)
     man = read_manifest(path, parent)
-    pcol = (man.get("schema") or {}).get("partition_col")
-    if pcol is None:
+    spec_t = _spec_meta(man.get("schema") or {})
+    if not spec_t:
         raise ValueError(f"{path} has no committed snapshot to delete from")
+    spec = [c for c, _t in spec_t]
     if _mixed_spec(man):
         raise ValueError(
             f"{path} holds partitions under a retired partition spec — "
             "row deletes are partition-scoped and would miss old-spec "
             "directories; compact_snapshot to migrate first"
         )
+    k = len(spec)
     cur = read_snapshot(spark, path, parent)
     hits = _collect_partition_groups(
-        cur.groupBy(pcol)
+        cur.groupBy(*spec)
         .agg(F.sum(F.when(cond, 1).otherwise(0)).alias("n"))
         .filter(F.col("n") > 0),
-        pcol,
+        spec[0],
         what="delete",
     )
     if not hits:
@@ -3416,7 +3639,9 @@ def delete_where(
             "dropped_partitions": 0,
             "physical_erasure_requires_expiry": True,
         }
-    affected = {_hive_part_name(pcol, r[0]) for r in hits}
+    affected = {
+        _hive_path_name(spec, [r[i] for i in range(k)]) for r in hits
+    }
     deleted = sum(r["n"] for r in hits)
     keep = (
         read_snapshot(
@@ -3426,14 +3651,16 @@ def delete_where(
         .localCheckpoint(eager=False)
     )
     kept_parts = {
-        _hive_part_name(pcol, v)
-        for v in _collect_distinct_partitions(keep, pcol, what="delete")
+        _hive_path_name(spec, [r[i] for i in range(k)])
+        for r in _collect_partition_groups(
+            keep.select(*spec).distinct(), spec[0], what="delete"
+        )
     }
     emptied = affected - kept_parts
     version = replace_partitions(
         path,
         keep,
-        pcol,
+        spec if k > 1 else spec[0],
         expected_version=parent,
         txn=txn,
         drop_partitions=emptied,
@@ -3483,9 +3710,16 @@ def _delete_where_mor(
     parent = current_version(path)
     man = read_manifest(path, parent)
     meta = man.get("schema") or {}
-    pcol = meta.get("partition_col")
-    if pcol is None:
+    spec_t = _spec_meta(meta)
+    if not spec_t:
         raise ValueError(f"{path} has no committed snapshot to delete from")
+    if len(spec_t) > 1:
+        raise ValueError(
+            "merge-on-read delete does not support multi-column "
+            "partition specs yet — tombstone pairs are keyed (key, "
+            "partition value); use mode='copy-on-write'"
+        )
+    pcol = spec_t[0][0]
     if _mixed_spec(man):
         raise ValueError(
             f"{path} holds partitions under a retired partition spec — "
@@ -3744,9 +3978,11 @@ def compact_snapshot(
     parent = current_version(path)
     man = read_manifest(path, parent)
     meta = man.get("schema") or {}
-    partition_col = meta.get("partition_col")
-    if not partition_col:
+    spec_t = _spec_meta(meta)
+    if not spec_t:
         raise ValueError(f"{path} has no committed schema metadata")
+    spec = [c for c, _t in spec_t]
+    partition_col = spec if len(spec) > 1 else spec[0]
     df = read_snapshot(spark, path, parent)
     if zorder_by:
         from .layout import ZORDER_BITS, _quantile_scales, interleave_bits
@@ -3756,8 +3992,10 @@ def compact_snapshot(
         )
         df = (
             df.withColumn("__zkey", key)
-            .repartitionByRange(num_files, F.col(partition_col), F.col("__zkey"))
-            .sortWithinPartitions(partition_col, "__zkey")
+            .repartitionByRange(
+                num_files, *[F.col(c) for c in spec], F.col("__zkey")
+            )
+            .sortWithinPartitions(*spec, "__zkey")
             .drop("__zkey")
         )
     bloom_cols = meta.get("bloom_cols")
@@ -3853,9 +4091,10 @@ def compact_partitions(
 
     man = read_manifest(path)
     meta = man.get("schema") or {}
-    pcol = meta.get("partition_col")
-    if not pcol:
+    spec_t = _spec_meta(meta)
+    if not spec_t:
         raise ValueError(f"{path} has no committed schema metadata")
+    spec = [c for c, _t in spec_t]
     if _mixed_spec(man):
         raise ValueError(
             f"{path} holds partitions under a retired partition spec — "
@@ -3891,11 +4130,11 @@ def compact_partitions(
     sel = set(selected)
     content = read_snapshot(
         spark, path, man["version"], partition_filter=lambda p: p in sel
-    ).repartition(F.col(pcol))
+    ).repartition(*[F.col(c) for c in spec])
     version = replace_partitions(
         path,
         content,
-        pcol,
+        spec if len(spec) > 1 else spec[0],
         expected_version=man["version"],
         # a fully-tombstoned partition rewrites to zero rows: drop it
         drop_partitions=sel,
@@ -3925,7 +4164,9 @@ def table_info(path: str, version: int | None = None) -> dict:
     call, not a hot path; everything else is one manifest read.
     """
     man = read_manifest(path, version)
-    commits = {os.path.dirname(rel) for rel in man["partitions"].values()}
+    commits = {
+        _commit_root(rel, p) for p, rel in man["partitions"].items()
+    }
     n_files = 0
     n_bytes = 0
     for rel in man["partitions"].values():
@@ -3939,6 +4180,7 @@ def table_info(path: str, version: int | None = None) -> dict:
         "version": man["version"],
         "operation": man.get("operation"),
         "partition_col": meta.get("partition_col"),
+        "partition_spec": [c for c, _t in _spec_meta(meta)] or None,
         "n_partitions": len(man["partitions"]),
         "n_commits_referenced": len(commits),
         "n_versions_retained": len(
@@ -3988,7 +4230,7 @@ def maintain_snapshot(
     # files) stat walk; 'cheap when healthy' means one JSON read.
     man = read_manifest(path)
     n_commits = len(
-        {os.path.dirname(rel) for rel in man["partitions"].values()}
+        {_commit_root(rel, p) for p, rel in man["partitions"].items()}
     )
     # merge-on-read tombstones are deferred work: every tombstoned
     # partition pays an anti-join per read and blocks manifest
