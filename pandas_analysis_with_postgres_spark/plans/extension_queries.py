@@ -8940,6 +8940,89 @@ SELECT
 """
 
 
+_MULTISPEC_TABLES: dict = {}
+
+
+def z106_multicol_spec_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-COLUMN PARTITION SPEC, end to end (r9 verdict ask #3):
+    orders snapshotted by the ordered spec ``(o_orderstatus,
+    o_orderpriority)`` — nested hive directories ``o_orderstatus=O/
+    o_orderpriority=1-URGENT`` with manifests keyed by the composite
+    name — then served entirely from MANIFEST METADATA through the
+    extended grammar: eq on ONE component restricting a GROUP BY of
+    the OTHER (counts and exact sums merge over the member
+    partitions), and the non-grouped IN form composing COUNT(*),
+    MIN of a spec component, MAX of a stats column, and
+    COUNT(DISTINCT <component>) — every restriction matched at the
+    component's own directory level, zero data pages. This is the
+    ``(day, source)`` layout every real training-data warehouse uses;
+    the oracle recomputes all seven outputs from the raw orders
+    table."""
+    import os
+
+    from ..sources.metadata_sql import answer_from_manifest
+    from ..sources.snapshot import write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _MULTISPEC_TABLES.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("multispec_") + "/tbl"
+        orders = load_table(spark, sf_dir, "orders")
+        cents = (
+            F.col("o_totalprice").cast("decimal(18,2)") * 100
+        ).cast("long")
+        df = orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            cents.alias("cents"),
+        )
+        write_snapshot(
+            df,
+            path,
+            ["o_orderstatus", "o_orderpriority"],
+            stats_cols=["cents", "cents::sum"],
+        )
+        _MULTISPEC_TABLES[key] = path
+    T = {"t": path}
+    grp = answer_from_manifest(
+        spark,
+        "SELECT o_orderpriority, COUNT(*) AS n, SUM(cents) AS s"
+        " FROM t WHERE o_orderstatus = 'O' GROUP BY o_orderpriority",
+        T,
+    )
+    merged = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n_in, MIN(o_orderpriority) AS lo_p,"
+        " MAX(cents) AS hi_c, COUNT(DISTINCT o_orderpriority) AS nd_p"
+        " FROM t WHERE o_orderstatus IN ('O', 'F')",
+        T,
+    )
+    assert grp is not None and merged is not None  # refusal = hard fail
+    return grp.crossJoin(merged)
+
+
+Z106_SQL = """
+WITH b AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+g AS (
+  SELECT o_orderpriority, COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS s
+  FROM b WHERE o_orderstatus = 'O' GROUP BY o_orderpriority
+),
+m AS (
+  SELECT COUNT(*)::BIGINT AS n_in, MIN(o_orderpriority) AS lo_p,
+         MAX(cents)::BIGINT AS hi_c,
+         COUNT(DISTINCT o_orderpriority)::BIGINT AS nd_p
+  FROM b WHERE o_orderstatus IN ('O', 'F')
+)
+SELECT g.o_orderpriority, g.n, g.s, m.n_in, m.lo_p, m.hi_c, m.nd_p
+FROM g CROSS JOIN m
+"""
+
+
 _DEEPCLONE_TABLES: dict = {}
 
 
@@ -9675,6 +9758,7 @@ EXTENSION_QUERIES = {
     "z103_deep_clone": z103_deep_clone,
     "z104_metadata_null_audit": z104_metadata_null_audit,
     "z105_hybrid_null_audit": z105_hybrid_null_audit,
+    "z106_multicol_spec_metadata": z106_multicol_spec_metadata,
 }
 
 EXTENSION_ORACLES = {
@@ -9822,5 +9906,6 @@ EXTENSION_ORACLES = {
     "z103_deep_clone": Z103_SQL,
     "z104_metadata_null_audit": Z104_SQL,
     "z105_hybrid_null_audit": Z105_SQL,
+    "z106_multicol_spec_metadata": Z106_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

@@ -643,6 +643,18 @@ def _coerce_partition_literal(raw: str, ptype: str):
     return int(raw)
 
 
+def _spec_types_of(schema_meta: dict) -> dict:
+    """``{spec column: simple type string}`` for the table's partition
+    spec — one entry for a legacy single-column table, one per
+    component for a multi-column spec. Grammar checks that used to be
+    ``col == pcol`` become ``col in spec_types``: eq/IN/GROUP BY are
+    provable on ANY spec component (the manifest restriction and
+    grouping machinery matches the component's own directory level)."""
+    from .snapshot import _spec_meta
+
+    return dict(_spec_meta(schema_meta))
+
+
 def _local_rows_df(spark, rows, schema) -> DataFrame:
     """LOCAL answer frame that never launches a Python worker:
     plain-list ``spark.createDataFrame`` ships rows through pickled
@@ -709,6 +721,7 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
     schema_meta = read_manifest(path, version).get("schema") or {}
     pcol = schema_meta.get("partition_col")
     ptype = schema_meta.get("partition_type") or "string"
+    spec_types = _spec_types_of(schema_meta)
 
     sj = schema_meta.get("spark_schema")
     from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -722,11 +735,11 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
     where = parsed["where"]
     if parsed["group_by"] is not None:
         return _answer_group_by(
-            spark, parsed, path, pcol, ptype, field_types, version
+            spark, parsed, path, spec_types, field_types, version
         )
     if where is not None and where[0] in ("isnull", "eqnull"):
         return _answer_isnull(
-            spark, parsed, path, pcol, ptype, field_types, version
+            spark, parsed, path, spec_types, field_types, version
         )
     if where is not None and where[0] == "range":
         return _answer_range_count(
@@ -745,36 +758,33 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
         raise _Refuse()
 
     if where is not None and where[0] == "in":
-        # IN over the partition column: COUNT(*) = summed member
+        # IN over a partition-spec column: COUNT(*) = summed member
         # counts (absent member contributes 0, the SQL semantics), NDV
         # = member registers max-merged, quantile = member histograms
         # summed — each an exact manifest merge over the member set
-        if where[1] != pcol:
+        wcol = where[1]
+        wtype = spec_types.get(wcol)
+        if wtype is None:
             raise _Refuse()
-        vals = {_coerce_partition_literal(r, ptype) for r in where[2]}
-        in_spec = (pcol, sorted(vals, key=repr))
+        vals = {_coerce_partition_literal(r, wtype) for r in where[2]}
+        in_spec = (wcol, sorted(vals, key=repr))
         from pyspark.sql.types import DoubleType
 
         try:
             total = 0
             if any(k == "count" for k, _, _ in parsed["items"]):
-                # ONE manifest read (the live partition list) summed
-                # over members by canonical hive name — not a
-                # per-member manifest re-parse; an absent member
-                # contributes 0, the SQL semantics
-                from .snapshot import _hive_part_name
-
-                names = {
-                    _hive_part_name(pcol, v)
-                    for v in in_spec[1]
-                    if v is not None
-                }
+                # ONE manifest read (the live partition list)
+                # restricted to the member set at the component's own
+                # directory level — not a per-member manifest re-parse;
+                # an absent member contributes 0, the SQL semantics
                 total = sum(
                     n
-                    for v, n in manifest_partition_counts(
-                        path, version=version
+                    for _v, n in manifest_partition_counts(
+                        path,
+                        version=version,
+                        where_partition=(wcol, list(in_spec[1])),
+                        group_col=wcol,
                     )
-                    if _hive_part_name(pcol, v) in names
                 )
             values, fields = [], []
             in_casts: dict = {}
@@ -793,29 +803,27 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
                     )
                     fields.append(StructField(alias, LongType(), False))
                 elif k == "cdistinct":
-                    if c != pcol:
-                        raise _Refuse()  # non-pcol exact NDV: scan
+                    if c not in spec_types:
+                        raise _Refuse()  # non-spec exact NDV: scan
                     # distinct values under IN = members present with
                     # live rows (absent member contributes nothing;
                     # NULL can't appear in an IN literal list). ONE
                     # manifest read — the live partition list —
                     # intersected with the member set by canonical
                     # hive name, not a per-member manifest re-parse.
-                    from .snapshot import _hive_part_name
-
-                    member_names = {
-                        _hive_part_name(pcol, v)
-                        for v in in_spec[1]
-                        if v is not None
-                    }
+                    # live DISTINCT values of component c among the
+                    # member partitions (c may differ from the IN
+                    # column on a multi-column spec)
                     values.append(
                         sum(
                             1
                             for v, _n in manifest_partition_counts(
-                                path, version=version
+                                path,
+                                version=version,
+                                where_partition=(wcol, list(in_spec[1])),
+                                group_col=c,
                             )
                             if v is not None
-                            and _hive_part_name(pcol, v) in member_names
                         )
                     )
                     fields.append(StructField(alias, LongType(), False))
@@ -849,15 +857,15 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
                     # order; absent/empty members contribute nothing).
                     # ONE manifest read over the member set — never a
                     # per-member manifest re-parse.
-                    if c != pcol and field_types.get(c) is None:
+                    if c not in spec_types and field_types.get(c) is None:
                         raise _Refuse()  # unknown column: scan decides
                     merged = _member_minmax(
-                        path, pcol, ptype, c, k, in_spec[1], version
+                        path, wcol, c, k, in_spec[1], version, spec_types
                     )
                     values.append(None if merged is None else str(merged))
                     fields.append(StructField(alias, StringType(), True))
                     in_casts[alias] = (
-                        ptype if c == pcol else field_types[c]
+                        spec_types[c] if c in spec_types else field_types[c]
                     )
                 else:  # quantile
                     values.append(
@@ -887,9 +895,10 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
     eq = None
     if where is not None:
         _, wcol, raw = where
-        if wcol != pcol:
-            raise _Refuse()  # only partition equality is manifest-provable
-        eq = (wcol, _coerce_partition_literal(raw, ptype))
+        wtype = spec_types.get(wcol)
+        if wtype is None:
+            raise _Refuse()  # only spec-column equality is manifest-provable
+        eq = (wcol, _coerce_partition_literal(raw, wtype))
     cols = sorted(
         {c for k, c, _ in parsed["items"] if c and k in ("min", "max")}
     )
@@ -929,19 +938,20 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
         for k, c, _ in parsed["items"]:
             if k != "cdistinct":
                 continue
-            if c != pcol:
-                # only the partition column's value set is a manifest
-                # fact (the live partition list); any other column's
-                # exact NDV needs a scan (APPROX_COUNT_DISTINCT serves
-                # the sketch-tolerant caller)
+            if c not in spec_types:
+                # only spec columns' value sets are a manifest fact
+                # (the live partition list); any other column's exact
+                # NDV needs a scan (APPROX_COUNT_DISTINCT serves the
+                # sketch-tolerant caller)
                 raise _Refuse()
-            # COUNT(DISTINCT pcol) = live partitions with a non-NULL
-            # value (SQL COUNT(DISTINCT) skips NULLs; the NULL
-            # partition still forms a DISTINCT/GROUP BY group)
+            # COUNT(DISTINCT <spec col>) = live groups of that
+            # component with a non-NULL value (SQL COUNT(DISTINCT)
+            # skips NULLs; the NULL partition still forms a
+            # DISTINCT/GROUP BY group)
             cdn_vals[c] = sum(
                 1
                 for v, _n in manifest_partition_counts(
-                    path, version=version, where_partition=eq
+                    path, version=version, where_partition=eq, group_col=c
                 )
                 if v is not None
             )
@@ -1018,8 +1028,9 @@ def _answer_range_count(
     if any(k != "count" for k, _, _ in parsed["items"]):
         raise _Refuse()  # aggregates under a range: hybrid tier / scan
     _, col, lo_raw, hi_raw, lo_strict, hi_strict = parsed["where"]
-    if col == pcol:
-        coltype = ptype
+    spec_types = _spec_types_of(schema_meta)
+    if col in spec_types:
+        coltype = spec_types[col]
     else:
         coltype = _spark_simple_type(field_types.get(col))
         if not coltype:
@@ -1054,32 +1065,34 @@ def _answer_range_count(
     )
 
 
-def _conj_where(where: tuple, pcol, ptype):
+def _conj_where(where: tuple, spec_types: dict):
     """Unpack a hybrid-tier WHERE — plain ``range``, conjunctive
     ``eqrange`` (pcol = lit AND range) or ``inrange`` (pcol IN (…)
     AND range) — into ``(where_partition, range_col, lo_raw, hi_raw,
-    lo_strict, hi_strict)``. The membership side must be the
-    partition column with coercible literals; anything else refuses
+    lo_strict, hi_strict)``. The membership side must be A PARTITION
+    SPEC column with coercible literals; anything else refuses
     (the full scan decides). An IN-list passes the coerced member
     LIST through ``where_partition`` — `snapshot._eq_targets` expands
     it to the member directory set, so all four provers restrict
     their classification to members with no per-member passes."""
     if where[0] == "eqrange":
         _, ecol, eraw, lo_raw, hi_raw, lo_strict, hi_strict, col = where
-        if ecol != pcol:
+        etype = spec_types.get(ecol)
+        if etype is None:
             raise _Refuse()
         return (
-            (pcol, _coerce_partition_literal(eraw, ptype)),
+            (ecol, _coerce_partition_literal(eraw, etype)),
             col, lo_raw, hi_raw, lo_strict, hi_strict,
         )
     if where[0] == "inrange":
         _, icol, raws, lo_raw, hi_raw, lo_strict, hi_strict, col = where
-        if icol != pcol:
+        itype = spec_types.get(icol)
+        if itype is None:
             raise _Refuse()
         vals = sorted(
-            {_coerce_partition_literal(r, ptype) for r in raws}, key=repr
+            {_coerce_partition_literal(r, itype) for r in raws}, key=repr
         )
-        return (pcol, vals), col, lo_raw, hi_raw, lo_strict, hi_strict
+        return (icol, vals), col, lo_raw, hi_raw, lo_strict, hi_strict
     _, col, lo_raw, hi_raw, lo_strict, hi_strict = where
     return None, col, lo_raw, hi_raw, lo_strict, hi_strict
 
@@ -1166,14 +1179,17 @@ def hybrid_range_count(
         if sj
         else {}
     )
+    spec_types = _spec_types_of(schema_meta)
     try:
         eq, col, lo_raw, hi_raw, lo_strict, hi_strict = _conj_where(
-            parsed["where"], pcol, ptype
+            parsed["where"], spec_types
         )
     except _Refuse:
-        return None  # non-pcol membership / uncoercible member: scan
+        return None  # non-spec membership / uncoercible member: scan
     coltype = (
-        ptype if col == pcol else _spark_simple_type(field_types.get(col))
+        spec_types[col]
+        if col in spec_types
+        else _spark_simple_type(field_types.get(col))
     )
     if not coltype:
         return None  # unknown column: let the scan engine error
@@ -1365,23 +1381,28 @@ def explain_metadata_sql(
         if path is None:
             return 0
         man = read_manifest(path, _pin())
-        pcol = (man.get("schema") or {}).get("partition_col")
-        ptype = (man.get("schema") or {}).get("partition_type") or "string"
-        live = set(man.get("partitions") or {})
+        schema_meta = man.get("schema") or {}
+        spec_types = _spec_types_of(schema_meta)
+        live = man.get("partitions") or {}
         where = parsed.get("where") if parsed is not None else None
-        if where is not None and where[0] in ("eq", "in") and where[1] == pcol:
-            from .snapshot import _hive_part_name
+        if (
+            where is not None
+            and where[0] in ("eq", "in")
+            and where[1] in spec_types
+        ):
+            from .snapshot import _restrict_parts
 
+            wtype = spec_types[where[1]]
             raws = [where[2]] if where[0] == "eq" else list(where[2])
-            names = set()
-            for r in raws:
-                try:
-                    names.add(
-                        _hive_part_name(pcol, _coerce_partition_literal(r, ptype))
-                    )
-                except _Refuse:
-                    return len(live)
-            return len(live & names)
+            try:
+                vals = [_coerce_partition_literal(r, wtype) for r in raws]
+            except _Refuse:
+                return len(live)
+            return len(
+                _restrict_parts(
+                    live, schema_meta, where_partition=(where[1], vals)
+                )
+            )
         return len(live)
 
     if meta is not None:
@@ -1440,14 +1461,17 @@ def _hybrid_multi(spark, parsed, tables, version, explain=False):
         if sj
         else {}
     )
+    spec_types = _spec_types_of(schema_meta)
     try:
         eq, col, lo_raw, hi_raw, lo_strict, hi_strict = _conj_where(
-            parsed["where"], pcol, ptype
+            parsed["where"], spec_types
         )
     except _Refuse:
-        return None  # non-pcol membership / uncoercible member: scan
+        return None  # non-spec membership / uncoercible member: scan
     coltype = (
-        ptype if col == pcol else _spark_simple_type(field_types.get(col))
+        spec_types[col]
+        if col in spec_types
+        else _spark_simple_type(field_types.get(col))
     )
     if not coltype:
         return None  # unknown column: let the scan engine error
@@ -1523,8 +1547,7 @@ def _hybrid_isnull(spark, parsed, tables, version, explain=False):
             version = resolve_as_of(path, parsed["as_of"]["timestamp"])
     man = read_manifest(path, version)
     schema_meta = man.get("schema") or {}
-    pcol = schema_meta.get("partition_col")
-    ptype = schema_meta.get("partition_type") or "string"
+    spec_types = _spec_types_of(schema_meta)
     sj = schema_meta.get("spark_schema")
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -1538,19 +1561,20 @@ def _hybrid_isnull(spark, parsed, tables, version, explain=False):
         ncol, is_not, eq = w[1], w[2], None
     else:
         _, ecol, raws, ncol, is_not = w
-        if ecol != pcol:
+        etype = spec_types.get(ecol)
+        if etype is None:
             return None  # non-partition membership: scan
         try:
             eq = (
-                pcol,
+                ecol,
                 sorted(
-                    {_coerce_partition_literal(r, ptype) for r in raws},
+                    {_coerce_partition_literal(r, etype) for r in raws},
                     key=repr,
                 ),
             )
         except _Refuse:
             return None
-    if ncol != pcol and field_types and ncol not in field_types:
+    if ncol not in spec_types and field_types and ncol not in field_types:
         return None  # unknown column: let the scan engine error
     from .snapshot import null_count_pruned
 
@@ -1772,14 +1796,17 @@ def _hybrid_group_multi(spark, parsed, tables, version, explain=False):
         if sj
         else {}
     )
+    spec_types = _spec_types_of(schema_meta)
     try:
         eq, col, lo_raw, hi_raw, lo_strict, hi_strict = _conj_where(
-            parsed["where"], pcol, ptype
+            parsed["where"], spec_types
         )
     except _Refuse:
-        return None  # non-pcol membership / uncoercible member: scan
+        return None  # non-spec membership / uncoercible member: scan
     coltype = (
-        ptype if col == pcol else _spark_simple_type(field_types.get(col))
+        spec_types[col]
+        if col in spec_types
+        else _spark_simple_type(field_types.get(col))
     )
     if not coltype:
         return None  # unknown range column: let the scan engine error
@@ -1909,11 +1936,13 @@ def _answer_eq_range_count(
     _, ecol, eraw, lo_raw, hi_raw, lo_strict, hi_strict, rcol = (
         parsed["where"]
     )
-    if ecol != pcol:
-        raise _Refuse()  # only partition equality is provable
-    eq = (pcol, _coerce_partition_literal(eraw, ptype))
-    if rcol == pcol:
-        coltype = ptype
+    spec_types = _spec_types_of(schema_meta)
+    etype = spec_types.get(ecol)
+    if etype is None:
+        raise _Refuse()  # only spec-column equality is provable
+    eq = (ecol, _coerce_partition_literal(eraw, etype))
+    if rcol in spec_types:
+        coltype = spec_types[rcol]
     else:
         coltype = _spark_simple_type(field_types.get(rcol))
         if not coltype:
@@ -1941,33 +1970,33 @@ def _answer_eq_range_count(
     )
 
 
-def _member_minmax(path, pcol, ptype, c, kind, members, version):
-    """MIN/MAX of column ``c`` restricted to member partitions in ONE
-    manifest read (manifest_group_stats over the member set — never a
-    per-member manifest re-parse): each member's recorded [min, max]
-    IS its clipped extreme, so the merge is exact. The partition
-    column itself needs no stats: its extremes are the member VALUES
-    present with live rows. Returns the manifest rendering (string
-    form; the caller casts) or None. Raises ValueError when
-    unprovable (tombstones, missing stats) — caller refuses."""
-    from .snapshot import (
-        _hive_part_name,
-        manifest_group_stats,
-        manifest_partition_counts,
-    )
+def _member_minmax(path, mcol, c, kind, members, version, spec_types):
+    """MIN/MAX of column ``c`` restricted to member partitions of spec
+    column ``mcol`` in ONE manifest read (manifest_group_stats over
+    the member set — never a per-member manifest re-parse): each
+    member's recorded [min, max] IS its clipped extreme, so the merge
+    is exact. Spec columns themselves need no stats: their extremes
+    are the component VALUES present with live rows (``c`` may be a
+    different spec component than the membership column). Returns the
+    manifest rendering (string form; the caller casts) or None. Raises
+    ValueError when unprovable (tombstones, missing stats) — caller
+    refuses."""
+    from .snapshot import manifest_group_stats, manifest_partition_counts
 
-    if c == pcol:
-        names = {_hive_part_name(pcol, v) for v in members}
+    restrict = (mcol, list(members))
+    if c in spec_types:
         present = [
             v
-            for v, n in manifest_partition_counts(path, version=version)
-            if v is not None and n > 0 and _hive_part_name(pcol, v) in names
+            for v, n in manifest_partition_counts(
+                path, version=version, where_partition=restrict, group_col=c
+            )
+            if v is not None and n > 0
         ]
         if not present:
             return None
         return min(present) if kind == "min" else max(present)
     groups3 = manifest_group_stats(
-        path, [c], version=version, where_partition=(pcol, list(members))
+        path, [c], version=version, where_partition=restrict, group_col=mcol
     )
     idx = 0 if kind == "min" else 1
     ext = [s[c][idx] for _v, _n, s in groups3 if s[c][idx] is not None]
@@ -1976,7 +2005,7 @@ def _member_minmax(path, pcol, ptype, c, kind, members, version):
     return min(ext) if kind == "min" else max(ext)
 
 
-def _answer_isnull(spark, parsed, path, pcol, ptype, field_types, version):
+def _answer_isnull(spark, parsed, path, spec_types, field_types, version):
     """NULL-membership WHERE, pure-metadata: ``COUNT(*) WHERE col IS
     NULL`` is the recorded per-partition null counts summed (live
     rows minus the null-skipping COUNT(col) — two existing exact
@@ -2011,15 +2040,18 @@ def _answer_isnull(spark, parsed, path, pcol, ptype, field_types, version):
         _, ncol, is_not = w
         members = None
         wp_in = None
-    else:  # eqnull: pcol equality / IN-membership AND the predicate
+        mcol = None
+    else:  # eqnull: spec-col equality / IN-membership AND the predicate
         _, ecol, raws, ncol, is_not = w
-        if ecol != pcol:
+        etype = spec_types.get(ecol)
+        if etype is None:
             raise _Refuse()  # only partition membership is provable
         members = sorted(
-            {_coerce_partition_literal(r, ptype) for r in raws}, key=repr
+            {_coerce_partition_literal(r, etype) for r in raws}, key=repr
         )
-        wp_in = (pcol, members)
-    if ncol != pcol and field_types and ncol not in field_types:
+        wp_in = (ecol, members)
+        mcol = ecol
+    if ncol not in spec_types and field_types and ncol not in field_types:
         raise _Refuse()  # unknown predicate column: let the scan error
     try:
         nn = int(
@@ -2033,15 +2065,14 @@ def _answer_isnull(spark, parsed, path, pcol, ptype, field_types, version):
                 for _v, n in manifest_partition_counts(path, version=version)
             )
         else:
-            from .snapshot import _hive_part_name
-
-            names = {
-                _hive_part_name(pcol, v) for v in members if v is not None
-            } | ({_hive_part_name(pcol, None)} if None in members else set())
             total = sum(
                 n
-                for v, n in manifest_partition_counts(path, version=version)
-                if _hive_part_name(pcol, v) in names
+                for _v, n in manifest_partition_counts(
+                    path,
+                    version=version,
+                    where_partition=(mcol, members),
+                    group_col=mcol,
+                )
             )
     except ValueError:
         raise _Refuse()  # unprovable nulls (legacy entry / tombstones)
@@ -2084,11 +2115,13 @@ def _answer_isnull(spark, parsed, path, pcol, ptype, field_types, version):
                     # per-member extremes merge exactly (the IN rule),
                     # in one manifest read over the member set
                     mv = _member_minmax(
-                        path, pcol, ptype, c, k, members, version
+                        path, mcol, c, k, members, version, spec_types
                     )
                 values.append(None if mv is None else str(mv))
                 fields.append(StructField(alias, StringType(), True))
-                casts[alias] = ptype if c == pcol else field_types[c]
+                casts[alias] = (
+                    spec_types[c] if c in spec_types else field_types[c]
+                )
             elif k == "approx":
                 values.append(
                     float(
@@ -2132,12 +2165,12 @@ def _answer_isnull(spark, parsed, path, pcol, ptype, field_types, version):
     return frame
 
 
-def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
+def _answer_group_by(spark, parsed, path, spec_types, field_types, version):
     gcol = parsed["group_by"]
-    if pcol is None or gcol != pcol:
-        raise _Refuse()  # only the partition column groups at the manifest
+    gtype = spec_types.get(gcol)
+    if gtype is None:
+        raise _Refuse()  # only spec columns group at the manifest
     eq = None
-    in_names = None
     isnull_groups = None
     if parsed["where"] is not None:
         kind_, wcol = parsed["where"][0], parsed["where"][1]
@@ -2150,28 +2183,33 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
             # is zero emits NO row (SQL: no surviving rows, no group).
             if kind_ == "isnull":
                 ncol, is_not = parsed["where"][1], parsed["where"][2]
-                names = None
+                wp = None
             else:
                 _, ecol, raws, ncol, is_not = parsed["where"]
-                if ecol != pcol:
+                etype = spec_types.get(ecol)
+                if etype is None:
                     raise _Refuse()
-                from .snapshot import _hive_part_name
-
-                names = {
-                    _hive_part_name(
-                        pcol, _coerce_partition_literal(r, ptype)
-                    )
-                    for r in raws
-                }
+                wp = (
+                    ecol,
+                    sorted(
+                        {_coerce_partition_literal(r, etype) for r in raws},
+                        key=repr,
+                    ),
+                )
             if any(k not in ("group", "count") for k, _, _ in parsed["items"]):
                 raise _Refuse()
-            from .snapshot import _hive_part_name as _hpn
             from .snapshot import manifest_column_count as _mcc
             from .snapshot import manifest_partition_counts as _mpc
 
             try:
-                nn_pairs = _mcc(path, ncol, version=version, by_partition=True)
-                live = _mpc(path, version=version)
+                nn_pairs = _mcc(
+                    path, ncol, version=version, by_partition=True,
+                    where_partition=wp, group_col=gcol,
+                )
+                live = _mpc(
+                    path, version=version, where_partition=wp,
+                    group_col=gcol,
+                )
             except ValueError:
                 raise _Refuse()
             if [v for v, _ in live] != [v for v, _ in nn_pairs]:
@@ -2180,30 +2218,36 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
                 (v, c if is_not else n - c)
                 for (v, n), (_v2, c) in zip(live, nn_pairs)
                 if (c if is_not else n - c) > 0
-                and (names is None or _hpn(pcol, v) in names)
             ]
         elif kind_ not in ("eq", "in"):
             # range WHERE + GROUP BY parses (the grouped hybrid tier
             # serves it), but the pure-metadata proof stops here:
             # clipped per-group aggregates are unprovable
             raise _Refuse()
-        elif wcol != pcol:
-            raise _Refuse()
-        if kind_ == "in":
-            # group filtering happens AFTER the per-partition lists
-            # are built, by canonical hive directory name — exact by
-            # construction for every partition type
-            from .snapshot import _hive_part_name
-
-            in_names = {
-                _hive_part_name(pcol, _coerce_partition_literal(r, ptype))
-                for r in parsed["where"][2]
-            }
-        elif kind_ == "eq":
-            eq = (
-                pcol,
-                _coerce_partition_literal(parsed["where"][2], ptype),
-            )
+        else:
+            # eq / IN restriction on ANY spec component (which may
+            # differ from the grouped component): folds into every
+            # manifest call below, so all the per-group lists stay
+            # membership-aligned by construction
+            wtype = spec_types.get(wcol)
+            if wtype is None:
+                raise _Refuse()
+            if kind_ == "in":
+                eq = (
+                    wcol,
+                    sorted(
+                        {
+                            _coerce_partition_literal(r, wtype)
+                            for r in parsed["where"][2]
+                        },
+                        key=repr,
+                    ),
+                )
+            else:
+                eq = (
+                    wcol,
+                    _coerce_partition_literal(parsed["where"][2], wtype),
+                )
     stat_cols = sorted(
         {c for k, c, _ in parsed["items"] if k in ("min", "max")}
     )
@@ -2213,12 +2257,14 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
     if stat_cols:
         if any(field_types.get(c) is None for c in stat_cols):
             raise _Refuse()  # unknown/evolved-away column
-        # group ≡ partition: the per-partition stats entries ARE the
-        # per-group extremes (manifest_group_stats; footer fallback for
-        # pre-upgrade partitions, raise → refuse when unprovable)
+        # group ≡ component level: the per-partition stats entries
+        # merge into per-group extremes (manifest_group_stats; footer
+        # fallback for pre-upgrade partitions, raise → refuse when
+        # unprovable)
         try:
             groups3 = manifest_group_stats(
-                path, stat_cols, version=version, where_partition=eq
+                path, stat_cols, version=version, where_partition=eq,
+                group_col=gcol,
             )
         except ValueError:
             raise _Refuse()
@@ -2229,19 +2275,19 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
         col_stats = [{} for _ in groups]
     else:
         groups = manifest_partition_counts(
-            path, version=version, where_partition=eq
+            path, version=version, where_partition=eq, group_col=gcol
         )
         col_stats = [{} for _ in groups]
     approx_lists = {}
     for c in approx_cols:
-        # by_partition lists sort by partition name and skip zero-live
-        # groups — the same order and membership as `groups`
+        # by_partition lists sort by group level name and skip
+        # zero-live groups — the same order and membership as `groups`
         try:
             approx_lists[c] = [
                 e
                 for _, e in manifest_approx_distinct(
                     path, c, version=version, where_partition=eq,
-                    by_partition=True,
+                    by_partition=True, group_col=gcol,
                 )
             ]
         except ValueError:
@@ -2253,7 +2299,7 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
                 e
                 for _, e in manifest_quantile(
                     path, spec[0], spec[1], version=version,
-                    where_partition=eq, by_partition=True,
+                    where_partition=eq, by_partition=True, group_col=gcol,
                 )
             ]
         except ValueError:
@@ -2265,7 +2311,7 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
                 e
                 for _, e in manifest_column_count(
                     path, c, version=version,
-                    where_partition=eq, by_partition=True,
+                    where_partition=eq, by_partition=True, group_col=gcol,
                 )
             ]
         except ValueError:
@@ -2277,7 +2323,7 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
                 (sv, nn)
                 for _, sv, nn in manifest_column_sum(
                     path, c, version=version,
-                    where_partition=eq, by_partition=True,
+                    where_partition=eq, by_partition=True, group_col=gcol,
                 )
             ]
         except ValueError:
@@ -2293,7 +2339,7 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
     fields, row_fn = [], []
     for kind, col, alias in parsed["items"]:
         if kind == "group":
-            dt = field_types.get(pcol)
+            dt = field_types.get(gcol)
             if dt is None:
                 raise _Refuse()
             # values decoded from directory names are already typed for
@@ -2340,28 +2386,6 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
                     None if s[c][i] is None else str(s[c][i])
                 )
             )
-    if in_names is not None:
-        from .snapshot import _hive_part_name
-
-        keep = [
-            gi
-            for gi, (v, _n) in enumerate(groups)
-            if _hive_part_name(pcol, v) in in_names
-        ]
-        groups = [groups[gi] for gi in keep]
-        col_stats = [col_stats[gi] for gi in keep]
-        approx_lists = {
-            c: [lst[gi] for gi in keep] for c, lst in approx_lists.items()
-        }
-        quant_lists = {
-            c: [lst[gi] for gi in keep] for c, lst in quant_lists.items()
-        }
-        ccount_lists = {
-            c: [lst[gi] for gi in keep] for c, lst in ccount_lists.items()
-        }
-        csum_lists = {
-            c: [lst[gi] for gi in keep] for c, lst in csum_lists.items()
-        }
     rows = [
         tuple(fn(v, n, s, gi) for fn in row_fn)
         for gi, ((v, n), s) in enumerate(zip(groups, col_stats))
@@ -2372,7 +2396,7 @@ def _answer_group_by(spark, parsed, path, pcol, ptype, field_types, version):
     exprs = []
     for kind, col, alias in parsed["items"]:
         if kind == "group":
-            exprs.append(F.col(alias).cast(field_types[pcol]).alias(alias))
+            exprs.append(F.col(alias).cast(field_types[gcol]).alias(alias))
         elif kind in ("count", "approx", "quantile", "countcol",
                       "sum", "avg"):
             exprs.append(F.col(alias))

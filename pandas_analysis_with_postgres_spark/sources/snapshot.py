@@ -4494,31 +4494,27 @@ def manifest_aggregate(
             "sketch entries (::hll / ::hist:) are not min/max columns "
             "— use manifest_approx_distinct / manifest_quantile"
         )
-    # The PARTITION column's values live in directory names, not in
-    # any data file (hive layout) — footer stats can never serve it,
-    # but the manifest's partition list answers it exactly. This is
+    # PARTITION-SPEC columns' values live in directory names, not in
+    # any data file (hive layout) — footer stats can never serve them,
+    # but the manifest's partition list answers them exactly. This is
     # the single most-polled metadata query there is
     # ("SELECT max(day) FROM table"). NULL/empty partitions
     # (__HIVE_DEFAULT_PARTITION__) are skipped, matching SQL MIN/MAX
-    # null semantics.
-    pcol = meta.get("partition_col")
-    part_col_wanted = pcol in want if pcol else False
-    if part_col_wanted:
-        want = [c for c in want if c != pcol]
-    if (part_col_wanted or where_partition is not None) and _mixed_spec(man):
+    # null semantics. Multi-column specs serve every component.
+    spec = _spec_meta(meta)
+    spec_cols = [c for c, _t in spec]
+    spec_wanted = [c for c in want if c in spec_cols]
+    if spec_wanted:
+        want = [c for c in want if c not in spec_cols]
+    if (spec_wanted or where_partition is not None) and _mixed_spec(man):
         raise ValueError(
-            "partition-VALUE answers (pcol extremes, eq-partition "
-            f"restriction) are unprovable while {path} holds old-spec "
-            "directories — compact_snapshot to migrate, or scan"
+            "partition-VALUE answers (spec-column extremes, "
+            f"eq-partition restriction) are unprovable while {path} "
+            "holds old-spec directories — compact_snapshot to migrate, "
+            "or scan"
         )
     if where_partition is not None:
-        wcol, wval = where_partition
-        if wcol != pcol:
-            raise ValueError(
-                f"where_partition column {wcol!r} is not the partition "
-                f"column {pcol!r} — only partition equality is provable "
-                "from the manifest"
-            )
+        _partition_selector(meta, where_partition[0])  # validate/raise
     # physical-name candidates for the wanted logical columns: the
     # name itself plus any retired name whose rename chain lands on it
     # (old commits' footers carry pre-rename physical names)
@@ -4529,10 +4525,9 @@ def manifest_aggregate(
     stats = man.get("stats") or {}
     parts = man.get("partitions") or {}
     if where_partition is not None:
-        target = _hive_part_name(pcol, where_partition[1])
-        parts = {p: rel for p, rel in parts.items() if p == target}
+        parts = _restrict_parts(parts, meta, where_partition=where_partition)
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
-    if (want or part_col_wanted) and any(p in tomb_parts for p in parts):
+    if (want or spec_wanted) and any(p in tomb_parts for p in parts):
         # merge-on-read tombstones: the physical extreme may be a
         # deleted row (and a fully-suppressed partition's value must
         # not count for the partition column) — COUNT stays exact via
@@ -4583,27 +4578,17 @@ def manifest_aggregate(
             + ", ".join(f"{c!r} in {ps[:3]}" for c, ps in sorted(missing.items()))
             + " — scan the data or add the column to stats_cols"
         )
-    if part_col_wanted:
+    for sc in spec_wanted:
+        idx, _c, st = _partition_selector(meta, sc)
         vals = []
         for pname in parts:
-            raw = pname.split("=", 1)[1]
-            if raw == "__HIVE_DEFAULT_PARTITION__":
+            is_null, v = _partition_value(pname.split("/")[idx], st)
+            if is_null:
                 continue  # NULL/empty partition: ignored like SQL MIN/MAX
-            from urllib.parse import unquote
-
-            v = unquote(raw)
-            ptype = meta.get("partition_type") or "string"
-            if ptype in ("tinyint", "smallint", "int", "bigint"):
-                vals.append(int(v))
-            elif ptype == "boolean":
-                vals.append(v == "true")
-            else:
-                # string/date: the hive rendering orders correctly
-                # (ISO dates lexicographically == chronologically)
-                vals.append(v)
-        want.append(pcol)
+            vals.append(v)
+        want.append(sc)
         if vals:
-            mins[pcol], maxs[pcol] = min(vals), max(vals)
+            mins[sc], maxs[sc] = min(vals), max(vals)
     return {
         "version": int(man.get("version") or 0),
         "n_rows": int(n_rows),
@@ -4656,6 +4641,7 @@ def manifest_partition_counts(
     *,
     version: "int | str | None" = None,
     where_partition: "tuple[str, object] | None" = None,
+    group_col: "str | None" = None,
 ) -> list:
     """Answer ``SELECT pcol, COUNT(*) … GROUP BY pcol`` from MANIFEST
     METADATA: the per-partition ``::n_rows`` map IS that result — the
@@ -4665,51 +4651,46 @@ def manifest_partition_counts(
     O(partitions) JSON read vs a full shuffle-aggregate for the
     "rows per day" poll every ingest dashboard runs.
 
-    Returns ``[(value, n_rows), …]`` sorted by partition NAME, one
-    entry per partition — including the NULL group
+    Returns ``[(value, n_rows), …]`` sorted by group level NAME, one
+    entry per group — including the NULL group
     (``__HIVE_DEFAULT_PARTITION__`` → value None), matching SQL
     GROUP BY semantics where NULLs form a group. Values are typed via
-    the recorded ``partition_type``. ``where_partition=(col, value)``
-    restricts to one partition (same provability contract as
-    :func:`manifest_aggregate`)."""
+    the recorded partition type. ``where_partition=(col, value)``
+    restricts to one partition value of any spec column — a collection
+    value restricts to the member set (same provability contract as
+    :func:`manifest_aggregate`). On a multi-column spec,
+    ``group_col`` names WHICH component to group by (member counts
+    merge by addition — the hive bijection holds per level); a
+    single-column spec defaults to its one column."""
     man = read_manifest(path, version)
     meta = man.get("schema") or {}
-    pcol = meta.get("partition_col")
-    if not pcol:
+    if not _spec_meta(meta):
         raise ValueError(
             f"snapshot table at {path!r} is unpartitioned — no "
             "partition column to group by"
         )
+    gcol = _default_group_col(meta, group_col, "manifest_partition_counts")
     if _mixed_spec(man):
         raise ValueError(
-            f"GROUP BY {pcol!r} is unprovable while {path} holds "
+            f"GROUP BY {gcol!r} is unprovable while {path} holds "
             "old-spec directories (their names are not values of the "
             "current partition column) — compact_snapshot to migrate"
         )
-    ptype = meta.get("partition_type") or "string"
-    if where_partition is not None:
-        wcol, wval = where_partition
-        if wcol != pcol:
-            raise ValueError(
-                f"where_partition column {wcol!r} is not the partition "
-                f"column {pcol!r} — only partition equality is provable "
-                "from the manifest"
-            )
-        target = _hive_part_name(pcol, wval)
-        rows = {
-            p: n
-            for p, n in _partition_rows(man, path).items()
-            if p == target
-        }
-    else:
-        rows = _partition_rows(man, path)
+    idx, _c, gtype = _partition_selector(meta, gcol)
+    rows = _restrict_parts(
+        _partition_rows(man, path), meta, where_partition=where_partition
+    )
     # a group exists only where live rows do (SQL GROUP BY semantics) —
     # a partition fully suppressed by merge-on-read tombstones has no
     # live rows and therefore no group
+    merged: dict[str, int] = {}
+    for p, n in rows.items():
+        if n > 0:
+            level = p.split("/")[idx]
+            merged[level] = merged.get(level, 0) + n
     return [
-        (_partition_value(p, ptype)[1], n)
-        for p, n in sorted(rows.items())
-        if n > 0
+        (_partition_value(level, gtype)[1], n)
+        for level, n in sorted(merged.items())
     ]
 
 
@@ -4721,6 +4702,7 @@ def manifest_approx_distinct(
     where_partition: "tuple[str, object] | None" = None,
     where_partition_in: "tuple[str, list] | None" = None,
     by_partition: bool = False,
+    group_col: "str | None" = None,
 ) -> "float | list":
     """Approximate ``COUNT(DISTINCT column)`` from MANIFEST METADATA:
     the per-partition HLL register sketches recorded at commit time
@@ -4745,8 +4727,6 @@ def manifest_approx_distinct(
 
     man = read_manifest(path, version)
     meta = man.get("schema") or {}
-    pcol = meta.get("partition_col")
-    ptype = meta.get("partition_type") or "string"
     if (
         by_partition
         or where_partition is not None
@@ -4766,29 +4746,16 @@ def manifest_approx_distinct(
                 name = new
         return name
 
-    parts = man.get("partitions") or {}
-    if where_partition is not None:
-        wcol, wval = where_partition
-        if wcol != pcol:
-            raise ValueError(
-                f"where_partition column {wcol!r} is not the partition "
-                f"column {pcol!r} — only partition equality is provable "
-                "from the manifest"
-            )
-        target = _hive_part_name(pcol, wval)
-        parts = {p: rel for p, rel in parts.items() if p == target}
-    if where_partition_in is not None:
-        # IN restriction = the members' registers merged by max — the
-        # same arithmetic as the global merge over a smaller set; an
-        # absent member simply contributes no registers
-        wcol, wvals = where_partition_in
-        if wcol != pcol:
-            raise ValueError(
-                f"where_partition_in column {wcol!r} is not the "
-                f"partition column {pcol!r}"
-            )
-        targets = {_hive_part_name(pcol, v) for v in wvals}
-        parts = {p: rel for p, rel in parts.items() if p in targets}
+    # eq restriction filters one component level; IN restriction = the
+    # members' registers merged by max — the same arithmetic as the
+    # global merge over a smaller set; an absent member simply
+    # contributes no registers
+    parts = _restrict_parts(
+        man.get("partitions") or {},
+        meta,
+        where_partition=where_partition,
+        where_partition_in=where_partition_in,
+    )
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
     if any(p in tomb_parts for p in parts):
         raise ValueError(
@@ -4822,18 +4789,31 @@ def manifest_approx_distinct(
 
     part_rows = _partition_rows(man, path)
     if by_partition:
+        gcol = _default_group_col(
+            meta, group_col, "manifest_approx_distinct"
+        )
+        _idx, _c, gtype = _partition_selector(meta, gcol)
+        live = {p for p in parts if part_rows.get(p, 0) > 0}
         out = []
-        for pname in sorted(parts):
-            if part_rows.get(pname, 0) == 0:
-                continue  # no live rows: no group (SQL semantics)
-            regs = _regs_of(pname)
-            if regs is None:
-                raise ValueError(
-                    f"no '{column}{HLL_SUFFIX}' sketch recorded for "
-                    f"{pname!r} — add it to stats_cols and rewrite, or "
-                    "scan the data"
-                )
-            out.append((_partition_value(pname, ptype)[1], _estimate(regs)))
+        # per-GROUP merge: a group's registers are the max of its
+        # member partitions' (union semantics, exactly the global
+        # merge over the group's members)
+        for level, members in sorted(
+            _group_parts(live, meta, gcol).items()
+        ):
+            g = [0] * SK.HLL_M
+            for pname in members:
+                regs = _regs_of(pname)
+                if regs is None:
+                    raise ValueError(
+                        f"no '{column}{HLL_SUFFIX}' sketch recorded for "
+                        f"{pname!r} — add it to stats_cols and rewrite, "
+                        "or scan the data"
+                    )
+                for i, r in enumerate(regs):
+                    if r > g[i]:
+                        g[i] = r
+            out.append((_partition_value(level, gtype)[1], _estimate(g)))
         return out
     merged = [0] * SK.HLL_M
     for pname in parts:
@@ -4861,6 +4841,7 @@ def manifest_quantile(
     where_partition: "tuple[str, object] | None" = None,
     where_partition_in: "tuple[str, list] | None" = None,
     by_partition: bool = False,
+    group_col: "str | None" = None,
 ) -> "int | list":
     """Approximate ``PERCENTILE(column, p/100)`` from MANIFEST
     METADATA: the per-partition equi-width histograms recorded at
@@ -4887,8 +4868,6 @@ def manifest_quantile(
         raise ValueError(f"quantile p must be in (0, 100], got {p}")
     man = read_manifest(path, version)
     meta = man.get("schema") or {}
-    pcol = meta.get("partition_col")
-    ptype = meta.get("partition_type") or "string"
     if (
         by_partition
         or where_partition is not None
@@ -4908,28 +4887,15 @@ def manifest_quantile(
                 name = new
         return name
 
-    parts = man.get("partitions") or {}
-    if where_partition is not None:
-        wcol, wval = where_partition
-        if wcol != pcol:
-            raise ValueError(
-                f"where_partition column {wcol!r} is not the partition "
-                f"column {pcol!r} — only partition equality is provable "
-                "from the manifest"
-            )
-        target = _hive_part_name(pcol, wval)
-        parts = {q: rel for q, rel in parts.items() if q == target}
-    if where_partition_in is not None:
-        # IN restriction: the members' bucket counts summed — the same
-        # merge as global, over fewer partitions; absent members add 0
-        wcol, wvals = where_partition_in
-        if wcol != pcol:
-            raise ValueError(
-                f"where_partition_in column {wcol!r} is not the "
-                f"partition column {pcol!r}"
-            )
-        targets = {_hive_part_name(pcol, v) for v in wvals}
-        parts = {q: rel for q, rel in parts.items() if q in targets}
+    # eq restriction filters one component level; IN restriction: the
+    # members' bucket counts summed — the same merge as global, over
+    # fewer partitions; absent members add 0
+    parts = _restrict_parts(
+        man.get("partitions") or {},
+        meta,
+        where_partition=where_partition,
+        where_partition_in=where_partition_in,
+    )
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
     if any(q in tomb_parts for q in parts):
         raise ValueError(
@@ -4983,13 +4949,22 @@ def manifest_quantile(
             )
         per[pname] = buckets
     if by_partition:
-        return [
-            (
-                _partition_value(pname, ptype)[1],
-                _estimate({b: n for b, n in per[pname]}, width),
+        gcol = _default_group_col(meta, group_col, "manifest_quantile")
+        _idx, _c, gtype = _partition_selector(meta, gcol)
+        out = []
+        # per-GROUP merge: a group's histogram is its member
+        # partitions' bucket counts summed (exact integers)
+        for level, members in sorted(
+            _group_parts(live, meta, gcol).items()
+        ):
+            g: dict = {}
+            for pname in members:
+                for b, n in per[pname]:
+                    g[b] = g.get(b, 0) + n
+            out.append(
+                (_partition_value(level, gtype)[1], _estimate(g, width))
             )
-            for pname in live
-        ]
+        return out
     merged: dict = {}
     for buckets in per.values():
         for b, n in buckets:
@@ -5005,6 +4980,7 @@ def manifest_group_stats(
     *,
     version: "int | str | None" = None,
     where_partition: "tuple[str, object] | None" = None,
+    group_col: "str | None" = None,
 ) -> list:
     """Per-group COUNT + MIN/MAX for ``GROUP BY partition_col`` from
     MANIFEST METADATA: a group IS a partition (hive bijection), so the
@@ -5023,18 +4999,19 @@ def manifest_group_stats(
     partition included as value None while it has live rows."""
     man = read_manifest(path, version)
     meta = man.get("schema") or {}
-    pcol = meta.get("partition_col")
-    if not pcol:
+    if not _spec_meta(meta):
         raise ValueError(
             f"snapshot table at {path!r} is unpartitioned — no "
             "partition column to group by"
         )
+    gcol = _default_group_col(meta, group_col, "manifest_group_stats")
+    gidx, _gc, gtype = _partition_selector(meta, gcol)
     if _mixed_spec(man):
         raise ValueError(
-            f"GROUP BY {pcol!r} is unprovable while {path} holds "
+            f"GROUP BY {gcol!r} is unprovable while {path} holds "
             "old-spec directories — compact_snapshot to migrate"
         )
-    if pcol in columns:
+    if gcol in columns:
         raise ValueError(
             "the grouped partition column's per-group min/max is the "
             "group value itself — select the column, not MIN/MAX of it"
@@ -5046,7 +5023,6 @@ def manifest_group_stats(
             "— use manifest_approx_distinct / manifest_quantile "
             "(by_partition=True)"
         )
-    ptype = meta.get("partition_type") or "string"
     renames = meta.get("renames") or []
 
     def _chain(name: str) -> str:
@@ -5059,22 +5035,11 @@ def manifest_group_stats(
     for old, _new in renames:
         if _chain(old) in aliases:
             aliases.add(old)
-    parts = man.get("partitions") or {}
-    if where_partition is not None:
-        wcol, wval = where_partition
-        if wcol != pcol:
-            raise ValueError(
-                f"where_partition column {wcol!r} is not the partition "
-                f"column {pcol!r} — only partition equality is provable "
-                "from the manifest"
-            )
-        # a collection restricts to the member SET (the IN shape) in
-        # the same one-manifest-read pass as a scalar equality
-        if isinstance(wval, (list, tuple, set, frozenset)):
-            targets = {_hive_part_name(pcol, v) for v in wval}
-        else:
-            targets = {_hive_part_name(pcol, wval)}
-        parts = {p: rel for p, rel in parts.items() if p in targets}
+    # a collection where_partition value restricts to the member SET
+    # (the IN shape) in the same one-manifest-read pass as a scalar
+    parts = _restrict_parts(
+        man.get("partitions") or {}, meta, where_partition=where_partition
+    )
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
     if any(p in tomb_parts for p in parts):
         raise ValueError(
@@ -5083,7 +5048,10 @@ def manifest_group_stats(
             "answerable via manifest_partition_counts)"
         )
     stats = man.get("stats") or {}
-    out = []
+    # per-GROUP merge over the component level: counts add, extremes
+    # nest (min of mins / max of maxs) — exact because every member
+    # partition's stats describe disjoint rows
+    grouped: dict = {}
     for pname in sorted(parts):
         entry = stats.get(pname) or {}
         logical = {
@@ -5111,14 +5079,22 @@ def manifest_group_stats(
             )
         if n == 0:
             continue  # no live rows: no group (SQL semantics)
-        out.append(
-            (
-                _partition_value(pname, ptype)[1],
-                int(n),
-                {c: (logical[c][0], logical[c][1]) for c in columns},
-            )
-        )
-    return out
+        level = pname.split("/")[gidx]
+        g = grouped.setdefault(level, [0, {}])
+        g[0] += int(n)
+        for c in columns:
+            lo, hi = logical[c][0], logical[c][1]
+            if c in g[1]:
+                plo, phi = g[1][c]
+                # None bounds (all-NULL member) never tighten SQL
+                # MIN/MAX — skip them like the rows they describe
+                lo = plo if lo is None else lo if plo is None else min(plo, lo)
+                hi = phi if hi is None else hi if phi is None else max(phi, hi)
+            g[1][c] = (lo, hi)
+    return [
+        (_partition_value(level, gtype)[1], n, cols)
+        for level, (n, cols) in sorted(grouped.items())
+    ]
 
 
 def manifest_range_count(
@@ -5159,20 +5135,18 @@ def manifest_range_count(
         )
     man = read_manifest(path, version)
     meta = man.get("schema") or {}
-    pcol = meta.get("partition_col")
-    if column == pcol and _mixed_spec(man):
+    spec_cols = [c for c, _t in _spec_meta(meta)]
+    if column in spec_cols and _mixed_spec(man):
         # old-spec directory names are not values of the current
-        # partition column; the stats branch below (column != pcol)
+        # partition spec; the stats branch below (non-spec column)
         # stays valid — per-partition stats are spec-independent
         return None
-    targets = None
     if where_partition is not None:
         # partition-equality restriction composes with the range proof:
-        # only the member partition's containment matters (the
+        # only the member partitions' containment matters (the
         # conjunctive "WHERE pcol = v AND col <range>" dashboard shape)
-        if where_partition[0] != pcol or _mixed_spec(man):
+        if where_partition[0] not in spec_cols or _mixed_spec(man):
             return None
-        targets = {_hive_part_name(pcol, where_partition[1])}
 
     def _in_lo(v) -> bool:
         return lo is None or (v > lo if lo_strict else v >= lo)
@@ -5180,14 +5154,14 @@ def manifest_range_count(
     def _in_hi(v) -> bool:
         return hi is None or (v < hi if hi_strict else v <= hi)
 
-    part_rows = _partition_rows(man, path)
-    if column == pcol:
-        ptype = meta.get("partition_type") or "string"
+    part_rows = _restrict_parts(
+        _partition_rows(man, path), meta, where_partition=where_partition
+    )
+    if column in spec_cols:
+        cidx, _cc, ctype = _partition_selector(meta, column)
         total = 0
         for pname, n in part_rows.items():
-            if targets is not None and pname not in targets:
-                continue
-            is_null, v = _partition_value(pname, ptype)
+            is_null, v = _partition_value(pname.split("/")[cidx], ctype)
             if is_null:
                 continue  # NULL satisfies no range predicate
             try:
@@ -5209,8 +5183,6 @@ def manifest_range_count(
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
     total = 0
     for pname, n in part_rows.items():
-        if targets is not None and pname not in targets:
-            continue
         if n == 0:
             continue
         entry = stats.get(pname) or {}
@@ -5263,6 +5235,7 @@ def manifest_column_count(
     where_partition: "tuple[str, object] | None" = None,
     where_partition_in: "tuple[str, list] | None" = None,
     by_partition: bool = False,
+    group_col: "str | None" = None,
 ) -> "int | list":
     """Exact null-skipping ``COUNT(column)`` from MANIFEST METADATA:
     each partition contributes its live row count minus its recorded
@@ -5292,53 +5265,52 @@ def manifest_column_count(
         )
     man = read_manifest(path, version)
     meta = man.get("schema") or {}
-    pcol = meta.get("partition_col")
-    targets = None
+    spec_cols = [c for c, _t in _spec_meta(meta)]
     restricted = where_partition is not None or where_partition_in is not None
-    if by_partition and not pcol:
+    if by_partition and not spec_cols:
         raise ValueError(
             f"snapshot table at {path!r} is unpartitioned — no "
             "partition column to group by"
         )
-    if restricted or by_partition or column == pcol:
+    if restricted or by_partition or column in spec_cols:
         if _mixed_spec(man):
             raise ValueError(
                 "partition-VALUE answers are unprovable while "
                 f"{path} holds old-spec directories — compact_snapshot "
                 "to migrate, or scan"
             )
-    if restricted:
-        spec = where_partition or where_partition_in
-        if spec[0] != pcol:
-            raise ValueError(
-                f"restriction column {spec[0]!r} is not the partition "
-                f"column {pcol!r} — only partition membership is "
-                "provable from the manifest"
-            )
-        vals = [where_partition[1]] if where_partition else list(spec[1])
-        targets = {_hive_part_name(pcol, v) for v in vals}
-    part_rows = _partition_rows(man, path)
-    ptype = meta.get("partition_type") or "string"
-    if column == pcol:
+    part_rows = _restrict_parts(
+        _partition_rows(man, path),
+        meta,
+        where_partition=where_partition,
+        where_partition_in=where_partition_in,
+    )
+    if by_partition:
+        gcol = _default_group_col(meta, group_col, "manifest_column_count")
+        gidx, _gc, gtype = _partition_selector(meta, gcol)
+    if column in spec_cols:
         # tombstones already subtracted by _partition_rows — the
-        # partition value is constant per directory, so the live
-        # count IS the non-null count (0 for the NULL partition)
+        # spec component's value is constant per directory, so the
+        # live count IS the non-null count (0 for the NULL level)
+        cidx, _cc, ctype = _partition_selector(meta, column)
+
+        def _nn(pname: str, n: int) -> int:
+            return 0 if _partition_value(
+                pname.split("/")[cidx], ctype
+            )[0] else n
+
         if by_partition:
+            merged: dict = {}
+            for pname, n in part_rows.items():
+                if n <= 0:
+                    continue
+                level = pname.split("/")[gidx]
+                merged[level] = merged.get(level, 0) + _nn(pname, n)
             return [
-                (
-                    _partition_value(pname, ptype)[1],
-                    0 if _partition_value(pname, ptype)[0] else n,
-                )
-                for pname, n in sorted(part_rows.items())
-                if (targets is None or pname in targets) and n > 0
+                (_partition_value(level, gtype)[1], c)
+                for level, c in sorted(merged.items())
             ]
-        total = 0
-        for pname, n in part_rows.items():
-            if targets is not None and pname not in targets:
-                continue
-            if not _partition_value(pname, ptype)[0]:
-                total += n
-        return total
+        return sum(_nn(pname, n) for pname, n in part_rows.items())
     renames = meta.get("renames") or []
 
     def _chain(name: str) -> str:
@@ -5372,17 +5344,21 @@ def manifest_column_count(
         return n - int(rng[2])
 
     if by_partition:
-        # sorted by partition name, zero-live groups skipped — the
-        # same order and membership as manifest_partition_counts
+        # sorted by group level name, zero-live groups skipped — the
+        # same order and membership as manifest_partition_counts;
+        # member non-null counts merge by addition
+        merged = {}
+        for pname, n in part_rows.items():
+            if n <= 0:
+                continue
+            level = pname.split("/")[gidx]
+            merged[level] = merged.get(level, 0) + _one(pname, n)
         return [
-            (_partition_value(pname, ptype)[1], _one(pname, n))
-            for pname, n in sorted(part_rows.items())
-            if (targets is None or pname in targets) and n > 0
+            (_partition_value(level, gtype)[1], c)
+            for level, c in sorted(merged.items())
         ]
     total = 0
     for pname, n in part_rows.items():
-        if targets is not None and pname not in targets:
-            continue
         if n == 0:
             continue
         total += _one(pname, n)
@@ -5398,6 +5374,7 @@ def manifest_column_sum(
     where_partition: "tuple[str, object] | None" = None,
     where_partition_in: "tuple[str, list] | None" = None,
     by_partition: bool = False,
+    group_col: "str | None" = None,
 ) -> "tuple | list":
     """Exact ``SUM(column)`` — and the ``n_nonnull`` that makes
     ``AVG(column)`` = sum/n — from MANIFEST METADATA: the per-partition
@@ -5423,10 +5400,8 @@ def manifest_column_sum(
         )
     man = read_manifest(path, version)
     meta = man.get("schema") or {}
-    pcol = meta.get("partition_col")
-    targets = None
     restricted = where_partition is not None or where_partition_in is not None
-    if by_partition and not pcol:
+    if by_partition and not _spec_meta(meta):
         raise ValueError(
             f"snapshot table at {path!r} is unpartitioned — no "
             "partition column to group by"
@@ -5438,16 +5413,6 @@ def manifest_column_sum(
                 f"{path} holds old-spec directories — compact_snapshot "
                 "to migrate, or scan"
             )
-    if restricted:
-        spec = where_partition or where_partition_in
-        if spec[0] != pcol:
-            raise ValueError(
-                f"restriction column {spec[0]!r} is not the partition "
-                f"column {pcol!r} — only partition membership is "
-                "provable from the manifest"
-            )
-        vals = [where_partition[1]] if where_partition else list(spec[1])
-        targets = {_hive_part_name(pcol, v) for v in vals}
     renames = meta.get("renames") or []
 
     def _chain(name: str) -> str:
@@ -5458,8 +5423,12 @@ def manifest_column_sum(
 
     stats = man.get("stats") or {}
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
-    part_rows = _partition_rows(man, path)
-    ptype = meta.get("partition_type") or "string"
+    part_rows = _restrict_parts(
+        _partition_rows(man, path),
+        meta,
+        where_partition=where_partition,
+        where_partition_in=where_partition_in,
+    )
 
     def _one(pname: str) -> "tuple":
         if pname in tomb_parts:
@@ -5481,16 +5450,27 @@ def manifest_column_sum(
         )
 
     if by_partition:
+        gcol = _default_group_col(meta, group_col, "manifest_column_sum")
+        gidx, _gc, gtype = _partition_selector(meta, gcol)
+        # per-GROUP merge: member sums and non-null counts add;
+        # a group whose every member sum is None stays None (SQL SUM)
+        merged: dict = {}
+        for pname, n in part_rows.items():
+            if n <= 0:
+                continue
+            sv, nn = _one(pname)
+            level = pname.split("/")[gidx]
+            g = merged.setdefault(level, [None, 0])
+            if sv is not None:
+                g[0] = int(sv) + (g[0] or 0)
+            g[1] += nn
         return [
-            (_partition_value(pname, ptype)[1], *_one(pname))
-            for pname, n in sorted(part_rows.items())
-            if (targets is None or pname in targets) and n > 0
+            (_partition_value(level, gtype)[1], g[0], g[1])
+            for level, g in sorted(merged.items())
         ]
     total, n_total = 0, 0
     seen_value = False
     for pname, n in part_rows.items():
-        if targets is not None and pname not in targets:
-            continue
         if n == 0:
             continue
         sv, nn = _one(pname)
@@ -5953,21 +5933,24 @@ def _eq_targets(man, path, pcol, where_partition):
     the current partition column there)."""
     if where_partition is None:
         return None
-    if where_partition[0] != pcol:
-        raise ValueError(
-            f"restriction column {where_partition[0]!r} is not the "
-            f"partition column {pcol!r}"
-        )
+    meta = man.get("schema") or {}
+    # raises on a non-spec column; matches the restricted column's OWN
+    # directory level, so eq/IN on ANY component of a multi-column
+    # spec restricts exactly (absent members restrict to nothing)
+    _partition_selector(meta, where_partition[0])
     if _mixed_spec(man):
         raise ValueError(
             "partition-VALUE restriction is unprovable while "
             f"{path} holds old-spec directories — compact_snapshot to "
             "migrate, or scan"
         )
-    val = where_partition[1]
-    if isinstance(val, (list, tuple, set, frozenset)):
-        return {_hive_part_name(pcol, v) for v in val}
-    return {_hive_part_name(pcol, val)}
+    return set(
+        _restrict_parts(
+            man.get("partitions") or {},
+            meta,
+            where_partition=where_partition,
+        )
+    )
 
 
 def range_sum_pruned(
