@@ -322,14 +322,40 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         self._path = options.get("path")
         self._start = int(options.get("starting_version", 0))
         # ending_version bounds a BACKFILL: the stream never advances
-        # past it (a static cap — restart-safe, unlike rate limiting,
-        # which the offset API cannot express without one). Commits
-        # landing after it are simply outside this stream's window.
+        # past it (a static cap — restart-safe). Commits landing after
+        # it are simply outside this stream's window.
         ev = options.get("ending_version")
         self._end = int(ev) if ev is not None else None
         self._skip_changes = str(
             options.get("skip_change_commits", "false")
         ).lower() in ("true", "1", "yes")
+        # max_dirs_per_trigger: Delta's maxFilesPerTrigger analog at
+        # directory grain — latestOffset advances by at most this many
+        # streamable directories per micro-batch, so one huge append
+        # drains as several bounded batches (the backfill-vs-latency
+        # knob a 100 TB mirror needs). The Python DataSource API has
+        # no admission-control hook (no SupportsAdmissionControl), so
+        # the bound is tracked in-session: on RESTART the first
+        # latestOffset cannot see the checkpointed position and
+        # catches up UNBOUNDED once, then bounds again — any
+        # "remember floor, emit behind committed" scheme would move
+        # checkpoint offsets backwards (duplicate emission), which is
+        # worse than one large batch.
+        mdt = options.get("max_dirs_per_trigger")
+        self._max_dirs = int(mdt) if mdt is not None else 0
+        if mdt is not None and self._max_dirs < 1:
+            raise ValueError(
+                f"max_dirs_per_trigger must be >= 1, got {mdt!r}"
+            )
+        # NOTE: the engine computes latestOffset BEFORE asking for the
+        # initial offset (measured on the availableNow fallback), so a
+        # fresh query's FIRST batch is the same unbounded catch-up as
+        # a restart's; every batch after it is bounded — partitions()
+        # and commit() teach the cursor the true position.
+        #: last offset this reader handed out / saw committed — the
+        #: rate-limit cursor. None until initialOffset (fresh query)
+        #: or the first partitions/commit call (restart).
+        self._floor: "dict | None" = None
         self._schema = schema
         if not self._path:
             raise ValueError("snapshotstream requires a path: .load(table)")
@@ -340,17 +366,119 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 "stream"
             )
 
+    @staticmethod
+    def _pos(off: dict) -> "tuple[int, int]":
+        """An offset's first-unconsumed position ``(version, dir)`` —
+        the total order the rate-limit cursor advances in.
+        ``{"version": v}`` (complete through v) sorts as ``(v+1, 0)``;
+        ``{"version": v, "dir": k}`` as ``(v, k)``."""
+        if "dir" in off:
+            return (int(off["version"]), int(off["dir"]))
+        return (int(off["version"]) + 1, 0)
+
+    def _advance_floor(self, off: dict) -> None:
+        """Move the rate-limit cursor FORWARD only: the engine calls
+        initialOffset/commit out of order with latestOffset (measured:
+        initialOffset lands AFTER the first latestOffset), and a
+        backward assignment would re-widen a batch already planned."""
+        if self._floor is None or self._pos(off) > self._pos(self._floor):
+            self._floor = dict(off)
+
     def initialOffset(self) -> dict:
+        self._advance_floor({"version": self._start})
         return {"version": self._start}
+
+    def _version_dirs(self, v: int) -> "tuple[list, dict, str | None]":
+        """Version ``v``'s streamable NEW directories as a SORTED
+        ``[(pname, rel), …]`` list (deterministic — the unit the
+        partial-offset rate limit indexes into), plus the version's
+        schema meta and an error string when the commit is a
+        non-streamable change (empty list when the change is skipped
+        under skip_change_commits, or the commit is pure metadata)."""
+        from .snapshot import read_manifest
+
+        man = read_manifest(self._path, v)
+        meta = man.get("schema") or {}
+        parent = man.get("parent") or 0
+        parent_man = read_manifest(self._path, parent) if parent else {}
+        prev = parent_man.get("partitions") or {}
+        cur = man.get("partitions") or {}
+        new_dirs = {p: rel for p, rel in cur.items() if prev.get(p) != rel}
+        op = str(man.get("operation") or "")
+        if not parent:
+            # the table's FIRST commit is its initial content —
+            # streamable whole, whatever operation wrote it
+            # (Delta's initial-snapshot semantics)
+            op = "append"
+        # an append that REVISITS an existing partition rewrites
+        # that directory as existing ∪ new (the manifest maps one
+        # dir per partition) — the appended rows are not separable
+        # from it. Streamable appends are the pure-directory-add
+        # discipline the appender's own contract prescribes
+        # (ingest-date / batch-id partitioning); anything else is
+        # a change commit.
+        revisited = op == "append" and any(p in prev for p in new_dirs)
+        if op != "append" or revisited:
+            dropped_dirs = any(p not in cur for p in prev)
+            # tombstone additions count as changes
+            prev_tomb = parent_man.get("tombstones") if v > 1 else None
+            tomb_changed = (man.get("tombstones") or None) != prev_tomb
+            if new_dirs or dropped_dirs or tomb_changed:
+                if self._skip_changes:
+                    return [], meta, None
+                return [], meta, (
+                    "partition-revisiting append"
+                    if revisited
+                    else f"{op or 'non-append'} commit"
+                )
+            return [], meta, None  # pure-metadata commit
+        return sorted(new_dirs.items()), meta, None
 
     def latestOffset(self) -> dict:
         from .snapshot import current_version
 
         cur = int(current_version(self._path))
-        return {"version": cur if self._end is None else min(cur, self._end)}
+        if self._end is not None:
+            cur = min(cur, self._end)
+        if self._max_dirs <= 0:
+            return {"version": cur}
+        if self._floor is None:
+            # restart: the checkpointed position is invisible here —
+            # catch up unbounded once (see __init__), bound afterwards
+            self._advance_floor({"version": cur})
+            return {"version": cur}
+        # resume position: (v, k) = first unconsumed directory
+        if "dir" in self._floor:
+            v, k = int(self._floor["version"]), int(self._floor["dir"])
+        else:
+            v, k = int(self._floor["version"]) + 1, 0
+        budget = self._max_dirs
+        while v <= cur:
+            dirs, _meta, _err = self._version_dirs(v)
+            if k >= len(dirs):
+                v, k = v + 1, 0
+                continue
+            if budget <= 0:
+                break
+            take = min(budget, len(dirs) - k)
+            k += take
+            budget -= take
+        if v > cur:
+            off = {"version": cur}
+        elif k == 0:
+            off = {"version": v - 1}
+        else:
+            dirs, _meta, _err = self._version_dirs(v)
+            off = (
+                {"version": v}
+                if k >= len(dirs)
+                else {"version": v, "dir": k}
+            )
+        self._advance_floor(off)
+        return off
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        from .snapshot import read_manifest
+        from .snapshot import _spec_meta, read_manifest
 
         out: list[InputPartition] = []
         # the rename/drop registry is CUMULATIVE (old names are never
@@ -362,54 +490,40 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             if int(end["version"]) >= 1
             else {}
         )
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            man = read_manifest(self._path, v)
-            parent = man.get("parent") or 0
-            parent_man = read_manifest(self._path, parent) if parent else {}
-            prev = parent_man.get("partitions") or {}
-            cur = man.get("partitions") or {}
-            new_dirs = {
-                p: rel for p, rel in cur.items() if prev.get(p) != rel
-            }
-            op = str(man.get("operation") or "")
-            if not parent:
-                # the table's FIRST commit is its initial content —
-                # streamable whole, whatever operation wrote it
-                # (Delta's initial-snapshot semantics)
-                op = "append"
-            # an append that REVISITS an existing partition rewrites
-            # that directory as existing ∪ new (the manifest maps one
-            # dir per partition) — the appended rows are not separable
-            # from it. Streamable appends are the pure-directory-add
-            # discipline the appender's own contract prescribes
-            # (ingest-date / batch-id partitioning); anything else is
-            # a change commit.
-            revisited = op == "append" and any(
-                p in prev for p in new_dirs
-            )
-            if op != "append" or revisited:
-                dropped_dirs = any(p not in cur for p in prev)
-                # tombstone additions count as changes
-                prev_tomb = parent_man.get("tombstones") if v > 1 else None
-                tomb_changed = (man.get("tombstones") or None) != prev_tomb
-                if new_dirs or dropped_dirs or tomb_changed:
-                    if self._skip_changes:
-                        continue
+        # partial offsets ({"version": v, "dir": k} = first k sorted
+        # directories of v consumed/included): a pure function of the
+        # two offsets over immutable manifests, so recovery re-plans a
+        # committed window to exactly the same directories
+        sv, ev = int(start["version"]), int(end["version"])
+        sk = int(start["dir"]) if "dir" in start else None
+        ek = int(end["dir"]) if "dir" in end else None
+        first = sv if sk is not None else sv + 1
+        # a replayed (restart) batch teaches the rate-limit cursor the
+        # true position before any latestOffset advances it
+        self._advance_floor(end)
+        for v in range(first, ev + 1):
+            dirs, meta, err = self._version_dirs(v)
+            if err is not None:
+                raise ValueError(
+                    f"snapshotstream: version {v} is a {err}; "
+                    "appended-rows semantics cannot be derived "
+                    "from a rewrite — set option("
+                    "'skip_change_commits', 'true') to skip such "
+                    "commits (Delta skipChangeCommits)"
+                )
+            lo = sk if (v == sv and sk is not None) else 0
+            hi = ek if (v == ev and ek is not None) else len(dirs)
+            spec_t = _spec_meta(meta)
+            for pname, rel in dirs[lo:hi]:
+                # one (col, type, level) triple per spec component —
+                # multi-column specs inject every level as a constant
+                levels = pname.split("/")
+                if len(levels) != len(spec_t):
                     raise ValueError(
-                        f"snapshotstream: version {v} is a "
-                        + (
-                            "partition-revisiting append"
-                            if revisited
-                            else f"{op or 'non-append'} commit"
-                        )
-                        + "; appended-rows semantics cannot be derived "
-                        "from a rewrite — set option("
-                        "'skip_change_commits', 'true') to skip such "
-                        "commits (Delta skipChangeCommits)"
+                        f"snapshotstream: partition {pname!r} does not "
+                        f"speak the commit's spec "
+                        f"{[c for c, _t in spec_t]!r}"
                     )
-                continue  # pure-metadata commit: nothing to stream
-            meta = man.get("schema") or {}
-            for pname, rel in sorted(new_dirs.items()):
                 out.append(
                     InputPartition(
                         {
@@ -419,8 +533,10 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                                 else os.path.join(self._path, rel)
                             ),
                             "pname": pname,
-                            "ptype": meta.get("partition_type") or "string",
-                            "pcol": meta.get("partition_col"),
+                            "pspec": [
+                                [c, t, lvl]
+                                for (c, t), lvl in zip(spec_t, levels)
+                            ],
                             "renames": end_meta.get("renames") or [],
                             "dropped": end_meta.get("dropped") or [],
                         }
@@ -430,26 +546,30 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
     def read(self, partition: InputPartition):
         # EXECUTOR-side: Arrow record batches straight from the
-        # appended parquet; the hive partition value is injected as a
-        # constant column, renames/drops map physical → logical names.
+        # appended parquet; every hive partition LEVEL's value is
+        # injected as a constant column (one per spec component),
+        # renames/drops map physical → logical names.
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         from .snapshot import _partition_value
 
         spec = partition.value
-        is_null, pval = _partition_value(spec["pname"], spec["ptype"])
-        patype = _arrow_type_for(spec["ptype"])
-        if not is_null and isinstance(pval, str):
-            # _partition_value types integral/boolean values but hands
-            # date/float/double back as the directory STRING — coerce
-            # to the Python value Arrow accepts for the declared type
-            if spec["ptype"] == "date":
-                import datetime as _dt
+        inject = []
+        for pc, pt, level in spec["pspec"]:
+            is_null, pval = _partition_value(level, pt)
+            patype = _arrow_type_for(pt)
+            if not is_null and isinstance(pval, str):
+                # _partition_value types integral/boolean values but
+                # hands date/float/double back as the directory STRING
+                # — coerce to the Python value Arrow accepts
+                if pt == "date":
+                    import datetime as _dt
 
-                pval = _dt.date.fromisoformat(pval)
-            elif spec["ptype"] in ("float", "double"):
-                pval = float(pval)
+                    pval = _dt.date.fromisoformat(pval)
+                elif pt in ("float", "double"):
+                    pval = float(pval)
+            inject.append((pc, is_null, pval, patype))
         renames = {old: new for old, new in spec["renames"]}
         dropped = set(spec["dropped"])
         want = [f.name for f in self._schema.fields]
@@ -465,9 +585,10 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                         continue
                     cols[logical] = col
                 n = rb.num_rows
-                cols[spec["pcol"]] = pa.nulls(n, patype) if is_null else (
-                    pa.array([pval] * n, type=patype)
-                )
+                for pc, is_null, pval, patype in inject:
+                    cols[pc] = pa.nulls(n, patype) if is_null else (
+                        pa.array([pval] * n, type=patype)
+                    )
                 for f2 in self._schema.fields:
                     if f2.name not in cols:
                         # a commit written before a schema-evolving
@@ -492,5 +613,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 )
 
     def commit(self, end: dict) -> None:
-        # offsets are recomputable from the immutable manifests
-        pass
+        # offsets are recomputable from the immutable manifests; the
+        # committed end also advances the rate-limit cursor (harmless
+        # when latestOffset already did)
+        self._advance_floor(end)

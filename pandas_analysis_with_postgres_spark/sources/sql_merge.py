@@ -265,7 +265,12 @@ def execute_merge(
             f"bootstrap it with write_snapshot (MERGE needs the table's "
             f"recorded partition column and schema)"
         )
-    pcol = schema_meta["partition_col"]
+    pcol = schema_meta.get("partition_col")
+    if pcol is None:
+        raise ValueError(
+            "SQL MERGE does not support multi-column partition specs "
+            "yet — use merge_snapshot with the spec list"
+        )
     t_cols = list(schema_meta["columns"])
     t_alias, s_alias = p["t_alias"], p["s_alias"]
     t_key, s_key = _parse_on(p["on"], t_alias, s_alias)
@@ -589,7 +594,12 @@ def execute_update(
         raise ValueError(
             f"UPDATE target {p['target']!r} has no committed snapshot yet"
         )
-    pcol = schema_meta["partition_col"]
+    pcol = schema_meta.get("partition_col")
+    if pcol is None:
+        raise ValueError(
+            "SQL UPDATE does not support multi-column partition specs "
+            "yet — use replace_partitions with the spec list"
+        )
     t_cols = list(schema_meta["columns"])
     bad = set(p["sets"]) - set(t_cols)
     if bad:
