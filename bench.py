@@ -213,6 +213,9 @@ EXTRA = (
     "z103_deep_clone",
     "z104_metadata_null_audit",
     "z105_hybrid_null_audit",
+    "z106_multicol_spec_metadata",
+    "z107_grouped_or_windows",
+    "z108_range_null_audit",
 )
 
 

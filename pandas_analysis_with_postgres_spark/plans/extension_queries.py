@@ -9023,6 +9023,141 @@ FROM g CROSS JOIN m
 """
 
 
+def z107_grouped_or_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive range windows UNDER GROUP BY (r9 verdict ask #6a):
+    ``SELECT o_orderstatus, COUNT(*), SUM(cents), MIN/MAX(cents)
+    WHERE cents BETWEEN a AND b OR cents BETWEEN c AND d GROUP BY
+    o_orderstatus`` — "this price band OR that one, per status" —
+    served by metadata_sql._hybrid_group_or_range: the typed windows
+    merge into disjoint closed intervals, each interval runs ONE
+    grouped range_group_multi pass (interior partitions from
+    metadata, one grouped boundary scan for the edges), and the
+    per-interval group results merge exactly (disjointness: counts
+    and sums add, extremes nest). Composes with ORDER BY/LIMIT on the
+    assembled frame (the z63 tie-break discipline). Reuses the z61
+    fixture (orders snapshotted by o_orderstatus with cents stats);
+    the oracle replays the UNION of the windows from raw orders."""
+    from ..sources.metadata_sql import hybrid_range_count
+
+    path = _gbin_table(spark, sf_dir)
+    out = hybrid_range_count(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n, SUM(cents) AS s,"
+        " MIN(cents) AS lo_c, MAX(cents) AS hi_c"
+        " FROM t WHERE cents BETWEEN 100000 AND 5000000"
+        " OR cents BETWEEN 20000000 AND 30000000"
+        " GROUP BY o_orderstatus ORDER BY n DESC LIMIT 3",
+        {"t": path},
+    )
+    assert out is not None  # refusal = hard fail
+    return out
+
+
+Z107_SQL = """
+WITH b AS (
+  SELECT o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS s,
+       MIN(cents)::BIGINT AS lo_c, MAX(cents)::BIGINT AS hi_c
+FROM b
+WHERE (cents BETWEEN 100000 AND 5000000)
+   OR (cents BETWEEN 20000000 AND 30000000)
+GROUP BY o_orderstatus
+ORDER BY n DESC, o_orderstatus ASC
+LIMIT 3
+"""
+
+
+def z108_range_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range AND NULL-predicate conjunction (r9 verdict ask #6b):
+    ``COUNT(*) WHERE v <range> AND w IS [NOT] NULL`` — the
+    data-quality drill-down on a key window — via the composed
+    classifier snapshot.range_null_count_pruned: partitions proven
+    fully inside the range with ZERO range-column nulls answer the
+    null predicate from their recorded null counts (cross-column
+    reasoning is legal exactly when every row matches the range);
+    only the boundary scans, with BOTH predicates pushed. The
+    same-column shortcuts ride along (range ∧ IS NULL ≡ 0; range ∧
+    IS NOT NULL ≡ the plain range count), and EXPLAIN's
+    classification counts are part of the oracle row. Shares the
+    z104 fixture shape (orders with NULL-seeded v and p)."""
+    import os
+
+    from ..sources.metadata_sql import (
+        explain_metadata_sql,
+        hybrid_range_count,
+    )
+    from ..sources.snapshot import write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _RANGENULL_TABLES.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("rangenull_") + "/tbl"
+        orders = load_table(spark, sf_dir, "orders")
+        cents = (
+            F.col("o_totalprice").cast("decimal(18,2)") * 100
+        ).cast("long")
+        df = orders.select(
+            F.col("o_orderkey").alias("k"),
+            cents.alias("v"),
+            F.when(F.col("o_orderkey") % 7 != 0, F.col("o_custkey")).alias(
+                "w"
+            ),
+            (F.col("o_orderkey") % 4).alias("p"),
+        )
+        write_snapshot(df, path, "p", stats_cols=["v", "w"])
+        _RANGENULL_TABLES[key] = path
+    T = {"t": path}
+    n_null = hybrid_range_count(
+        spark,
+        "SELECT COUNT(*) AS n_null FROM t"
+        " WHERE v BETWEEN 5000000 AND 40000000 AND w IS NULL",
+        T,
+    )
+    n_vals = hybrid_range_count(
+        spark,
+        "SELECT COUNT(*) AS n_vals FROM t WHERE v > 30000000"
+        " AND w IS NOT NULL",
+        T,
+    )
+    same0 = hybrid_range_count(
+        spark,
+        "SELECT COUNT(*) AS zero FROM t WHERE w > 100 AND w IS NULL",
+        T,
+    )
+    exp = explain_metadata_sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM t"
+        " WHERE v BETWEEN 5000000 AND 40000000 AND w IS NULL",
+        T,
+    ).select("tier")
+    assert n_null is not None and n_vals is not None and same0 is not None
+    return n_null.crossJoin(n_vals).crossJoin(same0).crossJoin(exp)
+
+
+_RANGENULL_TABLES: dict = {}
+
+
+Z108_SQL = """
+WITH b AS (
+  SELECT o_orderkey AS k,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         CASE WHEN o_orderkey % 7 <> 0 THEN o_custkey END AS w,
+         o_orderkey % 4 AS p
+  FROM orders
+)
+SELECT
+  (SELECT COUNT(*) FROM b
+   WHERE v BETWEEN 5000000 AND 40000000 AND w IS NULL)::BIGINT AS n_null,
+  (SELECT COUNT(*) FROM b
+   WHERE v > 30000000 AND w IS NOT NULL)::BIGINT AS n_vals,
+  0::BIGINT AS zero,
+  'hybrid' AS tier
+"""
+
+
 _DEEPCLONE_TABLES: dict = {}
 
 
@@ -9759,6 +9894,8 @@ EXTENSION_QUERIES = {
     "z104_metadata_null_audit": z104_metadata_null_audit,
     "z105_hybrid_null_audit": z105_hybrid_null_audit,
     "z106_multicol_spec_metadata": z106_multicol_spec_metadata,
+    "z107_grouped_or_windows": z107_grouped_or_windows,
+    "z108_range_null_audit": z108_range_null_audit,
 }
 
 EXTENSION_ORACLES = {
@@ -9907,5 +10044,7 @@ EXTENSION_ORACLES = {
     "z104_metadata_null_audit": Z104_SQL,
     "z105_hybrid_null_audit": Z105_SQL,
     "z106_multicol_spec_metadata": Z106_SQL,
+    "z107_grouped_or_windows": Z107_SQL,
+    "z108_range_null_audit": Z108_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

@@ -200,6 +200,16 @@ _W_IN_NULL = re.compile(
 #: Served by the hybrid tier as a union of disjoint intervals (each
 #: classified and boundary-scanned independently after merging
 #: overlaps); open-ended comparisons in a disjunct refuse to the scan.
+#: Range conjoined with a NULL predicate — "COUNT(*) WHERE latency >
+#: 500 AND user_id IS NULL" (the data-quality drill-down on a window).
+#: Strictly range-first; hybrid-tier only (r9 verdict ask #6b).
+_W_RANGE_NULL = re.compile(
+    rf"^\s*(?:(?P<col>[A-Za-z_]\w*)\s*(?P<op><=|>=|<|>)\s*(?P<val>{_LIT})"
+    rf"|(?P<bcol>[A-Za-z_]\w*)\s+BETWEEN\s+(?P<blo>{_LIT})\s+AND\s+(?P<bhi>{_LIT}))"
+    rf"\s+AND\s+(?P<ncol>[A-Za-z_]\w*)\s+IS\s+(?P<not>NOT\s+)?NULL\s*$",
+    re.IGNORECASE,
+)
+
 _W_OR_RANGE = re.compile(
     rf"^\s*[A-Za-z_]\w*\s+BETWEEN\s+{_LIT}\s+AND\s+{_LIT}"
     rf"(?:\s+OR\s+[A-Za-z_]\w*\s+BETWEEN\s+{_LIT}\s+AND\s+{_LIT})+\s*$",
@@ -384,6 +394,22 @@ def parse_metadata_select(sql: str) -> "dict | None":
                 inm.group("col"),
                 inm.group("not") is not None,
             )
+        elif (rnm := _W_RANGE_NULL.match(wtext)) is not None:
+            if rnm.group("col") is not None:
+                op, val = rnm.group("op"), rnm.group("val")
+                rng = (
+                    (None, val, False, op == "<")
+                    if op in ("<", "<=")
+                    else (val, None, op == ">", False)
+                )
+                rcol = rnm.group("col")
+            else:
+                rng = (rnm.group("blo"), rnm.group("bhi"), False, False)
+                rcol = rnm.group("bcol")
+            where = ("rangenull", rcol) + rng + (
+                rnm.group("ncol"),
+                rnm.group("not") is not None,
+            )
         elif _W_OR_RANGE.match(wtext) is not None:
             col0, ivs = None, []
             for part in _OR_SPLIT.split(wtext):
@@ -440,7 +466,7 @@ def parse_metadata_select(sql: str) -> "dict | None":
             # be provable — not worth a special case; scan decides
             return None
         if where is not None and where[0] not in (
-            "eq", "in", "range", "inrange", "isnull", "eqnull"
+            "eq", "in", "range", "inrange", "orrange", "isnull", "eqnull"
         ):
             return None  # eqrange + GROUP BY: the member IS the group
         if where is not None and where[0] in ("isnull", "eqnull"):
@@ -449,10 +475,11 @@ def parse_metadata_select(sql: str) -> "dict | None":
             # cross-column unprovable; scan decides
             if any(k not in ("group", "count") for k, _, _ in items):
                 return None
-        if where is not None and where[0] in ("range", "inrange"):
-            # range + GROUP BY parses ONLY when the grouped hybrid
-            # tier can serve every item (count/sum/avg/min/max); the
-            # pure-metadata answerer refuses it at answer time
+        if where is not None and where[0] in ("range", "inrange", "orrange"):
+            # range / disjunctive windows + GROUP BY parse ONLY when
+            # the grouped hybrid tier can serve every item
+            # (count/sum/avg/min/max); the pure-metadata answerer
+            # refuses them at answer time
             if any(
                 k not in ("group", "count", "sum", "avg", "min", "max")
                 for k, _, _ in items
@@ -473,6 +500,11 @@ def parse_metadata_select(sql: str) -> "dict | None":
             k in ("approx", "quantile", "countcol", "cdistinct")
             for k, _, _ in items
         ):
+            return None
+    if where is not None and where[0] == "rangenull":
+        # range AND NULL-predicate conjunction: COUNT(*) only (the
+        # hybrid tier's cross-column proof covers nothing else)
+        if any(k != "count" for k, _, _ in items):
             return None
     having = None
     if m.group("hcol") is not None:
@@ -755,6 +787,10 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
         raise _Refuse()
     if where is not None and where[0] == "orrange":
         # disjunctive windows: hybrid-only (per-interval passes)
+        raise _Refuse()
+    if where is not None and where[0] == "rangenull":
+        # range AND NULL-predicate conjunction: hybrid-only (the
+        # boundary needs a scan)
         raise _Refuse()
 
     if where is not None and where[0] == "in":
@@ -1125,13 +1161,23 @@ def hybrid_range_count(
         or parsed["table"] not in tables
         or parsed["where"] is None
         or parsed["where"][0]
-        not in ("range", "eqrange", "inrange", "orrange", "isnull", "eqnull")
+        not in (
+            "range", "eqrange", "inrange", "orrange", "rangenull",
+            "isnull", "eqnull",
+        )
         or any(
             k not in ("group", "count", "sum", "avg", "min", "max")
             for k, _, _ in parsed["items"]
         )
     ):
         return None
+    if parsed["where"][0] == "rangenull":
+        # range AND NULL-predicate conjunction (COUNT(*) only,
+        # enforced at parse): composed classifier, boundary scanned
+        # with both predicates pushed
+        if parsed["group_by"] is not None:
+            return None
+        return _hybrid_range_null(spark, parsed, tables, version, explain)
     if parsed["where"][0] in ("isnull", "eqnull"):
         # NULL-audit COUNT run to completion: provable partitions from
         # metadata, ONLY the unprovable remainder (tombstones, legacy
@@ -1139,7 +1185,11 @@ def hybrid_range_count(
         # whole on any such partition
         return _hybrid_isnull(spark, parsed, tables, version, explain)
     if parsed["group_by"] is not None:
-        # GROUP BY pcol + range (or IN+range) WHERE: the grouped tier
+        # GROUP BY pcol + range (or IN+range / OR-windows): grouped tier
+        if parsed["where"][0] == "orrange":
+            return _hybrid_group_or_range(
+                spark, parsed, tables, version, explain
+            )
         if parsed["where"][0] not in ("range", "inrange"):
             return None  # eqrange + GROUP BY: the member IS the group
         return _hybrid_group_multi(spark, parsed, tables, version, explain)
@@ -1599,6 +1649,87 @@ def _hybrid_isnull(spark, parsed, tables, version, explain=False):
     )
 
 
+def _hybrid_range_null(spark, parsed, tables, version, explain=False):
+    """Range AND NULL-predicate conjunction (r9 verdict ask #6b):
+    ``COUNT(*) WHERE range_col <range> AND null_col IS [NOT] NULL``
+    via :func:`snapshot.range_null_count_pruned` — partitions proven
+    fully inside the range with zero range-column nulls answer the
+    null predicate from their recorded null counts; only the
+    unprovable remainder scans, with BOTH predicates pushed."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    path = tables[parsed["table"]]
+    if parsed["as_of"] is not None:
+        if version is not None:
+            raise ValueError(
+                "statement has FOR ... AS OF and the caller also "
+                "pinned a version — pick one"
+            )
+        if "version" in parsed["as_of"]:
+            version = parsed["as_of"]["version"]
+        else:
+            from .snapshot import resolve_as_of
+
+            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
+    man = read_manifest(path, version)
+    schema_meta = man.get("schema") or {}
+    spec_types = _spec_types_of(schema_meta)
+    sj = schema_meta.get("spark_schema")
+    from pyspark.sql.types import StructType as _StructType
+
+    field_types = (
+        {
+            f.name: f.dataType
+            for f in _StructType.fromJson(json.loads(sj)).fields
+        }
+        if sj
+        else {}
+    )
+    _, rcol, lo_raw, hi_raw, lo_strict, hi_strict, ncol, is_not = (
+        parsed["where"]
+    )
+    coltype = (
+        spec_types[rcol]
+        if rcol in spec_types
+        else _spark_simple_type(field_types.get(rcol))
+    )
+    if not coltype:
+        return None  # unknown range column: let the scan engine error
+    if ncol not in field_types and ncol not in spec_types:
+        return None  # unknown null column: let the scan engine error
+    try:
+        lo = _typed_literal(lo_raw, coltype) if lo_raw is not None else None
+        hi = _typed_literal(hi_raw, coltype) if hi_raw is not None else None
+    except _Refuse:
+        return None  # type-incomparable literal: full scan decides
+    from .snapshot import range_null_count_pruned
+
+    try:
+        out = range_null_count_pruned(
+            spark, path, rcol, ncol,
+            lo=lo, hi=hi, lo_strict=lo_strict, hi_strict=hi_strict,
+            is_not=is_not, version=version, explain_only=explain,
+        )
+    except ValueError:
+        return None  # sketch-name guard: full scan decides
+    if explain:
+        return _explain_frame(
+            spark, "hybrid",
+            out["meta_partitions"], out["scanned_partitions"],
+            out["scanned_files"], out["total_files"],
+        )
+    alias = parsed["items"][0][2]
+    return _local_rows_df(
+        spark,
+        [(out["count"],)],
+        StructType([StructField(alias, LongType(), False)]),
+    )
+
+
 def _assemble_multi(spark, parsed, values, ptype, pcol, field_types):
     """One multi-aggregate value list → the typed one-row answer frame
     (shared by the single-window and disjunctive-window paths)."""
@@ -1853,75 +1984,234 @@ def _hybrid_group_multi(spark, parsed, tables, version, explain=False):
                 out["meta_partitions"], out["scanned_partitions"],
                 out["scanned_files"], out["total_files"],
             )
-        fields, casts = [], {}
-        for kind, agg_col, alias in parsed["items"]:
-            if kind == "group":
-                # scan-identical group type (the form-3 contract): the
-                # string rendering routes through the same cast as
-                # _answer_group_by, so a LONG partition column comes
-                # back LONG, not the manifest's directory-name string
-                fields.append(StructField(alias, StringType(), True))
-                casts[alias] = field_types.get(pcol) or ptype
-            elif kind == "count":
-                fields.append(StructField(alias, LongType(), False))
-            elif kind in ("sum", "avg"):
-                fields.append(
-                    StructField(
-                        alias,
-                        LongType() if kind == "sum" else DoubleType(),
-                        True,
-                    )
-                )
-            else:
-                dt = ptype if agg_col == pcol else field_types[agg_col]
-                fields.append(StructField(alias, StringType(), True))
-                casts[alias] = dt
-        rows = []
-        for gval, vals in out["groups"]:
-            it = iter(vals)
-            row = []
-            for kind, agg_col, alias in parsed["items"]:
-                if kind == "group":
-                    row.append(None if gval is None else str(gval))
-                    continue
-                v = next(it)
-                if kind == "count":
-                    row.append(int(v))
-                elif kind in ("sum", "avg"):
-                    row.append(_sum_avg_value(kind, v))
-                else:
-                    row.append(None if v is None else str(v))
-            rows.append(tuple(row))
-        frame = _local_rows_df(spark, rows, _ST(fields))
-        if casts:
-            frame = frame.select(
-                *[
-                    F.col(f.name).cast(casts[f.name]).alias(f.name)
-                    if f.name in casts
-                    else F.col(f.name)
-                    for f in frame.schema.fields
-                ]
-            )
-        frame = _apply_having(frame, parsed)
-        if parsed.get("order_by") is not None:
-            # the full group set is assembled — ordering the local
-            # frame proves itself; group-asc tie-break (z63)
-            ocol, desc = parsed["order_by"]
-            out_aliases = [a for _, _, a in parsed["items"]]
-            if ocol not in out_aliases:
-                return None  # ORDER BY names a non-output column
-            gcol_alias = next(
-                a for k, _, a in parsed["items"] if k == "group"
-            )
-            key = F.col(ocol).desc() if desc else F.col(ocol).asc()
-            frame = frame.orderBy(key, F.col(gcol_alias).asc())
-            if parsed.get("limit") is not None:
-                frame = frame.limit(parsed["limit"])
-        return frame
+        return _assemble_grouped(
+            spark, parsed, out["groups"], pcol, ptype, field_types
+        )
     except ValueError:
         return None  # mixed-spec / unpartitioned / sketch guard: scan
     except _Refuse:
         return None  # int64 overflow on SUM: a scan must decide/error
+
+
+def _assemble_grouped(spark, parsed, groups, pcol, ptype, field_types):
+    """Assemble a grouped hybrid answer frame from ``groups`` =
+    ``[(group value, [per-item values]), …]`` (range_group_multi's
+    shape): scan-identical group typing (string render → cast, the
+    form-3 contract), then HAVING, then ORDER BY <output alias> with
+    the group-asc tie-break and LIMIT (the z63 discipline)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType as _ST,
+    )
+
+    fields, casts = [], {}
+    for kind, agg_col, alias in parsed["items"]:
+        if kind == "group":
+            # scan-identical group type (the form-3 contract): the
+            # string rendering routes through the same cast as
+            # _answer_group_by, so a LONG partition column comes
+            # back LONG, not the manifest's directory-name string
+            fields.append(StructField(alias, StringType(), True))
+            casts[alias] = field_types.get(pcol) or ptype
+        elif kind == "count":
+            fields.append(StructField(alias, LongType(), False))
+        elif kind in ("sum", "avg"):
+            fields.append(
+                StructField(
+                    alias,
+                    LongType() if kind == "sum" else DoubleType(),
+                    True,
+                )
+            )
+        else:
+            dt = ptype if agg_col == pcol else field_types[agg_col]
+            fields.append(StructField(alias, StringType(), True))
+            casts[alias] = dt
+    rows = []
+    for gval, vals in groups:
+        it = iter(vals)
+        row = []
+        for kind, agg_col, alias in parsed["items"]:
+            if kind == "group":
+                row.append(None if gval is None else str(gval))
+                continue
+            v = next(it)
+            if kind == "count":
+                row.append(int(v))
+            elif kind in ("sum", "avg"):
+                row.append(_sum_avg_value(kind, v))
+            else:
+                row.append(None if v is None else str(v))
+        rows.append(tuple(row))
+    frame = _local_rows_df(spark, rows, _ST(fields))
+    if casts:
+        frame = frame.select(
+            *[
+                F.col(f.name).cast(casts[f.name]).alias(f.name)
+                if f.name in casts
+                else F.col(f.name)
+                for f in frame.schema.fields
+            ]
+        )
+    frame = _apply_having(frame, parsed)
+    if parsed.get("order_by") is not None:
+        # the full group set is assembled — ordering the local
+        # frame proves itself; group-asc tie-break (z63)
+        ocol, desc = parsed["order_by"]
+        out_aliases = [a for _, _, a in parsed["items"]]
+        if ocol not in out_aliases:
+            return None  # ORDER BY names a non-output column
+        gcol_alias = next(
+            a for k, _, a in parsed["items"] if k == "group"
+        )
+        key = F.col(ocol).desc() if desc else F.col(ocol).asc()
+        frame = frame.orderBy(key, F.col(gcol_alias).asc())
+        if parsed.get("limit") is not None:
+            frame = frame.limit(parsed["limit"])
+    return frame
+
+
+def _hybrid_group_or_range(spark, parsed, tables, version, explain=False):
+    """Grouped DISJUNCTIVE windows (r9 verdict ask #6a): ``SELECT
+    pcol, COUNT(*), SUM(x), … WHERE col BETWEEN a AND b OR col BETWEEN
+    c AND d GROUP BY pcol`` — the per-interval discipline of
+    :func:`_hybrid_or_range` composed with the grouped prover: the
+    typed windows merge into disjoint closed intervals, each interval
+    runs its own :func:`snapshot.range_group_multi` pass, and the
+    per-interval GROUP results merge EXACTLY (disjointness: counts and
+    sums add, extremes nest, AVG re-derives from the combined pair; a
+    group absent from an interval simply contributes nothing). At
+    100 TB this is k tiny grouped boundary scans for k windows on a
+    clustered table, never a scan of the gap between them."""
+    path = tables[parsed["table"]]
+    if parsed["as_of"] is not None:
+        if version is not None:
+            raise ValueError(
+                "statement has FOR ... AS OF and the caller also "
+                "pinned a version — pick one"
+            )
+        if "version" in parsed["as_of"]:
+            version = parsed["as_of"]["version"]
+        else:
+            from .snapshot import resolve_as_of
+
+            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
+    man = read_manifest(path, version)
+    schema_meta = man.get("schema") or {}
+    pcol = schema_meta.get("partition_col")
+    ptype = schema_meta.get("partition_type") or "string"
+    if pcol is None or parsed["group_by"] != pcol:
+        return None  # only the partition column groups at the manifest
+    sj = schema_meta.get("spark_schema")
+    from pyspark.sql.types import StructType
+
+    field_types = (
+        {f.name: f.dataType for f in StructType.fromJson(json.loads(sj)).fields}
+        if sj
+        else {}
+    )
+    spec_types = _spec_types_of(schema_meta)
+    col = parsed["where"][1]
+    coltype = (
+        spec_types[col]
+        if col in spec_types
+        else _spark_simple_type(field_types.get(col))
+    )
+    if not coltype:
+        return None  # unknown range column: let the scan engine error
+    try:
+        typed = [
+            (_typed_literal(lo, coltype), _typed_literal(hi, coltype))
+            for lo, hi in parsed["where"][2]
+        ]
+    except _Refuse:
+        return None  # type-incomparable literal: full scan decides
+    for kind, agg_col, _alias in parsed["items"]:
+        if (
+            kind in ("sum", "avg", "min", "max")
+            and agg_col != pcol
+            and agg_col not in field_types
+        ):
+            return None  # unknown aggregated column: refuse pre-scan
+    if parsed.get("order_by") is not None:
+        if parsed["order_by"][0] not in [a for _, _, a in parsed["items"]]:
+            return None  # ORDER BY names a non-output column
+    # merge into disjoint closed intervals (BETWEEN lo > hi = empty)
+    ivs = sorted((lo, hi) for lo, hi in typed if not lo > hi)
+    merged: list = []
+    for lo, hi in ivs:
+        if merged and lo <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    from .snapshot import range_group_multi
+
+    items = [(k, c) for k, c, _a in parsed["items"] if k != "group"]
+    try:
+        outs = [
+            range_group_multi(
+                spark, path, col, items, lo=lo, hi=hi,
+                version=version, explain_only=explain,
+            )
+            for lo, hi in merged
+        ]
+    except ValueError:
+        return None  # mixed-spec / unpartitioned / sketch guard: scan
+    except _Refuse:
+        return None  # int64 overflow on SUM: a scan must decide/error
+    if explain:
+        return _explain_frame(
+            spark, "hybrid",
+            sum(o["meta_partitions"] for o in outs),
+            sum(o["scanned_partitions"] for o in outs),
+            sum(o["scanned_files"] for o in outs),
+            sum(o["total_files"] for o in outs),
+        )
+    # exact cross-interval group merge (disjoint windows): counts and
+    # (sum, n) pairs add, extremes nest; group order = value render
+    # (the same sorted-by-partition-name order each pass emits)
+    acc: dict = {}
+    order: list = []
+    for o in outs:
+        for gval, vals in o["groups"]:
+            key = (gval is None, None if gval is None else str(gval))
+            if key not in acc:
+                acc[key] = [gval, list(vals)]
+                order.append(key)
+                continue
+            cur = acc[key][1]
+            for i, (kind, _c) in enumerate(items):
+                if kind == "count":
+                    cur[i] = int(cur[i]) + int(vals[i])
+                elif kind in ("sum", "avg"):
+                    s0, n0 = cur[i]
+                    s1, n1 = vals[i]
+                    tot = None
+                    if s0 is not None or s1 is not None:
+                        tot = int(s0 or 0) + int(s1 or 0)
+                    cur[i] = (tot, int(n0) + int(n1))
+                elif kind == "min":
+                    if vals[i] is not None:
+                        cur[i] = (
+                            vals[i]
+                            if cur[i] is None
+                            else min(cur[i], vals[i])
+                        )
+                else:  # max
+                    if vals[i] is not None:
+                        cur[i] = (
+                            vals[i]
+                            if cur[i] is None
+                            else max(cur[i], vals[i])
+                        )
+    groups = [tuple(acc[k]) for k in sorted(order)]
+    return _assemble_grouped(
+        spark, parsed, groups, pcol, ptype, field_types
+    )
 
 
 def _answer_eq_range_count(

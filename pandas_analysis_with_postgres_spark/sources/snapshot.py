@@ -5922,6 +5922,165 @@ def null_count_pruned(
     }
 
 
+def range_null_count_pruned(
+    spark: SparkSession,
+    path: str,
+    range_col: str,
+    null_col: str,
+    *,
+    lo=None,
+    hi=None,
+    lo_strict: bool = False,
+    hi_strict: bool = False,
+    is_not: bool = False,
+    version: "int | str | None" = None,
+    explain_only: bool = False,
+) -> dict:
+    """HYBRID ``COUNT(*) WHERE range_col <range> AND null_col IS [NOT]
+    NULL`` (r9 verdict ask #6b) — the range classifier and the null
+    counter composed in ONE pass: a partition proven fully OUTSIDE the
+    range contributes zero; one proven fully INSIDE with ZERO recorded
+    range-column nulls (every row passes the range predicate, so the
+    null predicate's exact answer is the partition's recorded
+    ``null_col`` null count — cross-column reasoning is legal only in
+    this all-rows-match case) contributes from metadata; everything
+    else — boundary, range nulls, legacy entries, tombstones — scans
+    with BOTH predicates pushed. ``null_col == range_col`` simplifies
+    exactly: a range predicate already rejects NULLs, so IS NULL is a
+    constant 0 and IS NOT NULL is the plain hybrid range count.
+
+    Returns ``{"count", "meta_partitions", "scanned_partitions",
+    "scanned_files", "total_files"}`` (count None under
+    ``explain_only``)."""
+    from pyspark.sql import functions as F
+
+    for c in (range_col, null_col):
+        if (c.endswith(HLL_SUFFIX) or c.endswith(SUM_SUFFIX)
+                or _HIST_KEY_RE.match(c)):
+            raise ValueError(
+                "sketch entries (::hll / ::sum / ::hist:) are not data "
+                "columns — pass the column itself"
+            )
+    if null_col == range_col:
+        if not is_not:
+            # rows satisfying the range have a non-NULL range column by
+            # SQL three-valued logic: the conjunction is empty
+            return {
+                "count": None if explain_only else 0,
+                "meta_partitions": 0,
+                "scanned_partitions": 0,
+                "scanned_files": 0,
+                "total_files": 0,
+            }
+        return range_count_pruned(
+            spark, path, range_col,
+            lo=lo, hi=hi, lo_strict=lo_strict, hi_strict=hi_strict,
+            version=version, explain_only=explain_only,
+        )
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    renames = meta.get("renames") or []
+
+    def _chain(name: str) -> str:
+        for old, new in renames:
+            if name == old:
+                name = new
+        return name
+
+    def _in_lo(v) -> bool:
+        return lo is None or (v > lo if lo_strict else v >= lo)
+
+    def _in_hi(v) -> bool:
+        return hi is None or (v < hi if hi_strict else v <= hi)
+
+    stats = man.get("stats") or {}
+    tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    part_rows = _partition_rows(man, path)
+    meta_total = 0
+    meta_parts: set = set()
+    scan_parts: set = set()
+    for pname, n in part_rows.items():
+        if n == 0:
+            continue
+        entry = stats.get(pname) or {}
+        logical = {
+            _chain(k): v for k, v in entry.items()
+            if k not in (N_ROWS_KEY, FILES_KEY)
+        }
+        rng = logical.get(range_col)
+        # classify FIRST: [min,max] is a pre-delete SUPERSET, so a
+        # proven-OUTSIDE partition counts zero even when tombstoned
+        if rng is not None:
+            try:
+                outside = (
+                    lo is not None
+                    and (rng[1] < lo or (lo_strict and rng[1] <= lo))
+                ) or (
+                    hi is not None
+                    and (rng[0] > hi or (hi_strict and rng[0] >= hi))
+                )
+            except TypeError:
+                outside = False  # incomparable literal: no proof
+            if outside:
+                continue  # proven zero (range NULLs excluded by SQL too)
+        nrng = logical.get(null_col)
+        if (
+            rng is None
+            or pname in tomb_parts
+            or len(rng) < 3
+            or rng[2] is None
+            or nrng is None
+            or len(nrng) < 3
+            or nrng[2] is None
+        ):
+            scan_parts.add(pname)
+            continue
+        try:
+            inside = _in_lo(rng[0]) and _in_hi(rng[1])
+        except TypeError:
+            scan_parts.add(pname)
+            continue
+        if inside and int(rng[2]) == 0:
+            # every row passes the range; the null predicate's answer
+            # IS the recorded null count of null_col
+            nulls = int(nrng[2])
+            meta_total += (n - nulls) if is_not else nulls
+            meta_parts.add(pname)
+        elif nrng is not None and int(rng[2]) == n:
+            continue  # all-NULL range column: nothing passes the range
+        else:
+            scan_parts.add(pname)
+    scanned = 0
+    if scan_parts and not explain_only:
+        rc = F.col(range_col)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (rc > lo if lo_strict else rc >= lo)
+        if hi is not None:
+            cond = cond & (rc < hi if hi_strict else rc <= hi)
+        nc = F.col(null_col)
+        cond = cond & (nc.isNotNull() if is_not else nc.isNull())
+        scanned = (
+            read_snapshot(
+                spark, path, version,
+                partition_filter=lambda p: p in scan_parts,
+                column_ranges={range_col: (lo, hi)},
+            )
+            .filter(cond)
+            .count()
+        )
+    files_scanned, files_total = _window_file_counts(
+        stats, scan_parts, range_col, lo, hi
+    )
+    return {
+        "count": None if explain_only else int(meta_total + scanned),
+        "meta_partitions": len(meta_parts),
+        "scanned_partitions": len(scan_parts),
+        "scanned_files": files_scanned,
+        "total_files": files_total,
+    }
+
+
 def _eq_targets(man, path, pcol, where_partition):
     """Shared partition-VALUE restriction for the hybrid provers:
     None (unrestricted), the singleton member set for an equality

@@ -1518,12 +1518,22 @@ def test_or_range_served_by_hybrid(spark, tmp_path):
         assert [tuple(r) for r in out.collect()] == [
             tuple(r) for r in want.collect()
         ], sql
-    # refusals: mixed columns, GROUP BY, open-ended disjunct
+    # GROUP BY + disjunctive windows: SERVED since round 10 (the r9
+    # verdict ask #6a) — per-interval grouped passes merged exactly
+    gsql = (
+        "SELECT p, COUNT(*) AS n FROM t"
+        " WHERE k BETWEEN 1 AND 2 OR k BETWEEN 5 AND 9 GROUP BY p"
+    )
+    gout = hybrid_range_count(spark, gsql, {"t": path})
+    gwant = spark.sql(gsql.replace("FROM t", "FROM orr_scan"))
+    assert gout is not None and gout.dtypes == gwant.dtypes
+    assert sorted(tuple(r) for r in gout.collect()) == sorted(
+        tuple(r) for r in gwant.collect()
+    )
+    # refusals: mixed columns, open-ended disjunct
     for sql in (
         "SELECT COUNT(*) AS n FROM t"
         " WHERE k BETWEEN 1 AND 2 OR v BETWEEN 3 AND 4",
-        "SELECT p, COUNT(*) AS n FROM t"
-        " WHERE k BETWEEN 1 AND 2 OR k BETWEEN 5 AND 9 GROUP BY p",
         "SELECT COUNT(*) AS n FROM t WHERE k < 5 OR k BETWEEN 9 AND 12",
     ):
         assert hybrid_range_count(spark, sql, {"t": path}) is None, sql
