@@ -40,27 +40,42 @@ def _package_zip() -> str:
     package as a py-file is the standard Spark fix and makes the engine
     launch-cwd independent (r9 verdict, "What's wrong" #1).
 
-    The zip is rebuilt per process (cheap: source only, no pycache) at a
-    pid-scoped temp path so concurrent test runs never clobber each
-    other's archive mid-read.
+    The zip is CONTENT-ADDRESSED (name carries a digest of every
+    source file's bytes), so a stale archive from an earlier package
+    version is never reused — a pid-scoped name would be, under pid
+    reuse against a persistent temp dir, silently shipping outdated
+    worker code. Writers build into a uuid-unique temp file and
+    publish with an atomic ``os.replace``, so concurrent sessions
+    never interleave writes into one half-built archive.
     """
+    import hashlib
+    import uuid
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
+    sources = []
+    for root, dirs, files in os.walk(pkg_dir):
+        dirs[:] = [d for d in dirs if d != "__pycache__"]
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                sources.append(os.path.join(root, fn))
+    sources.sort()
+    h = hashlib.sha256()
+    for full in sources:
+        h.update(os.path.relpath(full, pkg_dir).encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
     out = os.path.join(
-        tempfile.gettempdir(), f"{pkg_name}_pyfiles_{os.getpid()}.zip"
+        tempfile.gettempdir(),
+        f"{pkg_name}_pyfiles_{h.hexdigest()[:16]}.zip",
     )
     if os.path.exists(out):
         return out
-    tmp = f"{out}.building"
+    tmp = f"{out}.{uuid.uuid4().hex}.building"
     with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, dirs, files in os.walk(pkg_dir):
-            dirs[:] = [d for d in dirs if d != "__pycache__"]
-            for fn in sorted(files):
-                if not fn.endswith(".py"):
-                    continue
-                full = os.path.join(root, fn)
-                rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
-                zf.write(full, rel)
+        for full in sources:
+            rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+            zf.write(full, rel)
     os.replace(tmp, out)
     return out
 

@@ -675,6 +675,38 @@ def _coerce_partition_literal(raw: str, ptype: str):
     return int(raw)
 
 
+def _resolve_table(parsed: dict, tables: dict, version):
+    """Shared statement preamble (one home — it used to be copied into
+    every answerer): resolve the table path, fold the statement's
+    ``FOR … AS OF`` into the caller's pinned version (raising on a
+    double pin), read the manifest's schema metadata, and derive the
+    typed field map and the partition-spec types. Returns
+    ``(path, version, schema_meta, field_types, spec_types)``."""
+    path = tables[parsed["table"]]
+    if parsed["as_of"] is not None:
+        if version is not None:
+            raise ValueError(
+                "statement has FOR ... AS OF and the caller also "
+                "pinned a version — pick one"
+            )
+        if "version" in parsed["as_of"]:
+            version = parsed["as_of"]["version"]
+        else:
+            from .snapshot import resolve_as_of
+
+            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
+    schema_meta = read_manifest(path, version).get("schema") or {}
+    sj = schema_meta.get("spark_schema")
+    from pyspark.sql.types import StructType
+
+    field_types = (
+        {f.name: f.dataType for f in StructType.fromJson(json.loads(sj)).fields}
+        if sj
+        else {}
+    )
+    return path, version, schema_meta, field_types, _spec_types_of(schema_meta)
+
+
 def _spec_types_of(schema_meta: dict) -> dict:
     """``{spec column: simple type string}`` for the table's partition
     spec — one entry for a legacy single-column table, one per
@@ -734,35 +766,15 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
     parsed = parse_metadata_select(sql)
     if parsed is None or parsed["table"] not in tables:
         return None
-    path = tables[parsed["table"]]
-    if parsed["as_of"] is not None:
-        # SQL time travel (Delta/Iceberg FOR ... AS OF syntax): the
-        # statement pins the version; a caller-side pin on top of it
-        # is ambiguous and loud
-        if version is not None:
-            raise ValueError(
-                "statement has FOR ... AS OF and the caller also "
-                "pinned a version — pick one"
-            )
-        if "version" in parsed["as_of"]:
-            version = parsed["as_of"]["version"]
-        else:
-            from .snapshot import resolve_as_of
-
-            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
-    schema_meta = read_manifest(path, version).get("schema") or {}
+    # SQL time travel (Delta/Iceberg FOR ... AS OF syntax): the
+    # statement pins the version; a caller-side pin on top of it is
+    # ambiguous and loud (_resolve_table raises)
+    path, version, schema_meta, field_types, spec_types = _resolve_table(
+        parsed, tables, version
+    )
     pcol = schema_meta.get("partition_col")
     ptype = schema_meta.get("partition_type") or "string"
-    spec_types = _spec_types_of(schema_meta)
-
-    sj = schema_meta.get("spark_schema")
     from pyspark.sql.types import LongType, StringType, StructField, StructType
-
-    field_types = (
-        {f.name: f.dataType for f in StructType.fromJson(json.loads(sj)).fields}
-        if sj
-        else {}
-    )
 
     where = parsed["where"]
     if parsed["group_by"] is not None:
@@ -1204,32 +1216,11 @@ def hybrid_range_count(
         # classification and ONE boundary scan
         return _hybrid_multi(spark, parsed, tables, version, explain)
     kind, agg_col, alias = parsed["items"][0]
-    path = tables[parsed["table"]]
-    if parsed["as_of"] is not None:
-        if version is not None:
-            raise ValueError(
-                "statement has FOR ... AS OF and the caller also "
-                "pinned a version — pick one"
-            )
-        if "version" in parsed["as_of"]:
-            version = parsed["as_of"]["version"]
-        else:
-            from .snapshot import resolve_as_of
-
-            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
-    man = read_manifest(path, version)
-    schema_meta = man.get("schema") or {}
+    path, version, schema_meta, field_types, spec_types = _resolve_table(
+        parsed, tables, version
+    )
     pcol = schema_meta.get("partition_col")
     ptype = schema_meta.get("partition_type") or "string"
-    sj = schema_meta.get("spark_schema")
-    from pyspark.sql.types import StructType
-
-    field_types = (
-        {f.name: f.dataType for f in StructType.fromJson(json.loads(sj)).fields}
-        if sj
-        else {}
-    )
-    spec_types = _spec_types_of(schema_meta)
     try:
         eq, col, lo_raw, hi_raw, lo_strict, hi_strict = _conj_where(
             parsed["where"], spec_types
@@ -1446,13 +1437,16 @@ def explain_metadata_sql(
             raws = [where[2]] if where[0] == "eq" else list(where[2])
             try:
                 vals = [_coerce_partition_literal(r, wtype) for r in raws]
-            except _Refuse:
-                return len(live)
-            return len(
-                _restrict_parts(
-                    live, schema_meta, where_partition=(where[1], vals)
+                return len(
+                    _restrict_parts(
+                        live, schema_meta, where_partition=(where[1], vals)
+                    )
                 )
-            )
+            except (_Refuse, ValueError):
+                # uncoercible literal / retired-spec directories: the
+                # estimate degrades to the full live count, it never
+                # crashes an EXPLAIN
+                return len(live)
         return len(live)
 
     if meta is not None:
@@ -1486,32 +1480,11 @@ def _hybrid_multi(spark, parsed, tables, version, explain=False):
     than one item. The WHERE prelude mirrors the single-item path
     (same refusal reasons: non-partition equality, unknown columns,
     type-incomparable literals)."""
-    path = tables[parsed["table"]]
-    if parsed["as_of"] is not None:
-        if version is not None:
-            raise ValueError(
-                "statement has FOR ... AS OF and the caller also "
-                "pinned a version — pick one"
-            )
-        if "version" in parsed["as_of"]:
-            version = parsed["as_of"]["version"]
-        else:
-            from .snapshot import resolve_as_of
-
-            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
-    man = read_manifest(path, version)
-    schema_meta = man.get("schema") or {}
+    path, version, schema_meta, field_types, spec_types = _resolve_table(
+        parsed, tables, version
+    )
     pcol = schema_meta.get("partition_col")
     ptype = schema_meta.get("partition_type") or "string"
-    sj = schema_meta.get("spark_schema")
-    from pyspark.sql.types import StructType
-
-    field_types = (
-        {f.name: f.dataType for f in StructType.fromJson(json.loads(sj)).fields}
-        if sj
-        else {}
-    )
-    spec_types = _spec_types_of(schema_meta)
     try:
         eq, col, lo_raw, hi_raw, lo_strict, hi_strict = _conj_where(
             parsed["where"], spec_types
@@ -1582,29 +1555,10 @@ def _hybrid_isnull(spark, parsed, tables, version, explain=False):
         return None  # grouped null audits stay pure-metadata-or-scan
     if len(parsed["items"]) != 1 or parsed["items"][0][0] != "count":
         return None  # COUNT(*) is the provable shape
-    path = tables[parsed["table"]]
-    if parsed["as_of"] is not None:
-        if version is not None:
-            raise ValueError(
-                "statement has FOR ... AS OF and the caller also "
-                "pinned a version — pick one"
-            )
-        if "version" in parsed["as_of"]:
-            version = parsed["as_of"]["version"]
-        else:
-            from .snapshot import resolve_as_of
-
-            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
-    man = read_manifest(path, version)
-    schema_meta = man.get("schema") or {}
-    spec_types = _spec_types_of(schema_meta)
-    sj = schema_meta.get("spark_schema")
     from pyspark.sql.types import LongType, StructField, StructType
 
-    field_types = (
-        {f.name: f.dataType for f in StructType.fromJson(json.loads(sj)).fields}
-        if sj
-        else {}
+    path, version, schema_meta, field_types, spec_types = _resolve_table(
+        parsed, tables, version
     )
     w = parsed["where"]
     if w[0] == "isnull":
@@ -1662,32 +1616,8 @@ def _hybrid_range_null(spark, parsed, tables, version, explain=False):
         StructType,
     )
 
-    path = tables[parsed["table"]]
-    if parsed["as_of"] is not None:
-        if version is not None:
-            raise ValueError(
-                "statement has FOR ... AS OF and the caller also "
-                "pinned a version — pick one"
-            )
-        if "version" in parsed["as_of"]:
-            version = parsed["as_of"]["version"]
-        else:
-            from .snapshot import resolve_as_of
-
-            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
-    man = read_manifest(path, version)
-    schema_meta = man.get("schema") or {}
-    spec_types = _spec_types_of(schema_meta)
-    sj = schema_meta.get("spark_schema")
-    from pyspark.sql.types import StructType as _StructType
-
-    field_types = (
-        {
-            f.name: f.dataType
-            for f in _StructType.fromJson(json.loads(sj)).fields
-        }
-        if sj
-        else {}
+    path, version, schema_meta, field_types, spec_types = _resolve_table(
+        parsed, tables, version
     )
     _, rcol, lo_raw, hi_raw, lo_strict, hi_strict, ncol, is_not = (
         parsed["where"]
@@ -1790,31 +1720,11 @@ def _hybrid_or_range(spark, parsed, tables, version, explain=False):
     partitioned fact wants. A partition straddling the GAP between
     two merged windows is boundary for both (scanned once per
     interval — explain counts scan TASKS, not distinct partitions)."""
-    path = tables[parsed["table"]]
-    if parsed["as_of"] is not None:
-        if version is not None:
-            raise ValueError(
-                "statement has FOR ... AS OF and the caller also "
-                "pinned a version — pick one"
-            )
-        if "version" in parsed["as_of"]:
-            version = parsed["as_of"]["version"]
-        else:
-            from .snapshot import resolve_as_of
-
-            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
-    man = read_manifest(path, version)
-    schema_meta = man.get("schema") or {}
+    path, version, schema_meta, field_types, spec_types = _resolve_table(
+        parsed, tables, version
+    )
     pcol = schema_meta.get("partition_col")
     ptype = schema_meta.get("partition_type") or "string"
-    sj = schema_meta.get("spark_schema")
-    from pyspark.sql.types import StructType
-
-    field_types = (
-        {f.name: f.dataType for f in StructType.fromJson(json.loads(sj)).fields}
-        if sj
-        else {}
-    )
     col = parsed["where"][1]
     coltype = (
         ptype if col == pcol else _spark_simple_type(field_types.get(col))
@@ -1900,34 +1810,13 @@ def _hybrid_group_multi(spark, parsed, tables, version, explain=False):
     the full group set exists before ordering, ties break by the
     group column ascending (the z63 discipline), so "top-k days by
     revenue in this key range" serves end-to-end."""
-    path = tables[parsed["table"]]
-    if parsed["as_of"] is not None:
-        if version is not None:
-            raise ValueError(
-                "statement has FOR ... AS OF and the caller also "
-                "pinned a version — pick one"
-            )
-        if "version" in parsed["as_of"]:
-            version = parsed["as_of"]["version"]
-        else:
-            from .snapshot import resolve_as_of
-
-            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
-    man = read_manifest(path, version)
-    schema_meta = man.get("schema") or {}
+    path, version, schema_meta, field_types, spec_types = _resolve_table(
+        parsed, tables, version
+    )
     pcol = schema_meta.get("partition_col")
     ptype = schema_meta.get("partition_type") or "string"
     if pcol is None or parsed["group_by"] != pcol:
         return None  # only the partition column groups at the manifest
-    sj = schema_meta.get("spark_schema")
-    from pyspark.sql.types import StructType
-
-    field_types = (
-        {f.name: f.dataType for f in StructType.fromJson(json.loads(sj)).fields}
-        if sj
-        else {}
-    )
-    spec_types = _spec_types_of(schema_meta)
     try:
         eq, col, lo_raw, hi_raw, lo_strict, hi_strict = _conj_where(
             parsed["where"], spec_types
@@ -2087,34 +1976,13 @@ def _hybrid_group_or_range(spark, parsed, tables, version, explain=False):
     group absent from an interval simply contributes nothing). At
     100 TB this is k tiny grouped boundary scans for k windows on a
     clustered table, never a scan of the gap between them."""
-    path = tables[parsed["table"]]
-    if parsed["as_of"] is not None:
-        if version is not None:
-            raise ValueError(
-                "statement has FOR ... AS OF and the caller also "
-                "pinned a version — pick one"
-            )
-        if "version" in parsed["as_of"]:
-            version = parsed["as_of"]["version"]
-        else:
-            from .snapshot import resolve_as_of
-
-            version = resolve_as_of(path, parsed["as_of"]["timestamp"])
-    man = read_manifest(path, version)
-    schema_meta = man.get("schema") or {}
+    path, version, schema_meta, field_types, spec_types = _resolve_table(
+        parsed, tables, version
+    )
     pcol = schema_meta.get("partition_col")
     ptype = schema_meta.get("partition_type") or "string"
     if pcol is None or parsed["group_by"] != pcol:
         return None  # only the partition column groups at the manifest
-    sj = schema_meta.get("spark_schema")
-    from pyspark.sql.types import StructType
-
-    field_types = (
-        {f.name: f.dataType for f in StructType.fromJson(json.loads(sj)).fields}
-        if sj
-        else {}
-    )
-    spec_types = _spec_types_of(schema_meta)
     col = parsed["where"][1]
     coltype = (
         spec_types[col]
@@ -2209,9 +2077,16 @@ def _hybrid_group_or_range(spark, parsed, tables, version, explain=False):
                             else max(cur[i], vals[i])
                         )
     groups = [tuple(acc[k]) for k in sorted(order)]
-    return _assemble_grouped(
-        spark, parsed, groups, pcol, ptype, field_types
-    )
+    try:
+        return _assemble_grouped(
+            spark, parsed, groups, pcol, ptype, field_types
+        )
+    except _Refuse:
+        # e.g. a HAVING alias that is not an output column, or a
+        # merged SUM past int64 — the scan tier must decide/error
+        # (mirrors _hybrid_group_multi, whose assembly sits inside
+        # its try)
+        return None
 
 
 def _answer_eq_range_count(

@@ -356,6 +356,12 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         #: rate-limit cursor. None until initialOffset (fresh query)
         #: or the first partitions/commit call (restart).
         self._floor: "dict | None" = None
+        #: per-version directory-diff memo: manifests are immutable,
+        #: so each version's (dirs, meta, err) is computed once per
+        #: reader — latestOffset's backlog walk and partitions()'s
+        #: planning would otherwise re-parse two manifest JSONs per
+        #: pending version per trigger
+        self._vd_cache: "dict[int, tuple]" = {}
         self._schema = schema
         if not self._path:
             raise ValueError("snapshotstream requires a path: .load(table)")
@@ -397,6 +403,9 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         under skip_change_commits, or the commit is pure metadata)."""
         from .snapshot import read_manifest
 
+        cached = self._vd_cache.get(v)
+        if cached is not None:
+            return cached
         man = read_manifest(self._path, v)
         meta = man.get("schema") or {}
         parent = man.get("parent") or 0
@@ -425,14 +434,19 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             tomb_changed = (man.get("tombstones") or None) != prev_tomb
             if new_dirs or dropped_dirs or tomb_changed:
                 if self._skip_changes:
-                    return [], meta, None
-                return [], meta, (
-                    "partition-revisiting append"
-                    if revisited
-                    else f"{op or 'non-append'} commit"
-                )
-            return [], meta, None  # pure-metadata commit
-        return sorted(new_dirs.items()), meta, None
+                    out = ([], meta, None)
+                else:
+                    out = ([], meta, (
+                        "partition-revisiting append"
+                        if revisited
+                        else f"{op or 'non-append'} commit"
+                    ))
+            else:
+                out = ([], meta, None)  # pure-metadata commit
+        else:
+            out = (sorted(new_dirs.items()), meta, None)
+        self._vd_cache[v] = out
+        return out
 
     def latestOffset(self) -> dict:
         from .snapshot import current_version

@@ -1797,7 +1797,22 @@ def _restrict_parts(
     'web'`` selects every ``day=*/source=web`` partition of a
     multi-column spec (and degenerates to full-name equality on a
     single-column one). A scalar ``where_partition`` value that is a
-    collection restricts to the member set (the IN shape)."""
+    collection restricts to the member set (the IN shape). A
+    retired-spec directory name (wrong depth for the current spec)
+    raises a clean ValueError — its membership is unknowable, the
+    same refuse-don't-guess rule as every mixed-spec gate."""
+    spec = _spec_meta(meta)
+
+    def _level(p: str, idx: int) -> str:
+        levels = p.split("/")
+        if len(levels) != len(spec):
+            raise ValueError(
+                f"partition name {p!r} does not speak the current "
+                f"{len(spec)}-column spec — retired-spec directory; "
+                "compact_snapshot to migrate"
+            )
+        return levels[idx]
+
     if where_partition is not None:
         wcol, wval = where_partition
         idx, c, _t = _partition_selector(meta, wcol)
@@ -1805,17 +1820,26 @@ def _restrict_parts(
             tgts = {_hive_part_name(c, v) for v in wval}
         else:
             tgts = {_hive_part_name(c, wval)}
-        parts = {
-            p: r for p, r in parts.items() if p.split("/")[idx] in tgts
-        }
+        parts = {p: r for p, r in parts.items() if _level(p, idx) in tgts}
     if where_partition_in is not None:
         wcol, wvals = where_partition_in
         idx, c, _t = _partition_selector(meta, wcol)
         tgts = {_hive_part_name(c, v) for v in wvals}
-        parts = {
-            p: r for p, r in parts.items() if p.split("/")[idx] in tgts
-        }
+        parts = {p: r for p, r in parts.items() if _level(p, idx) in tgts}
     return parts
+
+
+def _spec_component(meta: dict, man: dict, column: str):
+    """``(level index, type)`` when ``column`` is a CURRENT-spec
+    component of a non-layout-mixed table — the directory-name proof
+    (one value per directory, in-or-out, never boundary) is then
+    available to the hybrid provers; ``None`` otherwise. Generalizes
+    the old ``column == partition_col`` checks to multi-column
+    specs."""
+    for i, (c, t) in enumerate(_spec_meta(meta)):
+        if c == column:
+            return None if _mixed_spec(man) else (i, t)
+    return None
 
 
 def _group_parts(
@@ -3066,7 +3090,10 @@ def evolve_snapshot_schema(
     if not meta:
         raise ValueError(f"{path} has no committed snapshot to evolve")
     cols = list(meta.get("columns") or [])
-    protected = {meta.get("partition_col")}
+    # every CURRENT spec component is protected (multi-column specs
+    # carry no scalar partition_col — renaming a component would make
+    # every read unresolvable against the directory layout)
+    protected = {c for c, _t in _spec_meta(meta)}
     protected.update(meta.get("stats_cols") or [])
     protected.update(meta.get("bloom_cols") or [])
     # retired partition specs: old-spec DIRECTORY names still carry
@@ -5571,9 +5598,12 @@ def range_count_pruned(
             continue
         if n == 0:
             continue
-        if column == pcol and not _mixed_spec(man):
-            # one value per directory: in-or-out, never boundary
-            is_null, v = _partition_value(pname, ptype)
+        if (comp := _spec_component(meta, man, column)) is not None:
+            # one value per directory: in-or-out, never boundary —
+            # any spec COMPONENT's level proves it (multi-column too)
+            is_null, v = _partition_value(
+                pname.split("/")[comp[0]], comp[1]
+            )
             try:
                 if not is_null and _in_lo(v) and _in_hi(v):
                     meta_total += n
@@ -5847,10 +5877,12 @@ def null_count_pruned(
             continue
         if n == 0:
             continue
-        if column == pcol and not _mixed_spec(man):
-            # the partition value is constant per directory: the NULL
-            # partition's rows are the nulls, every other row non-null
-            is_null_part = _partition_value(pname, ptype)[0]
+        if (comp := _spec_component(meta, man, column)) is not None:
+            # the component value is constant per directory: the NULL
+            # level's rows are the nulls, every other row non-null
+            is_null_part = _partition_value(
+                pname.split("/")[comp[0]], comp[1]
+            )[0]
             if is_null_part != is_not:
                 meta_total += n
             meta_parts.add(pname)
@@ -6035,6 +6067,11 @@ def range_null_count_pruned(
         ):
             scan_parts.add(pname)
             continue
+        if int(rng[2]) == n:
+            # all-NULL range column: nothing passes the range — proven
+            # zero BEFORE the bound comparison (its [min, max] are
+            # None and would TypeError against any literal)
+            continue
         try:
             inside = _in_lo(rng[0]) and _in_hi(rng[1])
         except TypeError:
@@ -6046,8 +6083,6 @@ def range_null_count_pruned(
             nulls = int(nrng[2])
             meta_total += (n - nulls) if is_not else nulls
             meta_parts.add(pname)
-        elif nrng is not None and int(rng[2]) == n:
-            continue  # all-NULL range column: nothing passes the range
         else:
             scan_parts.add(pname)
     scanned = 0
@@ -6196,8 +6231,10 @@ def range_sum_pruned(
         # nothing and needs neither a sum entry nor a scan (stats
         # bound pre-delete rows, a superset of live — the outside
         # proof survives tombstones)
-        if range_col == pcol and not _mixed_spec(man):
-            is_null, v = _partition_value(pname, ptype)
+        if (rcomp := _spec_component(meta, man, range_col)) is not None:
+            is_null, v = _partition_value(
+                pname.split("/")[rcomp[0]], rcomp[1]
+            )
             try:
                 inside = (not is_null) and _in_lo(v) and _in_hi(v)
                 outside = not inside  # one value per dir: in or out
@@ -6373,8 +6410,10 @@ def range_minmax_pruned(
             if k != N_ROWS_KEY and not k.endswith(HLL_SUFFIX)
             and not k.endswith(SUM_SUFFIX) and not _HIST_KEY_RE.match(k)
         }
-        if range_col == pcol and not _mixed_spec(man):
-            is_null, v = _partition_value(pname, ptype)
+        if (rcomp := _spec_component(meta, man, range_col)) is not None:
+            is_null, v = _partition_value(
+                pname.split("/")[rcomp[0]], rcomp[1]
+            )
             try:
                 inside = (not is_null) and _in_lo(v) and _in_hi(v)
                 outside = not inside
@@ -6403,13 +6442,10 @@ def range_minmax_pruned(
             rnulls = rng[2] if len(rng) > 2 else None
         if outside and not inside:
             continue
-        arng = (
-            logical.get(agg_col)
-            if agg_col != pcol or _mixed_spec(man)
-            else None
-        )
-        if agg_col == pcol and not _mixed_spec(man):
-            pv = _partition_value(pname, ptype)
+        acomp = _spec_component(meta, man, agg_col)
+        arng = logical.get(agg_col) if acomp is None else None
+        if acomp is not None:
+            pv = _partition_value(pname.split("/")[acomp[0]], acomp[1])
             arng = None if pv[0] else [pv[1], pv[1], 0]
         null_ok = rnulls == 0 or range_col == agg_col
         if (
@@ -6570,8 +6606,10 @@ def range_multi_pruned(
                     sum_pairs[base] = v
         # classify FIRST (shared with the single provers): outside
         # proofs survive tombstones and need no per-item entries
-        if range_col == pcol and not _mixed_spec(man):
-            is_null, v = _partition_value(pname, ptype)
+        if (rcomp := _spec_component(meta, man, range_col)) is not None:
+            is_null, v = _partition_value(
+                pname.split("/")[rcomp[0]], rcomp[1]
+            )
             try:
                 inside = (not is_null) and _in_lo(v) and _in_hi(v)
                 outside = not inside
@@ -6606,8 +6644,11 @@ def range_multi_pruned(
         # proven inside: every item must be provable here, or the
         # whole partition scans (one scan serves all items anyway)
         def _mm_rng(c):
-            if c == pcol and not _mixed_spec(man):
-                pv = _partition_value(pname, ptype)
+            mcomp = _spec_component(meta, man, c)
+            if mcomp is not None:
+                pv = _partition_value(
+                    pname.split("/")[mcomp[0]], mcomp[1]
+                )
                 return None if pv[0] else [pv[1], pv[1], 0]
             return logical.get(c)
 

@@ -245,6 +245,22 @@ def test_distribution_modes_composite(spark, tmp_path):
     assert read_snapshot(spark, path2).count() == 20
 
 
+def test_spec_components_protected_from_rename_drop(spark, tbl):
+    # review regression: renaming/dropping a component of a
+    # multi-column spec must refuse — it would orphan every directory
+    # name and make all subsequent reads unresolvable
+    from pandas_analysis_with_postgres_spark.sources.snapshot import (
+        evolve_snapshot_schema,
+    )
+
+    with pytest.raises(ValueError, match="protected|partition"):
+        evolve_snapshot_schema(tbl, renames={"day": "dt"})
+    with pytest.raises(ValueError, match="protected|partition"):
+        evolve_snapshot_schema(tbl, drops=["source"])
+    # the table still reads fine
+    assert read_snapshot(spark, tbl).count() == 4
+
+
 def test_bad_specs_refuse(spark, tmp_path):
     path = str(tmp_path / "tx")
     df = _mk(spark, [(1, "d1", "web", 10)])
