@@ -104,58 +104,59 @@ RENAMES = {
 #: rotations only reorder; `scripts/check_surface.py` (run by pytest)
 #: enforces 50 distinct real keys and insertion-order integrity.
 ROTATION = [
-    # round-9 additions, never driver-checked (z79–z105)
-    "z79_order_count_distribution",
-    "z80_part_supplier_counts",
-    "z81_idle_rich_customers",
-    "z82_top_supplier",
-    "z83_disjunctive_revenue",
-    "z84_metadata_distinct",
-    "z85_metadata_having",
-    "z86_metadata_in_range",
-    "z87_sole_late_supplier",
-    "z88_top_value_parts",
-    "z89_hybrid_retrieval",
-    "z90_promo_revenue_share",
-    "z91_profit_by_nation_year",
-    "z92_volume_shipping",
-    "z93_nation_market_share",
-    "z94_returned_item_customers",
-    "z95_forecast_revenue_delta",
-    "z96_file_bloom_lookup",
-    "z97_join_pruned_revenue",
-    "z98_metadata_explain",
-    "z99_live_snapshot_tail",
-    "z100_window_disjunction",
-    "z101_live_table_mirror",
-    "z102_parquet_agg_pushdown",
-    "z103_deep_clone",
-    "z104_metadata_null_audit",
-    "z105_hybrid_null_audit",
-    # fill: oldest remaining driver rows (the r06-only q-block)
-    "q04_order_counts",
-    "q05_customer_flags",
-    "q06_first_order_per_customer",
-    "q07_distinct_open_order_customers",
-    "q08_party_union",
-    "q09_except_all",
-    "q10_customers_without_orders",
-    "q11_customers_with_orders",
-    "q12_spend_with_defaults",
-    "q13_user_event_flags",
-    "q14_order_priority_flags",
-    "q15_upsert",
-    "q16_scd2",
-    "q17_max_quantity_lineitems",
-    "q18_event_props_rollup",
-    "q19_user_sessions",
-    "q20_hourly_rollup",
-    "q21_order_sequence_analytics",
-    "q22_dedup_exact",
-    "q23_ngram_jaccard_pairs",
-    "q24_minhash_dedup",
-    "q25_simhash",
-    "q26_simhash_pairs",
+    # round-10 additions, never driver-checked
+    "z106_multicol_spec_metadata",
+    "z107_grouped_or_windows",
+    "z108_range_null_audit",
+    # fill: oldest remaining driver rows (r06 ANN/text block, then the
+    # r07 block, in last-checked-round order)
+    "q27_cosine_topk",
+    "q28_lsh_topk",
+    "q29_cosine_near_pairs",
+    "q30_text_stats",
+    "q31_lang_profile",
+    "q40_returnflag_rollup",
+    "q41_status_priority_cube",
+    "q43_distinct_customers_per_status",
+    "q44_sql_frontend",
+    "q45_asof_latest_order",
+    "q48_props_map_rollup",
+    "q50_promo_range_join",
+    "q51_order_value_percentiles",
+    "q54_multires_rollup",
+    "q32_lang_id",
+    "q33_token_count_by_source",
+    "q34_media_metadata",
+    "a35_media_features",
+    "q35a_media_checksum",
+    "q42_ivf_topk",
+    "q46_top_tokens",
+    "q49_dedup_keep",
+    "q52_train_split",
+    "q53_corpus_curation",
+    "a58_dq_violations",
+    "a59_rare_token_score",
+    "a60_repetition_signals",
+    "a61_decontamination",
+    "a62_source_mixing",
+    "a63_sequence_packing",
+    "a64_pii_redaction",
+    "a65_ivf_kmeans_topk",
+    "a66_hll_distinct",
+    "a67_bloom_decontamination",
+    "a68_cms_heavy_hitters",
+    "z20_sql_merge",
+    "z21_sql_merge_sync",
+    "z22_pq_topk",
+    "z23_pq_refine",
+    "z24_ivfpq_topk",
+    "z25_ivfpq_index_search",
+    "z26_jsonl_roundtrip",
+    "z27_csv_roundtrip",
+    "z28_sq8_topk",
+    "z29_orc_pushdown_summary",
+    "z30_xml_roundtrip",
+    "z31_blob_ingest",
 ]
 
 

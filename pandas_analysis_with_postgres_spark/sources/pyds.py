@@ -335,23 +335,46 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # drains as several bounded batches (the backfill-vs-latency
         # knob a 100 TB mirror needs). The Python DataSource API has
         # no admission-control hook (no SupportsAdmissionControl), so
-        # the bound is tracked in-session: on RESTART the first
-        # latestOffset cannot see the checkpointed position and
-        # catches up UNBOUNDED once, then bounds again — any
-        # "remember floor, emit behind committed" scheme would move
-        # checkpoint offsets backwards (duplicate emission), which is
-        # worse than one large batch.
+        # the bound is tracked in-session, PLUS an ADVISORY floor
+        # sidecar persisted next to the manifests (below) so a RESTART
+        # resumes bounded batches instead of one unbounded catch-up.
         mdt = options.get("max_dirs_per_trigger")
         self._max_dirs = int(mdt) if mdt is not None else 0
         if mdt is not None and self._max_dirs < 1:
             raise ValueError(
                 f"max_dirs_per_trigger must be >= 1, got {mdt!r}"
             )
+        # Floor sidecar (rate limiting only): a tiny JSON recording the
+        # highest offset this reader ever HANDED OUT or saw committed,
+        # written monotonically (tmp+rename) under the table's
+        # _snapshots dir. Handed-out offsets are a superset of anything
+        # the engine can checkpoint, so the sidecar is always AT OR
+        # AHEAD of the checkpoint — seeding the restart cursor from it
+        # can only move the next latestOffset FORWARD, never backwards
+        # (no duplicate emission; partitions() replays committed
+        # windows from the immutable manifests regardless). It is
+        # advisory: deleting it merely makes the first restart batch
+        # unbounded again; it never participates in offset replay.
+        # Two queries tailing the same table should name their floors
+        # apart via option("stream_floor_id", ...) — sharing one floor
+        # is still CORRECT (offsets only ever widen forward), it just
+        # un-bounds the slower query's next batch.
+        fid = str(options.get("stream_floor_id", "default"))
+        if "/" in fid or os.sep in fid:
+            raise ValueError(f"stream_floor_id must be a bare name, got {fid!r}")
+        self._sidecar = (
+            os.path.join(
+                self._path, "_snapshots", f"stream_floor_{fid}.json"
+            )
+            if self._path and self._max_dirs > 0
+            else None
+        )
         # NOTE: the engine computes latestOffset BEFORE asking for the
         # initial offset (measured on the availableNow fallback), so a
-        # fresh query's FIRST batch is the same unbounded catch-up as
-        # a restart's; every batch after it is bounded — partitions()
-        # and commit() teach the cursor the true position.
+        # fresh query's FIRST batch catches up unbounded when no floor
+        # sidecar exists yet; with one, restarts resume as ≤(gap +
+        # max_dirs)-wide batches — partitions() and commit() teach the
+        # cursor the true position either way.
         #: last offset this reader handed out / saw committed — the
         #: rate-limit cursor. None until initialOffset (fresh query)
         #: or the first partitions/commit call (restart).
@@ -389,6 +412,40 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         backward assignment would re-widen a batch already planned."""
         if self._floor is None or self._pos(off) > self._pos(self._floor):
             self._floor = dict(off)
+
+    def _persist_floor(self, off: dict) -> None:
+        """Monotone, atomic, best-effort write of the floor sidecar.
+        Failure to write is swallowed — the sidecar is advisory (its
+        absence only widens the next restart's first batch); offsets
+        and replay correctness never depend on it."""
+        if self._sidecar is None:
+            return
+        try:
+            prev = self._load_floor()
+            if prev is not None and self._pos(prev) >= self._pos(off):
+                return
+            import json as _json
+
+            os.makedirs(os.path.dirname(self._sidecar), exist_ok=True)
+            tmp = self._sidecar + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(off, f)
+            os.replace(tmp, self._sidecar)
+        except OSError:
+            pass
+
+    def _load_floor(self) -> "dict | None":
+        if self._sidecar is None:
+            return None
+        try:
+            import json as _json
+
+            with open(self._sidecar) as f:
+                off = _json.load(f)
+            int(off["version"])  # shape check
+            return off
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
 
     def initialOffset(self) -> dict:
         self._advance_floor({"version": self._start})
@@ -457,10 +514,20 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         if self._max_dirs <= 0:
             return {"version": cur}
         if self._floor is None:
-            # restart: the checkpointed position is invisible here —
-            # catch up unbounded once (see __init__), bound afterwards
-            self._advance_floor({"version": cur})
-            return {"version": cur}
+            # restart (or fresh query): the checkpointed position is
+            # invisible here. Seed the cursor from the floor sidecar
+            # when one exists — it is at-or-ahead of the checkpoint by
+            # construction, so resuming from it keeps every offset
+            # this method hands out monotone while bounding the
+            # catch-up to (uncommitted gap + max_dirs) directories.
+            # No sidecar → catch up unbounded once, bound afterwards.
+            saved = self._load_floor()
+            if saved is not None and self._pos(saved) <= (cur + 1, 0):
+                self._advance_floor(saved)
+            else:
+                self._advance_floor({"version": cur})
+                self._persist_floor({"version": cur})
+                return {"version": cur}
         # resume position: (v, k) = first unconsumed directory
         if "dir" in self._floor:
             v, k = int(self._floor["version"]), int(self._floor["dir"])
@@ -489,6 +556,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                 else {"version": v, "dir": k}
             )
         self._advance_floor(off)
+        self._persist_floor(off)
         return off
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
@@ -629,5 +697,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # offsets are recomputable from the immutable manifests; the
         # committed end also advances the rate-limit cursor (harmless
-        # when latestOffset already did)
+        # when latestOffset already did) and refreshes the advisory
+        # floor sidecar so the NEXT restart resumes bounded
         self._advance_floor(end)
+        self._persist_floor(end)

@@ -1444,7 +1444,12 @@ def _apply_tombstones(
     by_commit: dict[str, list[str]] = {}
     for e in t_parts.values():
         for rel in e["rels"]:
-            commit = os.path.dirname(rel)
+            # rel is data/<commit>/<pname> where <pname> may be a
+            # NESTED multi-column directory (day=…/source=…); the
+            # basePath must be the commit root so Spark recovers EVERY
+            # spec component as a partition column, not just the leaf.
+            parts_rel = rel.replace(os.sep, "/").split("/")
+            commit = "/".join(parts_rel[:2])
             by_commit.setdefault(commit, []).append(os.path.join(path, rel))
     infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     with _INFER_LOCK:
@@ -1471,24 +1476,26 @@ def _apply_tombstones(
     for old, new in renames or []:
         if logical_key == old:
             logical_key = new
-    # tombstones only exist on single-column-spec tables (the
-    # merge-on-read delete path gates multi-column specs)
-    pcol, ptype = _spec_meta(meta)[0]
+    # the join key is (key, *spec): every component of a multi-column
+    # spec participates, so a key tombstoned under one (day, source)
+    # never suppresses its namesake in a sibling partition
+    spec = _spec_meta(meta)
     t = t.select(
         F.col(logical_key).alias("__tomb_k"),
-        F.col(pcol).cast(ptype).alias("__tomb_p"),
+        *[
+            F.col(c).cast(tp).alias(f"__tomb_p{i}")
+            for i, (c, tp) in enumerate(spec)
+        ],
     )
     total = sum(int(e.get("n_deleted") or 0) for e in t_parts.values())
     if total <= 2_000_000:
         t = F.broadcast(t)
     # keys are never NULL (enforced at delete time); partition values
     # may be (the NULL/default partition) — null-safe on that side
-    return out.join(
-        t,
-        (F.col(logical_key) == F.col("__tomb_k"))
-        & F.col(pcol).eqNullSafe(F.col("__tomb_p")),
-        "left_anti",
-    )
+    cond = F.col(logical_key) == F.col("__tomb_k")
+    for i, (c, _tp) in enumerate(spec):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__tomb_p{i}"))
+    return out.join(t, cond, "left_anti")
 
 
 def register_snapshot_view(
@@ -3731,6 +3738,12 @@ def _delete_where_mor(
     - the manifest commit carries all partitions BY REFERENCE (no rel
       changes), composing with :func:`_commit`'s carry rule: later
       rewrites of a partition drop its tombstones automatically.
+
+    Multi-column partition specs are first-class (round 11): tombstone
+    files are written ``partitionBy(*spec)`` so each sidecar keys to
+    its exact leaf directory (``day=…/source=…``), suppressed counts
+    group by the full spec tuple, and the read-side anti-join matches
+    the key plus EVERY spec component null-safely.
     """
     from pyspark.sql import functions as F
 
@@ -3740,13 +3753,8 @@ def _delete_where_mor(
     spec_t = _spec_meta(meta)
     if not spec_t:
         raise ValueError(f"{path} has no committed snapshot to delete from")
-    if len(spec_t) > 1:
-        raise ValueError(
-            "merge-on-read delete does not support multi-column "
-            "partition specs yet — tombstone pairs are keyed (key, "
-            "partition value); use mode='copy-on-write'"
-        )
-    pcol = spec_t[0][0]
+    spec_cols = [c for c, _t in spec_t]
+    pcol = spec_cols[0]
     if _mixed_spec(man):
         raise ValueError(
             f"{path} holds partitions under a retired partition spec — "
@@ -3770,9 +3778,9 @@ def _delete_where_mor(
             f"{prev_tomb.get('key')!r}; a single table uses one "
             "tombstone key (compact to fold them away first)"
         )
-    if key == pcol:
+    if key in spec_cols:
         raise ValueError(
-            "tombstone key must not be the partition column — deleting "
+            "tombstone key must not be a partition column — deleting "
             "a whole partition value is drop_partitions territory "
             "(copy-on-write delete handles it in one commit)"
         )
@@ -3788,19 +3796,27 @@ def _delete_where_mor(
             "equality deletes cannot address them; use "
             "mode='copy-on-write'"
         )
-    keys_df = matches.select(key, pcol).distinct().localCheckpoint(
+    keys_df = matches.select(key, *spec_cols).distinct().localCheckpoint(
         eager=False
     )
     # exact suppressed-row counts: every live row whose key is newly
-    # tombstoned (== the anti-join the readers will run, counted once)
+    # tombstoned (== the anti-join the readers will run, counted once).
+    # The join key is (key, *spec): a key tombstoned under one spec
+    # tuple never suppresses its namesake in a sibling partition.
+    probe = keys_df.select(
+        F.col(key).alias("__dk"),
+        *[F.col(c).alias(f"__dp{i}") for i, c in enumerate(spec_cols)],
+    )
+    match_cond = F.col(key) == F.col("__dk")
+    for i, c in enumerate(spec_cols):
+        match_cond = match_cond & F.col(c).eqNullSafe(F.col(f"__dp{i}"))
     suppressed = {
-        _hive_part_name(pcol, r[0]): int(r[1])
+        _hive_path_name(spec_cols, tuple(r)[: len(spec_cols)]): int(
+            r[len(spec_cols)]
+        )
         for r in _collect_partition_groups(
-            cur.join(keys_df.select(
-                F.col(key).alias("__dk"), F.col(pcol).alias("__dp")
-            ), (F.col(key) == F.col("__dk"))
-                & F.col(pcol).eqNullSafe(F.col("__dp")), "semi")
-            .groupBy(pcol)
+            cur.join(probe, match_cond, "semi")
+            .groupBy(*spec_cols)
             .agg(F.count(F.lit(1))),
             pcol,
             what="merge-on-read delete",
@@ -3817,7 +3833,7 @@ def _delete_where_mor(
             "physical_erasure_requires_expiry": True,
         }
     n_keys = keys_df.count()
-    entries, _tomb_stats = _write_commit_data(keys_df, path, pcol, [])
+    entries, _tomb_stats = _write_commit_data(keys_df, path, spec_cols, [])
     parts = dict((prev_tomb.get("parts") or {}))
     for pname, rel in entries.items():
         e = dict(parts.get(pname) or {"rels": [], "n_deleted": 0})

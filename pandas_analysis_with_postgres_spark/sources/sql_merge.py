@@ -231,6 +231,45 @@ def parse_merge(sql: str) -> dict:
     return out
 
 
+def _filter_to_partitions(spark, df, spec_cols, changed_rows):
+    """Restrict ``df`` to rows whose partition-spec tuple is one of
+    ``changed_rows``, NULL-safely (``isin`` never matches NULL, which
+    would silently drop a changed ``__HIVE_DEFAULT_PARTITION__`` from
+    the content while it sits in the affected set — the subsequent
+    ``replace_partitions`` would then DROP the whole NULL partition,
+    untouched rows included).
+
+    Single-column specs keep the join-free isin/isNull predicate.
+    Multi-column specs use a broadcast SEMI-join on every component
+    null-safely: an OR-chain over up to MAX_COLLECTED_PARTITIONS
+    tuples would blow past codegen limits, while the probe side here
+    is by construction at most that many rows — always broadcastable.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    if len(spec_cols) == 1:
+        c = spec_cols[0]
+        vals = [r[0] for r in changed_rows]
+        non_null = [v for v in vals if v is not None]
+        member = F.col(c).isin(non_null) if non_null else F.lit(False)
+        if any(v is None for v in vals):
+            member = member | F.col(c).isNull()
+        return df.filter(member)
+    schema = StructType(
+        [
+            StructField(f.name, f.dataType, True)
+            for f in df.select(*spec_cols).schema.fields
+        ]
+    )
+    probe = spark.createDataFrame(
+        [tuple(r) for r in changed_rows], schema
+    ).select(*[F.col(c).alias(f"__part_{c}") for c in spec_cols])
+    cond = F.lit(True)
+    for c in spec_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__part_{c}"))
+    return df.join(F.broadcast(probe), cond, "semi")
+
+
 def execute_merge(
     spark: SparkSession,
     sql: str,
@@ -265,12 +304,15 @@ def execute_merge(
             f"bootstrap it with write_snapshot (MERGE needs the table's "
             f"recorded partition column and schema)"
         )
-    pcol = schema_meta.get("partition_col")
-    if pcol is None:
+    from .snapshot import _spec_meta
+
+    spec_cols = [c for c, _t in _spec_meta(schema_meta)]
+    if not spec_cols:
         raise ValueError(
-            "SQL MERGE does not support multi-column partition specs "
-            "yet — use merge_snapshot with the spec list"
+            f"MERGE target {p['target']!r} records no partition spec"
         )
+    # merge_snapshot normalizes either form; pass the recorded shape
+    part_arg = spec_cols if len(spec_cols) > 1 else spec_cols[0]
     t_cols = list(schema_meta["columns"])
     t_alias, s_alias = p["t_alias"], p["s_alias"]
     t_key, s_key = _parse_on(p["on"], t_alias, s_alias)
@@ -312,11 +354,11 @@ def execute_merge(
         bad = set(sets) - set(t_cols)
         if bad:
             raise ValueError(f"{clause} SET of unknown columns: {sorted(bad)}")
-        if t_key in sets or pcol in sets:
+        if t_key in sets or any(c in sets for c in spec_cols):
             raise ValueError(
                 f"{clause} SET may not reassign the merge key ({t_key!r}) or "
-                f"partition column ({pcol!r}): a key's partition value is "
-                f"part of its identity (merge_snapshot contract)"
+                f"a partition column ({spec_cols!r}): a key's partition "
+                f"value is part of its identity (merge_snapshot contract)"
             )
 
     def _apply_set(df: DataFrame, sets: dict) -> DataFrame:
@@ -331,7 +373,7 @@ def execute_merge(
     if p["insert_cols"] is not None and set(p["insert_cols"]) != set(t_cols):
         raise ValueError(
             f"INSERT must supply every target column (incl. the partition "
-            f"column {pcol!r}): expected {sorted(t_cols)}, got "
+            f"columns {spec_cols!r}): expected {sorted(t_cols)}, got "
             f"{sorted(p['insert_cols'])}"
         )
 
@@ -360,7 +402,7 @@ def execute_merge(
             path,
             upsert,
             t_key,
-            pcol,
+            part_arg,
             expected_version=meta["version"],
             txn=txn,
         )
@@ -378,18 +420,19 @@ def execute_merge(
         return df.filter(g), df.filter(~F.coalesce(g, F.lit(False)))
 
     t_only = [f"{t_alias}.{c}" for c in t_cols]
+    _spec_sel = [F.expr(f"{t_alias}.{c}").alias(c) for c in spec_cols]
     matched = tt.join(ss, on, "inner")
     if p["update_set"] is not None:
         upd_pass, upd_fail = _guard_split(matched, p["update_guard"])
         matched_new = _apply_set(upd_pass, p["update_set"]).unionByName(
             upd_fail.select(*[F.col(c).alias(a) for c, a in zip(t_only, t_cols)])
         )
-        changed_matched = upd_pass.select(F.expr(f"{t_alias}.{pcol}").alias(pcol))
+        changed_matched = upd_pass.select(*_spec_sel)
     else:
         matched_new = matched.select(
             *[F.col(c).alias(a) for c, a in zip(t_only, t_cols)]
         )
-        changed_matched = matched_new.select(pcol).limit(0)
+        changed_matched = matched_new.select(*spec_cols).limit(0)
 
     anti_t = tt.join(ss, on, "left_anti")  # target rows with no match
     bs_pass, bs_keep = _guard_split(anti_t, p["by_source_guard"])
@@ -399,52 +442,46 @@ def execute_merge(
         bs_new = _apply_set(bs_pass, p["by_source_set"]).unionByName(
             bs_keep.select(*t_cols)
         )
-    changed_bs = bs_pass.select(F.col(pcol))
+    changed_bs = bs_pass.select(*[F.col(c) for c in spec_cols])
 
     full_new = matched_new.unionByName(bs_new)
     if p["insert_cols"] is not None:
         inserts = _inserts()
         full_new = full_new.unionByName(inserts)
-        changed_ins = inserts.select(pcol)
+        changed_ins = inserts.select(*spec_cols)
     else:
-        changed_ins = full_new.select(pcol).limit(0)
+        changed_ins = full_new.select(*spec_cols).limit(0)
 
     full_new = full_new.localCheckpoint(eager=False)
     from .snapshot import (
-        _collect_distinct_partitions,
         _collect_partition_groups,
-        _hive_part_name,
+        _hive_path_name,
     )
 
     changed = _collect_partition_groups(
         changed_matched.unionByName(changed_bs)
         .unionByName(changed_ins)
         .distinct(),
-        pcol,
+        spec_cols[0],
         what="MERGE",
     )  # O(partitions) driver metadata, same budget as delete_where
 
-    affected = {_hive_part_name(pcol, r[0]) for r in changed}
+    affected = {_hive_path_name(spec_cols, tuple(r)) for r in changed}
     if not affected:
         return meta["version"]  # nothing changed: commit nothing
-    # NULL-safe membership: isin() never matches NULL, which would
-    # silently drop a changed __HIVE_DEFAULT_PARTITION__ from `content`
-    # while it sits in `affected` — replace_partitions would then DROP
-    # the whole NULL partition, untouched rows included.
-    vals = [r[0] for r in changed]
-    non_null = [v for v in vals if v is not None]
-    member = F.col(pcol).isin(non_null) if non_null else F.lit(False)
-    if any(v is None for v in vals):
-        member = member | F.col(pcol).isNull()
-    content = full_new.filter(member).localCheckpoint(eager=False)
+    content = _filter_to_partitions(
+        spark, full_new, spec_cols, changed
+    ).localCheckpoint(eager=False)
     present = {
-        _hive_part_name(pcol, v)
-        for v in _collect_distinct_partitions(content, pcol, what="UPDATE")
+        _hive_path_name(spec_cols, tuple(r))
+        for r in _collect_partition_groups(
+            content.select(*spec_cols).distinct(), spec_cols[0], what="MERGE"
+        )
     }
     return replace_partitions(
         path,
         content,
-        pcol,
+        part_arg,
         expected_version=meta["version"],
         txn=txn,
         drop_partitions=affected - present,
@@ -576,7 +613,8 @@ def execute_update(
     """
     from .snapshot import (
         _collect_partition_groups,
-        _hive_part_name,
+        _hive_path_name,
+        _spec_meta,
         read_manifest,
         read_snapshot,
         replace_partitions,
@@ -594,19 +632,20 @@ def execute_update(
         raise ValueError(
             f"UPDATE target {p['target']!r} has no committed snapshot yet"
         )
-    pcol = schema_meta.get("partition_col")
-    if pcol is None:
+    spec_cols = [c for c, _t in _spec_meta(schema_meta)]
+    if not spec_cols:
         raise ValueError(
-            "SQL UPDATE does not support multi-column partition specs "
-            "yet — use replace_partitions with the spec list"
+            f"UPDATE target {p['target']!r} records no partition spec"
         )
+    part_arg = spec_cols if len(spec_cols) > 1 else spec_cols[0]
     t_cols = list(schema_meta["columns"])
     bad = set(p["sets"]) - set(t_cols)
     if bad:
         raise ValueError(f"UPDATE SET of unknown columns: {sorted(bad)}")
-    if pcol in p["sets"]:
+    reassigned = [c for c in spec_cols if c in p["sets"]]
+    if reassigned:
         raise ValueError(
-            f"UPDATE SET may not reassign the partition column {pcol!r}: "
+            f"UPDATE SET may not reassign partition columns {reassigned!r}: "
             "moving rows between partitions is a delete+insert (MERGE)"
         )
     if txn is not None and (man.get("txn") or {}).get(txn[0], -1) >= txn[1]:
@@ -617,15 +656,17 @@ def execute_update(
     cond = F.expr(p["where"]) if p["where"] else F.lit(True)
     hit = F.coalesce(cond, F.lit(False))
     hits = _collect_partition_groups(
-        cur.groupBy(pcol)
+        cur.groupBy(*spec_cols)
         .agg(F.sum(F.when(hit, 1).otherwise(0)).alias("n"))
         .filter(F.col("n") > 0),
-        pcol,
+        spec_cols[0],
         what="UPDATE",
     )
     if not hits:
         return man["version"]
-    affected = {_hive_part_name(pcol, r[0]) for r in hits}
+    affected = {
+        _hive_path_name(spec_cols, tuple(r)[: len(spec_cols)]) for r in hits
+    }
     scoped = read_snapshot(
         spark, path, man["version"], partition_filter=lambda q: q in affected
     )
@@ -644,7 +685,7 @@ def execute_update(
     return replace_partitions(
         path,
         content,
-        pcol,
+        part_arg,
         expected_version=man["version"],
         txn=txn,
     )

@@ -73,12 +73,13 @@ def check_surface() -> list[str]:
     stale = [old for old in RENAMES if old in QUERIES]
     if stale:
         errs.append(f"RENAMES old keys still present: {stale}")
-    # every z-prefixed query ships WITH its 10x scale-smoke row
-    # (SCALE_SMOKE.md) — the r9 verdict ask #8: scale evidence is part
-    # of "done", mechanically, not remembered
+    # every extension query ships WITH its 10x scale-smoke row
+    # (SCALE_SMOKE.md) — scale evidence is part of "done", mechanically,
+    # not remembered. Prefix-blind (r10 verdict ask #8): any key outside
+    # the reference q-block needs a row, whatever its prefix.
     smoke = (Path(__file__).resolve().parents[1] / "SCALE_SMOKE.md").read_text()
     for name in QUERIES:
-        if name.startswith("z") and name not in smoke:
+        if not name.startswith("q") and name not in smoke:
             errs.append(
                 f"{name} has no 10x smoke row in SCALE_SMOKE.md — run "
                 "scripts/run_scale_smoke.py and record the ratio"

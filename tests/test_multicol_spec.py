@@ -4,9 +4,9 @@ hive directories ``day=…/source=…``, manifests key partitions by the
 composite name, stats/blooms/sums/HLLs/hists are collected per
 composite partition, and spec evolution can move a 1-column table to a
 2-column spec without rewriting old data (compact migrates).
-Operations whose semantics need per-level values and are not yet
-generalized (merge-on-read delete) refuse loudly on multi-column
-tables instead of operating on the first component alone."""
+Merge-on-read delete is first-class on multi-column specs (round 11):
+tombstone sidecars key to the full composite directory and the
+read-side anti-join matches every spec component."""
 
 from __future__ import annotations
 
@@ -162,8 +162,70 @@ def test_delete_where_cow_composite(spark, tbl):
     assert res["dropped_partitions"] == 1  # d2/web emptied
     got = sorted(r["k"] for r in read_snapshot(spark, tbl).collect())
     assert got == [1, 2, 4]
-    with pytest.raises(ValueError, match="multi-column"):
-        delete_where(spark, tbl, F.col("k") == 4, mode="merge-on-read", key="k")
+
+
+def test_delete_where_mor_composite(spark, tbl):
+    res = delete_where(
+        spark, tbl, F.col("k") == 3, mode="merge-on-read", key="k"
+    )
+    assert res["mode"] == "merge-on-read"
+    assert res["deleted_rows"] == 1 and res["tombstoned_keys"] == 1
+    assert res["rewritten_partitions"] == 0
+    got = sorted(r["k"] for r in read_snapshot(spark, tbl).collect())
+    assert got == [1, 2, 4]
+    # tombstone sidecar keys to the full composite directory name
+    man = read_manifest(tbl)
+    tomb = man["tombstones"]
+    assert tomb["key"] == "k"
+    assert list(tomb["parts"]) == ["day=d2/source=web"]
+    assert tomb["parts"]["day=d2/source=web"]["n_deleted"] == 1
+    # pruning to an untombstoned partition never reads the sidecar
+    only = read_snapshot(
+        spark, tbl, partition_filter=lambda p: p == "day=d1/source=web"
+    )
+    assert [r["k"] for r in only.collect()] == [1]
+
+
+def test_mor_composite_namesake_isolation(spark, tmp_path):
+    # the same key value lives in two sibling partitions; tombstoning
+    # it where day=d1/source=web must NOT suppress the d2/web namesake
+    path = str(tmp_path / "tn")
+    write_snapshot(
+        _mk(
+            spark,
+            [(7, "d1", "web", 10), (7, "d2", "web", 20), (8, "d1", "web", 30)],
+        ),
+        path,
+        ["day", "source"],
+    )
+    res = delete_where(
+        spark,
+        path,
+        (F.col("k") == 7) & (F.col("day") == "d1"),
+        mode="merge-on-read",
+        key="k",
+    )
+    assert res["deleted_rows"] == 1
+    got = sorted(
+        map(tuple, read_snapshot(spark, path).select("k", "day").collect())
+    )
+    assert got == [(7, "d2"), (8, "d1")]
+    # compaction folds the tombstones away and keeps the live rows
+    compact_snapshot(spark, path)
+    man = read_manifest(path)
+    assert not (man.get("tombstones") or {}).get("parts")
+    got2 = sorted(
+        map(tuple, read_snapshot(spark, path).select("k", "day").collect())
+    )
+    assert got2 == got
+
+
+def test_mor_composite_key_guard(spark, tbl):
+    # any spec component is rejected as the tombstone key
+    with pytest.raises(ValueError, match="partition column"):
+        delete_where(
+            spark, tbl, F.col("k") == 1, mode="merge-on-read", key="source"
+        )
 
 
 def test_spec_evolution_single_to_multi(spark, tmp_path):
@@ -259,6 +321,131 @@ def test_spec_components_protected_from_rename_drop(spark, tbl):
         evolve_snapshot_schema(tbl, drops=["source"])
     # the table still reads fine
     assert read_snapshot(spark, tbl).count() == 4
+
+
+def test_sql_merge_composite_fast_path(spark, tbl):
+    from pandas_analysis_with_postgres_spark.sources.sql_merge import (
+        execute_merge,
+    )
+
+    v1 = read_manifest(tbl, 1)
+    v = execute_merge(
+        spark,
+        """
+        MERGE INTO tgt AS t
+        USING (SELECT * FROM VALUES
+            (2, 'd1', 'api', 99), (5, 'd3', 'web', 50)
+            AS v(k, day, source, v)) AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, day, source, v)
+            VALUES (s.k, s.day, s.source, s.v)
+        """,
+        tables={"tgt": tbl},
+    )
+    assert v == 2
+    got = sorted(
+        map(tuple, read_snapshot(spark, tbl).select("k", "day", "source", "v").collect())
+    )
+    assert got == [
+        (1, "d1", "web", 10),
+        (2, "d1", "api", 99),
+        (3, "d2", "web", 30),
+        (4, "d2", "api", 40),
+        (5, "d3", "web", 50),
+    ]
+    # untouched composite partitions carried by reference
+    v2 = read_manifest(tbl, 2)
+    for cold in ("day=d1/source=web", "day=d2/source=web", "day=d2/source=api"):
+        assert v2["partitions"][cold] == v1["partitions"][cold]
+    assert v2["partitions"]["day=d1/source=api"] != v1["partitions"]["day=d1/source=api"]
+    assert "day=d3/source=web" in v2["partitions"]
+
+
+def test_sql_merge_composite_full_sync_drops_emptied(spark, tbl):
+    from pandas_analysis_with_postgres_spark.sources.sql_merge import (
+        execute_merge,
+    )
+
+    execute_merge(
+        spark,
+        """
+        MERGE INTO tgt AS t
+        USING (SELECT * FROM VALUES (1), (2), (4) AS v(k)) AS s
+        ON t.k = s.k
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """,
+        tables={"tgt": tbl},
+    )
+    got = sorted(r["k"] for r in read_snapshot(spark, tbl).collect())
+    assert got == [1, 2, 4]
+    # k=3 was day=d2/source=web's only row — composite partition dropped
+    assert "day=d2/source=web" not in read_manifest(tbl)["partitions"]
+
+
+def test_sql_merge_composite_set_guard(spark, tbl):
+    from pandas_analysis_with_postgres_spark.sources.sql_merge import (
+        execute_merge,
+    )
+
+    with pytest.raises(ValueError, match="partition"):
+        execute_merge(
+            spark,
+            """
+            MERGE INTO tgt AS t
+            USING (SELECT * FROM VALUES (2, 'd9') AS v(k, day)) AS s
+            ON t.k = s.k
+            WHEN MATCHED THEN UPDATE SET source = 'moved'
+            """,
+            tables={"tgt": tbl},
+        )
+
+
+def test_sql_update_composite_partition_scoped(spark, tbl):
+    from pandas_analysis_with_postgres_spark.sources.sql_merge import (
+        execute_update,
+    )
+
+    v1 = read_manifest(tbl, 1)
+    v = execute_update(
+        spark,
+        "UPDATE tgt SET v = v + 1 WHERE k = 2",
+        tables={"tgt": tbl},
+    )
+    assert v == 2
+    got = sorted(
+        map(tuple, read_snapshot(spark, tbl).select("k", "v").collect())
+    )
+    assert got == [(1, 10), (2, 21), (3, 30), (4, 40)]
+    v2 = read_manifest(tbl, 2)
+    # only day=d1/source=api rewritten; the other three carried
+    assert v2["partitions"]["day=d1/source=api"] != v1["partitions"]["day=d1/source=api"]
+    for cold in ("day=d1/source=web", "day=d2/source=web", "day=d2/source=api"):
+        assert v2["partitions"][cold] == v1["partitions"][cold]
+    with pytest.raises(ValueError, match="partition"):
+        execute_update(
+            spark, "UPDATE tgt SET day = 'd9' WHERE k = 1", tables={"tgt": tbl}
+        )
+
+
+def test_sql_delete_composite_mor(spark, tbl):
+    from pandas_analysis_with_postgres_spark.sources.sql_merge import (
+        execute_delete,
+    )
+
+    res = execute_delete(
+        spark,
+        "DELETE FROM tgt WHERE v >= 40",
+        tables={"tgt": tbl},
+        mode="merge-on-read",
+        key="k",
+    )
+    assert res["mode"] == "merge-on-read" and res["deleted_rows"] == 1
+    got = sorted(r["k"] for r in read_snapshot(spark, tbl).collect())
+    assert got == [1, 2, 3]
+    assert list(read_manifest(tbl)["tombstones"]["parts"]) == [
+        "day=d2/source=api"
+    ]
 
 
 def test_bad_specs_refuse(spark, tmp_path):
