@@ -104,10 +104,12 @@ RENAMES = {
 #: rotations only reorder; `scripts/check_surface.py` (run by pytest)
 #: enforces 50 distinct real keys and insertion-order integrity.
 ROTATION = [
-    # round-10 additions, never driver-checked
+    # round-10/11 additions, never driver-checked
     "z106_multicol_spec_metadata",
     "z107_grouped_or_windows",
     "z108_range_null_audit",
+    "z109_multicol_dml",
+    "z110_multicol_pruned_scan",
     # fill: oldest remaining driver rows (r06 ANN/text block, then the
     # r07 block, in last-checked-round order)
     "q27_cosine_topk",
@@ -155,8 +157,6 @@ ROTATION = [
     "z27_csv_roundtrip",
     "z28_sq8_topk",
     "z29_orc_pushdown_summary",
-    "z30_xml_roundtrip",
-    "z31_blob_ingest",
 ]
 
 

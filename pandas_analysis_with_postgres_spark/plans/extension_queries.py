@@ -9158,6 +9158,256 @@ SELECT
 """
 
 
+_MULTIDML_TABLES: dict = {}
+
+
+def z109_multicol_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MERGE + merge-on-read DELETE on a MULTI-COLUMN partition
+    spec (r10 verdict ask #2 — the two former loud refusals, now
+    behavior): orders snapshotted under the ordered spec
+    ``(o_orderstatus, o_orderpriority)``, then
+
+    1. one MERGE INTO updates every 97th order (+1000 cents) AND
+       inserts a mirror row per match under the NEGATED key — the
+       fast upsert path routed through ``merge_snapshot`` with the
+       spec list, so only touched composite partitions rewrite;
+    2. one ``DELETE ... WHERE cents >= 40000000`` in merge-on-read
+       mode commits key tombstones whose sidecar files key to the
+       full composite directory (``o_orderstatus=O/o_orderpriority=…``)
+       and rewrites NOTHING (asserted), Iceberg v2 equality-delete
+       semantics at the (key, spec-tuple) grain.
+
+    The final per-status rollup reads through the tombstone anti-join;
+    the oracle replays both DML statements relationally from raw
+    orders. Table memoized per (app, sf_dir) — the DML is
+    deterministic, so re-reads see the same final state."""
+    import os
+
+    from ..sources.snapshot import (
+        read_manifest,
+        read_snapshot,
+        write_snapshot,
+    )
+    from ..sources.sql_merge import execute_delete, execute_merge
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _MULTIDML_TABLES.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("multidml_") + "/tbl"
+        orders = load_table(spark, sf_dir, "orders")
+        cents = (
+            F.col("o_totalprice").cast("decimal(18,2)") * 100
+        ).cast("long")
+        df = orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            cents.alias("cents"),
+        )
+        write_snapshot(df, path, ["o_orderstatus", "o_orderpriority"])
+        hit = df.filter(F.col("o_orderkey") % 97 == 0).filter(
+            F.col("o_orderkey") > 0
+        )
+        src = hit.select(
+            F.col("o_orderkey").alias("k"),
+            "o_orderstatus",
+            "o_orderpriority",
+            F.lit(1000).cast("long").alias("cents_new"),
+        ).unionByName(
+            hit.select(
+                (-F.col("o_orderkey")).alias("k"),
+                "o_orderstatus",
+                "o_orderpriority",
+                F.lit(1000).cast("long").alias("cents_new"),
+            )
+        )
+        src.createOrReplaceTempView("z109_src")
+        v = execute_merge(
+            spark,
+            """
+            MERGE INTO tbl AS t USING z109_src AS s ON t.o_orderkey = s.k
+            WHEN MATCHED THEN UPDATE SET cents = t.cents + s.cents_new
+            WHEN NOT MATCHED THEN INSERT
+              (o_orderkey, o_orderstatus, o_orderpriority, cents)
+              VALUES (s.k, s.o_orderstatus, s.o_orderpriority, s.cents_new)
+            """,
+            tables={"tbl": path},
+        )
+        assert v == 2  # one partition-scoped commit
+        res = execute_delete(
+            spark,
+            "DELETE FROM tbl WHERE cents >= 40000000",
+            tables={"tbl": path},
+            mode="merge-on-read",
+            key="o_orderkey",
+        )
+        # the two hard claims: tombstones only (no rewrite), keyed to
+        # full composite directory names
+        assert res["mode"] == "merge-on-read"
+        assert res["rewritten_partitions"] == 0
+        assert res["tombstoned_keys"] > 0
+        tomb = read_manifest(path)["tombstones"]["parts"]
+        assert tomb and all(
+            p.count("=") == 2 and p.count("/") == 1 for p in tomb
+        )
+        _MULTIDML_TABLES[key] = path
+    out = read_snapshot(spark, path)
+    return (
+        out.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .orderBy("o_orderstatus")
+    )
+
+
+Z109_SQL = """
+WITH b AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+merged AS (
+  SELECT o_orderkey, o_orderstatus,
+         cents + CASE WHEN o_orderkey % 97 = 0 AND o_orderkey > 0
+                      THEN 1000 ELSE 0 END AS cents
+  FROM b
+  UNION ALL
+  SELECT -o_orderkey, o_orderstatus, 1000::BIGINT
+  FROM b WHERE o_orderkey % 97 = 0 AND o_orderkey > 0
+)
+SELECT o_orderstatus, COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS s
+FROM merged WHERE cents < 40000000
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+_MULTIPRUNE_TABLES: dict = {}
+
+
+def z110_multicol_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-pruning at BOTH levels of a MULTI-COLUMN spec (r10 verdict
+    ask #5): orders snapshotted under ``(o_orderstatus, o_year)`` with
+    per-composite-partition min/max stats on the yyyymmdd date int and
+    Bloom bitmaps on the key, then
+
+    - ``point_lookups={"o_orderkey": probe}`` opens only the composite
+      partitions whose bloom keeps the probe — asserted to prune at
+      BOTH directory levels (fewer statuses AND fewer years than the
+      manifest holds);
+    - ``column_ranges={"od": (19960101, 19961231)}`` keeps exactly the
+      ``o_year=1996`` leaves under every status (the window aligns
+      with the inner component) — asserted via the files the plan
+      actually opens (``inputFiles()``), the scan-pruning twin of
+      z106's metadata answers.
+
+    The returned row carries the probe row and the in-window rollup;
+    the oracle recomputes both from raw orders. Pruning evidence is
+    enforced by in-query assertions (bloom keep-sets are data-
+    deterministic), not returned — the oracle cannot see directory
+    layouts."""
+    import os
+
+    from ..sources.snapshot import (
+        read_manifest,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _MULTIPRUNE_TABLES.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("multiprune_") + "/tbl"
+        orders = load_table(spark, sf_dir, "orders")
+        cents = (
+            F.col("o_totalprice").cast("decimal(18,2)") * 100
+        ).cast("long")
+        od = (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        ).cast("int")
+        df = orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            od.alias("od"),
+            cents.alias("cents"),
+        )
+        # the documented bloom sizing rule (snapshot.BLOOM_BITS): aim
+        # m ≈ 10-20× the keys per partition, or the filter saturates
+        # and prunes nothing at larger SFs — size from the fixture
+        n_per_part = max(1, df.count() // 21)
+        bits = max(4096, 1 << (20 * n_per_part - 1).bit_length())
+        write_snapshot(
+            df,
+            path,
+            ["o_orderstatus", "o_year"],
+            stats_cols=["od"],
+            bloom_cols=["o_orderkey"],
+            bloom_bits=bits,
+        )
+        _MULTIPRUNE_TABLES[key] = path
+    man = read_manifest(path)
+    all_parts = list(man["partitions"])
+    statuses = {p.split("/")[0] for p in all_parts}
+    years = {p.split("/")[1] for p in all_parts}
+
+    def _opened(df):
+        return {"/".join(f.split("/")[-3:-1]) for f in df.inputFiles()}
+
+    base = read_snapshot(spark, path)
+    # NOT the min key: this fixture's keys start at 0, and key 0's four
+    # hash positions all collapse to bit 0 — a degenerate probe any
+    # half-full filter false-positives on
+    probe = int(base.agg(F.max("o_orderkey")).first()[0])
+    got = read_snapshot(spark, path, point_lookups={"o_orderkey": probe})
+    opened = _opened(got)
+    # bloom pruning reaches BOTH directory levels: strictly fewer
+    # statuses and strictly fewer years open than the manifest holds
+    assert len(opened) < len(all_parts), (opened, len(all_parts))
+    assert len({p.split("/")[0] for p in opened}) < len(statuses)
+    assert len({p.split("/")[1] for p in opened}) < len(years)
+    rng = read_snapshot(
+        spark, path, column_ranges={"od": (19960101, 19961231)}
+    )
+    ropened = _opened(rng)
+    # the window aligns with the inner component: only o_year=1996
+    # leaves open, every other year's directories pruned
+    assert ropened and {p.split("/")[1] for p in ropened} == {
+        "o_year=1996"
+    }, ropened
+    pr = got.filter(F.col("o_orderkey") == probe).select(
+        F.col("o_orderstatus").alias("p_status"),
+        F.col("o_year").alias("p_year"),
+        F.col("cents").alias("p_cents"),
+    )
+    rg = rng.filter(F.col("od").between(19960101, 19961231)).agg(
+        F.count(F.lit(1)).alias("n_96"), F.sum("cents").alias("s_96")
+    )
+    return pr.crossJoin(rg)
+
+
+Z110_SQL = """
+WITH b AS (
+  SELECT o_orderkey, o_orderstatus,
+         EXTRACT(YEAR FROM o_orderdate)::INT AS o_year,
+         (EXTRACT(YEAR FROM o_orderdate) * 10000
+          + EXTRACT(MONTH FROM o_orderdate) * 100
+          + EXTRACT(DAY FROM o_orderdate))::INT AS od,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+pr AS (
+  SELECT o_orderstatus AS p_status, o_year AS p_year, cents AS p_cents
+  FROM b WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM b)
+),
+rg AS (
+  SELECT COUNT(*)::BIGINT AS n_96, SUM(cents)::BIGINT AS s_96
+  FROM b WHERE od BETWEEN 19960101 AND 19961231
+)
+SELECT p_status, p_year, p_cents, n_96, s_96 FROM pr CROSS JOIN rg
+"""
+
+
 _DEEPCLONE_TABLES: dict = {}
 
 
@@ -9896,6 +10146,8 @@ EXTENSION_QUERIES = {
     "z106_multicol_spec_metadata": z106_multicol_spec_metadata,
     "z107_grouped_or_windows": z107_grouped_or_windows,
     "z108_range_null_audit": z108_range_null_audit,
+    "z109_multicol_dml": z109_multicol_dml,
+    "z110_multicol_pruned_scan": z110_multicol_pruned_scan,
 }
 
 EXTENSION_ORACLES = {
@@ -10046,5 +10298,7 @@ EXTENSION_ORACLES = {
     "z106_multicol_spec_metadata": Z106_SQL,
     "z107_grouped_or_windows": Z107_SQL,
     "z108_range_null_audit": Z108_SQL,
+    "z109_multicol_dml": Z109_SQL,
+    "z110_multicol_pruned_scan": Z110_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }
