@@ -216,6 +216,8 @@ EXTRA = (
     "z106_multicol_spec_metadata",
     "z107_grouped_or_windows",
     "z108_range_null_audit",
+    "z109_multicol_dml",
+    "z110_multicol_pruned_scan",
 )
 
 
@@ -288,16 +290,32 @@ def main() -> None:
         fn(spark, sf_dir)
         builds[label] = round(time.perf_counter() - t0, 3)
 
+    def _time_one(name) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
     def run(names) -> dict[str, float]:
-        out: dict[str, float] = {}
-        for name in names:
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            out[name] = round(time.perf_counter() - t0, 3)
-        return out
+        return {name: _time_one(name) for name in names}
 
     timings = run(HEADLINE)
-    extra = run(EXTRA)
+    # Extras noise control (r10 verdict ask #4): sub-second extras sit
+    # inside the documented ±2x JIT/VM single-shot band, so a lone
+    # timing can masquerade as a regression (r10's z62 "1.55x" was
+    # noise). Queries whose first run lands <= 1.0 s are re-run twice
+    # and report the MEDIAN of 3; slower extras keep single-shot (their
+    # proportional noise is small and re-runs would blow the driver's
+    # wall budget). The rule is recorded in the JSON line.
+    extra: dict[str, float] = {}
+    extras_reruns = 0
+    for name in EXTRA:
+        t1 = _time_one(name)
+        if t1 <= 1.0:
+            t2, t3 = _time_one(name), _time_one(name)
+            extra[name] = sorted((t1, t2, t3))[1]
+            extras_reruns += 2
+        else:
+            extra[name] = t1
     probe_post = _probe()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -308,6 +326,10 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "queries_extra": extra,
+            "extras_stat": {
+                "rule": "median-of-3 when first run <= 1.0s",
+                "reruns": extras_reruns,
+            },
             "builds": builds,
             "probe": {"pre_sec": probe_pre, "post_sec": probe_post},
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
