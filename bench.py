@@ -218,6 +218,10 @@ EXTRA = (
     "z108_range_null_audit",
     "z109_multicol_dml",
     "z110_multicol_pruned_scan",
+    "z111_min_cost_supplier",
+    "z112_order_priority_check",
+    "z113_shipmode_priority",
+    "z114_part_availability",
 )
 
 

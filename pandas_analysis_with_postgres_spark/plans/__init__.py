@@ -110,6 +110,10 @@ ROTATION = [
     "z108_range_null_audit",
     "z109_multicol_dml",
     "z110_multicol_pruned_scan",
+    "z111_min_cost_supplier",
+    "z112_order_priority_check",
+    "z113_shipmode_priority",
+    "z114_part_availability",
     # fill: oldest remaining driver rows (r06 ANN/text block, then the
     # r07 block, in last-checked-round order)
     "q27_cosine_topk",
@@ -153,10 +157,6 @@ ROTATION = [
     "z23_pq_refine",
     "z24_ivfpq_topk",
     "z25_ivfpq_index_search",
-    "z26_jsonl_roundtrip",
-    "z27_csv_roundtrip",
-    "z28_sq8_topk",
-    "z29_orc_pushdown_summary",
 ]
 
 

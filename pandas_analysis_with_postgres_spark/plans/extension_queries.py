@@ -9408,6 +9408,348 @@ SELECT p_status, p_year, p_cents, n_96, s_96 FROM pr CROSS JOIN rg
 """
 
 
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture set ships no partsupp table; derive it as the
+    DISTINCT (part, supplier) pairs lineitem actually exercises, with
+    supplycost/availqty as PURE INTEGER functions of the keys — both
+    engines (Spark and the DuckDB oracle) rebuild the identical
+    relation, so the four partsupp-dependent TPC-H analogs
+    (z111–z114) are exactly checkable without inventing data files.
+    Costs are integer cents (1.00–900.99) and availqty 1–9999, the
+    reference columns' ranges."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return li.withColumns(
+        {
+            "ps_cost_cents": (
+                (F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 11)
+                % 90000
+                + 100
+            ).cast("long"),
+            "ps_availqty": (
+                (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 13)
+                % 9999
+                + 1
+            ).cast("long"),
+        }
+    )
+
+
+#: The shared oracle CTE rebuilding _derived_partsupp relationally.
+_PS_CTE = """
+ps AS (
+  SELECT ps_partkey, ps_suppkey,
+         ((ps_partkey * 7 + ps_suppkey * 11) % 90000 + 100)::BIGINT
+           AS ps_cost_cents,
+         ((ps_partkey * 31 + ps_suppkey * 13) % 9999 + 1)::BIGINT
+           AS ps_availqty
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey,
+               l_suppkey AS ps_suppkey FROM lineitem)
+)
+"""
+
+
+def z111_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): the CORRELATED-MIN lookup —
+    for every qualifying part, the supplier(s) in one region quoting
+    the part's regional minimum cost. The textbook form re-evaluates
+    a correlated scalar subquery per part; Spark-first this is ONE
+    window MIN over the part key on the already-joined candidate set
+    (region suppliers × qualifying parts): the candidates shuffle
+    once on ps_partkey and the filter is row-local. Dimensions
+    (part-filtered, supplier⨝nation⨝region) broadcast. Costs are
+    integer cents (see :func:`_derived_partsupp`), so min and
+    equality are exact; full ORDER BY tie-break keeps the top-100 cut
+    deterministic."""
+    ps = _derived_partsupp(spark, sf_dir)
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            F.col("p_size").between(10, 24) & (F.col("p_type") == "ECONOMY")
+        )
+        .select("p_partkey", "p_name")
+    )
+    reg = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    from pyspark.sql import Window
+
+    cand = ps.join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey")).join(
+        F.broadcast(sup), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("ps_cost_cents").over(w))
+        .filter(F.col("ps_cost_cents") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("ps_cost_cents").alias("cost_cents"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+Z111_SQL = f"""
+WITH {_PS_CTE.strip()},
+cand AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_cost_cents,
+         MIN(ps_cost_cents) OVER (PARTITION BY ps_partkey) AS min_cost
+  FROM ps
+  JOIN part ON ps_partkey = p_partkey
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size BETWEEN 10 AND 24 AND p_type = 'ECONOMY'
+    AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       ps_cost_cents AS cost_cents
+FROM cand WHERE ps_cost_cents = min_cost
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+def z112_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): COUNT of one quarter's
+    orders having AT LEAST ONE late lineitem, per priority — the
+    canonical EXISTS, executed as a LEFT SEMI join so each order
+    contributes once however many lines are late. The fixture carries
+    no commit/receipt dates; lateness derives from DAY OFFSETS off
+    the ship date as pure integer functions of the keys
+    (commit_off = (l_orderkey + l_linenumber) % 31 - 15,
+    receipt_off = (l_partkey + l_linenumber) % 14), and
+    ``commitdate < receiptdate`` is exactly ``commit_off <
+    receipt_off`` — the shared base date cancels, so no date
+    arithmetic can diverge between engines. The quarter filter pushes
+    to the orders scan; the semi join's build side is the filtered
+    line set."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-07-01")
+            & (F.col("o_orderdate") < "1996-10-01")
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    late = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            ((F.col("l_orderkey") + F.col("l_linenumber")) % 31 - 15)
+            < ((F.col("l_partkey") + F.col("l_linenumber")) % 14)
+        )
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Z112_SQL = """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND ((l_orderkey + l_linenumber) % 31 - 15)
+        < ((l_partkey + l_linenumber) % 14)
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+#: z113's derived ship modes (deterministic key hash → mode).
+_SHIP_MODES = ("MAIL", "SHIP", "TRUCK", "AIR", "RAIL", "REG AIR", "FOB")
+
+
+def z113_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority): conditional
+    aggregation over a fact⨝dimension join — per ship mode, how many
+    received-in-1998, shipped-early, committed-late lines belong to
+    URGENT/HIGH orders vs the rest. Derived columns (the fixture has
+    none of them): l_shipmode = _SHIP_MODES[(l_orderkey·3 +
+    l_suppkey) mod 7]; commit/receipt as day offsets off the ship
+    date (z112's derivation), so ``shipdate < commitdate <
+    receiptdate`` is ``0 < commit_off < receipt_off`` with no date
+    math, and only the RECEIPT YEAR needs a real calendar add
+    (date_add on the ship date — both engines add integer days to a
+    DATE). One shuffle (the orders join), one grouped aggregate."""
+    c_off = (F.col("l_orderkey") + F.col("l_linenumber")) % 31 - 15
+    r_off = ((F.col("l_partkey") + F.col("l_linenumber")) % 14).cast("int")
+    mode = F.element_at(
+        F.array(*[F.lit(m) for m in _SHIP_MODES]),
+        ((F.col("l_orderkey") * 3 + F.col("l_suppkey")) % 7 + 1).cast("int"),
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumns(
+            {
+                "l_shipmode": mode,
+                "c_off": c_off,
+                "r_off": r_off,
+                "receipt_year": F.year(
+                    F.date_add(F.col("l_shipdate").cast("date"), r_off)
+                ),
+            }
+        )
+        .filter(
+            F.col("l_shipmode").isin("MAIL", "SHIP")
+            & (F.col("c_off") > 0)
+            & (F.col("c_off") < F.col("r_off"))
+            & (F.col("receipt_year") == 1998)
+        )
+        .select("l_orderkey", "l_shipmode")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.count(F.when(hi, True)).alias("high_line_count"),
+            F.count(F.when(~hi, True)).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+Z113_SQL = """
+WITH li AS (
+  SELECT l_orderkey,
+         (['MAIL','SHIP','TRUCK','AIR','RAIL','REG AIR','FOB'])
+           [CAST((l_orderkey * 3 + l_suppkey) % 7 + 1 AS INT)] AS l_shipmode,
+         ((l_orderkey + l_linenumber) % 31 - 15) AS c_off,
+         ((l_partkey + l_linenumber) % 14) AS r_off,
+         EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)
+                 + CAST((l_partkey + l_linenumber) % 14 AS INT))
+           AS receipt_year
+  FROM lineitem
+)
+SELECT l_shipmode,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END)::BIGINT AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END)::BIGINT AS low_line_count
+FROM li JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipmode IN ('MAIL', 'SHIP')
+  AND c_off > 0 AND c_off < r_off AND receipt_year = 1998
+GROUP BY l_shipmode
+ORDER BY l_shipmode
+"""
+
+
+def z114_part_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): suppliers in one nation
+    holding EXCESS STOCK of name-matched parts — availqty greater
+    than half of what they themselves shipped of that part in one
+    year. Two nested semi-join levels in the reference; Spark-first
+    the inner one is an aggregate-then-join: the year's shipments
+    group to (partkey, suppkey, qty) ONCE (quantities cast to BIGINT
+    so the half-comparison is exact integer math ×2), join the
+    derived partsupp on both keys, filter availqty·2 > qty·1, then
+    ONE left-semi from suppliers. Name-matched parts broadcast; the
+    grouped shipments are the only fact-sized shuffle."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    ps = _derived_partsupp(spark, sf_dir)
+    excess = (
+        ps.join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("qty"))
+        .select("ps_suppkey")
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+Z114_SQL = f"""
+WITH {_PS_CTE.strip()},
+shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND p_name LIKE 'small%'
+  GROUP BY l_partkey, l_suppkey
+),
+excess AS (
+  SELECT DISTINCT ps_suppkey
+  FROM ps JOIN shipped
+    ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  WHERE ps_availqty * 2 > qty
+)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+ORDER BY s_name
+"""
+
+
 _DEEPCLONE_TABLES: dict = {}
 
 
@@ -10148,6 +10490,10 @@ EXTENSION_QUERIES = {
     "z108_range_null_audit": z108_range_null_audit,
     "z109_multicol_dml": z109_multicol_dml,
     "z110_multicol_pruned_scan": z110_multicol_pruned_scan,
+    "z111_min_cost_supplier": z111_min_cost_supplier,
+    "z112_order_priority_check": z112_order_priority_check,
+    "z113_shipmode_priority": z113_shipmode_priority,
+    "z114_part_availability": z114_part_availability,
 }
 
 EXTENSION_ORACLES = {
@@ -10300,5 +10646,9 @@ EXTENSION_ORACLES = {
     "z108_range_null_audit": Z108_SQL,
     "z109_multicol_dml": Z109_SQL,
     "z110_multicol_pruned_scan": Z110_SQL,
+    "z111_min_cost_supplier": Z111_SQL,
+    "z112_order_priority_check": Z112_SQL,
+    "z113_shipmode_priority": Z113_SQL,
+    "z114_part_availability": Z114_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }
