@@ -222,6 +222,7 @@ EXTRA = (
     "z112_order_priority_check",
     "z113_shipmode_priority",
     "z114_part_availability",
+    "z115_multicol_conj_metadata",
 )
 
 

@@ -9408,6 +9408,73 @@ SELECT p_status, p_year, p_cents, n_96, s_96 FROM pr CROSS JOIN rg
 """
 
 
+def z115_multicol_conj_metadata(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round-11 grammar extension over the z106 fixture — the two
+    query shapes a ``(day, source)``-layout user asks FIRST, both
+    served from one manifest read each, zero data pages:
+
+    - **conjunctive restriction on BOTH components** (``WHERE
+      o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'``) with
+      COUNT/SUM/MIN/MAX — each conjunct matches at its own directory
+      level (snapshot._restrict_parts list form);
+    - **composite GROUP BY** (``GROUP BY o_orderstatus,
+      o_orderpriority``) under an IN restriction — every live
+      directory name IS its group tuple, counts and exact sums merge
+      by addition (_answer_group_by_multi).
+
+    Refusal = hard fail (assert), like z106; the oracle recomputes
+    both frames from raw orders."""
+    import os
+
+    from ..sources.metadata_sql import answer_from_manifest
+
+    # reuse z106's memoized (o_orderstatus, o_orderpriority) snapshot
+    z106_multicol_spec_metadata(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    T = {"t": _MULTISPEC_TABLES[key]}
+    grp = answer_from_manifest(
+        spark,
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,"
+        " SUM(cents) AS s FROM t WHERE o_orderstatus IN ('O', 'F')"
+        " GROUP BY o_orderstatus, o_orderpriority",
+        T,
+    )
+    conj = answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n_c, SUM(cents) AS s_c, MIN(cents) AS lo_c,"
+        " MAX(cents) AS hi_c FROM t WHERE o_orderstatus = 'O'"
+        " AND o_orderpriority = '1-URGENT'",
+        T,
+    )
+    assert grp is not None and conj is not None  # refusal = hard fail
+    return grp.crossJoin(conj)
+
+
+Z115_SQL = """
+WITH b AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+g AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n,
+         SUM(cents)::BIGINT AS s
+  FROM b WHERE o_orderstatus IN ('O', 'F')
+  GROUP BY o_orderstatus, o_orderpriority
+),
+c AS (
+  SELECT COUNT(*)::BIGINT AS n_c, SUM(cents)::BIGINT AS s_c,
+         MIN(cents)::BIGINT AS lo_c, MAX(cents)::BIGINT AS hi_c
+  FROM b WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+)
+SELECT g.o_orderstatus, g.o_orderpriority, g.n, g.s,
+       c.n_c, c.s_c, c.lo_c, c.hi_c
+FROM g CROSS JOIN c
+"""
+
+
 def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fixture set ships no partsupp table; derive it as the
     DISTINCT (part, supplier) pairs lineitem actually exercises, with
@@ -10494,6 +10561,7 @@ EXTENSION_QUERIES = {
     "z112_order_priority_check": z112_order_priority_check,
     "z113_shipmode_priority": z113_shipmode_priority,
     "z114_part_availability": z114_part_availability,
+    "z115_multicol_conj_metadata": z115_multicol_conj_metadata,
 }
 
 EXTENSION_ORACLES = {
@@ -10650,5 +10718,6 @@ EXTENSION_ORACLES = {
     "z112_order_priority_check": Z112_SQL,
     "z113_shipmode_priority": Z113_SQL,
     "z114_part_availability": Z114_SQL,
+    "z115_multicol_conj_metadata": Z115_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

@@ -92,7 +92,7 @@ _STMT = re.compile(
     r"(?:\s+FOR\s+(?:VERSION\s+AS\s+OF\s+(?P<asof_v>\d+)"
     r"|TIMESTAMP\s+AS\s+OF\s+'(?P<asof_ts>[^']*)'))?"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<gcol>[A-Za-z_]\w*))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<gcol>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*))?"
     r"(?:\s+HAVING\s+(?P<hcol>[A-Za-z_]\w*)\s*"
     r"(?P<hop><=|>=|<>|=|<|>)\s*(?P<hval>-?\d+(?:\.\d+)?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<ocol>[A-Za-z_]\w*)"
@@ -216,6 +216,33 @@ _W_OR_RANGE = re.compile(
     re.IGNORECASE,
 )
 _OR_SPLIT = re.compile(r"\s+OR\s+", re.IGNORECASE)
+_AND_SPLIT = re.compile(r"\s+AND\s+", re.IGNORECASE)
+
+
+def _parse_conj(wtext: str) -> "list | None":
+    """Parse a conjunction of ≥2 eq / IN atoms on DISTINCT columns —
+    ``day = 'd1' AND source IN ('web','api')`` — the multi-component
+    restriction of a multi-column partition spec. Returns
+    ``[(col, [raw literals]), …]`` or None (any non-eq/IN atom, a
+    repeated column, or a literal containing ' AND ' that the naive
+    split corrupts simply fails to match → the caller scans)."""
+    parts = _AND_SPLIT.split(wtext)
+    if len(parts) < 2:
+        return None
+    out, seen = [], set()
+    for p in parts:
+        if (em := _W_EQ.match(p)) is not None:
+            col, vals = em.group("col"), [em.group("val")]
+        elif (im_ := _W_IN.match(p)) is not None:
+            col = im_.group("col")
+            vals = [v.group(0) for v in _LIT_RE.finditer(im_.group("vals"))]
+        else:
+            return None
+        if col.lower() in seen:
+            return None  # repeated column: scan decides
+        seen.add(col.lower())
+        out.append((col, vals))
+    return out
 
 #: Conjunctive dashboard shape: partition equality AND one range —
 #: "COUNT(*) WHERE day = '2026-08-01' AND latency > 500". Strictly
@@ -273,6 +300,13 @@ def parse_metadata_select(sql: str) -> "dict | None":
         if dm is None or dm.group("col").lower() in _KEYWORDS:
             return None
         gcol = dm.group("col")
+    # GROUP BY may name SEVERAL spec components (comma list): the
+    # composite-partition rollup of a multi-column spec
+    gcols = (
+        [c.strip() for c in gcol.split(",")] if gcol is not None else None
+    )
+    if gcols is not None and len({c.lower() for c in gcols}) != len(gcols):
+        return None  # repeated group column: scan decides
     items = []
     n_bare = 0
     # split the select list on TOP-LEVEL commas only — the comma
@@ -295,10 +329,10 @@ def parse_metadata_select(sql: str) -> "dict | None":
             return None
         bare = im.group("bare")
         if bare is not None:
-            # a bare column is only legal as THE grouped column
+            # a bare column is only legal as A grouped column
             if (
-                gcol is None
-                or bare.lower() != gcol.lower()
+                gcols is None
+                or bare.lower() not in {c.lower() for c in gcols}
                 or bare.lower() in _KEYWORDS
             ):
                 return None
@@ -455,18 +489,34 @@ def parse_metadata_select(sql: str) -> "dict | None":
                 irm.group("icol"),
                 vals,
             ) + rng + (irm.group("bcol") or irm.group("col"),)
+        elif (conj := _parse_conj(wtext)) is not None:
+            # conjunction of eq/IN atoms on DISTINCT columns — each
+            # restricts its own directory level of a multi-column spec
+            where = ("conj", conj)
         else:
             return None  # unsupported predicate: scan
-    if gcol is not None:
-        if n_bare != 1:
-            return None  # grouped column must appear in the select list
+    if gcols is not None:
+        if n_bare != len(gcols):
+            return None  # every grouped column must appear in the list
         if any(k == "cdistinct" for k, _, _ in items):
             # COUNT(DISTINCT) per group: only the degenerate
             # COUNT(DISTINCT pcol) GROUP BY pcol (= 1 per group) would
             # be provable — not worth a special case; scan decides
             return None
-        if where is not None and where[0] not in (
-            "eq", "in", "range", "inrange", "orrange", "isnull", "eqnull"
+        if len(gcols) > 1:
+            # composite GROUP BY: the multi-group answerer serves
+            # count/sum/avg/min/max under no WHERE or an eq/IN/conj
+            # partition restriction; everything else scans
+            if any(
+                k not in ("group", "count", "sum", "avg", "min", "max")
+                for k, _, _ in items
+            ):
+                return None
+            if where is not None and where[0] not in ("eq", "in", "conj"):
+                return None
+        elif where is not None and where[0] not in (
+            "eq", "in", "range", "inrange", "orrange", "isnull", "eqnull",
+            "conj",
         ):
             return None  # eqrange + GROUP BY: the member IS the group
         if where is not None and where[0] in ("isnull", "eqnull"):
@@ -533,7 +583,9 @@ def parse_metadata_select(sql: str) -> "dict | None":
         "table": m.group("table"),
         "items": items,
         "where": where,
-        "group_by": gcol,
+        "group_by": (
+            gcols[0] if gcols is not None and len(gcols) == 1 else gcols
+        ),
         "having": having,
         "order_by": order_by,
         "limit": limit,
@@ -675,6 +727,29 @@ def _coerce_partition_literal(raw: str, ptype: str):
     return int(raw)
 
 
+def _coerce_conj(conj: list, spec_types: dict) -> list:
+    """Type a parsed conjunction against the spec: every column must
+    be a spec component (anything else is not manifest-provable —
+    refuse to the scan), literals coerce per the component's recorded
+    type. Returns the ``[(col, [typed members]), …]`` form
+    snapshot._restrict_parts applies conjunctively."""
+    out = []
+    for wcol, raws in conj:
+        wtype = spec_types.get(wcol)
+        if wtype is None:
+            raise _Refuse()
+        out.append(
+            (
+                wcol,
+                sorted(
+                    {_coerce_partition_literal(r, wtype) for r in raws},
+                    key=repr,
+                ),
+            )
+        )
+    return out
+
+
 def _resolve_table(parsed: dict, tables: dict, version):
     """Shared statement preamble (one home — it used to be copied into
     every answerer): resolve the table path, fold the statement's
@@ -777,6 +852,10 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     where = parsed["where"]
+    if isinstance(parsed["group_by"], list):
+        return _answer_group_by_multi(
+            spark, parsed, path, spec_types, field_types, version
+        )
     if parsed["group_by"] is not None:
         return _answer_group_by(
             spark, parsed, path, spec_types, field_types, version
@@ -941,7 +1020,13 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
             )
         return frame
     eq = None
-    if where is not None:
+    if where is not None and where[0] == "conj":
+        # conjunctive eq/IN on MULTIPLE spec components: one member-set
+        # restriction per component, applied at its own directory level
+        # by _restrict_parts — every manifest helper below receives the
+        # whole conjunction through its where_partition pass-through
+        eq = _coerce_conj(where[1], spec_types)
+    elif where is not None:
         _, wcol, raw = where
         wtype = spec_types.get(wcol)
         if wtype is None:
@@ -2330,6 +2415,179 @@ def _answer_isnull(spark, parsed, path, spec_types, field_types, version):
     return frame
 
 
+def _answer_group_by_multi(
+    spark, parsed, path, spec_types, field_types, version
+):
+    """``GROUP BY <component>, <component>[, …]`` — the composite-
+    partition rollup of a multi-column spec, served from ONE manifest
+    read: every live partition's directory name IS its group tuple
+    (the hive bijection holds per level), so COUNT(*) sums the netted
+    per-partition row counts, SUM/AVG merge the recorded ``::sum``
+    pairs by addition, and MIN/MAX nest the recorded per-partition
+    extremes. An optional eq/IN/conj partition restriction folds in at
+    the manifest. Refusals (→ scan): layout-mixed tables, a live
+    tombstone under any value-dependent item (the suppressed rows may
+    hold the extreme), a live partition missing a required stat."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .snapshot import (
+        SUM_SUFFIX as _SUM_SUFFIX,
+        _mixed_spec,
+        _partition_rows,
+        _partition_value,
+        _restrict_parts,
+        _spec_meta,
+        read_manifest,
+    )
+
+    gcols = parsed["group_by"]
+    for c in gcols:
+        if spec_types.get(c) is None:
+            raise _Refuse()  # only spec components group at the manifest
+    man = read_manifest(path, version)
+    meta = man.get("schema") or {}
+    if _mixed_spec(man):
+        raise _Refuse()
+    spec_order = [c for c, _t in _spec_meta(meta)]
+    idxs = [spec_order.index(c) for c in gcols]
+    eq = None
+    if parsed["where"] is not None:
+        kind_ = parsed["where"][0]
+        if kind_ == "conj":
+            eq = _coerce_conj(parsed["where"][1], spec_types)
+        elif kind_ in ("eq", "in"):
+            wcol = parsed["where"][1]
+            wtype = spec_types.get(wcol)
+            if wtype is None:
+                raise _Refuse()
+            raws = (
+                parsed["where"][2]
+                if kind_ == "in"
+                else [parsed["where"][2]]
+            )
+            eq = [
+                (
+                    wcol,
+                    sorted(
+                        {_coerce_partition_literal(r, wtype) for r in raws},
+                        key=repr,
+                    ),
+                )
+            ]
+        else:
+            raise _Refuse()
+    try:
+        rows = _restrict_parts(
+            _partition_rows(man, path), meta, where_partition=eq
+        )
+    except ValueError:
+        raise _Refuse()
+    val_items = [
+        (k, c)
+        for k, c, _a in parsed["items"]
+        if k in ("sum", "avg", "min", "max")
+    ]
+    tomb = (man.get("tombstones") or {}).get("parts") or {}
+    if val_items and any(p in tomb for p in rows):
+        raise _Refuse()  # suppressed rows may hold the extreme / sum
+    stats = man.get("stats") or {}
+    groups: "dict[tuple, dict]" = {}
+    for p, n in rows.items():
+        if n <= 0:
+            continue  # fully-suppressed partition: no live group
+        levels = p.split("/")
+        g = groups.setdefault(
+            tuple(levels[i] for i in idxs), {"n": 0, "parts": []}
+        )
+        g["n"] += n
+        g["parts"].append(p)
+
+    def _merged_sum(parts: list, col: str) -> "tuple":
+        total, nn = 0, 0
+        for p in parts:
+            pair = (stats.get(p) or {}).get(f"{col}{_SUM_SUFFIX}")
+            if pair is None:
+                raise _Refuse()
+            s, k = pair
+            if k:
+                total += int(s)
+                nn += int(k)
+        return (total if nn else None, nn)
+
+    def _merged_extreme(parts: list, col: str, kind: str):
+        vals = []
+        for p in parts:
+            ent = (stats.get(p) or {}).get(col)
+            if ent is None:
+                raise _Refuse()
+            v = ent[0] if kind == "min" else ent[1]
+            if v is not None:
+                vals.append(v)
+        if not vals:
+            return None
+        return min(vals) if kind == "min" else max(vals)
+
+    out_rows, fields, casts = [], [], {}
+    for k, c, alias in parsed["items"]:
+        if k == "group":
+            fields.append(StructField(alias, StringType(), True))
+            casts[alias] = spec_types[c]
+        elif k == "count":
+            fields.append(StructField(alias, LongType(), False))
+        elif k == "sum":
+            fields.append(StructField(alias, LongType(), True))
+        elif k == "avg":
+            fields.append(StructField(alias, DoubleType(), True))
+        else:  # min / max
+            if field_types.get(c) is None:
+                raise _Refuse()
+            fields.append(StructField(alias, StringType(), True))
+            casts[alias] = field_types[c]
+    for gkey in sorted(groups, key=repr):
+        g = groups[gkey]
+        vals = []
+        for k, c, _a in parsed["items"]:
+            if k == "group":
+                lvl = gkey[gcols.index(c)]
+                is_null, v = _partition_value(lvl, spec_types[c])
+                vals.append(None if is_null else str(v))
+            elif k == "count":
+                vals.append(int(g["n"]))
+            elif k in ("sum", "avg"):
+                s, nn = _merged_sum(g["parts"], c)
+                vals.append(
+                    s if k == "sum"
+                    else (None if not nn else float(s) / nn)
+                )
+            else:
+                v = _merged_extreme(g["parts"], c, k)
+                vals.append(None if v is None else str(v))
+        out_rows.append(tuple(vals))
+    out = _local_rows_df(spark, out_rows, StructType(fields))
+    out = out.select(
+        *[
+            F.col(f.name).cast(casts[f.name]).alias(f.name)
+            if f.name in casts
+            else F.col(f.name)
+            for f in out.schema.fields
+        ]
+    ).coalesce(1)
+    out = _apply_having(out, parsed)
+    if parsed["order_by"] is not None:
+        ocol, desc = parsed["order_by"]
+        out = out.orderBy(F.col(ocol).desc() if desc else F.col(ocol).asc())
+        if parsed["limit"] is not None:
+            out = out.limit(parsed["limit"])
+    return out
+
+
 def _answer_group_by(spark, parsed, path, spec_types, field_types, version):
     gcol = parsed["group_by"]
     gtype = spec_types.get(gcol)
@@ -2384,6 +2642,11 @@ def _answer_group_by(spark, parsed, path, spec_types, field_types, version):
                 for (v, n), (_v2, c) in zip(live, nn_pairs)
                 if (c if is_not else n - c) > 0
             ]
+        elif kind_ == "conj":
+            # conjunctive eq/IN on several spec components: the whole
+            # restriction folds into every manifest call below (each
+            # conjunct matches at its own directory level)
+            eq = _coerce_conj(parsed["where"][1], spec_types)
         elif kind_ not in ("eq", "in"):
             # range WHERE + GROUP BY parses (the grouped hybrid tier
             # serves it), but the pure-metadata proof stops here:

@@ -1793,10 +1793,27 @@ def _partition_selector(meta: dict, wcol: str) -> "tuple[int, str, str]":
     )
 
 
+def _wp_conjuncts(where_partition) -> list:
+    """Normalize a ``where_partition`` argument to its conjunct list:
+    ``None`` → ``[]``; a single ``(col, value)`` pair → one conjunct;
+    a list/tuple of pairs → the conjunctive multi-component
+    restriction (``day = 'd1' AND source = 'web'`` on a multi-column
+    spec — each conjunct matches at its own directory level)."""
+    if where_partition is None:
+        return []
+    if (
+        isinstance(where_partition, tuple)
+        and len(where_partition) == 2
+        and isinstance(where_partition[0], str)
+    ):
+        return [where_partition]
+    return [tuple(c) for c in where_partition]
+
+
 def _restrict_parts(
     parts: dict,
     meta: dict,
-    where_partition: "tuple | None" = None,
+    where_partition: "tuple | list | None" = None,
     where_partition_in: "tuple | None" = None,
 ) -> dict:
     """Apply eq / IN partition restrictions at the manifest, matching
@@ -1804,8 +1821,9 @@ def _restrict_parts(
     'web'`` selects every ``day=*/source=web`` partition of a
     multi-column spec (and degenerates to full-name equality on a
     single-column one). A scalar ``where_partition`` value that is a
-    collection restricts to the member set (the IN shape). A
-    retired-spec directory name (wrong depth for the current spec)
+    collection restricts to the member set (the IN shape); a LIST of
+    ``(col, value)`` pairs applies conjunctively, one per component.
+    A retired-spec directory name (wrong depth for the current spec)
     raises a clean ValueError — its membership is unknowable, the
     same refuse-don't-guess rule as every mixed-spec gate."""
     spec = _spec_meta(meta)
@@ -1820,8 +1838,7 @@ def _restrict_parts(
             )
         return levels[idx]
 
-    if where_partition is not None:
-        wcol, wval = where_partition
+    for wcol, wval in _wp_conjuncts(where_partition):
         idx, c, _t = _partition_selector(meta, wcol)
         if isinstance(wval, (list, tuple, set, frozenset)):
             tgts = {_hive_part_name(c, v) for v in wval}
@@ -4556,8 +4573,8 @@ def manifest_aggregate(
             "holds old-spec directories — compact_snapshot to migrate, "
             "or scan"
         )
-    if where_partition is not None:
-        _partition_selector(meta, where_partition[0])  # validate/raise
+    for wcol, _wv in _wp_conjuncts(where_partition):
+        _partition_selector(meta, wcol)  # validate/raise
     # physical-name candidates for the wanted logical columns: the
     # name itself plus any retired name whose rename chain lands on it
     # (old commits' footers carry pre-rename physical names)
@@ -5188,7 +5205,10 @@ def manifest_range_count(
         # partition-equality restriction composes with the range proof:
         # only the member partitions' containment matters (the
         # conjunctive "WHERE pcol = v AND col <range>" dashboard shape)
-        if where_partition[0] not in spec_cols or _mixed_spec(man):
+        if (
+            any(w not in spec_cols for w, _v in _wp_conjuncts(where_partition))
+            or _mixed_spec(man)
+        ):
             return None
 
     def _in_lo(v) -> bool:
