@@ -720,6 +720,118 @@ def execute_delete(
     )
 
 
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<target>[\w./-]+)"
+    r"(?:\s*\((?P<cols>[^)]*)\))?"
+    r"\s+(?P<body>VALUES\s*.+|SELECT\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def parse_insert(sql: str) -> dict:
+    m = _INSERT_RE.match(sql)
+    if not m:
+        raise ValueError(
+            "not a parseable INSERT INTO statement "
+            "(INSERT INTO t [(cols)] VALUES ... | SELECT ...)"
+        )
+    cols = m.group("cols")
+    return {
+        "target": m.group("target"),
+        "cols": (
+            [c.strip() for c in cols.split(",")] if cols is not None else None
+        ),
+        "body": m.group("body").strip(),
+    }
+
+
+def execute_insert(
+    spark: SparkSession,
+    sql: str,
+    *,
+    tables: dict[str, str],
+    txn: tuple[str, int] | None = None,
+) -> int:
+    """Execute one INSERT INTO statement against a snapshot table —
+    the statement form of :func:`sources.snapshot.append_snapshot`,
+    completing the DML quartet. Two source forms: ``VALUES (…), (…)``
+    (evaluated as Spark SQL inline rows) and ``SELECT …`` (any Spark
+    SQL over the session's temp views; columns map POSITIONALLY onto
+    the stated column list, SQL-standard). An omitted column list
+    means every table column in recorded order; a stated list may
+    omit nullable data columns (NULL-filled, SQL semantics) but must
+    supply every partition-spec column — an accidental NULL-partition
+    flood is a layout bug, not a default. Values cast to the table's
+    recorded column types; a cast that cannot be expressed fails at
+    analysis, never silently. Appends commit through
+    ``append_snapshot``: optimistic, txn-idempotent, partition-
+    revisiting appends rewrite that partition as the union."""
+    from .snapshot import _spec_meta, append_snapshot, read_manifest, read_snapshot
+
+    p = parse_insert(sql)
+    if p["target"] not in tables:
+        raise ValueError(
+            f"unknown INSERT target {p['target']!r}; known: {sorted(tables)}"
+        )
+    path = tables[p["target"]]
+    man = read_manifest(path)
+    schema_meta = man.get("schema") or {}
+    if not schema_meta:
+        raise ValueError(
+            f"INSERT target {p['target']!r} has no committed snapshot yet — "
+            "bootstrap it with write_snapshot (INSERT needs the table's "
+            "recorded partition spec and schema)"
+        )
+    spec_cols = [c for c, _t in _spec_meta(schema_meta)]
+    part_arg = spec_cols if len(spec_cols) > 1 else spec_cols[0]
+    t_cols = list(schema_meta["columns"])
+    cols = p["cols"] if p["cols"] is not None else list(t_cols)
+    bad = set(cols) - set(t_cols)
+    if bad:
+        raise ValueError(f"INSERT of unknown columns: {sorted(bad)}")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"INSERT column list repeats a column: {cols}")
+    missing_spec = [c for c in spec_cols if c not in cols]
+    if missing_spec:
+        raise ValueError(
+            f"INSERT must supply the partition column(s) {missing_spec!r}: "
+            "defaulting them would flood the NULL partition"
+        )
+    if p["body"].upper().startswith("VALUES"):
+        src = spark.sql(
+            f"SELECT * FROM {p['body']} AS __v({', '.join(cols)})"
+        )
+    else:
+        src = spark.sql(p["body"])
+        if len(src.columns) != len(cols):
+            raise ValueError(
+                f"INSERT SELECT yields {len(src.columns)} column(s), "
+                f"the target list names {len(cols)}"
+            )
+        src = src.toDF(*cols)
+    types = {
+        f.name: f.dataType
+        for f in read_snapshot(spark, path, man["version"]).schema.fields
+    }
+    content = src.select(
+        *[
+            (
+                F.col(c).cast(types[c]).alias(c)
+                if c in cols
+                else F.lit(None).cast(types[c]).alias(c)
+            )
+            for c in t_cols
+        ]
+    )
+    return append_snapshot(
+        path,
+        content,
+        part_arg,
+        expected_version=man["version"],
+        txn=txn,
+    )
+
+
 def execute_dml(
     spark: SparkSession,
     sql: str,
@@ -729,20 +841,24 @@ def execute_dml(
     delete_mode: str = "copy-on-write",
     delete_key: str | None = None,
 ):
-    """Route one DML statement (MERGE INTO / UPDATE / DELETE FROM) to
+    """Route one DML statement (INSERT INTO / MERGE INTO / UPDATE /
+    DELETE FROM) to
     its snapshot-layer executor by statement head. The single entry
     point the CLI uses; returns the executor's native result (version
-    for MERGE/UPDATE, delete_where's dict for DELETE)."""
+    for INSERT/MERGE/UPDATE, delete_where's dict for DELETE)."""
     head = sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
     if head == "MERGE":
         return execute_merge(spark, sql, tables=tables, txn=txn)
     if head == "UPDATE":
         return execute_update(spark, sql, tables=tables, txn=txn)
+    if head == "INSERT":
+        return execute_insert(spark, sql, tables=tables, txn=txn)
     if head == "DELETE":
         return execute_delete(
             spark, sql, tables=tables, txn=txn,
             mode=delete_mode, key=delete_key,
         )
     raise ValueError(
-        f"not a DML statement (MERGE/UPDATE/DELETE): {sql.strip()[:60]!r}"
+        f"not a DML statement (INSERT/MERGE/UPDATE/DELETE): "
+        f"{sql.strip()[:60]!r}"
     )

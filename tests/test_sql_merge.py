@@ -427,3 +427,109 @@ def test_execute_dml_routes_by_head(spark, tbl):
     assert out["deleted_rows"] == 1
     with pytest.raises(ValueError, match="not a DML"):
         execute_dml(spark, "SELECT 1", tables={"tbl": tbl})
+
+
+def test_insert_values_and_select(spark, tbl):
+    from pandas_analysis_with_postgres_spark.sources.sql_merge import (
+        execute_insert,
+    )
+
+    v = execute_insert(
+        spark,
+        "INSERT INTO tbl VALUES (10, 'j', 50, 30), (11, 'k', 60, 30)",
+        tables={"tbl": tbl},
+    )
+    assert v == 2
+    got = _rows(read_snapshot(spark, tbl))
+    assert (10, "j", 50, 30) in got and (11, "k", 60, 30) in got
+    assert len(got) == 5
+    # SELECT form, positional mapping, with a column list that omits a
+    # nullable data column (NULL-filled)
+    spark.createDataFrame(
+        [(12, 70)], "a long, b long"
+    ).createOrReplaceTempView("ins_src")
+    execute_insert(
+        spark,
+        "INSERT INTO tbl (k, p) SELECT a, b FROM ins_src",
+        tables={"tbl": tbl},
+    )
+    got2 = _rows(read_snapshot(spark, tbl))
+    assert (12, None, None, 70) in got2 and len(got2) == 6
+
+
+def test_insert_revisiting_partition_unions(spark, tbl):
+    from pandas_analysis_with_postgres_spark.sources.sql_merge import (
+        execute_insert,
+    )
+
+    execute_insert(
+        spark,
+        "INSERT INTO tbl VALUES (20, 'z', 1, 10)",
+        tables={"tbl": tbl},
+    )
+    got = sorted(r["k"] for r in read_snapshot(spark, tbl).collect())
+    assert got == [1, 2, 3, 20]  # p=10 rewritten as union, p=20 carried
+
+
+def test_insert_txn_idempotent_and_rejections(spark, tbl):
+    import pytest as _pytest
+
+    from pandas_analysis_with_postgres_spark.sources.sql_merge import (
+        execute_insert,
+    )
+
+    v = execute_insert(
+        spark,
+        "INSERT INTO tbl VALUES (30, 'x', 5, 40)",
+        tables={"tbl": tbl},
+        txn=("ins", 1),
+    )
+    v2 = execute_insert(
+        spark,
+        "INSERT INTO tbl VALUES (30, 'x', 5, 40)",
+        tables={"tbl": tbl},
+        txn=("ins", 1),
+    )
+    assert v2 == v  # replay commits nothing
+    assert read_snapshot(spark, tbl).count() == 4
+    with _pytest.raises(ValueError, match="unknown"):
+        execute_insert(
+            spark,
+            "INSERT INTO tbl (k, nope, p) VALUES (1, 2, 3)",
+            tables={"tbl": tbl},
+        )
+    with _pytest.raises(ValueError, match="partition"):
+        execute_insert(
+            spark,
+            "INSERT INTO tbl (k, name) VALUES (1, 'q')",
+            tables={"tbl": tbl},
+        )
+    with _pytest.raises(ValueError, match="column list"):
+        execute_insert(
+            spark,
+            "INSERT INTO tbl (k, k, p) VALUES (1, 2, 3)",
+            tables={"tbl": tbl},
+        )
+
+
+def test_insert_multicol_spec_via_dml_router(spark, tmp_path):
+    from pandas_analysis_with_postgres_spark.sources.sql_merge import (
+        execute_dml,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "d1", "web", 10)], "k long, day string, source string, v long"
+    )
+    path = str(tmp_path / "tm")
+    write_snapshot(df, path, ["day", "source"])
+    execute_dml(
+        spark,
+        "INSERT INTO t VALUES (2, 'd1', 'api', 20), (3, 'd2', 'web', 30)",
+        tables={"t": path},
+    )
+    got = _rows(
+        read_snapshot(spark, path).select("k", "day", "source", "v")
+    )
+    assert got == {(1, "d1", "web", 10), (2, "d1", "api", 20),
+                   (3, "d2", "web", 30)}
+    assert "day=d2/source=web" in read_manifest(path)["partitions"]
