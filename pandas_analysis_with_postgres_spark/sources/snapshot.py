@@ -2353,8 +2353,28 @@ HLL_SUFFIX = "::hll"
 SUM_SUFFIX = "::sum"
 
 
+def _backscan(spark: SparkSession, commit_dir) -> DataFrame:
+    """The written-files readback scan the sketch/bloom computers
+    aggregate over (partition columns recovered from the directory
+    names, value-type inference OFF so they stay strings/recorded
+    types) — or the frame itself when the caller already built one
+    spanning several commit dirs (:func:`backfill_table_stats`)."""
+    if isinstance(commit_dir, DataFrame):
+        return commit_dir
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    with _INFER_LOCK:
+        infer_old = spark.conf.get(infer_key, "true")
+        spark.conf.set(infer_key, "false")
+        try:
+            return spark.read.option("basePath", str(commit_dir)).parquet(
+                str(commit_dir)
+            )
+        finally:
+            spark.conf.set(infer_key, infer_old)
+
+
 def _compute_sums(
-    spark: SparkSession, commit_dir: Path, partition_col: str, cols: list[str]
+    spark: SparkSession, commit_dir, partition_col: str, cols: list[str]
 ) -> dict:
     """Per-partition ``[exact_sum, n_nonnull]`` for ``cols`` from the
     just-written commit directory (one extra aggregate over page-cached
@@ -2363,16 +2383,7 @@ def _compute_sums(
     the rounding), and a stats answer must replay bit-for-bit."""
     from pyspark.sql import functions as F
 
-    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    with _INFER_LOCK:
-        infer_old = spark.conf.get(infer_key, "true")
-        spark.conf.set(infer_key, "false")
-        try:
-            back = spark.read.option("basePath", str(commit_dir)).parquet(
-                str(commit_dir)
-            )
-        finally:
-            spark.conf.set(infer_key, infer_old)
+    back = _backscan(spark, commit_dir)
     for c in cols:
         t = back.schema[c].dataType.simpleString()
         if t not in {"tinyint", "smallint", "int", "bigint"}:
@@ -2419,7 +2430,7 @@ MAX_HIST_BUCKETS = 4096
 
 
 def _compute_hists(
-    spark: SparkSession, commit_dir: Path, partition_col: str, specs: list
+    spark: SparkSession, commit_dir, partition_col: str, specs: list
 ) -> dict:
     """Per-partition equi-width histograms for ``specs`` = [(col,
     width, full_key)], computed from the just-written commit directory
@@ -2432,16 +2443,7 @@ def _compute_hists(
     hash-verifiable, not a confidence interval."""
     from pyspark.sql import functions as F
 
-    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    with _INFER_LOCK:
-        infer_old = spark.conf.get(infer_key, "true")
-        spark.conf.set(infer_key, "false")
-        try:
-            back = spark.read.option("basePath", str(commit_dir)).parquet(
-                str(commit_dir)
-            )
-        finally:
-            spark.conf.set(infer_key, infer_old)
+    back = _backscan(spark, commit_dir)
     for col, _w, key in specs:
         t = back.schema[col].dataType.simpleString()
         if t not in {"tinyint", "smallint", "int", "bigint"}:
@@ -2484,7 +2486,7 @@ def _compute_hists(
 
 
 def _compute_hlls(
-    spark: SparkSession, commit_dir: Path, partition_col: str, cols: list[str]
+    spark: SparkSession, commit_dir, partition_col: str, cols: list[str]
 ) -> dict:
     """Per-partition HLL register tables for ``cols``, computed from
     the JUST-WRITTEN commit directory (one extra aggregate pass over
@@ -2498,16 +2500,7 @@ def _compute_hlls(
 
     from ..operators import sketches as SK
 
-    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    with _INFER_LOCK:
-        infer_old = spark.conf.get(infer_key, "true")
-        spark.conf.set(infer_key, "false")
-        try:
-            back = spark.read.option("basePath", str(commit_dir)).parquet(
-                str(commit_dir)
-            )
-        finally:
-            spark.conf.set(infer_key, infer_old)
+    back = _backscan(spark, commit_dir)
     for c in cols:
         t = back.schema[c].dataType.simpleString()
         if t not in {"tinyint", "smallint", "int", "bigint"}:
@@ -3539,6 +3532,196 @@ def alter_table_properties(
         meta,
         stats=dict(man.get("stats") or {}),
         blooms=dict(man.get("blooms") or {}),
+        parent_txns=man.get("txn") or {},
+        parent_manifest=man,
+    )
+
+
+def backfill_table_stats(spark: SparkSession, path: str) -> int:
+    """Materialize the table's DECLARED stats/bloom properties for
+    live partitions missing them WITHOUT rewriting any data — the
+    read-only half of :func:`alter_table_properties`'s upgrade path
+    (alter DECLARES the properties; this MATERIALIZES them;
+    ``compact_snapshot`` remains the rewrite route). At 100 TB the
+    difference is the whole point: upgrading a table to NDV sketches
+    or point-lookup blooms costs one read-only aggregate over the
+    partitions that lack them, not a full rewrite.
+
+    What it computes, per live partition missing the entry:
+
+    - **min/max/null-count stats** (incl. the per-file ``::files``
+      grain): harvested straight from the existing parquet FOOTERS —
+      zero data pages read;
+    - **sketches** (``::sum`` / ``::hll`` / ``::hist:<w>``) and
+      **partition Bloom bitmaps**: one read-only aggregate scan over
+      ONLY the needy partitions, through the same computation the
+      write path uses (bit-identical results — a backfilled manifest
+      is indistinguishable from a written-with-stats one).
+
+    The commit is metadata-only (operation ``"backfill"``): every
+    partition carried by reference. Existing entries are never
+    overwritten. Returns the new version, or the CURRENT version
+    untouched when nothing is missing.
+
+    Refusals (refuse-don't-guess, same gates as the metadata
+    answerers): layout-mixed tables (old-spec directory names), live
+    merge-on-read tombstones (stats describe physical files —
+    suppressed rows would poison value answers; compact first), and
+    rename/drop-evolved schemas (old files carry retired physical
+    names; compact folds the chain away)."""
+    parent = current_version(path)
+    man = read_manifest(path, parent)
+    meta = dict(man.get("schema") or {})
+    if not meta:
+        raise ValueError(f"{path} has no committed schema metadata")
+    if _mixed_spec(man):
+        raise ValueError(
+            f"{path} holds partitions under a retired partition spec — "
+            "compact_snapshot to migrate before backfilling stats"
+        )
+    if (man.get("tombstones") or {}).get("parts"):
+        raise ValueError(
+            "stats backfill over live merge-on-read tombstones is "
+            "unprovable (stats describe the physical files; suppressed "
+            "rows would poison value answers) — compact_snapshot first"
+        )
+    if meta.get("renames") or meta.get("dropped"):
+        raise ValueError(
+            "stats backfill over a rename/drop-evolved schema is not "
+            "supported (old commits carry retired physical column "
+            "names) — compact_snapshot folds the chain away first"
+        )
+    spec_cols = [c for c, _t in _spec_meta(meta)]
+    declared = list(meta.get("stats_cols") or [])
+    bloom_cols = list(meta.get("bloom_cols") or [])
+    bloom_bits = int(meta.get("bloom_bits") or BLOOM_BITS)
+    mm_cols, hll_cols, sum_cols, hist_specs = [], [], [], []
+    for c in declared:
+        hm = _HIST_KEY_RE.match(c)
+        if hm is not None:
+            hist_specs.append((hm.group("col"), int(hm.group("width")), c))
+        elif c.endswith(HLL_SUFFIX):
+            hll_cols.append(c[: -len(HLL_SUFFIX)])
+        elif c.endswith(SUM_SUFFIX):
+            sum_cols.append(c[: -len(SUM_SUFFIX)])
+        elif c not in spec_cols:
+            # a spec column never records footer stats (it is not a
+            # file column) — the directory name IS its value
+            mm_cols.append(c)
+    partitions = man.get("partitions") or {}
+    stats = {p: dict(e) for p, e in (man.get("stats") or {}).items()}
+    blooms = {p: dict(e) for p, e in (man.get("blooms") or {}).items()}
+    sketch_keys = (
+        [f"{c}{HLL_SUFFIX}" for c in hll_cols]
+        + [f"{c}{SUM_SUFFIX}" for c in sum_cols]
+        + [key for _c, _w, key in hist_specs]
+    )
+    needy_mm = {
+        p: [c for c in mm_cols if c not in (stats.get(p) or {})]
+        for p in partitions
+    }
+    needy_mm = {p: cs for p, cs in needy_mm.items() if cs}
+    needy_scan = {
+        p
+        for p in partitions
+        if any(k not in (stats.get(p) or {}) for k in sketch_keys)
+        or any(c not in (blooms.get(p) or {}) for c in bloom_cols)
+    }
+    if not needy_mm and not needy_scan:
+        return parent  # nothing missing: no commit
+
+    def _full_dir(pname: str) -> str:
+        rel = partitions[pname]
+        return rel if os.path.isabs(rel) else os.path.join(path, rel)
+
+    # footer harvest: zero data pages, driver-side metadata reads only
+    for pname, missing in needy_mm.items():
+        new, _n = _footer_stats(Path(_full_dir(pname)), set(missing))
+        ent = stats.setdefault(pname, {})
+        for k, v in new.items():
+            if k == FILES_KEY:
+                files = ent.setdefault(FILES_KEY, {})
+                for fname, fent in v.items():
+                    fe = files.setdefault(fname, {})
+                    for kk, vv in fent.items():
+                        fe.setdefault(kk, vv)
+            else:
+                ent.setdefault(k, v)
+        ent.setdefault(N_ROWS_KEY, _n)
+
+    if needy_scan and (sketch_keys or bloom_cols):
+        # one readback frame spanning the needy partitions' commit
+        # dirs (same scan recipe as the write path: basePath per
+        # commit root, partition-value inference off); schema-evolved
+        # commits NULL-fill added columns, matching write-time reads
+        by_base: dict[str, list[str]] = {}
+        for pname in needy_scan:
+            full = _full_dir(pname)
+            base = full
+            for _ in range(max(1, len(spec_cols))):
+                base = os.path.dirname(base)
+            by_base.setdefault(base, []).append(full)
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        with _INFER_LOCK:
+            infer_old = spark.conf.get(infer_key, "true")
+            spark.conf.set(infer_key, "false")
+            try:
+                scans = [
+                    spark.read.option("basePath", b).parquet(*sorted(dirs))
+                    for b, dirs in sorted(by_base.items())
+                ]
+            finally:
+                spark.conf.set(infer_key, infer_old)
+        back = scans[0]
+        for s in scans[1:]:
+            back = back.unionByName(s, allowMissingColumns=True)
+        part_arg = spec_cols if len(spec_cols) > 1 else spec_cols[0]
+        computed: "dict[str, dict]" = {}
+        if sum_cols:
+            for p, e in _compute_sums(spark, back, part_arg, sum_cols).items():
+                computed.setdefault(p, {}).update(e)
+        if hll_cols:
+            for p, e in _compute_hlls(spark, back, part_arg, hll_cols).items():
+                computed.setdefault(p, {}).update(e)
+        if hist_specs:
+            for p, e in _compute_hists(
+                spark, back, part_arg, hist_specs
+            ).items():
+                computed.setdefault(p, {}).update(e)
+        for pname in needy_scan:
+            ent = stats.setdefault(pname, {})
+            for k, v in (computed.get(pname) or {}).items():
+                ent.setdefault(k, v)
+        if bloom_cols:
+            fresh = _compute_blooms(back, part_arg, bloom_cols, bloom_bits)
+            need_pnames = {
+                p
+                for p in needy_scan
+                if any(c not in (blooms.get(p) or {}) for c in bloom_cols)
+            }
+            # the file grain too — same write-path helper, so a
+            # backfilled bloom entry is indistinguishable from a
+            # written-with-blooms one
+            _add_file_blooms(
+                spark,
+                path,
+                {p: partitions[p] for p in need_pnames},
+                fresh,
+                bloom_cols,
+                bloom_bits,
+            )
+            for pname in need_pnames:
+                tgt = blooms.setdefault(pname, {})
+                for c, bm in (fresh.get(pname) or {}).items():
+                    tgt.setdefault(c, bm)
+    return _commit(
+        path,
+        parent,
+        dict(partitions),
+        "backfill",
+        meta,
+        stats=stats,
+        blooms=blooms,
         parent_txns=man.get("txn") or {},
         parent_manifest=man,
     )
