@@ -223,6 +223,7 @@ EXTRA = (
     "z113_shipmode_priority",
     "z114_part_availability",
     "z115_multicol_conj_metadata",
+    "z116_stats_backfill",
 )
 
 

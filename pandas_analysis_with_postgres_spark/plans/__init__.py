@@ -115,6 +115,7 @@ ROTATION = [
     "z113_shipmode_priority",
     "z114_part_availability",
     "z115_multicol_conj_metadata",
+    "z116_stats_backfill",
     # fill: oldest remaining driver rows (r06 ANN/text block, then the
     # r07 block, in last-checked-round order)
     "q27_cosine_topk",
@@ -156,7 +157,6 @@ ROTATION = [
     "z21_sql_merge_sync",
     "z22_pq_topk",
     "z23_pq_refine",
-    "z24_ivfpq_topk",
 ]
 
 

@@ -9475,6 +9475,108 @@ FROM g CROSS JOIN c
 """
 
 
+_BACKFILL_TABLES: dict = {}
+
+
+def z116_stats_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats/bloom BACKFILL without rewrite (round 11): orders land as
+    a snapshot with NO stats or bloom properties (yesterday's table),
+    then ``alter_table_properties`` declares cents min/max + exact-sum
+    + key blooms and ``backfill_table_stats`` materializes them — one
+    footer harvest + one read-only aggregate, metadata-only commit,
+    every partition carried by reference (asserted). The payoff is
+    measured in the same query: a manifest COUNT/SUM/MIN/MAX answer
+    that previously required a scan, plus a bloom point-lookup whose
+    ``inputFiles()`` open exactly one partition (asserted). The oracle
+    recomputes the answer frame from raw orders."""
+    import os
+
+    from ..sources.metadata_sql import answer_from_manifest
+    from ..sources.snapshot import (
+        alter_table_properties,
+        backfill_table_stats,
+        read_manifest,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _BACKFILL_TABLES.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("backfill_") + "/tbl"
+        orders = load_table(spark, sf_dir, "orders")
+        cents = (
+            F.col("o_totalprice").cast("decimal(18,2)") * 100
+        ).cast("long")
+        df = orders.select(
+            "o_orderkey", "o_orderstatus", cents.alias("cents")
+        )
+        write_snapshot(df, path, "o_orderstatus")  # no stats, no blooms
+        v1_parts = read_manifest(path, 1)["partitions"]
+        # the documented bloom sizing rule: m ≈ 20× keys/partition or
+        # the filter saturates at larger SFs (the z110 lesson)
+        n_per_part = max(1, df.count() // 3)
+        bits = max(4096, 1 << (20 * n_per_part - 1).bit_length())
+        alter_table_properties(
+            spark,
+            path,
+            stats_cols=["cents", "cents::sum"],
+            bloom_cols=["o_orderkey"],
+            bloom_bits=bits,
+        )
+        v = backfill_table_stats(spark, path)
+        man = read_manifest(path, v)
+        # metadata-only: every partition carried by reference, and the
+        # backfilled entries exist for each
+        assert man["partitions"] == v1_parts
+        assert all(
+            "cents" in man["stats"][p] and "cents::sum" in man["stats"][p]
+            for p in man["partitions"]
+        )
+        assert all("o_orderkey" in man["blooms"][p] for p in man["partitions"])
+        _BACKFILL_TABLES[key] = path
+    # bloom point-lookup now prunes (the backfilled bitmaps at work)
+    probe = int(
+        read_snapshot(spark, path).agg(F.max("o_orderkey")).first()[0]
+    )
+    hit = read_snapshot(spark, path, point_lookups={"o_orderkey": probe})
+    opened = {f.rsplit("/", 2)[-2] for f in hit.inputFiles()}
+    assert len(opened) == 1, opened
+    out = answer_from_manifest(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n, SUM(cents) AS s,"
+        " MIN(cents) AS lo, MAX(cents) AS hi FROM t"
+        " GROUP BY o_orderstatus",
+        {"t": path},
+    )
+    assert out is not None  # refusal = hard fail
+    probe_row = hit.filter(F.col("o_orderkey") == probe).select(
+        F.col("o_orderstatus").alias("probe_status"),
+        F.col("cents").alias("probe_cents"),
+    )
+    return out.crossJoin(probe_row)
+
+
+Z116_SQL = """
+WITH b AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+g AS (
+  SELECT o_orderstatus, COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS s,
+         MIN(cents)::BIGINT AS lo, MAX(cents)::BIGINT AS hi
+  FROM b GROUP BY o_orderstatus
+),
+p AS (
+  SELECT o_orderstatus AS probe_status, cents AS probe_cents
+  FROM b WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM b)
+)
+SELECT g.o_orderstatus, g.n, g.s, g.lo, g.hi, p.probe_status, p.probe_cents
+FROM g CROSS JOIN p
+"""
+
+
 def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fixture set ships no partsupp table; derive it as the
     DISTINCT (part, supplier) pairs lineitem actually exercises, with
@@ -10562,6 +10664,7 @@ EXTENSION_QUERIES = {
     "z113_shipmode_priority": z113_shipmode_priority,
     "z114_part_availability": z114_part_availability,
     "z115_multicol_conj_metadata": z115_multicol_conj_metadata,
+    "z116_stats_backfill": z116_stats_backfill,
 }
 
 EXTENSION_ORACLES = {
@@ -10719,5 +10822,6 @@ EXTENSION_ORACLES = {
     "z113_shipmode_priority": Z113_SQL,
     "z114_part_availability": Z114_SQL,
     "z115_multicol_conj_metadata": Z115_SQL,
+    "z116_stats_backfill": Z116_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }
