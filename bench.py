@@ -224,6 +224,7 @@ EXTRA = (
     "z114_part_availability",
     "z115_multicol_conj_metadata",
     "z116_stats_backfill",
+    "z117_multicol_conj_range",
 )
 
 

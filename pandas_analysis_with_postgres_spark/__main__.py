@@ -450,8 +450,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 0
         if args.action == "merge":
-            # DML as a statement — MERGE INTO / UPDATE / DELETE FROM,
-            # routed by statement head: the snapshot table is named
+            # DML as a statement — INSERT INTO / MERGE INTO / UPDATE /
+            # DELETE FROM, routed by statement head: the table is named
             # --as inside the statement; MERGE's USING may reference
             # any registered temp view or inline subquery.
             from .sources.sql_merge import execute_dml

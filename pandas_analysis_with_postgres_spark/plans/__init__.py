@@ -116,6 +116,7 @@ ROTATION = [
     "z114_part_availability",
     "z115_multicol_conj_metadata",
     "z116_stats_backfill",
+    "z117_multicol_conj_range",
     # fill: oldest remaining driver rows (r06 ANN/text block, then the
     # r07 block, in last-checked-round order)
     "q27_cosine_topk",
@@ -156,7 +157,6 @@ ROTATION = [
     "z20_sql_merge",
     "z21_sql_merge_sync",
     "z22_pq_topk",
-    "z23_pq_refine",
 ]
 
 

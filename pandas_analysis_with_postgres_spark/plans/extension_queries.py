@@ -9475,6 +9475,50 @@ FROM g CROSS JOIN c
 """
 
 
+def z117_multicol_conj_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 hybrid-grammar extension over the z106 fixture: the
+    full dashboard conjunction on a ``(day, source)``-style layout —
+    eq/IN restrictions on BOTH spec components AND a value range
+    (``o_orderstatus = 'O' AND o_orderpriority IN (…) AND cents
+    BETWEEN …``) — served by the hybrid tier: member partitions
+    resolve at EVERY named component's own directory level
+    (_eq_targets over the conjunct list), provably-inside members
+    answer COUNT/SUM/MIN/MAX from manifest stats, only the boundary
+    members scan (both predicates pushed). The oracle replays the
+    conjunction from raw orders."""
+    from ..sources.metadata_sql import hybrid_range_count
+
+    z106_multicol_spec_metadata(spark, sf_dir)
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    out = hybrid_range_count(
+        spark,
+        "SELECT COUNT(*) AS n, SUM(cents) AS s, MIN(cents) AS lo_c,"
+        " MAX(cents) AS hi_c FROM t WHERE o_orderstatus = 'O'"
+        " AND o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        " AND cents BETWEEN 5000000 AND 30000000",
+        {"t": _MULTISPEC_TABLES[key]},
+    )
+    assert out is not None  # refusal = hard fail
+    return out
+
+
+Z117_SQL = """
+WITH b AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS s,
+       MIN(cents)::BIGINT AS lo_c, MAX(cents)::BIGINT AS hi_c
+FROM b
+WHERE o_orderstatus = 'O'
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND cents BETWEEN 5000000 AND 30000000
+"""
+
+
 _BACKFILL_TABLES: dict = {}
 
 
@@ -10665,6 +10709,7 @@ EXTENSION_QUERIES = {
     "z114_part_availability": z114_part_availability,
     "z115_multicol_conj_metadata": z115_multicol_conj_metadata,
     "z116_stats_backfill": z116_stats_backfill,
+    "z117_multicol_conj_range": z117_multicol_conj_range,
 }
 
 EXTENSION_ORACLES = {
@@ -10823,5 +10868,6 @@ EXTENSION_ORACLES = {
     "z114_part_availability": Z114_SQL,
     "z115_multicol_conj_metadata": Z115_SQL,
     "z116_stats_backfill": Z116_SQL,
+    "z117_multicol_conj_range": Z117_SQL,
     # q35_media_features: rows-only by design (Python decode stub).
 }

@@ -217,6 +217,68 @@ _W_OR_RANGE = re.compile(
 )
 _OR_SPLIT = re.compile(r"\s+OR\s+", re.IGNORECASE)
 _AND_SPLIT = re.compile(r"\s+AND\s+", re.IGNORECASE)
+#: a conjunct CUT SHORT by the split: "col BETWEEN lit" missing its
+#: upper bound — the following piece is BETWEEN's own AND-operand
+_BTW_DANGLING = re.compile(rf"\bBETWEEN\s+{_LIT}\s*$", re.IGNORECASE)
+
+
+def _split_and(wtext: str) -> list:
+    """Split a WHERE on conjunction ANDs, stitching back the AND that
+    belongs to a BETWEEN (``v BETWEEN 100 AND 300`` is ONE atom)."""
+    raw = _AND_SPLIT.split(wtext)
+    out, i = [], 0
+    while i < len(raw):
+        p = raw[i]
+        if _BTW_DANGLING.search(p) and i + 1 < len(raw):
+            p = p + " AND " + raw[i + 1]
+            i += 2
+        else:
+            i += 1
+        out.append(p)
+    return out
+
+
+def _parse_conjrange(wtext: str) -> "tuple | None":
+    """Parse ``m1 = … AND m2 IN (…) AND col <range>`` — ≥2 eq/IN atoms
+    on DISTINCT columns plus exactly ONE range/BETWEEN atom, in any
+    order (the 1+1 shapes keep their dedicated eqrange/inrange kinds).
+    Returns ``(members, (rng_col, lo, hi, lo_strict, hi_strict))`` or
+    None."""
+    parts = _split_and(wtext)
+    if len(parts) < 3:
+        return None
+    members, rng, seen = [], None, set()
+    for p in parts:
+        if (em := _W_EQ.match(p)) is not None:
+            col, vals = em.group("col"), [em.group("val")]
+        elif (im_ := _W_IN.match(p)) is not None:
+            col = im_.group("col")
+            vals = [v.group(0) for v in _LIT_RE.finditer(im_.group("vals"))]
+        elif (cm := _W_CMP.match(p)) is not None:
+            if rng is not None:
+                return None  # two ranges: scan decides
+            op, val = cm.group("op"), cm.group("val")
+            rng = (cm.group("col"),) + (
+                (None, val, False, op == "<")
+                if op in ("<", "<=")
+                else (val, None, op == ">", False)
+            )
+            continue
+        elif (bm := _W_BETWEEN.match(p)) is not None:
+            if rng is not None:
+                return None
+            rng = (bm.group("col"), bm.group("lo"), bm.group("hi"),
+                   False, False)
+            continue
+        else:
+            return None
+        if col.lower() in seen:
+            return None
+        seen.add(col.lower())
+        members.append((col, vals))
+    if rng is None or len(members) < 2 or rng[0].lower() in seen:
+        return None
+    return members, rng
 
 
 def _parse_conj(wtext: str) -> "list | None":
@@ -226,7 +288,7 @@ def _parse_conj(wtext: str) -> "list | None":
     ``[(col, [raw literals]), …]`` or None (any non-eq/IN atom, a
     repeated column, or a literal containing ' AND ' that the naive
     split corrupts simply fails to match → the caller scans)."""
-    parts = _AND_SPLIT.split(wtext)
+    parts = _split_and(wtext)
     if len(parts) < 2:
         return None
     out, seen = [], set()
@@ -489,6 +551,11 @@ def parse_metadata_select(sql: str) -> "dict | None":
                 irm.group("icol"),
                 vals,
             ) + rng + (irm.group("bcol") or irm.group("col"),)
+        elif (cr := _parse_conjrange(wtext)) is not None:
+            # ≥2 eq/IN atoms + ONE range: the multi-component hybrid
+            # shape (day = x AND source = y AND cents BETWEEN a AND b)
+            members, rng = cr
+            where = ("conjrange", members) + rng[1:] + (rng[0],)
         elif (conj := _parse_conj(wtext)) is not None:
             # conjunction of eq/IN atoms on DISTINCT columns — each
             # restricts its own directory level of a multi-column spec
@@ -516,7 +583,7 @@ def parse_metadata_select(sql: str) -> "dict | None":
                 return None
         elif where is not None and where[0] not in (
             "eq", "in", "range", "inrange", "orrange", "isnull", "eqnull",
-            "conj",
+            "conj", "conjrange",
         ):
             return None  # eqrange + GROUP BY: the member IS the group
         if where is not None and where[0] in ("isnull", "eqnull"):
@@ -525,7 +592,9 @@ def parse_metadata_select(sql: str) -> "dict | None":
             # cross-column unprovable; scan decides
             if any(k not in ("group", "count") for k, _, _ in items):
                 return None
-        if where is not None and where[0] in ("range", "inrange", "orrange"):
+        if where is not None and where[0] in (
+            "range", "inrange", "orrange", "conjrange",
+        ):
             # range / disjunctive windows + GROUP BY parse ONLY when
             # the grouped hybrid tier can serve every item
             # (count/sum/avg/min/max); the pure-metadata answerer
@@ -536,7 +605,7 @@ def parse_metadata_select(sql: str) -> "dict | None":
             ):
                 return None
     if where is not None and where[0] in (
-        "range", "eqrange", "inrange", "orrange"
+        "range", "eqrange", "inrange", "orrange", "conjrange"
     ):
         # The MANIFEST proof covers COUNT(*) only (clipped extremes /
         # range-restricted sketches are unprovable), but any list of
@@ -872,9 +941,10 @@ def _answer(spark, sql, tables, version) -> "DataFrame | None":
         return _answer_eq_range_count(
             spark, parsed, path, pcol, ptype, field_types, schema_meta, version
         )
-    if where is not None and where[0] == "inrange":
-        # conjunctive IN + range: the caller-opted HYBRID tier serves
-        # it (one member-restricted classification, one boundary scan)
+    if where is not None and where[0] in ("inrange", "conjrange"):
+        # conjunctive membership + range: the caller-opted HYBRID tier
+        # serves it (one member-restricted classification, one
+        # boundary scan; conjrange restricts at EVERY named component)
         raise _Refuse()
     if where is not None and where[0] == "orrange":
         # disjunctive windows: hybrid-only (per-interval passes)
@@ -1217,6 +1287,23 @@ def _conj_where(where: tuple, spec_types: dict):
             (ecol, _coerce_partition_literal(eraw, etype)),
             col, lo_raw, hi_raw, lo_strict, hi_strict,
         )
+    if where[0] == "conjrange":
+        _, members, lo_raw, hi_raw, lo_strict, hi_strict, col = where
+        conj = []
+        for mcol, raws in members:
+            mtype = spec_types.get(mcol)
+            if mtype is None:
+                raise _Refuse()
+            conj.append(
+                (
+                    mcol,
+                    sorted(
+                        {_coerce_partition_literal(r, mtype) for r in raws},
+                        key=repr,
+                    ),
+                )
+            )
+        return conj, col, lo_raw, hi_raw, lo_strict, hi_strict
     if where[0] == "inrange":
         _, icol, raws, lo_raw, hi_raw, lo_strict, hi_strict, col = where
         itype = spec_types.get(icol)
@@ -1260,7 +1347,7 @@ def hybrid_range_count(
         or parsed["where"][0]
         not in (
             "range", "eqrange", "inrange", "orrange", "rangenull",
-            "isnull", "eqnull",
+            "isnull", "eqnull", "conjrange",
         )
         or any(
             k not in ("group", "count", "sum", "avg", "min", "max")
@@ -1287,7 +1374,7 @@ def hybrid_range_count(
             return _hybrid_group_or_range(
                 spark, parsed, tables, version, explain
             )
-        if parsed["where"][0] not in ("range", "inrange"):
+        if parsed["where"][0] not in ("range", "inrange", "conjrange"):
             return None  # eqrange + GROUP BY: the member IS the group
         return _hybrid_group_multi(spark, parsed, tables, version, explain)
     if any(k == "group" for k, _, _ in parsed["items"]):
@@ -2582,7 +2669,14 @@ def _answer_group_by_multi(
     out = _apply_having(out, parsed)
     if parsed["order_by"] is not None:
         ocol, desc = parsed["order_by"]
-        out = out.orderBy(F.col(ocol).desc() if desc else F.col(ocol).asc())
+        out_aliases = [a for _k, _c, a in parsed["items"]]
+        if ocol not in out_aliases:
+            raise _Refuse()  # ORDER BY names a non-output column
+        # group-asc tie-break on EVERY group column (the z63
+        # discipline) — a LIMIT cut must be deterministic
+        g_aliases = [a for k, _c, a in parsed["items"] if k == "group"]
+        key = F.col(ocol).desc() if desc else F.col(ocol).asc()
+        out = out.orderBy(key, *[F.col(a).asc() for a in g_aliases])
         if parsed["limit"] is not None:
             out = out.limit(parsed["limit"])
     return out

@@ -6349,8 +6349,10 @@ def _eq_targets(man, path, pcol, where_partition):
     meta = man.get("schema") or {}
     # raises on a non-spec column; matches the restricted column's OWN
     # directory level, so eq/IN on ANY component of a multi-column
-    # spec restricts exactly (absent members restrict to nothing)
-    _partition_selector(meta, where_partition[0])
+    # spec restricts exactly (absent members restrict to nothing); a
+    # LIST of conjuncts restricts per component (day = x AND source = y)
+    for wcol, _wv in _wp_conjuncts(where_partition):
+        _partition_selector(meta, wcol)
     if _mixed_spec(man):
         raise ValueError(
             "partition-VALUE restriction is unprovable while "

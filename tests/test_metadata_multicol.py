@@ -161,6 +161,55 @@ def test_group_by_composite_refusals(spark, tbl):
     ) is None
 
 
+def test_conjrange_hybrid(spark, tbl):
+    from pandas_analysis_with_postgres_spark.sources.metadata_sql import (
+        hybrid_range_count,
+    )
+
+    out = hybrid_range_count(
+        spark,
+        "SELECT COUNT(*) AS n, SUM(v) AS s, MIN(v) AS lo, MAX(v) AS hi"
+        " FROM t WHERE day = 'd1' AND source = 'web'"
+        " AND v BETWEEN 40 AND 200",
+        {"t": tbl},
+    )
+    assert out is not None
+    sel = [
+        r[3]
+        for r in ROWS
+        if r[1] == "d1" and r[2] == "web" and 40 <= r[3] <= 200
+    ]
+    assert [tuple(r) for r in out.collect()] == [
+        (len(sel), sum(sel), min(sel), max(sel))
+    ]
+    # IN members compose; BETWEEN's own AND survives the split
+    out2 = hybrid_range_count(
+        spark,
+        "SELECT COUNT(*) AS n FROM t"
+        " WHERE day IN ('d0', 'd2') AND source = 'api' AND v > 100",
+        {"t": tbl},
+    )
+    exp = len(
+        [r for r in ROWS if r[1] in ("d0", "d2") and r[2] == "api"
+         and r[3] > 100]
+    )
+    assert [tuple(r) for r in out2.collect()] == [(exp,)]
+    # the pure-metadata tier refuses the shape (boundary needs a scan)
+    assert answer_from_manifest(
+        spark,
+        "SELECT COUNT(*) AS n FROM t"
+        " WHERE day = 'd1' AND source = 'web' AND v BETWEEN 40 AND 200",
+        {"t": tbl},
+    ) is None
+    # a non-spec membership column refuses to the full scan
+    assert hybrid_range_count(
+        spark,
+        "SELECT COUNT(*) AS n FROM t"
+        " WHERE day = 'd1' AND k = 3 AND v BETWEEN 40 AND 200",
+        {"t": tbl},
+    ) is None
+
+
 def test_tombstones_refuse_values_not_counts(spark, tbl):
     delete_where(
         spark, tbl, F.col("k") == 4, mode="merge-on-read", key="k"
