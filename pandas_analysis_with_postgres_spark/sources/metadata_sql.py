@@ -1619,6 +1619,20 @@ def explain_metadata_sql(
                 # estimate degrades to the full live count, it never
                 # crashes an EXPLAIN
                 return len(live)
+        if where is not None and where[0] in ("conj", "conjrange"):
+            # multi-component restriction: the universe is the
+            # conjunct-restricted member set
+            from .snapshot import _restrict_parts
+
+            try:
+                conj = _coerce_conj(where[1], spec_types)
+                return len(
+                    _restrict_parts(
+                        live, schema_meta, where_partition=conj
+                    )
+                )
+            except (_Refuse, ValueError):
+                return len(live)
         return len(live)
 
     if meta is not None:
