@@ -276,9 +276,13 @@ def main() -> None:
     # steady-state query timing below measures ONLY the search path,
     # and the builds get their own `builds` block in the JSON line.
     from pandas_analysis_with_postgres_spark.plans.extension_queries import (
+        _backfill_demo_table,
         _filebloom_table,
         _ivfpq_index,
         _ivfpq_store,
+        _multidml_table,
+        _multiprune_table,
+        _multispec_table,
         _pq_index,
         _snapstream_table,
         _trained_codebook,
@@ -292,6 +296,10 @@ def main() -> None:
         ("ivfpq_store(z25)", _ivfpq_store),
         ("filebloom_table(z96/z97)", _filebloom_table),
         ("snapstream_table(z99)", _snapstream_table),
+        ("multispec_table(z106/z115/z117)", _multispec_table),
+        ("multidml_table(z109)", _multidml_table),
+        ("multiprune_table(z110)", _multiprune_table),
+        ("backfill_table(z116)", _backfill_demo_table),
     ):
         t0 = time.perf_counter()
         fn(spark, sf_dir)

@@ -8943,24 +8943,14 @@ SELECT
 _MULTISPEC_TABLES: dict = {}
 
 
-def z106_multicol_spec_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MULTI-COLUMN PARTITION SPEC, end to end (r9 verdict ask #3):
-    orders snapshotted by the ordered spec ``(o_orderstatus,
-    o_orderpriority)`` — nested hive directories ``o_orderstatus=O/
-    o_orderpriority=1-URGENT`` with manifests keyed by the composite
-    name — then served entirely from MANIFEST METADATA through the
-    extended grammar: eq on ONE component restricting a GROUP BY of
-    the OTHER (counts and exact sums merge over the member
-    partitions), and the non-grouped IN form composing COUNT(*),
-    MIN of a spec component, MAX of a stats column, and
-    COUNT(DISTINCT <component>) — every restriction matched at the
-    component's own directory level, zero data pages. This is the
-    ``(day, source)`` layout every real training-data warehouse uses;
-    the oracle recomputes all seven outputs from the raw orders
-    table."""
+def _multispec_table(spark: SparkSession, sf_dir: str) -> str:
+    """The shared z106/z115/z117 fixture: orders snapshotted under the
+    ordered spec ``(o_orderstatus, o_orderpriority)`` with cents
+    min/max + exact-sum stats. One-time corpus delivery per
+    (app, sf_dir) — bench times it in the ``builds`` block so the
+    query timings measure the metadata answers, not the write."""
     import os
 
-    from ..sources.metadata_sql import answer_from_manifest
     from ..sources.snapshot import write_snapshot
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
@@ -8984,7 +8974,27 @@ def z106_multicol_spec_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             stats_cols=["cents", "cents::sum"],
         )
         _MULTISPEC_TABLES[key] = path
-    T = {"t": path}
+    return path
+
+
+def z106_multicol_spec_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-COLUMN PARTITION SPEC, end to end (r9 verdict ask #3):
+    orders snapshotted by the ordered spec ``(o_orderstatus,
+    o_orderpriority)`` — nested hive directories ``o_orderstatus=O/
+    o_orderpriority=1-URGENT`` with manifests keyed by the composite
+    name — then served entirely from MANIFEST METADATA through the
+    extended grammar: eq on ONE component restricting a GROUP BY of
+    the OTHER (counts and exact sums merge over the member
+    partitions), and the non-grouped IN form composing COUNT(*),
+    MIN of a spec component, MAX of a stats column, and
+    COUNT(DISTINCT <component>) — every restriction matched at the
+    component's own directory level, zero data pages. This is the
+    ``(day, source)`` layout every real training-data warehouse uses;
+    the oracle recomputes all seven outputs from the raw orders
+    table."""
+    from ..sources.metadata_sql import answer_from_manifest
+
+    T = {"t": _multispec_table(spark, sf_dir)}
     grp = answer_from_manifest(
         spark,
         "SELECT o_orderpriority, COUNT(*) AS n, SUM(cents) AS s"
@@ -9181,13 +9191,24 @@ def z109_multicol_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays both DML statements relationally from raw
     orders. Table memoized per (app, sf_dir) — the DML is
     deterministic, so re-reads see the same final state."""
+    from ..sources.snapshot import read_snapshot
+
+    out = read_snapshot(spark, _multidml_table(spark, sf_dir))
+    return (
+        out.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def _multidml_table(spark: SparkSession, sf_dir: str) -> str:
+    """z109's fixture INCLUDING its deterministic DML: base write,
+    one MERGE, one merge-on-read DELETE — built once per
+    (app, sf_dir); bench times it in the builds block so the query
+    timing measures the tombstone-applied rollup read."""
     import os
 
-    from ..sources.snapshot import (
-        read_manifest,
-        read_snapshot,
-        write_snapshot,
-    )
+    from ..sources.snapshot import read_manifest, write_snapshot
     from ..sources.sql_merge import execute_delete, execute_merge
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
@@ -9251,12 +9272,7 @@ def z109_multicol_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.count("=") == 2 and p.count("/") == 1 for p in tomb
         )
         _MULTIDML_TABLES[key] = path
-    out = read_snapshot(spark, path)
-    return (
-        out.groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
-        .orderBy("o_orderstatus")
-    )
+    return path
 
 
 Z109_SQL = """
@@ -9283,34 +9299,14 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 _MULTIPRUNE_TABLES: dict = {}
 
 
-def z110_multicol_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scan-pruning at BOTH levels of a MULTI-COLUMN spec (r10 verdict
-    ask #5): orders snapshotted under ``(o_orderstatus, o_year)`` with
-    per-composite-partition min/max stats on the yyyymmdd date int and
-    Bloom bitmaps on the key, then
-
-    - ``point_lookups={"o_orderkey": probe}`` opens only the composite
-      partitions whose bloom keeps the probe — asserted to prune at
-      BOTH directory levels (fewer statuses AND fewer years than the
-      manifest holds);
-    - ``column_ranges={"od": (19960101, 19961231)}`` keeps exactly the
-      ``o_year=1996`` leaves under every status (the window aligns
-      with the inner component) — asserted via the files the plan
-      actually opens (``inputFiles()``), the scan-pruning twin of
-      z106's metadata answers.
-
-    The returned row carries the probe row and the in-window rollup;
-    the oracle recomputes both from raw orders. Pruning evidence is
-    enforced by in-query assertions (bloom keep-sets are data-
-    deterministic), not returned — the oracle cannot see directory
-    layouts."""
+def _multiprune_table(spark: SparkSession, sf_dir: str) -> str:
+    """z110's fixture: orders under (o_orderstatus, o_year) with
+    yyyymmdd min/max stats and keys-per-partition-scaled blooms —
+    one-time corpus delivery per (app, sf_dir); bench times it in
+    the builds block so the query timing measures the pruned reads."""
     import os
 
-    from ..sources.snapshot import (
-        read_manifest,
-        read_snapshot,
-        write_snapshot,
-    )
+    from ..sources.snapshot import write_snapshot
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     path = _MULTIPRUNE_TABLES.get(key)
@@ -9346,6 +9342,33 @@ def z110_multicol_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             bloom_bits=bits,
         )
         _MULTIPRUNE_TABLES[key] = path
+    return path
+
+
+def z110_multicol_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-pruning at BOTH levels of a MULTI-COLUMN spec (r10 verdict
+    ask #5): orders snapshotted under ``(o_orderstatus, o_year)`` with
+    per-composite-partition min/max stats on the yyyymmdd date int and
+    Bloom bitmaps on the key, then
+
+    - ``point_lookups={"o_orderkey": probe}`` opens only the composite
+      partitions whose bloom keeps the probe — asserted to prune at
+      BOTH directory levels (fewer statuses AND fewer years than the
+      manifest holds);
+    - ``column_ranges={"od": (19960101, 19961231)}`` keeps exactly the
+      ``o_year=1996`` leaves under every status (the window aligns
+      with the inner component) — asserted via the files the plan
+      actually opens (``inputFiles()``), the scan-pruning twin of
+      z106's metadata answers.
+
+    The returned row carries the probe row and the in-window rollup;
+    the oracle recomputes both from raw orders. Pruning evidence is
+    enforced by in-query assertions (bloom keep-sets are data-
+    deterministic), not returned — the oracle cannot see directory
+    layouts."""
+    from ..sources.snapshot import read_manifest, read_snapshot
+
+    path = _multiprune_table(spark, sf_dir)
     man = read_manifest(path)
     all_parts = list(man["partitions"])
     statuses = {p.split("/")[0] for p in all_parts}
@@ -9426,14 +9449,9 @@ def z115_multicol_conj_metadata(
 
     Refusal = hard fail (assert), like z106; the oracle recomputes
     both frames from raw orders."""
-    import os
-
     from ..sources.metadata_sql import answer_from_manifest
 
-    # reuse z106's memoized (o_orderstatus, o_orderpriority) snapshot
-    z106_multicol_spec_metadata(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    T = {"t": _MULTISPEC_TABLES[key]}
+    T = {"t": _multispec_table(spark, sf_dir)}
     grp = answer_from_manifest(
         spark,
         "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,"
@@ -9488,17 +9506,13 @@ def z117_multicol_conj_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     conjunction from raw orders."""
     from ..sources.metadata_sql import hybrid_range_count
 
-    z106_multicol_spec_metadata(spark, sf_dir)
-    import os
-
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     out = hybrid_range_count(
         spark,
         "SELECT COUNT(*) AS n, SUM(cents) AS s, MIN(cents) AS lo_c,"
         " MAX(cents) AS hi_c FROM t WHERE o_orderstatus = 'O'"
         " AND o_orderpriority IN ('1-URGENT', '2-HIGH')"
         " AND cents BETWEEN 5000000 AND 30000000",
-        {"t": _MULTISPEC_TABLES[key]},
+        {"t": _multispec_table(spark, sf_dir)},
     )
     assert out is not None  # refusal = hard fail
     return out
@@ -9522,25 +9536,18 @@ WHERE o_orderstatus = 'O'
 _BACKFILL_TABLES: dict = {}
 
 
-def z116_stats_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stats/bloom BACKFILL without rewrite (round 11): orders land as
-    a snapshot with NO stats or bloom properties (yesterday's table),
-    then ``alter_table_properties`` declares cents min/max + exact-sum
-    + key blooms and ``backfill_table_stats`` materializes them — one
-    footer harvest + one read-only aggregate, metadata-only commit,
-    every partition carried by reference (asserted). The payoff is
-    measured in the same query: a manifest COUNT/SUM/MIN/MAX answer
-    that previously required a scan, plus a bloom point-lookup whose
-    ``inputFiles()`` open exactly one partition (asserted). The oracle
-    recomputes the answer frame from raw orders."""
+def _backfill_demo_table(spark: SparkSession, sf_dir: str) -> str:
+    """z116's fixture INCLUDING the declare+materialize upgrade:
+    a stats-less orders snapshot, alter_table_properties, then
+    backfill_table_stats (asserted metadata-only) — built once per
+    (app, sf_dir); bench times it in the builds block so the query
+    timing measures the manifest answer and the bloom probe."""
     import os
 
-    from ..sources.metadata_sql import answer_from_manifest
     from ..sources.snapshot import (
         alter_table_properties,
         backfill_table_stats,
         read_manifest,
-        read_snapshot,
         write_snapshot,
     )
 
@@ -9579,6 +9586,24 @@ def z116_stats_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         assert all("o_orderkey" in man["blooms"][p] for p in man["partitions"])
         _BACKFILL_TABLES[key] = path
+    return path
+
+
+def z116_stats_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats/bloom BACKFILL without rewrite (round 11): orders land as
+    a snapshot with NO stats or bloom properties (yesterday's table),
+    then ``alter_table_properties`` declares cents min/max + exact-sum
+    + key blooms and ``backfill_table_stats`` materializes them — one
+    footer harvest + one read-only aggregate, metadata-only commit,
+    every partition carried by reference (asserted). The payoff is
+    measured in the same query: a manifest COUNT/SUM/MIN/MAX answer
+    that previously required a scan, plus a bloom point-lookup whose
+    ``inputFiles()`` open exactly one partition (asserted). The oracle
+    recomputes the answer frame from raw orders."""
+    from ..sources.metadata_sql import answer_from_manifest
+    from ..sources.snapshot import read_snapshot
+
+    path = _backfill_demo_table(spark, sf_dir)
     # bloom point-lookup now prunes (the backfilled bitmaps at work)
     probe = int(
         read_snapshot(spark, path).agg(F.max("o_orderkey")).first()[0]
