@@ -355,10 +355,12 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         # windows from the immutable manifests regardless). It is
         # advisory: deleting it merely makes the first restart batch
         # unbounded again; it never participates in offset replay.
-        # Two queries tailing the same table should name their floors
-        # apart via option("stream_floor_id", ...) — sharing one floor
-        # is still CORRECT (offsets only ever widen forward), it just
-        # un-bounds the slower query's next batch.
+        # CONCURRENTLY-running queries tailing the same table MUST
+        # name their floors apart via option("stream_floor_id", ...):
+        # two writers on one file can race the monotone check (lost
+        # update), leaving the sidecar behind the faster query's
+        # checkpoint — the at-or-ahead guarantee the restart seeding
+        # relies on holds per floor id, single writer.
         fid = str(options.get("stream_floor_id", "default"))
         if "/" in fid or os.sep in fid:
             raise ValueError(f"stream_floor_id must be a bare name, got {fid!r}")

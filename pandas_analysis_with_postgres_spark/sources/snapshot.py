@@ -822,8 +822,26 @@ def _add_file_blooms(
                 )
             finally:
                 spark.conf.set(infer_key, infer_old)
+        # a column recovered from the DIRECTORY (a partition-spec
+        # component) has no physical column in the files: a file bloom
+        # for it would hash the readback's STRING rendering and
+        # false-negative typed probes (measured — silent zero-row
+        # results), while the directory name already answers the probe
+        # exactly. Record file blooms only for columns physically in
+        # the files (checked against one footer of this commit).
+        import pyarrow.parquet as _pq
+
+        sfiles = sorted(Path(sorted(ds)[0]).glob("*.parquet"))
+        phys = (
+            set(_pq.ParquetFile(str(sfiles[0])).schema_arrow.names)
+            if sfiles
+            else set()
+        )
+        commit_cols = [c for c in bloom_cols if c in phys]
+        if not commit_cols:
+            continue
         structs = []
-        for c in bloom_cols:
+        for c in commit_cols:
             # types were validated by _compute_blooms on the same
             # commit's content; mirror its hash expression exactly
             t = back.schema[c].dataType.simpleString()
@@ -1140,6 +1158,43 @@ def read_snapshot(
             first = sorted(parts)[0]
             parts = {first: parts[first]}
             empty_result = True
+    if point_lookups and parts and not empty_result:
+        # a probe on a CURRENT-spec component is EXACT at the
+        # directory (one value per level) — match the hive name and
+        # exclude the column from every sketch-based pruner below.
+        # File-grain blooms in particular must never be consulted for
+        # spec components: they are hashed from the readback, where a
+        # typed component materializes as its directory STRING, so a
+        # typed probe would false-negative (measured: a bigint-spec
+        # probe silently returned zero rows).
+        spec_t = _spec_meta(man.get("schema") or {})
+        if not _mixed_spec(man):
+            for i, (c, _t) in enumerate(spec_t):
+                if c not in point_lookups:
+                    continue
+                v = point_lookups[c]
+                if isinstance(v, _SetProbe):
+                    if v.unsupported:
+                        continue  # unprobeable domain: stay a no-op
+                    vals = list(v.ints) + list(v.strs)
+                elif v is None or (
+                    isinstance(v, (int, str)) and not isinstance(v, bool)
+                ):
+                    vals = [v]
+                else:
+                    continue
+                point_lookups.pop(c)
+                tgts = {_hive_part_name(c, x) for x in vals}
+                nxt = {
+                    p: rel
+                    for p, rel in parts.items()
+                    if p.split("/")[i] in tgts
+                }
+                if not nxt:
+                    first = sorted(parts)[0]
+                    nxt = {first: parts[first]}
+                    empty_result = True
+                parts = nxt
     if point_lookups and parts and not empty_result:
         all_blooms = man.get("blooms") or {}
         kept = {}
@@ -3675,6 +3730,17 @@ def backfill_table_stats(spark: SparkSession, path: str) -> int:
         back = scans[0]
         for s in scans[1:]:
             back = back.unionByName(s, allowMissingColumns=True)
+        # partition-value inference is OFF, so spec components come
+        # back as STRINGS — but the write path computes blooms/sketches
+        # from the TYPED pre-write frame. A bloom over a string-typed
+        # integral component would hash differently and FALSE-NEGATIVE
+        # on typed probes (wrong pruning); cast back to recorded types
+        # so a backfilled entry is bit-identical to a written one.
+        from pyspark.sql import functions as F
+
+        for c, t in _spec_meta(meta):
+            if c in back.columns:
+                back = back.withColumn(c, F.col(c).cast(t))
         part_arg = spec_cols if len(spec_cols) > 1 else spec_cols[0]
         computed: "dict[str, dict]" = {}
         if sum_cols:

@@ -170,6 +170,32 @@ def test_backfill_multicol_spec(spark, tmp_path):
     assert out is not None and out.count() == len(man["partitions"])
 
 
+def test_backfill_spec_component_bloom_typed(spark, tmp_path):
+    # the readback scan recovers spec components as STRINGS (value
+    # inference off); blooms must hash the TYPED value like the write
+    # path does, or integral-component probes would false-negative —
+    # twin-table equality pins bit-identical bitmaps
+    df = spark.createDataFrame(
+        [(i, i % 4, i * 10) for i in range(1, 25)],
+        "k bigint, b bigint, v bigint",
+    )
+    props = dict(stats_cols=["v"], bloom_cols=["b", "k"])
+    ref = str(tmp_path / "ref")
+    write_snapshot(df, ref, "b", **props)
+    tgt = str(tmp_path / "tgt")
+    write_snapshot(df, tgt, "b")
+    alter_table_properties(spark, tgt, **props)
+    backfill_table_stats(spark, tgt)
+    ref_b = read_manifest(ref)["blooms"]
+    tgt_b = read_manifest(tgt)["blooms"]
+    for p in ref_b:
+        assert tgt_b[p]["b"] == ref_b[p]["b"]
+        assert tgt_b[p]["k"] == ref_b[p]["k"]
+    # and the typed probe actually keeps the right partition
+    hit = read_snapshot(spark, tgt, point_lookups={"b": 2})
+    assert sorted({r["b"] for r in hit.collect()}) == [2]
+
+
 def test_backfill_refusals(spark, tmp_path):
     path = str(tmp_path / "tr")
     write_snapshot(_mk(spark), path, "p", stats_cols=["v"])
