@@ -488,10 +488,12 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         revisited = op == "append" and any(p in prev for p in new_dirs)
         if op != "append" or revisited:
             dropped_dirs = any(p not in cur for p in prev)
-            # tombstone additions count as changes
+            # tombstone / update-delta additions count as changes
             prev_tomb = parent_man.get("tombstones") if v > 1 else None
             tomb_changed = (man.get("tombstones") or None) != prev_tomb
-            if new_dirs or dropped_dirs or tomb_changed:
+            prev_upd = parent_man.get("updates") if v > 1 else None
+            upd_changed = (man.get("updates") or None) != prev_upd
+            if new_dirs or dropped_dirs or tomb_changed or upd_changed:
                 if self._skip_changes:
                     out = ([], meta, None)
                 else:

@@ -1357,6 +1357,27 @@ def read_snapshot(
         parts = kept
     if not parts:
         raise FileNotFoundError(f"no snapshot at {path}")
+    # Merge-on-read UPDATE deltas (update_where): the selected
+    # partitions' appended new-version row files, scanned alongside the
+    # base directories with their commit SEQUENCE attached so the
+    # tombstone anti-join below can order them (a tombstone only
+    # suppresses rows of strictly older commits). Partitions the
+    # pruners dropped take their deltas with them — a delta belongs to
+    # its partition; and updated partitions are never stats/bloom
+    # pruned (update_where clears those entries), so a delta row can
+    # never be skipped by metadata describing only the base files.
+    upd_parts = (
+        {
+            p: e
+            for p, e in (
+                (man.get("updates") or {}).get("parts") or {}
+            ).items()
+            if p in parts
+        }
+        if not empty_result
+        else {}
+    )
+    seq_aware = bool(upd_parts)
     by_commit: dict[str, list[str]] = {}
     for pname, rel in parts.items():
         commit = _commit_root(rel, pname)  # data/<commit-id>
@@ -1366,6 +1387,15 @@ def read_snapshot(
             )
         else:
             by_commit.setdefault(commit, []).append(os.path.join(path, rel))
+    # {delta commit root: (seq, [dirs])} — one update commit writes one
+    # commit dir, so the seq is uniform per root
+    upd_by_commit: dict[str, tuple[int, list[str]]] = {}
+    for pname, e in upd_parts.items():
+        for rel, seq in zip(e["rels"], e["seqs"]):
+            parts_rel = rel.replace(os.sep, "/").split("/")
+            commit = "/".join(parts_rel[:2])
+            ent = upd_by_commit.setdefault(commit, (int(seq), []))
+            ent[1].append(os.path.join(path, rel))
     # Partition values must come back as the RAW directory string and be
     # cast per the manifest-pinned type. Letting Spark's hive inference
     # guess first corrupts string-typed values that look numeric
@@ -1383,6 +1413,21 @@ def read_snapshot(
                 ).parquet(*sorted(dirs))
                 for commit, dirs in sorted(by_commit.items())
             ]
+            if seq_aware:
+                from pyspark.sql import functions as F
+
+                scans = [
+                    s.withColumn(_SEQ_COL, F.lit(0).cast("long"))
+                    for s in scans
+                ]
+                scans += [
+                    spark.read.option(
+                        "basePath", os.path.join(path, commit)
+                    )
+                    .parquet(*sorted(dirs))
+                    .withColumn(_SEQ_COL, F.lit(seq).cast("long"))
+                    for commit, (seq, dirs) in sorted(upd_by_commit.items())
+                ]
         finally:
             spark.conf.set(infer_key, infer_old)
     meta0 = man.get("schema") or {}
@@ -1468,8 +1513,17 @@ def read_snapshot(
         }
         if t_parts:
             out = _apply_tombstones(
-                spark, path, out, t_parts, tomb["key"], renames, meta
+                spark,
+                path,
+                out,
+                t_parts,
+                tomb["key"],
+                renames,
+                meta,
+                seq_aware=seq_aware,
             )
+    if seq_aware:
+        out = out.drop(_SEQ_COL)
     if empty_result:
         out = out.limit(0)
     return out
@@ -1483,6 +1537,8 @@ def _apply_tombstones(
     key: str,
     renames: list,
     meta: dict,
+    *,
+    seq_aware: bool = False,
 ) -> DataFrame:
     """Apply merge-on-read delete tombstones to a snapshot scan: one
     anti-join of the data against the tombstoned (key, partition)
@@ -1493,19 +1549,32 @@ def _apply_tombstones(
     never suppresses its namesake elsewhere, and the tombstone side is
     broadcast when the recorded suppressed-row total is small (the
     steady state — compaction folds tombstones away before they
-    grow)."""
+    grow).
+
+    ``seq_aware`` (the table holds live :func:`update_where` deltas):
+    each data row carries its commit sequence in ``_SEQ_COL`` and a
+    tombstone suppresses it only when the tombstone's own sequence is
+    STRICTLY greater — so the new-version rows an update appended in
+    the same commit as its tombstones survive, while every older
+    version of the key is removed. Tombstone rels predating the
+    ``seqs`` upgrade apply to everything (``_SEQ_INF``), which is
+    exactly their historical semantics."""
     from pyspark.sql import functions as F
 
-    by_commit: dict[str, list[str]] = {}
+    # {commit root: (seq, [dirs])} — one delete/update commit writes
+    # one tombstone commit dir, so the seq is uniform per root
+    by_commit: dict[str, tuple[int, list[str]]] = {}
     for e in t_parts.values():
-        for rel in e["rels"]:
+        seqs = e.get("seqs") or [_SEQ_INF] * len(e["rels"])
+        for rel, seq in zip(e["rels"], seqs):
             # rel is data/<commit>/<pname> where <pname> may be a
             # NESTED multi-column directory (day=…/source=…); the
             # basePath must be the commit root so Spark recovers EVERY
             # spec component as a partition column, not just the leaf.
             parts_rel = rel.replace(os.sep, "/").split("/")
             commit = "/".join(parts_rel[:2])
-            by_commit.setdefault(commit, []).append(os.path.join(path, rel))
+            ent = by_commit.setdefault(commit, (int(seq), []))
+            ent[1].append(os.path.join(path, rel))
     infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     with _INFER_LOCK:
         infer_old = spark.conf.get(infer_key, "true")
@@ -1515,10 +1584,15 @@ def _apply_tombstones(
                 spark.read.option(
                     "basePath", os.path.join(path, commit)
                 ).parquet(*sorted(dirs))
-                for commit, dirs in sorted(by_commit.items())
+                for commit, (_seq, dirs) in sorted(by_commit.items())
             ]
         finally:
             spark.conf.set(infer_key, infer_old)
+    if seq_aware:
+        tscans = [
+            s.withColumn("__tomb_seq", F.lit(seq).cast("long"))
+            for s, (_c, (seq, _d)) in zip(tscans, sorted(by_commit.items()))
+        ]
     t = tscans[0]
     for s in tscans[1:]:
         t = t.unionByName(s, allowMissingColumns=True)
@@ -1541,6 +1615,7 @@ def _apply_tombstones(
             F.col(c).cast(tp).alias(f"__tomb_p{i}")
             for i, (c, tp) in enumerate(spec)
         ],
+        *([F.col("__tomb_seq")] if seq_aware else []),
     )
     total = sum(int(e.get("n_deleted") or 0) for e in t_parts.values())
     if total <= 2_000_000:
@@ -1550,6 +1625,8 @@ def _apply_tombstones(
     cond = F.col(logical_key) == F.col("__tomb_k")
     for i, (c, _tp) in enumerate(spec):
         cond = cond & F.col(c).eqNullSafe(F.col(f"__tomb_p{i}"))
+    if seq_aware:
+        cond = cond & (F.col("__tomb_seq") > F.col(_SEQ_COL))
     return out.join(t, cond, "left_anti")
 
 
@@ -1584,6 +1661,22 @@ def register_snapshot_view(
 #: default is a sentinel, not None.
 _TOMB_CARRY = object()
 
+#: _commit default for ``updates`` (merge-on-read UPDATE delta rels):
+#: same carry-vs-explicit-None distinction as _TOMB_CARRY.
+_UPD_CARRY = object()
+
+#: Tombstone/delta sequence for legacy (pre-round-12) tombstone rels
+#: that recorded no "seqs": they predate update deltas, so "applies to
+#: every data row" (the historical semantics) is exactly seq = +inf.
+_SEQ_INF = 1 << 62
+
+#: Internal column carrying each scanned row's commit sequence while a
+#: snapshot read is seq-aware (the table has live update deltas):
+#: base-directory rows are seq 0, delta rows carry the version that
+#: appended them, and a tombstone suppresses a row only when its own
+#: seq is strictly greater — Iceberg v2 equality-delete sequencing.
+_SEQ_COL = "__snap_seq"
+
 
 def _commit(
     path: str,
@@ -1597,6 +1690,7 @@ def _commit(
     parent_txns: dict | None = None,
     parent_manifest: dict | None = None,
     tombstones: "dict | None | object" = _TOMB_CARRY,
+    updates: "dict | None | object" = _UPD_CARRY,
     branch: str | None = None,
 ) -> int:
     """Atomically publish ``parent + 1``; raise on a lost race.
@@ -1624,6 +1718,16 @@ def _commit(
     which already applied them (the deleted rows are physically gone
     from the rewrite). ``tombstones`` overrides the carried map for a
     commit that adds tombstones itself.
+
+    Merge-on-read UPDATE DELTAS (:func:`update_where`) ride the
+    manifest the same way as ``{"parts": {pname: {"rels": [dir, …],
+    "seqs": [version, …], "n_rows": int}}}`` under ``updates`` — the
+    appended new-version row files of each partition, sequenced so
+    tombstones written at a later version never suppress them. They
+    obey the SAME carry rule for the same reason: a rewriter reads
+    the live view (deltas unioned in, tombstones applied), so a
+    replaced directory's deltas are already folded into its new
+    content.
     """
     snap = _snap_dir(path) if branch is None else _branch_dir(path, branch)
     snap.mkdir(parents=True, exist_ok=True)
@@ -1651,6 +1755,15 @@ def _commit(
         tombstones = (
             {"key": ptomb["key"], "parts": carried} if carried else None
         )
+    if updates is _UPD_CARRY:
+        pupd = parent_manifest.get("updates") or {}
+        carried_u = {
+            p: e
+            for p, e in (pupd.get("parts") or {}).items()
+            if p in partitions
+            and partitions[p] == (parent_manifest.get("partitions") or {}).get(p)
+        }
+        updates = {"parts": carried_u} if carried_u else None
     manifest = {
         "version": version,
         "parent": parent,
@@ -1672,6 +1785,8 @@ def _commit(
     }
     if tombstones:
         manifest["tombstones"] = tombstones
+    if updates:
+        manifest["updates"] = updates
     tmp = snap / f".tmp-{uuid.uuid4().hex[:12]}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -3368,10 +3483,21 @@ def clone_snapshot(
             "key": tomb["key"],
             "parts": {
                 p: {
+                    **e,
                     "rels": [os.path.join(src_abs, r) for r in e["rels"]],
-                    "n_deleted": e["n_deleted"],
                 }
                 for p, e in (tomb.get("parts") or {}).items()
+            },
+        }
+    upd = man.get("updates")
+    if upd:
+        upd = {
+            "parts": {
+                p: {
+                    **e,
+                    "rels": [os.path.join(src_abs, r) for r in e["rels"]],
+                }
+                for p, e in (upd.get("parts") or {}).items()
             },
         }
     return _commit(
@@ -3385,6 +3511,7 @@ def clone_snapshot(
         parent_txns={},
         parent_manifest={},
         tombstones=tomb,
+        updates=upd,
     )
 
 
@@ -3455,8 +3582,21 @@ def deep_clone_snapshot(
                 )
                 for i, r in enumerate(e["rels"])
             ]
-            new_parts[p] = {"rels": rels, "n_deleted": e["n_deleted"]}
+            new_parts[p] = {**e, "rels": rels}
         tomb = {"key": tomb["key"], "parts": new_parts}
+    upd = man.get("updates")
+    if upd:
+        new_uparts = {}
+        for p, e in (upd.get("parts") or {}).items():
+            rels = [
+                _plan_dir(
+                    r,
+                    os.path.join(DATA_DIR, commit_id, f"__upd{i}", p),
+                )
+                for i, r in enumerate(e["rels"])
+            ]
+            new_uparts[p] = {**e, "rels": rels}
+        upd = {"parts": new_uparts}
 
     def _copy(pair: tuple[str, str]) -> None:
         shutil.copyfile(pair[0], pair[1])
@@ -4103,8 +4243,16 @@ def _delete_where_mor(
     parts = dict((prev_tomb.get("parts") or {}))
     for pname, rel in entries.items():
         e = dict(parts.get(pname) or {"rels": [], "n_deleted": 0})
+        # seqs ride parallel to rels (missing entries of a legacy rel
+        # backfill as _SEQ_INF = the historical applies-to-everything
+        # semantics); the new rel's seq is the version this commit
+        # will publish, so update deltas appended LATER stay live.
+        prev_seqs = list(
+            e.get("seqs") or [_SEQ_INF] * len(e["rels"])
+        )
         e = {
             "rels": list(e["rels"]) + [rel],
+            "seqs": prev_seqs + [parent + 1],
             "n_deleted": int(e["n_deleted"]) + suppressed.get(pname, 0),
         }
         parts[pname] = e
@@ -4129,6 +4277,241 @@ def _delete_where_mor(
         "dropped_partitions": 0,
         "mode": "merge-on-read",
         "physical_erasure_requires_expiry": True,
+    }
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    set_exprs: dict,
+    *,
+    key: str,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Merge-on-read UPDATE — the steady-state row-correction path a
+    100 TB table needs: rows where ``condition`` is TRUE get the
+    ``set_exprs`` assignments (``{col: sql_expr_or_Column}``, evaluated
+    against the pre-update row, standard UPDATE semantics) WITHOUT
+    rewriting any partition. One commit publishes two sidecar sets:
+
+    - equality TOMBSTONES for the matched keys (the same per-partition
+      (key, partition) parquet :func:`delete_where` mode
+      ``"merge-on-read"`` writes), sequenced at this commit's version;
+    - per-partition UPDATE DELTAS holding the new-version rows,
+      sequenced the same.
+
+    :func:`read_snapshot` unions the deltas into the scan and applies
+    tombstones ONLY to rows of strictly older commits — Iceberg v2's
+    equality-delete + data-file sequence-number design — so the old
+    versions vanish and the new versions survive, atomically at the
+    manifest swap. A trickle of corrections costs O(matches), not a
+    partition rewrite per statement; copy-on-write
+    (:func:`sources.sql_merge.execute_update`) remains the
+    compaction/migration path, and ANY rewrite of a partition
+    (:func:`compact_snapshot`, :func:`compact_partitions`, merge, CoW
+    delete) folds its deltas and tombstones away because rewriters
+    derive content from the live read.
+
+    Metadata contract for updated partitions: exact COUNT(*) is
+    preserved (the manifest records delta row counts beside the
+    tombstones' suppressed counts; they net to zero for an update),
+    while column min/max, sums, sketches, blooms, and per-file stats
+    are CLEARED for those partitions — the new values may lie outside
+    every recorded bound, and the conservative reader contract
+    (missing stats → keep / refuse-to-scan) is what keeps pruning and
+    the metadata SQL tier correct until compaction restores them.
+
+    Constraints (all loud errors, none silent): ``key`` must be a
+    non-partition column, never NULL among matches, not reassigned by
+    ``set_exprs`` (equality deletes address rows BY the key);
+    ``set_exprs`` may not touch partition-spec columns (moving rows
+    between partitions is delete+insert — MERGE territory); the key
+    must uniquely address the matched rows (a matched key shared with
+    an UNMATCHED live row would silently delete it — refused, use
+    copy-on-write); mixed partition specs refuse as everywhere else.
+
+    Returns ``{"version", "updated_rows", "tombstoned_keys",
+    "delta_partitions", "rewritten_partitions": 0, "mode":
+    "merge-on-read"}``; a no-match update commits nothing."""
+    from pyspark.sql import Column, functions as F
+
+    cond = condition if isinstance(condition, Column) else F.expr(condition)
+    parent = current_version(path)
+    man = read_manifest(path, parent)
+    meta = man.get("schema") or {}
+    spec_t = _spec_meta(meta)
+    if not spec_t:
+        raise ValueError(f"{path} has no committed snapshot to update")
+    spec_cols = [c for c, _t in spec_t]
+    pcol = spec_cols[0]
+    if _mixed_spec(man):
+        raise ValueError(
+            f"{path} holds partitions under a retired partition spec — "
+            "update sidecars key to current-spec directories; "
+            "compact_snapshot to migrate first"
+        )
+    no_op = {
+        "version": parent,
+        "updated_rows": 0,
+        "tombstoned_keys": 0,
+        "delta_partitions": 0,
+        "rewritten_partitions": 0,
+        "mode": "merge-on-read",
+    }
+    if txn is not None and (man.get("txn") or {}).get(txn[0], -1) >= txn[1]:
+        return no_op
+    prev_tomb = man.get("tombstones") or {}
+    if prev_tomb and prev_tomb.get("key") != key:
+        raise ValueError(
+            f"table already carries tombstones keyed by "
+            f"{prev_tomb.get('key')!r}; a single table uses one "
+            "tombstone key (compact to fold them away first)"
+        )
+    if key in spec_cols:
+        raise ValueError(
+            "update key must not be a partition column — equality "
+            "tombstones address rows within their partition"
+        )
+    cur = read_snapshot(spark, path, parent)
+    if key not in cur.columns:
+        raise ValueError(f"key column {key!r} is not a table column")
+    if _SEQ_COL in cur.columns:
+        raise ValueError(
+            f"column name {_SEQ_COL!r} is reserved for merge-on-read "
+            "sequencing"
+        )
+    set_map = {
+        c: (e if isinstance(e, Column) else F.expr(e))
+        for c, e in set_exprs.items()
+    }
+    unknown = sorted(set(set_map) - set(cur.columns))
+    if unknown:
+        raise ValueError(f"UPDATE SET of unknown columns: {unknown}")
+    reassigned = [c for c in spec_cols if c in set_map]
+    if reassigned:
+        raise ValueError(
+            f"UPDATE SET may not reassign partition columns "
+            f"{reassigned!r}: moving rows between partitions is a "
+            "delete+insert (MERGE)"
+        )
+    if key in set_map:
+        raise ValueError(
+            f"UPDATE SET may not reassign the tombstone key {key!r} — "
+            "equality deletes address rows by it (rekeying a row is a "
+            "delete+insert)"
+        )
+    matches = cur.filter(F.coalesce(cond, F.lit(False))).localCheckpoint(
+        eager=False
+    )
+    null_hits = matches.filter(F.col(key).isNull()).limit(1).count()
+    if null_hits:
+        raise ValueError(
+            "merge-on-read update matched rows with a NULL key — "
+            "equality tombstones cannot address them; use the "
+            "copy-on-write path (sql_merge.execute_update)"
+        )
+    keys_df = matches.select(key, *spec_cols).distinct().localCheckpoint(
+        eager=False
+    )
+    # exact suppressed-row counts — the anti-join the readers will run
+    # against OLDER-commit rows, counted once over the live view
+    probe = keys_df.select(
+        F.col(key).alias("__dk"),
+        *[F.col(c).alias(f"__dp{i}") for i, c in enumerate(spec_cols)],
+    )
+    match_cond = F.col(key) == F.col("__dk")
+    for i, c in enumerate(spec_cols):
+        match_cond = match_cond & F.col(c).eqNullSafe(F.col(f"__dp{i}"))
+    suppressed = {
+        _hive_path_name(spec_cols, tuple(r)[: len(spec_cols)]): int(
+            r[len(spec_cols)]
+        )
+        for r in _collect_partition_groups(
+            cur.join(probe, match_cond, "semi")
+            .groupBy(*spec_cols)
+            .agg(F.count(F.lit(1))),
+            pcol,
+            what="merge-on-read update",
+        )
+    }
+    if not suppressed:
+        return no_op
+    n_matched = matches.count()
+    if sum(suppressed.values()) != n_matched:
+        extra = sum(suppressed.values()) - n_matched
+        raise ValueError(
+            f"update key {key!r} does not uniquely address the matched "
+            f"rows: tombstoning their keys would also suppress {extra} "
+            "live row(s) the WHERE did not match (rows sharing a key) "
+            "— use the copy-on-write path (sql_merge.execute_update)"
+        )
+    new_rows = matches.select(
+        *[
+            set_map[c].alias(c) if c in set_map else F.col(c)
+            for c in cur.columns
+        ]
+    )
+    seq = parent + 1
+    n_keys = keys_df.count()
+    t_entries, _t_stats = _write_commit_data(keys_df, path, spec_cols, [])
+    u_entries, u_stats = _write_commit_data(new_rows, path, spec_cols, [])
+    tomb_parts = dict((prev_tomb.get("parts") or {}))
+    for pname, rel in t_entries.items():
+        e = dict(tomb_parts.get(pname) or {"rels": [], "n_deleted": 0})
+        prev_seqs = list(e.get("seqs") or [_SEQ_INF] * len(e["rels"]))
+        tomb_parts[pname] = {
+            "rels": list(e["rels"]) + [rel],
+            "seqs": prev_seqs + [seq],
+            "n_deleted": int(e["n_deleted"]) + suppressed.get(pname, 0),
+        }
+    prev_upd = man.get("updates") or {}
+    upd_parts = dict(prev_upd.get("parts") or {})
+    for pname, rel in u_entries.items():
+        e = dict(upd_parts.get(pname) or {"rels": [], "seqs": [], "n_rows": 0})
+        upd_parts[pname] = {
+            "rels": list(e["rels"]) + [rel],
+            "seqs": list(e["seqs"]) + [seq],
+            "n_rows": int(e["n_rows"])
+            + int((u_stats.get(pname) or {}).get(N_ROWS_KEY) or 0),
+        }
+    # Clear value metadata for updated partitions: the new versions may
+    # lie outside every recorded bound/bloom/sketch; exact COUNT(*)
+    # keeps flowing from ::n_rows − n_deleted + delta n_rows.
+    touched = set(u_entries)
+    stats = {}
+    for p, s in (man.get("stats") or {}).items():
+        if p in touched:
+            kept = {}
+            if s.get(N_ROWS_KEY) is not None:
+                kept[N_ROWS_KEY] = s[N_ROWS_KEY]
+            stats[p] = kept
+        else:
+            stats[p] = s
+    blooms = {
+        p: b for p, b in (man.get("blooms") or {}).items() if p not in touched
+    }
+    version = _commit(
+        path,
+        parent,
+        dict(man["partitions"]),
+        "update-mor",
+        meta,
+        txn=txn,
+        stats=stats,
+        blooms=blooms,
+        parent_txns=man.get("txn") or {},
+        parent_manifest=man,
+        tombstones={"key": key, "parts": tomb_parts},
+        updates={"parts": upd_parts},
+    )
+    return {
+        "version": version,
+        "updated_rows": int(n_matched),
+        "tombstoned_keys": int(n_keys),
+        "delta_partitions": len(u_entries),
+        "rewritten_partitions": 0,
+        "mode": "merge-on-read",
     }
 
 
@@ -4213,12 +4596,14 @@ def expire_snapshots(
         for rel in man_v["partitions"].values():
             if not os.path.isabs(rel):
                 live_commits.add(rel.split(os.sep)[1])  # data/<commit>/<part>
-        # merge-on-read tombstone files live under commit dirs of their
-        # own — a referenced tombstone must survive like data
-        for e in ((man_v.get("tombstones") or {}).get("parts") or {}).values():
-            for rel in e["rels"]:
-                if not os.path.isabs(rel):
-                    live_commits.add(rel.split(os.sep)[1])
+        # merge-on-read tombstone and update-delta files live under
+        # commit dirs of their own — referenced sidecars must survive
+        # like data
+        for side in ("tombstones", "updates"):
+            for e in ((man_v.get(side) or {}).get("parts") or {}).values():
+                for rel in e["rels"]:
+                    if not os.path.isabs(rel):
+                        live_commits.add(rel.split(os.sep)[1])
     removed = []
     data_root = Path(path) / DATA_DIR
     if data_root.is_dir():
@@ -4369,6 +4754,7 @@ def restore_snapshot(path: str, to_version: "int | str") -> int:
         stats=dict(man.get("stats") or {}),
         blooms=dict(man.get("blooms") or {}),
         tombstones=man.get("tombstones"),
+        updates=man.get("updates"),
     )
 
 
@@ -4412,6 +4798,7 @@ def compact_partitions(
             "compact_snapshot to migrate"
         )
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    upd_parts = (man.get("updates") or {}).get("parts") or {}
     live = man.get("partitions") or {}
 
     def _n_files(pname: str) -> int:
@@ -4421,7 +4808,7 @@ def compact_partitions(
         selected = [
             p
             for p in live
-            if p in tomb_parts or _n_files(p) > max_files
+            if p in tomb_parts or p in upd_parts or _n_files(p) > max_files
         ]
     else:
         unknown = [p for p in partitions if p not in live]
@@ -4511,6 +4898,13 @@ def table_info(path: str, version: int | None = None) -> dict:
             int(e.get("n_deleted") or 0)
             for e in ((man.get("tombstones") or {}).get("parts") or {}).values()
         ),
+        "update_delta_partitions": len(
+            (man.get("updates") or {}).get("parts") or {}
+        ),
+        "update_delta_rows": sum(
+            int(e.get("n_rows") or 0)
+            for e in ((man.get("updates") or {}).get("parts") or {}).values()
+        ),
     }
 
 
@@ -4593,6 +4987,10 @@ def diff_snapshots(
     ta = (man_a.get("tombstones") or {}).get("parts") or {}
     tb = (man_b.get("tombstones") or {}).get("parts") or {}
     changed |= {p for p in set(ta) | set(tb) if ta.get(p) != tb.get(p)}
+    # likewise merge-on-read update deltas: same directory, new rows
+    ua = (man_a.get("updates") or {}).get("parts") or {}
+    ub = (man_b.get("updates") or {}).get("parts") or {}
+    changed |= {p for p in set(ua) | set(ub) if ua.get(p) != ub.get(p)}
 
     def _scan(version):
         try:
@@ -4871,8 +5269,16 @@ def manifest_aggregate(
             )
         else:
             n_rows += entry[N_ROWS_KEY]
-        # merge-on-read deletes: suppressed rows are not in COUNT(*)
+        # merge-on-read deletes: suppressed rows are not in COUNT(*);
+        # merge-on-read update deltas add their appended new versions
         n_rows -= int((tomb_parts.get(pname) or {}).get("n_deleted") or 0)
+        n_rows += int(
+            (
+                ((man.get("updates") or {}).get("parts") or {}).get(pname)
+                or {}
+            ).get("n_rows")
+            or 0
+        )
         for c in want:
             rng = logical.get(c)
             if rng is None:
@@ -4931,16 +5337,20 @@ def _partition_rows(man: dict, path: str) -> "dict[str, int]":
     ``::n_rows`` from the stats map, footer-harvested (footer bytes
     only, no data pages) for partitions predating the row-count
     upgrade, minus any merge-on-read tombstoned rows (recorded exactly
-    at delete time)."""
+    at delete time), plus any merge-on-read update-delta rows (also
+    exact: footer counts recorded when the delta committed)."""
     stats = man.get("stats") or {}
     tomb_parts = (man.get("tombstones") or {}).get("parts") or {}
+    upd_parts = (man.get("updates") or {}).get("parts") or {}
     out: dict[str, int] = {}
     for pname, rel in (man.get("partitions") or {}).items():
         n = (stats.get(pname) or {}).get(N_ROWS_KEY)
         if n is None:
             _, n = _footer_stats(Path(path) / rel, [])
-        out[pname] = int(n) - int(
-            (tomb_parts.get(pname) or {}).get("n_deleted") or 0
+        out[pname] = (
+            int(n)
+            - int((tomb_parts.get(pname) or {}).get("n_deleted") or 0)
+            + int((upd_parts.get(pname) or {}).get("n_rows") or 0)
         )
     return out
 

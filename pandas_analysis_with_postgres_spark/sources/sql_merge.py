@@ -596,20 +596,33 @@ def execute_update(
     *,
     tables: dict[str, str],
     txn: tuple[str, int] | None = None,
-) -> int:
-    """Execute one UPDATE statement against a snapshot table.
+    mode: str = "copy-on-write",
+    key: str | None = None,
+):
+    """Execute one UPDATE statement against a snapshot table, physical
+    strategy selectable like DELETE's:
 
-    Partition-scoped copy-on-write, delete_where's cost shape: one
-    column-pruned scan (WHERE columns + partition column only —
-    Catalyst prunes the rest) finds the partitions holding matches;
-    ONLY those are re-read, reclassified row-by-row (matched rows get
-    the SET expressions, the rest pass through unchanged), and
-    rewritten via ``replace_partitions`` — cold partitions carry by
-    reference. WHERE three-valued logic is standard: FALSE or NULL
-    rows are untouched. SET may not reassign the partition column
-    (a row's partition value is its placement; moving rows between
-    partitions is a delete+insert — MERGE territory). A no-match
-    update commits nothing and returns the parent version.
+    ``mode="copy-on-write"`` (default): partition-scoped rewrite,
+    delete_where's cost shape — one column-pruned scan (WHERE columns
+    + partition column only — Catalyst prunes the rest) finds the
+    partitions holding matches; ONLY those are re-read, reclassified
+    row-by-row (matched rows get the SET expressions, the rest pass
+    through unchanged), and rewritten via ``replace_partitions`` —
+    cold partitions carry by reference. Returns the committed version.
+
+    ``mode="merge-on-read"`` (requires ``key=``): the statement form
+    of :func:`sources.snapshot.update_where` — equality tombstones for
+    the matched keys plus appended new-version rows in ONE commit, no
+    partition rewrite at all; the steady-state trickle-correction
+    path. Returns update_where's result dict. The alias/SET/WHERE
+    grammar is identical; update_where enforces its extra contracts
+    (unique key among matches, no key/partition reassignment).
+
+    Common semantics: WHERE three-valued logic is standard (FALSE or
+    NULL rows are untouched); SET may not reassign the partition
+    column (a row's partition value is its placement; moving rows
+    between partitions is a delete+insert — MERGE territory). A
+    no-match update commits nothing and returns the parent version.
     """
     from .snapshot import (
         _collect_partition_groups,
@@ -618,6 +631,7 @@ def execute_update(
         read_manifest,
         read_snapshot,
         replace_partitions,
+        update_where,
     )
 
     p = parse_update(sql)
@@ -626,6 +640,25 @@ def execute_update(
             f"unknown UPDATE target {p['target']!r}; known: {sorted(tables)}"
         )
     path = tables[p["target"]]
+    if mode == "merge-on-read":
+        if key is None:
+            raise ValueError(
+                "merge-on-read update requires key=<row key column>"
+            )
+        cond = p["where"] if p["where"] else "true"
+        if p["alias"]:
+            # update_where evaluates SET/WHERE against the bare scan;
+            # strip the statement alias from column references
+            cond = re.sub(rf"\b{p['alias']}\.", "", cond)
+            sets = {
+                c: re.sub(rf"\b{p['alias']}\.", "", e)
+                for c, e in p["sets"].items()
+            }
+        else:
+            sets = p["sets"]
+        return update_where(spark, path, cond, sets, key=key, txn=txn)
+    if mode != "copy-on-write":
+        raise ValueError(f"unknown update mode {mode!r}")
     man = read_manifest(path)
     schema_meta = man.get("schema") or {}
     if not schema_meta:
@@ -840,17 +873,23 @@ def execute_dml(
     txn: tuple[str, int] | None = None,
     delete_mode: str = "copy-on-write",
     delete_key: str | None = None,
+    update_mode: str = "copy-on-write",
+    update_key: str | None = None,
 ):
     """Route one DML statement (INSERT INTO / MERGE INTO / UPDATE /
     DELETE FROM) to
     its snapshot-layer executor by statement head. The single entry
     point the CLI uses; returns the executor's native result (version
-    for INSERT/MERGE/UPDATE, delete_where's dict for DELETE)."""
+    for INSERT/MERGE/copy-on-write UPDATE, the executor's result dict
+    for DELETE and merge-on-read UPDATE)."""
     head = sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
     if head == "MERGE":
         return execute_merge(spark, sql, tables=tables, txn=txn)
     if head == "UPDATE":
-        return execute_update(spark, sql, tables=tables, txn=txn)
+        return execute_update(
+            spark, sql, tables=tables, txn=txn,
+            mode=update_mode, key=update_key,
+        )
     if head == "INSERT":
         return execute_insert(spark, sql, tables=tables, txn=txn)
     if head == "DELETE":
