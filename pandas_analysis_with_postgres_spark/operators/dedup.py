@@ -1047,24 +1047,43 @@ def scrub_duplicate_spans(
     """
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
+    # Span digests are built as ONE per-document hash array behind a
+    # projection boundary, then posexplode'd to the (pos, h) grain.
+    # The previous shape (explode positions, md5 in a later projection)
+    # let the optimizer re-inline ``split(text)`` into the md5 slice —
+    # re-splitting the WHOLE text once per position, O(tokens²) regexp
+    # work per document — and carried the full token array through the
+    # Generate output. Here split runs once per document, the Generate
+    # emits only (pos, h), and posexplode's 0-based index IS the span
+    # start position, so values are bit-identical (same md5 over the
+    # same array_join/slice bytes).
+    staged = docs.select(id_col, toks.alias("__t"))
     # Guard the window sequence: Spark's sequence(0, stop) COUNTS DOWN
     # when stop < 0 (auto step -1), so short docs must get an explicit
     # empty position array, not sequence(0, n - W).
+    tn = F.size(F.col("__t"))
     positions = F.when(
-        n >= span_tokens,
-        F.sequence(F.lit(0), n - span_tokens),
+        tn >= span_tokens,
+        F.sequence(F.lit(0), tn - span_tokens),
     ).otherwise(F.array().cast("array<int>"))
-    spans = docs.select(
+    hashed = staged.select(
         id_col,
-        F.explode(positions).alias("pos"),
-        toks.alias("__t"),
-    ).select(
-        id_col,
-        "pos",
-        F.md5(
-            F.array_join(F.slice("__t", F.col("pos") + 1, span_tokens), " ")
-        ).alias("h"),
+        F.transform(
+            positions,
+            lambda p: F.md5(
+                F.array_join(
+                    F.slice(F.col("__t"), p + 1, span_tokens), " "
+                )
+            ),
+        ).alias("__hs"),
     )
+    # Materialize the span frame once (lazy localCheckpoint): both the
+    # duplicate-digest aggregate and the per-doc hit harvest below
+    # consume it, and without the checkpoint each branch re-runs the
+    # full tokenize+md5 explode (two extra corpus hash passes).
+    spans = hashed.select(
+        id_col, F.posexplode("__hs").alias("pos", "h")
+    ).localCheckpoint(eager=False)
     dup = (
         spans.groupBy("h")
         .agg(F.count("*").alias("__c"))
