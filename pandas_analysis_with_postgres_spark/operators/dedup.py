@@ -265,6 +265,15 @@ def ngram_jaccard_pairs(
     ).select(
         "doc_id", _shingles_from_toks(F.col("__toks"), n).alias("__sh")
     ).select("doc_id", guarded_explode("__sh").alias("sh"))
+    # Materialize the exploded shingle frame once (lazy localCheckpoint):
+    # it has up to four consumers below (stop-shingle aggregate,
+    # semi-join probe, per-doc counts, both sides of the pair join),
+    # and without the checkpoint each consumer re-runs the full
+    # tokenize+shingle explode — measured eight Generate nodes in the
+    # q23 plan, ~5x the shingle work. The materialized frame is
+    # O(total shingles), the same order as the shuffle the pair join
+    # already pays.
+    sh = sh.localCheckpoint(eager=False)
     if max_shingle_df is not None:
         # Drop boilerplate shingles before the quadratic join. The
         # retained-shingle set is a plain shuffle semi-join: the hot
@@ -276,7 +285,12 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") <= max_shingle_df)
             .select("sh")
         )
-        sh = sh.join(retained, "sh", "left_semi")
+        # Materialize the retained frame too: its three consumers
+        # (counts, pair-join sides) would each replay the semi-join
+        # and the stop-shingle aggregate feeding its broadcast.
+        sh = sh.join(retained, "sh", "left_semi").localCheckpoint(
+            eager=False
+        )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -375,7 +389,11 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     if many documents are near-identical, in which case AQE's skew-join
     splitting kicks in.
     """
-    exploded = band_rows(signatures)
+    # Materialize the banded frame once (lazy localCheckpoint): both
+    # sides of the self-join below consume it, and without this each
+    # side re-runs the full signature fold — two extra corpus hash
+    # passes per candidate generation.
+    exploded = band_rows(signatures).localCheckpoint(eager=False)
     a = exploded.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     b = exploded.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     return (
@@ -447,7 +465,9 @@ def _verified_pairs(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
         .join(ids, "doc_id", "left_semi"),
         text_col="__t",
-    )
+    ).localCheckpoint(eager=False)
+    # ^ both pair sides below consume the verify-side shingle frame;
+    # the checkpoint keeps it one hash pass instead of two.
     pa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sv").alias("sv_a"))
     pb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sv").alias("sv_b"))
     joined = cand.join(pa, "doc_a").join(pb, "doc_b")
@@ -648,23 +668,29 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        # The changed flag rides the per-round materialization (the
+        # round's label join is computed once and checkpointed anyway),
+        # so convergence costs one cheap scan of the materialized frame
+        # instead of a second new-vs-old label join per round.
+        flagged = (
             labels.join(nbr, labels["id"] == nbr["dst"], "left")
             .select(
                 labels["id"],
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.least(
+                        F.col("comp"),
+                        F.coalesce(F.col("nbr_comp"), F.col("comp")),
+                    )
+                    != F.col("comp")
+                ).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = flagged.filter(F.col("__chg")).count()
+        labels = flagged.select("id", "comp")
         if changed == 0:
             return labels
     raise RuntimeError(
