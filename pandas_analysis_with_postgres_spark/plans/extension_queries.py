@@ -1992,6 +1992,33 @@ def _tracked_mkdtemp(prefix: str) -> str:
 _TIMETRAVEL_TABLES: dict = {}
 
 
+def _timetravel_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the a98 two-version snapshot fixture once per (app,
+    fixture): v1 = every 10th order, v2 = a MERGE doubling every 20th
+    key's price — input estate for the time-travel read, timed in
+    bench's ``builds`` block."""
+    from ..sources.snapshot import merge_snapshot, write_snapshot
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _TIMETRAVEL_TABLES.get(key)
+    if path is None:
+        orders = load_table(spark, sf_dir, "orders")
+        seed = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").alias("price"),
+        )
+        path = _tracked_mkdtemp("snap_timetravel_") + "/tbl"
+        write_snapshot(seed, path, "o_orderstatus")
+        upd = seed.filter(F.col("o_orderkey") % 20 == 0).withColumn(
+            "price", F.col("price") * 2
+        )
+        merge_snapshot(path, upd, "o_orderkey", "o_orderstatus")
+        _TIMETRAVEL_TABLES[key] = path
+    return path
+
+
 def q98_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time travel as plain SQL over the snapshot table layer
     (sources.snapshot + register_snapshot_view — round-4 judge ask #7).
@@ -2011,29 +2038,9 @@ def q98_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return because the returned DataFrame scans it lazily.
     """
 
-    from ..sources.snapshot import (
-        merge_snapshot,
-        register_snapshot_view,
-        write_snapshot,
-    )
+    from ..sources.snapshot import register_snapshot_view
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    path = _TIMETRAVEL_TABLES.get(key)
-    if path is None:
-        orders = load_table(spark, sf_dir, "orders")
-        seed = orders.filter(F.col("o_orderkey") % 10 == 0).select(
-            "o_orderkey",
-            "o_custkey",
-            "o_orderstatus",
-            F.col("o_totalprice").alias("price"),
-        )
-        path = _tracked_mkdtemp("snap_timetravel_") + "/tbl"
-        write_snapshot(seed, path, "o_orderstatus")
-        upd = seed.filter(F.col("o_orderkey") % 20 == 0).withColumn(
-            "price", F.col("price") * 2
-        )
-        merge_snapshot(path, upd, "o_orderkey", "o_orderstatus")
-        _TIMETRAVEL_TABLES[key] = path
+    path = _timetravel_table(spark, sf_dir)
     register_snapshot_view(spark, path, "snap_tt_v1", version=1)
     register_snapshot_view(spark, path, "snap_tt_v2", version=2)
     return spark.sql(
@@ -3642,24 +3649,9 @@ def z46_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-path clause stripping are unit-pinned
     (tests/test_metadata_sql.py). Oracle recomputes both versions from
     raw rows (v1 = all orders; current = the delete's complement)."""
-    import os
-
     from ..sources.metadata_sql import answer_from_manifest
-    from ..sources.snapshot import delete_where, write_snapshot
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    path = _TT_DROPS.get(key)
-    if path is None:
-        path = _tracked_mkdtemp("sql_tt_") + "/orders_tbl"
-        write_snapshot(
-            load_table(spark, sf_dir, "orders"),
-            path,
-            "o_orderstatus",
-            stats_cols=["o_totalprice"],
-        )
-        delete_where(spark, path, "o_totalprice < 50000")
-        _TT_DROPS[key] = path
-    tables = {"orders": path}
+    tables = {"orders": _tt_table(spark, sf_dir)}
     v1 = answer_from_manifest(
         spark,
         "SELECT COUNT(*) AS n_v1, MIN(o_totalprice) AS lo_v1"
@@ -3676,6 +3668,30 @@ def z46_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TT_DROPS: dict = {}
+
+
+def _tt_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the z46 versioned-history fixture once per (app,
+    fixture): the orders snapshot table plus the copy-on-write delete
+    that creates version 2 — input estate for the metadata time-travel
+    answer, timed in bench's ``builds`` block."""
+    import os
+
+    from ..sources.snapshot import delete_where, write_snapshot
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _TT_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("sql_tt_") + "/orders_tbl"
+        write_snapshot(
+            load_table(spark, sf_dir, "orders"),
+            path,
+            "o_orderstatus",
+            stats_cols=["o_totalprice"],
+        )
+        delete_where(spark, path, "o_totalprice < 50000")
+        _TT_DROPS[key] = path
+    return path
 
 
 _OPTOUT_DROPS: dict = {}
@@ -4248,6 +4264,23 @@ GROUP BY shard
 _TOKIDX_DROPS: dict = {}
 
 
+def _tokidx_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the z54 persisted token index once per (app,
+    fixture) — an index-build artifact (train once, serve forever),
+    timed in bench's ``builds`` block like the PQ/IVF stores."""
+    import os
+
+    from ..operators.text_index import build_token_index
+
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    path = _TOKIDX_DROPS.get(key)
+    if path is None:
+        path = _tracked_mkdtemp("tokidx_") + "/idx"
+        build_token_index(load_table(spark, sf_dir, "documents"), path)
+        _TOKIDX_DROPS[key] = path
+    return path
+
+
 def z54_token_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted INVERTED TOKEN INDEX (operators.text_index): postings
     ``(token, doc_id, tf)`` live in a snapshot table partitioned by
@@ -4264,16 +4297,9 @@ def z54_token_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     AND-matched docs per lang plus the OR-match count; the oracle
     replays tokenize → postings → match over the raw corpus with the
     pinned whitespace convention."""
-    import os
+    from ..operators.text_index import search_token_index
 
-    from ..operators.text_index import build_token_index, search_token_index
-
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    path = _TOKIDX_DROPS.get(key)
-    if path is None:
-        path = _tracked_mkdtemp("tokidx_") + "/idx"
-        build_token_index(load_table(spark, sf_dir, "documents"), path)
-        _TOKIDX_DROPS[key] = path
+    path = _tokidx_table(spark, sf_dir)
     terms = ["hash", "filter"]
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     hits_and = search_token_index(spark, path, terms, mode="all")
