@@ -723,9 +723,14 @@ def q88_orders_profile(
     """Data profile of orders: per column, null count, distinct count,
     min/max (canonical text repr).
 
-    ``approx=False`` (the oracled path): multiple exact
-    count(distinct)s in one aggregate plan via Catalyst's Expand — one
-    scan of the table, |cols| shuffled copies.
+    ``approx=False`` (the oracled path): one single-distinct aggregate
+    PER COLUMN, unioned — the same shape as the oracle's UNION ALL.
+    The previous all-in-one aggregate forced Catalyst's Expand
+    (|cols|+1 copies of every row) into a SORT-based aggregation (the
+    string-typed min/max buffers disqualify HashAggregate), a 6-key
+    sort of the expanded table; per-column plans each scan ONE pruned
+    column, hash-aggregate, and union 5 single-row results — measured
+    2.2-2.5 s -> 0.5-0.6 s at sf0.1 with identical output.
 
     ``approx=True`` (the 100 TB-shaped default for a profiler): distinct
     counts come from the in-repo HLL sketch (operators.sketches) — NO
@@ -746,6 +751,25 @@ def q88_orders_profile(
             return (c.cast("decimal(18,2)") * 100).cast("long").cast("string")
         return c.cast("string")
 
+    if not approx:
+        parts = []
+        for col, kind in PROFILE_COLS:
+            parts.append(
+                orders.select(F.col(col), rep(col, kind).alias("__r")).agg(
+                    F.lit(col).alias("column"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
+                    F.count_distinct(F.col(col)).alias("n_distinct"),
+                    F.min("__r").alias("min_repr"),
+                    F.max("__r").alias("max_repr"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(
+            "column", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr"
+        )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for col, kind in PROFILE_COLS:
         r = rep(col, kind)
@@ -754,8 +778,6 @@ def q88_orders_profile(
             F.min(r).alias(f"{col}__min"),
             F.max(r).alias(f"{col}__max"),
         ]
-        if not approx:
-            aggs.append(F.count_distinct(F.col(col)).alias(f"{col}__distinct"))
     one = orders.agg(*aggs)
     if approx:
         from ..operators import sketches as SK
@@ -813,17 +835,7 @@ def q88_orders_profile(
             "min_repr",
             "max_repr",
         )
-    stacked = ", ".join(
-        f"'{col}', {col}__nulls, {col}__distinct, {col}__min, {col}__max"
-        for col, _ in PROFILE_COLS
-    )
-    return one.select(
-        "n_rows",
-        F.expr(
-            f"stack({len(PROFILE_COLS)}, {stacked}) "
-            "AS (column, n_nulls, n_distinct, min_repr, max_repr)"
-        ),
-    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_repr", "max_repr")
+    raise AssertionError("unreachable: both profile modes return above")
 
 
 def _profile_oracle() -> str:

@@ -96,7 +96,14 @@ class TestApproxProfile:
         assert "Expand" not in plan  # exact mode's |cols|-copy shuffle is gone
         exact = q88_orders_profile(spark, sf)
         assert ap.columns == exact.columns
-        assert "Expand" in exact._jdf.queryExecution().executedPlan().toString()
+        # round 12: the exact path is a union of per-column
+        # single-distinct aggregates (the oracle's own UNION ALL
+        # shape) — no Expand (|cols|-copy row multiplication) in
+        # EITHER mode anymore, and each branch's scan prunes to its
+        # one column.
+        exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in exact_plan
+        assert "Union" in exact_plan
 
     def test_estimates_within_hll_error_bound(self, spark):
         from pandas_analysis_with_postgres_spark.plans.analytics_queries import (
