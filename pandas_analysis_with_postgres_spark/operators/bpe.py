@@ -80,40 +80,41 @@ def train_bpe_merges(
             F.lit(" "),
         ).alias("t")
     ).localCheckpoint()
-    out: DataFrame | None = None
+    spark = docs.sparkSession
+    rules: list[tuple] = []
     for r in range(1, rounds + 1):
-        top = (
+        # The round's rule is ONE row — fetch it to the driver (the
+        # standard iterative-model step, like k-means centroids) and
+        # inline it as a literal pattern, exactly as the encode path
+        # (apply_bpe_merges) already does. The previous shape shipped
+        # the one-row rule back through a localCheckpoint + broadcast
+        # crossJoin, paying an extra materialization, a broadcast
+        # exchange and a join per round for the same bytes.
+        row = (
             _pair_counts(cur)
             .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
             .limit(1)
-            .select(F.lit(r).alias("round"), "w1", "w2", "n")
-            .localCheckpoint()
-        )
-        out = top if out is None else out.unionByName(top)
-        cur = (
-            cur.crossJoin(F.broadcast(top.select("w1", "w2")))
-            .select(
-                F.regexp_replace(
-                    F.col("t"),
-                    F.concat(
-                        F.lit(" "),
-                        F.col("w1"),
-                        F.lit("  "),
-                        F.col("w2"),
-                        F.lit(" "),
-                    ),
-                    F.concat(
-                        F.lit(" "),
-                        F.col("w1"),
-                        F.lit(BPE_JOIN),
-                        F.col("w2"),
-                        F.lit(" "),
-                    ),
-                ).alias("t")
-            )
-            .localCheckpoint()
-        )
-    assert out is not None
+            .collect()
+        )[0]
+        rules.append((r, row["w1"], row["w2"], row["n"]))
+        cur = cur.select(
+            F.regexp_replace(
+                F.col("t"),
+                F.lit(f" {row['w1']}  {row['w2']} "),
+                F.lit(f" {row['w1']}{BPE_JOIN}{row['w2']} "),
+            ).alias("t")
+        ).localCheckpoint()
+    from pyspark.sql.types import StructType
+
+    from ..sources.metadata_sql import _local_rows_df
+
+    # JVM-side literal frame (no Python worker launch) — the rules are
+    # a <= ``rounds``-row model artifact.
+    out = _local_rows_df(
+        spark,
+        rules,
+        StructType.fromDDL("round int, w1 string, w2 string, n bigint"),
+    )
     return out.select(
         "round",
         "w1",

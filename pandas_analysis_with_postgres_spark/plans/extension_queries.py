@@ -1477,7 +1477,12 @@ def q68_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     staged = docs.select(TX.tokens("text").alias("__ts"))
     grams = staged.select(TX.ngrams_from_tokens(F.col("__ts"), 2).alias("gs"))
-    stream = grams.select(DD.guarded_explode("gs").alias("g"))
+    # Materialized once (lazy localCheckpoint): both the sketch pass
+    # and the exact top-20 audit consume the bigram stream, and
+    # without this each branch re-runs the tokenize+ngram explode.
+    stream = grams.select(DD.guarded_explode("gs").alias("g")).localCheckpoint(
+        eager=False
+    )
     hashed = stream.select(SK.str_hash(F.col("g")).alias("v"))
     counters = SK.cms_counters(hashed, "v")
     top = (
