@@ -104,59 +104,63 @@ RENAMES = {
 #: rotations only reorder; `scripts/check_surface.py` (run by pytest)
 #: enforces 50 distinct real keys and insertion-order integrity.
 ROTATION = [
-    # round-10/11 additions, never driver-checked
-    "z106_multicol_spec_metadata",
-    "z107_grouped_or_windows",
-    "z108_range_null_audit",
-    "z109_multicol_dml",
-    "z110_multicol_pruned_scan",
-    "z111_min_cost_supplier",
-    "z112_order_priority_check",
-    "z113_shipmode_priority",
-    "z114_part_availability",
-    "z115_multicol_conj_metadata",
-    "z116_stats_backfill",
-    "z117_multicol_conj_range",
-    # fill: oldest remaining driver rows (r06 ANN/text block, then the
-    # r07 block, in last-checked-round order)
-    "q27_cosine_topk",
-    "q28_lsh_topk",
-    "q29_cosine_near_pairs",
-    "q30_text_stats",
-    "q31_lang_profile",
-    "q40_returnflag_rollup",
-    "q41_status_priority_cube",
-    "q43_distinct_customers_per_status",
-    "q44_sql_frontend",
-    "q45_asof_latest_order",
-    "q48_props_map_rollup",
-    "q50_promo_range_join",
-    "q51_order_value_percentiles",
-    "q54_multires_rollup",
-    "q32_lang_id",
-    "q33_token_count_by_source",
-    "q34_media_metadata",
-    "a35_media_features",
-    "q35a_media_checksum",
-    "q42_ivf_topk",
-    "q46_top_tokens",
-    "q49_dedup_keep",
-    "q52_train_split",
-    "q53_corpus_curation",
-    "a58_dq_violations",
-    "a59_rare_token_score",
-    "a60_repetition_signals",
-    "a61_decontamination",
-    "a62_source_mixing",
-    "a63_sequence_packing",
-    "a64_pii_redaction",
-    "a65_ivf_kmeans_topk",
-    "a66_hll_distinct",
-    "a67_bloom_decontamination",
-    "a68_cms_heavy_hitters",
-    "z20_sql_merge",
-    "z21_sql_merge_sync",
-    "z22_pq_topk",
+    # Round-12 window (r11 verdict ask #1): the stalest driver rows —
+    # the r07-only block z24-z39 (16 keys), the r08 block z40-z60
+    # (21 keys), and the 13 oldest of the r08/r09 z61+ block. Several
+    # of these are also the operators this optimization round touched
+    # (z32 span scrub, z36/z37 WARC, z46/z54/z29/z41/z61 fixture
+    # splits, z25 IVF-PQ search), so the driver hash gate re-proves
+    # the optimized paths unchanged.
+    "z24_ivfpq_topk",
+    "z25_ivfpq_index_search",
+    "z26_jsonl_roundtrip",
+    "z27_csv_roundtrip",
+    "z28_sq8_topk",
+    "z29_orc_pushdown_summary",
+    "z30_xml_roundtrip",
+    "z31_blob_ingest",
+    "z32_duplicate_span_scrub",
+    "z33_manifest_aggregate",
+    "z34_metadata_sql",
+    "z35_sorted_neighborhood",
+    "z36_warc_datasource",
+    "z37_live_warc_ingest",
+    "z38_variant_analytics",
+    "z39_arrow_spread",
+    "z40_metadata_groupby",
+    "z41_metadata_range_count",
+    "z42_mor_delete",
+    "z43_sql_update",
+    "z44_sql_delete",
+    "z45_metadata_groupby_stats",
+    "z46_sql_time_travel",
+    "z47_live_optout",
+    "z48_compact_partitions",
+    "z49_wap_publish",
+    "z50_restore",
+    "z51_manifest_ndv",
+    "z52_branch_merge",
+    "z53_partition_evolution",
+    "z54_token_index_search",
+    "z55_manifest_quantiles",
+    "z56_stream_branch_ingest",
+    "z57_string_bloom_lookup",
+    "z58_alter_upgrade",
+    "z59_metadata_in_list",
+    "z60_shallow_clone",
+    "z61_metadata_groupby_in",
+    "z62_metadata_count_col",
+    "z63_metadata_topk",
+    "z64_metadata_sum_avg",
+    "z65_range_count_hybrid",
+    "z66_shipping_priority",
+    "z67_local_supplier_volume",
+    "z68_large_order_customers",
+    "z69_small_quantity_revenue",
+    "z70_metadata_tables",
+    "z71_metadata_eq_range",
+    "z72_range_sum_hybrid",
+    "z73_interpolate_linear",
 ]
 
 
