@@ -352,12 +352,20 @@ def main() -> None:
     # extras alike; the raw single-shot numbers stay in
     # queries_first/extras_first.
     prev_best: dict[str, float] = {}
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     try:
         hist_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_history.jsonl"
         )
         with open(hist_path) as f:
-            runs = [json.loads(ln) for ln in f if ln.strip()][-3:]
+            all_runs = [json.loads(ln) for ln in f if ln.strip()]
+        # Only runs at THIS core count are comparable: a lower-core
+        # PERF run measured against 32-core references would see every
+        # query >1.3x and re-run the whole suite twice over. Runs
+        # predating the "cpus" field (all recorded at 32) count as 32.
+        runs = [
+            r for r in all_runs if str(r.get("cpus", "32")) == str(cpus)
+        ][-3:]
         for r in runs:
             for k, v in {**r.get("queries", {}), **r.get("queries_extra", {})}.items():
                 prev_best[k] = min(prev_best.get(k, float("inf")), v)
@@ -412,6 +420,7 @@ def main() -> None:
             },
             "builds": builds,
             "probe": {"pre_sec": probe_pre, "post_sec": probe_post},
+            "cpus": int(cpus) if cpus.isdigit() else cpus,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )
