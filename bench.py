@@ -1,8 +1,22 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints TWO JSON lines, both ``"metric": "headline_suite_wall_clock"``
+with the same ``value``:
+
+1. the FULL record —
+   {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+    "queries_extra": {...}, "queries_first": {...}, "extras_stat":
+    {...}, "builds": {...}, "probe": {...}, "cpus": ..., "sf": ...};
+2. a compact TRAILER with only metric/value/unit/queries/probe/sf, so
+   a consumer that keeps just an output tail still parses a complete
+   headline record (BENCH_r*.json "parsed" was null from r04 to r11
+   because the full line outgrew the tail window).
+
+A consumer wanting the extras/builds blocks must take the FIRST line
+(or the last line of ``bench_history.jsonl``, which records the full
+line); the trailer deliberately repeats the headline value so either
+line is self-consistent.
 
 Each query is fully materialized via ``df.write.format("noop").save()``:
 the noop sink forces every output column to be computed and serialized
@@ -227,6 +241,44 @@ EXTRA = (
     "z117_multicol_conj_range",
 )
 
+#: Queries whose OUTPUT is a per-app memoized model artifact (train
+#: once, serve forever): any second run inside one bench process
+#: returns the memo, so the >1.3x / sub-1s re-run-median rules would
+#: report a cache hit instead of the operator (r12 verdict defect #1:
+#: a71's driver-run median was 0.015 s against a ~2.8 s real training
+#: pass). These are timed SINGLE-SHOT — the first run is the only
+#: honest number a warm process can produce.
+OUTPUT_MEMOIZED = frozenset({"a71_bpe_train"})
+
+#: Queries whose MUTATION is applied once into a per-app memoized
+#: fixture (DML/maintenance family): the first run builds the table
+#: and applies the delete/merge/evolution/publish; a re-run inside the
+#: same process finds the mutation already applied and times a no-op
+#: read (~0.2 s vs 2–5 s real). The r12 verdict predicted this hazard
+#: was structural ("a71 is the only output-memoized query today") —
+#: the new suspect_memo_medians sanity field below caught these seven
+#: the first time it ran, with every recorded post-r12 median for them
+#: a no-op read (bench_history: z10 median 0.17 s vs 3.5 s first in
+#: the r12 driver run itself). Single-shot like OUTPUT_MEMOIZED; the
+#: reported number includes their one-time fixture write, exactly the
+#: pre-r12 semantics of this family ("their mutation IS the thing
+#: being timed, so their fixtures stay inside the query").
+MUTATION_MEMOIZED = frozenset(
+    {
+        "z10_scd2_lakehouse",
+        "z14_optout_delete",
+        "z15_schema_evolution",
+        "z20_sql_merge",
+        "z21_sql_merge_sync",
+        "z48_compact_partitions",
+        "z56_stream_branch_ingest",
+    }
+)
+
+#: Union: never re-run these — the median would not measure the
+#: operator.
+SINGLE_SHOT = OUTPUT_MEMOIZED | MUTATION_MEMOIZED
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -278,6 +330,7 @@ def main() -> None:
     from pandas_analysis_with_postgres_spark.plans.extension_queries import (
         _backfill_demo_table,
         _filebloom_table,
+        _snapagg_table,
         _gbin_table,
         _ivfpq_index,
         _ivfpq_store,
@@ -330,6 +383,10 @@ def main() -> None:
         ("token_index(z54)", _tokidx_table),
         ("timetravel_history(z46)", _tt_table),
         ("timetravel_table(a98)", _timetravel_table),
+        # round 13: z33's snapshot estate (the recurring operator is a
+        # zero-data-page manifest aggregate, ~0.06 s; the first run was
+        # paying the one-time table write — same split as z04/z34).
+        ("snapagg_table(z33/z34/z40/z59)", _snapagg_table),
     ):
         t0 = time.perf_counter()
         fn(spark, sf_dir)
@@ -379,14 +436,19 @@ def main() -> None:
         nonlocal reruns
         t1 = _time_one(name)
         first_runs[name] = t1
+        if name in SINGLE_SHOT:
+            return t1  # re-runs would time the memo, not the operator
         ref = prev_best.get(name)
-        if t1 <= always_median_below or (ref and t1 > 1.3 * ref):
+        if t1 <= always_median_below or (
+            ref is not None and ref > 0 and t1 > 1.3 * ref
+        ):
             t2, t3 = _time_one(name), _time_one(name)
             reruns += 2
             return sorted((t1, t2, t3))[1]
         return t1
 
     timings = {name: _time_robust(name) for name in HEADLINE}
+    headline_reruns = reruns
     # Extras noise control (r10 verdict ask #4): sub-second extras sit
     # inside the documented ±2x JIT/VM single-shot band, so a lone
     # timing can masquerade as a regression (r10's z62 "1.55x" was
@@ -396,7 +458,43 @@ def main() -> None:
     extra: dict[str, float] = {
         name: _time_robust(name, always_median_below=1.0) for name in EXTRA
     }
-    extras_reruns = reruns
+    extras_reruns = reruns - headline_reruns
+    # z11's recurring bench line is a pure view READ (the fixture moved
+    # to builds in r12) — the maintenance operator itself was left with
+    # no recurring timing (r12 verdict defect #2). Time ONE incremental
+    # maintenance cycle per rep against a fresh copy of the pre-delta
+    # view (the copy is a ~10-file local dir clone, µs-scale); the
+    # measured work is read_changes + signed delta + bucket-pruned view
+    # merge, exactly the operator z11's oracle hash verifies. Median of
+    # 3 — each rep starts from the same pristine template, so reps are
+    # honest re-executions, not memo hits.
+    from pandas_analysis_with_postgres_spark.plans.extension_queries import (
+        matview_maintain_cycle,
+    )
+
+    def _time_maintain() -> float:
+        t0 = time.perf_counter()
+        matview_maintain_cycle(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 3)
+
+    m1, m2, m3 = _time_maintain(), _time_maintain(), _time_maintain()
+    extra["z11m_matview_maintain_cycle"] = sorted((m1, m2, m3))[1]
+    first_runs["z11m_matview_maintain_cycle"] = m1
+    # Memo-hit sanity (r12 verdict ask #1): a reported median under
+    # first_run/10 means the re-runs hit some per-app memo the registry
+    # above does not know about — surface it rather than silently
+    # reporting warm numbers. (A field, not an assert: the driver's
+    # bench invocation must never crash on a measurement anomaly.)
+    suspect = sorted(
+        k
+        for k, med in {**timings, **extra}.items()
+        if k in first_runs
+        and k not in SINGLE_SHOT
+        and med < first_runs[k] / 10
+        and first_runs[k] > 0.2
+    )
     probe_post = _probe()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -414,9 +512,14 @@ def main() -> None:
                 "rule": (
                     "median-of-3 when first run <= 1.0s or > 1.3x best of "
                     "last 3 recorded runs (headline + extras); queries_first "
-                    "holds the replaced single-shot values"
+                    "holds the replaced single-shot values; OUTPUT_MEMOIZED "
+                    "queries are single-shot (re-runs would time the memo)"
                 ),
                 "reruns": extras_reruns,
+                "reruns_headline": headline_reruns,
+                "output_memoized": sorted(OUTPUT_MEMOIZED),
+                "mutation_memoized": sorted(MUTATION_MEMOIZED),
+                "suspect_memo_medians": suspect,
             },
             "builds": builds,
             "probe": {"pre_sec": probe_pre, "post_sec": probe_post},

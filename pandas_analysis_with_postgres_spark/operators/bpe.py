@@ -90,12 +90,20 @@ def train_bpe_merges(
         # the one-row rule back through a localCheckpoint + broadcast
         # crossJoin, paying an extra materialization, a broadcast
         # exchange and a join per round for the same bytes.
-        row = (
+        rows = (
             _pair_counts(cur)
             .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
             .limit(1)
             .collect()
-        )[0]
+        )
+        if not rows:
+            # Degenerate corpus (empty, or fewer mergeable pairs than
+            # rounds): return the rules learned so far — the contract
+            # apply_bpe_merges already tolerates (missing rounds are
+            # skipped) and the shape the pre-collect implementation
+            # produced. Never reached by the fixtures.
+            break
+        row = rows[0]
         rules.append((r, row["w1"], row["w2"], row["n"]))
         cur = cur.select(
             F.regexp_replace(

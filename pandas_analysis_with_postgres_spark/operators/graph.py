@@ -114,8 +114,22 @@ def pagerank(
         salt_partitions = (
             1 if hot <= 4 * target else max(2, min(32, math.ceil(hot / target)))
         )
-    deg = edges.groupBy(F.col(src).alias("v")).agg(
-        F.count(F.lit(1)).alias("outdeg")
+    # Materialize the degree frame ONCE (lazy localCheckpoint): deg is
+    # consumed by round 0's rank init and by every round's rank⨝deg
+    # join, and without the boundary each consumer re-runs the full
+    # |E| scan + exchange + count aggregate — the r12 after-plan showed
+    # FOUR copies of that subtree for 3 rounds (no ReusedExchange: the
+    # consumers differ in projection). One O(|V|) executor-local frame
+    # replaces them; at 100 TB this is the same "stage the per-vertex
+    # state" step as staging the edge list above. (localCheckpoint
+    # trades lineage for executor-local storage: on a real cluster a
+    # lost executor fails the query instead of recomputing — at |V|
+    # rows re-staging is cheap, the standard trade for iterative
+    # frames.) Integer counts, same values — oracle-identical.
+    deg = (
+        edges.groupBy(F.col(src).alias("v"))
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=False)
     )
     ranks = deg.select("v", F.lit(scale).cast("long").alias("rank"))
     base = (scale * (100 - PAGERANK_DAMP_PCT)) // 100

@@ -104,63 +104,67 @@ RENAMES = {
 #: rotations only reorder; `scripts/check_surface.py` (run by pytest)
 #: enforces 50 distinct real keys and insertion-order integrity.
 ROTATION = [
-    # Round-12 window (r11 verdict ask #1): the stalest driver rows —
-    # the r07-only block z24-z39 (16 keys), the r08 block z40-z60
-    # (21 keys), and the 13 oldest of the r08/r09 z61+ block. Several
-    # of these are also the operators this optimization round touched
-    # (z32 span scrub, z36/z37 WARC, z46/z54/z29/z41/z61 fixture
-    # splits, z25 IVF-PQ search), so the driver hash gate re-proves
-    # the optimized paths unchanged.
-    "z24_ivfpq_topk",
-    "z25_ivfpq_index_search",
-    "z26_jsonl_roundtrip",
-    "z27_csv_roundtrip",
-    "z28_sq8_topk",
-    "z29_orc_pushdown_summary",
-    "z30_xml_roundtrip",
-    "z31_blob_ingest",
-    "z32_duplicate_span_scrub",
-    "z33_manifest_aggregate",
-    "z34_metadata_sql",
-    "z35_sorted_neighborhood",
-    "z36_warc_datasource",
-    "z37_live_warc_ingest",
-    "z38_variant_analytics",
-    "z39_arrow_spread",
-    "z40_metadata_groupby",
-    "z41_metadata_range_count",
-    "z42_mor_delete",
-    "z43_sql_update",
-    "z44_sql_delete",
-    "z45_metadata_groupby_stats",
-    "z46_sql_time_travel",
-    "z47_live_optout",
-    "z48_compact_partitions",
-    "z49_wap_publish",
-    "z50_restore",
-    "z51_manifest_ndv",
-    "z52_branch_merge",
-    "z53_partition_evolution",
-    "z54_token_index_search",
-    "z55_manifest_quantiles",
-    "z56_stream_branch_ingest",
-    "z57_string_bloom_lookup",
-    "z58_alter_upgrade",
-    "z59_metadata_in_list",
-    "z60_shallow_clone",
-    "z61_metadata_groupby_in",
-    "z62_metadata_count_col",
-    "z63_metadata_topk",
-    "z64_metadata_sum_avg",
-    "z65_range_count_hybrid",
-    "z66_shipping_priority",
-    "z67_local_supplier_volume",
-    "z68_large_order_customers",
-    "z69_small_quantity_revenue",
-    "z70_metadata_tables",
-    "z71_metadata_eq_range",
-    "z72_range_sum_hybrid",
-    "z73_interpolate_linear",
+    # Round-13 window (r12 verdict ask #8: keep the rotation moving to
+    # the stalest rows). Staleness recomputed from CORRECTNESS_r01–r12
+    # (last round each key had a driver row): z23_pq_refine is r07-only
+    # (1 key), the r08-era block is 29 keys (a69–a71/a85/a97–a99,
+    # z01–z07, a73/a74/a86–a92/a94–a96, a55/a56/a72), and 20 fills
+    # from the r09-era block (q01–q03 headline reference, z08–z19,
+    # z74–z78). This window re-proves two paths this optimization
+    # round touches through the driver's own hash gate: a86 (PageRank
+    # degree-frame materialization) and a71/z11 (bench measurement
+    # fixes). The remaining 17 r09-era keys (a57, a75–a84, a36–a39/
+    # a47/a93) are the natural r14 front-load.
+    "z23_pq_refine",
+    "a69_bm25_topk",
+    "a70_bigram_lm_surprisal",
+    "a71_bpe_train",
+    "a85_bpe_encode",
+    "a97_audio_features",
+    "a98_snapshot_time_travel",
+    "a99_zorder_key",
+    "z01_boilerplate_lines",
+    "z02_quality_classifier",
+    "z03_global_rank_shards",
+    "z04_stats_pruned_scan",
+    "z05_shuffled_shards",
+    "z06_bloom_point_lookup",
+    "z07_change_data_feed",
+    "a73_doc_chunks",
+    "a74_rolling_spend",
+    "a86_supply_pagerank",
+    "a87_event_transitions",
+    "a88_orders_profile",
+    "a89_fuzzy_token_pairs",
+    "a90_price_histogram_quantiles",
+    "a91_weighted_doc_sample",
+    "a92_grouping_sets",
+    "a94_user_median_py",
+    "a95_bloom_join_revenue",
+    "a96_order_value_spread",
+    "a55_live_enriched_counts",
+    "a56_live_pair_join",
+    "a72_live_hll_users",
+    "q01_pricing_summary",
+    "q02_customer_profile",
+    "q03_latest_order_per_customer",
+    "z08_semantic_dedup",
+    "z09_chunk_udtf",
+    "z10_scd2_lakehouse",
+    "z11_incremental_matview",
+    "z12_resample_ffill",
+    "z13_image_resize",
+    "z14_optout_delete",
+    "z15_schema_evolution",
+    "z16_audio_resample",
+    "z17_warc_extract",
+    "z18_compressed_blobs",
+    "z19_webdataset_roundtrip",
+    "z74_range_minmax_hybrid",
+    "z75_range_group_counts",
+    "z76_file_skipping",
+    "z77_multi_agg_hybrid",
+    "z78_group_multi_hybrid",
 ]
 
 

@@ -6937,6 +6937,13 @@ def _matview_tables(spark: SparkSession, sf_dir: str) -> str:
             group_col="o_orderstatus",
             sum_col="price_cents",
         )
+        # Bench estate (r12 verdict ask #2): freeze the view at its
+        # pre-second-delta state so `matview_maintain_cycle` can replay
+        # the second commit's maintenance against a fresh copy per rep.
+        # A plain dir clone of a tiny table — no extra Spark work.
+        import shutil
+
+        shutil.copytree(view, root + "/view_tpl")
         second = base.filter(F.col("o_orderkey") % 3 == 0).unionByName(
             base.filter(
                 (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 3 != 0)
@@ -6954,6 +6961,45 @@ def _matview_tables(spark: SparkSession, sf_dir: str) -> str:
         paths = view
         _MATVIEW_TABLES[key] = paths
     return paths
+
+
+def matview_maintain_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE incremental maintenance cycle, re-executable per bench rep:
+    clone the z11 view frozen at its pre-second-commit state and apply
+    the source's second CDF delta batch (inserts for the %3 keys +
+    update_pre/update_post for the %5 price bumps) through
+    ``maintain_sum_view``. Every rep computes the full delta algebra —
+    feed read after the cloned view's own txn watermark, signed
+    aggregation, bucket-pruned merge commit — against fresh state;
+    nothing about the cycle is memoized. Returns the maintained view's
+    final state (identical content to z11's declared result), which the
+    caller materializes. Bench-only: NOT a declared query — z11's
+    oracle already hash-verifies this exact delta algebra end-state."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.matview import maintain_sum_view
+    from ..sources.snapshot import read_snapshot
+
+    view = _matview_tables(spark, sf_dir)  # ensures src + template exist
+    root = os.path.dirname(view)
+    work = os.path.join(root, f"view_rep_{uuid.uuid4().hex[:8]}")
+    shutil.copytree(os.path.join(root, "view_tpl"), work)
+    maintain_sum_view(
+        spark,
+        os.path.join(root, "src"),
+        work,
+        key="o_orderkey",
+        group_col="o_orderstatus",
+        sum_col="price_cents",
+    )
+    out = read_snapshot(spark, work).select(
+        F.col("o_orderstatus"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("total").cast("long").alias("total_cents"),
+    )
+    return out
 
 
 def z11_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
