@@ -206,7 +206,20 @@ def events_stream_multibatch(
     time-ordered files, one file per micro-batch (``maxFilesPerTrigger=1``
     under ``availableNow`` ⇒ ≥ ``n_files`` batches) — the multi-batch
     harness for stateful operators, where watermark advance and
-    state-store handoff actually differ from a single-batch GROUP BY."""
+    state-store handoff actually differ from a single-batch GROUP BY.
+
+    ``SPARK_GRAFT_STREAM_SINGLE_BATCH=1`` (bench-only floor-experiment
+    knob, r12 verdict ask #7) replays the fixture as ONE batch instead:
+    the final append output is identical (the time-ordered split never
+    produces a late event — pinned in tests/test_streaming.py), only
+    the per-micro-batch state-store commit count changes. Default off:
+    the ≥3-batch replay is what the streaming fixtures exist to
+    exercise. Production guidance: batch size is the
+    maxFilesPerTrigger / trigger-interval knob — fewer, larger
+    micro-batches amortize the per-store commit floor measured in
+    OPTIMIZATION_r13.md."""
+    if os.environ.get("SPARK_GRAFT_STREAM_SINGLE_BATCH") == "1":
+        return events_stream(spark, sf_dir)
     try:
         glob = split_events_by_time(spark, sf_dir, n_files)
     except Exception:  # noqa: BLE001 — tmp not writable / exotic env
